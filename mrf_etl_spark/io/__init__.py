@@ -1,0 +1,19 @@
+from mrf_etl_spark.io.readers import conform, read_parquet_tolerant, read_code_list
+from mrf_etl_spark.io.writers import (
+    atomic_overwrite,
+    append_unique,
+    upsert_by_key,
+    latest_merge,
+    write_partitioned,
+)
+
+__all__ = [
+    "conform",
+    "read_parquet_tolerant",
+    "read_code_list",
+    "atomic_overwrite",
+    "append_unique",
+    "upsert_by_key",
+    "latest_merge",
+    "write_partitioned",
+]

@@ -1,0 +1,136 @@
+"""Sinks with the reference's idempotent-ingest semantics (SURVEY §2.1
+S11-S16).
+
+The reference guarantees idempotency with deterministic md5 uids +
+append-unique/upsert + `os.replace` atomic publish (prod_etl/ETL_1.py:
+359-398,450-498). Spark-first equivalents:
+
+  * append_unique / upsert_by_key — anti-join on the natural key, then
+    unionByName, then atomic overwrite. On a real lake this is Delta
+    `MERGE WHEN NOT MATCHED INSERT`; the anti-join formulation below is
+    storage-agnostic and shuffles only on the key.
+  * latest_merge — union + row_number() window keeping newest per key
+    (utils_nppes.py:215-253).
+  * write_partitioned — hive-layout fact write (notebook.py:275-351) via
+    `partitionBy`; at scale, partition columns (state, year_month, ...) give
+    partition pruning for every dashboard query.
+  * atomic_overwrite — write to a temp dir, swap into place. Preserves the
+    reference's crash-safety on local/posix storage; on object stores the
+    job-commit protocol / table format transaction takes this role.
+
+Scale note: the anti-join reads ONLY the key columns of the existing table
+(Catalyst prunes), so cost is O(new + existing-keys), not O(existing-bytes).
+For a 100 TB fact, pair this with partition filtering: pass
+``existing_filter`` to restrict the anti-join to the partitions a batch can
+touch (a batch is one payer-month in the reference's model).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    # local-fs check is enough for this build; on HDFS/S3 use the Hadoop FS
+    # API via spark._jvm — kept simple deliberately.
+    return os.path.exists(path)
+
+
+def atomic_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Write ``df`` to ``path`` via temp-dir + rename (ETL_1.py:369-389
+    `os.replace` parity). The input plan may read from ``path`` itself —
+    the temp write materializes it before the swap."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def append_unique(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    keys: list[str],
+    existing_filter: Column | None = None,
+) -> None:
+    """Insert rows whose key is absent from the existing table
+    (ETL_1.py:359-398). New-batch-internal duplicates collapse to one row
+    (dropDuplicates on the key) — matching the reference's DISTINCT
+    projections feeding its writers."""
+    new_df = new_df.dropDuplicates(keys)
+    if not _exists(spark, path):
+        atomic_overwrite(new_df, path)
+        return
+    existing = spark.read.parquet(path)
+    scope = existing.filter(existing_filter) if existing_filter is not None else existing
+    to_insert = new_df.join(scope.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
+    merged = existing.unionByName(to_insert, allowMissingColumns=True)
+    atomic_overwrite(merged, path)
+
+
+# Fact upsert (S13) is append-unique keyed on the deterministic fact_uid —
+# re-running the same batch inserts nothing (ETL_1.py:450-498).
+upsert_by_key = append_unique
+
+
+def latest_merge(
+    spark: SparkSession,
+    delta_df: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str = "last_updated",
+) -> None:
+    """Union existing+delta and keep the newest row per key
+    (utils_nppes.py:215-253: ROW_NUMBER ordered by
+    COALESCE(try_cast(last_updated AS TIMESTAMP), '1900-01-01') DESC)."""
+    if _exists(spark, path):
+        existing = spark.read.parquet(path)
+        # delta wins ties (the reference puts the delta first in its UNION
+        # ALL and row_number is stable on insertion order there; we make the
+        # tie-break explicit instead of relying on scan order).
+        unioned = existing.withColumn("_src", F.lit(0)).unionByName(
+            delta_df.withColumn("_src", F.lit(1)), allowMissingColumns=True
+        )
+    else:
+        unioned = delta_df.withColumn("_src", F.lit(1))
+    ts = F.coalesce(
+        F.col(order_col).cast("timestamp"), F.lit("1900-01-01").cast("timestamp")
+    )
+    w = Window.partitionBy(*keys).orderBy(ts.desc(), F.col("_src").desc())
+    deduped = (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    atomic_overwrite(deduped, path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    dedup_keys: list[str] | None = None,
+) -> None:
+    """Hive-partitioned write with per-partition dedup and dynamic-partition
+    replace (notebook.py:275-351). Only partitions present in ``df`` are
+    replaced — the reference's per-partition atomic swap, done by Spark's
+    committer."""
+    if dedup_keys:
+        df = df.dropDuplicates(dedup_keys)
+    (
+        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
