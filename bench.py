@@ -1,0 +1,88 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timings are end-to-end per query (plan + execute + collect), after the
+session is warm — JVM startup is excluded, matching how a resident engine
+would serve these.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Headline set: the heavy/representative operators (joins, percentile
+# rollups, windows, uid mint, top-k, LLM-data ops). Sink round-trips are
+# excluded (they benchmark the local disk, not the engine).
+HEADLINE = [
+    "j4_join_chain",
+    "j8_star_join",
+    "j7_class_split_join",
+    "a4_summary_stats",
+    "a6_percentile_profile",
+    "a9_multi_distinct",
+    "w1_latest_per_key",
+    "f_hash_uid",
+    "f_categorizer",
+    "k1_topk",
+    # LLM-data ops (present once parity_llm lands)
+    "d1_exact_dup",
+    "d2_minhash_lsh",
+    "t2_quality_score",
+    "n1_ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from mrf_etl_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    reg_queries = entry_mod.queries()
+    spark = get_spark(app_name="mrf-etl-bench")
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = reg_queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = len(df.collect())
+        except Exception as e:  # noqa: BLE001
+            print(f"# {name} ERROR {e}", file=sys.stderr)
+            continue
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1198 @@
+"""Operator parity catalog.
+
+Every operator in SURVEY §2 re-expressed over the driver's TPC-H-ish
+testdata tables (region nation customer supplier part orders lineitem
+events documents embeddings), as a pair:
+
+    spark_fn(spark, sf_dir) -> DataFrame      (the engine under test)
+    oracle: ANSI SQL string                   (DuckDB ground truth)
+
+Both sides are registered together so `__spark_entry__.queries()` /
+`oracle_sql()` cannot drift apart. Names key back to the SURVEY §2
+operator ids (s*, p*, j*, a*, w*, k*, u*, f*, x*) plus the LLM-data ops
+(d*, n*, t*, m*) from parity_llm.
+
+Determinism contract (the driver hash-compares sorted values):
+  * no LIMIT without a total order including a unique tie-break
+  * money aggregates rounded to 2 decimals on BOTH sides (the reference
+    rounds every API response the same way — data_queries.py:121-124)
+  * exact percentiles (`percentile` ⟷ `quantile_cont`), never approx
+  * timestamps never returned raw — formatted to strings (UTC session)
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from mrf_etl_spark.functions import slugify, zip5
+from mrf_etl_spark.functions.categorizer import categorize_expr, categorize_sql_case
+from mrf_etl_spark.io import conform
+
+SparkFn = Callable[[SparkSession, str], DataFrame]
+
+# scratch dir for sink round-trip operators (s12/s13/s15…). Never the
+# testdata dir; small outputs only.
+ARTIFACT_DIR = os.environ.get("SPARK_GRAFT_ARTIFACTS", "/tmp/mrf_etl_spark_artifacts")
+
+
+@dataclass
+class ParityQuery:
+    name: str
+    spark_fn: SparkFn
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only
+    doc: str = ""
+
+
+REGISTRY: dict[str, ParityQuery] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: SparkFn) -> SparkFn:
+        REGISTRY[name] = ParityQuery(name=name, spark_fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long
+        # (nanosAsLong). Keep the exact nanos for ordering (`ts_ns`) and a
+        # µs-truncated real timestamp for calendar functions (`ts`).
+        df = df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
+            "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+        )
+    return df
+
+
+def _pctl_sql(
+    src: str,
+    col: str,
+    group_cols: list[str],
+    ps: list[tuple[float, str]],
+    extra_aggs: list[str] | None = None,
+    round_to: int = 2,
+) -> str:
+    """Oracle SQL computing percentile_cont with EXACTLY Spark's
+    Percentile semantics: pos = p*(n-1); lower value when pos integral,
+    else (higher-pos)*lowerKey + (pos-lower)*higherKey — all in DOUBLE, so
+    the result is bit-identical to Spark's and needs no rounding."""
+    g = ", ".join(group_cols)
+    g_sel = f"{g}, " if g else ""
+    g_grp = f"GROUP BY {g}" if g else ""
+    terms = []
+    for p, alias in ps:
+        # All-DOUBLE arithmetic (CAST the percentage — DuckDB literals are
+        # DECIMAL) reproducing Spark's Percentile term-for-term: lower when
+        # pos is integral, else (higher-pos)*lowerKey + (pos-lower)*higherKey.
+        # No rounding: with identical double ops on identical inputs the
+        # result is bit-identical across engines (no summation involved),
+        # whereas round(double, 2) itself diverges between engines at
+        # knife-edge midpoints (Spark rounds via shortest-decimal-repr
+        # HALF_UP, DuckDB via scaled multiply).
+        row_pos = f"CAST({p} AS DOUBLE) * (n - 1)"
+        lo = f"max(CASE WHEN rn = CAST(floor({row_pos}) AS BIGINT) + 1 THEN x END)"
+        hi = f"max(CASE WHEN rn = CAST(ceil({row_pos}) AS BIGINT) + 1 THEN x END)"
+        pos = f"CAST({p} AS DOUBLE) * (max(n) - 1)"
+        interp = f"(ceil({pos}) - ({pos})) * {lo} + (({pos}) - floor({pos})) * {hi}"
+        val = f"CASE WHEN floor({pos}) = ceil({pos}) THEN {lo} ELSE {interp} END"
+        terms.append(f"{val} AS {alias}")
+    extras = (", " + ", ".join(extra_aggs)) if extra_aggs else ""
+    return f"""
+       WITH ranked AS (
+         SELECT *, {col} AS x,
+                row_number() OVER (PARTITION BY {g if g else '1'} ORDER BY {col}) AS rn,
+                count(*) OVER (PARTITION BY {g if g else '1'}) AS n
+         FROM {src} WHERE {col} IS NOT NULL)
+       SELECT {g_sel}{', '.join(terms)}{extras}
+       FROM ranked {g_grp}"""
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(ARTIFACT_DIR, exist_ok=True)
+    return f"{ARTIFACT_DIR}/{name}-{uuid.uuid4().hex[:8]}"
+
+
+# =====================================================================
+# §2.1 Scans / sources / sinks
+# =====================================================================
+
+
+@register(
+    "s1_pruned_scan",
+    """SELECT round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+       FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'""",
+    doc="S1: projection+predicate pushed into the parquet scan (replaces the "
+    "reference's hand-rolled 500k-row chunking, chunk_processor.py:17-32)",
+)
+def s1_pruned_scan(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "s4_tolerant_scan",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+              CAST(NULL AS VARCHAR) AS ghost_col
+       FROM lineitem""",
+    doc="S4: schema-tolerant conform — missing column materializes as typed "
+    "null, present ones cast (ETL_1.py:216-226)",
+)
+def s4_tolerant_scan(spark, sf_dir):
+    want = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.LongType()),
+            T.StructField("ghost_col", T.StringType()),
+        ]
+    )
+    return conform(t(spark, sf_dir, "lineitem"), want)
+
+
+@register(
+    "s7_code_list_filter",
+    """SELECT l_returnflag, count(*) AS n FROM lineitem
+       WHERE l_returnflag IN ('A', 'R') GROUP BY l_returnflag""",
+    doc="S7+P4: file-driven IN-set filter via broadcast set "
+    "(main.py:193-216); the set here is the collected 'code list'",
+)
+def s7_code_list_filter(spark, sf_dir):
+    code_set = ["A", "R"]  # stands in for read_code_list() output
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin(code_set))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "s12_append_unique_roundtrip",
+    """SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment""",
+    doc="S12: append-unique sink — seed a subset, append the full table, "
+    "keys insert exactly once (ETL_1.py:359-398)",
+)
+def s12_append_unique_roundtrip(spark, sf_dir):
+    from mrf_etl_spark.io import append_unique
+
+    cust = t(spark, sf_dir, "customer")
+    path = _scratch("s12_dim")
+    append_unique(spark, cust.filter(F.col("c_custkey") % 3 == 0), path, keys=["c_custkey"])
+    append_unique(spark, cust, path, keys=["c_custkey"])
+    return spark.read.parquet(path).groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+
+
+@register(
+    "s13_upsert_idempotent",
+    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY o_orderstatus""",
+    doc="S13: fact upsert by deterministic uid — running the same batch "
+    "twice is a no-op (ETL_1.py:450-498)",
+)
+def s13_upsert_idempotent(spark, sf_dir):
+    from mrf_etl_spark.io import upsert_by_key
+
+    orders = t(spark, sf_dir, "orders")
+    path = _scratch("s13_fact")
+    upsert_by_key(spark, orders, path, keys=["o_orderkey"])
+    upsert_by_key(spark, orders, path, keys=["o_orderkey"])  # idempotent re-run
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "s14_latest_merge",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY event_type""",
+    doc="S14: latest-record merge — union base+delta, keep newest per key "
+    "by timestamp (utils_nppes.py:215-253); delta superset ⇒ full table",
+)
+def s14_latest_merge(spark, sf_dir):
+    from mrf_etl_spark.io import latest_merge
+
+    ev = t(spark, sf_dir, "events")
+    path = _scratch("s14_merged")
+    latest_merge(spark, ev.filter(F.col("event_id") % 2 == 0), path, keys=["event_id"], order_col="ts")
+    latest_merge(spark, ev, path, keys=["event_id"], order_col="ts")
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@register(
+    "s15_partitioned_write",
+    """SELECT event_type, count(*) AS n FROM events GROUP BY event_type""",
+    doc="S15: hive-partitioned write + dynamic partition replace "
+    "(notebook.py:275-351); read-back proves partition values survive",
+)
+def s15_partitioned_write(spark, sf_dir):
+    from mrf_etl_spark.io import write_partitioned
+
+    ev = t(spark, sf_dir, "events")
+    path = _scratch("s15_part")
+    write_partitioned(ev, path, partition_by=["event_type"])
+    return spark.read.parquet(path).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+# =====================================================================
+# §2.2 Projections / filters / predicates
+# =====================================================================
+
+
+@register(
+    "p123_projection",
+    """SELECT o_orderkey, o_totalprice AS rate,
+              CAST(NULL AS DOUBLE) AS ga_prof_mar FROM orders""",
+    doc="P1+P2+P3: rename map, column drop, literal-null init "
+    "(main.py:220-275)",
+)
+def p123_projection(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumnsRenamed({"o_totalprice": "rate"})
+        .withColumn("ga_prof_mar", F.lit(None).cast("double"))
+        .drop("o_orderstatus", "o_custkey", "o_orderdate", "o_orderpriority")
+        .select("o_orderkey", "rate", "ga_prof_mar")
+    )
+
+
+@register(
+    "p567_predicates",
+    """SELECT l_linestatus, count(*) AS n, round(avg(l_extendedprice), 2) AS avg_price
+       FROM lineitem
+       WHERE l_returnflag = 'R' AND l_extendedprice BETWEEN 1000 AND 50000
+         AND l_shipdate IS NOT NULL
+       GROUP BY l_linestatus""",
+    doc="P5+P6+P7: equality, not-null, range predicates "
+    "(main.py:286-302, parquet_extractor.py:64-129)",
+)
+def p567_predicates(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & F.col("l_extendedprice").between(1000, 50000)
+            & F.col("l_shipdate").isNotNull()
+        )
+        .groupBy("l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.avg("l_extendedprice"), 2).alias("avg_price"))
+    )
+
+
+@register(
+    "p8_substring_whitelist",
+    """SELECT p_brand, count(*) AS n FROM part
+       WHERE lower(p_name) LIKE '%widget%' OR lower(p_name) LIKE '%bolt%'
+       GROUP BY p_brand""",
+    doc="P8: substring-whitelist filter — contains-any over lowercase text "
+    "(taxonomy_filter.py:45-107)",
+)
+def p8_substring_whitelist(spark, sf_dir):
+    whitelist = ["widget", "bolt"]
+    pred = None
+    for w in whitelist:
+        c = F.lower(F.col("p_name")).contains(w)
+        pred = c if pred is None else (pred | c)
+    return t(spark, sf_dir, "part").filter(pred).groupBy("p_brand").agg(F.count("*").alias("n"))
+
+
+@register(
+    "p10_multi_filter",
+    """SELECT o_orderpriority, count(*) AS n FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE o.o_orderstatus = 'F'
+         AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+         AND c.c_name ILIKE '%00001%'
+       GROUP BY o_orderpriority""",
+    doc="P10: parameterized multi-filter builder — =, IN, ILIKE composed "
+    "into one predicate (optimized_queries.py:565-650)",
+)
+def p10_multi_filter(spark, sf_dir):
+    from mrf_etl_spark.plans.queries import build_filter
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    pred = build_filter(
+        eq={"o_orderstatus": "F"},
+        isin={"o_orderpriority": ["1-URGENT", "2-HIGH"]},
+        ilike={"c_name": "%00001%"},
+    )
+    return joined.filter(pred).groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+# =====================================================================
+# §2.3 Joins
+# =====================================================================
+
+
+@register(
+    "j1_broadcast_left_join",
+    """SELECT p.p_brand, count(*) AS n, round(sum(l.l_extendedprice), 2) AS total
+       FROM lineitem l
+       LEFT JOIN (SELECT * FROM part WHERE p_size <= 25) p
+         ON l.l_partkey = p.p_partkey
+       GROUP BY p.p_brand""",
+    doc="J1: rates⋈providers left broadcast join; filtered dim exercises "
+    "null-preserving left semantics (main.py:166-187)",
+)
+def j1_broadcast_left_join(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "j3_coalesce_merge",
+    """WITH lut AS (
+         SELECT l_partkey, round(avg(l_quantity), 2) AS adj
+         FROM lineitem GROUP BY l_partkey)
+       SELECT p.p_partkey, round(coalesce(lut.adj, p.p_retailprice), 2) AS val
+       FROM part p LEFT JOIN lut ON p.p_partkey = lut.l_partkey""",
+    doc="J3: GA-WC merge — left join + combine_first ≡ coalesce(src, dest) "
+    "in that argument order (main.py:330-378)",
+)
+def j3_coalesce_merge(spark, sf_dir):
+    lut = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.round(F.avg("l_quantity"), 2).alias("adj"))
+    )
+    p = t(spark, sf_dir, "part")
+    return p.join(F.broadcast(lut), p.p_partkey == lut.l_partkey, "left").select(
+        "p_partkey", F.round(F.coalesce("adj", "p_retailprice"), 2).alias("val")
+    )
+
+
+@register(
+    "j4_join_chain",
+    """SELECT n.n_name,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'ASIA'
+       GROUP BY n.n_name""",
+    doc="J4: multi-hop broadcast join chain (the Medicare locality chain, "
+    "main.py:441-526), shaped as TPC-H Q5",
+)
+def j4_join_chain(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "j5_normalized_key_join",
+    """WITH lut AS (
+         SELECT concat(' ', lower(p_brand), ' ') AS brand_messy,
+                round(avg(p_retailprice), 2) AS avg_rp
+         FROM part GROUP BY concat(' ', lower(p_brand), ' '))
+       SELECT p.p_partkey, lut.avg_rp
+       FROM part p
+       LEFT JOIN lut ON upper(trim(lut.brand_messy)) = upper(trim(p.p_brand))""",
+    doc="J5: OPPS/ASC lookup join on normalized (strip/upper) code "
+    "(rate_calculator.py:222-283)",
+)
+def j5_normalized_key_join(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    lut = (
+        p.groupBy(F.concat(F.lit(" "), F.lower("p_brand"), F.lit(" ")).alias("brand_messy"))
+        .agg(F.round(F.avg("p_retailprice"), 2).alias("avg_rp"))
+    )
+    return p.join(
+        F.broadcast(lut),
+        F.upper(F.trim(lut.brand_messy)) == F.upper(F.trim(p.p_brand)),
+        "left",
+    ).select("p_partkey", "avg_rp")
+
+
+@register(
+    "j6_agg_map_join",
+    """WITH nat AS (
+         SELECT s_nationkey, round(avg(s_acctbal), 2) AS nat_avg
+         FROM supplier GROUP BY s_nationkey)
+       SELECT s.s_nationkey, (s.s_acctbal > n.nat_avg) AS above_avg, count(*) AS n
+       FROM supplier s JOIN nat n ON s.s_nationkey = n.s_nationkey
+       GROUP BY s.s_nationkey, above_avg""",
+    doc="J6: Series.map of a groupby-mean ≡ join with the aggregated frame "
+    "(rate_calculator.py:95-117)",
+)
+def j6_agg_map_join(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    nat = s.groupBy("s_nationkey").agg(F.round(F.avg("s_acctbal"), 2).alias("nat_avg"))
+    return (
+        s.join(F.broadcast(nat.withColumnRenamed("s_nationkey", "nk")), s.s_nationkey == F.col("nk"))
+        .withColumn("above_avg", F.col("s_acctbal") > F.col("nat_avg"))
+        .groupBy("s_nationkey", "above_avg")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "j7_class_split_join",
+    """WITH bench_f AS (
+         SELECT l_partkey, round(avg(l_quantity), 4) AS bench
+         FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_partkey),
+       bench_o AS (
+         SELECT l_partkey, round(avg(l_quantity), 4) AS bench
+         FROM lineitem WHERE l_linestatus = 'O' GROUP BY l_partkey)
+       SELECT l.l_orderkey, l.l_linenumber,
+              round(l.l_quantity / nullif(b.bench, 0), 4) AS pct_of_bench
+       FROM lineitem l
+       LEFT JOIN bench_f b ON l.l_linestatus = 'F' AND l.l_partkey = b.l_partkey
+       WHERE l.l_linestatus = 'F'
+       UNION ALL
+       SELECT l.l_orderkey, l.l_linenumber,
+              round(l.l_quantity / nullif(b.bench, 0), 4) AS pct_of_bench
+       FROM lineitem l
+       LEFT JOIN bench_o b ON l.l_linestatus = 'O' AND l.l_partkey = b.l_partkey
+       WHERE l.l_linestatus = 'O'""",
+    doc="J7: benchmark join split by billing_class, branches unioned, "
+    "pct_of_benchmark with NULLIF guard (benchmark_joiner.py:56-198)",
+)
+def j7_class_split_join(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+
+    def branch(status: str) -> DataFrame:
+        bench = (
+            li.filter(F.col("l_linestatus") == status)
+            .groupBy("l_partkey")
+            .agg(F.round(F.avg("l_quantity"), 4).alias("bench"))
+            .withColumnRenamed("l_partkey", "bk")
+        )
+        return (
+            li.filter(F.col("l_linestatus") == status)
+            .join(F.broadcast(bench), F.col("l_partkey") == F.col("bk"), "left")
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                F.round(
+                    F.col("l_quantity") / F.nullif(F.col("bench"), F.lit(0)), 4
+                ).alias("pct_of_bench"),
+            )
+        )
+
+    return branch("F").unionByName(branch("O"))
+
+
+@register(
+    "j8_star_join",
+    """SELECT l.l_orderkey, l.l_linenumber, c.c_name, n.n_name, p.p_brand,
+              s.s_name, round(l.l_extendedprice, 2) AS price
+       FROM lineitem l
+       LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+       LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+       LEFT JOIN part p ON l.l_partkey = p.p_partkey
+       LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       WHERE lower(p.p_name) LIKE '%widget%' AND o.o_orderstatus = 'F'""",
+    doc="J8: query-layer star join — fact LEFT joins every dim "
+    "(optimized_queries.py:653-689); dims broadcast",
+)
+def j8_star_join(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey, "left")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey, "left")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left")
+        .filter(F.lower(F.col("p_name")).contains("widget") & (F.col("o_orderstatus") == "F"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "c_name",
+            "n_name",
+            "p_brand",
+            "s_name",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+@register(
+    "j9_computed_slug_join",
+    """WITH slugmap AS (
+         SELECT trim(BOTH '_' FROM regexp_replace(lower(n_name), '[^a-z0-9]+', '_', 'g'))
+                  AS nslug,
+                n_regionkey
+         FROM nation)
+       SELECT m.n_regionkey, count(*) AS n
+       FROM supplier s
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN slugmap m
+         ON trim(BOTH '_' FROM regexp_replace(lower(n.n_name), '[^a-z0-9]+', '_', 'g'))
+            = m.nslug
+       GROUP BY m.n_regionkey""",
+    doc="J9: join on a computed slug key (payer_slug from entity name, "
+    "backend/main.py:118-125)",
+)
+def j9_computed_slug_join(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    slugmap = n.select(
+        slugify("n_name", "_").alias("nslug"), F.col("n_regionkey").alias("rk")
+    )
+    return (
+        s.join(F.broadcast(n.drop("n_regionkey")), s.s_nationkey == n.n_nationkey)
+        .withColumn("nslug2", slugify("n_name", "_"))
+        .join(F.broadcast(slugmap), F.col("nslug2") == slugmap.nslug)
+        .groupBy(F.col("rk").alias("n_regionkey"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "j10_anti_join",
+    """SELECT c.c_mktsegment, count(*) AS n FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       GROUP BY c.c_mktsegment""",
+    doc="J10: anti-join (new-keys-∉-existing ingest dedup, ETL_1.py:363)",
+)
+def j10_anti_join(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "j11_semi_join",
+    """SELECT p.p_brand, count(*) AS n FROM part p
+       WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+       GROUP BY p.p_brand""",
+    doc="J11: semi-join (POS-membership filter via xref, Data_Schema.md:193-207)",
+)
+def j11_semi_join(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "j12_desc_coalesce",
+    """SELECT o.o_orderkey,
+              coalesce(c.c_name, CAST(o.o_custkey AS VARCHAR)) AS display_name
+       FROM orders o
+       LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+         ON o.o_custkey = c.c_custkey""",
+    doc="J12: code-description join with COALESCE(desc, code) fallback "
+    "(data_queries.py:173-200)",
+)
+def j12_desc_coalesce(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey",
+        F.coalesce("c_name", F.col("o_custkey").cast("string")).alias("display_name"),
+    )
+
+
+# =====================================================================
+# §2.4 Aggregations
+# =====================================================================
+
+
+@register(
+    "a1_group_mean",
+    """SELECT s_nationkey, round(avg(s_acctbal), 2) AS avg_bal
+       FROM supplier GROUP BY s_nationkey""",
+    doc="A1: group-by mean (state-averaged wage index, rate_calculator.py:95-117)",
+)
+def a1_group_mean(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.round(F.avg("s_acctbal"), 2).alias("avg_bal"))
+    )
+
+
+@register(
+    "a2_multi_mean",
+    """SELECT l_returnflag, round(avg(l_quantity), 2) AS avg_qty,
+              round(avg(l_extendedprice), 2) AS avg_price,
+              round(avg(l_discount), 4) AS avg_disc
+       FROM lineitem GROUP BY l_returnflag""",
+    doc="A2: group-by multi-mean (GPCI triple, build_medicare_benchmarks.py:432-449)",
+)
+def a2_multi_mean(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+    )
+
+
+@register(
+    "a3_global_mean",
+    """SELECT round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_tax), 4) AS avg_tax FROM lineitem""",
+    doc="A3: whole-table means (national GPCI, build_medicare_benchmarks.py:316-319)",
+)
+def a3_global_mean(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").agg(
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_tax"), 4).alias("avg_tax"),
+    )
+
+
+@register(
+    "a4_summary_stats",
+    _pctl_sql(
+        "orders",
+        "o_totalprice",
+        ["o_orderpriority"],
+        [(0.5, "median_rate")],
+        extra_aggs=[
+            "count(*) AS rate_count",
+            "round(avg(x), 2) AS avg_rate",
+            "round(min(x), 2) AS min_rate",
+            "round(max(x), 2) AS max_rate",
+            "count(DISTINCT o_custkey) AS n_customers",
+        ],
+    ),
+    doc="A4+W3: the reference's summary-stats block with EXACT median "
+    "(PERCENTILE_CONT ≡ percentile, data_queries.py:96-107)",
+)
+def a4_summary_stats(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("rate_count"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_rate"),
+            F.round(F.min("o_totalprice"), 2).alias("min_rate"),
+            F.round(F.max("o_totalprice"), 2).alias("max_rate"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_rate"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "a5_topk_group_stats",
+    """SELECT * FROM (
+         SELECT o_custkey, count(*) AS rate_count,
+                round(avg(o_totalprice), 2) AS avg_rate
+         FROM orders GROUP BY o_custkey
+         ORDER BY rate_count DESC, o_custkey ASC LIMIT 10)""",
+    doc="A5: grouped stats + ORDER BY count DESC LIMIT k with unique "
+    "tie-break for determinism (data_queries.py:130-217)",
+)
+def a5_topk_group_stats(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("rate_count"), F.round(F.avg("o_totalprice"), 2).alias("avg_rate"))
+        .orderBy(F.col("rate_count").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "a6_percentile_profile",
+    _pctl_sql(
+        "lineitem",
+        "l_extendedprice",
+        ["l_returnflag"],
+        [(p, f"p{int(p * 100)}") for p in (0.10, 0.25, 0.50, 0.75, 0.90)],
+        extra_aggs=[
+            "count(DISTINCT l_orderkey) AS n_orders",
+            "count(DISTINCT l_suppkey) AS n_suppliers",
+        ],
+    ),
+    doc="A6: agg_market_rates percentile profile p10..p90 + distinct "
+    "entity counts (notebook.py:374-405)",
+)
+def a6_percentile_profile(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    aggs = [
+        F.expr(f"percentile(l_extendedprice, {p})").alias(f"p{int(p*100)}")
+        for p in (0.10, 0.25, 0.50, 0.75, 0.90)
+    ]
+    return li.groupBy("l_returnflag").agg(
+        *aggs,
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@register(
+    "a7_faceted_counts",
+    """SELECT * FROM (
+         SELECT event_type AS facet, count(*) AS n FROM events
+         GROUP BY event_type ORDER BY n DESC, facet ASC LIMIT 3)""",
+    doc="A7: faceted counts ORDER BY count DESC LIMIT k "
+    "(staged_dashboard.py:95-314)",
+)
+def a7_faceted_counts(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("facet"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("facet").asc())
+        .limit(3)
+    )
+
+
+@register(
+    "a8_availability_matrix",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS year_month, o_orderstatus,
+              count(*) AS n, count(DISTINCT o_custkey) AS n_cust
+       FROM orders GROUP BY year_month, o_orderstatus""",
+    doc="A8: availability matrix — counts + distincts per (state, year_month) "
+    "(data_queries.py:40-77)",
+)
+def a8_availability_matrix(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("year_month"), "o_orderstatus"
+        )
+        .agg(F.count("*").alias("n"), F.countDistinct("o_custkey").alias("n_cust"))
+    )
+
+
+@register(
+    "a9_multi_distinct",
+    """SELECT count(*) AS total,
+              count(DISTINCT l_orderkey) AS d_orders,
+              count(DISTINCT l_partkey) AS d_parts,
+              count(DISTINCT l_suppkey) AS d_supps,
+              count(DISTINCT l_returnflag) AS d_flags,
+              count(DISTINCT l_linestatus) AS d_status
+       FROM lineitem""",
+    doc="A9: dashboard multi-COUNT(DISTINCT) in one pass "
+    "(optimized_queries.py:798-826); Spark plans this via EXPAND",
+)
+def a9_multi_distinct(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("total"),
+        F.countDistinct("l_orderkey").alias("d_orders"),
+        F.countDistinct("l_partkey").alias("d_parts"),
+        F.countDistinct("l_suppkey").alias("d_supps"),
+        F.countDistinct("l_returnflag").alias("d_flags"),
+        F.countDistinct("l_linestatus").alias("d_status"),
+    )
+
+
+@register(
+    "a10_drilldown",
+    """SELECT l_linestatus, count(*) AS n,
+              round(avg(l_extendedprice), 2) AS avg_price
+       FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_linestatus""",
+    doc="A10: drill-down — fix one dimension, aggregate another "
+    "(optimized_queries.py:966-1024)",
+)
+def a10_drilldown(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "A")
+        .groupBy("l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.avg("l_extendedprice"), 2).alias("avg_price"))
+    )
+
+
+@register(
+    "a11_dedup_distinct",
+    """SELECT DISTINCT user_id, event_type FROM events""",
+    doc="A11: DISTINCT projection (dim extraction, ETL_1.py:282-322)",
+)
+def a11_dedup_distinct(spark, sf_dir):
+    return t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@register(
+    "a12_cross_product",
+    """SELECT r.r_name, b.p_brand, concat(r.r_name, ':', b.p_brand) AS combo
+       FROM region r CROSS JOIN (SELECT DISTINCT p_brand FROM part) b""",
+    doc="A12: cross product frame (states × codes benchmark scaffold, "
+    "build_medicare_benchmarks.py:137-147)",
+)
+def a12_cross_product(spark, sf_dir):
+    r = t(spark, sf_dir, "region")
+    b = t(spark, sf_dir, "part").select("p_brand").distinct()
+    return r.crossJoin(b).select(
+        "r_name", "p_brand", F.concat_ws(":", "r_name", "p_brand").alias("combo")
+    )
+
+
+@register(
+    "a13_conditional_sum",
+    """SELECT l_linestatus,
+              round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2)
+                AS returned_value,
+              sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_n,
+              count(*) AS total_n
+       FROM lineitem GROUP BY l_linestatus""",
+    doc="A13: coverage counters as conditional sums in one pass "
+    "(benchmark_joiner.py:200-247)",
+)
+def a13_conditional_sum(spark, sf_dir):
+    returned = F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0)
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.sum(returned), 2).alias("returned_value"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("returned_n"),
+            F.count("*").alias("total_n"),
+        )
+    )
+
+
+# =====================================================================
+# §2.5 Windows, §2.6 sorts/limits, §2.7 set ops
+# =====================================================================
+
+
+@register(
+    "w1_latest_per_key",
+    """SELECT user_id, event_type, event_id, round(value, 2) AS value
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events)
+       WHERE rn = 1""",
+    doc="W1: latest-per-key via ROW_NUMBER ordered by timestamp DESC "
+    "(utils_nppes.py:230-246); explicit unique tie-break",
+)
+def w1_latest_per_key(spark, sf_dir):
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts_ns").desc(), F.col("event_id").desc()
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+@register(
+    "w2_best_per_key",
+    """SELECT user_id, event_id, round(value, 2) AS best_value
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+             FROM events)
+       WHERE rn = 1""",
+    doc="W2: best-per-key (highest tot_ratio ZIP→CBSA, api_clients.py:301-306)",
+)
+def w2_best_per_key(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.round("value", 2).alias("best_value"))
+    )
+
+
+@register(
+    "k1_topk",
+    """SELECT * FROM (
+         SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+         FROM lineitem
+         ORDER BY price DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100)""",
+    doc="§2.6: top-k rates ORDER BY rate DESC LIMIT n "
+    "(optimized_queries.py:687-688); Spark plans TakeOrderedAndProject",
+)
+def k1_topk(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+        .orderBy(F.col("price").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "k2_pagination",
+    """SELECT o_orderkey, o_orderpriority FROM orders
+       ORDER BY o_orderkey LIMIT 50 OFFSET 100""",
+    doc="§2.6: LIMIT/OFFSET pagination over a total order "
+    "(optimized_queries.py:866-883)",
+)
+def k2_pagination(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
+@register(
+    "u1_union_tolerant",
+    """SELECT count(*) AS n, count(o_orderpriority) AS n_priority,
+              round(sum(o_totalprice), 2) AS total
+       FROM (SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+             FROM orders
+             UNION ALL
+             SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority FROM orders)""",
+    doc="§2.7: schema-tolerant UNION ALL — unionByName(allowMissingColumns) "
+    "(utils_nppes.py:239-243, vertical_relaxed concat)",
+)
+def u1_union_tolerant(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", "o_totalprice")
+    b = o.select("o_orderkey", "o_orderpriority")
+    return a.unionByName(b, allowMissingColumns=True).agg(
+        F.count("*").alias("n"),
+        F.count("o_orderpriority").alias("n_priority"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# =====================================================================
+# §2.8 Scalar functions
+# =====================================================================
+
+
+@register(
+    "f_slugify",
+    """SELECT c_custkey,
+              trim(regexp_replace(lower(c_name), '[^a-z0-9]+', '_', 'g'), '_')
+                AS slug
+       FROM customer""",
+    doc="§2.8: slugify — lower, collapse non-alnum runs, strip "
+    "(ETL_1.py:79-84 / notebook.py:43)",
+)
+def f_slugify(spark, sf_dir):
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey", slugify("c_name", "_").alias("slug")
+    )
+
+
+@register(
+    "f_hash_uid",
+    """SELECT o_orderkey,
+              md5(concat(o_orderstatus, '|', o_orderpriority, '|',
+                         printf('%.4f', o_totalprice))) AS uid
+       FROM orders""",
+    doc="§2.8: md5 surrogate key with pipe-join + %.4f rate serialization "
+    "(fact_uid recipe, ETL_1.py:173-199) — byte parity with the oracle",
+)
+def f_hash_uid(spark, sf_dir):
+    from mrf_etl_spark.functions import md5_join, rate_4f
+
+    o = t(spark, sf_dir, "orders")
+    uid = F.md5(
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("o_orderstatus"), F.lit("")),
+            F.coalesce(F.col("o_orderpriority"), F.lit("")),
+            rate_4f("o_totalprice"),
+        )
+    )
+    return o.select("o_orderkey", uid.alias("uid"))
+
+
+@register(
+    "f_year_month",
+    """SELECT strftime(ts, '%Y-%m') AS year_month, count(*) AS n
+       FROM events GROUP BY year_month""",
+    doc="§2.8: date → 'YYYY-MM' month key (notebook.py:130-135); session "
+    "TZ pinned UTC so both engines see the same wall-clock fields",
+)
+def f_year_month(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM").alias("year_month"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "f_zip5_lpad",
+    """SELECT s_suppkey,
+              lpad(regexp_extract(CAST(s_suppkey AS VARCHAR), '([0-9]{1,5})', 1),
+                   5, '0') AS zip5
+       FROM supplier""",
+    doc="§2.8: zip5 — first digit run zero-padded to 5 "
+    "(rate_calculator.py:55,98; main.py:453-456)",
+)
+def f_zip5_lpad(spark, sf_dir):
+    return t(spark, sf_dir, "supplier").select("s_suppkey", zip5("s_suppkey").alias("zip5"))
+
+
+@register(
+    "f_array_normalize",
+    """SELECT p_partkey,
+              array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',')
+                AS words,
+              len(list_distinct(string_split(p_name, ' '))) AS n_words
+       FROM part""",
+    doc="§2.8 array: split → distinct → sort (service_codes normalize, "
+    "ETL_1.py:109-145); joined to string for engine-neutral compare",
+)
+def f_array_normalize(spark, sf_dir):
+    words = F.array_sort(F.array_distinct(F.split(F.col("p_name"), " ")))
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.array_join(words, ",").alias("words"),
+        F.size(F.array_distinct(F.split(F.col("p_name"), " "))).alias("n_words"),
+    )
+
+
+@register(
+    "x1_explode",
+    """SELECT word, count(*) AS n FROM (
+         SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+       GROUP BY word""",
+    doc="§2.8 explode: array → rows (xref_pos build, notebook.py:167)",
+)
+def x1_explode(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "part")
+        .select(F.explode(F.split(F.col("p_name"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "f_json_extract",
+    """SELECT event_type,
+              round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)), 2)
+                AS avg_k
+       FROM events GROUP BY event_type""",
+    doc="§2.8 json: extract nested field from a JSON string column "
+    "(NPPES payload parse, geocoder.py:156-217). Spark uses a real JSON "
+    "path (get_json_object); the oracle regexes the same value out.",
+)
+def f_json_extract(spark, sf_dir):
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.avg(k), 2).alias("avg_k"))
+    )
+
+
+@register(
+    "f_math_formula",
+    """SELECT l_orderkey, l_linenumber,
+              (l_quantity * CAST(1.1 AS DOUBLE)
+               + l_extendedprice * CAST(0.01 AS DOUBLE)
+               + l_tax * CAST(3.5 AS DOUBLE)) * CAST(32.35 AS DOUBLE)
+                AS calc_rate
+       FROM lineitem""",
+    doc="§2.8 math: the Medicare professional formula shape "
+    "(w*g1 + p*g2 + m*g3) * CF (main.py:495-510)",
+)
+def f_math_formula(spark, sf_dir):
+    # unrounded: identical double op order on identical inputs is
+    # bit-exact across engines; round(double) itself is engine-divergent
+    # at midpoints (see _pctl_sql note)
+    calc = (
+        F.col("l_quantity") * 1.1 + F.col("l_extendedprice") * 0.01 + F.col("l_tax") * 3.5
+    ) * 32.35
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", calc.alias("calc_rate")
+    )
+
+
+def _cpt_code_sql() -> str:
+    return (
+        "CASE WHEN p_partkey % 97 = 0 THEN 'G0008' "
+        "WHEN p_partkey % 89 = 0 THEN 'IME01' "
+        "WHEN p_partkey % 83 = 0 THEN 'ABC' "
+        "ELSE CAST(10000 + (p_partkey * 449) % 90000 AS VARCHAR) END"
+    )
+
+
+def _cpt_code_expr() -> F.Column:
+    k = F.col("p_partkey")
+    return (
+        F.when(k % 97 == 0, F.lit("G0008"))
+        .when(k % 89 == 0, F.lit("IME01"))
+        .when(k % 83 == 0, F.lit("ABC"))
+        .otherwise((F.lit(10000) + (k * 449) % 90000).cast("string"))
+    )
+
+
+@register(
+    "f_categorizer",
+    f"""WITH coded AS (SELECT {_cpt_code_sql()} AS code FROM part)
+       SELECT {categorize_sql_case('code', 0)} AS procedure_set,
+              {categorize_sql_case('code', 1)} AS procedure_class,
+              {categorize_sql_case('code', 2)} AS procedure_group,
+              count(*) AS n
+       FROM coded GROUP BY 1, 2, 3""",
+    doc="§2.9: the CPT categorizer (~40-rule hierarchy, "
+    "categorizer.py:69-254) as a native when()-chain; oracle CASE is "
+    "generated from the SAME rule table",
+)
+def f_categorizer(spark, sf_dir):
+    coded = t(spark, sf_dir, "part").select(_cpt_code_expr().alias("code"))
+    return coded.groupBy(
+        categorize_expr("code", 0).alias("procedure_set"),
+        categorize_expr("code", 1).alias("procedure_class"),
+        categorize_expr("code", 2).alias("procedure_group"),
+    ).agg(F.count("*").alias("n"))

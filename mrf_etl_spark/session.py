@@ -28,6 +28,9 @@ _PLAN_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # Exact ANSI-ish casts stay off (reference is tolerant / coercing).
     "spark.sql.ansi.enabled": "false",
+    # Spark has no native parquet TIMESTAMP(NANOS) type; read as long and
+    # convert explicitly (see plans/parity.t for the events table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
