@@ -1,0 +1,79 @@
+"""Multimodal-column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched Pandas functions.
+
+The decode step itself (PIL / torchaudio / ffmpeg) is STUBBED — those
+libraries are not in this container — behind `decode_media`, which raises
+NotImplementedError unless `fake=True`, in which case a deterministic fake
+featurizer runs. What IS real and tested: the Spark-side contract —
+binary column schema, metadata struct, `mapInPandas` batch iteration,
+output schema, and partition-parallel execution. Swapping the fake for a
+real decoder changes only the inner function body.
+
+Scale notes: media bytes dominate row size, so the pattern is
+(1) keep binary in its own column, projected away except in decode stages;
+(2) repartition by id before decode so Arrow batches are balanced;
+(3) mapInPandas streams batches — peak memory is one Arrow batch per core,
+    controlled by spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, header_hex string, mime string, feat_mean double"
+)
+
+
+def decode_media(payload: bytes, mime: str, fake: bool = False) -> dict:
+    """Decode one media payload → features. REAL decode is not available
+    in this environment; `fake=True` computes deterministic pseudo-features
+    from the raw bytes (length, header, byte-mean) with the same output
+    contract a real decoder would fill."""
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires PIL/torchaudio/ffmpeg — not in this container; "
+            "pass fake=True for the deterministic stub"
+        )
+    return {
+        "n_bytes": len(payload),
+        "header_hex": payload[:4].hex(),
+        "mime": mime,
+        "feat_mean": (sum(payload) / len(payload)) if payload else 0.0,
+    }
+
+
+def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Build a multimodal-shaped table from the documents fixture: the text
+    bytes stand in for media bytes. Schema: (doc_id, payload binary,
+    meta struct<mime, n_chars>)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"), F.length(text_col).alias("n_chars")
+        ).alias("meta"),
+    )
+
+
+def extract_features(mm: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column via
+    mapInPandas (the real plumbing a 100 TB media pipeline needs)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                decode_media(payload, meta["mime"], fake=True)
+                for payload, meta in zip(pdf["payload"], pdf["meta"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    if partitions:
+        mm = mm.repartition(partitions, "doc_id")
+    return mm.mapInPandas(_batches, schema=FEATURE_SCHEMA)

@@ -1,0 +1,113 @@
+"""Text-analysis operators over a document table — language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All native Column expressions (no Python in the hot path): at 100 TB these
+run inside whole-stage codegen on the scan, no shuffle at all. Counting
+idioms use length-difference / regexp forms that evaluate identically on
+Spark and ANSI-SQL engines so the parity oracles can mirror them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def occurrence_count(col: ColumnOrName, token: str) -> Column:
+    """# of occurrences of ``token`` via the length-difference idiom
+    (identical semantics in any SQL engine, unlike regex dialects)."""
+    c = _c(col).cast("string")
+    return (F.length(c) - F.length(F.replace(c, F.lit(token), F.lit("")))) / len(token)
+
+# Stopword marker sets per language for the n-gram language-ID heuristic.
+# Tokens carry surrounding spaces so they match whole words mid-text.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " is "],
+    "es": [" el ", " la ", " los ", " es "],
+    "fr": [" le ", " les ", " des ", " est "],
+    "de": [" der ", " die ", " und ", " ist "],
+    "zh": [" de ", " shi ", " le ", " he "],
+}
+LANG_ORDER = ["en", "es", "fr", "de", "zh"]  # tie-break priority
+
+
+def lang_scores(col: ColumnOrName) -> dict[str, Column]:
+    """Per-language marker-occurrence scores over ' '||text||' '."""
+    padded = F.concat(F.lit(" "), _c(col), F.lit(" "))
+    return {
+        lang: sum((occurrence_count(padded, tok) for tok in toks), F.lit(0.0)).alias(
+            f"score_{lang}"
+        )
+        for lang, toks in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: ColumnOrName) -> Column:
+    """argmax language with deterministic LANG_ORDER tie-break; 'und' when
+    every score is zero. Shape: CASE WHEN best<=0 THEN 'und' WHEN
+    score_l = best THEN l ... — mirrors 1:1 into the SQL oracle."""
+    scores = lang_scores(col)
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def token_count_ws(col: ColumnOrName) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(_c(col)), r"\s+"))
+
+
+def token_count_bpe(col: ColumnOrName) -> Column:
+    """BPE-ish token estimate: alpha runs + digit runs + standalone
+    punctuation, each alpha run costing ceil(len/4) subword units."""
+    c = _c(col).cast("string")
+    words = F.aggregate(
+        F.regexp_extract_all(c, F.lit("[a-z]+|[A-Z]+"), F.lit(0)),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+    digits = F.size(F.regexp_extract_all(c, F.lit("[0-9]+"), F.lit(0)))
+    punct = F.size(F.regexp_extract_all(c, F.lit("[.,;:!?]"), F.lit(0)))
+    return words + digits + punct
+
+
+def punct_ratio(col: ColumnOrName) -> Column:
+    c = _c(col).cast("string")
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
+    return n_punct / F.nullif(F.length(c), F.lit(0))
+
+
+def stopword_ratio(col: ColumnOrName, stopwords: tuple[str, ...] = ("the", "a", "and", "of")) -> Column:
+    padded = F.concat(F.lit(" "), _c(col), F.lit(" "))
+    hits = sum(
+        (occurrence_count(padded, f" {w} ") for w in stopwords), F.lit(0.0)
+    )
+    return hits / F.nullif(token_count_ws(col).cast("double"), F.lit(0.0))
+
+
+def quality_score(col: ColumnOrName) -> Column:
+    """Composite [~0..1] quality heuristic: length band + low punctuation +
+    stopword presence (LLM-corpus filtering shape; cf. C4/Gopher rules)."""
+    n = token_count_ws(col).cast("double")
+    len_band = F.when((n >= 20) & (n <= 1000), 1.0).when(n >= 5, 0.5).otherwise(0.0)
+    p = punct_ratio(col)
+    punct_ok = F.when(p <= 0.1, 1.0).otherwise(0.0)
+    sw = stopword_ratio(col)
+    sw_ok = F.when(sw >= 0.01, 1.0).otherwise(0.0)
+    return (len_band * 0.5 + punct_ok * 0.25 + sw_ok * 0.25).alias("quality")
+
+
+def fingerprint(col: ColumnOrName) -> Column:
+    """Canonical document fingerprint: md5 over the sorted distinct word
+    set — robust to word order/duplication, the hash analog of the
+    reference's uid recipes."""
+    words = F.array_sort(F.array_distinct(F.split(F.lower(F.trim(_c(col))), r"\s+")))
+    return F.md5(F.concat_ws(" ", words))

@@ -1,0 +1,453 @@
+"""LLM-training-data operator parity entries (documents/embeddings tables).
+
+Registers the dedup / similarity / text-analysis / multimodal operators
+into the same REGISTRY as the relational catalog. Every oracle here is
+GENERATED from the same constants the Spark operators use (shingle k,
+hash counts, marker token lists, unrolled cosine dimension), so both
+engines execute the same algorithm step-for-step:
+
+  * all hashing is md5-hex (engine-neutral); minhash = lexicographic min
+    of hex strings
+  * every float expression is mirrored with identical op order and
+    DOUBLE-cast literals → bit-identical results, no rounding needed
+  * near-duplicates are injected deterministically (the synthetic corpus
+    has none): text dups/near-dups by doc_id shift, embedding near-dups
+    by a fixed small perturbation
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mrf_etl_spark.operators import dedup as dd
+from mrf_etl_spark.operators import similarity as sim
+from mrf_etl_spark.operators import textops as tx
+from mrf_etl_spark.operators.multimodal import attach_binary_payload, extract_features
+from mrf_etl_spark.plans.parity import register, t
+
+DIM = 64
+SHINGLE_K = 3
+NUM_HASHES = 16
+BANDS = 4
+JACCARD_T = 0.5
+NEAR_DUP_IDS = 40  # doc_id < 40 get a mutated near-dup copy
+EXACT_DUP_IDS = 100  # doc_id < 100 get an exact copy
+ID_SHIFT = 1_000_000
+
+
+# ------------------------------------------------------- corpus builders
+
+
+def _docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < EXACT_DUP_IDS).select(
+        (F.col("doc_id") + ID_SHIFT).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+_EXACT_DUP_CORPUS_SQL = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {ID_SHIFT} AS doc_id, text FROM documents
+  WHERE doc_id < {EXACT_DUP_IDS})"""
+
+
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.filter(F.col("doc_id") < NEAR_DUP_IDS).select(
+        (F.col("doc_id") + ID_SHIFT).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+    )
+    return d.unionByName(near)
+
+
+_NEAR_DUP_CORPUS_SQL = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {ID_SHIFT} AS doc_id, text || ' extra token tail' AS text
+  FROM documents WHERE doc_id < {NEAR_DUP_IDS})"""
+
+# Shared shingle CTE (mirror of operators.dedup.doc_shingles, k=3):
+# distinct word 3-grams of lower(trim(text)).
+_SHINGLE_CTES = f"""
+  words AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+    FROM corpus),
+  sh AS (
+    SELECT DISTINCT doc_id,
+           ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+    FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM words)),
+  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"""
+
+
+# ------------------------------------------------------------ dedup ops
+
+
+@register(
+    "d1_exact_dup",
+    f"""WITH corpus AS {_EXACT_DUP_CORPUS_SQL}
+       SELECT md5(text) AS content_hash, count(*) AS n,
+              min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM corpus GROUP BY md5(text) HAVING count(*) > 1""",
+    doc="Exact dedup: hash-groupBy on content md5 — one shuffle on the "
+    "hash, the 100 TB-cheap first pass",
+)
+def d1_exact_dup(spark, sf_dir):
+    return dd.exact_dup_groups(_docs_with_exact_dups(spark, sf_dir), "text", "doc_id")
+
+
+@register(
+    "d3_ngram_jaccard",
+    f"""WITH corpus AS {_NEAR_DUP_CORPUS_SQL},{_SHINGLE_CTES},
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         FROM sh a JOIN sh b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b, n_common, sa.sz AS size_a, sb.sz AS size_b,
+              n_common / (sa.sz + sb.sz - n_common) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE n_common / (sa.sz + sb.sz - n_common) >= {JACCARD_T}""",
+    doc="Exact n-gram Jaccard near-dup via shingle inverted index "
+    "(explode → equi-join → per-pair counts; no cross product)",
+)
+def d3_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(
+        _docs_with_near_dups(spark, sf_dir), "text", "doc_id", SHINGLE_K, JACCARD_T
+    )
+
+
+@register(
+    "d2_minhash_lsh",
+    f"""WITH corpus AS {_NEAR_DUP_CORPUS_SQL},{_SHINGLE_CTES},
+       mh AS (
+         SELECT doc_id, seed,
+                min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+         FROM sh, range(0, {NUM_HASHES}) s(seed)
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, seed // {NUM_HASHES // BANDS} AS band,
+                md5(string_agg(minhash, '|' ORDER BY seed)) AS band_hash
+         FROM mh GROUP BY doc_id, seed // {NUM_HASHES // BANDS}),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),
+       inter AS (
+         SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         FROM cand c
+         JOIN sh a ON a.doc_id = c.doc_a
+         JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              n_common / (sa.sz + sb.sz - n_common) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE n_common / (sa.sz + sb.sz - n_common) >= {JACCARD_T}""",
+    doc="MinHash+LSH near-dup: md5-minhash signatures → band-hash equality "
+    "join for candidates → exact-Jaccard verification. The scale path: "
+    "shuffles signatures, not the corpus.",
+)
+def d2_minhash_lsh(spark, sf_dir):
+    return dd.minhash_lsh_pairs(
+        _docs_with_near_dups(spark, sf_dir),
+        "text",
+        "doc_id",
+        SHINGLE_K,
+        NUM_HASHES,
+        BANDS,
+        JACCARD_T,
+    )
+
+
+@register(
+    "d4_simhash",
+    """WITH corpus AS (SELECT doc_id, text FROM documents),
+       w AS (
+         SELECT DISTINCT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+         FROM corpus),
+       base AS (SELECT doc_id, md5(word) AS h FROM w),
+       nib AS (
+         SELECT doc_id, p,
+                instr('0123456789abcdef', substring(h, CAST(p AS INT), 1)) - 1 AS v
+         FROM base, range(1, 17) r(p)),
+       votes AS (
+         SELECT doc_id, p, b,
+                CASE WHEN (v >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+         FROM nib, range(0, 4) rb(b)),
+       bit_sums AS (
+         SELECT doc_id, p, b, sum(vote) AS s FROM votes GROUP BY 1, 2, 3),
+       nibbles AS (
+         SELECT doc_id, p,
+                sum(CASE WHEN s > 0 THEN (1 << CAST(b AS INT)) ELSE 0 END) AS nv
+         FROM bit_sums GROUP BY 1, 2)
+       SELECT doc_id,
+              string_agg(substring('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+                         '' ORDER BY p) AS simhash
+       FROM nibbles GROUP BY doc_id""",
+    doc="SimHash-64: word-level md5 bit votes → per-bit majority → hex "
+    "signature; near-dups bucket by signature equality / low Hamming",
+)
+def d4_simhash(spark, sf_dir):
+    return dd.simhash_hex(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ------------------------------------------------------ text analysis ops
+
+
+def _occ_sql(padded: str, tok: str) -> str:
+    """Mirror of textops.occurrence_count: length-difference / len(tok)."""
+    esc = tok.replace("'", "''")
+    return f"(length({padded}) - length(replace({padded}, '{esc}', ''))) / {len(tok)}"
+
+
+def _lang_score_sql(lang: str) -> str:
+    toks = tx.LANG_MARKERS[lang]
+    terms = " + ".join(_occ_sql("pt", tok) for tok in toks)
+    return f"(0.0 + {terms})"
+
+
+def _lang_case_sql() -> str:
+    scores = {lang: f"score_{lang}" for lang in tx.LANG_ORDER}
+    best = "greatest(" + ", ".join(scores[lang] for lang in tx.LANG_ORDER) + ")"
+    whens = "\n".join(
+        f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in tx.LANG_ORDER
+    )
+    return f"CASE WHEN {best} <= 0 THEN 'und'\n{whens}\nELSE 'und' END"
+
+
+_T1_SQL = f"""
+  WITH padded AS (
+    SELECT doc_id, lang, ' ' || text || ' ' AS pt FROM documents),
+  scored AS (
+    SELECT doc_id, lang,
+           {", ".join(f"{_lang_score_sql(lang)} AS score_{lang}" for lang in tx.LANG_ORDER)}
+    FROM padded)
+  SELECT doc_id, lang, {_lang_case_sql()} AS lang_pred,
+         {", ".join(f"score_{lang}" for lang in tx.LANG_ORDER)}
+  FROM scored"""
+
+
+@register(
+    "t1_lang_id",
+    _T1_SQL,
+    doc="Language-ID n-gram heuristic: per-language stopword-marker "
+    "occurrence scores, argmax with deterministic tie-break",
+)
+def t1_lang_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    scores = tx.lang_scores("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        tx.lang_id("text").alias("lang_pred"),
+        *[scores[lang] for lang in tx.LANG_ORDER],
+    )
+
+
+_T2_SQL = """
+  WITH base AS (
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws,
+           (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+             / nullif(length(text), 0) AS punct_ratio,
+           (0.0
+            + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+            + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3
+            + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5
+            + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4)
+             / nullif(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 0.0)
+             AS stopword_ratio
+    FROM documents)
+  SELECT doc_id, n_ws, punct_ratio, stopword_ratio,
+         (CASE WHEN n_ws >= 20 AND n_ws <= 1000 THEN CAST(1.0 AS DOUBLE)
+               WHEN n_ws >= 5 THEN CAST(0.5 AS DOUBLE)
+               ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.5 AS DOUBLE)
+         + (CASE WHEN punct_ratio <= CAST(0.1 AS DOUBLE) THEN CAST(1.0 AS DOUBLE)
+                 ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE)
+         + (CASE WHEN stopword_ratio >= CAST(0.01 AS DOUBLE) THEN CAST(1.0 AS DOUBLE)
+                 ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE) AS quality
+  FROM base"""
+
+
+@register(
+    "t2_quality_score",
+    _T2_SQL,
+    doc="Quality scoring: length band + punctuation ratio + stopword "
+    "ratio composite (C4/Gopher-style corpus filtering shape)",
+)
+def t2_quality_score(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count_ws("text").alias("n_ws"),
+        tx.punct_ratio("text").alias("punct_ratio"),
+        tx.stopword_ratio("text").alias("stopword_ratio"),
+        tx.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "t3_token_count",
+    """SELECT doc_id,
+              len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+              coalesce(list_sum(list_transform(
+                  regexp_extract_all(text, '[a-z]+|[A-Z]+'),
+                  w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+              + len(regexp_extract_all(text, '[0-9]+'))
+              + len(regexp_extract_all(text, '[.,;:!?]')) AS bpe_tokens
+       FROM documents""",
+    doc="Token counting: whitespace tokens + BPE-ish subword estimate "
+    "(alpha runs cost ceil(len/4), digit runs and punctuation cost 1)",
+)
+def t3_token_count(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count_ws("text").cast("long").alias("ws_tokens"),
+        tx.token_count_bpe("text").cast("long").alias("bpe_tokens"),
+    )
+
+
+@register(
+    "t4_fingerprint",
+    """SELECT doc_id,
+              md5(array_to_string(list_sort(list_distinct(
+                  regexp_split_to_array(lower(trim(text)), '\\s+'))), ' '))
+                AS fingerprint
+       FROM documents""",
+    doc="Document fingerprint: md5 over sorted distinct word set — "
+    "word-order/duplication-robust canonical hash",
+)
+def t4_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint("text").alias("fingerprint"))
+
+
+# ------------------------------------------------------- similarity ops
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """64-term unrolled cosine mirror of operators.similarity.cosine_expr —
+    identical left-associative op order → bit-identical doubles."""
+    dot = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, DIM + 1)
+    )
+    na = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)" for i in range(1, DIM + 1)
+    )
+    nb = " + ".join(
+        f"CAST({b}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, DIM + 1)
+    )
+    return f"(({dot}) / (sqrt({na}) * sqrt({nb})))"
+
+
+@register(
+    "n1_ann_cosine_topk",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 10),
+       scored AS (
+         SELECT q.query_id, e.vec_id AS neighbor_id,
+                {_cos_sql('q.qv', 'e.embedding')} AS cosine
+         FROM embeddings e CROSS JOIN q
+         WHERE q.query_id <> e.vec_id),
+       ranked AS (
+         SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         FROM scored)
+       SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""",
+    doc="Brute-force exact cosine top-k ANN baseline: query×corpus join "
+    "with JVM-unrolled dot product, window-ranked",
+)
+def n1_ann_cosine_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, dim=DIM, query_filter=F.col("vec_id") < 10, k=5)
+
+
+_PERTURB = [f"{0.01 * ((i % 3) - 1):.2f}" for i in range(DIM)]
+
+
+def _perturbed_corpus_spark(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + ID_SHIFT).alias("vec_id"),
+        F.array(
+            *[
+                (F.element_at("embedding", i + 1).cast("double") + F.lit(float(_PERTURB[i])))
+                for i in range(DIM)
+            ]
+        ).alias("embedding"),
+    )
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(pert)
+
+
+_PERTURBED_CORPUS_SQL = f"""(
+  SELECT vec_id,
+         [{", ".join(f"CAST(embedding[{i + 1}] AS DOUBLE)" for i in range(DIM))}]
+           AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {ID_SHIFT} AS vec_id,
+         [{", ".join(f"CAST(embedding[{i + 1}] AS DOUBLE) + CAST({_PERTURB[i]} AS DOUBLE)" for i in range(DIM))}]
+           AS embedding
+  FROM embeddings WHERE vec_id < 20)"""
+
+
+@register(
+    "d5_embedding_near_dup",
+    f"""WITH corpus AS {_PERTURBED_CORPUS_SQL}
+       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+              {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+       FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+       WHERE {_cos_sql('a.embedding', 'b.embedding')} >= CAST(0.99 AS DOUBLE)""",
+    doc="Embedding-cosine near-dup pairs (threshold 0.99); production path "
+    "prunes pairs via IVF buckets first",
+)
+def d5_embedding_near_dup(spark, sf_dir):
+    corpus = _perturbed_corpus_spark(spark, sf_dir)
+    return sim.embedding_near_dup_pairs(corpus, dim=DIM, threshold=0.99)
+
+
+@register(
+    "n2_ann_ivf",
+    None,  # algorithmically approximate; recall vs n1 checked in pytest
+    doc="IVF-bucketed ANN: deterministic coarse centroids, corpus assigned "
+    "to nearest centroid, queries probe nprobe=2 buckets. Rows-only for "
+    "the driver; tests measure recall against the exact baseline.",
+)
+def n2_ann_ivf(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb, dim=DIM, centroid_mod=97, nprobe=2, query_filter=F.col("vec_id") < 10, k=5
+    )
+
+
+# -------------------------------------------------------- multimodal op
+
+
+@register(
+    "m1_multimodal_features",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              lower(hex(encode(substring(text, 1, 4)))) AS header_hex,
+              'text/plain' AS mime
+       FROM documents""",
+    doc="Multimodal plumbing: opaque binary payload + metadata struct → "
+    "Arrow-batched mapInPandas feature extraction (decode stubbed, "
+    "plumbing real). Oracle checks the deterministic byte features.",
+)
+def m1_multimodal_features(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    mm = attach_binary_payload(d, "text", "doc_id")
+    feats = extract_features(mm, partitions=8)
+    return feats.select("doc_id", "n_bytes", "header_hex", "mime")

@@ -111,6 +111,7 @@ def compare(name: str, spark_df, oracle: str | None, con) -> dict:
 def main() -> int:
     import duckdb
 
+    import mrf_etl_spark.plans.parity_llm  # noqa: F401  (registers LLM ops)
     from mrf_etl_spark.plans.parity import REGISTRY
     from mrf_etl_spark.session import get_spark
 
