@@ -33,12 +33,51 @@ def nz(col: ColumnOrName) -> Column:
     return F.coalesce(_c(col).cast("string"), F.lit(""))
 
 
-def rate_4f(col: ColumnOrName) -> Column:
-    """Rate serialized as %.4f, null → "" (ETL_1.py:179-182)."""
+def rate_4f(col: ColumnOrName, exact_cpython: bool = False) -> Column:
+    """Rate serialized as %.4f, null → "" (ETL_1.py:179-182).
+
+    Fast path (default) uses JVM `format_string`, which rounds via the
+    double's shortest decimal repr (HALF_UP) — IDENTICAL to CPython's
+    printf for every value whose shortest repr has ≤4 decimals, which is
+    all real negotiated rates (money). They diverge only for ≥5-decimal
+    binary-inexact values (e.g. 54.12345 → Java "54.1235", CPython
+    "54.1234", because CPython rounds the exact binary expansion).
+
+    ``exact_cpython=True`` switches to an Arrow-batched pandas_udf with
+    CPython's exact semantics — use when byte-level uid interop with a
+    reference-produced (Python-written) lake is required. ~100× slower
+    per column than the codegen path; still vectorized.
+    """
     c = _c(col)
+    if exact_cpython:
+        return _rate_4f_cpython(c.cast("double"))
     return F.when(c.isNull(), F.lit("")).otherwise(
         F.format_string("%.4f", c.cast("double"))
     )
+
+
+def _make_rate_4f_cpython():
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: no type hints — `from __future__ import annotations` stringifies
+    # them and pyspark's hint resolver can't see the local `pd` import; the
+    # explicit Series->Series eval type is declared via the decorator instead.
+    def _fmt(s):
+        return s.map(lambda v: "" if pd.isna(v) else f"{v:.4f}")
+
+    _fmt.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_fmt, "string")
+
+
+_RATE4F_UDF = None
+
+
+def _rate_4f_cpython(c: Column) -> Column:
+    global _RATE4F_UDF
+    if _RATE4F_UDF is None:
+        _RATE4F_UDF = _make_rate_4f_cpython()
+    return _RATE4F_UDF(c)
 
 
 def md5_join(parts: list[Column], sep: str = "|") -> Column:

@@ -176,3 +176,24 @@ def test_categorizer_boundaries(spark):
     ).collect()
     got = {r.code: (r.s, r.c, r.g) for r in rows}
     assert got == cases
+
+
+def test_rate_4f_modes(spark):
+    """Documented %.4f divergence: JVM shortest-repr HALF_UP vs CPython
+    exact-binary — equal for <=4-decimal money, divergent at 5-decimal
+    boundaries; exact_cpython mode matches CPython everywhere."""
+    vals = [54.12345, 123.45675, 123.5, 7.25, 0.01, 19.9999, None]
+    df = spark.createDataFrame([(v,) for v in vals], "r double")
+    rows = df.select(
+        "r",
+        rate_4f("r").alias("fast"),
+        rate_4f("r", exact_cpython=True).alias("exact"),
+    ).collect()
+    for r in rows:
+        py = "" if r.r is None else f"{r.r:.4f}"
+        assert r.exact == py  # exact mode == CPython always
+        if r.r is None or r.r in (54.12345, 123.45675):
+            continue  # known divergent 5-decimal cases (fast == HALF_UP)
+        assert r.fast == py  # fast mode == CPython for money values
+    fast = {r.r: r.fast for r in rows}
+    assert fast[54.12345] == "54.1235"  # the documented JVM behavior

@@ -1,0 +1,95 @@
+"""Star-schema ingest tests: idempotency (the reference's core guarantee),
+hash-key goldens recomputed by recipe, FK data-quality checks
+(Data_Schema.md:374-423), and the partitioned-fact variant."""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mrf_etl_spark.plans.ingest import IngestConfig, ingest_batch
+from tests.fixtures import make_raw_frames
+
+
+@pytest.fixture(scope="module")
+def lake(spark):
+    d = tempfile.mkdtemp(prefix="mrf_lake_")
+    rates, prov = make_raw_frames(spark)
+    counts1 = ingest_batch(spark, rates, prov, d, IngestConfig(state="GA"))
+    yield d, counts1, rates, prov
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ingest_idempotent(spark, lake):
+    d, counts1, rates, prov = lake
+    counts2 = ingest_batch(spark, rates, prov, d, IngestConfig(state="GA"))
+    assert counts1 == counts2  # re-running the same batch is a no-op
+    assert counts1["fact_rate"] > 0
+    assert counts1["dim_payer"] >= 1
+
+
+def test_fact_uid_recipe_golden(spark, lake):
+    d, *_ = lake
+    fact = spark.read.parquet(f"{d}/fact_rate")
+    row = fact.filter(F.col("negotiated_rate").isNotNull()).orderBy("fact_uid").first()
+
+    def co(x):
+        return "" if x is None else str(x)
+
+    parts = [
+        co(row.state), co(row.year_month), co(row.payer_slug),
+        co(row.billing_class), co(row.code_type), co(row.code),
+        co(row.pg_uid), co(row.pos_set_id), co(row.negotiated_type),
+        co(row.negotiation_arrangement), co(row.expiration_date),
+        f"{row.negotiated_rate:.4f}", co(row.provider_group_id_raw),
+    ]
+    expected = hashlib.md5("|".join(parts).encode()).hexdigest()
+    assert row.fact_uid == expected
+
+
+def test_fk_quality_checks(spark, lake):
+    d, *_ = lake
+    fact = spark.read.parquet(f"{d}/fact_rate")
+    dim_code = spark.read.parquet(f"{d}/dim_code")
+    dim_pos = spark.read.parquet(f"{d}/dim_pos_set")
+    xref_npi = spark.read.parquet(f"{d}/xref_pg_member_npi")
+
+    # every fact (code_type, code) resolves in dim_code
+    orphans = fact.join(dim_code, ["code_type", "code"], "left_anti").count()
+    assert orphans == 0
+    # every fact pos_set_id resolves
+    assert fact.join(dim_pos, ["pos_set_id"], "left_anti").count() == 0
+    # most fact rows resolve to >=1 NPI via the xref (coverage check)
+    covered = fact.join(xref_npi, ["pg_uid"], "left_semi").count()
+    assert covered / fact.count() > 0.7
+
+
+def test_year_month_and_slug_values(spark, lake):
+    d, *_ = lake
+    fact = spark.read.parquet(f"{d}/fact_rate")
+    yms = {r.year_month for r in fact.select("year_month").distinct().collect()}
+    # regex semantics: "202508" (no separator) yields "", others "2025-08"
+    assert yms == {"2025-08", ""}
+    slugs = {r.payer_slug for r in fact.select("payer_slug").distinct().collect()}
+    assert slugs == {"aetna-life-insurance-company"}
+
+
+def test_partitioned_fact_variant(spark):
+    rates, prov = make_raw_frames(spark)
+    d = tempfile.mkdtemp(prefix="mrf_lake_part_")
+    try:
+        cfg = IngestConfig(state="GA")
+        counts = ingest_batch(spark, rates, prov, d, cfg, partitioned_fact=True)
+        fact = spark.read.parquet(f"{d}/fact_rate")
+        assert counts["fact_rate"] == fact.count()
+        # partition columns survive the hive layout
+        assert {"state", "year_month", "payer_slug"} <= set(fact.columns)
+        # dynamic overwrite: re-writing the same batch keeps counts stable
+        counts2 = ingest_batch(spark, rates, prov, d, cfg, partitioned_fact=True)
+        assert counts2["fact_rate"] == counts["fact_rate"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
