@@ -53,6 +53,62 @@ def read_parquet_tolerant(
     return conform(df, schema) if schema is not None else df
 
 
+def read_sqlite(
+    spark: SparkSession,
+    db_path: str,
+    table: str,
+    where: str | None = None,
+) -> DataFrame:
+    """SQLite reference-table source (S6, rate_calculator.py:23-50).
+
+    The reference's 9 Medicare tables are small dims (≤ a few 100k rows), so
+    a driver-side stdlib-sqlite3 → Arrow → createDataFrame hop is the right
+    scale tradeoff: no JDBC driver needed and the result is broadcast-ready.
+    For genuinely large tables use spark.read.jdbc with a partition column
+    instead."""
+    import sqlite3
+
+    import pandas as pd
+
+    q = f"SELECT * FROM {table}" + (f" WHERE {where}" if where else "")
+    with sqlite3.connect(db_path) as conn:
+        pdf = pd.read_sql(q, conn)
+    # Mixed-type object columns → string, mirroring the reference's
+    # coercion-before-use policy (chunk_processor.py:105-110).
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype("string")
+    return spark.createDataFrame(pdf)
+
+
+def read_excel_sheets(
+    spark: SparkSession,
+    path: str,
+    sheets: list[str],
+    sheet_filters: dict[str, str] | None = None,
+) -> DataFrame:
+    """Excel multi-sheet source (S5, excel_extractor.py:14-44): read each
+    sheet driver-side (tiny fee-schedule files), apply per-sheet pandas
+    query filters (the reference keeps Surgery rows with SI=='J1'), tag the
+    sheet name, and UNION ALL. Requires openpyxl; gated so offline
+    environments fail with a clear message only when actually used."""
+    import pandas as pd
+
+    frames = []
+    for sheet in sheets:
+        pdf = pd.read_excel(path, sheet_name=sheet)  # needs openpyxl
+        flt = (sheet_filters or {}).get(sheet)
+        if flt:
+            pdf = pdf.query(flt)
+        pdf["sheet"] = sheet
+        frames.append(pdf)
+    merged = pd.concat(frames, ignore_index=True)
+    for c in merged.columns:
+        if merged[c].dtype == object:
+            merged[c] = merged[c].astype("string")
+    return spark.createDataFrame(merged)
+
+
 def read_code_list(spark: SparkSession, path: str) -> set[str]:
     """Text file of one code per line → python set for isin()/broadcast
     filters (main.py:193-203, S7). The file is tiny (~10k codes max); for
