@@ -3,16 +3,28 @@ functions (SURVEY §3.3). Each FastAPI endpoint's SQL becomes a function
 over temp views / DataFrames; DuckDB's PERCENTILE_CONT ≡ Spark's exact
 `percentile`, ILIKE ≡ `ilike`.
 
-This module grows with the build; `build_filter` is the P10 predicate
-builder shared by the search endpoints and the parity catalog.
+`StarLake` is the query-layer entry point: it holds the star-schema
+DataFrames and exposes every endpoint family the reference serves
+(webapp/backend/main.py:100-996, webapp/utils/optimized_queries.py,
+webapp/staged_dashboard.py:95-402) as a parameterized function returning a
+DataFrame.
+
+Scale design: the search index (J8) is a multi-way LEFT join where every
+right side is a dim/xref → all broadcast; the fact is read once with
+filters pushed to the scan. The serving-latency optimization the reference
+documents (materialized views, 10-50×, DASHBOARD_OPTIMIZATION_GUIDE.md) is
+`materialize_market_rates` — a pre-aggregated table written once and read
+by the dashboard queries.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterable
+from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 
 def build_filter(
@@ -78,3 +90,219 @@ def faceted_counts(df: DataFrame, facet: str, k: int = 20) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("facet").asc())
         .limit(k)
     )
+
+
+@dataclass
+class StarLake:
+    """The star schema as DataFrames + the endpoint vocabulary over it.
+
+    Construct from in-memory DataFrames or `StarLake.load(spark, lake_dir)`
+    over an ingested lake (plans/ingest.py layout)."""
+
+    fact: DataFrame
+    dim_code: DataFrame | None = None
+    dim_code_cat: DataFrame | None = None
+    dim_npi: DataFrame | None = None
+    dim_npi_address: DataFrame | None = None
+    xref_npi: DataFrame | None = None
+    xref_tin: DataFrame | None = None
+
+    @classmethod
+    def load(cls, spark: SparkSession, lake_dir: str) -> StarLake:
+        import os
+
+        def opt(name):
+            p = f"{lake_dir}/{name}"
+            return spark.read.parquet(p) if os.path.exists(p) else None
+
+        return cls(
+            fact=spark.read.parquet(f"{lake_dir}/fact_rate"),
+            dim_code=opt("dim_code"),
+            dim_code_cat=opt("dim_code_cat"),
+            dim_npi=opt("dim_npi"),
+            dim_npi_address=opt("dim_npi_address"),
+            xref_npi=opt("xref_pg_member_npi"),
+            xref_tin=opt("xref_pg_member_tin"),
+        )
+
+    # -- J8: the comprehensive search index ---------------------------------
+    def search_index(self) -> DataFrame:
+        """The 5-way star LEFT join + precomputed lowercase search text
+        (optimized_queries.py:172-229). Every right side is a dim/xref →
+        broadcast; the fact never shuffles."""
+        df = self.fact
+        if self.xref_npi is not None:
+            df = df.join(broadcast(self.xref_npi), on="pg_uid", how="left")
+        if self.dim_npi is not None:
+            df = df.join(broadcast(self.dim_npi), on="npi", how="left")
+        if self.xref_tin is not None:
+            df = df.join(broadcast(self.xref_tin.select("pg_uid", "tin_type", "tin_value")), on="pg_uid", how="left")
+        if self.dim_code_cat is not None:
+            cc = self.dim_code_cat.select(
+                F.col("proc_cd"), "proc_set", "proc_class", "proc_group"
+            )
+            df = df.join(broadcast(cc), on=df["code"] == cc["proc_cd"], how="left").drop("proc_cd")
+        if self.dim_npi_address is not None:
+            na = self.dim_npi_address.filter(F.col("address_purpose") == "LOCATION").select(
+                "npi",
+                "city",
+                F.col("state").alias("provider_state"),
+                F.col("postal_code").alias("provider_postal_code"),
+            )
+            df = df.join(broadcast(na), on="npi", how="left")
+        search_parts = [
+            c for c in [
+                "organization_name", "first_name", "last_name", "primary_taxonomy_desc",
+                "code", "proc_class", "proc_group", "reporting_entity_name", "tin_value",
+            ] if c in df.columns
+        ]
+        return df.withColumn(
+            "full_search_text",
+            F.lower(F.concat_ws(" ", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in search_parts])),
+        )
+
+    # -- endpoint vocabulary -------------------------------------------------
+    def multi_field_search(self, pred: Column | None = None, free_text: str | None = None, limit: int = 1000) -> DataFrame:
+        """/api/search/multi-field (backend/main.py:724-789 →
+        optimized_queries.py:542-722): P10 predicate + optional substring
+        over the precomputed search text, DISTINCT, top rates first,
+        capped at 1000 rows (the reference's crash guard)."""
+        df = self.search_index()
+        if pred is not None:
+            df = df.filter(pred)
+        if free_text:
+            df = df.filter(F.col("full_search_text").contains(free_text.lower()))
+        return (
+            df.drop("full_search_text")
+            .distinct()
+            .orderBy(F.col("negotiated_rate").desc())
+            .limit(limit)
+        )
+
+    def rate_summary(self, pred: Column | None = None) -> DataFrame:
+        """/api/rates/summary (backend/main.py:127-158, A4): one stats block
+        for the filter scope."""
+        df = self.fact.filter(pred) if pred is not None else self.fact
+        return df.agg(
+            F.count("*").alias("rate_count"),
+            F.round(F.avg("negotiated_rate"), 2).alias("avg_rate"),
+            F.round(F.min("negotiated_rate"), 2).alias("min_rate"),
+            F.round(F.max("negotiated_rate"), 2).alias("max_rate"),
+            F.round(F.expr("percentile(negotiated_rate, 0.5)"), 2).alias("median_rate"),
+            F.countDistinct("code").alias("unique_codes"),
+            F.countDistinct("payer_slug").alias("unique_payers"),
+        )
+
+    def rates_by_payer(self, pred: Column | None = None, limit: int = 50) -> DataFrame:
+        """/api/rates/by-payer (backend/main.py:188-255, A5)."""
+        df = self.fact.filter(pred) if pred is not None else self.fact
+        return (
+            summary_stats(df, "negotiated_rate", ["payer_slug"])
+            .orderBy(F.col("rate_count").desc(), F.col("payer_slug"))
+            .limit(limit)
+        )
+
+    def rates_by_procedure(self, pred: Column | None = None, limit: int = 50) -> DataFrame:
+        """/api/rates/by-procedure (backend/main.py:257-327, A5 + J12 code
+        description with COALESCE(code_desc, code))."""
+        df = self.fact.filter(pred) if pred is not None else self.fact
+        out = summary_stats(df, "negotiated_rate", ["code_type", "code"])
+        if self.dim_code is not None:
+            dc = self.dim_code.select("code_type", "code", "code_description").dropDuplicates(["code_type", "code"])
+            out = out.join(broadcast(dc), on=["code_type", "code"], how="left")
+            out = out.withColumn("code_desc", F.coalesce("code_description", "code")).drop("code_description")
+        return out.orderBy(F.col("rate_count").desc(), F.col("code")).limit(limit)
+
+    def availability_matrix(self) -> DataFrame:
+        """/api/meta/data-availability (backend/main.py:461-503, A8)."""
+        return self.fact.groupBy("state", "year_month").agg(
+            F.count("*").alias("rate_count"),
+            F.countDistinct("payer_slug").alias("payer_count"),
+            F.countDistinct("code").alias("code_count"),
+        )
+
+    def dashboard_statistics(self) -> DataFrame:
+        """/api/statistics (backend/main.py:908-924, A9): the multi-distinct
+        block in one pass. `approx=True` callers can switch to
+        approx_count_distinct — the documented fast path at scale."""
+        return self.fact.agg(
+            F.count("*").alias("total_rates"),
+            F.countDistinct("payer_slug").alias("payers"),
+            F.countDistinct("code").alias("codes"),
+            F.countDistinct("code_type").alias("code_types"),
+            F.countDistinct("pg_uid").alias("provider_groups"),
+            F.countDistinct("state").alias("states"),
+            F.countDistinct("year_month").alias("months"),
+            F.countDistinct("billing_class").alias("billing_classes"),
+        )
+
+    def dimension_values(self, dimension: str, k: int = 100) -> DataFrame:
+        """/api/meta/dimension-values (backend/main.py:505-580, A7)."""
+        return faceted_counts(self.fact, dimension, k)
+
+    def drilldown(self, fix: dict[str, object], group_by: str, k: int = 20) -> DataFrame:
+        """/api/explore drill-down (optimized_queries.py:966-1024, A10):
+        fix dimension values, aggregate another."""
+        df = self.fact.filter(build_filter(eq=fix))
+        return (
+            df.groupBy(group_by)
+            .agg(
+                F.count("*").alias("rate_count"),
+                F.round(F.avg("negotiated_rate"), 2).alias("avg_rate"),
+            )
+            .orderBy(F.col("rate_count").desc(), F.col(group_by))
+            .limit(k)
+        )
+
+    def autocomplete(self, field: str, prefix: str, k: int = 15) -> DataFrame:
+        """/api/autocomplete (backend/main.py:791-906): case-insensitive
+        prefix/substring match on a dimension column, most-common first."""
+        return (
+            self.fact.filter(F.col(field).ilike(f"%{prefix}%"))
+            .groupBy(F.col(field).alias("value"))
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("value"))
+            .limit(k)
+        )
+
+    def staged_funnel(self, stages: list[tuple[str, object | None]], k: int = 15) -> list[DataFrame]:
+        """The 5-step staged dashboard (staged_dashboard.py:95-402): at each
+        stage, facet counts for the next dimension under the filters chosen
+        so far. ``stages`` is [(dimension, chosen_value_or_None), ...]; a
+        None value marks the frontier stage."""
+        out: list[DataFrame] = []
+        pred = F.lit(True)
+        for dim, chosen in stages:
+            out.append(faceted_counts(self.fact.filter(pred), dim, k))
+            if chosen is None:
+                break
+            pred = pred & (F.col(dim) == chosen)
+        return out
+
+    def market_rates(self) -> DataFrame:
+        """agg_market_rates rollup (notebook.py:374-405, A6): exact
+        p10..p90 + distinct-entity counts per market cell. NPI/TIN distinct
+        counts need the xrefs (COUNT(DISTINCT npi) over the join)."""
+        df = self.fact
+        distinct_counts = {}
+        if self.xref_npi is not None:
+            df = df.join(broadcast(self.xref_npi), on="pg_uid", how="left")
+            distinct_counts["npi_count"] = "npi"
+        if self.xref_tin is not None:
+            df = df.join(broadcast(self.xref_tin.select("pg_uid", "tin_value")), on="pg_uid", how="left")
+            distinct_counts["tin_count"] = "tin_value"
+        return percentile_profile(
+            df,
+            "negotiated_rate",
+            ["year_month", "state", "payer_slug", "billing_class", "code_type", "code"],
+            distinct_counts=distinct_counts,
+        )
+
+    def materialize_market_rates(self, path: str) -> DataFrame:
+        """Write the rollup as a serving table (the reference's materialized
+        -view optimization: 2-5 s full scans → 50-200 ms pre-agg reads,
+        DASHBOARD_OPTIMIZATION_GUIDE.md:9-19). Partitioned by state so
+        dashboard queries prune."""
+        spark = self.fact.sparkSession
+        self.market_rates().write.mode("overwrite").partitionBy("state").parquet(path)
+        return spark.read.parquet(path)
