@@ -26,8 +26,9 @@ if _REPO not in sys.path:
 def _registry():
     import mrf_etl_spark.plans.parity as parity
 
-    try:  # LLM-data-pipeline operators register on import
+    try:  # LLM-data-pipeline + streaming operators register on import
         import mrf_etl_spark.plans.parity_llm  # noqa: F401
+        import mrf_etl_spark.plans.parity_streaming  # noqa: F401
     except ImportError:
         pass
     return parity.REGISTRY

@@ -68,8 +68,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long
         # (nanosAsLong). Keep the exact nanos for ordering (`ts_ns`) and a
         # µs-truncated real timestamp for calendar functions (`ts`).
+        # integer `div`, NOT `/`: float division of ~1.7e18 ns loses
+        # precision beyond 2^53 and lands ±1 µs off DuckDB's truncation
         df = df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
-            "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
         )
     return df
 

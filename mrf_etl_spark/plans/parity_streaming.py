@@ -1,0 +1,121 @@
+"""Streaming-operator parity entries (SURVEY §2.10 extension).
+
+The event-time operators are engine-shared between batch and streaming in
+Spark (window/session_window work identically), so the DuckDB oracle runs
+the batch semantics: tumbling windows as date_trunc buckets, session
+windows as the classic lag-gap + cumulative-sum rewrite. Window bounds are
+returned as epoch-microsecond BIGINTs — timestamps never cross the compare
+boundary raw (UTC session vs naive DuckDB).
+
+The upsert-ingest entry actually runs a Structured Streaming query
+(availableNow trigger) through foreachBatch into the anti-join upsert
+writer; its effect (row count after redelivery) is SQL-checkable, the
+mechanism is not, so it compares counts against a trivial oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mrf_etl_spark.plans.parity import _scratch, register, t
+from mrf_etl_spark.streaming import sessionize_events, windowed_event_counts
+
+GAP_MIN = 30
+
+
+@register(
+    "st1_windowed_counts",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_us,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2, 3""",
+    doc="watermarked tumbling-window event counts (streaming/ingest.py)",
+)
+def st1_windowed_counts(spark, sf_dir):
+    out = windowed_event_counts(t(spark, sf_dir, "events").drop("ts_ns"))
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "st2_sessionize",
+    oracle=f"""
+    WITH marks AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL {GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ), sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value) AS sess_id
+      FROM marks
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL {GAP_MIN} MINUTE) AS session_end_us,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM sess GROUP BY user_id, sess_id""",
+    doc="gap-based session windows per user == lag+cumsum SQL rewrite",
+)
+def st2_sessionize(spark, sf_dir):
+    out = sessionize_events(t(spark, sf_dir, "events").drop("ts_ns"), gap=f"{GAP_MIN} minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        "session_value",
+    )
+
+
+@register(
+    "st3_stream_upsert",
+    oracle="SELECT count(*) AS n FROM events",
+    doc="foreachBatch anti-join upsert ingest: drained stream == table",
+)
+def st3_stream_upsert(spark, sf_dir):
+    """Runs a real availableNow stream over the events file into the
+    idempotent upsert writer; the lake ends up with exactly the distinct
+    event_ids regardless of batch boundaries."""
+    from mrf_etl_spark.streaming import stream_upsert_ingest
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) reads as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    lake = _scratch("st3_lake")
+    # file stream sources take a DIRECTORY; glob-filter to the events table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    q = stream_upsert_ingest(
+        stream,
+        lake,
+        keys=["event_id"],
+        checkpoint_dir=_scratch("st3_ckpt"),
+        transform=lambda df: df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ),
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(lake).agg(F.count("*").alias("n"))

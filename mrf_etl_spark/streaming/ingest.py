@@ -1,0 +1,132 @@
+"""Streaming ingest + event-time operators.
+
+`stream_upsert_ingest` is the reference's idempotent batch ingest
+(prod_etl/ETL_1.py:450-498 upsert; SURVEY §2.10 mapping) lifted onto
+Structured Streaming: each micro-batch runs the SAME anti-join upsert
+writer, so replays and overlapping file drops are no-ops — exactly-once
+effective semantics from deterministic uids, without a transaction log.
+
+The event operators use the `events` stream shape
+(event_id, ts, user_id, event_type, value, props):
+
+  * windowed_event_counts — tumbling event-time windows + watermark; late
+    rows beyond the watermark are dropped, state is bounded.
+  * sessionize_events — session windows per user via the built-in
+    `session_window` (gap-based); a genuinely stateful operator with no
+    batch equivalent.
+
+Scale notes: state size for the windowed agg is O(groups × open windows) —
+the watermark bounds open windows; shuffle partitions set state-store
+parallelism. For file sources, `maxFilesPerTrigger` paces ingestion;
+`availableNow` drains a backlog with bounded batches (used by tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType = EVENTS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet drop directory."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def stream_upsert_ingest(
+    stream: DataFrame,
+    lake_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    available_now: bool = True,
+):
+    """foreachBatch + append-unique upsert: every micro-batch is keyed on
+    its deterministic uid and anti-joined against the lake, so redelivered
+    batches insert nothing. This is the Spark mapping of the reference's
+    idempotent-upsert guarantee (Data_Schema.md:356-362) to streaming."""
+    from mrf_etl_spark.io.writers import upsert_by_key
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        df = transform(batch_df) if transform is not None else batch_df
+        upsert_by_key(df.sparkSession, df, lake_path, keys=keys)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time aggregation with late-data watermark: counts +
+    value sum per (window, event_type). Works identically on a batch
+    DataFrame (windowing functions are engine-shared), which is how the
+    oracle compares it."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session windows: a new session starts after ``gap`` of
+    inactivity. Uses the built-in `session_window` (merging-window state
+    operator) rather than applyInPandasWithState — same semantics, JVM-side
+    state store, mergeable across micro-batches."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )

@@ -112,6 +112,7 @@ def main() -> int:
     import duckdb
 
     import mrf_etl_spark.plans.parity_llm  # noqa: F401  (registers LLM ops)
+    import mrf_etl_spark.plans.parity_streaming  # noqa: F401  (streaming ops)
     from mrf_etl_spark.plans.parity import REGISTRY
     from mrf_etl_spark.session import get_spark
 
