@@ -17,11 +17,12 @@ Four tiers, all DataFrame-native (no Python UDFs):
                        votes; near-dups = signature-equality or low
                        Hamming distance buckets.
 
-Engine-neutral hashing: every hash is an md5-hex expression (never Spark's
-murmur `hash()`, which no other engine reproduces) so the DuckDB oracles in
-plans/parity_llm can replay the exact pipeline. MinHash 'values' are
-lexicographic minima of hex strings — uniform enough for banding, and
-byte-identical across engines.
+Engine-neutral hashing: every hash bottoms out in an md5-hex expression
+(never Spark's murmur `hash()`, which no other engine reproduces) so the
+DuckDB oracles in plans/parity_llm can replay the exact pipeline. MinHash
+values are int64: ONE md5 per shingle parsed to a 60-bit integer, then a
+(2s+1)·h+s mod-P universal-hash family per seed — identical arithmetic on
+both engines, 16× less hashing than md5-per-seed.
 """
 
 from __future__ import annotations
@@ -64,10 +65,25 @@ def shingle_expr(text_col: str, k: int = 3) -> Column:
 
 
 def doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) exploded pairs — the inverted-index input."""
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingle_expr(text_col, k)).alias("shingle")
+    """(id, shingle) exploded pairs — the inverted-index input.
+
+    Two-projection formulation: the word split is materialized as a column
+    BEFORE the k-gram transform. Higher-order lambdas are interpreted with
+    no common-subexpression elimination, so an inline split (shingle_expr)
+    re-runs the regex for every gram × every element_at — measured ~10×
+    slower. Same output, same oracle."""
+    words_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_words"),
     )
+    w = F.col("_words")
+    n = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    arr = F.when(n < k, F.array(F.concat_ws(" ", w))).otherwise(F.array_distinct(grams))
+    return words_df.select("doc_id", F.explode(arr).alias("shingle"))
 
 
 # ---------------------------------------------------------- exact jaccard
@@ -110,35 +126,76 @@ def ngram_jaccard_pairs(
 # ----------------------------------------------------------- minhash lsh
 
 
+MINHASH_P = 2147483647  # 2^31 - 1; keeps (h % P) * (2*seed+1) + seed in int64
+
+
+def shingle_hash_expr(shingle: Column) -> Column:
+    """Engine-neutral 60-bit integer hash of a shingle: the first 15 hex
+    digits of md5, parsed base-16. DuckDB replays it as
+    CAST('0x' || substring(md5(s),1,15) AS BIGINT) — verified identical."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+
+
+def seed_mix_expr(h: Column, seed: int) -> Column:
+    """Universal-hash family g_seed(h) = ((h % P) * (2*seed+1) + seed) % P —
+    pure int64 arithmetic, identical across engines. ONE md5 per shingle
+    feeds all seeds (16x less hashing than md5-per-seed)."""
+    return ((h % MINHASH_P) * (2 * seed + 1) + seed) % MINHASH_P
+
+
+def minhash_wide(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, m_0 .. m_{H-1}): all H minhashes in ONE aggregation pass.
+
+    Plan shape: explode shingles (docs x shingles rows) -> project the H
+    mixed hashes as columns -> groupBy(doc_id).agg(H mins). No seed
+    fan-out: the H-way explode of the md5-per-seed formulation multiplied
+    the aggregation input by H; here the row count stays docs x shingles
+    and the mins combine map-side. At 100 TB the shuffle carries exactly
+    docs x (H+1) pre-aggregated longs."""
+    return minhash_wide_from_shingles(doc_shingles(df, text_col, id_col, k), num_hashes)
+
+
+def minhash_wide_from_shingles(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """minhash_wide over a pre-computed (doc_id, shingle) table."""
+    h = shingle_hash_expr(F.col("shingle"))
+    hashed = sh.select("doc_id", *[seed_mix_expr(h, s).alias(f"g_{s}") for s in range(num_hashes)])
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"g_{s}").alias(f"m_{s}") for s in range(num_hashes)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 16
 ) -> DataFrame:
-    """(doc_id, seed, minhash): per seed, min over shingles of
-    md5(seed || '|' || shingle) — lexicographic min of hex strings."""
-    sh = doc_shingles(df, text_col, id_col, k)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle")))).alias("minhash"))
+    """(doc_id, seed, minhash) — long-form view of minhash_wide (API/test
+    compatibility; plans use the wide form directly)."""
+    wide = minhash_wide(df, text_col, id_col, k, num_hashes)
+    pairs = F.array(*[
+        F.struct(F.lit(s).alias("seed"), F.col(f"m_{s}").alias("minhash"))
+        for s in range(num_hashes)
+    ])
+    return wide.select("doc_id", F.explode(pairs).alias("sm")).select(
+        "doc_id", F.col("sm.seed").alias("seed"), F.col("sm.minhash").alias("minhash")
     )
 
 
 def lsh_band_hashes(
-    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+    signatures_wide: DataFrame, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """(doc_id, band, band_hash): md5 over the band's minhashes in seed
-    order. Docs sharing any band_hash are candidates."""
-    rows_per_band = num_hashes // bands
-    by_band = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    ordered = F.array_sort(F.collect_list(F.struct("seed", "minhash")))
-    return (
-        by_band.groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws("|", F.transform(ordered, lambda s: s.minhash))
-            ).alias("band_hash")
+    """(doc_id, band, band_hash) from the WIDE signature table: md5 over
+    the band's minhashes in seed order — a post-aggregation projection."""
+    r = num_hashes // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"m_{b * r + i}") for i in range(r)])).alias("band_hash"),
         )
+        for b in range(bands)
+    ])
+    return signatures_wide.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
     )
 
 
@@ -154,11 +211,19 @@ def minhash_lsh_pairs(
     """MinHash+LSH candidate generation, then exact-Jaccard verification.
 
     The candidate join is an equality join on (band, band_hash) — at
-    100 TB this shuffles only the 16-hash signatures, never the corpus,
+    100 TB this shuffles only the fixed-width signatures, never the corpus,
     and verification touches only candidate pairs. Returns
-    (doc_a, doc_b, jaccard) with exact jaccard ≥ threshold."""
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    bandh = lsh_band_hashes(sig, num_hashes, bands)
+    (doc_a, doc_b, jaccard) with exact jaccard >= threshold.
+
+    The shingle table feeds BOTH the signature pass and the verification
+    joins, and shingling (split + k-gram assembly over interpreted
+    higher-order lambdas) is the measured per-row hotspot — persist it so
+    it is computed once. MEMORY_AND_DISK: shingles are ~10× the corpus
+    text; at 100 TB prefer writing them to a scratch table instead."""
+    from pyspark.storagelevel import StorageLevel
+
+    sh = doc_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    bandh = lsh_band_hashes(minhash_wide_from_shingles(sh, num_hashes), num_hashes, bands)
     a = bandh.alias("a")
     b = bandh.alias("b")
     cand = (
@@ -171,8 +236,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification over candidates only
-    sh = doc_shingles(df, text_col, id_col, k)
+    # exact verification over candidates only, reusing the persisted
+    # shingle table. NOTE: no broadcast hint on cand — a broadcast was
+    # measured slower at sf0.1 (it forfeits plan reuse); AQE still switches
+    # to broadcast at runtime when cand is truly tiny.
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))

@@ -772,14 +772,21 @@ def a5_topk_group_stats(spark, sf_dir):
 )
 def a6_percentile_profile(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    aggs = [
-        F.expr(f"percentile(l_extendedprice, {p})").alias(f"p{int(p*100)}")
-        for p in (0.10, 0.25, 0.50, 0.75, 0.90)
-    ]
-    return li.groupBy("l_returnflag").agg(
-        *aggs,
+    # ONE array-percentile aggregate, not five scalar ones: each scalar
+    # `percentile` keeps its own copy of every value in its buffer; the
+    # array form sorts once and reads all five quantiles from it (~5× less
+    # agg memory + CPU at any scale).
+    ps = (0.10, 0.25, 0.50, 0.75, 0.90)
+    agged = li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, array({', '.join(map(str, ps))}))").alias("_ps"),
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+    return agged.select(
+        "l_returnflag",
+        *[F.col("_ps")[i].alias(f"p{int(p * 100)}") for i, p in enumerate(ps)],
+        "n_orders",
+        "n_suppliers",
     )
 
 

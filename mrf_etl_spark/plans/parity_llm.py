@@ -121,18 +121,39 @@ def d3_ngram_jaccard(spark, sf_dir):
     )
 
 
+# d2 oracle pieces mirroring operators.dedup minhash_wide/lsh_band_hashes:
+# one md5 per shingle -> 60-bit int, (2s+1)*h+s mod-P family, H mins as
+# columns in one pass, band hash = md5 of the band's mins in seed order.
+_P = dd.MINHASH_P
+_MH_MINS = ",\n                ".join(
+    f"min(((h % {_P}) * {2 * s + 1} + {s}) % {_P}) AS m_{s}" for s in range(NUM_HASHES)
+)
+_R = NUM_HASHES // BANDS
+
+
+def _band_concat(b: int) -> str:
+    return " || '|' || ".join(f"CAST(m_{b * _R + i} AS VARCHAR)" for i in range(_R))
+
+
+_BANDS_SQL = "\n         UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5({_band_concat(b)}) AS band_hash FROM mh"
+    for b in range(BANDS)
+)
+
+
 @register(
     "d2_minhash_lsh",
     f"""WITH corpus AS {_NEAR_DUP_CORPUS_SQL},{_SHINGLE_CTES},
+       hsh AS (
+         SELECT doc_id,
+                CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+         FROM sh),
        mh AS (
-         SELECT doc_id, seed,
-                min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
-         FROM sh, range(0, {NUM_HASHES}) s(seed)
-         GROUP BY doc_id, seed),
+         SELECT doc_id,
+                {_MH_MINS}
+         FROM hsh GROUP BY doc_id),
        bands AS (
-         SELECT doc_id, seed // {NUM_HASHES // BANDS} AS band,
-                md5(string_agg(minhash, '|' ORDER BY seed)) AS band_hash
-         FROM mh GROUP BY doc_id, seed // {NUM_HASHES // BANDS}),
+         {_BANDS_SQL}),
        cand AS (
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
@@ -150,9 +171,10 @@ def d3_ngram_jaccard(spark, sf_dir):
        JOIN sizes sa ON sa.doc_id = doc_a
        JOIN sizes sb ON sb.doc_id = doc_b
        WHERE n_common / (sa.sz + sb.sz - n_common) >= {JACCARD_T}""",
-    doc="MinHash+LSH near-dup: md5-minhash signatures → band-hash equality "
-    "join for candidates → exact-Jaccard verification. The scale path: "
-    "shuffles signatures, not the corpus.",
+    doc="MinHash+LSH near-dup: one-md5-per-shingle universal-hash "
+    "signatures (wide, single agg pass) → band-hash equality join for "
+    "candidates → exact-Jaccard verification. The scale path: shuffles "
+    "fixed-width signatures, not the corpus.",
 )
 def d2_minhash_lsh(spark, sf_dir):
     return dd.minhash_lsh_pairs(
