@@ -141,6 +141,41 @@ def merge_ga_wc(df: DataFrame, ga_wc: DataFrame) -> DataFrame:
     return drop_columns(joined, GA_WC_DROP + [s for s, _ in GA_WC_RATE_MAPPING])
 
 
+def filter_taxonomy_whitelist(df: DataFrame, phrases: list[str]) -> DataFrame:
+    """P8 (src/transformers/taxonomy_filter.py:45-107): keep rows whose
+    lowercase `primary_taxonomy_desc` contains ANY whitelist phrase; empty
+    whitelist or missing column → passthrough (the reference warns and
+    keeps going). For phrase lists this size an OR-chain of `contains`
+    compiles into one codegen'd predicate; for thousands of phrases prefer
+    an exploded contains-join."""
+    if not phrases or "primary_taxonomy_desc" not in df.columns:
+        return df
+    desc = F.lower(F.coalesce(F.col("primary_taxonomy_desc"), F.lit("")))
+    pred = F.lit(False)
+    for p in phrases:
+        pred = pred | desc.contains(p.lower())
+    return df.filter(pred)
+
+
+def build_dim_code_cat(crosswalk: DataFrame) -> DataFrame:
+    """dim_code_cat from the CMS BETOS 2020 crosswalk
+    (prod_etl/create_dim_proc_cat.ipynb cells 1-6): rename
+    HCPCS/Level1/Level2/Level3 → proc_cd/proc_set/proc_class/proc_group,
+    one row per proc_cd."""
+    mapping = {
+        "HCPCS": "proc_cd",
+        "Level1": "proc_set",
+        "Level2": "proc_class",
+        "Level3": "proc_group",
+    }
+    out = crosswalk.withColumnsRenamed(
+        {k: v for k, v in mapping.items() if k in crosswalk.columns}
+    )
+    return out.select("proc_cd", "proc_set", "proc_class", "proc_group").dropDuplicates(
+        ["proc_cd"]
+    )
+
+
 def categorize(df: DataFrame, code_col: str = "billing_code") -> DataFrame:
     """Categorizer phase (main.py:1019-1160 / categorizer.py:69-254
     canonical): three derived columns from the native when()-chain — stays

@@ -155,3 +155,23 @@ def test_run_pipeline_end_to_end(spark, inputs, tmp_path):
     # matches the CPT-typed ASC bench (faithful to the reference key)
     assert rows2["70450"].pct_of_medicare_opps is None
     assert rows2["70450"].pct_of_medicare_asc == pytest.approx(400.0 / 100.0)
+
+
+def test_taxonomy_whitelist_and_dim_code_cat(spark):
+    from mrf_etl_spark.plans.enrich_pipeline import build_dim_code_cat, filter_taxonomy_whitelist
+
+    df = spark.createDataFrame(
+        [("Internal Medicine Physician",), ("Chiropractor",), (None,)],
+        "primary_taxonomy_desc string",
+    )
+    out = filter_taxonomy_whitelist(df, ["internal medicine", "orthopedic"])
+    assert out.count() == 1  # null-safe, case-insensitive contains
+    assert filter_taxonomy_whitelist(df, []).count() == 3  # empty -> passthrough
+
+    xw = spark.createDataFrame(
+        [("99213", "E&M", "Office", "Established", "x"), ("99213", "E&M", "Office", "Established", "y")],
+        "HCPCS string, Level1 string, Level2 string, Level3 string, BETOS_20 string",
+    )
+    cat = build_dim_code_cat(xw)
+    assert cat.columns == ["proc_cd", "proc_set", "proc_class", "proc_group"]
+    assert cat.count() == 1  # deduped on proc_cd
