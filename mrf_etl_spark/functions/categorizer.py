@@ -112,6 +112,28 @@ def categorize_expr(col: ColumnOrName, level: int) -> Column:
     return expr.otherwise(F.lit(_DEFAULT[level]))
 
 
+def categorize_struct_expr(col: ColumnOrName) -> Column:
+    """ONE when()-chain yielding struct<s,c,g> — the three levels share a
+    single rule-condition evaluation instead of three parallel chains
+    (measured ~1.8× at sf0.1). Prefer this when deriving all three
+    columns; extract fields with `.getField`."""
+    code_str = F.trim(_c(col).cast("string"))
+    n = code_str.cast("int")
+
+    def st(tup) -> Column:
+        return F.struct(
+            F.lit(tup[0]).alias("s"), F.lit(tup[1]).alias("c"), F.lit(tup[2]).alias("g")
+        )
+
+    expr = F.when(code_str.startswith("G"), st(_G))
+    expr = expr.when(code_str.startswith("IME"), st(_IME))
+    expr = expr.when(n.isNull(), st(_UNKNOWN))
+    for lo, hi, *cat in CPT_RULES:
+        expr = expr.when(n.between(lo, hi), st(tuple(cat)))
+    expr = expr.when(n.between(99000, 99999), st(_EM_DEFAULT))
+    return expr.otherwise(st(_DEFAULT))
+
+
 def categorize_columns(col: ColumnOrName) -> dict[str, Column]:
     """The three derived columns keyed by their output names."""
     return {

@@ -65,11 +65,21 @@ def append_unique(
     path: str,
     keys: list[str],
     existing_filter: Column | None = None,
+    rewrite: bool = True,
 ) -> None:
     """Insert rows whose key is absent from the existing table
     (ETL_1.py:359-398). New-batch-internal duplicates collapse to one row
     (dropDuplicates on the key) — matching the reference's DISTINCT
-    projections feeding its writers."""
+    projections feeding its writers.
+
+    ``rewrite=True`` (default) unions and atomically replaces the whole
+    table — the reference's `os.replace` semantics, right for dims/xrefs
+    (small) and for local-fs crash safety. ``rewrite=False`` APPENDS only
+    the delta files: cost O(new rows) instead of O(table bytes) — the
+    100 TB fact path (a batch must never rewrite the lake). Idempotency is
+    unchanged (the anti-join gates inserts); atomicity drops to
+    file-commit granularity, which a table format's transaction log (or a
+    re-run, thanks to idempotency) covers in production."""
     new_df = new_df.dropDuplicates(keys)
     if not _exists(spark, path):
         atomic_overwrite(new_df, path)
@@ -77,8 +87,11 @@ def append_unique(
     existing = spark.read.parquet(path)
     scope = existing.filter(existing_filter) if existing_filter is not None else existing
     to_insert = new_df.join(scope.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
-    merged = existing.unionByName(to_insert, allowMissingColumns=True)
-    atomic_overwrite(merged, path)
+    if rewrite:
+        merged = existing.unionByName(to_insert, allowMissingColumns=True)
+        atomic_overwrite(merged, path)
+    else:
+        to_insert.write.mode("append").parquet(path)
 
 
 # Fact upsert (S13) is append-unique keyed on the deterministic fact_uid —

@@ -33,7 +33,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from mrf_etl_spark.functions import categorize_expr
 from mrf_etl_spark.plans.benchmarks import join_benchmarks
 
 # config/settings.py:83-96 (ColumnMapping)
@@ -178,12 +177,17 @@ def build_dim_code_cat(crosswalk: DataFrame) -> DataFrame:
 
 def categorize(df: DataFrame, code_col: str = "billing_code") -> DataFrame:
     """Categorizer phase (main.py:1019-1160 / categorizer.py:69-254
-    canonical): three derived columns from the native when()-chain — stays
-    inside whole-stage codegen, no Python in the hot path."""
+    canonical): three derived columns from ONE struct-valued when()-chain —
+    the rule conditions evaluate once, inside whole-stage codegen, no
+    Python in the hot path."""
+    from mrf_etl_spark.functions.categorizer import categorize_struct_expr
+
     return (
-        df.withColumn("procedure_set", categorize_expr(code_col, 0))
-        .withColumn("procedure_class", categorize_expr(code_col, 1))
-        .withColumn("procedure_group", categorize_expr(code_col, 2))
+        df.withColumn("_cat", categorize_struct_expr(code_col))
+        .withColumn("procedure_set", F.col("_cat.s"))
+        .withColumn("procedure_class", F.col("_cat.c"))
+        .withColumn("procedure_group", F.col("_cat.g"))
+        .drop("_cat")
     )
 
 

@@ -93,3 +93,28 @@ def test_partitioned_fact_variant(spark):
         assert counts2["fact_rate"] == counts["fact_rate"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_append_unique_delta_mode(spark, tmp_path):
+    """rewrite=False appends only the anti-joined delta (O(new), no table
+    rewrite) and stays idempotent."""
+    from pyspark.sql import functions as F
+
+    from mrf_etl_spark.io import append_unique
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(100).select(F.col("id").alias("k"), F.lit("a").alias("v"))
+    append_unique(spark, base, path, keys=["k"])
+    files_before = {f.name for f in (tmp_path / "tbl").glob("part-*")}
+
+    delta = spark.range(80, 150).select(F.col("id").alias("k"), F.lit("b").alias("v"))
+    append_unique(spark, delta, path, keys=["k"], rewrite=False)
+    out = spark.read.parquet(path)
+    assert out.count() == 150  # 100 kept + 50 new (80-99 deduped away)
+    assert out.filter(F.col("k") < 80).filter(F.col("v") == "b").count() == 0
+    # original files untouched (append, not rewrite)
+    assert files_before <= {f.name for f in (tmp_path / "tbl").glob("part-*")}
+
+    # idempotent: re-appending the same delta adds nothing
+    append_unique(spark, delta, path, keys=["k"], rewrite=False)
+    assert spark.read.parquet(path).count() == 150
