@@ -14,9 +14,10 @@ Two paths:
                        instead of the full corpus.
 
 Float discipline: embeddings cast to double FIRST, then an explicitly
-left-associative unrolled sum — the same op order any engine uses for the
-generated SQL mirror, so cosine values are bit-identical across engines
-(no parallel-reduction nondeterminism).
+left-associative sum (fold or unrolled — both the same op order as the
+generated SQL mirror), so cosine values are bit-identical across engines
+(no parallel-reduction nondeterminism). Norms are staged as per-row
+columns on each join side; only the dot is evaluated per pair.
 """
 
 from __future__ import annotations
@@ -50,6 +51,26 @@ def cosine_expr(a: str, b: str, dim: int) -> Column:
     return dot_unrolled(a, b, dim) / (norm_unrolled(a, dim) * norm_unrolled(b, dim))
 
 
+def dot_fold(a: str, b: str) -> Column:
+    """Left-associative fold dot product via zip_with+aggregate.
+
+    Bit-identical to dot_unrolled (the 0.0 seed is exact under IEEE
+    addition), but the expression tree is O(1) in dim instead of O(dim):
+    the 64-way unrolled form compiles to ~1 MiB task binaries and its
+    codegen dominated wall time at bench scale (~2.7x). The unrolled form
+    remains the right call only when one compiled plan amortizes over
+    billions of pairs."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_fold(a: str) -> Column:
+    return F.sqrt(dot_fold(a, a))
+
+
 def cosine_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -63,12 +84,18 @@ def cosine_topk(
     Returns (query_id, neighbor_id, cosine, rank). Ties broken by
     neighbor_id ASC for determinism."""
     q = emb.filter(query_filter) if query_filter is not None else emb
-    q = q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # norms staged ONCE per row on each side — the per-pair expression is
+    # just the dot; the naive form recomputed both norms per pair
+    q = q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
+        "qn", norm_fold("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).withColumn(
+        "cn", norm_fold("cv")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr("qv", "cv", dim))
+        .withColumn("cosine", dot_fold("qv", "cv") / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -90,9 +117,12 @@ def assign_centroids(
     """Assign each vector to its nearest centroid by cosine (ties → lowest
     centroid id). Output (vec_id, centroid_id) — at scale, write the corpus
     bucketed by centroid_id so probes prune partitions."""
-    c = centroids.select(F.col("cid"), F.col("cvec"))
-    scored = emb.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(c)).withColumn(
-        "cos_c", cosine_expr(vec_col, "cvec", dim)
+    c = centroids.select(F.col("cid"), F.col("cvec")).withColumn("_cnorm", norm_fold("cvec"))
+    scored = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_vnorm", norm_fold(vec_col))
+        .crossJoin(F.broadcast(c))
+        .withColumn("cos_c", dot_fold(vec_col, "cvec") / (F.col("_vnorm") * F.col("_cnorm")))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("cos_c").desc(), F.col("cid").asc())
     return (
@@ -122,27 +152,30 @@ def ivf_topk(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
     assigned = assign_centroids(emb, cent, id_col, vec_col, dim)
-    corpus = emb.join(assigned, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cid"
+    corpus = (
+        emb.join(assigned, id_col)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cid")
+        .withColumn("cn", norm_fold("cv"))
     )
 
     q = emb.filter(query_filter) if query_filter is not None else emb
-    q = q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    qprobe = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("cos_c", cosine_expr("qv", "cvec", dim))
+    q = q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
+        "qn", norm_fold("qv")
+    )
+    qprobe = q.crossJoin(F.broadcast(cent.withColumn("_cnorm", norm_fold("cvec")))).withColumn(
+        "cos_c", dot_fold("qv", "cvec") / (F.col("qn") * F.col("_cnorm"))
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("cid").asc())
     probes = (
         qprobe.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "qn", "cid")
     )
 
     scored = (
         corpus.join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr("qv", "cv", dim))
+        .withColumn("cosine", dot_fold("qv", "cv") / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -165,12 +198,16 @@ def embedding_near_dup_pairs(
 
     Brute-force all-pairs at test scale; production path buckets by IVF
     centroid first (pairs across far buckets can't be near-dups)."""
-    a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va")).withColumn(
+        "na", norm_fold("va")
+    )
+    b = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb")).withColumn(
+        "nb", norm_fold("vb")
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cosine", cosine_expr("va", "vb", dim))
+        .withColumn("cosine", dot_fold("va", "vb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
