@@ -50,8 +50,27 @@ def main() -> None:
 
     reg_queries = entry_mod.queries()
     spark = get_spark(app_name="mrf-etl-bench")
-    # warm the JVM + parquet footers with a trivial action
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm the JVM the way a resident engine is warm: parquet footers for
+    # every table, plus one throwaway query exercising the shared operator
+    # paths (columnar scan → hash agg → broadcast join → window) so the
+    # first timed query doesn't absorb one-time JIT/codegen class loading.
+    # No headline query's plan is precomputed by this.
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    tables = "region nation customer supplier part orders lineitem events documents embeddings"
+    for tbl in tables.split():
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").limit(1).count()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    warm = (
+        li.limit(10000)
+        .join(F.broadcast(n), li.l_suppkey % 25 == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("l_quantity").alias("s"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy().orderBy("n_name")))
+    )
+    warm.collect()
 
     timings: dict[str, float] = {}
     total = 0.0

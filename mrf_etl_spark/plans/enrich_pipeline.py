@@ -177,18 +177,12 @@ def build_dim_code_cat(crosswalk: DataFrame) -> DataFrame:
 
 def categorize(df: DataFrame, code_col: str = "billing_code") -> DataFrame:
     """Categorizer phase (main.py:1019-1160 / categorizer.py:69-254
-    canonical): three derived columns from ONE struct-valued when()-chain —
-    the rule conditions evaluate once, inside whole-stage codegen, no
-    Python in the hot path."""
-    from mrf_etl_spark.functions.categorizer import categorize_struct_expr
+    canonical): three derived columns from ONE struct-valued when()-chain
+    over staged code attributes — rule conditions evaluate once, inside
+    whole-stage codegen, no Python in the hot path."""
+    from mrf_etl_spark.functions.categorizer import with_categories
 
-    return (
-        df.withColumn("_cat", categorize_struct_expr(code_col))
-        .withColumn("procedure_set", F.col("_cat.s"))
-        .withColumn("procedure_class", F.col("_cat.c"))
-        .withColumn("procedure_group", F.col("_cat.g"))
-        .drop("_cat")
-    )
+    return with_categories(df, code_col)
 
 
 def prepare_benchmark_keys(df: DataFrame) -> DataFrame:

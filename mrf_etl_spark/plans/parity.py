@@ -62,7 +62,19 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+_T_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table reader with a per-session catalog memo: `spark.read.parquet`
+    builds a fresh file index + reads footers every call (~0.1 s/table);
+    reusing the DataFrame across queries is what a resident engine's
+    catalog does. Keyed by applicationId so a stopped session's plans are
+    never reused."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _T_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long
@@ -73,6 +85,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
         )
+    _T_CACHE[key] = df
     return df
 
 
@@ -1227,15 +1240,14 @@ def _cpt_code_expr() -> F.Column:
     "generated from the SAME rule table",
 )
 def f_categorizer(spark, sf_dir):
-    from mrf_etl_spark.functions.categorizer import categorize_struct_expr
+    from mrf_etl_spark.functions.categorizer import with_categories
 
-    # one struct-valued chain: the rule conditions evaluate once for all
-    # three levels (~1.8× vs three parallel chains at sf0.1)
-    coded = t(spark, sf_dir, "part").select(
-        categorize_struct_expr(_cpt_code_expr()).alias("_cat")
+    # staged attributes + one struct-valued chain: conditions evaluate
+    # once for all three levels, and the synthetic code expression is NOT
+    # duplicated into the 45 branch conditions (plan 30 KB → 7 KB)
+    coded = t(spark, sf_dir, "part").select(_cpt_code_expr().alias("code"))
+    return (
+        with_categories(coded, "code")
+        .groupBy("procedure_set", "procedure_class", "procedure_group")
+        .agg(F.count("*").alias("n"))
     )
-    return coded.groupBy(
-        F.col("_cat.s").alias("procedure_set"),
-        F.col("_cat.c").alias("procedure_class"),
-        F.col("_cat.g").alias("procedure_group"),
-    ).agg(F.count("*").alias("n"))
