@@ -442,10 +442,43 @@ def d5_embedding_near_dup(spark, sf_dir):
 
 @register(
     "n2_ann_ivf",
-    None,  # algorithmically approximate; recall vs n1 checked in pytest
+    # The IVF pipeline is deterministic end-to-end (seed centroids =
+    # vec_id % 97 == 0, cosine ties broken by id), so the full
+    # assign→probe→rank cascade replays exactly in SQL — approximate
+    # relative to exact ANN, but bit-reproducible across engines.
+    f"""WITH cent AS (
+         SELECT vec_id AS cid, embedding AS cvec
+         FROM embeddings WHERE vec_id % 97 = 0),
+       assigned AS (
+         SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+           FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+       q AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE vec_id < 10),
+       probes AS (
+         SELECT query_id, qv, cid FROM (
+           SELECT q.query_id, q.qv, c.cid, row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {_cos_sql('q.qv', 'c.cvec')} DESC, c.cid ASC) AS rn
+           FROM q CROSS JOIN cent c) WHERE rn <= 2),
+       scored AS (
+         SELECT p.query_id, e.vec_id AS neighbor_id,
+                {_cos_sql('p.qv', 'e.embedding')} AS cosine
+         FROM probes p
+         JOIN assigned a ON a.cid = p.cid
+         JOIN embeddings e ON e.vec_id = a.vec_id
+         WHERE p.query_id <> e.vec_id)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT *, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         FROM scored) WHERE rank <= 5""",
     doc="IVF-bucketed ANN: deterministic coarse centroids, corpus assigned "
-    "to nearest centroid, queries probe nprobe=2 buckets. Rows-only for "
-    "the driver; tests measure recall against the exact baseline.",
+    "to nearest centroid, queries probe nprobe=2 buckets; approximate vs "
+    "exact ANN (recall measured in pytest) but deterministic, so the "
+    "oracle replays the identical cascade.",
 )
 def n2_ann_ivf(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")

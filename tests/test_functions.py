@@ -177,6 +177,18 @@ def test_categorizer_boundaries(spark):
     got = {r.code: (r.s, r.c, r.g) for r in rows}
     assert got == cases
 
+    # the staged struct path (with_categories) must agree everywhere,
+    # including on a non-trivial input EXPRESSION (the staging is exactly
+    # what keeps that expression from being duplicated into every branch)
+    from mrf_etl_spark.functions.categorizer import with_categories
+
+    rows2 = with_categories(
+        df.select(F.concat(F.lit(" "), F.col("code"), F.lit(" ")).alias("messy"), "code"),
+        "messy",
+    ).collect()
+    got2 = {r.code: (r.procedure_set, r.procedure_class, r.procedure_group) for r in rows2}
+    assert got2 == cases
+
 
 def test_rate_4f_modes(spark):
     """Documented %.4f divergence: JVM shortest-repr HALF_UP vs CPython
