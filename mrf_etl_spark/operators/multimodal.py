@@ -77,3 +77,52 @@ def extract_features(mm: DataFrame, partitions: int | None = None) -> DataFrame:
     if partitions:
         mm = mm.repartition(partitions, "doc_id")
     return mm.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, offset long, frame_bytes long, frame_md5 string"
+
+
+def sample_frames(
+    mm: DataFrame,
+    frame_size: int = 256,
+    max_frames: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Frame sampling over an opaque video/audio payload: one input row →
+    up to `max_frames` output rows via mapInPandas (the 1→N batch shape a
+    real ffmpeg frame sampler needs).
+
+    The \"decode\" is a deterministic stand-in — the payload is treated as
+    concatenated `frame_size`-byte frames and sampled at a uniform stride
+    (stride = ceil(n_frames / max_frames)); a real decoder changes only
+    the slicing, not the Spark contract. Each sampled frame is fingerprinted
+    (md5 of its lowercase hex) so downstream frame-level dedup/similarity
+    can run engine-neutrally."""
+    import hashlib
+    import math
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: list[tuple[int, int, int, int, str]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                n_frames = max(1, math.ceil(len(payload) / frame_size))
+                stride = math.ceil(n_frames / max_frames)
+                for i in range(0, n_frames, stride):
+                    sl = payload[i * frame_size : (i + 1) * frame_size]
+                    rows.append(
+                        (
+                            doc_id,
+                            i,
+                            i * frame_size,
+                            len(sl),
+                            hashlib.md5(sl.hex().encode()).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "offset", "frame_bytes", "frame_md5"]
+            )
+
+    if partitions:
+        mm = mm.repartition(partitions, "doc_id")
+    return mm.select("doc_id", "payload").mapInPandas(_batches, schema=FRAME_SCHEMA)

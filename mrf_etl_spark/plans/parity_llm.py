@@ -506,3 +506,38 @@ def m1_multimodal_features(spark, sf_dir):
     mm = attach_binary_payload(d, "text", "doc_id")
     feats = extract_features(mm, partitions=8)
     return feats.select("doc_id", "n_bytes", "header_hex", "mime")
+
+
+@register(
+    "m2_frame_sample",
+    """WITH f AS (
+         -- byte slicing via the hex string (2 hex chars/byte): DuckDB's
+         -- substring is VARCHAR-only, and md5 over the lowercase hex is
+         -- exactly what the Spark side hashes (bytes.hex())
+         SELECT doc_id, lower(hex(encode(text))) AS hx,
+                greatest(1, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT))
+                  AS nf
+         FROM documents),
+       strided AS (
+         SELECT doc_id, hx, nf,
+                CAST(ceil(nf / 4.0) AS BIGINT) AS stride
+         FROM f)
+       SELECT s.doc_id, t.j * s.stride AS frame_idx,
+              t.j * s.stride * 256 AS "offset",
+              CAST(length(substring(s.hx, t.j * s.stride * 512 + 1, 512)) // 2 AS BIGINT)
+                AS frame_bytes,
+              md5(substring(s.hx, t.j * s.stride * 512 + 1, 512)) AS frame_md5
+       FROM strided s
+       JOIN (VALUES (0), (1), (2), (3)) AS t(j)
+         ON t.j * s.stride < s.nf""",
+    doc="Frame sampling over opaque media payloads: mapInPandas 1→N rows, "
+    "uniform stride over 256-byte pseudo-frames (≤4 per doc), md5 frame "
+    "fingerprints. Decode is a deterministic stand-in; the batch shape, "
+    "schema, and partitioning are the real ffmpeg-sampler contract.",
+)
+def m2_frame_sample(spark, sf_dir):
+    from mrf_etl_spark.operators.multimodal import sample_frames
+
+    d = t(spark, sf_dir, "documents")
+    mm = attach_binary_payload(d, "text", "doc_id")
+    return sample_frames(mm, frame_size=256, max_frames=4, partitions=8)

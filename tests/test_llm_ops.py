@@ -98,3 +98,22 @@ def test_multimodal_stub_contract():
         "mime": "text/plain",
         "feat_mean": (97 + 98 + 99 + 100) / 4,
     }
+
+
+def test_frame_sampling(spark):
+    """mapInPandas 1→N frame sampling: uniform stride, ≤ max_frames rows
+    per doc, frame boundaries and fingerprints exact."""
+    import hashlib
+
+    from mrf_etl_spark.operators.multimodal import attach_binary_payload, sample_frames
+
+    # 1100 bytes → 5 frames of 256 (last short) → stride 2 → idx {0, 2, 4}
+    text = "x" * 1100
+    df = spark.createDataFrame([(1, text), (2, "short")], "doc_id long, text string")
+    mm = attach_binary_payload(df, "text", "doc_id")
+    rows = {(r.doc_id, r.frame_idx): r for r in sample_frames(mm, 256, 4).collect()}
+    assert sorted(rows) == [(1, 0), (1, 2), (1, 4), (2, 0)]
+    assert rows[(1, 4)].offset == 1024 and rows[(1, 4)].frame_bytes == 76
+    assert rows[(2, 0)].frame_bytes == 5
+    want = hashlib.md5((b"x" * 256).hex().encode()).hexdigest()
+    assert rows[(1, 0)].frame_md5 == want and rows[(1, 2)].frame_md5 == want
