@@ -119,3 +119,68 @@ def st3_stream_upsert(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.read.parquet(lake).agg(F.count("*").alias("n"))
+
+
+_ST4_SEQ = [0]
+
+
+@register(
+    "st4_stateful_totals",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+             AS total_value
+    FROM events GROUP BY event_type""",
+    doc="applyInPandasWithState custom stateful operator: per-key running "
+    "count / distinct users / integer-cents total across micro-batches; "
+    "drained stream's final update per key == the batch GROUP BY",
+)
+def st4_stateful_totals(spark, sf_dir):
+    """Runs a real availableNow stream through the arbitrary-state
+    operator (update mode, memory sink); the latest update per key after
+    draining equals the batch aggregate, independent of batch boundaries
+    (integer-cents state keeps the money total exact across any split)."""
+    from pyspark.sql.window import Window
+
+    from mrf_etl_spark.streaming import stateful_running_totals
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) reads as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    _ST4_SEQ[0] += 1
+    sink = f"st4_totals_{_ST4_SEQ[0]}"
+    q = (
+        stateful_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", _scratch(f"st4_ckpt_{_ST4_SEQ[0]}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(sink)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_events",
+            "n_users",
+            F.round(F.col("total_cents").cast("double") / 100, 2).alias("total_value"),
+        )
+    )

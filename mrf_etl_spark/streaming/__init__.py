@@ -10,8 +10,14 @@ needs at scale.
 
 from mrf_etl_spark.streaming.ingest import (
     sessionize_events,
+    stateful_running_totals,
     stream_upsert_ingest,
     windowed_event_counts,
 )
 
-__all__ = ["stream_upsert_ingest", "windowed_event_counts", "sessionize_events"]
+__all__ = [
+    "stream_upsert_ingest",
+    "windowed_event_counts",
+    "sessionize_events",
+    "stateful_running_totals",
+]

@@ -106,6 +106,56 @@ def windowed_event_counts(
     )
 
 
+RUNNING_TOTALS_SCHEMA = "event_type string, n_events long, n_users long, total_cents long"
+_RUNNING_TOTALS_STATE = "n long, cents long, users array<long>"
+
+
+def stateful_running_totals(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via `applyInPandasWithState`: per
+    event_type, running event count, distinct-user count, and an EXACT
+    money total carried as integer cents (float accumulation order varies
+    across batch boundaries; integer state makes replays and oracles
+    bit-stable). Emits one updated row per key per micro-batch ("update"
+    mode) — the latest row per key is the answer so far.
+
+    This is the state shape the built-in window/session operators can't
+    express: arbitrary per-key state (here a seen-user set) mutated across
+    micro-batches. Scale note: a seen-user set grows O(users/key); at real
+    scale swap the set for a sketch (HLL/theta) in the same state slot —
+    the operator contract doesn't change."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            n, cents, users_arr = state.get
+            users = set(users_arr)
+        else:
+            n, cents, users = 0, 0, set()
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            users.update(int(u) for u in pdf["user_id"])
+        state.update((n, cents, sorted(users)))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "n_users": [len(users)],
+                "total_cents": [cents],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events_stream.groupBy("event_type").applyInPandasWithState(
+        fn,
+        RUNNING_TOTALS_SCHEMA,
+        _RUNNING_TOTALS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_events(
     events: DataFrame,
     gap: str = "30 minutes",

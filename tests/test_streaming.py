@@ -102,3 +102,51 @@ def test_sessionize_events_batch_semantics(spark):
     assert u1[1].n_events == 1
     # session end = last event + gap
     assert (u1[0].session_end - u1[0].session_start).total_seconds() == 10 * 60 + 30 * 60
+
+
+def test_stateful_running_totals_across_batches(spark, events, tmp_path):
+    """applyInPandasWithState: state (count / seen-users / integer cents)
+    must accumulate across micro-batches — two files forced into separate
+    triggers, final update per key == the one-shot batch aggregate."""
+    from pyspark.sql.window import Window
+
+    from mrf_etl_spark.streaming import stateful_running_totals
+    from mrf_etl_spark.streaming.ingest import EVENTS_SCHEMA
+
+    drop_dir = str(tmp_path / "drop")
+    half = events.filter(F.col("event_id") < 500).coalesce(1)
+    rest = events.filter(F.col("event_id") >= 500).coalesce(1)
+    half.write.parquet(drop_dir)
+    rest.write.mode("append").parquet(drop_dir)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    q = (
+        stateful_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_st4")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    mem = spark.table("t_st4")
+    # >1 batch for at least one key => updates were emitted more than once
+    assert mem.count() > mem.select("event_type").distinct().count()
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
+    final = (
+        mem.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    expected = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    got = {r.event_type: (r.n_events, r.n_users, r.total_cents) for r in final.collect()}
+    want = {r.event_type: (r.n_events, r.n_users, r.total_cents) for r in expected.collect()}
+    assert got == want
