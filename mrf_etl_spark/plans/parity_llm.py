@@ -541,3 +541,52 @@ def m2_frame_sample(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     mm = attach_binary_payload(d, "text", "doc_id")
     return sample_frames(mm, frame_size=256, max_frames=4, partitions=8)
+
+
+# ------------------------------------------------- deterministic sampling
+
+_BUCKET_SQL = (
+    "CAST('0x' || substring(md5(CAST({id} AS VARCHAR)), 1, 15) AS BIGINT) % 10000"
+)
+
+
+@register(
+    "sp1_hash_split",
+    f"""SELECT doc_id, bucket,
+              CASE WHEN bucket < 9000 THEN 'train'
+                   WHEN bucket < 9500 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM (SELECT doc_id, {_BUCKET_SQL.format(id='doc_id')} AS bucket
+             FROM documents)""",
+    doc="Deterministic train/val/test assignment: md5-hash bucket per id, "
+    "cumulative-weight thresholds. Replayable across engines/re-runs; "
+    "appended rows never disturb existing assignments (operators/sampling).",
+)
+def sp1_hash_split(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    out = sp.assign_split(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.select("doc_id", sp.hash_bucket("doc_id"), "split")
+
+
+@register(
+    "sp2_stratified_sample",
+    f"""SELECT event_id, event_type
+       FROM (SELECT event_id, event_type,
+                    {_BUCKET_SQL.format(id='event_id')} AS b
+             FROM events)
+       WHERE b < CASE event_type WHEN 'click' THEN 5000
+                                 WHEN 'view' THEN 2500
+                                 ELSE 1000 END""",
+    doc="Deterministic stratified sampling (reproducible sampleBy): keep a "
+    "row iff its hash bucket < its stratum's fraction — a stateless "
+    "per-row predicate that pushes into the scan at any scale.",
+)
+def sp2_stratified_sample(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type")
+    return sp.stratified_sample(
+        ev, "event_id", "event_type", {"click": 0.5, "view": 0.25}, default_fraction=0.1
+    )

@@ -117,3 +117,51 @@ def test_frame_sampling(spark):
     assert rows[(2, 0)].frame_bytes == 5
     want = hashlib.md5((b"x" * 256).hex().encode()).hexdigest()
     assert rows[(1, 0)].frame_md5 == want and rows[(1, 2)].frame_md5 == want
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from mrf_etl_spark.operators import sampling as sp
+
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    out = sp.assign_split(df, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 20000 - 0.9) < 0.02
+    assert abs(counts["val"] / 20000 - 0.05) < 0.01
+    assert abs(counts["test"] / 20000 - 0.05) < 0.01
+
+    # appending data never moves existing rows: assignment of ids 0..999 is
+    # identical whether computed over 1k or 20k rows
+    small = sp.assign_split(
+        spark.range(1000).withColumnRenamed("id", "doc_id"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    big_first = out.filter(F.col("doc_id") < 1000)
+    assert small.exceptAll(big_first).count() == 0
+    assert big_first.exceptAll(small).count() == 0
+
+    # a different salt decorrelates the assignment
+    salted = sp.assign_split(df, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="s1")
+    moved = out.join(salted.withColumnRenamed("split", "split2"), "doc_id").filter(
+        F.col("split") != F.col("split2")
+    )
+    assert moved.count() > 0
+
+
+def test_stratified_sample_fractions(spark):
+    from mrf_etl_spark.operators import sampling as sp
+
+    df = spark.range(30000).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 3 == 0, "click")
+        .when(F.col("id") % 3 == 1, "view")
+        .otherwise("error")
+        .alias("event_type"),
+    )
+    out = sp.stratified_sample(
+        df, "event_id", "event_type", {"click": 0.5, "view": 0.2}, default_fraction=0.0
+    )
+    got = {r.event_type: r.n for r in out.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["click"] / 10000 - 0.5) < 0.03
+    assert abs(got["view"] / 10000 - 0.2) < 0.03
+    assert "error" not in got  # default fraction 0 drops the stratum
