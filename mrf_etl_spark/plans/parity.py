@@ -1038,6 +1038,26 @@ def k2_pagination(spark, sf_dir):
 
 
 @register(
+    "k3_autocomplete",
+    """SELECT p_name AS value, count(*) AS n FROM part
+       WHERE lower(p_name) LIKE '%r%'
+       GROUP BY p_name ORDER BY n DESC, value ASC LIMIT 15""",
+    doc="§3.3 autocomplete endpoint (webapp/backend/main.py:791-906): "
+    "case-insensitive substring match on a dimension column, "
+    "most-common-first LIMIT k; ties broken by value for a total order",
+)
+def k3_autocomplete(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").ilike("%r%"))
+        .groupBy(F.col("p_name").alias("value"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("value").asc())
+        .limit(15)
+    )
+
+
+@register(
     "u1_union_tolerant",
     """SELECT count(*) AS n, count(o_orderpriority) AS n_priority,
               round(sum(o_totalprice), 2) AS total
