@@ -99,7 +99,7 @@ def read_excel_sheets(
         pdf = pd.read_excel(path, sheet_name=sheet)  # needs openpyxl
         flt = (sheet_filters or {}).get(sheet)
         if flt:
-            pdf = pdf.query(flt)
+            pdf = pdf.query(flt).copy()
         pdf["sheet"] = sheet
         frames.append(pdf)
     merged = pd.concat(frames, ignore_index=True)
