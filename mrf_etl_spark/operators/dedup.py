@@ -33,6 +33,24 @@ from pyspark.sql import functions as F
 # ------------------------------------------------------------------ exact
 
 
+def widen_narrow_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition an input that has fewer partitions than the
+    cluster's parallelism; identity otherwise.
+
+    Shingling / signature hashing is map-side CPU-bound: a corpus that
+    arrives as one or two parquet splits would pin the whole fan-out on
+    1-2 cores while the rest idle (measured: the sf0.1 documents file reads
+    as 2 splits → 30 of 32 local cores idle through the hottest stage). At
+    real scale the scan already has >= defaultParallelism splits and this
+    is a no-op — it only pays (one narrow-input shuffle of id+text) when
+    the input is pathologically under-partitioned."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Groups of byte-identical documents: md5(text) → group, keep groups
     with >1 member. Returns (content_hash, n, min_id, max_id)."""
@@ -72,7 +90,7 @@ def doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     no common-subexpression elimination, so an inline split (shingle_expr)
     re-runs the regex for every gram × every element_at — measured ~10×
     slower. Same output, same oracle."""
-    words_df = df.select(
+    words_df = widen_narrow_input(df).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_words"),
     )
@@ -276,7 +294,7 @@ def simhash_hex(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     words = F.explode(
         F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     ).alias("word")
-    base = df.select(F.col(id_col).alias("doc_id"), words).withColumn(
+    base = widen_narrow_input(df).select(F.col(id_col).alias("doc_id"), words).withColumn(
         "h", F.md5(F.col("word"))
     )
     pos = base.withColumn("p", F.explode(F.sequence(F.lit(1), F.lit(16))))
