@@ -233,15 +233,24 @@ def minhash_lsh_pairs(
     and verification touches only candidate pairs. Returns
     (doc_a, doc_b, jaccard) with exact jaccard >= threshold.
 
-    The shingle table feeds BOTH the signature pass and the verification
-    joins, and shingling (split + k-gram assembly over interpreted
-    higher-order lambdas) is the measured per-row hotspot — persist it so
-    it is computed once. MEMORY_AND_DISK: shingles are ~10× the corpus
-    text; at 100 TB prefer writing them to a scratch table instead."""
+    ONE aggregation pass over the hashed shingles produces, per doc, the H
+    signature mins AND the doc's distinct shingle-hash set (+ its size).
+    Verification is then `array_intersect` on the two hash sets of each
+    candidate pair — no second pass over the exploded shingle table, no
+    separate sizes aggregation, and the per-doc state persisted for reuse
+    is docs × (H longs + the hash set) instead of the ~10×-corpus shingle
+    text. Jaccard is computed in the 60-bit hash domain on BOTH engines
+    (the oracle joins on the same md5-derived h), so parity is exact by
+    construction and collisions would have to collide on both sides alike."""
     from pyspark.storagelevel import StorageLevel
 
-    sh = doc_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
-    bandh = lsh_band_hashes(minhash_wide_from_shingles(sh, num_hashes), num_hashes, bands)
+    sh = doc_shingles(df, text_col, id_col, k)
+    hashed = sh.select("doc_id", shingle_hash_expr(F.col("shingle")).alias("h"))
+    per_doc = hashed.groupBy("doc_id").agg(
+        *[F.min(seed_mix_expr(F.col("h"), s)).alias(f"m_{s}") for s in range(num_hashes)],
+        F.collect_set("h").alias("hset"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bandh = lsh_band_hashes(per_doc, num_hashes, bands)
     a = bandh.alias("a")
     b = bandh.alias("b")
     cand = (
@@ -255,24 +264,20 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification over candidates only, reusing the persisted
-    # shingle table. NOTE: no broadcast hint on cand — a broadcast was
+    # per-doc state. NOTE: no broadcast hint on cand — a broadcast was
     # measured slower at sf0.1 (it forfeits plan reuse); AQE still switches
     # to broadcast at runtime when cand is truly tiny.
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("set_a"))
+    sb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("set_b"))
+    n_common = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     out = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", n_common)
         .withColumn(
             "jaccard",
-            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+            F.col("n_common")
+            / (F.size("set_a") + F.size("set_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -145,9 +145,10 @@ _BANDS_SQL = "\n         UNION ALL ".join(
     "d2_minhash_lsh",
     f"""WITH corpus AS {_NEAR_DUP_CORPUS_SQL},{_SHINGLE_CTES},
        hsh AS (
-         SELECT doc_id,
+         SELECT DISTINCT doc_id,
                 CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
          FROM sh),
+       hsizes AS (SELECT doc_id, count(*) AS sz FROM hsh GROUP BY doc_id),
        mh AS (
          SELECT doc_id,
                 {_MH_MINS}
@@ -162,19 +163,21 @@ _BANDS_SQL = "\n         UNION ALL ".join(
        inter AS (
          SELECT c.doc_a, c.doc_b, count(*) AS n_common
          FROM cand c
-         JOIN sh a ON a.doc_id = c.doc_a
-         JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         JOIN hsh a ON a.doc_id = c.doc_a
+         JOIN hsh b ON b.doc_id = c.doc_b AND b.h = a.h
          GROUP BY 1, 2)
        SELECT doc_a, doc_b,
               n_common / (sa.sz + sb.sz - n_common) AS jaccard
        FROM inter
-       JOIN sizes sa ON sa.doc_id = doc_a
-       JOIN sizes sb ON sb.doc_id = doc_b
+       JOIN hsizes sa ON sa.doc_id = doc_a
+       JOIN hsizes sb ON sb.doc_id = doc_b
        WHERE n_common / (sa.sz + sb.sz - n_common) >= {JACCARD_T}""",
     doc="MinHash+LSH near-dup: one-md5-per-shingle universal-hash "
-    "signatures (wide, single agg pass) → band-hash equality join for "
-    "candidates → exact-Jaccard verification. The scale path: shuffles "
-    "fixed-width signatures, not the corpus.",
+    "signatures + the doc's distinct-hash set in ONE agg pass → band-hash "
+    "equality join for candidates → array-intersect Jaccard verification "
+    "in the hash domain (oracle joins the same h — parity by "
+    "construction). The scale path: shuffles fixed-width signatures, "
+    "not the corpus.",
 )
 def d2_minhash_lsh(spark, sf_dir):
     return dd.minhash_lsh_pairs(
