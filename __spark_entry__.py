@@ -26,23 +26,43 @@ if _REPO not in sys.path:
 def _registry():
     import mrf_etl_spark.plans.parity as parity
 
-    try:  # LLM-data-pipeline + streaming operators register on import
-        import mrf_etl_spark.plans.parity_llm  # noqa: F401
-        import mrf_etl_spark.plans.parity_streaming  # noqa: F401
-    except ImportError:
-        pass
+    # LLM-data-pipeline + streaming operators register on import. These
+    # imports must be LOUD: round 1 wrapped them in `except ImportError:
+    # pass`, which is exactly the failure shape that silently truncates the
+    # catalog from 69 to 50 entries with no signal.
+    import mrf_etl_spark.plans.parity_llm  # noqa: F401
+    import mrf_etl_spark.plans.parity_streaming  # noqa: F401
+
     return parity.REGISTRY
+
+
+def _portable(name: str, fn):
+    """Wrap a catalog fn so the session-portability confs (nanos-as-long,
+    ANSI off, UTC) are applied to whatever SparkSession the caller built —
+    the driver's default session otherwise crashes on the TIMESTAMP(NANOS)
+    events read and on non-ANSI casts (8+1 red rows in round 1)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from mrf_etl_spark.plans.parity import ensure_session_confs
+
+        ensure_session_confs(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = name
+    return wrapped
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the multi-hop broadcast
     join chain + aggregation (j4, the Medicare-locality-chain shape)."""
     reg = _registry()
-    return reg["j4_join_chain"].spark_fn(spark, "/root/testdata/sf0.001")
+    return _portable("j4_join_chain", reg["j4_join_chain"].spark_fn)(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.spark_fn for name, q in _registry().items()}
+    return {name: _portable(name, q.spark_fn) for name, q in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:

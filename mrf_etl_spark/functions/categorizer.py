@@ -102,7 +102,11 @@ def _c(col: ColumnOrName) -> Column:
 def categorize_expr(col: ColumnOrName, level: int) -> Column:
     """Native when()-chain for one output level (0=set, 1=class, 2=group)."""
     code_str = F.trim(_c(col).cast("string"))
-    n = code_str.cast("int")  # non-integer strings → null, like int() raising
+    # non-integer strings → null, like int() raising. try_cast, not cast:
+    # plain cast THROWS under an ANSI-enabled session ('G0008' killed the
+    # round-1 driver run), while try_cast yields null in both modes — same
+    # semantics as the oracle's TRY_CAST.
+    n = code_str.try_cast("int")
     expr = F.when(code_str.startswith("G"), F.lit(_G[level]))
     expr = expr.when(code_str.startswith("IME"), F.lit(_IME[level]))
     expr = expr.when(n.isNull(), F.lit(_UNKNOWN[level]))
@@ -139,7 +143,7 @@ def categorize_struct_expr(col: ColumnOrName) -> Column:
     a plain attribute here — for expressions, or to get the staging for
     free, use `with_categories`."""
     code_str = F.trim(_c(col).cast("string"))
-    return categorize_struct_chain(code_str, code_str.cast("int"))
+    return categorize_struct_chain(code_str, code_str.try_cast("int"))
 
 
 def with_categories(
@@ -158,7 +162,7 @@ def with_categories(
     cs, cn, cat = "_cat_cs", "_cat_cn", "_cat_struct"
     return (
         df.withColumn(cs, F.trim(_c(col).cast("string")))
-        .withColumn(cn, F.col(cs).cast("int"))
+        .withColumn(cn, F.col(cs).try_cast("int"))
         .withColumn(cat, categorize_struct_chain(F.col(cs), F.col(cn)))
         .withColumn(out_cols[0], F.col(cat)["s"])
         .withColumn(out_cols[1], F.col(cat)["c"])

@@ -282,7 +282,23 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # the persisted per-doc state must outlive this call (the returned plan
+    # references it lazily), so it cannot be unpersisted here. Hand the
+    # handle to the caller instead: long-lived sessions running repeated
+    # dedups should call release_state(result) once the result is
+    # materialized, or cached partitions accumulate until eviction.
+    out._mrf_persisted = per_doc
     return out
+
+
+def release_state(result: DataFrame) -> None:
+    """Unpersist intermediate state an operator attached to its result
+    (e.g. minhash_lsh_pairs' per-doc signature table). Safe to call on any
+    DataFrame; no-op when nothing is attached. Call only after the result
+    has been materialized (collected/written) — the plan reads the cache."""
+    handle = getattr(result, "_mrf_persisted", None)
+    if handle is not None:
+        handle.unpersist()
 
 
 # --------------------------------------------------------------- simhash

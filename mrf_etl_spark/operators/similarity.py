@@ -187,6 +187,102 @@ def ivf_topk(
     )
 
 
+def assign_topn_centroids(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int = 2,
+) -> DataFrame:
+    """Assign each vector to its ``n`` nearest centroids by cosine
+    (ordered by cosine DESC, cid ASC). Output (vec_id, cid), ≤ n rows per
+    vector.
+
+    Aggregation-based top-n, not a window: after the bounded corpus×k
+    fan-out, each vector's k scores sit in one input partition, so the
+    collect_list+sort+slice completes MAP-SIDE and the shuffle carries
+    N×n assignments — a row_number window would shuffle all N×k scored
+    rows first. Sort key is (-cosine, cid): IEEE negation is exact, so
+    the order matches `ORDER BY cosine DESC, cid ASC` replayed in SQL."""
+    c = centroids.select("cid", "cvec").withColumn("_cnorm", norm_fold("cvec"))
+    scored = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_vnorm", norm_fold(vec_col))
+        .crossJoin(F.broadcast(c))
+        .withColumn(
+            "cos_c", dot_fold(vec_col, "cvec") / (F.col("_vnorm") * F.col("_cnorm"))
+        )
+    )
+    top = scored.groupBy(id_col).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("cos_c")).alias("neg"), F.col("cid").alias("cid"))
+                )
+            ),
+            1,
+            n,
+        ).alias("_top")
+    )
+    return top.select(F.col(id_col), F.explode("_top.cid").alias("cid"))
+
+
+def embedding_near_dup_bucketed(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    centroid_mod: int = 97,
+    nassign: int = 2,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding near-dup pairs via IVF bucket pruning — the scale path.
+
+    Each vector lands in its ``nassign`` nearest centroid buckets; pairs
+    are generated ONLY inside a shared bucket (a near-identical pair
+    almost surely shares its nearest centroid; nassign=2 also catches
+    boundary-straddling pairs — recall vs the exact all-pairs form is
+    measured in tests). The join shuffles on cid, so at 100 TB the cost
+    is Σ_bucket |bucket|² instead of N²; pair work parallelizes across
+    buckets. Skewed/hot buckets (degenerate centroids) re-split by
+    raising centroid_mod — bucket sizes should target ~√(pairs budget).
+
+    Deterministic end-to-end (seed centroids = id % centroid_mod == 0,
+    ties by cid), so a SQL oracle replays the exact cascade. A pair
+    sharing both buckets is scored twice with bit-identical cosine —
+    the final distinct() collapses it. Returns (doc_a, doc_b, cosine)."""
+    cent = emb.filter((F.col(id_col) % centroid_mod) == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    assigned = assign_topn_centroids(emb, cent, id_col, vec_col, n=nassign)
+    bucketed = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .join(assigned, id_col)
+        .select(F.col(id_col), F.col(vec_col), "cid")
+        .withColumn("_n", norm_fold(vec_col))
+    )
+    a = bucketed.select(
+        F.col("cid"),
+        F.col(id_col).alias("doc_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_n").alias("na"),
+    )
+    b = bucketed.select(
+        F.col("cid"),
+        F.col(id_col).alias("doc_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_n").alias("nb"),
+    )
+    return (
+        a.join(b, ["cid"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", dot_fold("va", "vb") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+        .distinct()
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -196,8 +292,10 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a<b, cosine ≥ threshold).
 
-    Brute-force all-pairs at test scale; production path buckets by IVF
-    centroid first (pairs across far buckets can't be near-dups)."""
+    Brute-force all-pairs — the EXACT baseline, used as the recall oracle
+    in tests. Dead at 100 TB (N² pairs); the production path is
+    :func:`embedding_near_dup_bucketed`, which prunes pairs to shared IVF
+    buckets."""
     a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va")).withColumn(
         "na", norm_fold("va")
     )

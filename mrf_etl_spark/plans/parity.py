@@ -64,6 +64,35 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 _T_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+# Session confs the catalog depends on, applied to the *incoming* session:
+# the driver (and any embedding application) builds its own SparkSession, so
+# relying on mrf_etl_spark.session's builder confs is not portable. All three
+# are runtime-settable. Round-1 driver run: 8 entries crashed on the
+# TIMESTAMP(NANOS) events read and 1 on an ANSI cast because these were only
+# set by our builder.
+_PORTABILITY_CONFS = (
+    # events.parquet is INT64 TIMESTAMP(NANOS): unreadable without this
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    # catalog semantics are non-ANSI (cast-to-null); oracles use TRY_CAST
+    ("spark.sql.ansi.enabled", "false"),
+    # timestamp→string formatting must not depend on the host timezone
+    ("spark.sql.session.timeZone", "UTC"),
+)
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Defensively (re)apply the portability confs to a session we did not
+    build. Idempotent and cheap (conf.set on an unchanged value is a no-op
+    RPC); called by t() and by every catalog entry via __spark_entry__."""
+    for k, v in _PORTABILITY_CONFS:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # a conf rejected at runtime (e.g. future Spark freezes it) must
+            # not mask the actual query; the read error will say what's wrong
+            pass
+    return spark
+
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Table reader with a per-session catalog memo: `spark.read.parquet`
@@ -71,6 +100,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reusing the DataFrame across queries is what a resident engine's
     catalog does. Keyed by applicationId so a stopped session's plans are
     never reused."""
+    ensure_session_confs(spark)
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _T_CACHE.get(key)
     if cached is not None:
@@ -137,6 +167,34 @@ def _scratch(name: str) -> str:
     return f"{ARTIFACT_DIR}/{name}-{uuid.uuid4().hex[:8]}"
 
 
+def money_sum(col) -> F.Column:
+    """Order-independent money sum, bit-identical across engines.
+
+    ``round(sum(double), 2)`` is a knife-edge: double summation error grows
+    ~n·ulp, so with 60k money rows the Spark partial-agg order and DuckDB's
+    sequential order land ~1e-4 apart — a ~2% chance per entry of straddling
+    a .xx5 rounding boundary (a13's red row in round 1, and why it was the
+    only one of ~20 sum entries to flip). Casting each element to
+    DECIMAL(38,4) first is LOSSLESS here (testdata money columns are exact
+    2-decimal values; products of two such values are exact 4-decimal), the
+    decimal sum is exact in any order, and decimal→double is deterministic
+    round-to-nearest on both engines. No outer round() — the exact sum of
+    2/4-decimal values cast to double already prints as money.
+
+    avg() entries intentionally stay on double: their error is ~ulp (the
+    /n cancels the growth), a ~1e-8 straddle probability — while decimal
+    division scale rules differ across engines and would add risk.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(38,4)")).cast("double")
+
+
+def money_sum_sql(expr: str) -> str:
+    """DuckDB twin of :func:`money_sum` — identical elementwise cast, exact
+    decimal summation, deterministic cast back to DOUBLE."""
+    return f"CAST(sum(CAST({expr} AS DECIMAL(38,4))) AS DOUBLE)"
+
+
 # =====================================================================
 # §2.1 Scans / sources / sinks
 # =====================================================================
@@ -144,7 +202,7 @@ def _scratch(name: str) -> str:
 
 @register(
     "s1_pruned_scan",
-    """SELECT round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+    f"""SELECT {money_sum_sql('l_extendedprice')} AS sum_price, count(*) AS n
        FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'""",
     doc="S1: projection+predicate pushed into the parquet scan (replaces the "
     "reference's hand-rolled 500k-row chunking, chunk_processor.py:17-32)",
@@ -154,7 +212,7 @@ def s1_pruned_scan(spark, sf_dir):
         t(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            money_sum("l_extendedprice").alias("sum_price"),
             F.count("*").alias("n"),
         )
     )
@@ -214,7 +272,7 @@ def s12_append_unique_roundtrip(spark, sf_dir):
 
 @register(
     "s13_upsert_idempotent",
-    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    f"""SELECT o_orderstatus, count(*) AS n, {money_sum_sql('o_totalprice')} AS total
        FROM orders GROUP BY o_orderstatus""",
     doc="S13: fact upsert by deterministic uid — running the same batch "
     "twice is a no-op (ETL_1.py:450-498)",
@@ -229,13 +287,13 @@ def s13_upsert_idempotent(spark, sf_dir):
     return (
         spark.read.parquet(path)
         .groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), money_sum("o_totalprice").alias("total"))
     )
 
 
 @register(
     "s14_latest_merge",
-    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    f"""SELECT event_type, count(*) AS n, {money_sum_sql('value')} AS sum_value
        FROM events GROUP BY event_type""",
     doc="S14: latest-record merge — union base+delta, keep newest per key "
     "by timestamp (utils_nppes.py:215-253); delta superset ⇒ full table",
@@ -250,7 +308,7 @@ def s14_latest_merge(spark, sf_dir):
     return (
         spark.read.parquet(path)
         .groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), money_sum("value").alias("sum_value"))
     )
 
 
@@ -363,7 +421,7 @@ def p10_multi_filter(spark, sf_dir):
 
 @register(
     "j1_broadcast_left_join",
-    """SELECT p.p_brand, count(*) AS n, round(sum(l.l_extendedprice), 2) AS total
+    f"""SELECT p.p_brand, count(*) AS n, {money_sum_sql('l.l_extendedprice')} AS total
        FROM lineitem l
        LEFT JOIN (SELECT * FROM part WHERE p_size <= 25) p
          ON l.l_partkey = p.p_partkey
@@ -373,11 +431,13 @@ def p10_multi_filter(spark, sf_dir):
 )
 def j1_broadcast_left_join(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
+    # no broadcast() hint: part is sf-proportional (20M rows at sf100); the
+    # planner's file-size stats / AQE broadcast it whenever actually small
     part = t(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        li.join(part, li.l_partkey == part.p_partkey, "left")
         .groupBy("p_brand")
-        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), money_sum("l_extendedprice").alias("total"))
     )
 
 
@@ -398,15 +458,17 @@ def j3_coalesce_merge(spark, sf_dir):
         .agg(F.round(F.avg("l_quantity"), 2).alias("adj"))
     )
     p = t(spark, sf_dir, "part")
-    return p.join(F.broadcast(lut), p.p_partkey == lut.l_partkey, "left").select(
+    # lut is keyed by l_partkey (sf-proportional) — no forced broadcast;
+    # AQE converts at runtime from the agg's actual output size
+    return p.join(lut, p.p_partkey == lut.l_partkey, "left").select(
         "p_partkey", F.round(F.coalesce("adj", "p_retailprice"), 2).alias("val")
     )
 
 
 @register(
     "j4_join_chain",
-    """SELECT n.n_name,
-              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    f"""SELECT n.n_name,
+              {money_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
        FROM customer c
        JOIN orders o ON c.c_custkey = o.o_custkey
        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -427,10 +489,13 @@ def j4_join_chain(spark, sf_dir):
     r = t(spark, sf_dir, "region")
     # Dim-first plan: pre-filter supplier through nation+region(ASIA) and
     # broadcast it onto lineitem (cuts the fact ~5x before anything
-    # shuffles), leaving orders⋈lineitem as the ONLY shuffle join;
-    # customer broadcasts. The naive chain shuffle-joined customer⋈orders
-    # first — 5x slower cold at sf0.1, and at 100 TB it shuffles the two
-    # biggest tables twice instead of once.
+    # shuffles), leaving orders⋈lineitem as the ONLY planned shuffle join.
+    # The naive chain shuffle-joined customer⋈orders first — 5x slower cold
+    # at sf0.1, and at 100 TB it shuffles the two biggest tables twice
+    # instead of once. customer carries NO broadcast hint: it grows with
+    # scale factor (15M rows at sf100), and a forced hint overrides the
+    # size threshold and OOMs the build side — AQE converts the join to
+    # broadcast at runtime whenever the side is actually small.
     dim = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(
@@ -440,15 +505,17 @@ def j4_join_chain(spark, sf_dir):
         .select("s_suppkey", "s_nationkey", "n_name")
     )
     return (
-        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        # dim is supplier-derived (sf-proportional) — no forced hint; AQE
+        # sees the ASIA-filtered chain's actual size and broadcasts it
+        li.join(dim, li.l_suppkey == dim.s_suppkey)
         .join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(
-            F.broadcast(c),
+            c,
             (o.o_custkey == c.c_custkey) & (F.col("s_nationkey") == c.c_nationkey),
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -537,8 +604,10 @@ def j7_class_split_join(spark, sf_dir):
         .withColumnsRenamed({"l_partkey": "bk", "l_linestatus": "bs"})
     )
     return (
+        # bench is keyed by l_partkey (sf-proportional): no forced hint —
+        # AQE broadcasts from the agg's measured output when small
         li.join(
-            F.broadcast(bench),
+            bench,
             (F.col("l_partkey") == F.col("bk"))
             & (F.col("l_linestatus") == F.col("bs")),
             "left",
@@ -579,14 +648,16 @@ def j8_star_join(spark, sf_dir):
     # before the one unavoidable shuffle join against filtered orders —
     # orders is a fact, never broadcast it (the old plan did; at 100 TB
     # that build dies, and locally this is still 1.4x faster cold).
+    # customer is also sf-proportional (15M rows at sf100), so it gets no
+    # forced hint either — AQE broadcasts it at runtime when small.
     o = o.filter(F.col("o_orderstatus") == "F")
     p = p.filter(F.lower(F.col("p_name")).contains("widget"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(c, o.o_custkey == c.c_custkey, "left")
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left")
+        .join(s, li.l_suppkey == s.s_suppkey, "left")
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -677,8 +748,9 @@ def j11_semi_join(spark, sf_dir):
 )
 def j12_desc_coalesce(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
+    # customer is sf-proportional — no forced broadcast (AQE decides)
     c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
         "o_orderkey",
         F.coalesce("c_name", F.col("o_custkey").cast("string")).alias("display_name"),
     )
@@ -933,8 +1005,8 @@ def a12_cross_product(spark, sf_dir):
 
 @register(
     "a13_conditional_sum",
-    """SELECT l_linestatus,
-              round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2)
+    f"""SELECT l_linestatus,
+              {money_sum_sql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END")}
                 AS returned_value,
               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_n,
               count(*) AS total_n
@@ -948,7 +1020,7 @@ def a13_conditional_sum(spark, sf_dir):
         t(spark, sf_dir, "lineitem")
         .groupBy("l_linestatus")
         .agg(
-            F.round(F.sum(returned), 2).alias("returned_value"),
+            money_sum(returned).alias("returned_value"),
             F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("returned_n"),
             F.count("*").alias("total_n"),
         )
@@ -1059,8 +1131,8 @@ def k3_autocomplete(spark, sf_dir):
 
 @register(
     "u1_union_tolerant",
-    """SELECT count(*) AS n, count(o_orderpriority) AS n_priority,
-              round(sum(o_totalprice), 2) AS total
+    f"""SELECT count(*) AS n, count(o_orderpriority) AS n_priority,
+              {money_sum_sql('o_totalprice')} AS total
        FROM (SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
              FROM orders
              UNION ALL
@@ -1075,7 +1147,7 @@ def u1_union_tolerant(spark, sf_dir):
     return a.unionByName(b, allowMissingColumns=True).agg(
         F.count("*").alias("n"),
         F.count("o_orderpriority").alias("n_priority"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        money_sum("o_totalprice").alias("total"),
     )
 
 

@@ -78,7 +78,14 @@ _SHINGLE_CTES = f"""
   sh AS (
     SELECT DISTINCT doc_id,
            ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
-    FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM words)),
+    FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM words
+          WHERE len(ws) >= 3)
+    UNION ALL
+    -- short docs (< k words) get their whole text as the single shingle,
+    -- mirroring the Spark side's when(n < k) branch — without this, docs
+    -- under 3 words produce ZERO oracle shingle rows and d2/d3 diverge
+    SELECT doc_id, array_to_string(ws, ' ') AS shingle
+    FROM words WHERE len(ws) < 3),
   sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"""
 
 
@@ -441,6 +448,45 @@ _PERTURBED_CORPUS_SQL = f"""(
 def d5_embedding_near_dup(spark, sf_dir):
     corpus = _perturbed_corpus_spark(spark, sf_dir)
     return sim.embedding_near_dup_pairs(corpus, dim=DIM, threshold=0.99)
+
+
+@register(
+    "d5b_embedding_near_dup_ivf",
+    # Deterministic replay of the bucketed cascade: seed centroids from
+    # the corpus (id % 97 == 0), every vector assigned to its 2 nearest
+    # centroids (cosine DESC, cid ASC — the Spark side sorts by the exact
+    # IEEE negation, same order), pairs generated only inside shared
+    # buckets, deduped, then scored with the bit-identical unrolled cosine.
+    f"""WITH corpus AS {_PERTURBED_CORPUS_SQL},
+       cent AS (
+         SELECT vec_id AS cid, embedding AS cvec FROM corpus
+         WHERE vec_id % 97 = 0),
+       assigned AS (
+         SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+           FROM corpus e CROSS JOIN cent c) WHERE rn <= 2),
+       pairs AS (
+         SELECT DISTINCT a1.vec_id AS doc_a, a2.vec_id AS doc_b
+         FROM assigned a1
+         JOIN assigned a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id)
+       SELECT p.doc_a, p.doc_b,
+              {_cos_sql('ea.embedding', 'eb.embedding')} AS cosine
+       FROM pairs p
+       JOIN corpus ea ON ea.vec_id = p.doc_a
+       JOIN corpus eb ON eb.vec_id = p.doc_b
+       WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= CAST(0.99 AS DOUBLE)""",
+    doc="Scale path for embedding near-dup: IVF-bucketed pair pruning "
+    "(shared-bucket pairs only, Σ|bucket|² work instead of N²) — no "
+    "corpus×corpus product anywhere in the plan; recall vs the exact "
+    "all-pairs d5 measured in tests",
+)
+def d5b_embedding_near_dup_ivf(spark, sf_dir):
+    corpus = _perturbed_corpus_spark(spark, sf_dir)
+    return sim.embedding_near_dup_bucketed(
+        corpus, dim=DIM, centroid_mod=97, nassign=2, threshold=0.99
+    )
 
 
 @register(

@@ -31,7 +31,7 @@ GAP_MIN = 30
            epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_us,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2, 3""",
     doc="watermarked tumbling-window event counts (streaming/ingest.py)",
 )
@@ -64,7 +64,7 @@ def st1_windowed_counts(spark, sf_dir):
            epoch_us(min(ts)) AS session_start_us,
            epoch_us(max(ts) + INTERVAL {GAP_MIN} MINUTE) AS session_end_us,
            count(*) AS n_events,
-           round(sum(value), 2) AS session_value
+           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS session_value
     FROM sess GROUP BY user_id, sess_id""",
     doc="gap-based session windows per user == lag+cumsum SQL rewrite",
 )

@@ -94,7 +94,13 @@ def windowed_event_counts(
         .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact decimal sum cast back to double: order-independent, so
+            # the value is identical whether computed in one batch or
+            # accumulated across micro-batches (and across engines —
+            # round(sum(double),2) depends on accumulation order)
+            F.sum(F.col("value").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -170,7 +176,10 @@ def sessionize_events(
         .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            # exact decimal sum (see windowed_event_counts)
+            F.sum(F.col("value").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("session_value"),
         )
         .select(
             F.col("s.start").alias("session_start"),

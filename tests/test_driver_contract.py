@@ -1,0 +1,99 @@
+"""Driver-contract portability tests.
+
+Round 1 lost 19 catalog entries and 9 green rows to environment
+differences between our harness and the driver's: a silently-swallowed
+ImportError could truncate the registry, and the driver's own
+SparkSession (default confs + ANSI enabled) crashed on the
+TIMESTAMP(NANOS) events read and on a strict cast. Both failure shapes
+are reproduced here in SUBPROCESSES, because an in-process test would
+inherit this session's confs / sys.modules and prove nothing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(code: str, timeout: int = 600) -> str:
+    """Run `code` in a fresh interpreter from a neutral cwd with no repo
+    on PYTHONPATH — the way the driver's per-query subprocess sees us."""
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd="/tmp",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    assert proc.returncode == 0, f"stderr:\n{proc.stderr[-4000:]}"
+    return proc.stdout
+
+
+def test_registry_complete_from_fresh_interpreter():
+    """queries()/oracle_sql() must expose EVERY parity module's entries in
+    a fresh interpreter — a failed parity_llm/parity_streaming import must
+    raise, never truncate (round 1: driver saw 50 of 69 entries)."""
+    out = _run(
+        "import sys; sys.path.insert(0, %r)\n"
+        "import __spark_entry__ as e\n"
+        "q = e.queries(); o = e.oracle_sql()\n"
+        "import json; print(json.dumps({'q': sorted(q), 'o': sorted(o)}))" % REPO
+    )
+    got = json.loads(out.strip().splitlines()[-1])
+
+    sys.path.insert(0, REPO)
+    import mrf_etl_spark.plans.parity as parity
+    import mrf_etl_spark.plans.parity_llm  # noqa: F401
+    import mrf_etl_spark.plans.parity_streaming  # noqa: F401
+
+    expect = sorted(parity.REGISTRY)
+    assert got["q"] == expect
+    # every entry family must be present — a truncation would drop a prefix
+    for fam in ("s1", "d1", "d2", "n1", "t1", "m1", "sp1", "st1"):
+        assert any(name.startswith(fam) for name in got["q"]), fam
+    assert len(got["q"]) >= 69
+    # oracle coverage: anything without SQL is a deliberate rows-only entry
+    rows_only = set(got["q"]) - set(got["o"])
+    assert all(parity.REGISTRY[n].oracle is None for n in rows_only)
+
+
+def test_catalog_runs_under_default_ansi_session():
+    """Smoke subset of the catalog under a session the builder did NOT
+    configure: default confs plus ANSI explicitly ON (stricter than the
+    driver). Covers the round-1 killers: the TIMESTAMP(NANOS) events read
+    (s14/w1/f_year_month family), the categorizer's int cast, one
+    LLM-dedup entry (proves parity_llm reaches a bare env), and entry().
+    """
+    code = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("driver-sim")
+    .config("spark.sql.ansi.enabled", "true")
+    .getOrCreate()
+)
+import __spark_entry__ as e
+
+q = e.queries()
+for name in ["s14_latest_merge", "f_categorizer", "f_year_month", "d1_exact_dup"]:
+    rows = q[name](spark, "/root/testdata/sf0.001").collect()
+    print(name, "rows:", len(rows))
+    assert rows is not None
+
+df = e.entry(spark)
+n = df.count()
+print("entry rows:", n)
+assert n >= 0
+print("DRIVER-SIM-OK")
+"""
+    out = _run(code)
+    assert "DRIVER-SIM-OK" in out
