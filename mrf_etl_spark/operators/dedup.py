@@ -107,6 +107,74 @@ def doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
 # ---------------------------------------------------------- exact jaccard
 
 
+def ngram_jaccard_pairs_capped(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """n-gram Jaccard near-dup with a document-frequency cap — the scale
+    path for :func:`ngram_jaccard_pairs`.
+
+    The uncapped inverted index is quadratic in the document frequency of
+    its hottest shingle: one stopword trigram appearing in df docs emits
+    df² candidate rows in the self-join (at 100 TB a single hot shingle is
+    the whole job). The standard LSH-literature fix: drop shingles with
+    df > max_doc_freq (or df < 2 — they can't form pairs) from CANDIDATE
+    GENERATION only, bounding the join at Σ_kept df² ≤ kept·cap². Returned
+    pairs are then verified against each doc's FULL shingle-hash set, so
+    every emitted (n_common, sizes, jaccard) is exact — the only semantics
+    delta (documented, tested) is that a pair whose shared shingles are
+    ALL hot is never surfaced; a pair over the jaccard threshold shares
+    most of its shingles, so it is missed only when hot shingles dominate
+    both docs entirely.
+
+    Works in the engine-neutral 60-bit md5 hash domain (like
+    minhash_lsh_pairs), so the SQL oracle replays it verbatim. Returns
+    (doc_a, doc_b, n_common, size_a, size_b, jaccard); call
+    release_state(result) in long-lived sessions."""
+    from pyspark.storagelevel import StorageLevel
+
+    sh = doc_shingles(df, text_col, id_col, k)
+    hashed = sh.select(
+        "doc_id", shingle_hash_expr(F.col("shingle")).alias("h")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_doc = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hset"))
+    dfreq = hashed.groupBy("h").agg(F.count("*").alias("df"))
+    keep = dfreq.filter((F.col("df") >= 2) & (F.col("df") <= max_doc_freq)).select("h")
+    idx = hashed.join(keep, "h")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("set_a"))
+    sb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("set_b"))
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn("size_a", F.size("set_a"))
+        .withColumn("size_b", F.size("set_b"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+    )
+    out._mrf_persisted = hashed
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -115,6 +183,11 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via the shingle inverted index.
+
+    Posting lists here are UNBOUNDED — one hot shingle makes the
+    self-join quadratic in its document frequency, so at scale use
+    :func:`ngram_jaccard_pairs_capped` (df-pruned candidates, exact
+    verification).
 
     Plan: explode → self-join on shingle (a<b) → count intersections →
     join sizes → jaccard = i / (|A| + |B| - i). All shuffles are on

@@ -128,6 +128,54 @@ def d3_ngram_jaccard(spark, sf_dir):
     )
 
 
+MAX_DF = 25  # d3b document-frequency cap for candidate generation
+
+
+@register(
+    "d3b_ngram_jaccard_capped",
+    # Same hash domain as d2 (one md5 per shingle → 60-bit int). Candidates
+    # come only from shingles with 2 ≤ df ≤ MAX_DF; verification counts the
+    # FULL hash sets, so emitted jaccards are exact.
+    f"""WITH corpus AS {_NEAR_DUP_CORPUS_SQL},{_SHINGLE_CTES},
+       hsh AS (
+         SELECT DISTINCT doc_id,
+                CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+         FROM sh),
+       hsizes AS (SELECT doc_id, count(*) AS sz FROM hsh GROUP BY doc_id),
+       keep AS (
+         SELECT h FROM hsh GROUP BY h
+         HAVING count(*) >= 2 AND count(*) <= {MAX_DF}),
+       idx AS (SELECT doc_id, h FROM hsh JOIN keep USING (h)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id),
+       inter AS (
+         SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         FROM cand c
+         JOIN hsh a ON a.doc_id = c.doc_a
+         JOIN hsh b ON b.doc_id = c.doc_b AND b.h = a.h
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b, n_common, sa.sz AS size_a, sb.sz AS size_b,
+              n_common / (sa.sz + sb.sz - n_common) AS jaccard
+       FROM inter
+       JOIN hsizes sa ON sa.doc_id = doc_a
+       JOIN hsizes sb ON sb.doc_id = doc_b
+       WHERE n_common / (sa.sz + sb.sz - n_common) >= {JACCARD_T}""",
+    doc="Scale path for n-gram Jaccard: document-frequency-capped inverted "
+    "index (hot/stopword shingles excluded from candidate generation, "
+    "bounding the self-join) + exact full-set verification",
+)
+def d3b_ngram_jaccard_capped(spark, sf_dir):
+    return dd.ngram_jaccard_pairs_capped(
+        _docs_with_near_dups(spark, sf_dir),
+        "text",
+        "doc_id",
+        SHINGLE_K,
+        JACCARD_T,
+        max_doc_freq=MAX_DF,
+    )
+
+
 # d2 oracle pieces mirroring operators.dedup minhash_wide/lsh_band_hashes:
 # one md5 per shingle -> 60-bit int, (2s+1)*h+s mod-P family, H mins as
 # columns in one pass, band hash = md5 of the band's mins in seed order.

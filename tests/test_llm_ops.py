@@ -165,3 +165,57 @@ def test_stratified_sample_fractions(spark):
     assert abs(got["click"] / 10000 - 0.5) < 0.03
     assert abs(got["view"] / 10000 - 0.2) < 0.03
     assert "error" not in got  # default fraction 0 drops the stratum
+
+
+def test_short_doc_shingles_whole_text(spark):
+    """Docs with < k words shingle to the single whole-text shingle on the
+    Spark side — the oracle CTE mirrors this branch (round-2 fix; without
+    it short docs emit zero oracle shingle rows and d2/d3 diverge)."""
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "three word doc"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.shingle)
+        for r in dd.doc_shingles(df, "text", "doc_id", k=3).collect()
+    }
+    assert got == {
+        (1, "one"),
+        (2, "two words"),
+        (3, "three word doc"),
+        (4, "a b c"),
+        (4, "b c d"),
+    }
+
+
+def test_ngram_jaccard_cap_semantics(spark):
+    """The df cap drops hot shingles from CANDIDATE generation only:
+    a pair whose every shared shingle is hot is missed (documented delta),
+    while pairs sharing any rare shingle are still found with EXACT
+    full-set jaccard identical to the uncapped operator."""
+    hot = "the quick fox"  # one shared trigram in every doc -> df = n_docs
+    rows = [(i, f"{hot} unique tail number {i}") for i in range(20)]
+    rows.append((100, hot))  # hot-only pair: identical short docs
+    rows.append((101, hot))
+    rows.append((200, "a genuinely rare near duplicate sentence here"))
+    rows.append((201, "a genuinely rare near duplicate sentence there"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(df, "text", "doc_id", 3, 0.5).collect()
+    }
+    capped_df = dd.ngram_jaccard_pairs_capped(
+        df, "text", "doc_id", 3, 0.5, max_doc_freq=10
+    )
+    capped = {(r.doc_a, r.doc_b): r.jaccard for r in capped_df.collect()}
+    dd.release_state(capped_df)
+
+    assert (100, 101) in exact  # identical docs, jaccard 1.0
+    assert (100, 101) not in capped  # their only shingle is hot -> pruned
+    assert (200, 201) in capped  # rare-shingle pair survives the cap
+    assert capped[(200, 201)] == pytest.approx(exact[(200, 201)])
+    # every capped pair's jaccard is the exact value (verification uses
+    # full sets, the cap only restricts which pairs are surfaced)
+    for pair, j in capped.items():
+        assert j == pytest.approx(exact[pair])
