@@ -182,44 +182,61 @@ def parse_nppes_payload(npi: str, payload: dict | None) -> dict:
     return out
 
 
+def fake_nppes_payload(npi: str) -> dict:
+    """Deterministic fake NPPES v2.1 payload keyed off the NPI digits —
+    shared by the offline fetcher and the dim-builder tests so the cached
+    lookup and dim_npi/dim_npi_address agree on the same record."""
+    h = int(hashlib.md5(str(npi).encode()).hexdigest(), 16)
+    org = h % 3 == 0  # NPI-2 organizations vs NPI-1 individuals
+    return {
+        "result_count": 1,
+        "results": [
+            {
+                "enumeration_type": "NPI-2" if org else "NPI-1",
+                "basic": {
+                    "organization_name": f"PROVIDER GROUP {h % 997}" if org else None,
+                    "first_name": None if org else f"FIRST{h % 53}",
+                    "last_name": None if org else f"LAST{h % 101}",
+                    "credential": None if org else ("MD" if h % 2 else "DO"),
+                    "status": "A",
+                    "sole_proprietor": "NO" if org else "YES",
+                    "enumeration_date": "20%02d-01-15" % (10 + h % 14),
+                    "last_updated": "2024-0%d-01" % (h % 9 + 1),
+                    "replacement_npi": None,
+                },
+                "addresses": [
+                    {"address_purpose": "MAILING", "address_1": "PO BOX 1"},
+                    {
+                        "address_purpose": "LOCATION",
+                        "address_type": "DOM",
+                        "address_1": f"{h % 9000 + 100} MAIN ST",
+                        "city": "ATLANTA",
+                        "state": "GA",
+                        "postal_code": f"{30000 + h % 400:05d}",
+                        "country_code": "US",
+                        "telephone_number": f"404-555-{h % 10000:04d}",
+                    },
+                ],
+                "taxonomies": [
+                    {
+                        "code": f"20{h % 10}X00000X",
+                        "desc": "Internal Medicine",
+                        "state": "GA",
+                        "license": f"L{h % 100000:05d}",
+                        "primary": True,
+                    },
+                    {"code": "999", "desc": "other", "primary": False},
+                ],
+            }
+        ],
+    }
+
+
 def offline_nppes_fetcher(npis: list[str]) -> pd.DataFrame:
     """Deterministic fake NPPES source: synthesizes a realistic payload from
     the NPI digits and runs it through the REAL parser, so the parse path is
     exercised end-to-end without network."""
-    records = []
-    for npi in npis:
-        h = int(hashlib.md5(str(npi).encode()).hexdigest(), 16)
-        payload = {
-            "result_count": 1,
-            "results": [
-                {
-                    "enumeration_type": "NPI-2" if h % 3 == 0 else "NPI-1",
-                    "basic": {
-                        "organization_name": f"PROVIDER GROUP {h % 997}",
-                        "status": "A",
-                        "last_updated": "2024-0%d-01" % (h % 9 + 1),
-                    },
-                    "addresses": [
-                        {"address_purpose": "MAILING", "address_1": "PO BOX 1"},
-                        {
-                            "address_purpose": "LOCATION",
-                            "address_type": "DOM",
-                            "address_1": f"{h % 9000 + 100} MAIN ST",
-                            "city": "ATLANTA",
-                            "state": "GA",
-                            "postal_code": f"{30000 + h % 400:05d}",
-                            "country_code": "US",
-                            "telephone_number": f"404-555-{h % 10000:04d}",
-                        },
-                    ],
-                    "taxonomies": [
-                        {"code": f"20{h % 10}X00000X", "desc": "Internal Medicine", "primary": True},
-                        {"code": "999", "desc": "other", "primary": False},
-                    ],
-                }
-            ],
-        }
-        records.append(parse_nppes_payload(npi, payload))
+    records = [parse_nppes_payload(npi, fake_nppes_payload(npi)) for npi in npis]
     return pd.DataFrame(records, columns=[f.name for f in NPPES_RESULT.fields])
 
 

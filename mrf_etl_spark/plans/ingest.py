@@ -238,3 +238,20 @@ def ingest_batch(
     for name in [*tables.keys(), "fact_rate"]:
         counts[name] = spark.read.parquet(f"{lake_dir}/{name}").count()
     return counts
+
+
+def ingest_npi_dims(
+    spark: SparkSession,
+    payloads: DataFrame,
+    lake_dir: str,
+    refresh: bool = False,
+) -> dict[str, int]:
+    """Mint dim_npi / dim_npi_address from raw NPPES payloads into the
+    same lake `ingest_batch` writes (utils_nppes.py:326-380's
+    add_npi_to_dims, batched). StarLake.load then joins them into the
+    search index automatically. Typical flow: collect the distinct NPIs
+    from xref_pg_member_npi that are missing from dim_npi, fetch/cached-
+    lookup their payloads, then call this."""
+    from mrf_etl_spark.operators.nppes_dims import build_npi_dims
+
+    return build_npi_dims(spark, payloads, lake_dir, refresh=refresh)
