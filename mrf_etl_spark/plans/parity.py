@@ -1130,6 +1130,47 @@ def k3_autocomplete(spark, sf_dir):
 
 
 @register(
+    "k4_detail_page",
+    """SELECT o.o_orderkey, l.l_linenumber,
+              coalesce(p.p_name, CAST(l.l_partkey AS VARCHAR)) AS code_desc,
+              CASE WHEN l.l_extendedprice IS NULL OR l.l_extendedprice = 0
+                   THEN 0.0 ELSE round(l.l_extendedprice, 2) END AS rate,
+              l.l_returnflag
+       FROM lineitem l
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       LEFT JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+       ORDER BY code_desc, rate, o.o_orderkey, l.l_linenumber
+       LIMIT 100""",
+    doc="rate-detail endpoint shape (backend/main.py:329-411 → "
+    "StarLake.rate_detail): scope filters + dim-description COALESCE + "
+    "zero-guarded rounding + total-ordered page (unique tie-break — the "
+    "reference's ORDER BY has ties, which under LIMIT are "
+    "non-deterministic results)",
+)
+def k4_detail_page(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    p = t(spark, sf_dir, "part")
+    rate = F.when(
+        F.col("l_extendedprice").isNull() | (F.col("l_extendedprice") == 0), F.lit(0.0)
+    ).otherwise(F.round("l_extendedprice", 2))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey, "left")
+        .select(
+            "o_orderkey",
+            "l_linenumber",
+            F.coalesce("p_name", F.col("l_partkey").cast("string")).alias("code_desc"),
+            rate.alias("rate"),
+            "l_returnflag",
+        )
+        .orderBy("code_desc", "rate", "o_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@register(
     "u1_union_tolerant",
     f"""SELECT count(*) AS n, count(o_orderpriority) AS n_priority,
               {money_sum_sql('o_totalprice')} AS total

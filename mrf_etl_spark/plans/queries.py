@@ -226,6 +226,96 @@ class StarLake:
             out = out.withColumn("code_desc", F.coalesce("code_description", "code")).drop("code_description")
         return out.orderBy(F.col("rate_count").desc(), F.col("code")).limit(limit)
 
+    def rate_detail(
+        self,
+        state: str,
+        year_month: str,
+        payer: str | None = None,
+        code: str | None = None,
+        billing_class: str | None = None,
+        tin_value: str | None = None,
+        limit: int = 100,
+    ) -> DataFrame:
+        """/api/rates/detail (backend/main.py:329-411): fact rows for one
+        (state, year_month) scope with optional payer-substring / code /
+        billing-class / TIN filters, code description coalesced from
+        dim_code, ordered (payer, code, rate) and capped.
+
+        The reference's TIN branch joins xref on (year_month, payer_slug,
+        pg_uid); our pg_uid already encodes payer_slug+version at mint
+        time, so pg_uid alone is the equivalent key. fact_uid is appended
+        to the sort as a unique tie-break — the reference's ORDER BY is
+        non-deterministic across ties, which a LIMIT turns into
+        non-deterministic RESULTS; a paging endpoint needs a total order."""
+        df = self.fact.filter(
+            (F.col("state") == state) & (F.col("year_month") == year_month)
+        )
+        if payer:
+            df = df.filter(F.col("reporting_entity_name").ilike(f"%{payer}%"))
+        if code:
+            df = df.filter(F.col("code") == code)
+        if billing_class:
+            df = df.filter(F.col("billing_class") == billing_class)
+        if tin_value:
+            assert self.xref_tin is not None, "rate_detail tin filter needs xref_tin"
+            hit = self.xref_tin.filter(F.col("tin_value") == tin_value).select("pg_uid")
+            df = df.join(broadcast(hit.distinct()), on="pg_uid", how="inner")
+        if self.dim_code is not None:
+            dc = self.dim_code.select(
+                "code_type", "code", "code_description"
+            ).dropDuplicates(["code_type", "code"])
+            df = df.join(broadcast(dc), on=["code_type", "code"], how="left")
+        else:
+            df = df.withColumn("code_description", F.lit(None).cast("string"))
+        return (
+            df.select(
+                F.col("reporting_entity_name").alias("payer_name"),
+                "code_type",
+                "code",
+                F.coalesce("code_description", "code").alias("code_desc"),
+                # round(x,2) if x else 0 — the reference's null/zero guard
+                F.when(
+                    F.col("negotiated_rate").isNull() | (F.col("negotiated_rate") == 0),
+                    F.lit(0.0),
+                )
+                .otherwise(F.round("negotiated_rate", 2))
+                .alias("negotiated_rate"),
+                "negotiated_type",
+                "negotiation_arrangement",
+                "expiration_date",
+                "fact_uid",
+            )
+            .orderBy("payer_name", "code", "negotiated_rate", "fact_uid")
+            .limit(limit)
+            .drop("fact_uid")
+        )
+
+    def provider_search(self, q: str, limit: int = 20) -> DataFrame:
+        """/api/providers/search (backend/main.py:413-459): case-insensitive
+        substring match over organization/first/last name on dim_npi,
+        ordered by (organization_name, last_name, first_name) with npi as
+        the deterministic tie-break, capped."""
+        assert self.dim_npi is not None, "provider_search needs dim_npi"
+        pat = f"%{q}%"
+        return (
+            self.dim_npi.filter(
+                F.col("organization_name").ilike(pat)
+                | F.col("first_name").ilike(pat)
+                | F.col("last_name").ilike(pat)
+            )
+            .select(
+                "npi",
+                "organization_name",
+                "first_name",
+                "last_name",
+                "enumeration_type",
+                "primary_taxonomy_desc",
+                "status",
+            )
+            .orderBy("organization_name", "last_name", "first_name", "npi")
+            .limit(limit)
+        )
+
     def availability_matrix(self) -> DataFrame:
         """/api/meta/data-availability (backend/main.py:461-503, A8)."""
         return self.fact.groupBy("state", "year_month").agg(

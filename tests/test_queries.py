@@ -25,6 +25,11 @@ def lake(spark):
         ],
         "fact_uid string, state string, year_month string, payer_slug string, billing_class string, "
         "code_type string, code string, pg_uid string, negotiated_rate double, reporting_entity_name string",
+    ).select(
+        "*",
+        F.lit("negotiated").alias("negotiated_type"),
+        F.lit("ffs").alias("negotiation_arrangement"),
+        F.lit("9999-12-31").alias("expiration_date"),
     )
     dim_code = spark.createDataFrame(
         [("CPT", "99213", "Office visit"), ("CPT", "70450", None)],
@@ -35,8 +40,12 @@ def lake(spark):
         "proc_cd string, proc_set string, proc_class string, proc_group string",
     )
     dim_npi = spark.createDataFrame(
-        [("n1", "ACME CLINIC", None, None, "Internal Medicine"), ("n2", None, "JANE", "DOE", "Surgery")],
-        "npi string, organization_name string, first_name string, last_name string, primary_taxonomy_desc string",
+        [
+            ("n1", "ACME CLINIC", None, None, "Internal Medicine", "NPI-2", "A"),
+            ("n2", None, "JANE", "DOE", "Surgery", "NPI-1", "A"),
+        ],
+        "npi string, organization_name string, first_name string, last_name string, "
+        "primary_taxonomy_desc string, enumeration_type string, status string",
     )
     dim_npi_address = spark.createDataFrame(
         [
@@ -135,3 +144,36 @@ def test_market_rates_materialize(lake, tmp_path):
     import os
 
     assert any(d.startswith("state=") for d in os.listdir(path))  # partition pruning layout
+
+
+def test_rate_detail_filters_and_shape(lake):
+    rows = lake.rate_detail("GA", "2025-01").collect()
+    assert [r.code for r in rows] == ["99213", "99215", "99213"]  # payer,code,rate order
+    assert rows[0].payer_name == "Aetna Inc" and rows[0].code_desc == "Office visit"
+    assert rows[0].negotiated_rate == 100.0
+    # code without a dim description falls back to the code itself
+    f4 = lake.rate_detail("GA", "2025-02").collect()
+    assert f4[0].code_desc == "70450"
+    # payer substring (case-insensitive) + billing-class filters compose
+    assert lake.rate_detail("GA", "2025-01", payer="aetna").count() == 2
+    assert lake.rate_detail("GA", "2025-01", billing_class="institutional").count() == 1
+    assert lake.rate_detail("GA", "2025-01", code="99215").count() == 1
+    assert lake.rate_detail("GA", "2025-01", limit=1).count() == 1
+
+
+def test_rate_detail_tin_join(lake):
+    got = lake.rate_detail("GA", "2025-01", tin_value="91-111").collect()
+    assert {r.code for r in got} == {"99213", "99215"}  # pg1 facts only
+    assert lake.rate_detail("GA", "2025-01", tin_value="91-222").count() == 1
+    assert lake.rate_detail("GA", "2025-01", tin_value="no-such").count() == 0
+
+
+def test_provider_search(lake):
+    got = lake.provider_search("acme").collect()
+    assert [r.npi for r in got] == ["n1"]
+    assert got[0].enumeration_type == "NPI-2" and got[0].status == "A"
+    # matches first/last name too, case-insensitively
+    assert [r.npi for r in lake.provider_search("jane").collect()] == ["n2"]
+    assert [r.npi for r in lake.provider_search("DOE").collect()] == ["n2"]
+    assert lake.provider_search("zzz").count() == 0
+    assert lake.provider_search("n", limit=1).count() == 1
