@@ -1,4 +1,10 @@
-from mrf_etl_spark.io.readers import conform, read_parquet_tolerant, read_code_list
+from mrf_etl_spark.io.readers import (
+    conform,
+    read_code_list,
+    read_excel_sheets,
+    read_parquet_tolerant,
+    read_sqlite,
+)
 from mrf_etl_spark.io.writers import (
     atomic_overwrite,
     append_unique,
@@ -11,6 +17,8 @@ __all__ = [
     "conform",
     "read_parquet_tolerant",
     "read_code_list",
+    "read_excel_sheets",
+    "read_sqlite",
     "atomic_overwrite",
     "append_unique",
     "upsert_by_key",

@@ -219,6 +219,83 @@ def s1_pruned_scan(spark, sf_dir):
 
 
 @register(
+    "s2_corrupt_salvage",
+    """SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey""",
+    doc="S2: corrupt-file salvage — a garbage .parquet dropped into the "
+    "table dir is skipped by ignoreCorruptFiles, good splits survive "
+    "(replaces chunk_processor.py:34-50's per-row-group salvage loop)",
+)
+def s2_corrupt_salvage(spark, sf_dir):
+    from mrf_etl_spark.io import read_parquet_tolerant
+
+    path = _scratch("s2_dir")
+    t(spark, sf_dir, "nation").write.parquet(path)
+    with open(f"{path}/part-99999-corrupt.parquet", "wb") as fh:
+        fh.write(b"THIS IS NOT A PARQUET FILE " * 64)
+    good = read_parquet_tolerant(spark, path, salvage=True)
+    return good.groupBy("n_regionkey").agg(F.count("*").alias("n"))
+
+
+# S6 fixture: a small Medicare-locality-like dim, generated from the same
+# literals on both sides (wage index = (8500 + 17*i)/10000, exact 4-decimal).
+_S6_ROWS = [(i, i % 5, (8500 + 17 * i) / 10000) for i in range(20)]
+_S6_VALUES = ", ".join(f"({i}, {rk}, CAST({w:.4f} AS DOUBLE))" for i, rk, w in _S6_ROWS)
+
+
+@register(
+    "s6_sqlite_source",
+    f"""WITH loc(locality_id, region_key, wage_index) AS (VALUES {_S6_VALUES})
+       SELECT r.r_name, count(*) AS n_localities,
+              {money_sum_sql('loc.wage_index')} AS wi_sum
+       FROM loc JOIN region r ON r.r_regionkey = loc.region_key
+       GROUP BY r.r_name""",
+    doc="S6: SQLite reference-table source (rate_calculator.py:23-50) — "
+    "stdlib-sqlite3 → Arrow → DataFrame for small dims, joined against "
+    "the lake like any other table",
+)
+def s6_sqlite_source(spark, sf_dir):
+    import sqlite3
+
+    from mrf_etl_spark.io import read_sqlite
+
+    db = _scratch("s6_db") + ".sqlite"
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE locality (locality_id INTEGER, region_key INTEGER, wage_index REAL)"
+        )
+        conn.executemany("INSERT INTO locality VALUES (?, ?, ?)", _S6_ROWS)
+        conn.commit()
+    loc = read_sqlite(spark, db, "locality")
+    r = t(spark, sf_dir, "region")
+    return (
+        loc.join(F.broadcast(r), loc.region_key == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_localities"),
+            money_sum("wage_index").alias("wi_sum"),
+        )
+    )
+
+
+@register(
+    "s11_atomic_publish",
+    """SELECT n_nationkey, n_name FROM nation""",
+    doc="S11: atomic publish — temp-dir write + rename swap; the second "
+    "overwrite reads its own target path, which the temp write makes safe "
+    "(ETL_1.py:369-389 os.replace parity)",
+)
+def s11_atomic_publish(spark, sf_dir):
+    from mrf_etl_spark.io.writers import atomic_overwrite
+
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    path = _scratch("s11_pub")
+    atomic_overwrite(n, path)
+    # self-referential republish: plan reads `path` while overwriting it
+    atomic_overwrite(spark.read.parquet(path), path)
+    return spark.read.parquet(path)
+
+
+@register(
     "s4_tolerant_scan",
     """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
               CAST(NULL AS VARCHAR) AS ghost_col
