@@ -35,6 +35,8 @@ HEADLINE = [
     # LLM-data ops (present once parity_llm lands)
     "d1_exact_dup",
     "d2_minhash_lsh",
+    "d3b_ngram_jaccard_capped",
+    "d5b_embedding_near_dup_ivf",
     "t2_quality_score",
     "n1_ann_cosine_topk",
 ]

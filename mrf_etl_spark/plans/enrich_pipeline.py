@@ -77,8 +77,10 @@ def extract_and_merge(rates: DataFrame, providers: DataFrame) -> DataFrame:
     for c in sorted(overlap):
         left = left.withColumnRenamed(c, f"{c}_x")
         right = right.withColumnRenamed(c, f"{c}_y")
+    # providers is sf-proportional (grows with the MRF): no forced
+    # broadcast — stats/AQE pick the strategy (it broadcasts when small)
     return left.join(
-        broadcast(right),
+        right,
         on=left["provider_reference_id"] == right["provider_group_id"],
         how="left",
     )

@@ -141,15 +141,18 @@ class StarLake:
     # -- J8: the comprehensive search index ---------------------------------
     def search_index(self) -> DataFrame:
         """The 5-way star LEFT join + precomputed lowercase search text
-        (optimized_queries.py:172-229). Every right side is a dim/xref →
-        broadcast; the fact never shuffles."""
+        (optimized_queries.py:172-229). Only the bounded-cardinality code
+        dims carry broadcast hints; xrefs scale with the fact's provider
+        groups and dim_npi with the NPI universe, so their join strategy is
+        left to size stats + AQE (a forced hint OOMs the build side at
+        scale)."""
         df = self.fact
         if self.xref_npi is not None:
-            df = df.join(broadcast(self.xref_npi), on="pg_uid", how="left")
+            df = df.join(self.xref_npi, on="pg_uid", how="left")
         if self.dim_npi is not None:
-            df = df.join(broadcast(self.dim_npi), on="npi", how="left")
+            df = df.join(self.dim_npi, on="npi", how="left")
         if self.xref_tin is not None:
-            df = df.join(broadcast(self.xref_tin.select("pg_uid", "tin_type", "tin_value")), on="pg_uid", how="left")
+            df = df.join(self.xref_tin.select("pg_uid", "tin_type", "tin_value"), on="pg_uid", how="left")
         if self.dim_code_cat is not None:
             cc = self.dim_code_cat.select(
                 F.col("proc_cd"), "proc_set", "proc_class", "proc_group"
@@ -162,7 +165,7 @@ class StarLake:
                 F.col("state").alias("provider_state"),
                 F.col("postal_code").alias("provider_postal_code"),
             )
-            df = df.join(broadcast(na), on="npi", how="left")
+            df = df.join(na, on="npi", how="left")
         search_parts = [
             c for c in [
                 "organization_name", "first_name", "last_name", "primary_taxonomy_desc",
@@ -388,11 +391,12 @@ class StarLake:
         counts need the xrefs (COUNT(DISTINCT npi) over the join)."""
         df = self.fact
         distinct_counts = {}
+        # xrefs are sf-proportional: no forced broadcast (AQE decides)
         if self.xref_npi is not None:
-            df = df.join(broadcast(self.xref_npi), on="pg_uid", how="left")
+            df = df.join(self.xref_npi, on="pg_uid", how="left")
             distinct_counts["npi_count"] = "npi"
         if self.xref_tin is not None:
-            df = df.join(broadcast(self.xref_tin.select("pg_uid", "tin_value")), on="pg_uid", how="left")
+            df = df.join(self.xref_tin.select("pg_uid", "tin_value"), on="pg_uid", how="left")
             distinct_counts["tin_count"] = "tin_value"
         return percentile_profile(
             df,
