@@ -137,14 +137,21 @@ def ngram_jaccard_pairs_capped(
     release_state(result) in long-lived sessions."""
     from pyspark.storagelevel import StorageLevel
 
+    # One shingle+hash pass feeds ONE aggregation; the compact per-doc
+    # hash-set state (docs × hset, ~10× smaller than the exploded shingle
+    # table) is what persists and serves df-counting, candidate indexing
+    # AND verification — the d2 fused-state design.
     sh = doc_shingles(df, text_col, id_col, k)
-    hashed = sh.select(
-        "doc_id", shingle_hash_expr(F.col("shingle")).alias("h")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    per_doc = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("hset"))
-    dfreq = hashed.groupBy("h").agg(F.count("*").alias("df"))
+    hashed = sh.select("doc_id", shingle_hash_expr(F.col("shingle")).alias("h"))
+    per_doc = (
+        hashed.groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hset"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    idx_full = per_doc.select("doc_id", F.explode("hset").alias("h"))
+    dfreq = idx_full.groupBy("h").agg(F.count("*").alias("df"))
     keep = dfreq.filter((F.col("df") >= 2) & (F.col("df") <= max_doc_freq)).select("h")
-    idx = hashed.join(keep, "h")
+    idx = idx_full.join(keep, "h")
     a = idx.alias("a")
     b = idx.alias("b")
     cand = (
@@ -171,7 +178,7 @@ def ngram_jaccard_pairs_capped(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
     )
-    out._mrf_persisted = hashed
+    out._mrf_persisted = per_doc
     return out
 
 

@@ -250,16 +250,27 @@ def embedding_near_dup_bucketed(
     Deterministic end-to-end (seed centroids = id % centroid_mod == 0,
     ties by cid), so a SQL oracle replays the exact cascade. A pair
     sharing both buckets is scored twice with bit-identical cosine —
-    the final distinct() collapses it. Returns (doc_a, doc_b, cosine)."""
+    the final distinct() collapses it. Returns (doc_a, doc_b, cosine);
+    long-lived sessions should call dedup.release_state(result) after
+    materializing."""
+    from pyspark.storagelevel import StorageLevel
+
+    from mrf_etl_spark.operators.dedup import widen_narrow_input
+
+    emb = widen_narrow_input(emb)  # small parquet = 1-2 splits; fan out
     cent = emb.filter((F.col(id_col) % centroid_mod) == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
     assigned = assign_topn_centroids(emb, cent, id_col, vec_col, n=nassign)
+    # persisted: the a/b self-join below consumes this twice, and without
+    # the persist each side re-runs the whole assign cascade (measured
+    # 5.5 s → 1.9 s at sf0.1). State is docs × (vec + cid + norm).
     bucketed = (
         emb.select(F.col(id_col), F.col(vec_col))
         .join(assigned, id_col)
         .select(F.col(id_col), F.col(vec_col), "cid")
         .withColumn("_n", norm_fold(vec_col))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = bucketed.select(
         F.col("cid"),
@@ -273,7 +284,7 @@ def embedding_near_dup_bucketed(
         F.col(vec_col).alias("vb"),
         F.col("_n").alias("nb"),
     )
-    return (
+    out = (
         a.join(b, ["cid"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("cosine", dot_fold("va", "vb") / (F.col("na") * F.col("nb")))
@@ -281,6 +292,8 @@ def embedding_near_dup_bucketed(
         .select("doc_a", "doc_b", "cosine")
         .distinct()
     )
+    out._mrf_persisted = bucketed
+    return out
 
 
 def embedding_near_dup_pairs(
