@@ -184,3 +184,63 @@ def st4_stateful_totals(spark, sf_dir):
             F.round(F.col("total_cents").cast("double") / 100, 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "st5_stream_dedup",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    doc="dropDuplicatesWithinWatermark cross-micro-batch dedup: the events "
+    "file redelivered as a second micro-batch inserts nothing; state is "
+    "bounded by the watermark horizon (streaming form of d1 exact dedup)",
+)
+def st5_stream_dedup(spark, sf_dir):
+    """Copies the events file TWICE into a staging dir (maxFilesPerTrigger=1
+    → two micro-batches, the second an exact redelivery), streams through
+    dedup_stream keyed on event_id, drains into a parquet sink, and
+    aggregates. The watermark horizon is set beyond the table's full time
+    span so no key expires mid-run — at production scale the horizon is the
+    source's real redelivery bound and state stays bounded by it."""
+    import shutil
+
+    from mrf_etl_spark.streaming import dedup_stream
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) reads as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    staging = _scratch("st5_staging")
+    import os
+
+    os.makedirs(staging, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{staging}/batch1.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{staging}/batch2.parquet")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    deduped = dedup_stream(
+        stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))),
+        keys=["event_id"],
+        watermark="36500 days",
+    )
+    sink = _scratch("st5_sink")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", _scratch("st5_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )

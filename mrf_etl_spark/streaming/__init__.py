@@ -9,6 +9,7 @@ needs at scale.
 """
 
 from mrf_etl_spark.streaming.ingest import (
+    dedup_stream,
     sessionize_events,
     stateful_running_totals,
     stream_upsert_ingest,
@@ -20,4 +21,5 @@ __all__ = [
     "windowed_event_counts",
     "sessionize_events",
     "stateful_running_totals",
+    "dedup_stream",
 ]

@@ -80,6 +80,26 @@ def stream_upsert_ingest(
     return writer.start()
 
 
+def dedup_stream(
+    events_stream: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cross-micro-batch exact dedup — the streaming form of d1.
+
+    `dropDuplicatesWithinWatermark` keeps one state entry per key and
+    EXPIRES it once the watermark passes the key's event time, so state
+    is bounded by the late-data horizon instead of growing with the
+    stream's lifetime (a plain dropDuplicates on a stream retains every
+    key forever). Duplicates arriving later than ``watermark`` after the
+    original are therefore not caught — that is the documented contract:
+    pick the horizon from the source's real redelivery bound."""
+    return events_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",
