@@ -11,6 +11,7 @@ from mrf_etl_spark.io.writers import (
     upsert_by_key,
     latest_merge,
     write_partitioned,
+    write_bucketed_table,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "upsert_by_key",
     "latest_merge",
     "write_partitioned",
+    "write_bucketed_table",
 ]

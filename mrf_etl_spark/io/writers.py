@@ -147,3 +147,39 @@ def write_partitioned(
         df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
     df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed (hash-clustered) table write — the co-located-join layout.
+
+    Two tables bucketed on the same keys with the same bucket count join
+    with NO exchange on either side: each task zips matching bucket files,
+    so the recurring fact⋈fact join (e.g. fact_rate ⋈ xref by pg_uid)
+    pays its shuffle ONCE at write time instead of per query. sort_cols
+    additionally pre-sorts within buckets, eliminating the sort of a
+    sort-merge join. This is the Spark answer to the reference's
+    materialized-view strategy for join-heavy dashboards.
+
+    Bucket metadata lives in the session catalog (`saveAsTable`), with the
+    data at the explicit ``path`` (external table, no warehouse-dir
+    pollution); re-registering after a restart is
+    `spark.catalog.createTable`-free — just call this again or keep a
+    catalog. Readers use `spark.table(table)`."""
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    spark = df.sparkSession
+    if spark.catalog.tableExists(table):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer.format("parquet").saveAsTable(table)

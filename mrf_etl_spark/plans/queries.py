@@ -69,6 +69,8 @@ def percentile_profile(
     group_cols: list[str],
     percentiles: tuple[float, ...] = (0.10, 0.25, 0.50, 0.75, 0.90),
     distinct_counts: dict[str, str] | None = None,
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """agg_market_rates rollup (notebook.py:374-405): p10..p90 + distinct
     entity counts per market cell.
@@ -77,10 +79,20 @@ def percentile_profile(
     buffer instead of one per quantile), and the countDistincts in a
     separate aggregation joined back on the group key — combining them
     makes Spark Expand the scan per distinct column, multiplying the
-    percentile's input."""
+    percentile's input.
+
+    ``approx=True`` is the 100 TB path: exact `percentile` buffers every
+    value of a group in one aggregation buffer (a hot market cell with
+    10⁹ rates OOMs it), while `approx_percentile` keeps a fixed-size
+    KLL-style sketch per group that partial-aggregates map-side — rank
+    error ≤ 1/accuracy. Distinct counts switch to HLL
+    `approx_count_distinct` for the same reason. The default stays exact:
+    it is the reference's semantics and the driver's oracle compare."""
     arr = ", ".join(str(p) for p in percentiles)
+    fn = "approx_percentile" if approx else "percentile"
+    acc = f", {accuracy}" if approx else ""
     pct = df.groupBy(*group_cols).agg(
-        F.expr(f"percentile({rate_col}, array({arr}))").alias("_ps")
+        F.expr(f"{fn}({rate_col}, array({arr}){acc})").alias("_ps")
     )
     pct = pct.select(
         *group_cols,
@@ -88,8 +100,9 @@ def percentile_profile(
     )
     if not distinct_counts:
         return pct
+    cd = F.approx_count_distinct if approx else F.countDistinct
     dst = df.groupBy(*group_cols).agg(
-        *[F.countDistinct(col).alias(out) for out, col in distinct_counts.items()]
+        *[cd(col).alias(out) for out, col in distinct_counts.items()]
     )
     return pct.join(dst, list(group_cols))
 
@@ -385,10 +398,13 @@ class StarLake:
             pred = pred & (F.col(dim) == chosen)
         return out
 
-    def market_rates(self) -> DataFrame:
+    def market_rates(self, approx: bool = False) -> DataFrame:
         """agg_market_rates rollup (notebook.py:374-405, A6): exact
         p10..p90 + distinct-entity counts per market cell. NPI/TIN distinct
-        counts need the xrefs (COUNT(DISTINCT npi) over the join)."""
+        counts need the xrefs (COUNT(DISTINCT npi) over the join).
+        ``approx=True`` switches to sketch-based percentiles/distincts —
+        the documented path when a market cell's rate count no longer fits
+        an exact sort buffer (see percentile_profile)."""
         df = self.fact
         distinct_counts = {}
         # xrefs are sf-proportional: no forced broadcast (AQE decides)
@@ -403,6 +419,7 @@ class StarLake:
             "negotiated_rate",
             ["year_month", "state", "payer_slug", "billing_class", "code_type", "code"],
             distinct_counts=distinct_counts,
+            approx=approx,
         )
 
     def materialize_market_rates(self, path: str) -> DataFrame:

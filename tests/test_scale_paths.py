@@ -1,0 +1,95 @@
+"""Scale-path features: bucketed co-located joins and sketch-based
+percentile profiles. These don't change query semantics — they change the
+physical plan / memory envelope — so the tests assert plan shape and
+approximation tolerance against the exact forms."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mrf_etl_spark.io import write_bucketed_table
+from mrf_etl_spark.plans.queries import percentile_profile
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the join key with the same bucket count must
+    sort-merge join with NO Exchange on either side — the write-time
+    shuffle is the only one ever paid for this join key."""
+    d = tempfile.mkdtemp(prefix="bucketed_")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed_table(
+        orders, "b_orders", f"{d}/orders", ["o_orderkey"], 8, ["o_orderkey"]
+    )
+    write_bucketed_table(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        f"{d}/lineitem",
+        ["o_orderkey"],
+        8,
+        ["o_orderkey"],
+    )
+    # force the join strategy the assertion targets: no broadcast, no AQE
+    # replan hiding the static shape
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_lineitem").join(spark.table("b_orders"), "o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        # and it still computes the right thing
+        n = j.count()
+        expect = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).count()
+        assert n == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_percentile_profile_approx_within_tolerance(spark, sf_dir):
+    """approx=True (sketch percentiles + HLL distincts) tracks the exact
+    form within the documented error at test scale."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r
+        for r in percentile_profile(
+            li, "l_extendedprice", ["l_returnflag"],
+            distinct_counts={"parts": "l_partkey"},
+        ).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r
+        for r in percentile_profile(
+            li, "l_extendedprice", ["l_returnflag"],
+            distinct_counts={"parts": "l_partkey"}, approx=True,
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        for p in ("p10", "p25", "p50", "p75", "p90"):
+            e, a = exact[k][p], approx[k][p]
+            assert abs(a - e) / max(e, 1.0) < 0.05, (k, p, e, a)
+        # HLL default rsd ~5%
+        assert abs(approx[k]["parts"] - exact[k]["parts"]) <= 0.10 * exact[k]["parts"]
+
+
+def test_market_rates_approx_mode(spark):
+    """StarLake.market_rates(approx=True) returns the same cells with
+    sketch stats."""
+    from mrf_etl_spark.plans.queries import StarLake
+
+    fact = spark.createDataFrame(
+        [("GA", "2025-01", "aetna", "professional", "CPT", "99213", f"pg{i}", 100.0 + i)
+         for i in range(50)],
+        "state string, year_month string, payer_slug string, billing_class string, "
+        "code_type string, code string, pg_uid string, negotiated_rate double",
+    )
+    lake = StarLake(fact=fact)
+    exact = lake.market_rates().first()
+    approx = lake.market_rates(approx=True).first()
+    assert abs(approx["p50"] - exact["p50"]) / exact["p50"] < 0.05
