@@ -26,12 +26,34 @@ if _REPO not in sys.path:
 def _registry():
     import mrf_etl_spark.plans.parity as parity
 
-    # LLM-data-pipeline + streaming operators register on import. These
-    # imports must be LOUD: round 1 wrapped them in `except ImportError:
-    # pass`, which is exactly the failure shape that silently truncates the
-    # catalog from 69 to 50 entries with no signal.
-    import mrf_etl_spark.plans.parity_llm  # noqa: F401
-    import mrf_etl_spark.plans.parity_streaming  # noqa: F401
+    # LLM-data-pipeline + streaming operators register on import. Round 1
+    # swallowed a failure here with `except ImportError: pass` — exactly
+    # the shape that silently truncates the catalog from 76 to 50 entries
+    # with no signal. A bare raise would be loud but worse: one broken
+    # import in the harness environment would take down ALL entries. So:
+    # degrade VISIBLY — keep the core catalog and register a sentinel
+    # entry that re-raises the captured error, so the truncation shows up
+    # as its own red row naming the root cause. (tests assert the import
+    # succeeds from a fresh interpreter, so locally this never fires.)
+    try:
+        import mrf_etl_spark.plans.parity_llm  # noqa: F401
+        import mrf_etl_spark.plans.parity_streaming  # noqa: F401
+    except Exception as exc:  # pragma: no cover — harness-env-only path
+        err = repr(exc)
+
+        def _import_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
+            raise ImportError(
+                "parity_llm/parity_streaming failed to import in this "
+                f"environment; the LLM/streaming catalog block is missing: {err}"
+            )
+
+        parity.REGISTRY["zz_llm_catalog_import_failed"] = parity.ParityQuery(
+            name="zz_llm_catalog_import_failed",
+            spark_fn=_import_failed,
+            oracle="SELECT 1 AS ok",
+            doc="sentinel: loud marker that the parity_llm/parity_streaming "
+            "import failed — see the error text in this row",
+        )
 
     return parity.REGISTRY
 
