@@ -430,3 +430,30 @@ class StarLake:
         spark = self.fact.sparkSession
         self.market_rates().write.mode("overwrite").partitionBy("state").parquet(path)
         return spark.read.parquet(path)
+
+    def refresh_market_rates(
+        self, path: str, states: list[str], approx: bool = False
+    ) -> DataFrame:
+        """Incremental serving-table refresh: recompute the rollup ONLY for
+        the states a new batch touched and dynamic-partition-overwrite just
+        those partitions — untouched states' files are not rewritten (or
+        even read). At 100 TB a full MV rebuild scans the whole fact table
+        per batch; a batch touches one (state, year_month) slice, so the
+        refresh cost tracks batch size, not lake size. The reference's
+        refresh_optimizations rebuilds its MVs in full (optimize_database
+        path) — this is the scale-correct replacement, same output."""
+        spark = self.fact.sparkSession
+        scoped = StarLake(
+            fact=self.fact.filter(F.col("state").isin(states)),
+            dim_code=self.dim_code,
+            dim_code_cat=self.dim_code_cat,
+            dim_npi=self.dim_npi,
+            dim_npi_address=self.dim_npi_address,
+            xref_npi=self.xref_npi,
+            xref_tin=self.xref_tin,
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        scoped.market_rates(approx=approx).write.mode("overwrite").partitionBy(
+            "state"
+        ).parquet(path)
+        return spark.read.parquet(path)

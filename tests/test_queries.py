@@ -177,3 +177,40 @@ def test_provider_search(lake):
     assert [r.npi for r in lake.provider_search("DOE").collect()] == ["n2"]
     assert lake.provider_search("zzz").count() == 0
     assert lake.provider_search("n", limit=1).count() == 1
+
+
+def test_refresh_market_rates_incremental(lake, tmp_path):
+    """Incremental refresh rewrites only the touched state's partition:
+    other partitions' files stay byte-identical (not rewritten), and the
+    refreshed partition reflects new fact rows."""
+    import os
+
+    path = str(tmp_path / "agg_mr")
+    lake.materialize_market_rates(path)
+    fl_dir = f"{path}/state=FL"
+    before = {f: os.path.getmtime(f"{fl_dir}/{f}") for f in os.listdir(fl_dir)}
+
+    # new GA-only batch: one more 99213 row shifts GA's cell stats
+    extra = lake.fact.limit(0).unionByName(
+        lake.fact.sparkSession.createDataFrame(
+            [("f9", "GA", "2025-01", "aetna", "professional", "CPT", "99213",
+              "pg1", 500.0, "Aetna Inc", "negotiated", "ffs", "9999-12-31")],
+            lake.fact.schema,
+        )
+    )
+    from mrf_etl_spark.plans.queries import StarLake
+
+    lake2 = StarLake(fact=lake.fact.unionByName(extra), xref_npi=lake.xref_npi,
+                     xref_tin=lake.xref_tin)
+    served = lake2.refresh_market_rates(path, states=["GA"])
+
+    after = {f: os.path.getmtime(f"{fl_dir}/{f}") for f in os.listdir(fl_dir)}
+    assert before == after  # FL partition untouched
+    from pyspark.sql import functions as F2
+
+    ga = served.filter(
+        (F2.col("state") == "GA") & (F2.col("code") == "99213")
+        & (F2.col("payer_slug") == "aetna") & (F2.col("year_month") == "2025-01")
+    ).first()
+    assert ga["p90"] > 100.0  # new 500.0 rate visible in the refreshed cell
+    assert served.filter(F2.col("state") == "FL").count() > 0  # FL still served
