@@ -186,7 +186,10 @@ def fake_nppes_payload(npi: str) -> dict:
     """Deterministic fake NPPES v2.1 payload keyed off the NPI digits —
     shared by the offline fetcher and the dim-builder tests so the cached
     lookup and dim_npi/dim_npi_address agree on the same record."""
-    h = int(hashlib.md5(str(npi).encode()).hexdigest(), 16)
+    # 60-bit md5 prefix: the SAME integer DuckDB computes as
+    # CAST('0x' || substring(md5(npi), 1, 15) AS BIGINT), so parity
+    # oracles can replay every derived field exactly
+    h = int(hashlib.md5(str(npi).encode()).hexdigest()[:15], 16)
     org = h % 3 == 0  # NPI-2 organizations vs NPI-1 individuals
     return {
         "result_count": 1,
@@ -352,7 +355,7 @@ def offline_census_fetcher(keys: list[str]) -> pd.DataFrame:
     a CBSA drawn from a small fixed set, keyed off the address hash."""
     rows = []
     for k in keys:
-        h = int(hashlib.md5(str(k).encode()).hexdigest(), 16)
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)  # 60-bit, oracle-replayable
         cbsas = [
             ("12060", "Atlanta-Sandy Springs-Roswell, GA Metro Area"),
             ("42340", "Savannah, GA Metro Area"),
@@ -417,7 +420,7 @@ def offline_hud_fetcher(zips: list[str]) -> pd.DataFrame:
     below must pick the highest tot_ratio (api_clients.py:301-306)."""
     rows = []
     for z in zips:
-        h = int(hashlib.md5(str(z).encode()).hexdigest(), 16)
+        h = int(hashlib.md5(str(z).encode()).hexdigest()[:15], 16)  # 60-bit, oracle-replayable
         n = h % 3 + 1
         ratios = [round(0.5 + 0.4 * (i + 1) / n, 3) for i in range(n)]
         for i, r in enumerate(ratios):

@@ -331,6 +331,122 @@ def s7_code_list_filter(spark, sf_dir):
     )
 
 
+# S8/S9/S10 cached-lookup entries: the offline fetchers derive every field
+# from the 60-bit md5 prefix of the key (the same integer DuckDB computes
+# as CAST('0x' || substring(md5(k), 1, 15) AS BIGINT)), so the oracle
+# replays fetch + parse + cache-join end-to-end. What's under test is the
+# full cached_lookup mechanics: distinct keys → cache anti-join →
+# mapInPandas fetch of misses → latest-merge cache write → join back.
+_H60 = "CAST('0x' || substring(md5({k}), 1, 15) AS BIGINT)"
+
+
+@register(
+    "s8_nppes_cached_lookup",
+    f"""WITH k AS (SELECT CAST(1000000000 + s_suppkey AS VARCHAR) AS npi
+                  FROM supplier),
+       hh AS (SELECT npi, {_H60.format(k='npi')} AS h FROM k)
+       SELECT npi,
+              CASE WHEN h % 3 = 0 THEN 'NPI-2' ELSE 'NPI-1' END
+                AS enumeration_type,
+              CASE WHEN h % 3 = 0
+                   THEN 'PROVIDER GROUP ' || CAST(h % 997 AS VARCHAR)
+                   ELSE NULL END AS org_name,
+              'A' AS status,
+              '20' || CAST(h % 10 AS VARCHAR) || 'X00000X'
+                AS primary_taxonomy_code,
+              CAST(h % 9000 + 100 AS VARCHAR) || ' MAIN ST' AS address_1,
+              'ATLANTA' AS city,
+              'GA' AS state,
+              CAST(30000 + h % 400 AS VARCHAR) AS postal_code,
+              '2024-0' || CAST(h % 9 + 1 AS VARCHAR) || '-01' AS last_updated
+       FROM hh""",
+    doc="S8+S17+J2: NPPES cached lookup — distinct keys, cache anti-join, "
+    "bounded mapInPandas fetch, cache table write, left join back "
+    "(operators/enrichment.py cached_lookup; fetch+parse replayed from "
+    "the 60-bit key hash)",
+)
+def s8_nppes_cached_lookup(spark, sf_dir):
+    from mrf_etl_spark.operators.enrichment import enrich_nppes
+
+    df = t(spark, sf_dir, "supplier").select(
+        (F.lit(1000000000) + F.col("s_suppkey")).cast("string").alias("npi")
+    )
+    out = enrich_nppes(spark, df, "npi", cache_path=_scratch("s8_cache"))
+    return out.select(
+        "npi",
+        "enumeration_type",
+        "org_name",
+        "status",
+        "primary_taxonomy_code",
+        "address_1",
+        "city",
+        "state",
+        "postal_code",
+        "last_updated",
+    )
+
+
+@register(
+    "s9_geocode_cached_lookup",
+    f"""WITH a AS (
+         SELECT md5(lower(CAST(s_suppkey AS VARCHAR)
+                          || ' PEACH ST, ATLANTA, GA 30301')) AS geocode_key
+         FROM supplier),
+       hh AS (SELECT geocode_key, {_H60.format(k='geocode_key')} AS h FROM a)
+       SELECT geocode_key,
+              CASE WHEN h % 4 = 3 THEN NULL
+                   ELSE 30.0 + (h % 5000000) / 1000000 END AS lat,
+              CASE WHEN h % 4 = 3 THEN NULL
+                   ELSE -85.0 + (h % 4000000) / 1000000 END AS lon,
+              CASE h % 4 WHEN 0 THEN '12060' WHEN 1 THEN '42340'
+                         WHEN 2 THEN '12260' ELSE NULL END AS cbsa_geoid,
+              CASE h % 4
+                WHEN 0 THEN 'Atlanta-Sandy Springs-Roswell, GA Metro Area'
+                WHEN 1 THEN 'Savannah, GA Metro Area'
+                WHEN 2 THEN 'Augusta-Richmond County, GA-SC Metro Area'
+                ELSE NULL END AS cbsa_name
+       FROM hh""",
+    doc="S9: Census-geocoder cached lookup keyed on md5 of the normalized "
+    "one-line address (geocoder.py:355-359); ~25% no_match like the real "
+    "API, floats replayed exactly (int/1e6 division in double both sides)",
+)
+def s9_geocode_cached_lookup(spark, sf_dir):
+    from mrf_etl_spark.operators.enrichment import enrich_census_geocode
+
+    df = t(spark, sf_dir, "supplier").select(
+        F.concat(F.col("s_suppkey").cast("string"), F.lit(" PEACH ST")).alias("address_1"),
+        F.lit("ATLANTA").alias("city"),
+        F.lit("GA").alias("state"),
+        F.lit("30301").alias("postal_code"),
+    )
+    out = enrich_census_geocode(spark, df, cache_path=_scratch("s9_cache"))
+    return out.select("geocode_key", "lat", "lon", "cbsa_geoid", "cbsa_name")
+
+
+@register(
+    "s10_hud_zip_cbsa",
+    f"""WITH z AS (
+         SELECT DISTINCT CAST(10000 + s_suppkey % 80000 AS VARCHAR) AS zip
+         FROM supplier),
+       hh AS (SELECT zip, {_H60.format(k='zip')} AS h FROM z)
+       SELECT zip,
+              CAST(10000 + (h + h % 3) % 900 AS VARCHAR) AS cbsa,
+              'CBSA ' || CAST((h + h % 3) % 900 AS VARCHAR) AS cbsaname
+       FROM hh""",
+    doc="S10+W2: HUD ZIP→CBSA crosswalk — cached fetch of 1-3 candidate "
+    "rows per ZIP, best-per-key window on tot_ratio (the top candidate is "
+    "i = h%3, ratio 0.9, replayed from the key hash)",
+)
+def s10_hud_zip_cbsa(spark, sf_dir):
+    from mrf_etl_spark.operators.enrichment import zip_to_cbsa
+
+    df = t(spark, sf_dir, "supplier").select(
+        (F.lit(10000) + F.col("s_suppkey") % 80000).cast("string").alias("zip")
+    ).distinct()
+    out = zip_to_cbsa(spark, df, "zip", cache_path=_scratch("s10_cache"))
+    return out.select("zip", "cbsa", "cbsaname")
+
+
 @register(
     "s12_append_unique_roundtrip",
     """SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment""",
