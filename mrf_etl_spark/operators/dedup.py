@@ -376,9 +376,93 @@ def release_state(result: DataFrame) -> None:
     (e.g. minhash_lsh_pairs' per-doc signature table). Safe to call on any
     DataFrame; no-op when nothing is attached. Call only after the result
     has been materialized (collected/written) — the plan reads the cache."""
-    handle = getattr(result, "_mrf_persisted", None)
-    if handle is not None:
-        handle.unpersist()
+    for attr in ("_mrf_persisted", "_mrf_persisted_labels"):
+        handle = getattr(result, attr, None)
+        if handle is not None:
+            handle.unpersist()
+
+
+# ------------------------------------------------------ dedup clustering
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id,
+    component_id) where component_id is the MIN doc id reachable from the
+    node. The canonical-representative step every dedup pipeline needs:
+    near-dup similarity is not transitive, but keep-one-per-cluster is
+    defined on the transitive closure of the pair relation.
+
+    Min-label propagation: labels start as each node's own id; each round
+    every node takes the min of its own and its neighbors' labels; stop
+    when a round changes nothing. Rounds needed = graph diameter — tiny
+    for near-dup clusters (chains of mutated copies), so the driver-side
+    loop runs 2-4 joins, each a shuffle on node id. At larger diameters
+    use the large-star/small-star contraction (same DataFrame ops,
+    O(log n) rounds); the fixpoint, and hence the output, is identical.
+
+    Deterministic regardless of iteration schedule (the fixpoint is the
+    per-component min), so the oracle replays it with a recursive-CTE
+    transitive closure. Only nodes appearing in ``pairs`` are labeled."""
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("src").distinct().withColumn("label", F.col("src"))
+    labels = labels.persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "_old"), "src"
+            )
+            .filter(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("src").alias("doc_id"), F.col("label").alias("component_id"))
+    out._mrf_persisted = edges
+    # labels stays persisted under the returned plan; edges released via
+    # release_state. The final labels handle is attached too:
+    out._mrf_persisted_labels = labels
+    return out
+
+
+def keep_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every non-canonical member of each dup cluster: keep rows whose
+    id is its component's min (or appears in no pair at all)."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
 
 
 # --------------------------------------------------------------- simhash

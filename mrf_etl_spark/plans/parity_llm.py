@@ -128,6 +128,45 @@ def d3_ngram_jaccard(spark, sf_dir):
     )
 
 
+@register(
+    "d6_dup_clusters",
+    # Transitive closure of the d3 near-dup pair graph: min-label
+    # propagation's fixpoint is each node's min reachable id, which the
+    # oracle computes directly with a recursive-CTE closure (UNION, not
+    # UNION ALL, terminates the recursion on cycles).
+    f"""WITH RECURSIVE corpus AS {_NEAR_DUP_CORPUS_SQL},{_SHINGLE_CTES},
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         FROM sh a JOIN sh b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT doc_a, doc_b
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_common / (sa.sz + sb.sz - n_common) >= {JACCARD_T}),
+       edges AS (
+         SELECT doc_a AS a, doc_b AS b FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       SELECT a AS doc_id, least(a, min(b)) AS component_id
+       FROM reach GROUP BY a""",
+    doc="Dedup clustering: connected components over the near-dup pair "
+    "graph (min-label propagation to fixpoint; rounds = cluster "
+    "diameter) — the canonical-representative step after d1-d5; "
+    "keep_canonical() then drops every non-min cluster member",
+)
+def d6_dup_clusters(spark, sf_dir):
+    pairs = dd.ngram_jaccard_pairs(
+        _docs_with_near_dups(spark, sf_dir), "text", "doc_id", SHINGLE_K, JACCARD_T
+    ).select("doc_a", "doc_b")
+    return dd.connected_components(pairs)
+
+
 MAX_DF = 25  # d3b document-frequency cap for candidate generation
 
 

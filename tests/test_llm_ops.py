@@ -219,3 +219,22 @@ def test_ngram_jaccard_cap_semantics(spark):
     # full sets, the cap only restricts which pairs are surfaced)
     for pair, j in capped.items():
         assert j == pytest.approx(exact[pair])
+
+
+def test_connected_components_chain_and_canonical(spark):
+    """Near-dup similarity is not transitive: a chain A~B, B~C (A not
+    similar to C) must still collapse to ONE cluster with min-id canon."""
+    pairs = spark.createDataFrame(
+        [(2, 7), (7, 9), (20, 21), (40, 2)], "doc_a long, doc_b long"
+    )
+    comp = dd.connected_components(pairs)
+    got = {r.doc_id: r.component_id for r in comp.collect()}
+    dd.release_state(comp)
+    assert got == {2: 2, 7: 2, 9: 2, 40: 2, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (2, 7, 9, 20, 21, 40, 99)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dd.keep_canonical(docs, pairs).collect())
+    assert kept == [2, 20, 99]  # cluster minima + untouched singleton
