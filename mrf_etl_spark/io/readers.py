@@ -90,13 +90,35 @@ def read_excel_sheets(
     """Excel multi-sheet source (S5, excel_extractor.py:14-44): read each
     sheet driver-side (tiny fee-schedule files), apply per-sheet pandas
     query filters (the reference keeps Surgery rows with SI=='J1'), tag the
-    sheet name, and UNION ALL. Requires openpyxl; gated so offline
-    environments fail with a clear message only when actually used."""
+    sheet name, and UNION ALL.
+
+    Uses pandas+openpyxl when available (full OOXML surface: dates,
+    formulas, styles); otherwise the stdlib zipfile+ElementTree parser in
+    :mod:`mrf_etl_spark.io.xlsx` (shared/inline strings, bools, numerics —
+    the subset fee-schedule workbooks actually use)."""
     import pandas as pd
+
+    try:
+        import openpyxl  # noqa: F401
+
+        sheet_frames = {
+            sheet: pd.read_excel(path, sheet_name=sheet) for sheet in sheets
+        }
+    except ImportError:
+        from mrf_etl_spark.io.xlsx import load_workbook_rows
+
+        book = load_workbook_rows(path)
+        missing = [s for s in sheets if s not in book]
+        if missing:
+            raise ValueError(f"sheets not in workbook {path}: {missing}")
+        sheet_frames = {
+            sheet: pd.DataFrame(book[sheet][1], columns=book[sheet][0])
+            for sheet in sheets
+        }
 
     frames = []
     for sheet in sheets:
-        pdf = pd.read_excel(path, sheet_name=sheet)  # needs openpyxl
+        pdf = sheet_frames[sheet]
         flt = (sheet_filters or {}).get(sheet)
         if flt:
             pdf = pdf.query(flt).copy()

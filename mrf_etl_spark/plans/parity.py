@@ -277,6 +277,54 @@ def s6_sqlite_source(spark, sf_dir):
     )
 
 
+# S5 fixture: a two-sheet fee-schedule-like workbook, generated from the
+# same literals on both sides (rate = (1000 + 37*i)/100, exact 2-decimal).
+# Surgery keeps only SI == 'J1' rows, mirroring excel_extractor.py:14-44.
+_S5_SHEETS = {
+    "Surgery": (
+        ["code", "si", "rate"],
+        [[f"1{i:04d}", "J1" if i % 3 else "J8", (1000 + 37 * i) / 100] for i in range(30)],
+    ),
+    "Radiology": (
+        ["code", "si", "rate"],
+        [[f"7{i:04d}", "S", (2000 + 53 * i) / 100] for i in range(20)],
+    ),
+}
+_S5_VALUES = ", ".join(
+    f"('{c}', '{si}', CAST({r:.2f} AS DOUBLE), '{sheet}')"
+    for sheet, (_, rows) in _S5_SHEETS.items()
+    for c, si, r in rows
+    if sheet != "Surgery" or si == "J1"
+)
+
+
+@register(
+    "s5_excel_sheets",
+    f"""WITH fee(code, si, rate, sheet) AS (VALUES {_S5_VALUES})
+       SELECT sheet, count(*) AS n_codes, {money_sum_sql('rate')} AS rate_sum
+       FROM fee GROUP BY sheet""",
+    doc="S5: Excel multi-sheet source (excel_extractor.py:14-44) — "
+    "stdlib zipfile+ElementTree OOXML parse (openpyxl absent here), "
+    "per-sheet SI filter, sheet-tagged union; workbook round-trips "
+    "through io.xlsx write_workbook/load_workbook_rows",
+)
+def s5_excel_sheets(spark, sf_dir):
+    from mrf_etl_spark.io import read_excel_sheets
+    from mrf_etl_spark.io.xlsx import write_workbook
+
+    path = _scratch("s5_book") + ".xlsx"
+    write_workbook(path, _S5_SHEETS)
+    fee = read_excel_sheets(
+        spark,
+        path,
+        sheets=["Surgery", "Radiology"],
+        sheet_filters={"Surgery": "si == 'J1'"},
+    )
+    return fee.groupBy("sheet").agg(
+        F.count("*").alias("n_codes"), money_sum("rate").alias("rate_sum")
+    )
+
+
 @register(
     "s11_atomic_publish",
     """SELECT n_nationkey, n_name FROM nation""",

@@ -34,22 +34,66 @@ def test_corrupt_parquet_salvage(spark, tmp_path):
         read_parquet_tolerant(spark, str(d), salvage=False).collect()
 
 
-def test_excel_sheets_filter_and_union(spark, monkeypatch):
-    sheets = {
-        "Surgery": pd.DataFrame({"CODE": ["10021", "10022"], "SI": ["J1", "Q2"], "MAR": [100.0, 50.0]}),
-        "E&M": pd.DataFrame({"CODE": ["99213"], "SI": [None], "MAR": [75.0]}),
-    }
-    monkeypatch.setattr(pd, "read_excel", lambda path, sheet_name: sheets[sheet_name].copy())
+def test_excel_sheets_filter_and_union(spark, tmp_path):
+    from mrf_etl_spark.io.xlsx import write_workbook
 
+    path = str(tmp_path / "fees.xlsx")
+    write_workbook(
+        path,
+        {
+            "Surgery": (
+                ["CODE", "SI", "MAR"],
+                [["10021", "J1", 100.0], ["10022", "Q2", 50.0]],
+            ),
+            "E&M": (["CODE", "SI", "MAR"], [["99213", None, 75.0]]),
+        },
+    )
     df = read_excel_sheets(
         spark,
-        "fake.xlsx",
+        path,
         ["Surgery", "E&M"],
         sheet_filters={"Surgery": "SI == 'J1'"},  # excel_extractor.py:20-28
     )
     rows = {(r.CODE, r.sheet): r.MAR for r in df.collect()}
     # Surgery keeps only the SI=='J1' row; E&M passes through untouched.
     assert rows == {("10021", "Surgery"): 100.0, ("99213", "E&M"): 75.0}
+
+
+def test_xlsx_roundtrip_and_shared_strings(tmp_path):
+    """The stdlib writer/reader round-trips; the reader also resolves
+    sharedStrings-table cells, which other producers (openpyxl, Excel
+    itself) emit instead of inline strings."""
+    import zipfile
+
+    from mrf_etl_spark.io.xlsx import load_workbook_rows, write_workbook
+
+    path = str(tmp_path / "book.xlsx")
+    sheets = {
+        "A": (["x", "y"], [["p&q <r>", 1], [None, 2.5]]),
+        "B": (["z"], [[True]]),
+    }
+    write_workbook(path, sheets)
+    assert load_workbook_rows(path) == sheets
+
+    # Rewrite sheet A to use a sharedStrings table (t="s" cells).
+    with zipfile.ZipFile(path) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    parts["xl/sharedStrings.xml"] = (
+        b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        b'<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        b"<si><t>x</t></si><si><r><t>hel</t></r><r><t>lo</t></r></si></sst>"
+    )
+    parts["xl/worksheets/sheet1.xml"] = (
+        b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        b'<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        b'<sheetData><row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+        b'<row r="2"><c r="A2" t="s"><v>1</v></c></row></sheetData></worksheet>'
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        for n, data in parts.items():
+            zf.writestr(n, data)
+    cols, rows = load_workbook_rows(path)["A"]
+    assert cols == ["x"] and rows == [["hello"]]  # rich-text runs concatenated
 
 
 def test_read_code_list(spark, tmp_path):
