@@ -105,6 +105,82 @@ def quality_score(col: ColumnOrName) -> Column:
     return (len_band * 0.5 + punct_ok * 0.25 + sw_ok * 0.25).alias("quality")
 
 
+# --------------------------------------------------------------- tf-idf
+
+
+def tfidf_top_terms(
+    df, text_col: str, id_col: str, top_k: int = 5
+):
+    """Per-document top-k TF-IDF terms → (doc_id, term, tf_n, doc_len, df,
+    score, rank).
+
+    Log-free rational weighting — score = (tf_n / doc_len) · (N+1)/(df+1)
+    — deliberately: every factor is a small-int quotient, so each IEEE op
+    is correctly rounded and the mirrored SQL oracle is bit-identical,
+    where ln() differs across math libraries in the last ulp. Ranking is
+    (score desc, term asc): fully deterministic.
+
+    Scale: two shuffles that any TF-IDF needs — (doc, term) count, then a
+    join on term for document frequencies (hot stopword terms are exactly
+    the AQE skew-join case), plus a per-doc window for rank. N arrives as
+    a 1-row broadcast, never a driver collect."""
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf_n"))
+    doc_len = words.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+
+    from pyspark.sql.window import Window
+
+    score = (F.col("tf_n") / F.col("doc_len")) * (
+        (F.col("n_docs") + 1) / (F.col("df") + 1)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(doc_len, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tf_n", "doc_len", "df", "score", "rank")
+    )
+
+
+# -------------------------------------------------------------- pii scrub
+
+# RE2-safe patterns (no backrefs/lookaround): identical match semantics in
+# Java regex (Spark) and RE2 (DuckDB), so the oracle replays the scrub
+# verbatim with regexp_replace(..., 'g'). Order matters only for overlap;
+# these three are mutually exclusive.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(col: ColumnOrName) -> Column:
+    """Redact emails / SSNs / US phone numbers with typed placeholders.
+    Pure regexp_replace chain — codegen'd on the scan, no shuffle."""
+    c = _c(col).cast("string")
+    for _, pat, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def pii_counts(col: ColumnOrName) -> dict[str, Column]:
+    """Per-class PII match counts (audit/reporting companion to the scrub)."""
+    c = _c(col).cast("string")
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
 def fingerprint(col: ColumnOrName) -> Column:
     """Canonical document fingerprint: md5 over the sorted distinct word
     set — robust to word order/duplication, the hash analog of the

@@ -1316,6 +1316,48 @@ def w2_best_per_key(spark, sf_dir):
 
 
 @register(
+    "w4_asof_join",
+    # DuckDB has native ASOF JOIN (latest r.ts <= l.ts per key, equal ts
+    # included) — the Spark side reproduces it with the union-and-carry
+    # window plan in operators/asof.py (one shuffle on the key, no range
+    # join). ts comparisons run on raw nanos timestamps (DuckDB) vs ts_ns
+    # longs (Spark): identical ordering.
+    """SELECT l.user_id, l.event_id AS click_id,
+              round(l.value, 2) AS click_value,
+              r.event_id AS view_id, round(r.value, 2) AS view_value
+       FROM (SELECT * FROM events WHERE event_type = 'click') l
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    doc="W4: as-of join — for every click, the user's most recent view at "
+    "or before it; beyond-reference (point-in-time attribution / feature "
+    "joins), Spark-side via operators/asof.py union+window carry",
+)
+def w4_asof_join(spark, sf_dir):
+    from mrf_etl_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.round("value", 2).alias("click_value"),
+        "ts_ns",
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "value", "ts_ns"
+    )
+    return asof_join(
+        clicks, views, on="user_id", left_ts="ts_ns", right_ts="ts_ns",
+        right_cols=["event_id", "value"],
+    ).select(
+        "user_id",
+        "click_id",
+        "click_value",
+        F.col("event_id_asof").alias("view_id"),
+        F.round("value_asof", 2).alias("view_value"),
+    )
+
+
+@register(
     "k1_topk",
     """SELECT * FROM (
          SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price

@@ -450,6 +450,114 @@ def t4_fingerprint(spark, sf_dir):
     return d.select("doc_id", tx.fingerprint("text").alias("fingerprint"))
 
 
+TFIDF_TOP_K = 5
+
+@register(
+    "t5_tfidf_top_terms",
+    # Log-free rational TF-IDF (see operators.textops.tfidf_top_terms):
+    # every factor is a small-int quotient, so each IEEE op is correctly
+    # rounded and both engines produce bit-identical score doubles — ln()
+    # would differ in the last ulp across math libraries.
+    f"""WITH words AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf_n FROM words GROUP BY 1, 2),
+       dl AS (SELECT doc_id, count(*) AS doc_len FROM words GROUP BY 1),
+       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.term, tf.tf_n, dl.doc_len, dfreq.df,
+                (tf.tf_n / dl.doc_len) * ((n.n_docs + 1) / (dfreq.df + 1)) AS score
+         FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n)
+       SELECT doc_id, term, tf_n, doc_len, df, score, rank
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+             FROM scored)
+       WHERE rank <= {TFIDF_TOP_K}""",
+    doc="TF-IDF top-terms per document (corpus-weighted term scoring for "
+    "quality filtering / topic fingerprints); df join on the term key is "
+    "the AQE skew-join case at scale, N arrives as a 1-row broadcast",
+)
+def t5_tfidf_top_terms(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    out = tx.tfidf_top_terms(d, "text", "doc_id", TFIDF_TOP_K)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# Deterministic PII injection (the synthetic corpus contains none): email
+# on doc_id % 3, SSN on % 5, phone on % 7 — all derived from doc_id so
+# both engines build the identical pre-scrub text.
+_T6_INJECT_SPARK = lambda d: d.withColumn(  # noqa: E731
+    "text",
+    F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" mail u"), F.col("doc_id").cast("string"), F.lit("@ex.org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" ssn 123-45-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-0199"),
+            ),
+        ).otherwise(F.lit("")),
+    ),
+)
+
+_T6_INJECT_SQL = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+                 ELSE '' END AS text
+  FROM documents"""
+
+
+def _t6_scrub_sql(col: str) -> str:
+    expr = col
+    for _, pat, rep in tx.PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return expr
+
+
+@register(
+    "t6_pii_scrub",
+    # RE2 (DuckDB) and java.util.regex (Spark) agree on these patterns —
+    # no backrefs/lookaround; 'g' flag mirrors Spark's replace-all default.
+    f"""WITH injected AS ({_T6_INJECT_SQL})
+       SELECT doc_id, {_t6_scrub_sql('text')} AS scrubbed,
+              {', '.join(f"len(regexp_extract_all(text, '{pat}')) AS n_{name}" for name, pat, _ in tx.PII_PATTERNS)}
+       FROM injected""",
+    doc="PII scrub: email/SSN/phone redaction with typed placeholders + "
+    "per-class match counts; pure regexp chain, codegen'd on the scan, "
+    "no shuffle — corpus-cleaning pass before training",
+)
+def t6_pii_scrub(spark, sf_dir):
+    d = _T6_INJECT_SPARK(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    counts = tx.pii_counts("text")
+    return d.select(
+        "doc_id",
+        tx.pii_scrub("text").alias("scrubbed"),
+        *[counts[name].cast("long").alias(f"n_{name}") for name, _, _ in tx.PII_PATTERNS],
+    )
+
+
 # ------------------------------------------------------- similarity ops
 
 

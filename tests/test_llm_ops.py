@@ -238,3 +238,44 @@ def test_connected_components_chain_and_canonical(spark):
     )
     kept = sorted(r.doc_id for r in dd.keep_canonical(docs, pairs).collect())
     assert kept == [2, 20, 99]  # cluster minima + untouched singleton
+
+
+def test_tfidf_top_terms(spark):
+    from mrf_etl_spark.operators.textops import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "durian durian durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.term): (r.tf_n, r.doc_len, r.df, r.rank)
+        for r in tfidf_top_terms(docs, "text", "doc_id", 2).collect()
+    }
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert out[(1, "apple")] == (2, 3, 1, 1)
+    assert out[(1, "banana")] == (1, 3, 2, 2)
+    # doc 3: single distinct term, rank 1, corpus-unique (df=1)
+    assert out[(3, "durian")] == (3, 3, 1, 1)
+    # ties rank deterministically by term asc (banana/cherry same tf,df? no:
+    # banana df=2, cherry df=1 -> cherry scores higher)
+    assert out[(2, "cherry")][3] == 1 and out[(2, "banana")][3] == 2
+
+
+def test_pii_scrub_and_counts(spark):
+    from mrf_etl_spark.operators.textops import pii_counts, pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex.org ssn 123-45-6789 call 555-123-4567 ok 12-34")],
+        "id long, text string",
+    )
+    counts = pii_counts("text")
+    row = df.select(
+        pii_scrub("text").alias("s"),
+        *[counts[n] for n in ("email", "ssn", "phone")],
+    ).collect()[0]
+    assert row.s == "mail <EMAIL> ssn <SSN> call <PHONE> ok 12-34"
+    assert (row.n_email, row.n_ssn, row.n_phone) == (1, 1, 1)
