@@ -1268,6 +1268,36 @@ def a13_conditional_sum(spark, sf_dir):
     )
 
 
+@register(
+    "a14_rollup",
+    # Subtotal rows carry NULL group keys; GROUPING() flags disambiguate
+    # a genuine NULL key from a rollup subtotal — identical semantics in
+    # Spark's rollup() and DuckDB's GROUP BY ROLLUP.
+    f"""SELECT event_type, strftime(ts, '%Y-%m') AS ym,
+              count(*) AS n, {money_sum_sql('value')} AS val_sum,
+              CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+              CAST(GROUPING(strftime(ts, '%Y-%m')) AS BIGINT) AS g_ym
+       FROM events GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m'))""",
+    doc="A14: multi-granularity rollup (type × month → type → grand "
+    "total) in ONE pass via grouping sets — Catalyst expands to a single "
+    "shuffle with partial aggregation, replacing N separate groupBy jobs",
+)
+def a14_rollup(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ym", F.date_format("ts", "yyyy-MM")
+    )
+    return (
+        ev.rollup("event_type", "ym")
+        .agg(
+            F.count("*").alias("n"),
+            money_sum("value").alias("val_sum"),
+            F.grouping("event_type").cast("long").alias("g_type"),
+            F.grouping("ym").cast("long").alias("g_ym"),
+        )
+        .select("event_type", "ym", "n", "val_sum", "g_type", "g_ym")
+    )
+
+
 # =====================================================================
 # §2.5 Windows, §2.6 sorts/limits, §2.7 set ops
 # =====================================================================
@@ -1312,6 +1342,98 @@ def w2_best_per_key(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", F.round("value", 2).alias("best_value"))
+    )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in micros
+
+
+@register(
+    "w5_sessionize_batch",
+    # Gap comparisons run in MICROSECONDS on both engines: DuckDB reads
+    # the nanos parquet timestamps µs-truncated (epoch_us), Spark mirrors
+    # with ts_ns div 1000 — identical integers, no float time arithmetic.
+    f"""WITH tagged AS (
+         SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+       sess AS (
+         SELECT user_id, event_id, value,
+                sum(new_sess) OVER (
+                  PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_seq
+         FROM tagged)
+       SELECT user_id, session_seq, count(*) AS n_events,
+              min(event_id) AS first_event, max(event_id) AS last_event,
+              {money_sum_sql('value')} AS val_sum
+       FROM sess GROUP BY user_id, session_seq""",
+    doc="W5: batch sessionization (30-min gap) via lag+cumsum over one "
+    "key partitioning — single shuffle; beyond-reference, the batch twin "
+    "of the st2 streaming session windows",
+)
+def w5_sessionize_batch(spark, sf_dir):
+    from mrf_etl_spark.operators.sessions import session_stats
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .select("user_id", "event_id", "value", "ts_us")
+    )
+    return session_stats(
+        ev,
+        "user_id",
+        "ts_us",
+        SESSION_GAP_US,
+        [
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            money_sum("value").alias("val_sum"),
+        ],
+        tiebreak=["event_id"],
+    )
+
+
+RANGE_W_US = 24 * 3600 * 1_000_000  # ±24 h attribution window, micros
+# (per-user event spacing in the synthetic log is ~21 h; ±24 h yields a
+# meaningful pair set at every SF instead of a near-empty result)
+
+
+@register(
+    "w6_range_join",
+    # The oracle states the inequality join directly (DuckDB's IEJoin
+    # handles it); the Spark side runs the banded equi-join plan from
+    # operators/rangejoin.py — same exact result, no per-key cartesian.
+    f"""SELECT l.user_id, l.event_id AS click_id, r.event_id AS view_id,
+              epoch_us(r.ts) - epoch_us(l.ts) AS dt_us
+       FROM (SELECT * FROM events WHERE event_type = 'click') l
+       JOIN (SELECT * FROM events WHERE event_type = 'view') r
+         ON l.user_id = r.user_id
+        AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= {RANGE_W_US}""",
+    doc="W6: banded range join — click↔view pairs of the same user within "
+    "±24 h; band = ts div width, right fans to 3 neighbor bands, "
+    "equi-join + exact filter (beyond-reference interval-join primitive)",
+)
+def w6_range_join(spark, sf_dir):
+    from mrf_etl_spark.operators.rangejoin import range_join
+
+    ev = t(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts_ns div 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts_us").alias("l_us")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts_us").alias("r_us")
+    )
+    return range_join(
+        clicks, views, on="user_id", left_ts="l_us", right_ts="r_us", width=RANGE_W_US
+    ).select(
+        "user_id",
+        "click_id",
+        "view_id",
+        (F.col("r_us") - F.col("l_us")).alias("dt_us"),
     )
 
 
