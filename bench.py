@@ -29,6 +29,8 @@ HEADLINE = [
     "a6_percentile_profile",
     "a9_multi_distinct",
     "w1_latest_per_key",
+    "w4_asof_join",
+    "w5_sessionize_batch",
     "f_hash_uid",
     "f_categorizer",
     "k1_topk",
