@@ -77,6 +77,10 @@ _PORTABILITY_CONFS = (
     ("spark.sql.ansi.enabled", "false"),
     # timestamp→string formatting must not depend on the host timezone
     ("spark.sql.session.timeZone", "UTC"),
+    # perf-only: PySpark 4's per-API-call call-site capture costs ~6 ms of
+    # driver Python per Column op; plan-building is a hot path when the
+    # driver runs the whole catalog back-to-back
+    ("spark.python.sql.dataFrameDebugging.enabled", "false"),
 )
 
 

@@ -31,6 +31,11 @@ _PLAN_CONFS = {
     # Spark has no native parquet TIMESTAMP(NANOS) type; read as long and
     # convert explicitly (see plans/parity.t for the events table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # PySpark 4's per-API-call stack inspection (error call-site capture)
+    # costs ~6 ms × every Column/DataFrame op — measured 0.55 s of a single
+    # operator's 2 s plan build. Pure driver-side Python overhead; the JVM
+    # error messages are unaffected.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
