@@ -31,6 +31,7 @@ HEADLINE = [
     "w1_latest_per_key",
     "w4_asof_join",
     "w5_sessionize_batch",
+    "w7_rolling_metrics",
     "f_hash_uid",
     "f_categorizer",
     "k1_topk",
@@ -40,6 +41,8 @@ HEADLINE = [
     "d3b_ngram_jaccard_capped",
     "d5b_embedding_near_dup_ivf",
     "t2_quality_score",
+    "t7_repetition_signals",
+    "t8_contamination",
     "n1_ann_cosine_topk",
 ]
 

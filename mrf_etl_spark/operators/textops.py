@@ -9,7 +9,7 @@ Spark and ANSI-SQL engines so the parity oracles can mirror them.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ColumnOrName = Column | str
@@ -187,3 +187,115 @@ def fingerprint(col: ColumnOrName) -> Column:
     reference's uid recipes."""
     words = F.array_sort(F.array_distinct(F.split(F.lower(F.trim(_c(col))), r"\s+")))
     return F.md5(F.concat_ws(" ", words))
+
+
+# ------------------------------------------------- repetition / overlap
+
+
+def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals, one row per document:
+
+    ``n_words`` / ``n_distinct_words`` / ``distinct_ratio`` — vocabulary
+    collapse (boilerplate and spam repeat a tiny vocabulary);
+    ``top_word_frac`` — mass of the single most frequent word;
+    ``n_bigrams`` / ``top_bigram_frac`` — mass of the most frequent word
+    2-gram (the classic "duplicated phrase" Gopher filter; NULL when the
+    doc has fewer than 2 words).
+
+    All counting runs as explode → two-level groupBy (map-side partial
+    aggregation, shuffles keyed on doc_id — scale-linear, no HOF lambdas
+    in the hot path per the measured pitfalls). Ratios are single double
+    divisions of exact integers, so every engine reproduces them bit-for-
+    bit. Reference anchor: quality filtering extends the reference's
+    validation notebook checks (notebook.py summary stats) to corpus
+    hygiene for LLM training data.
+    """
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    words = docs.select("doc_id", F.explode("_w").alias("w"))
+    wstats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("n_distinct_words"),
+            F.max("c").alias("_top_w"),
+        )
+    )
+    bigrams = docs.filter(F.size("_w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_w) - 2),"
+                " i -> concat_ws(' ', _w[i], _w[i + 1]))"
+            )
+        ).alias("g"),
+    )
+    gstats = (
+        bigrams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("_top_g"))
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        wstats.join(gstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            (dbl("n_distinct_words") / dbl("n_words")).alias("distinct_ratio"),
+            (dbl("_top_w") / dbl("n_words")).alias("top_word_frac"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            (dbl("_top_g") / dbl("n_bigrams")).alias("top_bigram_frac"),
+        )
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, the
+    fraction of its distinct word ``k``-gram shingles that also occur
+    anywhere in ``eval_docs`` (the benchmark/test corpus).
+
+    The decontamination primitive of LLM training pipelines (strip or
+    flag training docs that overlap evaluation sets). Plan shape: both
+    sides shingle into the engine-neutral 60-bit md5 hash domain
+    (dedup.shingle_hash_expr); the eval universe is reduced to DISTINCT
+    hashes — benchmarks are tiny relative to a 100 TB corpus, so AQE
+    broadcasts that side and the corpus never shuffles on h; per-doc
+    totals and hit counts aggregate on doc_id. Returns
+    (doc_id, n_shingles, n_hit, overlap_frac).
+    """
+    from mrf_etl_spark.operators.dedup import doc_shingles, shingle_hash_expr
+
+    c_sh = doc_shingles(corpus, text_col, id_col, k).select(
+        "doc_id", shingle_hash_expr(F.col("shingle")).alias("h")
+    )
+    ev = (
+        doc_shingles(eval_docs, text_col, id_col, k)
+        .select(shingle_hash_expr(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    tot = c_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = c_sh.join(ev, "h").groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+    return (
+        tot.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("overlap_frac"),
+        )
+    )

@@ -1793,3 +1793,38 @@ def f_categorizer(spark, sf_dir):
         .groupBy("procedure_set", "procedure_class", "procedure_group")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "w7_rolling_metrics",
+    # Exact-decimal running sums (order-independent) — DuckDB evaluates
+    # sliding frames with segment trees, a DIFFERENT float addition order
+    # than Spark's running pass, so double sums would hash-mismatch. One
+    # double division at the edge, identical operands both engines.
+    """SELECT user_id, event_id,
+              CAST(sum(CAST(value AS DECIMAL(38,4))) OVER cum AS DOUBLE) AS cum_sum,
+              count(*) OVER cum AS cum_n,
+              CAST(sum(CAST(value AS DECIMAL(38,4))) OVER trail AS DOUBLE) AS roll_sum,
+              CAST(sum(CAST(value AS DECIMAL(38,4))) OVER trail AS DOUBLE)
+                / CAST(count(*) OVER trail AS DOUBLE) AS roll_avg
+       FROM events
+       WINDOW cum AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS UNBOUNDED PRECEDING),
+              trail AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+    doc="W7 (beyond-reference): per-key cumulative + trailing-5 rolling "
+    "metrics via operators/rolling.py — ONE window shuffle on the key, "
+    "exact-decimal sums for cross-engine determinism",
+)
+def w7_rolling_metrics(spark, sf_dir):
+    from mrf_etl_spark.operators.rolling import rolling_metrics
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .select("user_id", "event_id", "value", "ts_us")
+    )
+    return rolling_metrics(
+        ev, "user_id", ["ts_us", "event_id"], "value",
+        trailing_rows=5, decimal_type="decimal(38,4)",
+    ).select("user_id", "event_id", "cum_sum", "cum_n", "roll_sum", "roll_avg")

@@ -834,3 +834,92 @@ def sp2_stratified_sample(spark, sf_dir):
     return sp.stratified_sample(
         ev, "event_id", "event_type", {"click": 0.5, "view": 0.25}, default_fraction=0.1
     )
+
+
+@register(
+    "t7_repetition_signals",
+    # every ratio is ONE double division of exact integers — identical on
+    # both engines, no rounding needed. DuckDB arrays are 1-based
+    # (range(1, len) pairs ws[i], ws[i+1]); Spark mirrors 0-based.
+    """WITH w AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+         FROM documents),
+       wc AS (
+         SELECT doc_id, wd, count(*) AS c
+         FROM (SELECT doc_id, unnest(ws) AS wd FROM w) GROUP BY doc_id, wd),
+       wstats AS (
+         SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct_words,
+                max(c) AS top_w
+         FROM wc GROUP BY doc_id),
+       gc AS (
+         SELECT doc_id, g, count(*) AS c
+         FROM (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+               FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                     FROM w WHERE len(ws) >= 2))
+         GROUP BY doc_id, g),
+       gstats AS (
+         SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_g
+         FROM gc GROUP BY doc_id)
+       SELECT s.doc_id, s.n_words, s.n_distinct_words,
+              CAST(s.n_distinct_words AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+                AS distinct_ratio,
+              CAST(s.top_w AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+                AS top_word_frac,
+              coalesce(g.n_bigrams, 0) AS n_bigrams,
+              CAST(g.top_g AS DOUBLE) / CAST(g.n_bigrams AS DOUBLE)
+                AS top_bigram_frac
+       FROM wstats s LEFT JOIN gstats g USING (doc_id)""",
+    doc="t7: Gopher-style repetition signals (vocabulary collapse, top "
+    "word/bigram mass) — explode + two-level groupBy, shuffles on doc_id",
+)
+def t7_repetition_signals(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return tx.repetition_signals(d, "text", "doc_id")
+
+
+EVAL_MOD = 101  # doc_id % EVAL_MOD == 0 → the held-out "benchmark" split
+
+
+@register(
+    "t8_contamination",
+    # corpus/eval split by doc_id mod; shingles replayed in the shared
+    # 60-bit md5 hash domain (same CTE shape as d2/d3 oracles)
+    f"""WITH corpus AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} <> 0),
+       ev AS (SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} = 0),
+       cw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM corpus),
+       csh AS (
+         SELECT DISTINCT doc_id,
+                CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h
+         FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+                     FROM cw WHERE len(ws) >= 3)
+               UNION ALL
+               SELECT doc_id, array_to_string(ws, ' ') AS sh
+               FROM cw WHERE len(ws) < 3)),
+       ew AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM ev),
+       euniv AS (
+         SELECT DISTINCT CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h
+         FROM (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i
+                     FROM ew WHERE len(ws) >= 3)
+               UNION ALL
+               SELECT array_to_string(ws, ' ') AS sh FROM ew WHERE len(ws) < 3)),
+       tot AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY doc_id),
+       hits AS (SELECT doc_id, count(*) AS n_hit
+                FROM csh JOIN euniv USING (h) GROUP BY doc_id)
+       SELECT t.doc_id, t.n_shingles, coalesce(h.n_hit, 0) AS n_hit,
+              CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                / CAST(t.n_shingles AS DOUBLE) AS overlap_frac
+       FROM tot t LEFT JOIN hits h USING (doc_id)""",
+    doc="t8: benchmark-contamination overlap — fraction of each corpus "
+    "doc's distinct 3-gram shingles present in the held-out eval split; "
+    "eval universe reduces to distinct hashes (broadcast side at scale)",
+)
+def t8_contamination(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % EVAL_MOD != 0)
+    ev = d.filter(F.col("doc_id") % EVAL_MOD == 0)
+    return tx.contamination_overlap(corpus, ev, "text", "doc_id", k=SHINGLE_K)

@@ -279,3 +279,69 @@ def test_pii_scrub_and_counts(spark):
     ).collect()[0]
     assert row.s == "mail <EMAIL> ssn <SSN> call <PHONE> ok 12-34"
     assert (row.n_email, row.n_ssn, row.n_phone) == (1, 1, 1)
+
+
+def test_repetition_signals_hand_computed(spark):
+    from mrf_etl_spark.operators.textops import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),        # top word a=3/4; bigrams: [a a, a a, a b]
+            (2, "x"),              # single word: no bigrams
+            (3, "p q p q"),        # bigrams: [p q, q p, p q] -> top 2/3
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs, "text", "doc_id").collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_distinct_words) == (4, 2)
+    assert r1.top_word_frac == 0.75 and r1.distinct_ratio == 0.5
+    assert r1.n_bigrams == 3 and r1.top_bigram_frac == 2 / 3
+    r2 = out[2]
+    assert (r2.n_words, r2.n_bigrams) == (1, 0)
+    assert r2.top_bigram_frac is None  # no bigram mass to measure
+    assert out[3].top_bigram_frac == 2 / 3
+
+
+def test_contamination_overlap_hand_computed(spark):
+    from mrf_etl_spark.operators.textops import contamination_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # shares 3 of 3 shingles
+            (2, "totally novel training text here"),  # disjoint
+            (3, "quick brown fox and more words"),  # shares 1 shingle
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r for r in contamination_overlap(corpus, ev, "text", "doc_id").collect()
+    }
+    assert out[1].n_shingles == 3 and out[1].overlap_frac == 1.0
+    assert out[2].n_hit == 0 and out[2].overlap_frac == 0.0
+    assert out[3].n_hit == 1 and out[3].overlap_frac == 0.25
+
+
+def test_rolling_metrics_hand_computed(spark):
+    from mrf_etl_spark.operators.rolling import rolling_metrics
+
+    ev = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(1, 7)] + [(2, 1, 10.0)],
+        "user_id long, seq long, value double",
+    )
+    out = {
+        (r.user_id, r.seq): r
+        for r in rolling_metrics(
+            ev, "user_id", ["seq"], "value", trailing_rows=3
+        ).collect()
+    }
+    # user 1 at seq 6: cum = 21, trailing-3 = 4+5+6 = 15, avg 5
+    r = out[(1, 6)]
+    assert r.cum_sum == 21.0 and r.cum_n == 6
+    assert r.roll_sum == 15.0 and r.roll_avg == 5.0
+    # frame shorter than the window: seq 2 -> trailing = 1+2
+    assert out[(1, 2)].roll_sum == 3.0 and out[(1, 2)].roll_avg == 1.5
+    assert out[(2, 1)].cum_sum == 10.0 and out[(2, 1)].cum_n == 1
