@@ -244,3 +244,90 @@ def st5_stream_dedup(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+_ST6_SEQ = [0]
+
+
+@register(
+    "st6_stream_interval_join",
+    # batch truth: every click joins same-user views in [click-48h, click]
+    oracle="""
+    SELECT l.user_id, l.event_id AS click_id, r.event_id AS view_id,
+           epoch_us(l.ts) - epoch_us(r.ts) AS dt_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id
+     AND r.ts BETWEEN l.ts - INTERVAL 48 HOUR AND l.ts""",
+    doc="watermarked stream-stream interval join (click←views attribution "
+    "window); views arrive a micro-batch BEFORE clicks, so every output "
+    "pair crosses batch boundaries through bounded join state",
+)
+def st6_stream_interval_join(spark, sf_dir):
+    """Stages views and clicks as SEPARATE files consumed one per
+    micro-batch (views first): the join must hold view rows in state
+    until the clicks arrive, which is the actual stream-stream machinery
+    — a single-batch run would degenerate to a batch join. Drained result
+    == the batch interval join (the oracle)."""
+    import os
+    import shutil
+
+    from mrf_etl_spark.streaming import interval_join_streams
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) reads as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    _ST6_SEQ[0] += 1
+    seq = _ST6_SEQ[0]
+    staging = _scratch(f"st6_staging_{seq}")
+    os.makedirs(staging, exist_ok=True)
+    ev = spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet")
+    ev.filter(F.col("event_type") == "view").write.mode("overwrite").parquet(
+        f"{staging}/batch=1"
+    )
+    ev.filter(F.col("event_type") == "click").write.mode("overwrite").parquet(
+        f"{staging}/batch=2"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{staging}/batch=*")
+    )
+    stamped = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    clicks = stamped.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    views = stamped.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    joined = interval_join_streams(
+        clicks, views, on="user_id",
+        left_ts="click_ts", right_ts="view_ts",
+        lookback="48 hours",
+        # horizon beyond the table's span: no state expires mid-drain (the
+        # production horizon is the source's real lateness bound)
+        watermark="8 days",
+    )
+    sink = _scratch(f"st6_sink_{seq}")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", _scratch(f"st6_ckpt_{seq}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink).select(
+        "user_id",
+        "click_id",
+        "view_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("dt_us"),
+    )

@@ -10,6 +10,7 @@ needs at scale.
 
 from mrf_etl_spark.streaming.ingest import (
     dedup_stream,
+    interval_join_streams,
     sessionize_events,
     stateful_running_totals,
     stream_upsert_ingest,
@@ -22,4 +23,5 @@ __all__ = [
     "sessionize_events",
     "stateful_running_totals",
     "dedup_stream",
+    "interval_join_streams",
 ]

@@ -209,3 +209,41 @@ def sessionize_events(
             "session_value",
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "48 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: every left row pairs with the
+    right rows of the same ``on`` key whose event time falls in
+    ``[left_ts - lookback, left_ts]`` (attribution: a click joins the
+    views that preceded it).
+
+    Both sides carry event-time watermarks and the join condition bounds
+    the time range on BOTH ends, which is exactly what Structured
+    Streaming needs to reason about state expiry: right-side rows are
+    dropped from state once the watermark passes ``right_ts + lookback``,
+    left rows as soon as their window closes — state is bounded by
+    (rate × (lookback + watermark)), not stream lifetime. The same plan
+    runs unchanged on batch frames (the batch twin is the W6 banded range
+    join, which trades this state machine for band-bucketed equi-joins).
+
+    ``left_ts``/``right_ts`` must be distinct column names (rename before
+    calling) so the joined schema is unambiguous.
+    """
+    if left_ts == right_ts:
+        raise ValueError("rename ts columns to be distinct before joining")
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[on] == r[on])
+        & (F.col(right_ts) >= F.expr(f"{left_ts} - INTERVAL {lookback}"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return l.join(r, cond, "inner").drop(r[on])

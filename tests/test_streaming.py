@@ -150,3 +150,39 @@ def test_stateful_running_totals_across_batches(spark, events, tmp_path):
     got = {r.event_type: (r.n_events, r.n_users, r.total_cents) for r in final.collect()}
     want = {r.event_type: (r.n_events, r.n_users, r.total_cents) for r in expected.collect()}
     assert got == want
+
+
+def test_interval_join_streams_batch_twin(spark):
+    """The watermarked interval join runs unchanged on batch frames; known
+    pairs: a click at t joins same-user views in [t - lookback, t]."""
+    from datetime import datetime
+
+    from mrf_etl_spark.streaming import interval_join_streams
+
+    def ts(h):
+        return datetime(2024, 1, 1, h)
+
+    clicks = spark.createDataFrame(
+        [(1, 100, ts(10)), (2, 101, ts(10))],
+        "user_id long, click_id long, click_ts timestamp",
+    )
+    views = spark.createDataFrame(
+        [
+            (1, 200, ts(9)),   # in window
+            (1, 201, ts(7)),   # outside 2h lookback
+            (1, 202, ts(11)),  # after the click
+            (2, 203, ts(10)),  # equal ts: included
+        ],
+        "user_id long, view_id long, view_ts timestamp",
+    )
+    out = interval_join_streams(
+        clicks, views, on="user_id",
+        left_ts="click_ts", right_ts="view_ts", lookback="2 hours",
+    )
+    got = {(r.click_id, r.view_id) for r in out.collect()}
+    assert got == {(100, 200), (101, 203)}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        interval_join_streams(clicks, views, on="user_id")
