@@ -1828,3 +1828,34 @@ def w7_rolling_metrics(spark, sf_dir):
         ev, "user_id", ["ts_us", "event_id"], "value",
         trailing_rows=5, decimal_type="decimal(38,4)",
     ).select("user_id", "event_id", "cum_sum", "cum_n", "roll_sum", "roll_avg")
+
+
+@register(
+    "j13_salted_skew_join",
+    # the salt collapses before output, so the truth is the PLAIN join —
+    # the oracle proves salting is invisible to results
+    """WITH seg AS (
+         SELECT c_custkey, c_mktsegment FROM customer),
+       fact AS (
+         SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+       SELECT f.o_orderkey, f.o_custkey,
+              round(f.o_totalprice, 2) AS total, s.c_mktsegment
+       FROM fact f JOIN seg s ON f.o_custkey = s.c_custkey""",
+    doc="J13 (beyond-reference, brief bullet 'salting for skew'): the "
+    "orders fact joins the customer dim through operators/skew.py "
+    "salted_join — each key spreads over 8 shuffle sub-keys (hot-key "
+    "mitigation when AQE can't split and the dim is too big to "
+    "broadcast); results byte-match the plain join",
+)
+def j13_salted_skew_join(spark, sf_dir):
+    from mrf_etl_spark.operators.skew import salted_join
+
+    fact = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total")
+    )
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return salted_join(
+        fact, dim, on=["o_custkey"], salt_col="o_orderkey", n_salt=8
+    ).select("o_orderkey", "o_custkey", "total", "c_mktsegment")

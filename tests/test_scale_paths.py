@@ -93,3 +93,31 @@ def test_market_rates_approx_mode(spark):
     exact = lake.market_rates().first()
     approx = lake.market_rates(approx=True).first()
     assert abs(approx["p50"] - exact["p50"]) / exact["p50"] < 0.05
+
+
+def test_salted_join_matches_plain_join(spark):
+    from mrf_etl_spark.operators.skew import salted_join
+
+    sf = "/root/testdata/sf0.001"
+    fact = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    dim = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = fact.join(dim, "o_custkey").select("o_orderkey", "c_mktsegment")
+    for how in ("inner", "left"):
+        salted = salted_join(
+            fact, dim, on=["o_custkey"], salt_col="o_orderkey", n_salt=4, how=how
+        ).select("o_orderkey", "c_mktsegment")
+        if how == "inner":
+            assert salted.exceptAll(plain).count() == 0
+            assert plain.exceptAll(salted).count() == 0
+        else:
+            # synthetic data has full FK coverage: left == inner here
+            assert salted.count() == plain.count()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, on=["o_custkey"], salt_col="o_orderkey", how="full")
