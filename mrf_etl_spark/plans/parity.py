@@ -1859,3 +1859,74 @@ def j13_salted_skew_join(spark, sf_dir):
     return salted_join(
         fact, dim, on=["o_custkey"], salt_col="o_orderkey", n_salt=8
     ).select("o_orderkey", "o_custkey", "total", "c_mktsegment")
+
+
+@register(
+    "q1_quality_report",
+    """SELECT 'fk_lineitem_orders' AS check,
+              count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_bad,
+              count(*) AS n_total,
+              CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS bad_rate
+       FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+         ON l.l_orderkey = o.o_orderkey
+       UNION ALL
+       SELECT 'fk_orders_customer',
+              count(*) FILTER (WHERE c.c_custkey IS NULL), count(*),
+              CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE)
+       FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+         ON o.o_custkey = c.c_custkey
+       UNION ALL
+       SELECT 'fk_customer_nation',
+              count(*) FILTER (WHERE n.n_nationkey IS NULL), count(*),
+              CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE)
+       FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+         ON c.c_nationkey = n.n_nationkey
+       UNION ALL
+       SELECT 'null_events_props',
+              count(*) FILTER (WHERE props IS NULL), count(*),
+              CAST(count(*) FILTER (WHERE props IS NULL) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE)
+       FROM events
+       UNION ALL
+       SELECT 'range_l_quantity_1_50',
+              count(*) FILTER (WHERE l_quantity IS NULL
+                               OR l_quantity < 1 OR l_quantity > 50),
+              count(*),
+              CAST(count(*) FILTER (WHERE l_quantity IS NULL
+                                    OR l_quantity < 1 OR l_quantity > 50) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE)
+       FROM lineitem
+       UNION ALL
+       SELECT 'range_l_discount_0_0.1',
+              count(*) FILTER (WHERE l_discount IS NULL
+                               OR l_discount < 0 OR l_discount > 0.1),
+              count(*),
+              CAST(count(*) FILTER (WHERE l_discount IS NULL
+                                    OR l_discount < 0 OR l_discount > 0.1) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE)
+       FROM lineitem""",
+    doc="Q1: declarative lake quality report — FK-orphan, null, and range "
+    "checks as one unioned plan of O(1)-output aggregates "
+    "(plans/quality.py; the notebook validation cells as an operator)",
+)
+def q1_quality_report(spark, sf_dir):
+    from mrf_etl_spark.plans.quality import fk_check, null_check, quality_report, range_check
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    ev = t(spark, sf_dir, "events")
+    return quality_report(
+        [
+            fk_check(li, orders, "fk_lineitem_orders", "l_orderkey", "o_orderkey"),
+            fk_check(orders, cust, "fk_orders_customer", "o_custkey", "c_custkey"),
+            fk_check(cust, nat, "fk_customer_nation", "c_nationkey", "n_nationkey"),
+            null_check(ev, "null_events_props", "props"),
+            range_check(li, "range_l_quantity_1_50", "l_quantity", 1, 50),
+            range_check(li, "range_l_discount_0_0.1", "l_discount", 0, 0.1),
+        ]
+    )

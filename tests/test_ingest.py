@@ -118,3 +118,33 @@ def test_append_unique_delta_mode(spark, tmp_path):
     # idempotent: re-appending the same delta adds nothing
     append_unique(spark, delta, path, keys=["k"], rewrite=False)
     assert spark.read.parquet(path).count() == 150
+
+
+def test_quality_report_counts_injected_violations(spark):
+    from mrf_etl_spark.plans.quality import (
+        fk_check,
+        null_check,
+        quality_report,
+        range_check,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,), (20,)], "pk long")
+    vals = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 500.0)], "id long, v double"
+    )
+    rep = {
+        r.check: (r.n_bad, r.n_total, r.bad_rate)
+        for r in quality_report(
+            [
+                fk_check(child, parent, "fk", "fk", "pk"),
+                null_check(vals, "nulls", "v"),
+                range_check(vals, "range", "v", 0, 100),
+            ]
+        ).collect()
+    }
+    assert rep["fk"] == (2, 4, 0.5)  # 99 unmatched + null fk
+    assert rep["nulls"] == (1, 3, 1 / 3)
+    assert rep["range"] == (2, 3, 2 / 3)  # null + 500 out of range
