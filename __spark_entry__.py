@@ -28,8 +28,8 @@ def _registry():
 
     # LLM-data-pipeline + streaming operators register on import. Round 1
     # swallowed a failure here with `except ImportError: pass` — exactly
-    # the shape that silently truncates the catalog from 76 to 50 entries
-    # with no signal. A bare raise would be loud but worse: one broken
+    # the shape that silently truncates the catalog to its core-entry
+    # prefix with no signal. A bare raise would be loud but worse: one broken
     # import in the harness environment would take down ALL entries. So:
     # degrade VISIBLY — keep the core catalog and register a sentinel
     # entry that re-raises the captured error, so the truncation shows up

@@ -85,3 +85,30 @@ def stratified_sample(
         else cut.otherwise(int(round(default_fraction * BUCKETS)))
     )
     return df.filter(b < cut)
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoff,
+    gap=0,
+) -> DataFrame:
+    """Leakage-safe temporal split: rows strictly before ``cutoff`` are
+    'train', rows at/after ``cutoff + gap`` are 'test', and rows inside
+    the gap get 'holdout_gap' (drop them — they are the leakage buffer
+    for features computed over trailing windows: a trailing-N-day
+    feature of an early test row would otherwise read train-period
+    events, and vice versa).
+
+    ``ts_col``/``cutoff``/``gap`` share whatever numeric time domain the
+    caller uses (epoch micros here, matching the events table). A pure
+    per-row projection: no shuffle, pushes into the scan, reproducible
+    on any engine — the temporal analog of ``assign_split``.
+    """
+    c = F.col(ts_col)
+    return df.withColumn(
+        "split",
+        F.when(c < F.lit(cutoff), F.lit("train"))
+        .when(c >= F.lit(cutoff) + F.lit(gap), F.lit("test"))
+        .otherwise(F.lit("holdout_gap")),
+    )

@@ -299,3 +299,31 @@ def contamination_overlap(
             ).alias("overlap_frac"),
         )
     )
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2, k: int = 100
+) -> DataFrame:
+    """Corpus-wide top-k word ``n``-grams by occurrence — the corpus
+    statistic behind contamination screens, boilerplate detection, and
+    LM data audits. Ties break deterministically (count desc, gram asc).
+
+    Plan: explode n-grams → groupBy(gram) count (map-side partial agg) →
+    global top-k, which Spark executes as TakeOrdered (per-partition
+    heap + driver merge of k rows), NOT a full sort shuffle — the only
+    full-width shuffle is the gram count, keyed on the gram."""
+    docs = df.select(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w")
+    ).filter(F.size("_w") >= n)
+    parts = ", ".join(f"_w[i + {j}]" for j in range(n))
+    grams = docs.select(
+        F.explode(
+            F.expr(f"transform(sequence(0, size(_w) - {n}), i -> concat_ws(' ', {parts}))")
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+        .limit(k)
+    )

@@ -923,3 +923,48 @@ def t8_contamination(spark, sf_dir):
     corpus = d.filter(F.col("doc_id") % EVAL_MOD != 0)
     ev = d.filter(F.col("doc_id") % EVAL_MOD == 0)
     return tx.contamination_overlap(corpus, ev, "text", "doc_id", k=SHINGLE_K)
+
+
+SP3_CUTOFF_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z
+SP3_GAP_US = 48 * 3600 * 1_000_000  # 48 h leakage buffer
+
+
+@register(
+    "sp3_temporal_split",
+    f"""SELECT event_id,
+              CASE WHEN epoch_us(ts) < {SP3_CUTOFF_US} THEN 'train'
+                   WHEN epoch_us(ts) >= {SP3_CUTOFF_US} + {SP3_GAP_US} THEN 'test'
+                   ELSE 'holdout_gap' END AS split
+       FROM events""",
+    doc="sp3: leakage-safe temporal split — train before the cutoff, test "
+    "after cutoff+gap, a 48 h holdout buffer between so trailing-window "
+    "features can't peek across the boundary; pure per-row projection",
+)
+def sp3_temporal_split(spark, sf_dir):
+    from mrf_etl_spark.operators.sampling import temporal_split
+
+    ev = t(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts_ns div 1000"))
+    return temporal_split(ev, "ts_us", SP3_CUTOFF_US, SP3_GAP_US).select(
+        "event_id", "split"
+    )
+
+
+TOP_NGRAM_K = 50
+
+
+@register(
+    "t9_top_ngrams",
+    f"""SELECT gram, cnt FROM (
+         SELECT ws[i] || ' ' || ws[i + 1] AS gram, count(*) AS cnt
+         FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+               FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+                     FROM documents)
+               WHERE len(ws) >= 2)
+         GROUP BY 1
+         ORDER BY cnt DESC, gram ASC LIMIT {TOP_NGRAM_K})""",
+    doc="t9: corpus-wide top-k word bigrams (count desc, gram asc ties) — "
+    "gram-keyed count shuffle + TakeOrdered top-k, no full sort",
+)
+def t9_top_ngrams(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return tx.top_ngrams(d, "text", "doc_id", n=2, k=TOP_NGRAM_K)

@@ -345,3 +345,30 @@ def test_rolling_metrics_hand_computed(spark):
     # frame shorter than the window: seq 2 -> trailing = 1+2
     assert out[(1, 2)].roll_sum == 3.0 and out[(1, 2)].roll_avg == 1.5
     assert out[(2, 1)].cum_sum == 10.0 and out[(2, 1)].cum_n == 1
+
+
+def test_temporal_split_boundaries(spark):
+    from mrf_etl_spark.operators.sampling import temporal_split
+
+    df = spark.createDataFrame(
+        [(1, 99), (2, 100), (3, 149), (4, 150), (5, 200)], "id long, ts long"
+    )
+    out = {r.id: r.split for r in temporal_split(df, "ts", 100, 50).collect()}
+    assert out == {
+        1: "train",        # strictly before cutoff
+        2: "holdout_gap",  # at cutoff -> inside the buffer
+        3: "holdout_gap",  # last gap tick
+        4: "test",         # first test tick (cutoff + gap)
+        5: "test",
+    }
+
+
+def test_top_ngrams_counts_and_ties(spark):
+    from mrf_etl_spark.operators.textops import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "z")], "doc_id long, text string"
+    )
+    got = [(r.gram, r.cnt) for r in top_ngrams(docs, "text", "doc_id", 2, 3).collect()]
+    # 'a b' x3 ('a b a b' contributes 2), then ties 'b a'/'b c' break by gram
+    assert got == [("a b", 3), ("b a", 1), ("b c", 1)]
