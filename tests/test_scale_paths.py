@@ -121,3 +121,36 @@ def test_salted_join_matches_plain_join(spark):
 
     with pytest.raises(ValueError):
         salted_join(fact, dim, on=["o_custkey"], salt_col="o_orderkey", how="full")
+
+
+def test_cluster_plan_scales_with_volume_and_cores():
+    from mrf_etl_spark.deploy import TARGET_PARTITION_BYTES, cluster_plan
+
+    # 100 TB on 1000 executors x 4 cores: partitions sized by bytes
+    big = cluster_plan(100, 1000, 4)
+    parts = int(big["spark.sql.shuffle.partitions"])
+    assert parts * TARGET_PARTITION_BYTES >= 100e12 * 0.5  # covers the shuffle
+    assert parts >= 2 * 4000  # and the scheduling floor
+    # tiny data on a big cluster: the 2-tasks-per-core floor dominates
+    small = cluster_plan(0.001, 1000, 4)
+    assert int(small["spark.sql.shuffle.partitions"]) == 8000
+    # AQE coalesce target equals the shuffle target
+    assert (
+        big["spark.sql.adaptive.advisoryPartitionSizeInBytes"]
+        == str(TARGET_PARTITION_BYTES)
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cluster_plan(0, 10, 4)
+
+
+def test_cluster_plan_composes_into_get_spark():
+    from mrf_etl_spark.deploy import cluster_plan
+
+    # confs must be well-formed strings a SparkConf accepts; don't start a
+    # second session here (one JVM per test run) — validate shape instead
+    conf = cluster_plan(10, 100, 8)
+    assert all(isinstance(k, str) and isinstance(v, str) for k, v in conf.items())
+    assert all(v.isdigit() for v in conf.values())
