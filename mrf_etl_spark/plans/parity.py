@@ -889,16 +889,18 @@ def j8_star_join(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     # The WHERE null-rejects the orders/part sides, so those LEFT joins
     # are inner: apply both filters at the scans. The selective part
-    # predicate (~1/8) broadcasts onto lineitem FIRST to shrink the fact
+    # predicate (~1/8) joins onto lineitem FIRST to shrink the fact
     # before the one unavoidable shuffle join against filtered orders —
     # orders is a fact, never broadcast it (the old plan did; at 100 TB
     # that build dies, and locally this is still 1.4x faster cold).
-    # customer is also sf-proportional (15M rows at sf100), so it gets no
-    # forced hint either — AQE broadcasts it at runtime when small.
+    # part and customer are sf-proportional too, so NEITHER gets a forced
+    # hint — AQE converts to broadcast at runtime when the filtered side
+    # is actually small (it is at bench SFs; a 1/8 slice of part at
+    # 100 TB is billions of rows and must stay a shuffle join).
     o = o.filter(F.col("o_orderstatus") == "F")
     p = p.filter(F.lower(F.col("p_name")).contains("widget"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey, "left")
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
