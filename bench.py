@@ -43,6 +43,7 @@ HEADLINE = [
     "t2_quality_score",
     "t7_repetition_signals",
     "t8_contamination",
+    "pipe1_llm_prep",
     "n1_ann_cosine_topk",
 ]
 

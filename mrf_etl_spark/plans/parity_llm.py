@@ -968,3 +968,49 @@ TOP_NGRAM_K = 50
 def t9_top_ngrams(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return tx.top_ngrams(d, "text", "doc_id", n=2, k=TOP_NGRAM_K)
+
+
+@register(
+    "pipe1_llm_prep",
+    # the composed end-to-end prep plan: quality gate (t2 formula) →
+    # exact dedup keeping the min doc_id per content hash (d1/W1 shape) →
+    # PII scrub (t6 chain) → deterministic split (sp1 buckets). Every
+    # stage reuses an already-parity-checked recipe, so the composition's
+    # oracle is just their SQL composed.
+    f"""WITH q AS (SELECT doc_id, quality FROM ({_T2_SQL}) tq),
+       kept AS (
+         SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+         WHERE q.quality >= 0.75),
+       dedup AS (
+         SELECT doc_id, text FROM (
+           SELECT doc_id, text,
+                  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM kept) WHERE rn = 1)
+       SELECT doc_id,
+              CASE WHEN bucket < 9000 THEN 'train'
+                   WHEN bucket < 9500 THEN 'val'
+                   ELSE 'test' END AS split,
+              md5({_t6_scrub_sql('text')}) AS content_hash
+       FROM (SELECT doc_id, text, {_BUCKET_SQL.format(id='doc_id')} AS bucket
+             FROM dedup)""",
+    doc="pipe1: the composed LLM-corpus prep pipeline — quality filter → "
+    "exact dedup (min-id canonical) → PII scrub → train/val/test split — "
+    "as ONE lazy plan: one window shuffle on the content hash, everything "
+    "else scan-local projections",
+)
+def pipe1_llm_prep(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from mrf_etl_spark.operators import sampling as sp
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = d.filter(tx.quality_score("text") >= 0.75)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return sp.assign_split(
+        dedup, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split", F.md5(tx.pii_scrub("text")).alias("content_hash"))
