@@ -322,3 +322,38 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+def quantize_int8(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)`` ∈ [-127, 127] — 4× smaller embedding
+    storage/shuffle for ANN and near-dup at a bounded (~0.4%/dim) error,
+    the standard compression step before billion-vector indexing.
+
+    Pure per-row projection (codegen on the scan, no shuffle). All
+    arithmetic is staged through double BEFORE abs/divide so the float32
+    inputs promote identically on any engine, and round() is
+    half-away-from-zero on both Spark and DuckDB — the oracle replays
+    bit-for-bit. Zero vectors quantize to zeros with scale 0.
+
+    Returns (id, scale, qvec). ``dequantize_expr`` reconstructs
+    ``q_i * scale`` for downstream cosine at reduced precision.
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    q = F.when(amax == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v, lambda x: F.round(x.cast("double") / (amax / F.lit(127.0))).cast("int")
+        )
+    )
+    return emb.select(F.col(id_col), scale, q.alias("qvec"))
+
+
+def dequantize_expr(qvec_col: str, scale_col: str) -> Column:
+    """array<double> reconstruction: q_i * scale."""
+    return F.transform(
+        F.col(qvec_col), lambda x: x.cast("double") * F.col(scale_col)
+    )

@@ -1014,3 +1014,29 @@ def pipe1_llm_prep(spark, sf_dir):
     return sp.assign_split(
         dedup, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
     ).select("doc_id", "split", F.md5(tx.pii_scrub("text")).alias("content_hash"))
+
+
+@register(
+    "e1_quantize_int8",
+    # float32 → double staging on BOTH sides before abs/divide; round()
+    # is half-away-from-zero on both engines
+    """SELECT vec_id,
+              list_aggregate(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale,
+              CASE WHEN list_aggregate(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE))), 'max') = 0
+                   THEN list_transform(embedding, x -> 0)
+                   ELSE list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) /
+                             (list_aggregate(list_transform(embedding,
+                                  x2 -> abs(CAST(x2 AS DOUBLE))), 'max') / 127.0))
+                             AS INTEGER))
+              END AS qvec
+       FROM embeddings""",
+    doc="e1: per-vector symmetric int8 embedding quantization "
+    "(scale = max|x|/127) — 4x smaller vectors for ANN/near-dup shuffles; "
+    "scan-local projection, no shuffle",
+)
+def e1_quantize_int8(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return sim.quantize_int8(e, "embedding", "vec_id")

@@ -372,3 +372,26 @@ def test_top_ngrams_counts_and_ties(spark):
     got = [(r.gram, r.cnt) for r in top_ngrams(docs, "text", "doc_id", 2, 3).collect()]
     # 'a b' x3 ('a b a b' contributes 2), then ties 'b a'/'b c' break by gram
     assert got == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    from mrf_etl_spark.operators.similarity import dequantize_expr, quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = {r.vec_id: r for r in quantize_int8(emb).collect()}
+    assert q[1].scale == 1.0 / 127.0
+    assert q[1].qvec == [127, -64, 32, 0]  # round(−63.5) away from zero
+    assert q[2].scale == 0.0 and q[2].qvec == [0, 0, 0, 0]
+
+    rec = (
+        quantize_int8(emb)
+        .select("vec_id", dequantize_expr("qvec", "scale").alias("r"))
+        .collect()
+    )
+    orig = {1: [1.0, -0.5, 0.25, 0.0], 2: [0.0] * 4}
+    for row in rec:
+        for a, b in zip(row.r, orig[row.vec_id]):
+            assert abs(a - b) <= (1.0 / 127.0) / 2 + 1e-12  # half-step bound
