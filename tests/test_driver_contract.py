@@ -84,7 +84,11 @@ spark = (
 import __spark_entry__ as e
 
 q = e.queries()
-for name in ["s14_latest_merge", "f_categorizer", "f_year_month", "d1_exact_dup"]:
+for name in [
+    "s14_latest_merge", "f_categorizer", "f_year_month", "d1_exact_dup",
+    "w7_rolling_metrics", "sp3_temporal_split", "q1_quality_report",
+    "e1_quantize_int8",
+]:
     rows = q[name](spark, "/root/testdata/sf0.001").collect()
     print(name, "rows:", len(rows))
     assert rows is not None
