@@ -1,0 +1,149 @@
+"""Property-based invariants (hypothesis) for the operator algebra.
+
+Each property is the operator's CONTRACT, not an example: split
+assignment is append-stable, salting is invisible, as-of equals the
+brute-force argmax, exact-decimal money sums are permutation-invariant,
+quantization error is bounded. Examples are kept small (Spark job per
+example); shrinking still localizes failures.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+ids = st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30, unique=True)
+
+
+@given(ids=ids)
+@settings(**SETTINGS)
+def test_assign_split_is_append_stable(spark, ids):
+    """Adding rows never changes existing rows' split assignments, and
+    every row gets exactly one of the declared splits."""
+    from mrf_etl_spark.operators.sampling import assign_split
+
+    w = {"train": 0.8, "test": 0.2}
+    half = ids[: max(1, len(ids) // 2)]
+    df_half = spark.createDataFrame([(i,) for i in half], "id long")
+    df_full = spark.createDataFrame([(i,) for i in ids], "id long")
+    a = {r.id: r.split for r in assign_split(df_half, "id", w).collect()}
+    b = {r.id: r.split for r in assign_split(df_full, "id", w).collect()}
+    assert all(b[i] == a[i] for i in half)
+    assert set(b.values()) <= {"train", "test"}
+
+
+@given(
+    fact=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 5)), min_size=1, max_size=40
+    ),
+    dim=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@settings(**SETTINGS)
+def test_salted_join_invisible(spark, fact, dim):
+    """salted_join == plain join for any tables, duplicate keys included."""
+    from mrf_etl_spark.operators.skew import salted_join
+
+    f = spark.createDataFrame(fact, "row_id long, k long")
+    d = spark.createDataFrame(dim, "k long, v long")
+    plain = sorted(
+        (r.row_id, r.k, r.v) for r in f.join(d, "k").select("row_id", "k", "v").collect()
+    )
+    salted = sorted(
+        (r.row_id, r.k, r.v)
+        for r in salted_join(f, d, on=["k"], salt_col="row_id", n_salt=3)
+        .select("row_id", "k", "v")
+        .collect()
+    )
+    assert salted == plain
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=20),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=20),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """asof result == per-left-row argmax over right (latest ts <= l.ts,
+    ties by the operator's documented tie-break: largest right ts wins;
+    right rows deduped on (key, ts) to keep the brute force well-defined)."""
+    from mrf_etl_spark.operators.asof import asof_join
+
+    right = list({(k, ts): (k, ts) for k, ts in right}.values())
+    l = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)], "k long, lts long, lid long"
+    )
+    r = spark.createDataFrame(right, "k long, rts long")
+    got = {
+        (row.lid): row.rts_asof
+        for row in asof_join(
+            l, r, on="k", left_ts="lts", right_ts="rts", right_cols=["rts"]
+        ).collect()
+    }
+    for i, (k, ts) in enumerate(left):
+        cands = [rts for rk, rts in right if rk == k and rts <= ts]
+        assert got.get(i) == (max(cands) if cands else None)
+
+
+@given(
+    vals=st.lists(
+        st.decimals(
+            min_value=-1000, max_value=1000, places=2, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    parts=st.integers(1, 8),
+)
+@settings(**SETTINGS)
+def test_money_sum_partition_invariant(spark, vals, parts):
+    """Exact-decimal sums don't depend on partitioning/order (THE property
+    that broke a13 in round 1 under double summation)."""
+    from mrf_etl_spark.plans.parity import money_sum
+
+    rows = [(float(v),) for v in vals]
+    df = spark.createDataFrame(rows, "v double")
+    a = df.repartition(parts).agg(money_sum("v").alias("s")).collect()[0].s
+    b = df.coalesce(1).agg(money_sum("v").alias("s")).collect()[0].s
+    assert a == b
+    assert abs(a - float(sum(vals))) < 1e-9
+
+
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-10, max_value=10, allow_nan=False, allow_infinity=False, width=32
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**SETTINGS)
+def test_quantize_error_bounded(spark, vec):
+    from mrf_etl_spark.operators.similarity import dequantize_expr, quantize_int8
+
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    row = (
+        quantize_int8(df)
+        .select("scale", "qvec", dequantize_expr("qvec", "scale").alias("rec"))
+        .collect()[0]
+    )
+    assert all(-127 <= q <= 127 for q in row.qvec)
+    for orig, rec in zip(vec, row.rec):
+        # half-quantum bound, with slack for the float32 storage rounding
+        assert abs(rec - orig) <= row.scale / 2 + 1e-5
+
+
+if __name__ == "__main__":  # pragma: no cover
+    pytest.main([__file__, "-q"])
