@@ -202,56 +202,57 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     2-gram (the classic "duplicated phrase" Gopher filter; NULL when the
     doc has fewer than 2 words).
 
-    All counting runs as explode → two-level groupBy (map-side partial
-    aggregation, shuffles keyed on doc_id — scale-linear, no HOF lambdas
-    in the hot path per the measured pitfalls). Ratios are single double
-    divisions of exact integers, so every engine reproduces them bit-for-
-    bit. Reference anchor: quality filtering extends the reference's
-    validation notebook checks (notebook.py summary stats) to corpus
-    hygiene for LLM training data.
+    Counting runs as ONE fused chain: words and bigrams explode from the
+    same split with a type tag, so per-gram counts and per-doc rollups
+    are each a single groupBy (2 shuffles total, both keyed on doc_id,
+    map-side partial agg) instead of two parallel chains + a join.
+    Ratios are single double divisions of exact integers, so every
+    engine reproduces them bit-for-bit. Reference anchor: quality
+    filtering extends the reference's validation notebook checks
+    (notebook.py summary stats) to corpus hygiene for LLM training data.
     """
     docs = df.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
     )
-    words = docs.select("doc_id", F.explode("_w").alias("w"))
-    wstats = (
-        words.groupBy("doc_id", "w")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_words"),
-            F.count("*").alias("n_distinct_words"),
-            F.max("c").alias("_top_w"),
-        )
-    )
-    bigrams = docs.filter(F.size("_w") >= 2).select(
+    # tagged union of 1-grams and 2-grams in one projection: each element
+    # is (type, gram); the CASE keeps sub-2-word docs bigram-free
+    grams = docs.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(_w) - 2),"
-                " i -> concat_ws(' ', _w[i], _w[i + 1]))"
+                "concat("
+                " transform(_w, x -> struct('w' AS t, x AS g)),"
+                " CASE WHEN size(_w) >= 2 THEN"
+                "   transform(sequence(0, size(_w) - 2),"
+                "     i -> struct('g' AS t, concat_ws(' ', _w[i], _w[i + 1]) AS g))"
+                " ELSE array() END)"
             )
-        ).alias("g"),
-    )
-    gstats = (
-        bigrams.groupBy("doc_id", "g")
+        ).alias("tg"),
+    ).select("doc_id", F.col("tg.t").alias("t"), F.col("tg.g").alias("g"))
+    per_doc = (
+        grams.groupBy("doc_id", "t", "g")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("_top_g"))
+        .agg(
+            F.sum(F.when(F.col("t") == "w", F.col("c"))).alias("n_words"),
+            F.count_if(F.col("t") == "w").alias("n_distinct_words"),
+            F.max(F.when(F.col("t") == "w", F.col("c"))).alias("_top_w"),
+            F.coalesce(
+                F.sum(F.when(F.col("t") == "g", F.col("c"))), F.lit(0)
+            ).alias("n_bigrams"),
+            F.max(F.when(F.col("t") == "g", F.col("c"))).alias("_top_g"),
+        )
     )
     dbl = lambda c: F.col(c).cast("double")  # noqa: E731
-    return (
-        wstats.join(gstats, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            "n_distinct_words",
-            (dbl("n_distinct_words") / dbl("n_words")).alias("distinct_ratio"),
-            (dbl("_top_w") / dbl("n_words")).alias("top_word_frac"),
-            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-            (dbl("_top_g") / dbl("n_bigrams")).alias("top_bigram_frac"),
-        )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        (dbl("n_distinct_words") / dbl("n_words")).alias("distinct_ratio"),
+        (dbl("_top_w") / dbl("n_words")).alias("top_word_frac"),
+        "n_bigrams",
+        (dbl("_top_g") / dbl("n_bigrams")).alias("top_bigram_frac"),
     )
 
 
