@@ -1040,3 +1040,35 @@ def pipe1_llm_prep(spark, sf_dir):
 def e1_quantize_int8(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     return sim.quantize_int8(e, "embedding", "vec_id")
+
+
+@register(
+    "m3_media_exact_dup",
+    # binary-domain d1: md5 over the payload BYTES (DuckDB md5(BLOB) ==
+    # Spark md5(binary)); dup groups injected by doc_id shift like d1's
+    # DuckDB's md5 is VARCHAR-only; the fixture payload IS the text's
+    # UTF-8 bytes, and Spark's md5(string) hashes UTF-8 bytes too — so
+    # md5(text) replays md5(payload) exactly
+    f"""WITH mm AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + {ID_SHIFT} AS doc_id, text
+         FROM documents WHERE doc_id < {EXACT_DUP_IDS})
+       SELECT md5(text) AS content_hash, count(*) AS n,
+              min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM mm GROUP BY 1 HAVING count(*) > 1""",
+    doc="m3: exact dedup on the BINARY media column — md5 over payload "
+    "bytes, hash-groupBy; the d1 recipe lifted to multimodal payloads "
+    "(byte-identical images/audio collapse before any decode work)",
+)
+def m3_media_exact_dup(spark, sf_dir):
+    mm = attach_binary_payload(_docs_with_exact_dups(spark, sf_dir), "text", "doc_id")
+    return (
+        mm.groupBy(F.md5("payload").alias("content_hash"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .filter(F.col("n") > 1)
+    )
