@@ -1,0 +1,59 @@
+"""Exchange-count budgets for flagship plans.
+
+A perf regression usually arrives as an extra shuffle (a lost broadcast,
+a new repartition, an agg split that stopped combining map-side) long
+before anyone reads timings. These tests pin the Exchange count of the
+plans whose shape is the documented design — a failure means the plan
+changed structurally, not that a machine got slower.
+
+Budgets are UPPER bounds counted on the pre-AQE physical plan (AQE can
+only remove/convert exchanges at runtime, never add).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# entry -> max Exchange nodes tolerated in the executed plan string
+BUDGETS = {
+    # scan → partial agg → single final exchange
+    "s1_pruned_scan": 1,
+    # dim chain broadcasts; the only exchanges are the final agg's
+    "j4_join_chain": 2,
+    # one window shuffle on the key
+    "w7_rolling_metrics": 1,
+    # lag+cumsum sessionization: one key shuffle (+ final agg exchange)
+    "w5_sessionize_batch": 2,
+    # union+window carry: one key shuffle over the tagged union
+    "w4_asof_join": 2,
+    # salt spreads the join: exactly the two join-input exchanges + agg
+    "j13_salted_skew_join": 3,
+    # latest-per-key window: one shuffle
+    "w1_latest_per_key": 1,
+}
+
+
+def _catalog():
+    import mrf_etl_spark.plans.parity as parity
+    import mrf_etl_spark.plans.parity_llm  # noqa: F401
+    import mrf_etl_spark.plans.parity_streaming  # noqa: F401
+
+    return parity.REGISTRY
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_exchange_budget(spark, name):
+    df = _catalog()[name].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # count Exchange operators; ReusedExchange references don't add work
+    n = len(re.findall(r"\bExchange\b", plan)) - len(
+        re.findall(r"\bReusedExchange\b", plan)
+    )
+    assert n <= BUDGETS[name], (
+        f"{name}: {n} exchanges > budget {BUDGETS[name]} — the plan gained "
+        f"a shuffle; inspect df.explain('formatted')"
+    )
