@@ -1932,3 +1932,34 @@ def q1_quality_report(spark, sf_dir):
             range_check(li, "range_l_discount_0_0.1", "l_discount", 0, 0.1),
         ]
     )
+
+
+@register(
+    "x2_json_explode",
+    # ground truth built relationally: the JSON is constructed from the
+    # same columns, so the oracle emits the two (k, v) rows per event
+    # directly — what from_json + explode must reconstruct
+    """SELECT event_id, event_type AS k, user_id AS v FROM events
+       UNION ALL
+       SELECT event_id, 'x' AS k, event_id AS v FROM events""",
+    doc="x2: nested-JSON ingestion — from_json(array<struct>) + explode "
+    "(the reference's NPPES payloads are JSON arrays of structs; "
+    "enrichment.py:150 parses them the same way); schema-on-read stays "
+    "scan-local, no shuffle",
+)
+def x2_json_explode(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    j = F.concat(
+        F.lit('[{"k":"'),
+        F.col("event_type"),
+        F.lit('","v":'),
+        F.col("user_id").cast("string"),
+        F.lit('},{"k":"x","v":'),
+        F.col("event_id").cast("string"),
+        F.lit("}]"),
+    )
+    parsed = F.from_json(j, "array<struct<k string, v bigint>>")
+    return (
+        ev.select("event_id", F.explode(parsed).alias("e"))
+        .select("event_id", F.col("e.k").alias("k"), F.col("e.v").alias("v"))
+    )
