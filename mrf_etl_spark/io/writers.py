@@ -183,3 +183,36 @@ def write_bucketed_table(
     if spark.catalog.tableExists(table):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     writer.format("parquet").saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~``target_bytes`` files; returns
+    the output file count.
+
+    Incremental upsert/append lakes accrete small files (every micro-batch
+    or upsert commit writes its own), and at 100 TB the scan's file-open
+    and footer-read overhead — plus the driver-side file index — comes to
+    dominate read time long before data volume does. Compaction is the
+    maintenance half of the write path: size the file count from actual
+    on-disk bytes, round-robin repartition (even output regardless of the
+    input's skew), and swap atomically so readers never see a partial
+    rewrite (same temp+rename discipline as atomic_overwrite /
+    ETL_1.py:369-389).
+
+    Hive-partitioned lakes should compact per partition directory (call
+    this per partition path) so a hot partition's rewrite doesn't touch
+    cold ones."""
+    total = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(path)
+    atomic_overwrite(df.repartition(n_files), path)
+    return n_files

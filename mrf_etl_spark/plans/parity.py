@@ -1963,3 +1963,31 @@ def x2_json_explode(spark, sf_dir):
         ev.select("event_id", F.explode(parsed).alias("e"))
         .select("event_id", F.col("e.k").alias("k"), F.col("e.v").alias("v"))
     )
+
+
+@register(
+    "s18_compaction",
+    # compaction must be invisible to readers: rows and exact value sums
+    # over the compacted copy equal the source table
+    f"""SELECT count(*) AS n_rows,
+              {money_sum_sql('value')} AS val_sum,
+              count(DISTINCT event_id) AS n_ids
+       FROM events""",
+    doc="S18 (beyond-reference): small-file compaction — an upsert lake's "
+    "maintenance pass; 32 accreted files rewritten to byte-sized file "
+    "count with an atomic swap (io/writers.py:compact_parquet), verified "
+    "invisible to readers (rows + exact sums + key counts unchanged)",
+)
+def s18_compaction(spark, sf_dir):
+    from mrf_etl_spark.io.writers import compact_parquet
+
+    scratch = _scratch("s18_lake")
+    # simulate the accreted small-file state an append/upsert lake reaches
+    t(spark, sf_dir, "events").repartition(32).write.parquet(scratch)
+    n_out = compact_parquet(spark, scratch, target_bytes=1 << 30)
+    assert n_out == 1  # sf0.01 events is ~1 MB on disk
+    return spark.read.parquet(scratch).agg(
+        F.count("*").alias("n_rows"),
+        money_sum("value").alias("val_sum"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )

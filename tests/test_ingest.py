@@ -148,3 +148,20 @@ def test_quality_report_counts_injected_violations(spark):
     assert rep["fk"] == (2, 4, 0.5)  # 99 unmatched + null fk
     assert rep["nulls"] == (1, 3, 1 / 3)
     assert rep["range"] == (2, 3, 2 / 3)  # null + 500 out of range
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    from mrf_etl_spark.io.writers import compact_parquet
+
+    path = str(tmp_path / "lake")
+    src = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    src.repartition(8).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 8
+    n_out = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert n_out == 1
+    assert len(glob.glob(f"{path}/*.parquet")) == 1
+    after = spark.read.parquet(path)
+    assert after.count() == 10_000
+    assert after.agg(F.sum("v")).collect()[0][0] == src.agg(F.sum("v")).collect()[0][0]
