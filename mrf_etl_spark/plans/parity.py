@@ -1991,3 +1991,35 @@ def s18_compaction(spark, sf_dir):
         money_sum("value").alias("val_sum"),
         F.countDistinct("event_id").alias("n_ids"),
     )
+
+
+@register(
+    "mv1_materialized_rollup",
+    # truth = aggregating the base table directly; the entry must get the
+    # same values through the materialize → partition-pruned read path
+    f"""SELECT l_returnflag, l_linestatus, l_tax AS bucket_tax,
+              count(*) AS n, {money_sum_sql('l_extendedprice')} AS revenue
+       FROM lineitem
+       WHERE l_returnflag = 'R'
+       GROUP BY 1, 2, 3""",
+    doc="MV1: the reference's materialized-view serving path "
+    "(DASHBOARD_OPTIMIZATION_GUIDE.md:9-19, 2-5 s scans → 50-200 ms MV "
+    "reads): rollup materialized partitioned-by-returnflag, dashboard "
+    "query reads ONLY the pruned partition; values must equal the "
+    "direct aggregation",
+)
+def mv1_materialized_rollup(spark, sf_dir):
+    mv = _scratch("mv1_serving")
+    (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus", F.col("l_tax").alias("bucket_tax"))
+        .agg(F.count("*").alias("n"), money_sum("l_extendedprice").alias("revenue"))
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(mv)
+    )
+    return (
+        spark.read.parquet(mv)
+        .filter(F.col("l_returnflag") == "R")  # partition-pruned serving read
+        .select("l_returnflag", "l_linestatus", "bucket_tax", "n", "revenue")
+    )
