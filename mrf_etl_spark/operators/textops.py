@@ -328,3 +328,59 @@ def top_ngrams(
         .orderBy(F.col("cnt").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+def contamination_overlap_tagged(
+    df: DataFrame,
+    eval_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """:func:`contamination_overlap` for the common case where corpus and
+    eval split are rows of the SAME table (``eval_pred`` selects the
+    eval/benchmark rows): shingles and hashes compute in ONE pass with an
+    eval tag instead of two scans of the source. Output is identical —
+    overlap of each non-eval doc's distinct shingles with the eval
+    universe."""
+    from mrf_etl_spark.operators.dedup import doc_shingles, shingle_hash_expr
+
+    tagged = df.withColumn("_is_eval", eval_pred)
+    # doc_shingles projects only (doc_id, shingle), so the eval tag rides
+    # IN the id (eval doc i → -i-1, bijective for the non-negative ids
+    # this engine mints) and is unmapped right after — zero extra scans,
+    # zero joins to restore the tag
+    sh = (
+        doc_shingles(
+            tagged.withColumn(
+                id_col,
+                F.when(F.col("_is_eval"), -F.col(id_col) - 1).otherwise(F.col(id_col)),
+            ),
+            text_col,
+            id_col,
+            k,
+        )
+        .select(
+            F.when(F.col("doc_id") < 0, -F.col("doc_id") - 1)
+            .otherwise(F.col("doc_id"))
+            .alias("doc_id"),
+            (F.col("doc_id") < 0).alias("_is_eval"),
+            shingle_hash_expr(F.col("shingle")).alias("h"),
+        )
+    )
+    ev = sh.filter(F.col("_is_eval")).select("h").distinct()
+    c_sh = sh.filter(~F.col("_is_eval")).select("doc_id", "h")
+    tot = c_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = c_sh.join(ev, "h").groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+    return (
+        tot.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("overlap_frac"),
+        )
+    )

@@ -920,9 +920,11 @@ EVAL_MOD = 101  # doc_id % EVAL_MOD == 0 → the held-out "benchmark" split
 )
 def t8_contamination(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = d.filter(F.col("doc_id") % EVAL_MOD != 0)
-    ev = d.filter(F.col("doc_id") % EVAL_MOD == 0)
-    return tx.contamination_overlap(corpus, ev, "text", "doc_id", k=SHINGLE_K)
+    # single-pass tagged form: corpus and eval come from the same table,
+    # so shingle+hash once (contamination_overlap is the two-table form)
+    return tx.contamination_overlap_tagged(
+        d, F.col("doc_id") % EVAL_MOD == 0, "text", "doc_id", k=SHINGLE_K
+    )
 
 
 SP3_CUTOFF_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z
