@@ -40,10 +40,16 @@ def range_join(
     equality key. ``left_ts``/``right_ts`` must be integer-valued (epoch
     micros/nanos); ``width`` in the same unit."""
     keys = [on] if isinstance(on, str) else list(on)
+    if width < 0:
+        raise ValueError(f"width must be >= 0, got {width}")
+    # width=0 means exact timestamp equality; band on the raw ts (div 0
+    # would null every band and silently return zero rows — caught by the
+    # hypothesis brute-force property)
+    band_width = max(width, 1)
     # integer `div`, not float `/`: double division of epoch integers can
     # round across an exact band boundary and silently drop edge matches
-    band_l = F.expr(f"{left_ts} div {width}")
-    band_r = F.expr(f"{right_ts} div {width}")
+    band_l = F.expr(f"{left_ts} div {band_width}")
+    band_r = F.expr(f"{right_ts} div {band_width}")
     # right rows fan out to the 3 candidate bands; dropDuplicates is not
     # needed — each (l, r) true pair meets in exactly one band because l's
     # band is fixed and r appears once per distinct band value

@@ -145,5 +145,64 @@ def test_quantize_error_bounded(spark, vec):
         assert abs(rec - orig) <= row.scale / 2 + 1e-5
 
 
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 200)), min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 200)), min_size=1, max_size=15),
+    width=st.integers(0, 100),
+)
+@settings(**SETTINGS)
+def test_range_join_matches_bruteforce(spark, left, right, width):
+    """Banded range join == the quadratic definition |lts - rts| <= width
+    per key, for any width including 0."""
+    from mrf_etl_spark.operators.rangejoin import range_join
+
+    l = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)], "k long, lts long, lid long"
+    )
+    r = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(right)], "k long, rts long, rid long"
+    )
+    got = sorted(
+        (row.lid, row.rid)
+        for row in range_join(l, r, on="k", left_ts="lts", right_ts="rts", width=width).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (lk, lts) in enumerate(left)
+        for j, (rk, rts) in enumerate(right)
+        if lk == rk and abs(lts - rts) <= width
+    )
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=25
+    ),
+    gap=st.integers(1, 200),
+)
+@settings(**SETTINGS)
+def test_sessionize_matches_bruteforce(spark, events, gap):
+    """session_seq == the sequential gap-scan definition per key (events
+    deduped on (key, ts) so ordering is unambiguous)."""
+    from mrf_etl_spark.operators.sessions import sessionize
+
+    events = sorted(set(events))
+    df = spark.createDataFrame(events, "k long, ts long")
+    got = {
+        (r.k, r.ts): r.session_seq
+        for r in sessionize(df, "k", "ts", gap).collect()
+    }
+    for k in {k for k, _ in events}:
+        times = sorted(ts for ek, ts in events if ek == k)
+        seq = 1
+        prev = None
+        for ts in times:
+            if prev is not None and ts - prev > gap:
+                seq += 1
+            assert got[(k, ts)] == seq, (k, ts, times)
+            prev = ts
+
+
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
