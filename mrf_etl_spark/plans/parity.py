@@ -111,14 +111,26 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long
-        # (nanosAsLong). Keep the exact nanos for ordering (`ts_ns`) and a
-        # µs-truncated real timestamp for calendar functions (`ts`).
-        # integer `div`, NOT `/`: float division of ~1.7e18 ns loses
-        # precision beyond 2^53 and lands ±1 µs off DuckDB's truncation
-        df = df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-        )
+        # events.ts has shipped as two different parquet encodings across
+        # testdata generations: INT64 TIMESTAMP(NANOS) (Spark reads it as
+        # long under nanosAsLong) and plain timestamp[us] (Spark reads it
+        # as TIMESTAMP_NTZ). Branch on the actual read type so the catalog
+        # is robust to either; both paths yield the same two columns:
+        # exact nanos for ordering (`ts_ns`) and a µs real timestamp for
+        # calendar functions (`ts`).
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer `div`, NOT `/`: float division of ~1.7e18 ns loses
+            # precision beyond 2^53 and lands ±1 µs off DuckDB's truncation
+            df = df.withColumn("ts_ns", F.col("ts").cast("long"))
+        else:
+            # NTZ→LTZ is an identity under the UTC session conf, so
+            # unix_micros matches DuckDB's epoch_us(ts) exactly
+            df = df.withColumn(
+                "ts_ns",
+                F.unix_micros(F.col("ts").cast("timestamp_ltz")) * F.lit(1000),
+            )
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
     _T_CACHE[key] = df
     return df
 
@@ -1255,7 +1267,8 @@ def a12_cross_product(spark, sf_dir):
     f"""SELECT l_linestatus,
               {money_sum_sql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END")}
                 AS returned_value,
-              sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_n,
+              CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                AS returned_n,
               count(*) AS total_n
        FROM lineitem GROUP BY l_linestatus""",
     doc="A13: coverage counters as conditional sums in one pass "
@@ -1368,9 +1381,9 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in micros
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
        sess AS (
          SELECT user_id, event_id, value,
-                sum(new_sess) OVER (
+                CAST(sum(new_sess) OVER (
                   PARTITION BY user_id ORDER BY ts_us, event_id
-                  ROWS UNBOUNDED PRECEDING) AS session_seq
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
          FROM tagged)
        SELECT user_id, session_seq, count(*) AS n_events,
               min(event_id) AS first_event, max(event_id) AS last_event,

@@ -417,11 +417,11 @@ def t2_quality_score(spark, sf_dir):
     "t3_token_count",
     """SELECT doc_id,
               len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
-              coalesce(list_sum(list_transform(
+              CAST(coalesce(list_sum(list_transform(
                   regexp_extract_all(text, '[a-z]+|[A-Z]+'),
                   w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
               + len(regexp_extract_all(text, '[0-9]+'))
-              + len(regexp_extract_all(text, '[.,;:!?]')) AS bpe_tokens
+              + len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS bpe_tokens
        FROM documents""",
     doc="Token counting: whitespace tokens + BPE-ish subword estimate "
     "(alpha runs cost ceil(len/4), digit runs and punctuation cost 1)",
@@ -848,8 +848,8 @@ def sp2_stratified_sample(spark, sf_dir):
          SELECT doc_id, wd, count(*) AS c
          FROM (SELECT doc_id, unnest(ws) AS wd FROM w) GROUP BY doc_id, wd),
        wstats AS (
-         SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct_words,
-                max(c) AS top_w
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                count(*) AS n_distinct_words, max(c) AS top_w
          FROM wc GROUP BY doc_id),
        gc AS (
          SELECT doc_id, g, count(*) AS c
@@ -858,7 +858,7 @@ def sp2_stratified_sample(spark, sf_dir):
                      FROM w WHERE len(ws) >= 2))
          GROUP BY doc_id, g),
        gstats AS (
-         SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_g
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_g
          FROM gc GROUP BY doc_id)
        SELECT s.doc_id, s.n_words, s.n_distinct_words,
               CAST(s.n_distinct_words AS DOUBLE) / CAST(s.n_words AS DOUBLE)

@@ -24,6 +24,22 @@ from mrf_etl_spark.streaming import sessionize_events, windowed_event_counts
 GAP_MIN = 30
 
 
+def _events_raw(spark, sf_dir):
+    """Raw read schema + ts-normalizer for STREAMING reads of
+    events.parquet, robust to both encodings the driver has shipped:
+    INT64 TIMESTAMP(NANOS) (reads as long under nanosAsLong) and plain
+    timestamp[us] (reads as TIMESTAMP_NTZ). readStream needs an explicit
+    schema, so infer it from a batch read of the same file — hardcoding
+    LongType here silently misread micros as nanos when the testdata
+    regenerated (st6 returned 13,128 rows vs the oracle's 1,688)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    if isinstance(schema["ts"].dataType, T.LongType):
+        conv = F.timestamp_micros(F.expr("ts div 1000"))  # exact nanos → µs
+    else:
+        conv = F.col("ts").cast("timestamp_ltz")  # NTZ ≡ LTZ under UTC conf
+    return schema, conv
+
+
 @register(
     "st1_windowed_counts",
     oracle="""
@@ -90,16 +106,7 @@ def st3_stream_upsert(spark, sf_dir):
     event_ids regardless of batch boundaries."""
     from mrf_etl_spark.streaming import stream_upsert_ingest
 
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) reads as long
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    raw_schema, ts_conv = _events_raw(spark, sf_dir)
     lake = _scratch("st3_lake")
     # file stream sources take a DIRECTORY; glob-filter to the events table
     stream = (
@@ -113,9 +120,7 @@ def st3_stream_upsert(spark, sf_dir):
         lake,
         keys=["event_id"],
         checkpoint_dir=_scratch("st3_ckpt"),
-        transform=lambda df: df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ),
+        transform=lambda df: df.withColumn("ts", ts_conv),
     )
     q.awaitTermination(300)
     return spark.read.parquet(lake).agg(F.count("*").alias("n"))
@@ -145,16 +150,7 @@ def st4_stateful_totals(spark, sf_dir):
 
     from mrf_etl_spark.streaming import stateful_running_totals
 
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) reads as long
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    raw_schema, _ = _events_raw(spark, sf_dir)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -204,16 +200,7 @@ def st5_stream_dedup(spark, sf_dir):
 
     from mrf_etl_spark.streaming import dedup_stream
 
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) reads as long
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    raw_schema, ts_conv = _events_raw(spark, sf_dir)
     staging = _scratch("st5_staging")
     import os
 
@@ -226,7 +213,7 @@ def st5_stream_dedup(spark, sf_dir):
         .parquet(staging)
     )
     deduped = dedup_stream(
-        stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))),
+        stream.withColumn("ts", ts_conv),
         keys=["event_id"],
         watermark="36500 days",
     )
@@ -274,16 +261,7 @@ def st6_stream_interval_join(spark, sf_dir):
 
     from mrf_etl_spark.streaming import interval_join_streams
 
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) reads as long
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    raw_schema, ts_conv = _events_raw(spark, sf_dir)
     _ST6_SEQ[0] += 1
     seq = _ST6_SEQ[0]
     staging = _scratch(f"st6_staging_{seq}")
@@ -301,7 +279,7 @@ def st6_stream_interval_join(spark, sf_dir):
         .option("latestFirst", "false")
         .parquet(f"{staging}/batch=*")
     )
-    stamped = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stamped = stream.withColumn("ts", ts_conv)
     clicks = stamped.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
     )

@@ -21,10 +21,16 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture()
 def events(spark):
-    # events.ts is parquet TIMESTAMP(NANOS) -> Spark nanosAsLong; convert to
-    # a real timestamp like plans/parity.t does
+    # events.ts has shipped both as INT64 nanos (read as long) and as
+    # timestamp[us] (read as TIMESTAMP_NTZ); normalize like plans/parity.t
+    from pyspark.sql import types as T
+
     df = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        conv = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        conv = F.col("ts").cast("timestamp_ltz")
+    return df.withColumn("ts", conv)
 
 
 def test_stream_upsert_idempotent(spark, events, tmp_path):
