@@ -38,6 +38,12 @@ def _registry():
     try:
         import mrf_etl_spark.plans.parity_llm  # noqa: F401
         import mrf_etl_spark.plans.parity_streaming  # noqa: F401
+        from mrf_etl_spark.plans.parity_fused import ordered_registry
+
+        # curated order: the driver checks only the FIRST 50 entries, so
+        # parity_fused re-keys the registry with its DRIVER_WINDOW (every
+        # §2 family + LLM flagships + streaming) in front
+        return ordered_registry()
     except Exception as exc:  # pragma: no cover — harness-env-only path
         err = repr(exc)
 

@@ -35,6 +35,7 @@ HEADLINE = [
     "f_hash_uid",
     "f_categorizer",
     "k1_topk",
+    "pipe0_enrich",
     # LLM-data ops (present once parity_llm lands)
     "d1_exact_dup",
     "d2_minhash_lsh",
@@ -81,10 +82,15 @@ def main() -> None:
     warm.collect()
 
     timings: dict[str, float] = {}
+    # A headline query that errors must NOT silently vanish from the JSON
+    # (round 3 lost w1/w4/w5/w7 with no signal): record it loudly instead.
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn = reg_queries.get(name)
         if fn is None:
+            errors[name] = "not registered in queries()"
+            print(f"# {name} MISSING from queries()", file=sys.stderr)
             continue
         t0 = time.perf_counter()
         try:
@@ -95,6 +101,7 @@ def main() -> None:
             # bottleneck)
             n = len(df.toPandas().index)
         except Exception as e:  # noqa: BLE001
+            errors[name] = str(e).splitlines()[0][:300] if str(e) else repr(e)
             print(f"# {name} ERROR {e}", file=sys.stderr)
             continue
         dt = time.perf_counter() - t0
@@ -102,17 +109,16 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

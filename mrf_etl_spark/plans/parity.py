@@ -1765,17 +1765,17 @@ def f_math_formula(spark, sf_dir):
     )
 
 
-def _cpt_code_sql() -> str:
+def _cpt_code_sql(col: str = "p_partkey") -> str:
     return (
-        "CASE WHEN p_partkey % 97 = 0 THEN 'G0008' "
-        "WHEN p_partkey % 89 = 0 THEN 'IME01' "
-        "WHEN p_partkey % 83 = 0 THEN 'ABC' "
-        "ELSE CAST(10000 + (p_partkey * 449) % 90000 AS VARCHAR) END"
+        f"CASE WHEN {col} % 97 = 0 THEN 'G0008' "
+        f"WHEN {col} % 89 = 0 THEN 'IME01' "
+        f"WHEN {col} % 83 = 0 THEN 'ABC' "
+        f"ELSE CAST(10000 + ({col} * 449) % 90000 AS VARCHAR) END"
     )
 
 
-def _cpt_code_expr() -> F.Column:
-    k = F.col("p_partkey")
+def _cpt_code_expr(col: str = "p_partkey") -> F.Column:
+    k = F.col(col)
     return (
         F.when(k % 97 == 0, F.lit("G0008"))
         .when(k % 89 == 0, F.lit("IME01"))
@@ -2035,4 +2035,108 @@ def mv1_materialized_rollup(spark, sf_dir):
         spark.read.parquet(mv)
         .filter(F.col("l_returnflag") == "R")  # partition-pruned serving read
         .select("l_returnflag", "l_linestatus", "bucket_tax", "n", "revenue")
+    )
+
+
+@register(
+    "pipe0_enrich",
+    # The oracle replays the pipeline's SEMANTICS phase by phase (the
+    # rename/drop bookkeeping has no effect on the aggregated output):
+    # J1 rates⋈providers → S8/J2 dim_npi join → P5 state filter → J3
+    # GA-WC coalesce-merge → categorizer → rollup.
+    f"""WITH rates AS (
+         SELECT l_suppkey AS provider_reference_id,
+                {_cpt_code_sql('l_partkey')} AS billing_code,
+                l_extendedprice AS rate
+         FROM lineitem),
+       prov AS (
+         SELECT s_suppkey,
+                CAST(1000000000 + s_suppkey AS VARCHAR) AS npi,
+                CASE s_suppkey % 4 WHEN 0 THEN 'GA' WHEN 1 THEN 'FL'
+                     WHEN 2 THEN 'TN' ELSE 'AL' END AS state
+         FROM supplier),
+       ga_wc AS (
+         SELECT {_cpt_code_sql('p_partkey')} AS code,
+                min(p_retailprice) * 0.8 AS prof_mar
+         FROM part WHERE p_partkey % 2 = 0 GROUP BY 1),
+       wide AS (
+         SELECT r.billing_code, r.rate, p.npi AS prov_npi, p.state,
+                g.prof_mar AS ga_prof_mar
+         FROM rates r
+         LEFT JOIN prov p ON r.provider_reference_id = p.s_suppkey
+         LEFT JOIN ga_wc g ON r.billing_code = g.code
+         WHERE p.state = 'GA'),
+       cat AS (
+         SELECT *, {categorize_sql_case('billing_code', 0)} AS procedure_set,
+                {categorize_sql_case('billing_code', 1)} AS procedure_class
+         FROM wide)
+       SELECT state, procedure_set, procedure_class,
+              count(*) AS n, {money_sum_sql('rate')} AS rate_sum,
+              count(ga_prof_mar) AS n_ga,
+              count(DISTINCT prov_npi) AS n_npi
+       FROM cat GROUP BY 1, 2, 3""",
+    doc="pipe0: the END-TO-END enrichment pipeline (SURVEY §3.1; reference "
+    "main.py:54-164 run_full_pipeline) — extract+merge, rename/drop/init, "
+    "NPPES dim join, state filter, GA-WC coalesce-merge, categorizer — "
+    "composed as ONE lazy plan over testdata-shaped fixtures "
+    "(plans/enrich_pipeline.py:205), rolled up to a stable aggregate. "
+    "Billing-code filter (P4) passes through here (no code file) and "
+    "geocode/benchmarks are exercised by their own entries (s9, j7).",
+)
+def pipe0_enrich(spark, sf_dir):
+    from mrf_etl_spark.plans.enrich_pipeline import run_pipeline
+
+    li = t(spark, sf_dir, "lineitem")
+    rates = li.select(
+        F.col("l_suppkey").alias("provider_reference_id"),
+        _cpt_code_expr("l_partkey").alias("billing_code"),
+        F.lit("CPT").alias("billing_code_type"),
+        F.col("l_extendedprice").alias("negotiated_rate"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("last_updated_on"),
+        F.lit("PayerOne").alias("reporting_entity_name"),
+        F.lit("payer").alias("reporting_entity_type"),
+        F.lit("1.0").alias("version"),
+        F.concat(F.lit("svc "), _cpt_code_expr("l_partkey")).alias("description"),
+    )
+    sup = t(spark, sf_dir, "supplier")
+    npi = (F.lit(1000000000) + F.col("s_suppkey")).cast("string")
+    # overlapping non-key columns on BOTH sides exercise the pandas-merge
+    # _x/_y suffixing that the rename/drop maps are written against
+    providers = sup.select(
+        F.col("s_suppkey").alias("provider_group_id"),
+        npi.alias("npi"),
+        F.lit("ProvNet").alias("reporting_entity_name"),
+        F.lit("network").alias("reporting_entity_type"),
+        F.lit("0.9").alias("version"),
+        F.lit("2023-01-01").alias("last_updated_on"),
+    )
+    state = F.element_at(
+        F.array(F.lit("GA"), F.lit("FL"), F.lit("TN"), F.lit("AL")),
+        ((F.col("s_suppkey") % 4) + 1).cast("int"),
+    )
+    dim_npi = sup.select(
+        npi.alias("npi"),
+        state.alias("state"),
+        F.concat(F.lit("clinic "), F.col("s_suppkey")).alias("primary_taxonomy_desc"),
+    )
+    # half the code space carries a fee schedule → the GA_* coalesce sees
+    # both matched and NULL paths; CODE is unique (grouped) so the J3
+    # left join never multiplies rows
+    ga_wc = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 2 == 0)
+        .groupBy(_cpt_code_expr("p_partkey").alias("CODE"))
+        .agg(
+            (F.min("p_retailprice") * 0.8).alias("PROF MAR"),
+            (F.min("p_retailprice") * 0.9).alias("OP MAR"),
+            (F.min("p_retailprice") * 0.5).alias("ASC MAR"),
+        )
+        .withColumn("DESCRIPTION", F.lit("wc"))
+    )
+    wide = run_pipeline(spark, rates, providers, dim_npi, ga_wc=ga_wc)
+    return wide.groupBy("state", "procedure_set", "procedure_class").agg(
+        F.count("*").alias("n"),
+        money_sum("rate").alias("rate_sum"),
+        F.count("GA_PROF_MAR").alias("n_ga"),
+        F.countDistinct("prov_npi").alias("n_npi"),
     )

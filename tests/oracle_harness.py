@@ -113,8 +113,10 @@ def main() -> int:
 
     import mrf_etl_spark.plans.parity_llm  # noqa: F401  (registers LLM ops)
     import mrf_etl_spark.plans.parity_streaming  # noqa: F401  (streaming ops)
-    from mrf_etl_spark.plans.parity import REGISTRY
+    from mrf_etl_spark.plans.parity_fused import ordered_registry
     from mrf_etl_spark.session import get_spark
+
+    REGISTRY = ordered_registry()  # driver-window order (fused probes first)
 
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
