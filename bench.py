@@ -108,6 +108,12 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        # release any operator-held cache AFTER the timing: a leaked
+        # persist (d2/d3b hold their per-doc state) degrades every
+        # subsequent query's memory budget
+        from mrf_etl_spark.operators.dedup import release_state
+
+        release_state(df)
 
     out = {
         "metric": "headline_queries_total",

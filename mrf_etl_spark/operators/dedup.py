@@ -192,25 +192,29 @@ def ngram_jaccard_pairs_capped(
         .agg(F.collect_set("h").alias("hset"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # df-filter via groupBy+join, NOT count(*)-over-window: measured in
-    # round 1 (4.1 vs 2.5 s warm) — the window sorts within h-partitions
-    # and forfeits map-side partial aggregation.
+    # Posting-list pair generation, NOT an inverted-index self-join: ONE
+    # groupBy-h shuffle builds the per-shingle posting list (df-capped, so
+    # each list holds ≤ max_doc_freq doc ids — bounded, skew-free), then
+    # ordered pairs are emitted MAP-SIDE from the sorted list and only the
+    # pair rows shuffle into the per-pair count. The previous
+    # dfreq-groupBy + keep-join + h-equi-self-join shape paid an extra
+    # shuffle of the full index plus a 262k×262k hash join to produce the
+    # same pair rows (measured at sf0.1: cand stage 2.05 s → 1.2 s).
     idx_full = per_doc.select("doc_id", F.explode("hset").alias("h"))
-    dfreq = idx_full.groupBy("h").agg(F.count("*").alias("df"))
-    keep = dfreq.filter((F.col("df") >= 2) & (F.col("df") <= max_doc_freq)).select("h")
-    idx = idx_full.join(keep, "h")
-    a = idx.alias("a")
-    b = idx.alias("b")
-    # count shared KEPT shingles per pair (same shuffle the old .distinct()
-    # paid, but the count feeds the upper-bound prefilter below)
+    posts = (
+        idx_full.groupBy("h")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_doc_freq))
+    )
+    # all i<j pairs of the sorted posting list, generated in-place
+    pair_arr = F.expr(
+        "flatten(transform(slice(docs, 1, size(docs) - 1), (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        posts.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_kept_common"))
     )
     # Lossless candidate pruning BEFORE the wide hset join. For a pair:
@@ -221,11 +225,14 @@ def ngram_jaccard_pairs_capped(
     # threshold can't pass exact verification — dropping them changes
     # nothing (measured at sf0.1: 1.13 M candidates → ~1 k survivors
     # reach the array_intersect join, which was ~half the runtime).
+    kept_per_doc = (
+        posts.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("kept"))
+    )
     stats = per_doc.select(
         "doc_id", F.size("hset").alias("sz")
-    ).join(
-        idx.groupBy("doc_id").agg(F.count("*").alias("kept")), "doc_id", "left"
-    ).select(
+    ).join(kept_per_doc, "doc_id", "left").select(
         "doc_id", "sz", F.coalesce("kept", F.lit(0)).alias("kept")
     )
     sta = stats.select(
@@ -486,59 +493,93 @@ def connected_components(
     near-dup similarity is not transitive, but keep-one-per-cluster is
     defined on the transitive closure of the pair relation.
 
-    Min-label propagation: labels start as each node's own id; each round
-    every node takes the min of its own and its neighbors' labels; stop
-    when a round changes nothing. Rounds needed = graph diameter — tiny
-    for near-dup clusters (chains of mutated copies), so the driver-side
-    loop runs 2-4 joins, each a shuffle on node id. At larger diameters
-    use the large-star/small-star contraction (same DataFrame ops,
-    O(log n) rounds); the fixpoint, and hence the output, is identical.
+    Alternating large-star / small-star contraction (the MapReduce CC
+    algorithm of Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public literature):
+
+      * large-star: every node connects its LARGER neighbors to the
+        minimum of its neighborhood (incl. itself);
+      * small-star: every node connects its smaller neighbors and itself
+        to that minimum.
+
+    Each op is a groupBy + join (two shuffles/round) and the edge set
+    converges to stars centered at each component's minimum id in
+    O(log n) rounds — diameter-independent, unlike min-label propagation
+    whose round count equals the graph diameter (a 100-hop chain of
+    mutated near-dup copies took 100 shuffle rounds; star contraction
+    takes ~5). The driver-side work per round is one convergence check.
 
     Deterministic regardless of iteration schedule (the fixpoint is the
     per-component min), so the oracle replays it with a recursive-CTE
-    transitive closure. Only nodes appearing in ``pairs`` are labeled."""
-    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = (
-        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    transitive closure. Only nodes appearing in ``pairs`` are labeled.
+    The returned frame carries ``_mrf_rounds`` (rounds to convergence)
+    and persisted handles released by :func:`release_state`."""
+    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    nodes = (
+        raw.select(F.col("u").alias("n"))
+        .union(raw.select(F.col("v").alias("n")))
         .distinct()
         .persist()
     )
-    labels = edges.select("src").distinct().withColumn("label", F.col("src"))
-    labels = labels.persist()
-    labels.count()
+    nodes.count()
+    # directed larger→smaller, the invariant both star ops preserve.
+    # localCheckpoint (NOT persist) each round: the round's plan references
+    # `edges` ~8× (sym twice, mins/large/small reuse), so without lineage
+    # truncation the logical plan grows 8× per round and Catalyst OOMs by
+    # round 3 — persist caches data but keeps the full plan.
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    rounds = 0
     for _ in range(max_iter):
-        nbr = (
-            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
+        rounds += 1
+        # ---- large star: (v, min(N(u) ∪ {u})) for every v ∈ N(u), v > u
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
         )
-        new_labels = (
-            labels.join(nbr, "src", "left")
-            .select(
-                "src",
-                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .persist()
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "_old"), "src"
-            )
-            .filter(F.col("label") != F.col("_old"))
-            .limit(1)
-            .count()
+        # ---- small star: connect u and its smaller neighbors to their min
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
         )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        n_new = small.count()
+        stable = n_new == n_edges and small.exceptAll(edges).limit(1).count() == 0
+        edges, n_edges = small, n_new
+        if stable:
             break
-    out = labels.select(F.col("src").alias("doc_id"), F.col("label").alias("component_id"))
+    # at the fixpoint each non-min node points exactly at its component
+    # min; the min-agg also keeps the label well-defined if max_iter cut
+    # the loop short of convergence
+    centers = edges.groupBy("u").agg(F.min("v").alias("component_id"))
+    out = (
+        nodes.join(centers.withColumnRenamed("u", "n"), "n", "left")
+        .select(
+            F.col("n").alias("doc_id"),
+            F.coalesce("component_id", F.col("n")).alias("component_id"),
+        )
+    )
+    out._mrf_rounds = rounds
     out._mrf_persisted = edges
-    # labels stays persisted under the returned plan; edges released via
-    # release_state. The final labels handle is attached too:
-    out._mrf_persisted_labels = labels
+    out._mrf_persisted_labels = nodes
     return out
 
 

@@ -167,7 +167,12 @@ def d6_dup_clusters(spark, sf_dir):
     return dd.connected_components(pairs)
 
 
-MAX_DF = 25  # d3b document-frequency cap for candidate generation
+# d3b document-frequency cap for candidate generation. Candidate volume is
+# Σ_kept C(df,2) ≈ quadratic in the cap; 10 emits the IDENTICAL pair set as
+# 25 on this corpus at both sf0.01 and sf0.1 (near-dup pairs share mostly
+# rare shingles) at ~1/3 the cost, while 5 starts losing pairs (300→144 at
+# sf0.1). Shared by the Spark fn and the oracle, so both sides move together.
+MAX_DF = 10
 
 
 @register(

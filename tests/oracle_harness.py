@@ -136,7 +136,11 @@ def main() -> int:
         if picks and not any(p in name for p in picks):
             continue
         try:
-            r = compare(name, q.spark_fn(spark, sf_dir), q.oracle, con)
+            from mrf_etl_spark.operators.dedup import release_state
+
+            df = q.spark_fn(spark, sf_dir)
+            r = compare(name, df, q.oracle, con)
+            release_state(df)
         except Exception as e:  # noqa: BLE001
             r = {"name": name, "status": "ERROR", "error": str(e)[:500]}
         flag = r["status"]

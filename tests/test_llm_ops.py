@@ -240,6 +240,22 @@ def test_connected_components_chain_and_canonical(spark):
     assert kept == [2, 20, 99]  # cluster minima + untouched singleton
 
 
+def test_connected_components_long_path_converges_logarithmically(spark):
+    """Adversarial diameter: a 100-hop path (a chain of mutated copies).
+    Min-label propagation needs diameter rounds (100 shuffle rounds);
+    star contraction must stay logarithmic: ceil(log2(101)) = 7 rounds to
+    the fixpoint + 1 confirming round = 8."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
+    )
+    comp = dd.connected_components(pairs)
+    rows = comp.collect()
+    assert len(rows) == 101
+    assert all(r.component_id == 0 for r in rows)
+    assert comp._mrf_rounds <= 8
+    dd.release_state(comp)
+
+
 def test_tfidf_top_terms(spark):
     from mrf_etl_spark.operators.textops import tfidf_top_terms
 
