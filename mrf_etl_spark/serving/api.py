@@ -1,0 +1,249 @@
+"""JSON serving shim over :class:`mrf_etl_spark.plans.queries.StarLake`.
+
+The reference ships a FastAPI backend (webapp/backend/main.py:100-996)
+whose endpoints are DuckDB SQL + a JSON envelope: the scope echoed back
+(state/year_month/filters), money rounded to 2 decimals with a
+``round(x, 2) if x else 0`` guard, and list payloads under an
+endpoint-specific key (``payers``, ``procedures``, ``results``, …). The
+query semantics already live in `plans/queries.py` as DataFrame methods;
+this module adds ONLY the envelope shaping plus a dependency-free HTTP
+front (stdlib ``http.server``) so a reference user keeps their URL
+surface.
+
+Serving-path note (DASHBOARD_OPTIMIZATION_GUIDE.md:9-19): interactive
+latency comes from the materialized-rollup path
+(`StarLake.materialize_market_rates` + partition-pruned reads), not from
+rescanning the fact table per request — at 100 TB the fact scan is a
+batch job, the MV is the serving store. This shim works over either: pass
+a StarLake whose ``fact`` IS the materialized rollup for the fast path.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from mrf_etl_spark.plans.queries import StarLake, build_filter
+
+
+def _round2(v: Any) -> Any:
+    """The reference's money guard (backend/main.py:225-229):
+    ``round(x, 2) if x else 0`` — None and 0 both collapse to 0."""
+    return round(v, 2) if v else 0
+
+
+def _rows(df: DataFrame) -> list[dict[str, Any]]:
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+class RateAPI:
+    """Endpoint vocabulary → JSON envelopes. One method per reference
+    endpoint; scope/filter arguments mirror the reference's query params
+    (backend/main.py:100-996), results are plain dicts ready for
+    ``json.dumps``."""
+
+    def __init__(self, lake: StarLake):
+        self.lake = lake
+
+    # -- /api/rates/summary (backend/main.py:100-186) --------------------
+    def rate_summary(
+        self,
+        state: str,
+        year_month: str,
+        payer: str | None = None,
+        code_type: str | None = None,
+        code: str | None = None,
+        billing_class: str | None = None,
+    ) -> dict[str, Any]:
+        eq: dict[str, object] = {"state": state, "year_month": year_month}
+        for k, v in (
+            ("code_type", code_type), ("code", code), ("billing_class", billing_class),
+        ):
+            if v is not None:
+                eq[k] = v
+        ilike = {"reporting_entity_name": f"%{payer}%"} if payer else None
+        pred = build_filter(eq=eq, ilike=ilike)
+        row = self.lake.rate_summary(pred).collect()[0].asDict()
+        return {
+            "state": state,
+            "year_month": year_month,
+            "filters": {
+                "payer": payer, "code_type": code_type,
+                "code": code, "billing_class": billing_class,
+            },
+            "summary": {
+                "total_rates": row["rate_count"],
+                "avg_rate": _round2(row["avg_rate"]),
+                "min_rate": _round2(row["min_rate"]),
+                "max_rate": _round2(row["max_rate"]),
+                "median_rate": _round2(row["median_rate"]),
+                "unique_procedures": row["unique_codes"],
+                "unique_payers": row["unique_payers"],
+            },
+        }
+
+    # -- /api/rates/by-payer (backend/main.py:188-235) -------------------
+    def rates_by_payer(self, state: str, year_month: str, limit: int = 50) -> dict[str, Any]:
+        pred = build_filter(eq={"state": state, "year_month": year_month})
+        payers = [
+            {
+                "payer_name": r["payer_slug"],
+                "rate_count": r["rate_count"],
+                "avg_rate": _round2(r["avg_rate"]),
+                "min_rate": _round2(r["min_rate"]),
+                "max_rate": _round2(r["max_rate"]),
+                "median_rate": _round2(r["median_rate"]),
+            }
+            for r in _rows(self.lake.rates_by_payer(pred, limit))
+        ]
+        return {"state": state, "year_month": year_month, "payers": payers}
+
+    # -- /api/rates/by-procedure (backend/main.py:257-327) ---------------
+    def rates_by_procedure(
+        self,
+        state: str,
+        year_month: str,
+        code_type: str | None = None,
+        billing_class: str | None = None,
+        limit: int = 50,
+    ) -> dict[str, Any]:
+        eq: dict[str, object] = {"state": state, "year_month": year_month}
+        if code_type is not None:
+            eq["code_type"] = code_type
+        if billing_class is not None:
+            eq["billing_class"] = billing_class
+        procedures = [
+            {
+                "code_type": r["code_type"],
+                "code": r["code"],
+                "description": r.get("code_desc", r["code"]),
+                "rate_count": r["rate_count"],
+                "avg_rate": _round2(r["avg_rate"]),
+                "min_rate": _round2(r["min_rate"]),
+                "max_rate": _round2(r["max_rate"]),
+                "median_rate": _round2(r["median_rate"]),
+            }
+            for r in _rows(self.lake.rates_by_procedure(build_filter(eq=eq), limit))
+        ]
+        return {"state": state, "year_month": year_month, "procedures": procedures}
+
+    # -- /api/rates/detail (backend/main.py:329-411) ---------------------
+    def rate_detail(self, state: str, year_month: str, **kw: Any) -> dict[str, Any]:
+        results = _rows(self.lake.rate_detail(state, year_month, **kw))
+        for r in results:
+            if "negotiated_rate" in r:
+                r["negotiated_rate"] = _round2(r["negotiated_rate"])
+        return {
+            "state": state,
+            "year_month": year_month,
+            "count": len(results),
+            "results": results,
+        }
+
+    # -- /api/providers/search (backend/main.py:413-459) -----------------
+    def provider_search(self, q: str, limit: int = 20) -> dict[str, Any]:
+        return {"query": q, "providers": _rows(self.lake.provider_search(q, limit))}
+
+    # -- /api/meta/data-availability (backend/main.py:461-503) -----------
+    def data_availability(self) -> dict[str, Any]:
+        combos = _rows(
+            self.lake.availability_matrix().orderBy("state", "year_month")
+        )
+        return {"combinations": combos, "count": len(combos)}
+
+    # -- /api/statistics (backend/main.py:908-924) -----------------------
+    def statistics(self) -> dict[str, Any]:
+        return self.lake.dashboard_statistics().collect()[0].asDict()
+
+    # -- /api/meta/dimension-values (backend/main.py:505-580) ------------
+    def dimension_values(self, dimension: str, k: int = 100) -> dict[str, Any]:
+        return {
+            "dimension": dimension,
+            "values": _rows(self.lake.dimension_values(dimension, k)),
+        }
+
+    # -- /api/autocomplete (backend/main.py:791-906) ---------------------
+    def autocomplete(self, field: str, prefix: str, k: int = 15) -> dict[str, Any]:
+        return {
+            "field": field,
+            "prefix": prefix,
+            "suggestions": _rows(self.lake.autocomplete(field, prefix, k)),
+        }
+
+    # -- /api/explore drilldown (optimized_queries.py:966-1024) ----------
+    def drilldown(self, fix: dict[str, object], group_by: str, k: int = 20) -> dict[str, Any]:
+        return {
+            "fixed": fix,
+            "group_by": group_by,
+            "groups": _rows(self.lake.drilldown(fix, group_by, k)),
+        }
+
+
+# --------------------------------------------------------------- HTTP front
+
+_ROUTES = {
+    "/api/rates/summary": ("rate_summary", ["state", "year_month", "payer", "code_type", "code", "billing_class"]),
+    "/api/rates/by-payer": ("rates_by_payer", ["state", "year_month", "limit"]),
+    "/api/rates/by-procedure": ("rates_by_procedure", ["state", "year_month", "code_type", "billing_class", "limit"]),
+    "/api/providers/search": ("provider_search", ["q", "limit"]),
+    "/api/meta/data-availability": ("data_availability", []),
+    "/api/statistics": ("statistics", []),
+    "/api/meta/dimension-values": ("dimension_values", ["dimension", "k"]),
+    "/api/autocomplete": ("autocomplete", ["field", "prefix", "k"]),
+}
+_INT_PARAMS = {"limit", "k"}
+
+
+def serve(api: RateAPI, host: str = "127.0.0.1", port: int = 8000, block: bool = True):
+    """Expose a :class:`RateAPI` over HTTP with the reference's URL
+    surface — stdlib ``ThreadingHTTPServer``, zero dependencies. With
+    ``block=False`` the server runs on a daemon thread and is returned
+    (tests; callers shut it down with ``.shutdown()``).
+
+    NOTE: the SparkSession behind the lake is driver-resident — this
+    front serves from the session's process like `spark-connect` or a
+    notebook kernel would; it is a query front, not a cluster service."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server API
+            parsed = urlparse(self.path)
+            route = _ROUTES.get(parsed.path)
+            if route is None:
+                self._send(404, {"error": f"unknown endpoint {parsed.path}"})
+                return
+            method, params = route
+            q = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+            kwargs = {}
+            for p in params:
+                if p in q:
+                    kwargs[p] = int(q[p]) if p in _INT_PARAMS else q[p]
+            try:
+                self._send(200, getattr(api, method)(**kwargs))
+            except TypeError as e:  # missing required scope params
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — mirror the 500 path
+                self._send(500, {"error": str(e)})
+
+        def _send(self, status: int, payload: dict) -> None:
+            body = json.dumps(payload, default=str).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    if block:
+        server.serve_forever()
+        return server
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server
