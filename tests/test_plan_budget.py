@@ -34,6 +34,9 @@ BUDGETS = {
     "j13_salted_skew_join": 3,
     # latest-per-key window: one shuffle
     "w1_latest_per_key": 1,
+    # end-to-end enrich pipeline: every join broadcasts (rates never
+    # shuffles); the exchanges are the fixture dims' aggs + final rollup
+    "pipe0_enrich": 6,
 }
 
 
