@@ -286,19 +286,26 @@ def contamination_overlap(
         .select(shingle_hash_expr(F.col("shingle")).alias("h"))
         .distinct()
     )
-    tot = c_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hits = c_sh.join(ev, "h").groupBy("doc_id").agg(F.count("*").alias("n_hit"))
-    return (
-        tot.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-            (
-                F.coalesce("n_hit", F.lit(0)).cast("double")
-                / F.col("n_shingles").cast("double")
-            ).alias("overlap_frac"),
-        )
+    return _overlap_single_agg(c_sh, ev)
+
+
+def _overlap_single_agg(c_sh: DataFrame, ev: DataFrame) -> DataFrame:
+    """Totals and hits in ONE aggregation: left-join the DISTINCT eval
+    universe (broadcast-sized; the join preserves row count exactly) and
+    count rows / non-null hit marks per doc — one pass over the exploded
+    corpus shingles instead of separate tot/hits aggregations that each
+    re-evaluated the explode+hash pipeline."""
+    joined = c_sh.join(ev.withColumn("_hit", F.lit(True)), "h", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.count("_hit").alias("n_hit"),
+    ).select(
+        "doc_id",
+        "n_shingles",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_shingles").cast("double")).alias(
+            "overlap_frac"
+        ),
     )
 
 
@@ -370,17 +377,4 @@ def contamination_overlap_tagged(
     )
     ev = sh.filter(F.col("_is_eval")).select("h").distinct()
     c_sh = sh.filter(~F.col("_is_eval")).select("doc_id", "h")
-    tot = c_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hits = c_sh.join(ev, "h").groupBy("doc_id").agg(F.count("*").alias("n_hit"))
-    return (
-        tot.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-            (
-                F.coalesce("n_hit", F.lit(0)).cast("double")
-                / F.col("n_shingles").cast("double")
-            ).alias("overlap_frac"),
-        )
-    )
+    return _overlap_single_agg(c_sh, ev)
