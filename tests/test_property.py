@@ -206,3 +206,39 @@ def test_sessionize_matches_bruteforce(spark, events, gap):
 
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-q"])
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_match_union_find(spark, edges):
+    """Star contraction's labels == a sequential union-find's: every node
+    appearing in the pair list is labeled with the min id of its
+    component, regardless of edge order, direction, self-loops, or
+    duplicate pairs."""
+    from mrf_etl_spark.operators.dedup import connected_components, release_state
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    comp = connected_components(df)
+    got = {r.doc_id: r.component_id for r in comp.collect()}
+    release_state(comp)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for ab in edges for n in ab}
+    assert got == want
