@@ -1079,3 +1079,35 @@ def m3_media_exact_dup(spark, sf_dir):
         )
         .filter(F.col("n") > 1)
     )
+
+
+@register(
+    "d7_repeated_passages",
+    # Exact passage-granularity dedup (Lee et al. ACL'22 shape): 10-word
+    # windows, stride 5, distinct within doc, surfaced when shared by >1
+    # doc. DuckDB's 1-based inclusive list slice ws[i:i+9] mirrors
+    # Spark's 0-based slice(_w, i+1, 10); both sides hash the
+    # single-space re-joined window so raw-text whitespace is normalized
+    # identically.
+    """WITH w AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+         FROM documents),
+       p AS (
+         SELECT DISTINCT doc_id,
+                CASE WHEN len(ws) < 10 THEN md5(array_to_string(ws, ' '))
+                     ELSE md5(array_to_string(ws[i : i + 9], ' ')) END
+                  AS passage_hash
+         FROM (SELECT doc_id, ws,
+                      unnest(range(1, greatest(len(ws) - 10, 0) + 2, 5)) AS i
+               FROM w))
+       SELECT passage_hash, count(*) AS n_docs,
+              min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       FROM p GROUP BY 1 HAVING count(*) > 1""",
+    doc="d7: cross-document repeated-passage detection — exact substring "
+    "dedup at passage granularity (verbatim boilerplate/memorization "
+    "screen); explode + ONE hash-groupBy, the d1 shuffle profile",
+)
+def d7_repeated_passages(spark, sf_dir):
+    return tx.repeated_passages(
+        t(spark, sf_dir, "documents"), "text", "doc_id", win=10, stride=5
+    )

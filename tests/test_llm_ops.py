@@ -411,3 +411,33 @@ def test_quantize_int8_roundtrip_error_bounded(spark):
     for row in rec:
         for a, b in zip(row.r, orig[row.vec_id]):
             assert abs(a - b) <= (1.0 / 127.0) / 2 + 1e-12  # half-step bound
+
+
+def test_repeated_passages(spark):
+    from mrf_etl_spark.operators.textops import repeated_passages
+
+    w = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"  # one full 10-word window
+    docs = spark.createDataFrame(
+        [
+            (1, w + " unique tail one"),       # shares the window with 2, 3
+            (2, "lead in words " + w),          # window at a different offset?
+            (3, w),                             # exactly one window
+            (4, "totally different words here"),# short doc, no sharing
+            (5, "totally different words here"),# short-doc EXACT dup of 4
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.passage_hash: (r.n_docs, r.min_doc, r.max_doc)
+        for r in repeated_passages(docs, "text", "doc_id", win=10, stride=1).collect()
+    }
+    import hashlib
+
+    shared = hashlib.md5(w.encode()).hexdigest()
+    short = hashlib.md5(b"totally different words here").hexdigest()
+    # docs 1, 2, 3 all contain the exact window (stride=1 finds it at any
+    # offset); docs 4, 5 collapse via the short-doc whole-text fallback
+    assert out[shared] == (3, 1, 3)
+    assert out[short] == (2, 4, 5)
+    # no other passage repeats
+    assert len(out) == 2
