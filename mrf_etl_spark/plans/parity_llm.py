@@ -1111,3 +1111,60 @@ def d7_repeated_passages(spark, sf_dir):
     return tx.repeated_passages(
         t(spark, sf_dir, "documents"), "text", "doc_id", win=10, stride=5
     )
+
+
+@register(
+    "d8_semantic_dedup",
+    # SemDeDup-style composition (Abbas et al. 2023, public literature):
+    # embedding near-dup pairs from the IVF-bucketed cascade (the d5b
+    # oracle, verbatim) → transitive closure (the d6 recursive-CTE
+    # pattern) → one summary row per semantic cluster with the min id as
+    # the kept canonical.
+    f"""WITH RECURSIVE corpus AS {_PERTURBED_CORPUS_SQL},
+       cent AS (
+         SELECT vec_id AS cid, embedding AS cvec FROM corpus
+         WHERE vec_id % 97 = 0),
+       assigned AS (
+         SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid, row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+           FROM corpus e CROSS JOIN cent c) WHERE rn <= 2),
+       cand AS (
+         SELECT DISTINCT a1.vec_id AS doc_a, a2.vec_id AS doc_b
+         FROM assigned a1
+         JOIN assigned a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id),
+       pairs AS (
+         SELECT c.doc_a, c.doc_b
+         FROM cand c
+         JOIN corpus ea ON ea.vec_id = c.doc_a
+         JOIN corpus eb ON eb.vec_id = c.doc_b
+         WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= CAST(0.99 AS DOUBLE)),
+       edges AS (
+         SELECT doc_a AS a, doc_b AS b FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       labels AS (
+         SELECT a AS doc_id, least(a, min(b)) AS component_id
+         FROM reach GROUP BY a)
+       SELECT component_id AS keep_id, count(*) AS n_members,
+              max(doc_id) AS max_doc
+       FROM labels GROUP BY 1""",
+    doc="d8: semantic dedup (SemDeDup shape) — embedding-cosine near-dup "
+    "pairs (d5b IVF cascade) clustered by star-contraction connected "
+    "components; each cluster keeps its min id, everything else is the "
+    "drop set (keep_canonical applies it to the corpus)",
+)
+def d8_semantic_dedup(spark, sf_dir):
+    corpus = _perturbed_corpus_spark(spark, sf_dir)
+    pairs = sim.embedding_near_dup_bucketed(
+        corpus, dim=DIM, centroid_mod=97, nassign=2, threshold=0.99
+    ).select("doc_a", "doc_b")
+    comp = dd.connected_components(pairs)
+    return comp.groupBy(F.col("component_id").alias("keep_id")).agg(
+        F.count("*").alias("n_members"),
+        F.max("doc_id").alias("max_doc"),
+    )
