@@ -40,6 +40,7 @@ HEADLINE = [
     "d1_exact_dup",
     "d2_minhash_lsh",
     "d3b_ngram_jaccard_capped",
+    "d7_repeated_passages",
     "d5b_embedding_near_dup_ivf",
     "t2_quality_score",
     "t7_repetition_signals",

@@ -61,6 +61,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # Size the local driver JVM for the machine instead of Spark's 1g
+    # default: with 32 executor threads in one JVM, a 1g heap throttles
+    # every shuffle/write into 95%-of-heap MemoryManager scaling and
+    # spills. Only applies when WE create the JVM (ignored by getOrCreate
+    # on an existing session, and never forced on a real cluster where
+    # spark-submit owns sizing).
+    if "SPARK_MASTER" not in os.environ and master is None:
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        )
     for k, v in _PLAN_CONFS.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():

@@ -123,18 +123,41 @@ def main() -> int:
     picks = [a for a in args if "/" not in a]
 
     spark = get_spark(app_name="oracle-harness", shuffle_partitions=8)
-    con = duckdb.connect()
-    for tbl in (
-        "region nation customer supplier part orders lineitem events documents embeddings"
-    ).split():
-        con.sql(
-            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')"
-        )
+
+    def fresh_con():
+        c = duckdb.connect()
+        # DuckDB's recursive-CTE executor (d6/d8 closure oracles) allocates
+        # per-thread block state each iteration: at the default 32 threads
+        # ONE closure query mmap()s ~64k blocks and slams the kernel's
+        # vm.max_map_count (65530) — later allocations then die as
+        # "bad allocation" / "can't start new thread" with plenty of free
+        # RAM. 8 threads keeps the peak ~6k maps; the oracles are
+        # sub-second either way at sf0.01.
+        c.sql("SET threads=8")
+        for tbl in (
+            "region nation customer supplier part orders lineitem events documents embeddings"
+        ).split():
+            c.sql(
+                f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')"
+            )
+        return c
 
     failures = 0
+    done = 0
+    con = fresh_con()
     for name, q in REGISTRY.items():
         if picks and not any(p in name for p in picks):
             continue
+        # recycle the DuckDB connection periodically: a single connection
+        # across the full ~118-entry catalog accumulates buffer-pool state
+        # next to the long-lived Spark JVM and the tail entries die with
+        # malloc failures ("bad allocation" / can't-start-thread). The
+        # round driver runs each entry in a fresh process and never sees
+        # this; the local harness should match that resilience.
+        done += 1
+        if done % 20 == 0:
+            con.close()
+            con = fresh_con()
         try:
             from mrf_etl_spark.operators.dedup import release_state
 

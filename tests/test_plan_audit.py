@@ -36,6 +36,9 @@ NESTED_LOOP_OK = {
     # IVF assign/probe: centroid set is fixed-size and broadcast
     "n2_ann_ivf": "bounded broadcast centroid set",
     "d5b_embedding_near_dup_ivf": "bounded broadcast centroid set",
+    # d8 composes the d5b cascade (same centroid broadcast) before the
+    # star-contraction clustering — the product side is the centroid set
+    "d8_semantic_dedup": "bounded broadcast centroid set (d5b cascade)",
     # availability matrix crosses two tiny DISTINCT dimension column sets
     # (states x codes) to build the dense frame — both sides bounded
     "a8_availability_matrix": "bounded distinct-values frame",
