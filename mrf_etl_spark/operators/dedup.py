@@ -526,7 +526,10 @@ def connected_components(
     # localCheckpoint (NOT persist) each round: the round's plan references
     # `edges` ~8× (sym twice, mins/large/small reuse), so without lineage
     # truncation the logical plan grows 8× per round and Catalyst OOMs by
-    # round 3 — persist caches data but keeps the full plan.
+    # round 3 — persist caches data but keeps the full plan. On a real
+    # cluster localCheckpoint blocks live on executors (lost with them);
+    # for multi-hour runs set a checkpoint dir and swap in reliable
+    # .checkpoint() — same truncation, HDFS-backed.
     edges = (
         raw.filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
