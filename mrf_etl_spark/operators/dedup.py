@@ -587,11 +587,17 @@ def connected_components(
 
 
 def keep_canonical(
-    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Drop every non-canonical member of each dup cluster: keep rows whose
-    id is its component's min (or appears in no pair at all)."""
-    comp = connected_components(pairs)
+    id is its component's min (or appears in no pair at all). Pass a
+    precomputed ``components`` frame (from :func:`connected_components`,
+    which runs its contraction loop eagerly) when the caller also needs
+    the labels — avoids running the iterative clustering twice."""
+    comp = components if components is not None else connected_components(pairs)
     losers = comp.filter(F.col("doc_id") != F.col("component_id")).select(
         F.col("doc_id").alias(id_col)
     )

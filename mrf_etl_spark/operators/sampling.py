@@ -87,6 +87,132 @@ def stratified_sample(
     return df.filter(b < cut)
 
 
+def shard_hash(id_col: Column | str, salt: str = "") -> Column:
+    """Full-resolution 60-bit deterministic hash of the id (same md5
+    recipe as :func:`hash_bucket` but WITHOUT the mod-10000 quantization),
+    for uses that need uniformity over an arbitrary modulus."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 15), 16, 10
+    )
+    return h.cast("long")
+
+
+def pack_shards(
+    df: DataFrame, id_col: str, n_shards: int, salt: str = "", out_col: str = "shard_id"
+) -> DataFrame:
+    """Assign every row a deterministic shard in [0, n_shards) — the
+    export step that turns a prepared corpus into N balanced training
+    shards. shard = 60-bit md5 hash of the id mod n_shards, so:
+
+      * shards are hash-balanced (±sqrt noise) at ANY n_shards, not just
+        divisors of the bucket resolution;
+      * a re-run (or another engine) reproduces the exact same packing —
+        shard manifests can be diffed across pipeline versions;
+      * assignment is a stateless per-row projection: at 100 TB the only
+        cost is the write itself (``partitionBy(out_col)`` or
+        ``repartition(n_shards, out_col)`` → one exchange, no driver
+        coordination, no sampling pass).
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    return df.withColumn(out_col, shard_hash(id_col, salt) % n_shards)
+
+
+# Checksum modulus: keeps per-row contributions < 2^17 so a BIGINT sum
+# holds ~2^46 rows before overflow — engine-neutral (DuckDB's HUGEINT sum
+# is cast back down by the oracle).
+CHECKSUM_MOD = 100_003
+
+
+def shard_manifest(
+    sharded: DataFrame,
+    id_col: str,
+    size_col: str | None = None,
+    shard_col: str = "shard_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-shard manifest: row count, total payload size, and an
+    order-independent id checksum (sum of hash mod a prime). The
+    manifest is what a training job validates before reading a shard —
+    and what makes `pack_shards` auditable: identical manifest ⇒
+    identical shard membership with overwhelming probability. One
+    map-side-combinable aggregation; output is n_shards rows."""
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.sum(shard_hash(id_col, salt) % CHECKSUM_MOD).alias("id_checksum"),
+    ]
+    if size_col is not None:
+        aggs.insert(1, F.sum(size_col).alias("total_size"))
+    return sharded.groupBy(shard_col).agg(*aggs)
+
+
+def domain_cap(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    cap: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-domain document quota (the RefinedWeb / CommonCrawl-curation
+    step): keep at most ``cap`` rows per domain, chosen deterministically
+    as the first ``cap`` ids in (hash_bucket, id) order — a reproducible
+    uniform sample of each domain, not "whatever the scan saw first".
+
+    Semantics (what the oracle replays):
+        row_number() OVER (PARTITION BY domain ORDER BY bucket, id) <= cap
+
+    Implementation is NOT that window. A global per-domain row_number
+    ranks a hot domain's entire row set in one task — at 100 TB a single
+    domain can hold billions of rows and the straggler kills the stage.
+    Instead, exact top-``cap`` per key via a bucket histogram:
+
+      1. count rows per (domain, bucket) — map-side-combinable agg whose
+         output is ≤ |domains| × 10000 rows regardless of corpus size;
+      2. per domain, a running sum over the ≤10000 bucket counts finds
+         the boundary bucket where the cumulative count crosses ``cap``
+         (tiny window over the aggregated histogram, not the data);
+      3. rows in buckets below the boundary are kept outright; rows IN
+         the boundary bucket — ~1/10000 of the domain — are ranked by id
+         and the remainder of the quota taken from them.
+
+    The only per-row shuffle is the boundary-bucket ranking, whose input
+    is 4 orders of magnitude smaller than the domain. Result is exactly
+    the window spec above (within one bucket, (bucket, id) order is id
+    order)."""
+    from pyspark.sql.window import Window
+
+    b = hash_bucket(id_col, salt)
+    with_b = df.withColumn("_dc_bucket", b)
+    hist = with_b.groupBy(domain_col, "_dc_bucket").agg(F.count("*").alias("_dc_n"))
+    wcum = (
+        Window.partitionBy(domain_col)
+        .orderBy("_dc_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.withColumn("_dc_before", F.coalesce(F.sum("_dc_n").over(wcum), F.lit(0)))
+    # keep_all: bucket fully inside the quota; partial: quota boundary
+    decisions = hist.select(
+        domain_col,
+        "_dc_bucket",
+        (F.col("_dc_before") + F.col("_dc_n") <= cap).alias("_dc_keep_all"),
+        (F.lit(cap) - F.col("_dc_before")).alias("_dc_take"),
+    ).filter(F.col("_dc_take") > 0)
+    # decisions is domain-proportional (≤ |domains| × boundary buckets) —
+    # no forced broadcast; AQE converts when the histogram is actually small
+    joined = with_b.join(decisions, [domain_col, "_dc_bucket"], "inner")
+    full = joined.filter(F.col("_dc_keep_all"))
+    boundary = joined.filter(~F.col("_dc_keep_all"))
+    wrank = Window.partitionBy(domain_col, "_dc_bucket").orderBy(id_col)
+    partial = (
+        boundary.withColumn("_dc_rk", F.row_number().over(wrank))
+        .filter(F.col("_dc_rk") <= F.col("_dc_take"))
+        .drop("_dc_rk")
+    )
+    drop = ["_dc_bucket", "_dc_keep_all", "_dc_take"]
+    return full.drop(*drop).unionByName(partial.drop(*drop))
+
+
 def temporal_split(
     df: DataFrame,
     ts_col: str,

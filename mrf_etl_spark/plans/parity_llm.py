@@ -1168,3 +1168,137 @@ def d8_semantic_dedup(spark, sf_dir):
         F.count("*").alias("n_members"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# -------------------------------------------- round-4 pipeline additions
+
+# sp4: per-domain quota. Cap chosen so sf0.01's ~1000-doc sources are
+# actually capped (boundary-bucket partial path exercised), while the
+# oracle stays a plain window spec.
+DOMAIN_CAP = 100
+
+
+@register(
+    "sp4_domain_cap",
+    f"""SELECT doc_id, source FROM (
+         SELECT doc_id, source,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY {_BUCKET_SQL.format(id='doc_id')}, doc_id) AS rk
+         FROM documents)
+       WHERE rk <= {DOMAIN_CAP}""",
+    doc="sp4: per-domain document quota (RefinedWeb-style domain "
+    "balancing) — keep the first `cap` ids per source in deterministic "
+    "(hash_bucket, id) order. The oracle replays the semantics as one "
+    "window; the Spark operator computes the identical result via a "
+    "per-(domain, bucket) histogram + boundary-bucket ranking, so no "
+    "task ever ranks a hot domain's full row set "
+    "(operators/sampling.domain_cap).",
+)
+def sp4_domain_cap(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sp.domain_cap(d, "doc_id", "source", DOMAIN_CAP)
+
+
+N_SHARDS = 7  # deliberately NOT a divisor of the 10k bucket resolution
+
+
+@register(
+    "sp5_pack_shards",
+    f"""SELECT shard_id,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(n_chars) AS BIGINT) AS total_size,
+              CAST(sum(h % 100003) AS BIGINT) AS id_checksum
+       FROM (SELECT n_chars,
+                    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) AS h,
+                    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % {N_SHARDS} AS shard_id
+             FROM documents)
+       GROUP BY shard_id""",
+    doc="sp5: deterministic shard packing + manifest — the corpus-export "
+    "step: every row hashes to one of N balanced shards (full 60-bit "
+    "hash mod N, uniform at any N), and the per-shard manifest (row "
+    "count, payload bytes, order-independent id checksum) is what a "
+    "training job validates before reading. Stateless per-row "
+    "projection + one map-side-combinable agg "
+    "(operators/sampling.pack_shards / shard_manifest).",
+)
+def sp5_pack_shards(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sharded = sp.pack_shards(d, "doc_id", N_SHARDS)
+    return sp.shard_manifest(sharded, "doc_id", size_col="n_chars")
+
+
+@register(
+    "pipe2_fuzzy_dedup",
+    # The canonical corpus fuzzy-dedup chain (SlimPajama / Dolma shape,
+    # public literature): MinHash-LSH candidate pairs (the d2 cascade,
+    # verbatim) → transitive closure (the d6 recursive-CTE pattern) →
+    # min-id canonical per cluster; output is the DROP LIST (doc → the
+    # canonical that replaces it), i.e. exactly the rows keep_canonical
+    # removes from the corpus.
+    f"""WITH RECURSIVE corpus AS {_NEAR_DUP_CORPUS_SQL},{_SHINGLE_CTES},
+       hsh AS (
+         SELECT DISTINCT doc_id,
+                CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+         FROM sh),
+       hsizes AS (SELECT doc_id, count(*) AS sz FROM hsh GROUP BY doc_id),
+       mh AS (
+         SELECT doc_id,
+                {_MH_MINS}
+         FROM hsh GROUP BY doc_id),
+       bands AS (
+         {_BANDS_SQL}),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),
+       inter AS (
+         SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         FROM cand c
+         JOIN hsh a ON a.doc_id = c.doc_a
+         JOIN hsh b ON b.doc_id = c.doc_b AND b.h = a.h
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT doc_a, doc_b
+         FROM inter
+         JOIN hsizes sa ON sa.doc_id = doc_a
+         JOIN hsizes sb ON sb.doc_id = doc_b
+         WHERE n_common / (sa.sz + sb.sz - n_common) >= {JACCARD_T}),
+       edges AS (
+         SELECT doc_a AS a, doc_b AS b FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       labels AS (
+         SELECT a AS doc_id, least(a, min(b)) AS component_id
+         FROM reach GROUP BY a)
+       SELECT doc_id AS dropped_id, component_id AS keep_id
+       FROM labels WHERE doc_id <> component_id""",
+    doc="pipe2: end-to-end fuzzy dedup — MinHash-LSH pairs (d2) → "
+    "star-contraction connected components (d6) → keep_canonical drop "
+    "set: each removed doc with the canonical that survives for it. "
+    "Composes the three verified stages through the PUBLIC operator API "
+    "(minhash_lsh_pairs / connected_components / keep_canonical), so the "
+    "oracle checks the composition, not just the parts.",
+)
+def pipe2_fuzzy_dedup(spark, sf_dir):
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(
+        corpus, "text", "doc_id", SHINGLE_K, NUM_HASHES, BANDS, JACCARD_T
+    ).select("doc_a", "doc_b")
+    comp = dd.connected_components(pairs)
+    kept = dd.keep_canonical(corpus, pairs, id_col="doc_id", components=comp)
+    dropped = corpus.join(kept.select("doc_id"), "doc_id", "left_anti")
+    return dropped.join(comp, "doc_id").select(
+        F.col("doc_id").alias("dropped_id"),
+        F.col("component_id").alias("keep_id"),
+    )

@@ -441,3 +441,79 @@ def test_repeated_passages(spark):
     assert out[short] == (2, 4, 5)
     # no other passage repeats
     assert len(out) == 2
+
+
+def test_domain_cap_matches_window_spec(spark, sf_dir):
+    """The two-phase histogram implementation must equal the one-window
+    spec (row_number over (bucket, id) per domain <= cap) exactly —
+    including the boundary-bucket partial take."""
+    from pyspark.sql.window import Window
+
+    from mrf_etl_spark.operators import sampling as sp
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    for cap in (1, 7, 60, 10_000):
+        got = {
+            (r.doc_id, r.source)
+            for r in sp.domain_cap(d, "doc_id", "source", cap).collect()
+        }
+        w = Window.partitionBy("source").orderBy(
+            sp.hash_bucket("doc_id"), F.col("doc_id")
+        )
+        want = {
+            (r.doc_id, r.source)
+            for r in d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= cap)
+            .collect()
+        }
+        assert got == want, f"cap={cap}: {len(got)} vs {len(want)}"
+
+
+def test_domain_cap_counts(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    per = {r.source: r.n for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    capped = sp.domain_cap(d, "doc_id", "source", 30)
+    got = {
+        r.source: r.n for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {s: min(n, 30) for s, n in per.items()}
+
+
+def test_pack_shards_partitions_corpus_balanced(spark, sf_dir):
+    """Shards partition the corpus (no loss, no dup) and are hash-balanced;
+    the manifest totals reconcile with the corpus."""
+    from mrf_etl_spark.operators import sampling as sp
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    n = d.count()
+    sharded = sp.pack_shards(d, "doc_id", 7)
+    man = sp.shard_manifest(sharded, "doc_id", size_col="n_chars").collect()
+    assert len(man) == 7
+    assert sum(r.n_rows for r in man) == n
+    assert sum(r.total_size for r in man) == d.agg(F.sum("n_chars")).first()[0]
+    avg = n / 7
+    assert all(abs(r.n_rows - avg) < 4 * avg**0.5 + 5 for r in man)
+    # determinism: a second run yields the identical manifest
+    man2 = sp.shard_manifest(sp.pack_shards(d, "doc_id", 7), "doc_id", size_col="n_chars").collect()
+    assert sorted(map(tuple, man)) == sorted(map(tuple, man2))
+
+
+def test_fuzzy_dedup_pipeline_drop_set(spark, sf_dir):
+    """pipe2 composition invariants: dropped ∪ kept == corpus, every
+    dropped doc's canonical survives and has a smaller id, and every
+    injected near-dup copy is dropped in favor of its original."""
+    from mrf_etl_spark.plans.parity_llm import pipe2_fuzzy_dedup
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    drops = pipe2_fuzzy_dedup(spark, sf_dir).collect()
+    dropped = {r.dropped_id for r in drops}
+    keepers = {r.keep_id for r in drops}
+    all_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert dropped <= all_ids
+    assert keepers <= all_ids - dropped  # canonicals survive
+    assert all(r.keep_id < r.dropped_id for r in drops)
+    by_dropped = {r.dropped_id: r.keep_id for r in drops}
+    found = sum(1 for i in range(NEAR_DUP_IDS) if by_dropped.get(i + ID_SHIFT) == i)
+    assert found / NEAR_DUP_IDS >= 0.85  # LSH recall bound on known dups
