@@ -213,6 +213,45 @@ def domain_cap(
     return full.drop(*drop).unionByName(partial.drop(*drop))
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shard_col: str = "shard_id",
+    out_col: str = "seq_id",
+    salt: str = "",
+) -> DataFrame:
+    """Pack rows into fixed-token-budget training sequences within each
+    shard — the data-loader step after dedup/split: a 4096-token training
+    window reads one packed sequence instead of seeking per-document.
+
+    Rows are ordered deterministically within their shard by
+    (hash_bucket(id), id) and assigned ``seq = cum_tokens_before DIV
+    budget`` — the streaming fill: a sequence closes when the running
+    token count crosses its bin edge. A document straddling an edge
+    stays in the earlier sequence (its overhang shortens the next one),
+    so sequence ids are contiguous and every edge is crossed exactly
+    once; exact first-fit packing is inherently sequential and buys
+    <1 sequence per shard over this.
+
+    Integer division keeps the bin edge exact on every engine (no float
+    boundary). The cumulative window runs per shard — ``pack_shards``
+    first, and pick n_shards so a shard's row set fits a task; the
+    window is then the only shuffle."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(hash_bucket(id_col, salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn("_ps_cum", cum).withColumn(
+        out_col, F.expr(f"_ps_cum div {int(budget)}")
+    ).drop("_ps_cum")
+
+
 def temporal_split(
     df: DataFrame,
     ts_col: str,

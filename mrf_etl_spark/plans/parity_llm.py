@@ -1302,3 +1302,51 @@ def pipe2_fuzzy_dedup(spark, sf_dir):
         F.col("doc_id").alias("dropped_id"),
         F.col("component_id").alias("keep_id"),
     )
+
+
+SEQ_BUDGET = 2000  # tokens per packed training sequence
+
+
+@register(
+    "sp6_sequence_pack",
+    # Same 60-bit md5 hash drives the shard (mod 7) and the within-shard
+    # order bucket (mod 10000) — one hash computation per row on the
+    # Spark side, replayed verbatim here.
+    f"""WITH tok AS (
+         SELECT doc_id,
+                CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % {N_SHARDS} AS shard_id,
+                CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 10000 AS b,
+                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+         FROM documents),
+       seq AS (
+         SELECT shard_id, doc_id, n_tok,
+                coalesce(sum(n_tok) OVER (
+                    PARTITION BY shard_id ORDER BY b, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // {SEQ_BUDGET} AS seq_id
+         FROM tok)
+       SELECT shard_id, seq_id,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens
+       FROM seq GROUP BY 1, 2""",
+    doc="sp6: sequence packing — pack documents into fixed token-budget "
+    "training sequences (streaming fill in deterministic (bucket, id) "
+    "order within each shard; integer-division bin edges, so every "
+    "engine reproduces the exact packing). Output is the per-sequence "
+    "manifest the data loader reads "
+    "(operators/sampling.pack_sequences after pack_shards).",
+)
+def sp6_sequence_pack(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count_ws("text").cast("long").alias("n_tok")
+    )
+    sharded = sp.pack_shards(d, "doc_id", N_SHARDS)
+    packed = sp.pack_sequences(sharded, "doc_id", "n_tok", SEQ_BUDGET)
+    return packed.groupBy("shard_id", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )

@@ -43,7 +43,8 @@ LOCAL_ONLY = {
     "t6_pii_scrub", "t7_repetition_signals", "t9_top_ngrams",
     "m1_multimodal_features", "m2_frame_sample", "m3_media_exact_dup",
     "sp2_stratified_sample", "sp3_temporal_split",
-    "sp4_domain_cap", "sp5_pack_shards", "pipe2_fuzzy_dedup",
+    "sp4_domain_cap", "sp5_pack_shards", "sp6_sequence_pack",
+    "pipe2_fuzzy_dedup",
     "e1_quantize_int8",
 }
 

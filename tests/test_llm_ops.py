@@ -517,3 +517,39 @@ def test_fuzzy_dedup_pipeline_drop_set(spark, sf_dir):
     by_dropped = {r.dropped_id: r.keep_id for r in drops}
     found = sum(1 for i in range(NEAR_DUP_IDS) if by_dropped.get(i + ID_SHIFT) == i)
     assert found / NEAR_DUP_IDS >= 0.85  # LSH recall bound on known dups
+
+
+def test_pack_sequences_fill_invariants(spark, sf_dir):
+    """Every packed sequence crosses the token budget except possibly the
+    last per shard; packing partitions the corpus; determinism."""
+    from mrf_etl_spark.operators import sampling as sp
+    from mrf_etl_spark.operators import textops as tx
+
+    budget = 500
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", tx.token_count_ws("text").cast("long").alias("n_tok"))
+    )
+    sharded = sp.pack_shards(d, "doc_id", 3)
+    packed = sp.pack_sequences(sharded, "doc_id", "n_tok", budget)
+    rows = packed.collect()
+    assert len(rows) == d.count()  # packing drops/dups nothing
+    # replay the spec sequentially in Python: within each shard, docs in
+    # (hash_bucket, id) order, seq = cum_tokens_before // budget
+    buckets = {
+        r.doc_id: r.bucket
+        for r in d.select("doc_id", sp.hash_bucket("doc_id")).collect()
+    }
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    for sid, rs in by_shard.items():
+        rs.sort(key=lambda r: (buckets[r.doc_id], r.doc_id))
+        cum = 0
+        for r in rs:
+            assert r.seq_id == cum // budget, (sid, r.doc_id, r.seq_id, cum)
+            cum += r.n_tok
+        # streaming fill ⇒ every boundary before the last row was crossed:
+        # seq ids are contiguous from 0
+        seqs = {r.seq_id for r in rs}
+        assert seqs == set(range(len(seqs))), sid

@@ -37,6 +37,12 @@ BUDGETS = {
     # end-to-end enrich pipeline: every join broadcasts (rates never
     # shuffles); the exchanges are the fixture dims' aggs + final rollup
     "pipe0_enrich": 6,
+    # domain quota: histogram agg (2) + histogram window (1) + boundary
+    # rank (1) + decisions join input (1) — only the boundary rank ever
+    # shuffles row-proportional data
+    "sp4_domain_cap": 5,
+    # shard manifest: stateless shard projection + ONE combinable agg
+    "sp5_pack_shards": 1,
 }
 
 
