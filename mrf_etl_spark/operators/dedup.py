@@ -514,7 +514,13 @@ def connected_components(
     transitive closure. Only nodes appearing in ``pairs`` are labeled.
     The returned frame carries ``_mrf_rounds`` (rounds to convergence)
     and persisted handles released by :func:`release_state`."""
-    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # Materialize the (possibly expensive) upstream pair plan ONCE —
+    # nodes and edges both derive from this checkpoint. Deriving them
+    # independently from `pairs` ran the full upstream plan (e.g. a
+    # MinHash-LSH cascade) twice before the first contraction round.
+    raw = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).localCheckpoint()
     nodes = (
         raw.select(F.col("u").alias("n"))
         .union(raw.select(F.col("v").alias("n")))
