@@ -199,8 +199,19 @@ def domain_cap(
         (F.lit(cap) - F.col("_dc_before")).alias("_dc_take"),
     ).filter(F.col("_dc_take") > 0)
     # decisions is domain-proportional (≤ |domains| × boundary buckets) —
-    # no forced broadcast; AQE converts when the histogram is actually small
-    joined = with_b.join(decisions, [domain_col, "_dc_bucket"], "inner")
+    # no forced broadcast; AQE converts when the histogram is actually small.
+    # Null-safe on the domain: a NULL domain is one partition under the
+    # window spec (and in the histogram groupBy), so it must survive the
+    # join too — a plain equi-join would silently drop those rows.
+    dec = decisions.withColumnsRenamed(
+        {domain_col: "_dc_dom", "_dc_bucket": "_dc_bkt"}
+    )
+    joined = with_b.join(
+        dec,
+        F.col(domain_col).eqNullSafe(F.col("_dc_dom"))
+        & (F.col("_dc_bucket") == F.col("_dc_bkt")),
+        "inner",
+    ).drop("_dc_dom", "_dc_bkt")
     full = joined.filter(F.col("_dc_keep_all"))
     boundary = joined.filter(~F.col("_dc_keep_all"))
     wrank = Window.partitionBy(domain_col, "_dc_bucket").orderBy(id_col)

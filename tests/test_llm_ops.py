@@ -553,3 +553,21 @@ def test_pack_sequences_fill_invariants(spark, sf_dir):
         # seq ids are contiguous from 0
         seqs = {r.seq_id for r in rs}
         assert seqs == set(range(len(seqs))), sid
+
+
+def test_domain_cap_null_domain_is_one_partition(spark):
+    """Rows with a NULL domain form their own quota partition (the window
+    spec's semantics) — they must not be dropped by the histogram join."""
+    from pyspark.sql import types as T
+
+    from mrf_etl_spark.operators import sampling as sp
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("dom", T.StringType())]
+    )
+    rows = [(i, "a") for i in range(10)] + [(100 + i, None) for i in range(10)]
+    df = spark.createDataFrame(rows, schema)
+    out = sp.domain_cap(df, "id", "dom", 4)
+    got = out.groupBy("dom").count().collect()
+    counts = {r.dom: r["count"] for r in got}
+    assert counts == {"a": 4, None: 4}
