@@ -47,6 +47,9 @@ HEADLINE = [
     "t8_contamination",
     "pipe1_llm_prep",
     "n1_ann_cosine_topk",
+    "sp4_domain_cap",
+    "sp6_sequence_pack",
+    "pipe2_fuzzy_dedup",
 ]
 
 
