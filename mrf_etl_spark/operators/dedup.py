@@ -386,6 +386,98 @@ def lsh_band_hashes(
     )
 
 
+def per_doc_signature_state(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, m_0 .. m_{H-1}, hset): per doc, the H minhash signature
+    mins AND the distinct shingle-hash set, in ONE aggregation pass over
+    the hashed shingles. This is both minhash_lsh_pairs' working state
+    and the PERSISTED INDEX SCHEMA for incremental dedup — write it
+    bucketed by doc_id and new batches dedup against it without ever
+    re-reading the corpus text (see :func:`dedup_incremental`)."""
+    sh = doc_shingles(df, text_col, id_col, k)
+    hashed = sh.select("doc_id", shingle_hash_expr(F.col("shingle")).alias("h"))
+    # parsed expr strings (1 py4j round trip each) instead of 5-op Column
+    # composition per seed — same arithmetic, ~0.3 s less plan build
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"min(((h % {MINHASH_P}) * {2 * s + 1} + {s}) % {MINHASH_P})"
+            ).alias(f"m_{s}")
+            for s in range(num_hashes)
+        ],
+        F.collect_set("h").alias("hset"),
+    )
+
+
+def dedup_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup an incoming batch against an already-deduped corpus WITHOUT
+    re-reading the corpus — the production ingest pattern: the lake keeps
+    a signature index (:func:`per_doc_signature_state` rows, written
+    bucketed by doc_id), and each new batch joins against it.
+
+    Returns one row per batch doc: (doc_id, survived, match_id) —
+    ``survived`` is true when no corpus doc reaches ``threshold``
+    Jaccard; otherwise ``match_id`` is the smallest matching corpus id.
+    Surviving docs' own signature rows (``per_doc_signature_state`` of
+    the filtered batch) are what the caller appends to the index.
+
+    At 100 TB: the candidate join shuffles fixed-width band hashes (batch
+    side is batch-sized; index side prunes to colliding buckets), and
+    exact verification fetches only the CANDIDATES' hash sets from the
+    index — the corpus text is never touched. Cost scales with the batch
+    and its collision set, not the lake."""
+    from pyspark.storagelevel import StorageLevel
+
+    bstate = per_doc_signature_state(batch, text_col, id_col, k, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bband = lsh_band_hashes(bstate, num_hashes, bands).withColumnRenamed(
+        "doc_id", "bdoc"
+    )
+    iband = lsh_band_hashes(index, num_hashes, bands).withColumnRenamed(
+        "doc_id", "cdoc"
+    )
+    cand = (
+        bband.join(iband, ["band", "band_hash"]).select("bdoc", "cdoc").distinct()
+    )
+    bsets = bstate.select(F.col("doc_id").alias("bdoc"), F.col("hset").alias("bset"))
+    csets = index.select(F.col("doc_id").alias("cdoc"), F.col("hset").alias("cset"))
+    n_common = F.size(F.array_intersect(F.col("bset"), F.col("cset")))
+    matches = (
+        cand.join(bsets, "bdoc")
+        .join(csets, "cdoc")
+        .withColumn("n_common", n_common)
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.size("bset") + F.size("cset") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("bdoc")
+        .agg(F.min("cdoc").alias("match_id"))
+    )
+    out = (
+        batch.select(F.col(id_col).alias("doc_id"))
+        .join(matches, F.col("doc_id") == F.col("bdoc"), "left")
+        .select(
+            "doc_id",
+            F.col("match_id").isNull().alias("survived"),
+            "match_id",
+        )
+    )
+    out._mrf_persisted = bstate
+    return out
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -413,19 +505,9 @@ def minhash_lsh_pairs(
     construction and collisions would have to collide on both sides alike."""
     from pyspark.storagelevel import StorageLevel
 
-    sh = doc_shingles(df, text_col, id_col, k)
-    hashed = sh.select("doc_id", shingle_hash_expr(F.col("shingle")).alias("h"))
-    # parsed expr strings (1 py4j round trip each) instead of 5-op Column
-    # composition per seed — same arithmetic, ~0.3 s less plan build
-    per_doc = hashed.groupBy("doc_id").agg(
-        *[
-            F.expr(
-                f"min(((h % {MINHASH_P}) * {2 * s + 1} + {s}) % {MINHASH_P})"
-            ).alias(f"m_{s}")
-            for s in range(num_hashes)
-        ],
-        F.collect_set("h").alias("hset"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_doc = per_doc_signature_state(df, text_col, id_col, k, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bandh = lsh_band_hashes(per_doc, num_hashes, bands)
     a = bandh.alias("a")
     b = bandh.alias("b")

@@ -1350,3 +1350,93 @@ def sp6_sequence_pack(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+# d9: incremental dedup — corpus = even doc_ids (the "lake"), batch =
+# odd doc_ids (mostly novel) + mutated copies of the first 40 even docs
+# (known near-dups that must match their originals through the index).
+_INC_SIDE_CTES = f"""
+  corpus_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+  batch_docs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id + {ID_SHIFT} AS doc_id, text || ' extra token tail' AS text
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id < {2 * NEAR_DUP_IDS}),
+  all_docs AS (
+    SELECT 'c' AS side, doc_id, text FROM corpus_docs
+    UNION ALL SELECT 'b', doc_id, text FROM batch_docs),
+  words AS (
+    SELECT side, doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+    FROM all_docs),
+  sh AS (
+    SELECT DISTINCT side, doc_id,
+           ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+    FROM (SELECT side, doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+          FROM words WHERE len(ws) >= 3)
+    UNION ALL
+    SELECT side, doc_id, array_to_string(ws, ' ') AS shingle
+    FROM words WHERE len(ws) < 3),
+  hsh AS (
+    SELECT DISTINCT side, doc_id,
+           CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+    FROM sh),
+  hsizes AS (SELECT side, doc_id, count(*) AS sz FROM hsh GROUP BY 1, 2),
+  mh AS (
+    SELECT side, doc_id,
+           {_MH_MINS}
+    FROM hsh GROUP BY 1, 2)"""
+
+_INC_BANDS_SQL = "\n         UNION ALL ".join(
+    f"SELECT side, doc_id, {b} AS band, md5({_band_concat(b)}) AS band_hash FROM mh"
+    for b in range(BANDS)
+)
+
+
+@register(
+    "d9_incremental_dedup",
+    f"""WITH {_INC_SIDE_CTES},
+       bands AS (
+         {_INC_BANDS_SQL}),
+       cand AS (
+         SELECT DISTINCT b.doc_id AS bdoc, c.doc_id AS cdoc
+         FROM bands b JOIN bands c
+           ON b.band = c.band AND b.band_hash = c.band_hash
+         WHERE b.side = 'b' AND c.side = 'c'),
+       inter AS (
+         SELECT cd.bdoc, cd.cdoc, count(*) AS n_common
+         FROM cand cd
+         JOIN hsh hb ON hb.side = 'b' AND hb.doc_id = cd.bdoc
+         JOIN hsh hc ON hc.side = 'c' AND hc.doc_id = cd.cdoc AND hc.h = hb.h
+         GROUP BY 1, 2),
+       matches AS (
+         SELECT bdoc, min(cdoc) AS match_id
+         FROM inter
+         JOIN hsizes sb ON sb.side = 'b' AND sb.doc_id = bdoc
+         JOIN hsizes sc ON sc.side = 'c' AND sc.doc_id = cdoc
+         WHERE n_common / (sb.sz + sc.sz - n_common) >= {JACCARD_T}
+         GROUP BY 1)
+       SELECT b.doc_id, m.bdoc IS NULL AS survived, m.match_id
+       FROM batch_docs b LEFT JOIN matches m ON m.bdoc = b.doc_id""",
+    doc="d9: incremental dedup — a new batch dedups against the lake's "
+    "persisted signature index (per-doc minhash mins + shingle-hash set) "
+    "without re-reading the corpus text: band-collision candidates, "
+    "exact-Jaccard verify of candidates only, smallest matching corpus "
+    "id reported per dropped doc "
+    "(operators/dedup.dedup_incremental / per_doc_signature_state).",
+)
+def d9_incremental_dedup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+        d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 2 * NEAR_DUP_IDS))
+        .select(
+            (F.col("doc_id") + ID_SHIFT).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+        )
+    )
+    index = dd.per_doc_signature_state(
+        corpus, "text", "doc_id", SHINGLE_K, NUM_HASHES
+    )
+    return dd.dedup_incremental(
+        batch, index, "text", "doc_id", SHINGLE_K, NUM_HASHES, BANDS, JACCARD_T
+    )

@@ -571,3 +571,44 @@ def test_domain_cap_null_domain_is_one_partition(spark):
     got = out.groupBy("dom").count().collect()
     counts = {r.dom: r["count"] for r in got}
     assert counts == {"a": 4, None: 4}
+
+
+def test_incremental_dedup_matches_known_dups(spark, sf_dir):
+    """Mutated copies of indexed corpus docs must be dropped with their
+    original as match_id; novel batch docs survive; appending the
+    survivors' signatures to the index is idempotent (re-running the
+    batch drops everything)."""
+    from mrf_etl_spark.plans.parity_llm import NEAR_DUP_IDS as N
+    from mrf_etl_spark.plans.parity_llm import SHINGLE_K, NUM_HASHES, BANDS, JACCARD_T
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    mutated = corpus.filter(F.col("doc_id") < 2 * N).select(
+        (F.col("doc_id") + ID_SHIFT).alias("doc_id"),
+        F.concat("text", F.lit(" extra token tail")).alias("text"),
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 1).unionByName(mutated)
+    index = dd.per_doc_signature_state(corpus, "text", "doc_id", SHINGLE_K, NUM_HASHES)
+    out = {
+        r.doc_id: r
+        for r in dd.dedup_incremental(
+            batch, index, "text", "doc_id", SHINGLE_K, NUM_HASHES, BANDS, JACCARD_T
+        ).collect()
+    }
+    assert len(out) == batch.count()
+    hits = sum(
+        1
+        for i in range(0, 2 * N, 2)
+        if not out[i + ID_SHIFT].survived and out[i + ID_SHIFT].match_id == i
+    )
+    assert hits / N >= 0.85  # LSH recall on the planted dups
+    # survivors join the index; re-ingesting the same batch drops ALL of it
+    surv_ids = [i for i, r in out.items() if r.survived]
+    survivors = batch.filter(F.col("doc_id").isin(surv_ids))
+    index2 = index.unionByName(
+        dd.per_doc_signature_state(survivors, "text", "doc_id", SHINGLE_K, NUM_HASHES)
+    )
+    rerun = dd.dedup_incremental(
+        batch, index2, "text", "doc_id", SHINGLE_K, NUM_HASHES, BANDS, JACCARD_T
+    )
+    assert rerun.filter(F.col("survived")).count() == 0
