@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import mrf_etl_spark.plans.parity_llm  # noqa: F401  (fx_llm_pipelines components must be registered first)
 from mrf_etl_spark.plans.parity import REGISTRY, ParityQuery, register
 
 # fused name -> [(component entry name, [double-typed output columns])]
@@ -110,6 +111,17 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("s18_compaction", ["val_sum"]),
         ("mv1_materialized_rollup", ["bucket_tax", "revenue"]),
     ],
+    # round-4 training-data pipeline flagships: split, domain quota, shard
+    # packing, sequence packing, fuzzy-dedup composition, incremental
+    # dedup. All-integer/string/bool outputs — everything packs into k.
+    "fx_llm_pipelines": [
+        ("sp1_hash_split", []),
+        ("sp4_domain_cap", []),
+        ("sp5_pack_shards", []),
+        ("sp6_sequence_pack", []),
+        ("pipe2_fuzzy_dedup", []),
+        ("d9_incremental_dedup", []),
+    ],
 }
 
 # Oracle-side column lists per component: (all output columns in order,
@@ -162,6 +174,12 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "x2_json_explode": ["event_id", "k", "v"],
     "s18_compaction": ["n_rows", "val_sum", "n_ids"],
     "mv1_materialized_rollup": ["l_returnflag", "l_linestatus", "bucket_tax", "n", "revenue"],
+    "sp1_hash_split": ["doc_id", "bucket", "split"],
+    "sp4_domain_cap": ["doc_id", "source"],
+    "sp5_pack_shards": ["shard_id", "n_rows", "total_size", "id_checksum"],
+    "sp6_sequence_pack": ["shard_id", "seq_id", "n_docs", "total_tokens"],
+    "pipe2_fuzzy_dedup": ["dropped_id", "keep_id"],
+    "d9_incremental_dedup": ["doc_id", "survived", "match_id"],
 }
 
 _NULL_TOKEN = "∅"
@@ -296,7 +314,7 @@ DRIVER_WINDOW: list[str] = [
     "t2_quality_score",
     "t8_contamination",
     "pipe1_llm_prep",
-    "sp1_hash_split",
+    "fx_llm_pipelines",
     "st6_stream_interval_join",
 ]
 

@@ -49,6 +49,7 @@ def test_registry_complete_from_fresh_interpreter():
 
     sys.path.insert(0, REPO)
     import mrf_etl_spark.plans.parity as parity
+    import mrf_etl_spark.plans.parity_fused  # noqa: F401  (fx_* probes)
     import mrf_etl_spark.plans.parity_llm  # noqa: F401
     import mrf_etl_spark.plans.parity_streaming  # noqa: F401
 

@@ -37,14 +37,12 @@ LOCAL_ONLY = {
     "st4_stateful_totals", "st5_stream_dedup",
     "d3_ngram_jaccard", "d3b_ngram_jaccard_capped", "d4_simhash",
     "d5_embedding_near_dup", "d6_dup_clusters", "d7_repeated_passages",
-    "d8_semantic_dedup", "d9_incremental_dedup",
+    "d8_semantic_dedup",
     "n1_ann_cosine_topk", "n2_ann_ivf",
     "t1_lang_id", "t3_token_count", "t4_fingerprint", "t5_tfidf_top_terms",
     "t6_pii_scrub", "t7_repetition_signals", "t9_top_ngrams",
     "m1_multimodal_features", "m2_frame_sample", "m3_media_exact_dup",
     "sp2_stratified_sample", "sp3_temporal_split",
-    "sp4_domain_cap", "sp5_pack_shards", "sp6_sequence_pack",
-    "pipe2_fuzzy_dedup",
     "e1_quantize_int8",
 }
 
