@@ -435,7 +435,11 @@ def dedup_incremental(
     side is batch-sized; index side prunes to colliding buckets), and
     exact verification fetches only the CANDIDATES' hash sets from the
     index — the corpus text is never touched. Cost scales with the batch
-    and its collision set, not the lake."""
+    and its collision set, not the lake.
+
+    ``index`` is referenced twice in the plan (band projection + hset
+    fetch). A lake table read from disk is fine; a COMPUTED index should
+    be persisted by the caller first or its aggregation runs twice."""
     from pyspark.storagelevel import StorageLevel
 
     bstate = per_doc_signature_state(batch, text_col, id_col, k, num_hashes).persist(
@@ -558,6 +562,28 @@ def release_state(result: DataFrame) -> None:
         handle = getattr(result, attr, None)
         if handle is not None:
             handle.unpersist()
+    for handle in getattr(result, "_mrf_persisted_all", ()) or ():
+        handle.unpersist()
+
+
+def carry_state(dst: DataFrame, *srcs: DataFrame, hold: tuple = ()) -> DataFrame:
+    """Transfer persisted-state handles from ``srcs`` onto ``dst`` so
+    ``release_state(dst)`` frees everything. DataFrame transformations
+    return NEW objects without the attribute, so any composition that
+    derives its result from a stateful operator's output (select, join,
+    union) silently drops the handles — and release_state on the final
+    frame becomes a no-op leak. ``hold``: persisted frames the caller
+    manages directly (e.g. an index it persisted itself)."""
+    handles = list(getattr(dst, "_mrf_persisted_all", ()) or ())
+    for s in srcs:
+        for attr in ("_mrf_persisted", "_mrf_persisted_labels"):
+            h = getattr(s, attr, None)
+            if h is not None:
+                handles.append(h)
+        handles.extend(getattr(s, "_mrf_persisted_all", ()) or ())
+    handles.extend(hold)
+    dst._mrf_persisted_all = handles
+    return dst
 
 
 # ------------------------------------------------------ dedup clustering

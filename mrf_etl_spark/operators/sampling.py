@@ -24,14 +24,22 @@ from pyspark.sql import functions as F
 BUCKETS = 10_000
 
 
-def hash_bucket(id_col: Column | str, salt: str = "") -> Column:
-    """Deterministic bucket in [0, 10000): first 15 hex chars of
-    md5(salt || id) parsed base-16, mod 10000. The salt decorrelates
-    independent splits over the same ids (e.g. a dedup-sample vs a
-    train/val split)."""
+def shard_hash(id_col: Column | str, salt: str = "") -> Column:
+    """Full-resolution 60-bit deterministic hash of the id: first 15 hex
+    chars of md5(salt || id) parsed base-16 — the single engine-neutral
+    recipe every sampling decision derives from. The salt decorrelates
+    independent uses over the same ids."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 15), 16, 10)
-    return (h.cast("long") % BUCKETS).alias("bucket")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 15), 16, 10
+    )
+    return h.cast("long")
+
+
+def hash_bucket(id_col: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 10000): :func:`shard_hash` quantized
+    mod 10000 (basis-point resolution)."""
+    return (shard_hash(id_col, salt) % BUCKETS).alias("bucket")
 
 
 def assign_split(
@@ -85,17 +93,6 @@ def stratified_sample(
         else cut.otherwise(int(round(default_fraction * BUCKETS)))
     )
     return df.filter(b < cut)
-
-
-def shard_hash(id_col: Column | str, salt: str = "") -> Column:
-    """Full-resolution 60-bit deterministic hash of the id (same md5
-    recipe as :func:`hash_bucket` but WITHOUT the mod-10000 quantization),
-    for uses that need uniformity over an arbitrary modulus."""
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 15), 16, 10
-    )
-    return h.cast("long")
 
 
 def pack_shards(
@@ -252,6 +249,8 @@ def pack_sequences(
     window is then the only shuffle."""
     from pyspark.sql.window import Window
 
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     w = (
         Window.partitionBy(shard_col)
         .orderBy(hash_bucket(id_col, salt), F.col(id_col))

@@ -1292,16 +1292,20 @@ def sp5_pack_shards(spark, sf_dir):
 )
 def pipe2_fuzzy_dedup(spark, sf_dir):
     corpus = _docs_with_near_dups(spark, sf_dir)
-    pairs = dd.minhash_lsh_pairs(
+    pairs_raw = dd.minhash_lsh_pairs(
         corpus, "text", "doc_id", SHINGLE_K, NUM_HASHES, BANDS, JACCARD_T
-    ).select("doc_a", "doc_b")
+    )
+    pairs = pairs_raw.select("doc_a", "doc_b")
     comp = dd.connected_components(pairs)
     kept = dd.keep_canonical(corpus, pairs, id_col="doc_id", components=comp)
     dropped = corpus.join(kept.select("doc_id"), "doc_id", "left_anti")
-    return dropped.join(comp, "doc_id").select(
+    out = dropped.join(comp, "doc_id").select(
         F.col("doc_id").alias("dropped_id"),
         F.col("component_id").alias("keep_id"),
     )
+    # the select/join chain dropped the state handles — carry them so
+    # release_state(result) actually frees the signature + CC caches
+    return dd.carry_state(out, pairs_raw, comp)
 
 
 SEQ_BUDGET = 2000  # tokens per packed training sequence
@@ -1355,6 +1359,10 @@ def sp6_sequence_pack(spark, sf_dir):
 # d9: incremental dedup — corpus = even doc_ids (the "lake"), batch =
 # odd doc_ids (mostly novel) + mutated copies of the first 40 even docs
 # (known near-dups that must match their originals through the index).
+# NOTE: the CTEs below are the side-tagged variant of _SHINGLE_CTES /
+# _MH_MINS / _BANDS_SQL — any change to the shingle/hash/band recipe must
+# be applied to BOTH copies (and operators/dedup.py) or d9 silently
+# diverges from d2/pipe2.
 _INC_SIDE_CTES = f"""
   corpus_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
   batch_docs AS (
@@ -1434,9 +1442,15 @@ def d9_incremental_dedup(spark, sf_dir):
             F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
         )
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # a COMPUTED index is referenced twice inside dedup_incremental (band
+    # projection + hset fetch) — persist it so the signature aggregation
+    # runs once; in production the index is a read-from-disk table
     index = dd.per_doc_signature_state(
         corpus, "text", "doc_id", SHINGLE_K, NUM_HASHES
-    )
-    return dd.dedup_incremental(
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    out = dd.dedup_incremental(
         batch, index, "text", "doc_id", SHINGLE_K, NUM_HASHES, BANDS, JACCARD_T
     )
+    return dd.carry_state(out, hold=(index,))

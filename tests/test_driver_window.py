@@ -94,6 +94,8 @@ def test_component_cols_match_live_schema(spark, sf_dir, fused):
     silently diverges. Pin column NAMES+ORDER and double-typed columns."""
     from pyspark.sql import types as T
 
+    from mrf_etl_spark.operators.dedup import release_state
+
     for comp, dbl in FUSE_SPECS[fused]:
         df = REGISTRY[comp].spark_fn(spark, sf_dir)
         assert df.columns == _COMPONENT_COLS[comp], comp
@@ -101,3 +103,6 @@ def test_component_cols_match_live_schema(spark, sf_dir, fused):
             f.name for f in df.schema.fields if isinstance(f.dataType, T.DoubleType)
         ]
         assert live_dbl == dbl, (comp, live_dbl, dbl)
+        # stateful components (pipe2/d9) persist caches at frame build —
+        # free them; this test only needed the schema
+        release_state(df)
