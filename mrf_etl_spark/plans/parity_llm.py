@@ -1400,10 +1400,9 @@ _INC_BANDS_SQL = "\n         UNION ALL ".join(
 )
 
 
-@register(
-    "d9_incremental_dedup",
-    f"""WITH {_INC_SIDE_CTES},
-       bands AS (
+# band-collision candidates → exact-Jaccard verify → min matching corpus
+# id per batch doc; shared by d9 and the streaming st7 entry.
+_INC_MATCH_CTES = f"""bands AS (
          {_INC_BANDS_SQL}),
        cand AS (
          SELECT DISTINCT b.doc_id AS bdoc, c.doc_id AS cdoc
@@ -1422,7 +1421,13 @@ _INC_BANDS_SQL = "\n         UNION ALL ".join(
          JOIN hsizes sb ON sb.side = 'b' AND sb.doc_id = bdoc
          JOIN hsizes sc ON sc.side = 'c' AND sc.doc_id = cdoc
          WHERE n_common / (sb.sz + sc.sz - n_common) >= {JACCARD_T}
-         GROUP BY 1)
+         GROUP BY 1)"""
+
+
+@register(
+    "d9_incremental_dedup",
+    f"""WITH {_INC_SIDE_CTES},
+       {_INC_MATCH_CTES}
        SELECT b.doc_id, m.bdoc IS NULL AS survived, m.match_id
        FROM batch_docs b LEFT JOIN matches m ON m.bdoc = b.doc_id""",
     doc="d9: incremental dedup — a new batch dedups against the lake's "

@@ -309,3 +309,82 @@ def st6_stream_interval_join(spark, sf_dir):
         "view_id",
         (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("dt_us"),
     )
+
+
+from mrf_etl_spark.plans.parity_llm import _INC_MATCH_CTES, _INC_SIDE_CTES
+
+
+@register(
+    "st7_stream_dedup_ingest",
+    # Final doc-lake membership: micro-batch 1 (the "corpus" = even ids)
+    # ingests into an empty lake so everything survives; micro-batch 2
+    # (odd ids + mutated near-dup copies) dedups against batch 1's
+    # signature index — the survivors are exactly d9's survived set.
+    # CTE fragments imported from the d9 entry, verbatim.
+    f"""WITH {_INC_SIDE_CTES},
+       {_INC_MATCH_CTES}
+       SELECT doc_id FROM corpus_docs
+       UNION ALL
+       SELECT b.doc_id FROM batch_docs b
+       LEFT JOIN matches m ON m.bdoc = b.doc_id
+       WHERE m.bdoc IS NULL""",
+    doc="st7: streaming near-dup-deduped ingest — each micro-batch dedups "
+    "against the signature-index lake via foreachBatch, survivors append "
+    "to the doc lake and extend the index, so later batches dedup "
+    "against everything before them (streaming/ingest.py:"
+    "stream_dedup_ingest; streaming form of d9; state lives in a "
+    "parquet index, unbounded horizon, never re-reads lake text)",
+)
+def st7_stream_dedup_ingest(spark, sf_dir):
+    """Stages corpus/batch as two parquet files (distinct mtimes → two
+    ordered micro-batches under maxFilesPerTrigger=1), drains the
+    dedup-ingest stream, and returns the doc lake's membership."""
+    import os
+    import shutil
+    import time
+
+    from mrf_etl_spark.plans.parity_llm import ID_SHIFT, NEAR_DUP_IDS
+    from mrf_etl_spark.streaming import stream_dedup_ingest
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+        d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 2 * NEAR_DUP_IDS))
+        .select(
+            (F.col("doc_id") + ID_SHIFT).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+        )
+    )
+    staging = _scratch("st7_staging")
+    os.makedirs(staging, exist_ok=True)
+
+    def _stage(df, name: str, mtime: float) -> None:
+        tmp = _scratch(f"st7_{name}_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = f"{staging}/{name}.parquet"
+        shutil.copy(f"{tmp}/{part}", dst)
+        os.utime(dst, (mtime, mtime))  # deterministic micro-batch order
+        shutil.rmtree(tmp)
+
+    now = time.time()
+    _stage(corpus, "batch1", now - 60)
+    _stage(batch, "batch2", now)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    doc_lake = _scratch("st7_doclake")
+    q = stream_dedup_ingest(
+        stream,
+        doc_lake,
+        _scratch("st7_index"),
+        _scratch("st7_ckpt"),
+        k=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(doc_lake).select("doc_id")

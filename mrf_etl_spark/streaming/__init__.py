@@ -13,6 +13,7 @@ from mrf_etl_spark.streaming.ingest import (
     interval_join_streams,
     sessionize_events,
     stateful_running_totals,
+    stream_dedup_ingest,
     stream_upsert_ingest,
     windowed_event_counts,
 )
@@ -23,5 +24,6 @@ __all__ = [
     "sessionize_events",
     "stateful_running_totals",
     "dedup_stream",
+    "stream_dedup_ingest",
     "interval_join_streams",
 ]

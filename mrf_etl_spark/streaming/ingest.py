@@ -247,3 +247,69 @@ def interval_join_streams(
         & (F.col(right_ts) <= F.col(left_ts))
     )
     return l.join(r, cond, "inner").drop(r[on])
+
+
+def stream_dedup_ingest(
+    stream: DataFrame,
+    doc_lake: str,
+    index_lake: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Streaming near-dup-deduped ingest — the streaming form of
+    incremental dedup (operators/dedup.dedup_incremental): every
+    micro-batch dedups against the lake's signature index, survivors'
+    documents append to the doc lake and their signatures extend the
+    index, so later batches dedup against everything ingested before
+    them. The corpus text already in the lake is NEVER re-read — state
+    per batch is the batch's signatures plus its index collisions.
+
+    st5's dropDuplicatesWithinWatermark handles EXACT redelivery inside
+    a watermark horizon; this operator handles NEAR-duplicates across
+    the stream's whole lifetime, holding state in a parquet index
+    instead of the state store (unbounded horizon, spillable, shared
+    with batch ingestion)."""
+    from mrf_etl_spark.operators.dedup import (
+        dedup_incremental,
+        per_doc_signature_state,
+        release_state,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(index_lake)
+            have_index = True
+        except Exception:  # noqa: BLE001  (first batch: no index yet)
+            have_index = False
+        if have_index:
+            res = dedup_incremental(
+                batch_df, index, text_col, id_col, k, num_hashes, bands, threshold
+            )
+            keep_ids = res.filter(F.col("survived")).select(
+                F.col("doc_id").alias(id_col)
+            )
+            survivors = batch_df.join(keep_ids, id_col, "left_semi")
+        else:
+            res = None
+            survivors = batch_df
+        survivors = survivors.localCheckpoint()  # freeze before the lake appends
+        if res is not None:
+            release_state(res)
+        survivors.write.mode("append").parquet(doc_lake)
+        per_doc_signature_state(
+            survivors, text_col, id_col, k, num_hashes
+        ).write.mode("append").parquet(index_lake)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
