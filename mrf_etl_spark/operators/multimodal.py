@@ -126,3 +126,46 @@ def sample_frames(
     if partitions:
         mm = mm.repartition(partitions, "doc_id")
     return mm.select("doc_id", "payload").mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
+def media_near_dup(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "frame_md5",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Media near-duplicate pairs from frame fingerprints: two payloads
+    are near-dups when the Jaccard similarity of their DISTINCT frame
+    hash sets reaches ``threshold`` — re-encoded/trimmed copies of a
+    video share most content frames even when the container bytes (and
+    so m3's whole-payload hash) differ.
+
+    Inverted-index shape (the d3 pattern on frame hashes): the self-join
+    runs on the frame-hash posting lists, so cost is Σ C(df, 2) over
+    hash frequencies, not corpus². Uniform content keeps df tiny; a
+    corpus with hot frames (black frames, silence) should pre-filter
+    high-df hashes exactly like d3b's document-frequency cap."""
+    from pyspark.sql import functions as F
+
+    f = frames.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("fh")
+    ).distinct()
+    sizes = f.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = f.alias("a"), f.alias("b")
+    inter = (
+        a.join(b, (F.col("a.fh") == F.col("b.fh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1459,3 +1459,55 @@ def d9_incremental_dedup(spark, sf_dir):
         batch, index, "text", "doc_id", SHINGLE_K, NUM_HASHES, BANDS, JACCARD_T
     )
     return dd.carry_state(out, hold=(index,))
+
+
+M4_FRAME = 64  # bytes/frame: ~10 frames per synthetic doc (max 577 B)
+M4_MAXF = 64  # stride stays 1 for payloads up to 4 KiB
+
+
+@register(
+    "m4_media_near_dup",
+    # Frame slicing replays the m2 recipe (hex-string slices, 2 hex
+    # chars/byte, md5 over lowercase hex) at 64-byte granularity with
+    # the same stride formula; pair scoring is Jaccard over DISTINCT
+    # frame-hash sets. Near-dup copies share every frame except the
+    # tail-extended last one.
+    f"""WITH corpus AS {_NEAR_DUP_CORPUS_SQL},
+       f AS (
+         SELECT doc_id, lower(hex(encode(text))) AS hx,
+                greatest(1, CAST(ceil(octet_length(encode(text)) / {M4_FRAME}.0)
+                                 AS BIGINT)) AS nf
+         FROM corpus),
+       fs AS (
+         SELECT doc_id, hx, nf,
+                CAST(ceil(nf / {M4_MAXF}.0) AS BIGINT) AS stride
+         FROM f),
+       fr AS (
+         SELECT DISTINCT doc_id,
+                md5(substring(hx, CAST(j * {2 * M4_FRAME} + 1 AS BIGINT),
+                              {2 * M4_FRAME})) AS fh
+         FROM (SELECT doc_id, hx, stride, unnest(range(0, nf)) AS j FROM fs)
+         WHERE j % stride = 0),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM fr GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         FROM fr a JOIN fr b ON a.fh = b.fh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              n_common / (sa.sz + sb.sz - n_common) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE n_common / (sa.sz + sb.sz - n_common) >= {JACCARD_T}""",
+    doc="m4: media NEAR-dup via frame-fingerprint overlap — frame-sample "
+    "each payload (m2 recipe), score pairs by Jaccard of distinct frame "
+    "hashes on an inverted index (d3 shape): catches re-encoded/trimmed "
+    "copies whose whole-payload hash (m3) differs "
+    "(operators/multimodal.media_near_dup over sample_frames).",
+)
+def m4_media_near_dup(spark, sf_dir):
+    from mrf_etl_spark.operators.multimodal import media_near_dup, sample_frames
+
+    mm = attach_binary_payload(_docs_with_near_dups(spark, sf_dir), "text", "doc_id")
+    frames = sample_frames(mm, frame_size=M4_FRAME, max_frames=M4_MAXF, partitions=8)
+    return media_near_dup(frames, threshold=JACCARD_T)

@@ -42,6 +42,7 @@ LOCAL_ONLY = {
     "t1_lang_id", "t3_token_count", "t4_fingerprint", "t5_tfidf_top_terms",
     "t6_pii_scrub", "t7_repetition_signals", "t9_top_ngrams",
     "m1_multimodal_features", "m2_frame_sample", "m3_media_exact_dup",
+    "m4_media_near_dup",
     "sp2_stratified_sample", "sp3_temporal_split",
     "e1_quantize_int8",
 }

@@ -612,3 +612,23 @@ def test_incremental_dedup_matches_known_dups(spark, sf_dir):
         batch, index2, "text", "doc_id", SHINGLE_K, NUM_HASHES, BANDS, JACCARD_T
     )
     assert rerun.filter(F.col("survived")).count() == 0
+
+
+def test_media_near_dup_catches_tail_extended_copies(spark, sf_dir):
+    """A payload with an appended tail shares every leading frame with its
+    original — m4 must pair them; full-payload exact dedup (m3) cannot."""
+    from mrf_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        media_near_dup,
+        sample_frames,
+    )
+    from mrf_etl_spark.plans.parity_llm import M4_FRAME, M4_MAXF
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    mm = attach_binary_payload(corpus, "text", "doc_id")
+    frames = sample_frames(mm, frame_size=M4_FRAME, max_frames=M4_MAXF, partitions=8)
+    pairs = {(r.doc_a, r.doc_b) for r in media_near_dup(frames, threshold=0.5).collect()}
+    planted = {(i, i + ID_SHIFT) for i in range(NEAR_DUP_IDS)}
+    # frame granularity is 64 B so very short docs can fall under the
+    # threshold (1 shared frame of 2+2); require strong majority recall
+    assert len(pairs & planted) / NEAR_DUP_IDS >= 0.8
