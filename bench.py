@@ -50,6 +50,7 @@ HEADLINE = [
     "sp4_domain_cap",
     "sp6_sequence_pack",
     "pipe2_fuzzy_dedup",
+    "m4_media_near_dup",
 ]
 
 
