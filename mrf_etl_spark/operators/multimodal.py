@@ -146,10 +146,15 @@ def media_near_dup(
     corpus with hot frames (black frames, silence) should pre-filter
     high-df hashes exactly like d3b's document-frequency cap."""
     from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
 
-    f = frames.select(
-        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("fh")
-    ).distinct()
+    # the distinct frame set is referenced 3x (sizes + both join sides);
+    # without a persist the upstream mapInPandas frame sampler runs 3x
+    f = (
+        frames.select(F.col(id_col).alias("doc_id"), F.col(hash_col).alias("fh"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = f.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = f.alias("a"), f.alias("b")
     inter = (
@@ -159,7 +164,7 @@ def media_near_dup(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
+    out = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -169,3 +174,6 @@ def media_near_dup(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # caller frees via operators.dedup.release_state after materializing
+    out._mrf_persisted = f
+    return out
