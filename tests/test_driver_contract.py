@@ -89,6 +89,11 @@ for name in [
     "s14_latest_merge", "f_categorizer", "f_year_month", "d1_exact_dup",
     "w7_rolling_metrics", "sp3_temporal_split", "q1_quality_report",
     "e1_quantize_int8",
+    # round-4 additions: domain quota (histogram div), sequence packing
+    # (integer div under ANSI), incremental dedup (persist + index),
+    # the fused driver probe (bool->string packing under ANSI)
+    "sp4_domain_cap", "sp6_sequence_pack", "d9_incremental_dedup",
+    "fx_llm_pipelines",
 ]:
     rows = q[name](spark, "/root/testdata/sf0.001").collect()
     print(name, "rows:", len(rows))
