@@ -262,6 +262,54 @@ def pack_sequences(
     ).drop("_ps_cum")
 
 
+def mix_sources(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "mix",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic source mixing / epoch upsampling — the training-data
+    mixture step: each source is sampled at its own rate, where a rate
+    ABOVE 1 repeats documents (epochs: 2.5 means every doc twice plus a
+    half-chance third copy) and below 1 downsamples.
+
+    Rates quantize to basis points (1/10000), so the math is pure
+    integer arithmetic any engine replays exactly: a row emits copies
+    0 .. floor(rate) where copy < floor(rate) always survives and the
+    one fractional copy survives iff hash_bucket(id, salt) < the
+    fractional part in bp. Appending data never changes existing rows'
+    copies, and re-runs are identical.
+
+    At 100 TB this is a stateless per-row generate-and-filter (explode
+    of a ≤ ceil(rate)-element sequence) — no shuffle, no per-source
+    pass, no driver coordination. Pass a non-empty ``salt`` (default
+    'mix') so the fractional-copy decision decorrelates from
+    assign_split's buckets over the same ids."""
+    rate_bp = None
+    for name, r in rates.items():
+        bp = int(round(r * BUCKETS))
+        cond = F.col(domain_col) == name
+        rate_bp = F.when(cond, bp) if rate_bp is None else rate_bp.when(cond, bp)
+    default_bp = int(round(default_rate * BUCKETS))
+    rate_bp = (
+        F.lit(default_bp) if rate_bp is None else rate_bp.otherwise(default_bp)
+    ).cast("long")
+    b = hash_bucket(id_col, salt)
+    n_full = (rate_bp / BUCKETS).cast("long")  # floor for non-negative bp
+    rem = rate_bp % BUCKETS
+    out = df.withColumn("_mx_n", n_full).withColumn("_mx_rem", rem)
+    out = out.withColumn(
+        copy_col, F.explode(F.sequence(F.lit(0).cast("long"), F.col("_mx_n")))
+    )
+    return out.filter(
+        (F.col(copy_col) < F.col("_mx_n"))
+        | ((F.col(copy_col) == F.col("_mx_n")) & (b < F.col("_mx_rem")))
+    ).drop("_mx_n", "_mx_rem")
+
+
 def temporal_split(
     df: DataFrame,
     ts_col: str,

@@ -119,6 +119,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("sp4_domain_cap", []),
         ("sp5_pack_shards", []),
         ("sp6_sequence_pack", []),
+        ("sp7_source_mix", []),
         ("pipe2_fuzzy_dedup", []),
         ("d9_incremental_dedup", []),
     ],
@@ -178,6 +179,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "sp4_domain_cap": ["doc_id", "source"],
     "sp5_pack_shards": ["shard_id", "n_rows", "total_size", "id_checksum"],
     "sp6_sequence_pack": ["shard_id", "seq_id", "n_docs", "total_tokens"],
+    "sp7_source_mix": ["doc_id", "source", "copy"],
     "pipe2_fuzzy_dedup": ["dropped_id", "keep_id"],
     "d9_incremental_dedup": ["doc_id", "survived", "match_id"],
 }

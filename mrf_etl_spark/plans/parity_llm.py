@@ -1172,10 +1172,10 @@ def d8_semantic_dedup(spark, sf_dir):
 
 # -------------------------------------------- round-4 pipeline additions
 
-# sp4: per-domain quota. Cap chosen so sf0.01's ~1000-doc sources are
-# actually capped (boundary-bucket partial path exercised), while the
-# oracle stays a plain window spec.
-DOMAIN_CAP = 100
+# sp4: per-domain quota. Cap chosen BELOW the per-source doc count at
+# every SF (sources hold 25 docs each), so the driver row exercises the
+# boundary-bucket partial-take path, not just full-keep buckets.
+DOMAIN_CAP = 10
 
 
 @register(
@@ -1511,3 +1511,45 @@ def m4_media_near_dup(spark, sf_dir):
     mm = attach_binary_payload(_docs_with_near_dups(spark, sf_dir), "text", "doc_id")
     frames = sample_frames(mm, frame_size=M4_FRAME, max_frames=M4_MAXF, partitions=8)
     return media_near_dup(frames, threshold=JACCARD_T)
+
+
+# sp7: mixture rates in basis points; src1 is exactly 1 epoch, src0 is
+# 2.5 epochs (upsampling), src2/default downsample.
+MIX_RATES = {"src0": 2.5, "src1": 1.0, "src2": 0.4}
+MIX_DEFAULT = 0.25
+
+
+def _mix_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(round(r * 10000))}" for s, r in MIX_RATES.items()
+    )
+    return f"CASE source {whens} ELSE {int(round(MIX_DEFAULT * 10000))} END"
+
+
+@register(
+    "sp7_source_mix",
+    f"""WITH r AS (
+         SELECT doc_id, source,
+                CAST({_mix_rate_case()} AS BIGINT) AS rate_bp,
+                CAST('0x' || substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 10000 AS b
+         FROM documents)
+       SELECT doc_id, source, c AS copy
+       FROM (SELECT doc_id, source, rate_bp, b,
+                    unnest(range(0, rate_bp // 10000 + 1)) AS c
+             FROM r)
+       WHERE c < rate_bp // 10000
+          OR (c = rate_bp // 10000 AND b < rate_bp % 10000)""",
+    doc="sp7: deterministic source mixing / epoch upsampling — per-source "
+    "sampling rates in basis points; rate>1 repeats documents (integer "
+    "copies always, the fractional copy gated by a salted hash bucket). "
+    "Pure integer per-row generate-and-filter: no shuffle at any scale "
+    "(operators/sampling.mix_sources).",
+)
+def sp7_source_mix(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sp.mix_sources(
+        d, "doc_id", "source", MIX_RATES, default_rate=MIX_DEFAULT
+    ).select("doc_id", "source", "copy")

@@ -632,3 +632,33 @@ def test_media_near_dup_catches_tail_extended_copies(spark, sf_dir):
     # frame granularity is 64 B so very short docs can fall under the
     # threshold (1 shared frame of 2+2); require strong majority recall
     assert len(pairs & planted) / NEAR_DUP_IDS >= 0.8
+
+
+def test_mix_sources_rates_and_determinism(spark, sf_dir):
+    """Integer epochs are exact (rate 2.0 -> every doc exactly twice,
+    rate 1.0 -> exactly once); fractional rates land within hash noise;
+    copies are distinct per doc; re-runs are identical."""
+    from mrf_etl_spark.operators import sampling as sp
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    per = {r.source: r.n for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    rates = {"src0": 2.0, "src1": 0.5, "src2": 3.25}
+    out = sp.mix_sources(d, "doc_id", "source", rates, default_rate=1.0)
+    rows = out.collect()
+    got = {}
+    for r in rows:
+        got[r.source] = got.get(r.source, 0) + 1
+    assert got["src0"] == 2 * per["src0"]  # integer epochs exact
+    for s, n in per.items():
+        if s not in rates:
+            assert got[s] == n  # default rate 1.0 exact
+    assert abs(got["src1"] - 0.5 * per["src1"]) <= 4 * (per["src1"] ** 0.5)
+    assert abs(got["src2"] - 3.25 * per["src2"]) <= 4 * (per["src2"] ** 0.5)
+    # copies distinct per doc, contiguous from 0
+    seen = {}
+    for r in rows:
+        seen.setdefault(r.doc_id, []).append(r.copy)
+    for doc, copies in seen.items():
+        assert sorted(copies) == list(range(len(copies))), doc
+    rows2 = sp.mix_sources(d, "doc_id", "source", rates, default_rate=1.0).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
