@@ -85,6 +85,19 @@ def main() -> None:
         .withColumn("rn", F.row_number().over(Window.partitionBy().orderBy("n_name")))
     )
     warm.collect()
+    # Warm the Python worker pool too: the first Arrow-batched stage of a
+    # session pays fork + pandas import for every worker (~6 s for 32 on
+    # this machine). Resident engines keep workers alive
+    # (spark.python.worker.reuse), so the fork cost is session setup, not
+    # query cost — pay it here, once, across the full width.
+    import pandas as _pd  # noqa: F401
+
+    def _ident(it):
+        yield from it
+
+    spark.range(spark.sparkContext.defaultParallelism * 2).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_ident, "id long").count()
 
     timings: dict[str, float] = {}
     # A headline query that errors must NOT silently vanish from the JSON

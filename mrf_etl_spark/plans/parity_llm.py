@@ -753,7 +753,7 @@ def n2_ann_ivf(spark, sf_dir):
 def m1_multimodal_features(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     mm = attach_binary_payload(d, "text", "doc_id")
-    feats = extract_features(mm, partitions=8)
+    feats = extract_features(mm, partitions=spark.sparkContext.defaultParallelism)
     return feats.select("doc_id", "n_bytes", "header_hex", "mime")
 
 
@@ -789,7 +789,10 @@ def m2_frame_sample(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     mm = attach_binary_payload(d, "text", "doc_id")
-    return sample_frames(mm, frame_size=256, max_frames=4, partitions=8)
+    return sample_frames(
+        mm, frame_size=256, max_frames=4,
+        partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 # ------------------------------------------------- deterministic sampling
@@ -1509,7 +1512,10 @@ def m4_media_near_dup(spark, sf_dir):
     from mrf_etl_spark.operators.multimodal import media_near_dup, sample_frames
 
     mm = attach_binary_payload(_docs_with_near_dups(spark, sf_dir), "text", "doc_id")
-    frames = sample_frames(mm, frame_size=M4_FRAME, max_frames=M4_MAXF, partitions=8)
+    frames = sample_frames(
+        mm, frame_size=M4_FRAME, max_frames=M4_MAXF,
+        partitions=spark.sparkContext.defaultParallelism,
+    )
     return media_near_dup(frames, threshold=JACCARD_T)
 
 
