@@ -596,11 +596,43 @@ def carry_state(dst: DataFrame, *srcs: DataFrame, hold: tuple = ()) -> DataFrame
 # ------------------------------------------------------ dedup clustering
 
 
+def _cc_driver_local(raw: DataFrame) -> DataFrame:
+    """Union-find on the driver for a driver-sized edge list — the
+    small-graph fast path of :func:`connected_components`. Union-by-min
+    (the smaller root becomes parent) + path halving, so every root IS
+    its component's minimum id — exactly the distributed fixpoint label."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for row in raw.collect():
+        u, v = row[0], row[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    data = [(n, find(n)) for n in parent]
+    out = raw.sparkSession.createDataFrame(
+        data, schema="doc_id long, component_id long"
+    )
+    out._mrf_rounds = 0
+    return out
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    driver_edge_cutoff: int = 200_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → (doc_id,
     component_id) where component_id is the MIN doc id reachable from the
@@ -636,6 +668,18 @@ def connected_components(
     raw = pairs.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
     ).localCheckpoint()
+    # Small-graph fast path (the broadcast-join analogy): a near-dup pair
+    # graph is typically ORDERS of magnitude smaller than the corpus —
+    # when it fits on the driver (two longs per edge; the default cutoff
+    # is ~3 MB collected), a local union-find replaces ~2 shuffle jobs
+    # per contraction round of pure scheduler overhead (measured: the CC
+    # tail of pipe2 at sf0.1 swung 2-10 s on job-scheduling noise alone).
+    # The label fixpoint is identical (component min). Graphs above the
+    # cutoff take the distributed star-contraction path below, which is
+    # the 100 TB story; both paths share one property-based test against
+    # a sequential union-find oracle.
+    if raw.count() <= driver_edge_cutoff:
+        return _cc_driver_local(raw)
     nodes = (
         raw.select(F.col("u").alias("n"))
         .union(raw.select(F.col("v").alias("n")))

@@ -248,11 +248,13 @@ def test_connected_components_long_path_converges_logarithmically(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
     )
-    comp = dd.connected_components(pairs)
+    # cutoff=0 forces the distributed star-contraction path (the default
+    # would solve this driver-sized graph with the local union-find)
+    comp = dd.connected_components(pairs, driver_edge_cutoff=0)
     rows = comp.collect()
     assert len(rows) == 101
     assert all(r.component_id == 0 for r in rows)
-    assert comp._mrf_rounds <= 8
+    assert 0 < comp._mrf_rounds <= 8
     dd.release_state(comp)
 
 

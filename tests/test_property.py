@@ -224,7 +224,13 @@ def test_connected_components_match_union_find(spark, edges):
     from mrf_etl_spark.operators.dedup import connected_components, release_state
 
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    comp = connected_components(df)
+    # cutoff=0 forces the distributed star-contraction path; the default
+    # cutoff routes a list this small through the driver union-find,
+    # which is structurally the same algorithm as the oracle below —
+    # the distributed path is what needs the property check. The driver
+    # path is covered too (it IS the default for every small-graph call
+    # site, e.g. test_connected_components_chain_and_canonical).
+    comp = connected_components(df, driver_edge_cutoff=0)
     got = {r.doc_id: r.component_id for r in comp.collect()}
     release_state(comp)
 
