@@ -211,7 +211,10 @@ def ngram_jaccard_pairs_capped(
     # fans each row out ~df²/2×, and a coalesced plan runs that generate
     # stage on those few cores. Round-robin the small table first: the
     # extra exchange moves |posts| rows to buy an explode spread over the
-    # whole cluster (measured at sf0.1: cand stage 2.5 s → 1.2 s).
+    # whole cluster (measured at sf0.1: cand stage 2.5 s → 1.2 s). No
+    # persist needed for its double use (candidate pairs + kept-per-doc
+    # counts): the physical plans are identical up to the agg, so Spark
+    # reuses the shuffle (ReusedExchange) — a cache was measured neutral.
     posts = posts.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # all i<j pairs of the sorted posting list, generated in-place
     pair_arr = F.expr(
