@@ -49,6 +49,8 @@ HEADLINE = [
     "n1_ann_cosine_topk",
     "sp4_domain_cap",
     "sp6_sequence_pack",
+    "sp8_global_shuffle",
+    "t10_boilerplate_flags",
     "pipe2_fuzzy_dedup",
     "m4_media_near_dup",
 ]

@@ -335,3 +335,63 @@ def temporal_split(
         .when(c >= F.lit(cutoff) + F.lit(gap), F.lit("test"))
         .otherwise(F.lit("holdout_gap")),
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuffle",
+    n_buckets: int = 1024,
+    out_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    dense position ``0..n-1`` in md5-randomized order — the "shuffle the
+    corpus before epoching" step of a training-data pipeline, reproducible
+    across engines and re-runs (same salt → same order; a different salt
+    → an independent order).
+
+    The naive expression — ``row_number() OVER (ORDER BY hash)`` — is a
+    single-partition window: the WHOLE corpus funnels through one task.
+    This computes the identical ranking distributed:
+
+      1. bucket = top ``log2(n_buckets)`` bits of the 60-bit row hash —
+         bucket order IS hash order, so ranking decomposes per bucket;
+      2. per-bucket counts (tiny agg: ``n_buckets`` rows) → exclusive
+         prefix sums on that constant-size table → broadcast back;
+      3. ``row_number()`` within each bucket (hash-partitioned window,
+         uniformly spread by construction — the hash is uniform) plus
+         the bucket's offset.
+
+    One data shuffle (the per-bucket window), one broadcast join; the
+    only ordered window runs over the ``n_buckets``-row offset table.
+    Ties (hash collisions) break by id, so positions are total and
+    deterministic. The same decomposition is how a cluster writes a
+    globally sorted corpus (repartitionByRange + sortWithinPartitions);
+    here the rank is materialized as a column instead.
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    width = (1 << 60) // n_buckets
+    from pyspark.sql.window import Window
+
+    with_h = df.withColumn("_gs_h", shard_hash(id_col, salt)).withColumn(
+        "_gs_b", F.expr(f"_gs_h div {width}")
+    )
+    counts = with_h.groupBy("_gs_b").agg(F.count("*").alias("_c"))
+    offsets = counts.select(
+        "_gs_b",
+        F.coalesce(
+            F.sum("_c").over(
+                Window.orderBy("_gs_b").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    w = Window.partitionBy("_gs_b").orderBy("_gs_h", F.col(id_col))
+    return (
+        with_h.join(F.broadcast(offsets), "_gs_b")
+        .withColumn(out_col, F.row_number().over(w) + F.col("_off") - 1)
+        .drop("_gs_h", "_gs_b", "_off")
+    )

@@ -432,3 +432,55 @@ def repeated_passages(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def boilerplate_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    k: int = 2,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Per-source boilerplate detection: a word ``k``-gram span occurring
+    in ≥ ``min_docs`` distinct documents OF THE SAME SOURCE is boilerplate
+    (nav bars, cookie banners, license headers — crawl pipelines strip or
+    down-weight documents dominated by such spans; cf. the CCNet/RefinedWeb
+    shared-line filters, applied here at span granularity because the
+    corpus has no line structure). Returns one row per document:
+    (doc_id, n_spans, n_boiler, boiler_frac).
+
+    Plan shape: spans are DISTINCT per doc (same split + k-gram recipe as
+    operators/dedup.doc_shingles, so the oracle replays it verbatim); the
+    per-(source, span) document frequency comes from a window COUNT over
+    the exploded span table — ONE shuffle keyed (source, span), no
+    span-table self-join — and the per-doc rollup is the second, smaller
+    shuffle. No driver-side state; hot sources spread because the window
+    key includes the span."""
+    from pyspark.sql.window import Window
+
+    words_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_words"),
+    )
+    parts = ", ".join(f"_words[i + {j}]" for j in range(k))
+    arr = F.expr(
+        f"CASE WHEN size(_words) < {k} THEN array(concat_ws(' ', _words)) "
+        f"ELSE array_distinct(transform(sequence(0, greatest(size(_words) - {k}, 0)), "
+        f"i -> concat_ws(' ', {parts}))) END"
+    )
+    spans = words_df.select("doc_id", "source", F.explode(arr).alias("span"))
+    dfc = F.count("*").over(Window.partitionBy("source", "span"))
+    flagged = spans.withColumn("_dfc", dfc)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count_if(F.col("_dfc") >= min_docs).alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.col("n_boiler").cast("double") / F.col("n_spans"),
+        )
+    )

@@ -1559,3 +1559,74 @@ def sp7_source_mix(spark, sf_dir):
     return sp.mix_sources(
         d, "doc_id", "source", MIX_RATES, default_rate=MIX_DEFAULT
     ).select("doc_id", "source", "copy")
+
+
+# sp8: deterministic global shuffle — distributed rank in md5 order
+@register(
+    "sp8_global_shuffle",
+    # row_number over hash order is THE definition; the Spark side computes
+    # the identical ranking distributed (bucket prefix-sums + per-bucket
+    # windows), so the single-window oracle is the spec it must reproduce.
+    """SELECT doc_id,
+              CAST(row_number() OVER (
+                ORDER BY CAST('0x' || substring(md5('shuffle' || CAST(doc_id AS VARCHAR)), 1, 15)
+                              AS BIGINT), doc_id) - 1 AS BIGINT) AS shuffle_pos
+       FROM documents""",
+    doc="sp8: deterministic global training-order shuffle — dense position "
+    "0..n-1 in salted-md5 order WITHOUT a single-partition window: top "
+    "hash bits bucket the corpus in hash order, per-bucket counts give "
+    "exclusive prefix offsets (constant-size agg, broadcast back), and a "
+    "per-bucket row_number adds the offset "
+    "(operators/sampling.global_shuffle).",
+)
+def sp8_global_shuffle(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    return sp.global_shuffle(d, "doc_id", salt="shuffle")
+
+
+# t10: per-source boilerplate spans
+T10_K = 2
+T10_MIN_DOCS = 5
+
+
+@register(
+    "t10_boilerplate_flags",
+    # Span recipe == doc_shingles at k=2 (distinct word bigrams, whole
+    # text for 1-word docs); per-(source, span) document frequency via a
+    # window COUNT, exactly like the Spark plan.
+    f"""WITH words AS (
+         SELECT doc_id, source,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+         FROM documents),
+       sp AS (
+         SELECT DISTINCT doc_id, source,
+                ws[i] || ' ' || ws[i + 1] AS span
+         FROM (SELECT doc_id, source, ws, unnest(range(1, len(ws))) AS i
+               FROM words WHERE len(ws) >= {T10_K})
+         UNION ALL
+         SELECT doc_id, source, array_to_string(ws, ' ') AS span
+         FROM words WHERE len(ws) < {T10_K}),
+       fl AS (
+         SELECT doc_id,
+                count(*) OVER (PARTITION BY source, span) AS dfc
+         FROM sp)
+       SELECT doc_id,
+              count(*) AS n_spans,
+              CAST(count(*) FILTER (WHERE dfc >= {T10_MIN_DOCS}) AS BIGINT)
+                AS n_boiler,
+              CAST(count(*) FILTER (WHERE dfc >= {T10_MIN_DOCS}) AS DOUBLE)
+                / count(*) AS boiler_frac
+       FROM fl GROUP BY doc_id""",
+    doc="t10: per-source boilerplate detection — a word bigram span in >= "
+    f"{T10_MIN_DOCS} distinct docs of the SAME source flags as boilerplate "
+    "(CCNet/RefinedWeb shared-line filtering at span granularity); one "
+    "(source, span)-keyed window shuffle + a per-doc rollup "
+    "(operators/textops.boilerplate_flags).",
+)
+def t10_boilerplate_flags(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return tx.boilerplate_flags(
+        d, "text", "doc_id", "source", k=T10_K, min_docs=T10_MIN_DOCS
+    )

@@ -43,7 +43,8 @@ LOCAL_ONLY = {
     "t6_pii_scrub", "t7_repetition_signals", "t9_top_ngrams",
     "m1_multimodal_features", "m2_frame_sample", "m3_media_exact_dup",
     "m4_media_near_dup",
-    "sp2_stratified_sample", "sp3_temporal_split",
+    "sp2_stratified_sample", "sp3_temporal_split", "sp8_global_shuffle",
+    "t10_boilerplate_flags",
     "e1_quantize_int8",
 }
 

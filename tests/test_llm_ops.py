@@ -664,3 +664,71 @@ def test_mix_sources_rates_and_determinism(spark, sf_dir):
         assert sorted(copies) == list(range(len(copies))), doc
     rows2 = sp.mix_sources(d, "doc_id", "source", rates, default_rate=1.0).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_global_shuffle_dense_positions_and_determinism(spark):
+    """Positions are a dense permutation of 0..n-1, stable across runs,
+    identical to the single-window definition, and salt-sensitive."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mrf_etl_spark.operators.sampling import global_shuffle, shard_hash
+
+    ids = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    out = global_shuffle(ids, "doc_id", salt="s1", n_buckets=16)
+    rows = {r.doc_id: r.shuffle_pos for r in out.collect()}
+    assert sorted(rows.values()) == list(range(500))
+    # equals the naive single-partition ranking
+    naive = ids.select(
+        "doc_id",
+        (
+            F.row_number().over(
+                Window.orderBy(shard_hash("doc_id", "s1"), "doc_id")
+            )
+            - 1
+        ).alias("pos"),
+    )
+    assert rows == {r.doc_id: r.pos for r in naive.collect()}
+    # same salt reproduces; different salt is a different permutation
+    again = {r.doc_id: r.shuffle_pos
+             for r in global_shuffle(ids, "doc_id", salt="s1", n_buckets=16).collect()}
+    assert again == rows
+    other = {r.doc_id: r.shuffle_pos
+             for r in global_shuffle(ids, "doc_id", salt="s2", n_buckets=16).collect()}
+    assert other != rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        global_shuffle(ids, "doc_id", n_buckets=3)
+
+
+def test_boilerplate_flags_hand_computed(spark):
+    """Bigrams shared by >= min_docs docs of the SAME source flag as
+    boilerplate; the same span in another source does not; 1-word docs
+    fall back to the whole-text span."""
+    from mrf_etl_spark.operators.textops import boilerplate_flags
+
+    docs = spark.createDataFrame(
+        [
+            # src_a: 'cookie banner' appears in 3 docs -> boilerplate at min_docs=3
+            (1, "cookie banner alpha beta", "src_a"),
+            (2, "cookie banner gamma delta", "src_a"),
+            (3, "cookie banner epsilon", "src_a"),
+            # same span in src_b only once -> NOT boilerplate there
+            (4, "cookie banner zeta", "src_b"),
+            (5, "solo", "src_b"),  # 1-word doc: whole text is the span
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.doc_id: r
+        for r in boilerplate_flags(
+            docs, "text", "doc_id", "source", k=2, min_docs=3
+        ).collect()
+    }
+    assert out[1].n_spans == 3 and out[1].n_boiler == 1
+    assert out[2].n_spans == 3 and out[2].n_boiler == 1
+    assert out[3].n_spans == 2 and out[3].n_boiler == 1
+    assert out[3].boiler_frac == 0.5
+    assert out[4].n_boiler == 0  # span is hot in src_a, cold in src_b
+    assert out[5].n_spans == 1 and out[5].n_boiler == 0
