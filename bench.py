@@ -47,6 +47,7 @@ HEADLINE = [
     "t8_contamination",
     "pipe1_llm_prep",
     "n1_ann_cosine_topk",
+    "n3_ann_lsh",
     "sp4_domain_cap",
     "sp6_sequence_pack",
     "sp8_global_shuffle",

@@ -357,3 +357,133 @@ def dequantize_expr(qvec_col: str, scale_col: str) -> Column:
     return F.transform(
         F.col(qvec_col), lambda x: x.cast("double") * F.col(scale_col)
     )
+
+
+# ------------------------------------------------ sign-random-projection LSH
+
+SRP_SALT = "lshp"
+
+
+def rademacher_planes(n_planes: int, dim: int, salt: str = SRP_SALT) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes for sign-random-projection LSH
+    (Charikar'02 SimHash for real vectors; Rademacher entries are a
+    standard choice — Achlioptas'01). Entry (p, d) is +1 when the first
+    hex nibble of md5(salt||p||'_'||d) < 8 — a pure constant table both
+    engines can bake into their plans as literals, like a config."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{salt}{p}_{d}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_bit_sql(vec_expr: str, plane: list[float], one_based: bool) -> str:
+    """Unrolled left-associative projection of ``vec_expr`` onto a ±1
+    plane — the SAME generated text (modulo array-index base) runs as a
+    Spark SQL expression (0-based) and as the DuckDB oracle (1-based), so
+    the sign decisions are bit-identical by construction."""
+    terms = " + ".join(
+        f"CAST({vec_expr}[{d + 1 if one_based else d}] AS DOUBLE) * {s:.1f}"
+        for d, s in enumerate(plane)
+    )
+    return f"({terms})"
+
+
+def srp_signature_sql(
+    vec_expr: str, planes: list[list[float]], one_based: bool = False
+) -> str:
+    """Bit-string bucket id: one char per plane, '1' when the projection
+    is >= 0. Exact-zero projections land on '1' on both engines (>= is
+    exact; the inputs are float32 values and ±1 — no rounding divergence
+    in the comparison)."""
+    bits = ", ".join(
+        f"CASE WHEN {srp_bit_sql(vec_expr, p, one_based)} >= 0 "
+        "THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    return f"concat({bits})"
+
+
+def lsh_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 3,
+    n_bits: int = 6,
+    query_filter: Column | None = None,
+    k: int = 5,
+    salt: str = SRP_SALT,
+) -> DataFrame:
+    """LSH-bucketed ANN — the hash-table alternative to :func:`ivf_topk`:
+    ``n_tables`` independent sign-random-projection tables of ``n_bits``
+    bits each; a corpus vector is a candidate for a query iff they share
+    a bucket in ANY table. Candidates are exact-cosine verified and
+    ranked, so precision is 1.0 relative to the candidate set and the
+    whole cascade is deterministic (the oracle replays it verbatim).
+
+    Scale shape: signatures are per-row map-side expressions on the scan;
+    the candidate join is an EQUALITY join on (table, bucket) — at 100 TB
+    the corpus shuffles its (id, bucket) pairs only, never the vectors,
+    and with the query side broadcast the probe is map-side. Expected
+    candidates per query ≈ n_tables · N / 2^n_bits: tune n_bits to the
+    corpus size like an IVF centroid count. Hot buckets (near-duplicate
+    clusters) are the AQE skew-join case; a df-cap on bucket size (as in
+    ngram_jaccard_pairs_capped) is the guard when collisions concentrate.
+    Verification re-reads only candidate vectors (join by id)."""
+    planes = rademacher_planes(n_tables * n_bits, dim, salt)
+    sig_cols = [
+        F.expr(
+            srp_signature_sql(vec_col, planes[ti * n_bits : (ti + 1) * n_bits])
+        ).alias(f"_b{ti}")
+        for ti in range(n_tables)
+    ]
+    base = emb.select(F.col(id_col), *sig_cols)
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(ti).alias("t"), F.col(f"_b{ti}").alias("b")
+                )
+                for ti in range(n_tables)
+            ]
+        )
+    ).alias("tb")
+    corpus_b = base.select(F.col(id_col).alias("neighbor_id"), tb).select(
+        "neighbor_id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
+    )
+    qbase = base.filter(query_filter) if query_filter is not None else base
+    query_b = qbase.select(F.col(id_col).alias("query_id"), tb).select(
+        "query_id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
+    )
+    cand = (
+        corpus_b.join(F.broadcast(query_b), ["t", "b"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = emb.filter(query_filter) if query_filter is not None else emb
+    qv = q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
+        "qn", norm_fold("qv")
+    )
+    cv = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", norm_fold("cv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", dot_fold("qv", "cv") / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

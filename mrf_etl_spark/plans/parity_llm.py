@@ -1630,3 +1630,69 @@ def t10_boilerplate_flags(spark, sf_dir):
     return tx.boilerplate_flags(
         d, "text", "doc_id", "source", k=T10_K, min_docs=T10_MIN_DOCS
     )
+
+
+# n3: LSH-bucketed ANN (sign random projections)
+N3_TABLES = 3
+N3_BITS = 6
+
+
+def _n3_oracle() -> str:
+    from mrf_etl_spark.operators.similarity import (
+        rademacher_planes,
+        srp_signature_sql,
+    )
+
+    planes = rademacher_planes(N3_TABLES * N3_BITS, DIM)
+    sigs = [
+        srp_signature_sql(
+            "embedding", planes[ti * N3_BITS : (ti + 1) * N3_BITS], one_based=True
+        )
+        for ti in range(N3_TABLES)
+    ]
+    sig_cols = ", ".join(f"{s} AS b{ti}" for ti, s in enumerate(sigs))
+    unpivot = " UNION ALL ".join(
+        f"SELECT vec_id, {ti} AS t, b{ti} AS b FROM base"
+        for ti in range(N3_TABLES)
+    )
+    return f"""WITH base AS (
+         SELECT vec_id, {sig_cols} FROM embeddings),
+       buckets AS ({unpivot}),
+       cand AS (
+         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM buckets q JOIN buckets c ON q.t = c.t AND q.b = c.b
+         WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       scored AS (
+         SELECT cd.query_id, cd.neighbor_id,
+                {_cos_sql('qe.embedding', 'ne.embedding')} AS cosine
+         FROM cand cd
+         JOIN embeddings qe ON qe.vec_id = cd.query_id
+         JOIN embeddings ne ON ne.vec_id = cd.neighbor_id)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT *, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         FROM scored) WHERE rank <= 5"""
+
+
+@register(
+    "n3_ann_lsh",
+    _n3_oracle(),
+    doc="n3: LSH-bucketed ANN — sign-random-projection signatures "
+    f"({N3_TABLES} tables x {N3_BITS} bits, Rademacher planes baked as "
+    "md5-derived constants on BOTH engines), candidates by bucket "
+    "equality in any table, exact-cosine verify + rank. The hash-table "
+    "alternative to n2's IVF: signatures map-side, candidate join "
+    "shuffles (id, bucket) pairs only "
+    "(operators/similarity.lsh_topk).",
+)
+def n3_ann_lsh(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(
+        emb,
+        dim=DIM,
+        n_tables=N3_TABLES,
+        n_bits=N3_BITS,
+        query_filter=F.col("vec_id") < 10,
+        k=5,
+    )

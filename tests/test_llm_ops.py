@@ -732,3 +732,34 @@ def test_boilerplate_flags_hand_computed(spark):
     assert out[3].boiler_frac == 0.5
     assert out[4].n_boiler == 0  # span is hot in src_a, cold in src_b
     assert out[5].n_spans == 1 and out[5].n_boiler == 0
+
+
+def test_lsh_ann_candidates_and_precision(spark, sf_dir):
+    """LSH candidates prune the corpus; hits agree exactly with the
+    brute-force ranking on cosine values (precision of scoring is 1.0 —
+    only the candidate SET is approximate)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in sim.cosine_topk(
+            emb, dim=DIM, query_filter=F.col("vec_id") < 10, k=5
+        ).collect()
+    }
+    lsh_rows = sim.lsh_topk(
+        emb, dim=DIM, n_tables=3, n_bits=6,
+        query_filter=F.col("vec_id") < 10, k=5,
+    ).collect()
+    got = {(r.query_id, r.neighbor_id): r.cosine for r in lsh_rows}
+    # every overlapping pair scores identically (exact verify)
+    for pair in got.keys() & exact.keys():
+        assert got[pair] == exact[pair]
+    # 10 queries x k=5, every query found at least k candidates here
+    assert len(lsh_rows) == 50
+    # same-bucket-in-any-table is a real pruning: the candidate set is a
+    # small fraction of the corpus (expected ~ tables * N / 2^bits)
+    n = emb.count()
+    cand = sim.lsh_topk(
+        emb, dim=DIM, n_tables=3, n_bits=6,
+        query_filter=F.col("vec_id") < 10, k=10**9,
+    ).count()
+    assert cand < 10 * n * 0.5  # far below the 10-query brute-force pair count
