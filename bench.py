@@ -146,6 +146,21 @@ def main() -> None:
             release_state(df)
         if failed:
             continue
+        # One adaptive retry: when the two samples disagree >1.8x the
+        # minute-scale CPU-steal waves on this VM are mid-query — a third
+        # sample stops a noise spike from being recorded as the query's
+        # steady state.
+        if len(runs) == 2 and min(runs) > 0.5 and max(runs) / min(runs) > 1.8:
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                n = len(df.toPandas().index)
+                runs.append(time.perf_counter() - t0)
+                from mrf_etl_spark.operators.dedup import release_state
+
+                release_state(df)
+            except Exception:  # noqa: BLE001
+                pass
         dt = min(runs)
         timings[name] = round(dt, 3)
         cold[name] = round(max(runs), 3)
