@@ -43,6 +43,16 @@ BUDGETS = {
     "sp4_domain_cap": 5,
     # shard manifest: stateless shard projection + ONE combinable agg
     "sp5_pack_shards": 1,
+    # per-doc repetition signals: pure map-side projection — NO exchange
+    "t7_repetition_signals": 0,
+    # global rank: bucket-count agg pair feeding the broadcast offsets
+    # (constant-size) + the ONE per-bucket data shuffle
+    "sp8_global_shuffle": 3,
+    # boilerplate: (source, span) window shuffle + per-doc rollup
+    "t10_boilerplate_flags": 2,
+    # LSH probe: (id, bucket) candidate shuffle + verify join; queries
+    # and signatures travel as broadcasts
+    "n3_ann_lsh": 2,
 }
 
 
