@@ -94,6 +94,9 @@ for name in [
     # the fused driver probe (bool->string packing under ANSI)
     "sp4_domain_cap", "sp6_sequence_pack", "d9_incremental_dedup",
     "fx_llm_pipelines",
+    # session-2 additions: global rank (div + window), boilerplate
+    # (window count), LSH ANN (generated literal-plane expressions)
+    "sp8_global_shuffle", "t10_boilerplate_flags", "n3_ann_lsh",
 ]:
     rows = q[name](spark, "/root/testdata/sf0.001").collect()
     print(name, "rows:", len(rows))
