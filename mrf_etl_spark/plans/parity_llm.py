@@ -1696,3 +1696,67 @@ def n3_ann_lsh(spark, sf_dir):
         query_filter=F.col("vec_id") < 10,
         k=5,
     )
+
+
+# q2: corpus card
+from mrf_etl_spark.plans.parity import _pctl_sql  # noqa: E402
+
+_Q2_SRC = """(SELECT source, lang,
+        len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+        n_chars
+ FROM documents)"""
+
+
+@register(
+    "q2_corpus_card",
+    _pctl_sql(
+        _Q2_SRC,
+        "n_words",
+        ["source", "lang"],
+        [(0.5, "words_p50"), (0.9, "words_p90")],
+        extra_aggs=[
+            "count(*) AS n_docs",
+            # sum(BIGINT) is HUGEINT in DuckDB — cast or the driver's
+            # fetch path renders it float and the value hash flips (the
+            # a13 lesson from rounds 1-3)
+            "CAST(sum(n_words) AS BIGINT) AS words_total",
+            "CAST(avg(n_chars) AS DOUBLE) AS chars_avg",
+        ],
+    ),
+    doc="q2: corpus card — the dataset-documentation rollup a corpus "
+    "release ships (per source x lang: doc counts, token totals, exact "
+    "p50/p90 length percentiles, mean char length). ONE agg pass: array "
+    "percentile (single sort per group) + combinable aggs, no Expand, "
+    "no distinct (extends q1's relational quality report to the corpus "
+    "table; reference anchor: notebook.py summary stats).",
+)
+def q2_corpus_card(spark, sf_dir):
+    from mrf_etl_spark.operators.textops import token_count_ws
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "lang",
+            token_count_ws("text").cast("long").alias("n_words"),
+            "n_chars",
+        )
+    )
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("words_total"),
+            F.expr("percentile(n_words, array(0.5D, 0.9D))").alias("_ps"),
+            F.avg("n_chars").alias("chars_avg"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "words_total",
+            F.col("_ps")[0].alias("words_p50"),
+            F.col("_ps")[1].alias("words_p90"),
+            "chars_avg",
+        )
+    )
