@@ -437,9 +437,28 @@ def lsh_topk(
     ngram_jaccard_pairs_capped) is the guard when collisions concentrate.
     Verification re-reads only candidate vectors (join by id)."""
     planes = rademacher_planes(n_tables * n_bits, dim, salt)
+
+    # Fold-form signature on the Spark side: the unrolled 64-term sum per
+    # bit (as the oracle text uses) is 1152 expression nodes across 18
+    # bits — the same janino-binary-bloat trap dot_fold documents. The
+    # zip_with+aggregate fold with the plane as a literal array is O(1)
+    # expression size and BIT-IDENTICAL (0.0 + a is exact, then the same
+    # left-associative order as the unrolled text).
+    def bit(plane: list[float]) -> str:
+        arr = ", ".join(f"{s:.1f}D" for s in plane)
+        return (
+            f"CASE WHEN aggregate(zip_with({vec_col}, array({arr}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v) "
+            ">= 0 THEN '1' ELSE '0' END"
+        )
+
     sig_cols = [
         F.expr(
-            srp_signature_sql(vec_col, planes[ti * n_bits : (ti + 1) * n_bits])
+            "concat("
+            + ", ".join(
+                bit(p) for p in planes[ti * n_bits : (ti + 1) * n_bits]
+            )
+            + ")"
         ).alias(f"_b{ti}")
         for ti in range(n_tables)
     ]
