@@ -53,6 +53,7 @@ HEADLINE = [
     "sp8_global_shuffle",
     "t10_boilerplate_flags",
     "pipe2_fuzzy_dedup",
+    "pipe3_corpus_release",
     "m4_media_near_dup",
 ]
 

@@ -441,6 +441,7 @@ def boilerplate_flags(
     source_col: str,
     k: int = 2,
     min_docs: int = 5,
+    min_frac: float | None = None,
 ) -> DataFrame:
     """Per-source boilerplate detection: a word ``k``-gram span occurring
     in ≥ ``min_docs`` distinct documents OF THE SAME SOURCE is boilerplate
@@ -456,7 +457,14 @@ def boilerplate_flags(
     the exploded span table — ONE shuffle keyed (source, span), no
     span-table self-join — and the per-doc rollup is the second, smaller
     shuffle. No driver-side state; hot sources spread because the window
-    key includes the span."""
+    key includes the span.
+
+    ``min_frac`` switches to a RELATIVE threshold — hot when the span
+    reaches ``min_frac`` of the source's document count (a tiny broadcast
+    join adds per-source totals). An absolute ``min_docs`` saturates as
+    sources grow (every span of a small shared vocabulary eventually
+    clears a fixed count); share-of-source is the size-stable definition
+    release pipelines gate on."""
     from pyspark.sql.window import Window
 
     words_df = df.select(
@@ -473,11 +481,19 @@ def boilerplate_flags(
     spans = words_df.select("doc_id", "source", F.explode(arr).alias("span"))
     dfc = F.count("*").over(Window.partitionBy("source", "span"))
     flagged = spans.withColumn("_dfc", dfc)
+    if min_frac is not None:
+        src_n = df.groupBy(F.col(source_col).alias("source")).agg(
+            F.count("*").alias("_srcn")
+        )
+        flagged = flagged.join(F.broadcast(src_n), "source")
+        hot = F.col("_dfc") >= F.col("_srcn") * F.lit(min_frac)
+    else:
+        hot = F.col("_dfc") >= min_docs
     return (
         flagged.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
-            F.count_if(F.col("_dfc") >= min_docs).alias("n_boiler"),
+            F.count_if(hot).alias("n_boiler"),
         )
         .withColumn(
             "boiler_frac",

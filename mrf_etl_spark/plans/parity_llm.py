@@ -1760,3 +1760,111 @@ def q2_corpus_card(spark, sf_dir):
             "chars_avg",
         )
     )
+
+
+# pipe3: the corpus RELEASE pipeline — gates -> decontaminate -> shuffle
+# Drop threshold on the shingle-overlap FRACTION, not any-hit: the
+# synthetic corpus draws from a tiny shared vocabulary, so at sf0.1 the
+# eval split's shingle universe brushes ~94% of docs with >= 1 hit —
+# exactly why real decontamination pipelines threshold on overlap share.
+PIPE3_CONTAM_T = 0.2
+# Boilerplate gate on share-of-source document frequency, not an absolute
+# count, for the same reason: a fixed min_docs saturates as sources grow
+# (at sf0.1 every bigram of the small vocabulary clears 5 docs/source and
+# an absolute gate empties the corpus).
+PIPE3_BOILER_FRAC = 0.5
+
+
+@register(
+    "pipe3_corpus_release",
+    # every stage reuses an already-parity-checked recipe (t2 quality,
+    # t10 boilerplate, t8 decontamination shingles, sp8 shuffle order),
+    # so the composed oracle is their SQL composed.
+    f"""WITH bw AS (
+         SELECT doc_id, source,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+         FROM documents),
+       bsp AS (
+         SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i + 1] AS span
+         FROM (SELECT doc_id, source, ws, unnest(range(1, len(ws))) AS i
+               FROM bw WHERE len(ws) >= {T10_K})
+         UNION ALL
+         SELECT doc_id, source, array_to_string(ws, ' ') AS span
+         FROM bw WHERE len(ws) < {T10_K}),
+       bfl AS (
+         SELECT doc_id, source,
+                count(*) OVER (PARTITION BY source, span) AS dfc
+         FROM bsp),
+       srcn AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+       boiler AS (
+         SELECT doc_id,
+                CAST(count(*) FILTER (
+                       WHERE dfc >= n_src * {PIPE3_BOILER_FRAC}) AS DOUBLE)
+                  / count(*) AS boiler_frac
+         FROM bfl JOIN srcn USING (source) GROUP BY doc_id),
+       tq AS (SELECT doc_id, quality FROM ({_T2_SQL}) q0),
+       gated AS (
+         SELECT d.doc_id, d.text, d.source
+         FROM documents d
+         JOIN tq USING (doc_id)
+         JOIN boiler USING (doc_id)
+         WHERE tq.quality >= 0.75 AND boiler.boiler_frac <= 0.5),
+       corpus AS (SELECT * FROM gated WHERE doc_id % {EVAL_MOD} <> 0),
+       cw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM corpus),
+       csh AS (
+         SELECT DISTINCT doc_id,
+                CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h
+         FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+                     FROM cw WHERE len(ws) >= 3)
+               UNION ALL
+               SELECT doc_id, array_to_string(ws, ' ') AS sh
+               FROM cw WHERE len(ws) < 3)),
+       ew AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM documents WHERE doc_id % {EVAL_MOD} = 0),
+       euniv AS (
+         SELECT DISTINCT CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h
+         FROM (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i
+                     FROM ew WHERE len(ws) >= 3)
+               UNION ALL
+               SELECT array_to_string(ws, ' ') AS sh FROM ew WHERE len(ws) < 3)),
+       dirty AS (
+         SELECT doc_id FROM (
+           SELECT c.doc_id, count(*) AS n,
+                  count(e.h) AS hit
+           FROM csh c LEFT JOIN euniv e ON c.h = e.h
+           GROUP BY c.doc_id)
+         WHERE CAST(hit AS DOUBLE) / CAST(n AS DOUBLE) >= {PIPE3_CONTAM_T}),
+       clean AS (
+         SELECT doc_id, source FROM corpus
+         WHERE doc_id NOT IN (SELECT doc_id FROM dirty))
+       SELECT doc_id, source,
+              CAST(row_number() OVER (
+                ORDER BY CAST('0x' || substring(md5('release' || CAST(doc_id AS VARCHAR)), 1, 15)
+                              AS BIGINT), doc_id) - 1 AS BIGINT) AS shuffle_pos
+       FROM clean""",
+    doc="pipe3: the corpus RELEASE pipeline — boilerplate gate (t10) + "
+    "quality gate (t2) -> benchmark decontamination (t8's shingle "
+    f"overlap, drop corpus docs with >= {PIPE3_CONTAM_T:.0%} of shingles "
+    "in the eval split) -> deterministic global training order (sp8) — "
+    "composed through the public operator API as ONE lazy plan.",
+)
+def pipe3_corpus_release(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    d = t(spark, sf_dir, "documents")
+    flags = tx.boilerplate_flags(
+        d, "text", "doc_id", "source", k=T10_K, min_frac=PIPE3_BOILER_FRAC
+    )
+    ok_boiler = flags.filter(F.col("boiler_frac") <= 0.5).select("doc_id")
+    gated = d.join(ok_boiler, "doc_id").filter(tx.quality_score("text") >= 0.75)
+    corpus = gated.filter(F.col("doc_id") % EVAL_MOD != 0)
+    ev = d.filter(F.col("doc_id") % EVAL_MOD == 0).select("doc_id", "text")
+    overlap = tx.contamination_overlap(corpus.select("doc_id", "text"), ev)
+    dirty = overlap.filter(F.col("overlap_frac") >= PIPE3_CONTAM_T).select("doc_id")
+    clean = corpus.join(dirty, "doc_id", "left_anti")
+    return sp.global_shuffle(
+        clean.select("doc_id", "source"), "doc_id", salt="release"
+    ).select("doc_id", "source", "shuffle_pos")

@@ -763,3 +763,23 @@ def test_lsh_ann_candidates_and_precision(spark, sf_dir):
         query_filter=F.col("vec_id") < 10, k=10**9,
     ).count()
     assert cand < 10 * n * 0.5  # far below the 10-query brute-force pair count
+
+
+def test_corpus_release_pipeline_invariants(spark, sf_dir):
+    """pipe3 composition invariants: no eval ids survive, every survivor
+    passes both gates, and shuffle positions are dense 0..n-1."""
+    from mrf_etl_spark.plans.parity_llm import EVAL_MOD, pipe3_corpus_release
+    from mrf_etl_spark.plans.parity import t as _t
+    from mrf_etl_spark.operators.textops import quality_score
+
+    out = pipe3_corpus_release(spark, sf_dir).collect()
+    ids = [r.doc_id for r in out]
+    assert ids and all(i % EVAL_MOD != 0 for i in ids)
+    assert sorted(r.shuffle_pos for r in out) == list(range(len(out)))
+    # spot-check the quality gate held
+    d = _t(spark, sf_dir, "documents")
+    bad_q = {
+        r.doc_id
+        for r in d.filter(quality_score("text") < 0.75).select("doc_id").collect()
+    }
+    assert not (set(ids) & bad_q)
