@@ -248,3 +248,32 @@ def test_connected_components_match_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for ab in edges for n in ab}
     assert got == want
+
+
+@given(
+    gids=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_global_shuffle_is_a_dense_rank_of_the_hash_order(spark, gids):
+    """For ANY id set (negatives included): positions are a dense
+    permutation 0..n-1 equal to the rank of (hash, id) — the bucketed
+    distributed form reproduces the naive single-window definition."""
+    import hashlib
+
+    from mrf_etl_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in gids], "id long")
+    got = {
+        r.id: r.shuffle_pos
+        for r in global_shuffle(df, "id", salt="p", n_buckets=8).collect()
+    }
+    def h(i: int) -> int:
+        return int(hashlib.md5(f"p{i}".encode()).hexdigest()[:15], 16)
+
+    want = {i: pos for pos, i in enumerate(sorted(gids, key=lambda i: (h(i), i)))}
+    assert got == want
