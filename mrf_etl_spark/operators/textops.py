@@ -500,3 +500,45 @@ def boilerplate_flags(
             F.col("n_boiler").cast("double") / F.col("n_spans"),
         )
     )
+
+
+def rare_token_ratio(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_count: int = 2,
+) -> DataFrame:
+    """Corpus-relative rarity filter: per document, the share of tokens
+    whose CORPUS-WIDE occurrence count is ≤ ``max_count`` — the
+    OOV/rare-token ratio quality signal (gibberish, mojibake, and
+    concatenated identifiers score high; the counting stand-in for LM
+    perplexity filters, chosen because it is exactly replayable — no
+    log() whose last ulp differs across math libraries). Returns
+    (doc_id, n_tokens, n_rare, rare_ratio).
+
+    Plan: tokens explode once; the corpus count comes from a window COUNT
+    over the token table (one shuffle keyed on the token — hot stopwords
+    spread across their partition, the AQE skew case), then the per-doc
+    rollup. Same two-shuffle shape as boilerplate_flags; nothing driver-
+    side, vocabulary never collected."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    )
+    cnt = F.count("*").over(Window.partitionBy("tok"))
+    return (
+        toks.withColumn("_cnt", cnt)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_if(F.col("_cnt") <= max_count).alias("n_rare"),
+        )
+        .withColumn(
+            "rare_ratio",
+            F.col("n_rare").cast("double") / F.col("n_tokens"),
+        )
+    )

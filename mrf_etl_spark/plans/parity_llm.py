@@ -1868,3 +1868,33 @@ def pipe3_corpus_release(spark, sf_dir):
     return sp.global_shuffle(
         clean.select("doc_id", "source"), "doc_id", salt="release"
     ).select("doc_id", "source", "shuffle_pos")
+
+
+# t11: rare-token ratio
+T11_MAX_COUNT = 2
+
+
+@register(
+    "t11_rare_token_ratio",
+    f"""WITH toks AS (
+         SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         FROM documents),
+       c AS (
+         SELECT doc_id, count(*) OVER (PARTITION BY tok) AS cnt
+         FROM toks)
+       SELECT doc_id,
+              count(*) AS n_tokens,
+              CAST(count(*) FILTER (WHERE cnt <= {T11_MAX_COUNT}) AS BIGINT)
+                AS n_rare,
+              CAST(count(*) FILTER (WHERE cnt <= {T11_MAX_COUNT}) AS DOUBLE)
+                / count(*) AS rare_ratio
+       FROM c GROUP BY doc_id""",
+    doc="t11: corpus-relative rare-token ratio — share of a doc's tokens "
+    f"with corpus-wide count <= {T11_MAX_COUNT} (the OOV/rarity quality "
+    "filter; counting stand-in for LM-perplexity, exactly replayable). "
+    "One token-keyed window shuffle + per-doc rollup "
+    "(operators/textops.rare_token_ratio).",
+)
+def t11_rare_token_ratio(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return tx.rare_token_ratio(d, "text", "doc_id", max_count=T11_MAX_COUNT)

@@ -46,6 +46,7 @@ LOCAL_ONLY = {
     "sp2_stratified_sample", "sp3_temporal_split", "sp8_global_shuffle",
     "t10_boilerplate_flags",
     "e1_quantize_int8", "q2_corpus_card", "pipe3_corpus_release",
+    "t11_rare_token_ratio",
 }
 
 

@@ -783,3 +783,20 @@ def test_corpus_release_pipeline_invariants(spark, sf_dir):
         for r in d.filter(quality_score("text") < 0.75).select("doc_id").collect()
     }
     assert not (set(ids) & bad_q)
+
+
+def test_rare_token_ratio_hand_computed(spark):
+    from mrf_etl_spark.operators.textops import rare_token_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common xqzt"),   # 'xqzt' appears once -> rare
+            (2, "common common common"),
+            (3, "common blorp blorp"),   # 'blorp' count 2 <= 2 -> rare
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in rare_token_ratio(docs, "text", "doc_id", 2).collect()}
+    assert out[1].n_tokens == 3 and out[1].n_rare == 1
+    assert out[2].n_rare == 0  # 'common' count 6 > 2
+    assert out[3].n_rare == 2 and out[3].rare_ratio == pytest.approx(2 / 3)
