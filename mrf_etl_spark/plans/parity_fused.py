@@ -123,6 +123,28 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("pipe2_fuzzy_dedup", []),
         ("d9_incremental_dedup", []),
     ],
+    # round-4 session 2: three probes free the j5/j9/j12 slots (those
+    # fuse into fx_key_joins) so the media family and the corpus-release
+    # additions get driver rows too.
+    "fx_key_joins": [
+        ("j5_normalized_key_join", ["avg_rp"]),
+        ("j9_computed_slug_join", []),
+        ("j12_desc_coalesce", []),
+    ],
+    "fx_media": [
+        ("m1_multimodal_features", []),
+        ("m2_frame_sample", []),
+        ("m3_media_exact_dup", []),
+        ("m4_media_near_dup", ["jaccard"]),
+    ],
+    "fx_corpus_release": [
+        ("q2_corpus_card", ["words_p50", "words_p90", "chars_avg"]),
+        ("sp8_global_shuffle", []),
+        ("t10_boilerplate_flags", ["boiler_frac"]),
+        ("t11_rare_token_ratio", ["rare_ratio"]),
+        ("n3_ann_lsh", ["cosine"]),
+        ("pipe3_corpus_release", []),
+    ],
 }
 
 # Oracle-side column lists per component: (all output columns in order,
@@ -182,6 +204,22 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "sp7_source_mix": ["doc_id", "source", "copy"],
     "pipe2_fuzzy_dedup": ["dropped_id", "keep_id"],
     "d9_incremental_dedup": ["doc_id", "survived", "match_id"],
+    "j5_normalized_key_join": ["p_partkey", "avg_rp"],
+    "j9_computed_slug_join": ["n_regionkey", "n"],
+    "j12_desc_coalesce": ["o_orderkey", "display_name"],
+    "m1_multimodal_features": ["doc_id", "n_bytes", "header_hex", "mime"],
+    "m2_frame_sample": ["doc_id", "frame_idx", "offset", "frame_bytes", "frame_md5"],
+    "m3_media_exact_dup": ["content_hash", "n", "min_id", "max_id"],
+    "m4_media_near_dup": ["doc_a", "doc_b", "jaccard"],
+    "q2_corpus_card": [
+        "source", "lang", "n_docs", "words_total",
+        "words_p50", "words_p90", "chars_avg",
+    ],
+    "sp8_global_shuffle": ["doc_id", "shuffle_pos"],
+    "t10_boilerplate_flags": ["doc_id", "n_spans", "n_boiler", "boiler_frac"],
+    "t11_rare_token_ratio": ["doc_id", "n_tokens", "n_rare", "rare_ratio"],
+    "n3_ann_lsh": ["query_id", "neighbor_id", "cosine", "rank"],
+    "pipe3_corpus_release": ["doc_id", "source", "shuffle_pos"],
 }
 
 _NULL_TOKEN = "∅"
@@ -290,13 +328,11 @@ DRIVER_WINDOW: list[str] = [
     "j1_broadcast_left_join",
     "j3_coalesce_merge",
     "j4_join_chain",
-    "j5_normalized_key_join",
+    "fx_key_joins",
     "j6_agg_map_join",
     "j7_class_split_join",
     "j8_star_join",
-    "j9_computed_slug_join",
     "fx_anti_semi",
-    "j12_desc_coalesce",
     "j13_salted_skew_join",
     "fx_means",
     "fx_stats",
@@ -324,6 +360,8 @@ DRIVER_WINDOW: list[str] = [
     "t8_contamination",
     "pipe1_llm_prep",
     "fx_llm_pipelines",
+    "fx_media",
+    "fx_corpus_release",
     "st6_stream_interval_join",
 ]
 

@@ -38,15 +38,11 @@ LOCAL_ONLY = {
     "d3_ngram_jaccard", "d3b_ngram_jaccard_capped", "d4_simhash",
     "d5_embedding_near_dup", "d6_dup_clusters", "d7_repeated_passages",
     "d8_semantic_dedup",
-    "n1_ann_cosine_topk", "n2_ann_ivf", "n3_ann_lsh",
+    "n1_ann_cosine_topk", "n2_ann_ivf",
     "t1_lang_id", "t3_token_count", "t4_fingerprint", "t5_tfidf_top_terms",
     "t6_pii_scrub", "t7_repetition_signals", "t9_top_ngrams",
-    "m1_multimodal_features", "m2_frame_sample", "m3_media_exact_dup",
-    "m4_media_near_dup",
-    "sp2_stratified_sample", "sp3_temporal_split", "sp8_global_shuffle",
-    "t10_boilerplate_flags",
-    "e1_quantize_int8", "q2_corpus_card", "pipe3_corpus_release",
-    "t11_rare_token_ratio",
+    "sp2_stratified_sample", "sp3_temporal_split",
+    "e1_quantize_int8",
 }
 
 
