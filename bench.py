@@ -103,70 +103,85 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(_ident, "id long").count()
 
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
     # A headline query that errors must NOT silently vanish from the JSON
     # (round 3 lost w1/w4/w5/w7 with no signal): record it loudly instead.
     errors: dict[str, str] = {}
-    total = 0.0
-    for name in HEADLINE:
+    all_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    rows: dict[str, int] = {}
+
+    from mrf_etl_spark.operators.dedup import release_state
+
+    def time_one(name: str) -> None:
         fn = reg_queries.get(name)
         if fn is None:
             errors[name] = "not registered in queries()"
-            print(f"# {name} MISSING from queries()", file=sys.stderr)
-            continue
-        # Two timed executions, report the warm one. The FIRST run of a
-        # plan shape pays JVM JIT + janino codegen (measured 2-4x the
-        # steady-state cost at sf0.1, with 3x run-to-run swings on this
-        # VM); the warm run is what predicts cluster-scale behavior,
-        # where compile cost amortizes over minutes-long stages. Both
-        # values are recorded (queries_cold) so nothing is hidden.
-        runs: list[float] = []
-        n = 0
-        failed = False
-        for _rep in range(2):
-            t0 = time.perf_counter()
-            try:
-                df = fn(spark, sf_dir)
-                # Arrow-batched materialization: full results still cross
-                # to Python, but columnar (2.6x vs row-at-a-time collect()
-                # on the 600k-row queries — the delivery path, not the
-                # query, was the bottleneck)
-                n = len(df.toPandas().index)
-            except Exception as e:  # noqa: BLE001
-                errors[name] = str(e).splitlines()[0][:300] if str(e) else repr(e)
-                print(f"# {name} ERROR {e}", file=sys.stderr)
-                failed = True
-                break
-            runs.append(time.perf_counter() - t0)
-            # release any operator-held cache AFTER the timing: a leaked
-            # persist (d2/d3b hold their per-doc state) degrades every
-            # subsequent query's memory budget
-            from mrf_etl_spark.operators.dedup import release_state
+            return
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            # Arrow-batched materialization: full results still cross
+            # to Python, but columnar (2.6x vs row-at-a-time collect()
+            # on the 600k-row queries — the delivery path, not the
+            # query, was the bottleneck)
+            rows[name] = len(df.toPandas().index)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = str(e).splitlines()[0][:300] if str(e) else repr(e)
+            print(f"# {name} ERROR {e}", file=sys.stderr)
+            return
+        all_runs[name].append(time.perf_counter() - t0)
+        # release any operator-held cache AFTER the timing: a leaked
+        # persist (d2/d3b hold their per-doc state) degrades every
+        # subsequent query's memory budget
+        release_state(df)
 
-            release_state(df)
-        if failed:
-            continue
-        # One adaptive retry: when the two samples disagree >1.8x the
-        # minute-scale CPU-steal waves on this VM are mid-query — a third
-        # sample stops a noise spike from being recorded as the query's
-        # steady state.
-        if len(runs) == 2 and min(runs) > 0.5 and max(runs) / min(runs) > 1.8:
-            t0 = time.perf_counter()
-            try:
-                df = fn(spark, sf_dir)
-                n = len(df.toPandas().index)
-                runs.append(time.perf_counter() - t0)
-                from mrf_etl_spark.operators.dedup import release_state
+    # Three timed executions per query, report the fastest. The FIRST run
+    # of a plan shape pays JVM JIT + janino codegen (measured 2-4x the
+    # steady-state cost at sf0.1); the warm run is what predicts
+    # cluster-scale behavior, where compile cost amortizes over
+    # minutes-long stages. Cold is recorded alongside (queries_cold) so
+    # nothing is hidden. The passes are INTERLEAVED — three full sweeps
+    # over the list rather than back-to-back repeats — so a query's
+    # samples land minutes apart: this VM's CPU-steal waves last tens of
+    # seconds, and back-to-back sampling let one wave poison all of a
+    # query's samples at once (observed: f_hash_uid, a sub-second
+    # projection, recorded 2.7 s because its three consecutive runs all
+    # sat in one wave).
+    for sweep in range(3):
+        for name in HEADLINE:
+            if name in errors:
+                continue
+            time_one(name)
 
-                release_state(df)
-            except Exception:  # noqa: BLE001
-                pass
+    # One adaptive retry: a query whose two FASTEST samples still
+    # disagree >1.8x was likely hit by noise in multiple sweeps — take a
+    # fourth sample before recording.
+    for name in HEADLINE:
+        runs = all_runs[name]
+        if (
+            name not in errors
+            and len(runs) == 3
+            and min(runs) > 0.5
+            and sorted(runs)[1] / min(runs) > 1.8
+        ):
+            time_one(name)
+
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        runs = all_runs[name]
+        if name in errors or not runs:
+            if name not in errors:
+                errors[name] = "no successful runs"
+            continue
         dt = min(runs)
         timings[name] = round(dt, 3)
         cold[name] = round(max(runs), 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s (cold {max(runs):.3f}s) rows={n}", file=sys.stderr)
+        print(
+            f"# {name}: {dt:.3f}s (cold {max(runs):.3f}s) rows={rows.get(name)}",
+            file=sys.stderr,
+        )
 
     out = {
         "metric": "headline_queries_total",
@@ -174,7 +189,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
-        "timing": "min of 2 runs/query (steady-state; first run pays JIT)",
+        "timing": "min of 3 interleaved sweeps/query (steady-state; sweep 1 pays JIT)",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

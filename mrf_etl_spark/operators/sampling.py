@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 BUCKETS = 10_000
 
@@ -93,6 +94,33 @@ def stratified_sample(
         else cut.otherwise(int(round(default_fraction * BUCKETS)))
     )
     return df.filter(b < cut)
+
+
+def quota_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exact-k deterministic sample per stratum — the eval-set builder's
+    "exactly k docs per language/source" op (rate-based
+    :func:`stratified_sample` can't hit an exact count).
+
+    Rank rows within each stratum by :func:`shard_hash` (id as the
+    tie-break: total order, reproducible across runs and engines) and
+    keep ``sample_rank <= k``. One window shuffle keyed by the stratum;
+    at 100 TB strata are few and large, so the per-stratum sort is the
+    cost — but ranking only needs the TOP k per partition, which Spark's
+    window TopK (rank-limit pushdown) serves without a full sort when k
+    is small. Skewed strata are one key each: the window sort spills, it
+    does not OOM."""
+    h = shard_hash(id_col, salt)
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
 
 
 def pack_shards(

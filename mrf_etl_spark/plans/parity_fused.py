@@ -82,6 +82,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
     "fx_latest_best": [
         ("w1_latest_per_key", ["value"]),
         ("w2_best_per_key", ["best_value"]),
+        ("w8_event_funnel", ["conversion"]),
     ],
     "fx_topk_page": [
         ("k1_topk", ["price"]),
@@ -144,6 +145,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("t11_rare_token_ratio", ["rare_ratio"]),
         ("n3_ann_lsh", ["cosine"]),
         ("pipe3_corpus_release", []),
+        ("q3_prep_funnel", []),
+        ("sp9_quota_sample", []),
     ],
 }
 
@@ -220,6 +223,13 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "t11_rare_token_ratio": ["doc_id", "n_tokens", "n_rare", "rare_ratio"],
     "n3_ann_lsh": ["query_id", "neighbor_id", "cosine", "rank"],
     "pipe3_corpus_release": ["doc_id", "source", "shuffle_pos"],
+    "w8_event_funnel": [
+        "n_actors", "n_step_1", "n_step_2", "n_step_3", "conversion",
+    ],
+    "q3_prep_funnel": [
+        "n_total", "n_quality", "n_dedup", "n_train", "n_val", "n_test",
+    ],
+    "sp9_quota_sample": ["doc_id", "lang", "sample_rank"],
 }
 
 _NULL_TOKEN = "∅"

@@ -1898,3 +1898,140 @@ T11_MAX_COUNT = 2
 def t11_rare_token_ratio(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return tx.rare_token_ratio(d, "text", "doc_id", max_count=T11_MAX_COUNT)
+
+
+# w8: ordered event funnel (view -> click -> purchase per user)
+W8_STEPS = ["view", "click", "purchase"]
+
+
+@register(
+    "w8_event_funnel",
+    # The chained strictly-after minima replayed with nested windows; all
+    # counts are integers so parity is exact, and the one float (overall
+    # conversion) is a single correctly-rounded division of two BIGINTs.
+    """WITH e AS (
+         SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+       w1 AS (
+         SELECT *, min(CASE WHEN event_type = 'view' THEN tu END)
+                     OVER (PARTITION BY user_id) AS s1 FROM e),
+       w2 AS (
+         SELECT *, min(CASE WHEN event_type = 'click' AND tu > s1 THEN tu END)
+                     OVER (PARTITION BY user_id) AS s2 FROM w1),
+       w3 AS (
+         SELECT *, min(CASE WHEN event_type = 'purchase' AND tu > s2 THEN tu END)
+                     OVER (PARTITION BY user_id) AS s3 FROM w2),
+       u AS (
+         SELECT user_id, min(s1) AS s1, min(s2) AS s2, min(s3) AS s3
+         FROM w3 GROUP BY user_id)
+       SELECT CAST(count(*) AS BIGINT) AS n_actors,
+              CAST(count(s1) AS BIGINT) AS n_step_1,
+              CAST(count(s2) AS BIGINT) AS n_step_2,
+              CAST(count(s3) AS BIGINT) AS n_step_3,
+              CASE WHEN count(s1) > 0
+                   THEN CAST(count(s3) AS DOUBLE) / count(s1) END AS conversion
+       FROM u""",
+    doc="w8: ordered event funnel (beyond-ref; the windowFunnel / "
+    "Amplitude-funnel shape) — per user the first view, the first click "
+    "STRICTLY AFTER that view, the first purchase strictly after that "
+    "click, rolled up to actors-reaching-each-depth. N chained "
+    "unbounded-window minima over ONE user-keyed exchange + a "
+    "constant-size agg (operators/funnel.funnel_counts).",
+)
+def w8_event_funnel(spark, sf_dir):
+    from mrf_etl_spark.operators.funnel import funnel_counts
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    return funnel_counts(ev, "user_id", "event_type", "ts_us", W8_STEPS)
+
+
+# q3: corpus-prep funnel report (stage attrition over the pipe1 chain)
+@register(
+    "q3_prep_funnel",
+    f"""WITH q AS (SELECT doc_id, quality FROM ({_T2_SQL}) tq),
+       kept AS (
+         SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+         WHERE q.quality >= 0.75),
+       dedup AS (
+         SELECT doc_id FROM (
+           SELECT doc_id,
+                  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM kept) WHERE rn = 1),
+       b AS (SELECT doc_id, {_BUCKET_SQL.format(id='doc_id')} AS bucket FROM dedup)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total,
+              (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_quality,
+              CAST(count(*) AS BIGINT) AS n_dedup,
+              CAST(count(*) FILTER (WHERE bucket < 9000) AS BIGINT) AS n_train,
+              CAST(count(*) FILTER (WHERE bucket >= 9000 AND bucket < 9500)
+                   AS BIGINT) AS n_val,
+              CAST(count(*) FILTER (WHERE bucket >= 9500) AS BIGINT) AS n_test
+       FROM b""",
+    doc="q3: corpus-prep attrition funnel — how many documents survive "
+    "each stage of the pipe1 chain (total -> quality gate -> exact dedup "
+    "-> split sizes), the release-diagnostics row a data card quotes. "
+    "One md5(text) window shuffle + two constant-size aggs; every output "
+    "is an exact integer.",
+)
+def q3_prep_funnel(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from mrf_etl_spark.operators.sampling import hash_bucket
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    totals = d.agg(
+        F.count("*").alias("n_total"),
+        F.sum(
+            F.when(tx.quality_score("text") >= 0.75, 1).otherwise(0)
+        ).alias("n_quality"),
+    )
+    kept = d.filter(tx.quality_score("text") >= 0.75)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("bucket", hash_bucket("doc_id"))
+    )
+    stages = canon.agg(
+        F.count("*").alias("n_dedup"),
+        F.sum(F.when(F.col("bucket") < 9000, 1).otherwise(0)).alias("n_train"),
+        F.sum(
+            F.when((F.col("bucket") >= 9000) & (F.col("bucket") < 9500), 1).otherwise(0)
+        ).alias("n_val"),
+        F.sum(F.when(F.col("bucket") >= 9500, 1).otherwise(0)).alias("n_test"),
+    )
+    return totals.crossJoin(stages).select(
+        "n_total", "n_quality", "n_dedup", "n_train", "n_val", "n_test"
+    )
+
+
+# sp9: exact-k per-stratum quota sample
+SP9_K = 25
+SP9_SALT = "quota"
+
+
+@register(
+    "sp9_quota_sample",
+    f"""SELECT doc_id, lang, sample_rank FROM (
+         SELECT doc_id, lang,
+                CAST(row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY CAST('0x' || substring(md5('{SP9_SALT}' ||
+                               CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+                           doc_id ASC) AS BIGINT) AS sample_rank
+         FROM documents) WHERE sample_rank <= {SP9_K}""",
+    doc=f"sp9: exact-k quota sample — exactly {SP9_K} docs per language, "
+    "ranked by the salted 60-bit md5 hash (reproducible across runs and "
+    "engines; id tie-break totalizes the order) — the eval-set builder's "
+    "'k per stratum' op that rate-based sp2 cannot express. One "
+    "stratum-keyed window shuffle; rank-limit pushdown keeps it a top-k "
+    "per partition, not a full sort (operators/sampling.quota_sample).",
+)
+def sp9_quota_sample(spark, sf_dir):
+    from mrf_etl_spark.operators.sampling import quota_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = quota_sample(d, "doc_id", "lang", k=SP9_K, salt=SP9_SALT)
+    return out.select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )

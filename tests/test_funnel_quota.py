@@ -1,0 +1,109 @@
+"""Event-funnel ordering semantics and exact-k quota sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mrf_etl_spark.operators.funnel import funnel_counts, funnel_steps
+from mrf_etl_spark.operators.sampling import quota_sample, shard_hash
+
+STEPS = ["view", "click", "purchase"]
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "uid long, et string, ts long")
+
+
+def test_funnel_requires_strict_order(spark):
+    # u1 completes in order; u2 clicks BEFORE its first view (click must
+    # not count), then never clicks again -> depth 1; u3 view+click but
+    # its purchase predates the click -> depth 2.
+    df = _ev(
+        spark,
+        [
+            (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+            (2, "click", 5), (2, "view", 10),
+            (3, "view", 10), (3, "purchase", 15), (3, "click", 20),
+        ],
+    )
+    got = {r.uid: (r.step_1_ts, r.step_2_ts, r.step_3_ts)
+           for r in funnel_steps(df, "uid", "et", "ts", STEPS).collect()}
+    assert got[1] == (10, 20, 30)
+    assert got[2] == (10, None, None)
+    assert got[3] == (10, 20, None)
+
+
+def test_funnel_same_ts_not_counted(spark):
+    # strictly-after: a click at exactly the view's ts does not advance
+    df = _ev(spark, [(1, "view", 10), (1, "click", 10)])
+    row = funnel_steps(df, "uid", "et", "ts", STEPS).collect()[0]
+    assert (row.step_1_ts, row.step_2_ts) == (10, None)
+
+
+def test_funnel_takes_earliest_valid_step(spark):
+    # two clicks after the view: the EARLIER one is the step ts, and the
+    # purchase between them still counts (after click#1)
+    df = _ev(
+        spark,
+        [(1, "view", 10), (1, "click", 20), (1, "purchase", 25), (1, "click", 30)],
+    )
+    row = funnel_steps(df, "uid", "et", "ts", STEPS).collect()[0]
+    assert (row.step_1_ts, row.step_2_ts, row.step_3_ts) == (10, 20, 25)
+
+
+def test_funnel_counts_rollup(spark):
+    df = _ev(
+        spark,
+        [
+            (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+            (2, "view", 10),
+            (3, "click", 10),  # never views: counted as actor, depth 0
+        ],
+    )
+    row = funnel_counts(df, "uid", "et", "ts", STEPS).collect()[0]
+    assert (row.n_actors, row.n_step_1, row.n_step_2, row.n_step_3) == (3, 2, 1, 1)
+    assert row.conversion == 0.5
+
+
+def test_funnel_single_exchange(spark):
+    """The chained windows must share ONE user-keyed exchange."""
+    df = _ev(spark, [(1, "view", 10)])
+    plan = funnel_counts(df, "uid", "et", "ts", STEPS)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, plan
+
+
+def test_quota_sample_exact_k_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(60)], "doc_id long, lang string"
+    )
+    out1 = quota_sample(df, "doc_id", "lang", k=5, salt="s").collect()
+    out2 = quota_sample(df, "doc_id", "lang", k=5, salt="s").collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    by_lang = {}
+    for r in out1:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert {k: len(v) for k, v in by_lang.items()} == {"en": 5, "fr": 5}
+    # ranks are 1..k within each stratum, ordered by the salted hash
+    for lang, rows in by_lang.items():
+        assert sorted(r.sample_rank for r in rows) == [1, 2, 3, 4, 5]
+
+
+def test_quota_sample_small_stratum_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "xx")], "doc_id long, lang string"
+    )
+    out = quota_sample(df, "doc_id", "lang", k=10).collect()
+    assert len(out) == 3
+
+
+def test_quota_sample_rank_follows_hash_order(spark):
+    df = spark.createDataFrame([(i, "en") for i in range(10)], "doc_id long, lang string")
+    hashes = {
+        r.doc_id: r.h
+        for r in df.select("doc_id", shard_hash("doc_id", "z").alias("h")).collect()
+    }
+    out = quota_sample(df, "doc_id", "lang", k=10, salt="z").collect()
+    ranked = sorted(out, key=lambda r: r.sample_rank)
+    expect = sorted(hashes, key=lambda d: (hashes[d], d))
+    assert [r.doc_id for r in ranked] == expect
