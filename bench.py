@@ -32,9 +32,11 @@ HEADLINE = [
     "w4_asof_join",
     "w5_sessionize_batch",
     "w7_rolling_metrics",
+    "w8_event_funnel",
     "f_hash_uid",
     "f_categorizer",
     "k1_topk",
+    "mv1_materialized_rollup",
     "pipe0_enrich",
     # LLM-data ops (present once parity_llm lands)
     "d1_exact_dup",
@@ -51,6 +53,8 @@ HEADLINE = [
     "sp4_domain_cap",
     "sp6_sequence_pack",
     "sp8_global_shuffle",
+    "sp9_quota_sample",
+    "q3_prep_funnel",
     "t10_boilerplate_flags",
     "pipe2_fuzzy_dedup",
     "pipe3_corpus_release",
