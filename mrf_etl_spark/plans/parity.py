@@ -2140,3 +2140,119 @@ def pipe0_enrich(spark, sf_dir):
         F.count("GA_PROF_MAR").alias("n_ga"),
         F.countDistinct("prov_npi").alias("n_npi"),
     )
+
+
+# =====================================================================
+# beyond-reference: pivot / unpivot / time-spine gap fill
+# =====================================================================
+
+_A15_KINDS = ["view", "click", "purchase", "signup", "error"]
+
+
+@register(
+    "a15_pivot_matrix",
+    # conditional-count replay of the fixed-value-list pivot
+    f"""SELECT user_id,
+              {', '.join(
+                  f"CAST(count(*) FILTER (WHERE event_type = '{k}') AS BIGINT)"
+                  f" AS n_{k}" for k in _A15_KINDS)}
+       FROM events GROUP BY user_id""",
+    doc="a15: true pivot (beyond-ref) — per-user activity matrix, one "
+    "count column per event type via groupBy().pivot() with an EXPLICIT "
+    "value list: the fixed list keeps the schema static (no extra "
+    "distinct-values job, no schema drift between runs) and the plan a "
+    "single hash aggregation — the dynamic-pivot trap at 100 TB is the "
+    "hidden collect of distinct keys, not the agg.",
+)
+def a15_pivot_matrix(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _A15_KINDS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _A15_KINDS)
+    )
+    return out.select(
+        "user_id",
+        *[F.col(k).cast("long").alias(f"n_{k}") for k in _A15_KINDS],
+    )
+
+
+@register(
+    "x3_unpivot",
+    # UNION ALL replay of melt over the same pivoted matrix
+    " UNION ALL ".join(
+        f"""SELECT user_id, 'n_{k}' AS metric,
+                  CAST(count(*) FILTER (WHERE event_type = '{k}') AS BIGINT) AS n
+           FROM events GROUP BY user_id"""
+        for k in _A15_KINDS
+    ),
+    doc="x3: unpivot/melt (beyond-ref) — the a15 activity matrix back to "
+    "long form (user_id, metric, n) with DataFrame.unpivot: a zero-"
+    "shuffle Expand over the aggregated matrix (5x the matrix rows, "
+    "never 5x the event rows).",
+)
+def x3_unpivot(spark, sf_dir):
+    wide = a15_pivot_matrix(spark, sf_dir)
+    return wide.unpivot(
+        "user_id", [f"n_{k}" for k in _A15_KINDS], "metric", "n"
+    )
+
+
+@register(
+    "w9_gapfill_locf",
+    # daily per-user spine + LOCF replayed with generate_series and
+    # last_value IGNORE NULLS; the filled metric is the exact decimal
+    # day-sum (money_sum) so the carried value is bit-identical
+    f"""WITH daily AS (
+         SELECT user_id, date_trunc('day', ts) AS day,
+                {money_sum_sql('value')} AS v, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       bounds AS (
+         SELECT user_id, min(day) AS d0, max(day) AS d1
+         FROM daily GROUP BY 1),
+       spine AS (
+         SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+         FROM bounds),
+       j AS (
+         SELECT s.user_id, s.day, d.v, coalesce(d.n, 0) AS n
+         FROM spine s LEFT JOIN daily d USING (user_id, day))
+       SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+              CAST(n AS BIGINT) AS n_events,
+              last_value(v IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+       FROM j""",
+    doc="w9: time-spine gap fill + last-observation-carried-forward "
+    "(beyond-ref; the resample/ffill shape every time-series feature "
+    "pipeline needs) — per-key daily spine from the key's own bounds "
+    "(sequence + explode: generated map-side from the tiny bounds agg, "
+    "never a calendar cross join), left join of the daily rollup, then "
+    "F.last(ignorenulls) over one key-ordered window. Two key-keyed "
+    "shuffles total (daily agg reused for bounds); the carried metric is "
+    "the exact decimal day-sum so LOCF parity is bit-identical.",
+)
+def w9_gapfill_locf(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(money_sum("value").alias("v"), F.count("*").alias("n"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )

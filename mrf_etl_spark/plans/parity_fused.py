@@ -78,11 +78,13 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("a9_multi_distinct", []),
         ("a10_drilldown", ["avg_price"]),
         ("a11_dedup_distinct", []),
+        ("a15_pivot_matrix", []),
     ],
     "fx_latest_best": [
         ("w1_latest_per_key", ["value"]),
         ("w2_best_per_key", ["best_value"]),
         ("w8_event_funnel", ["conversion"]),
+        ("w9_gapfill_locf", ["v_filled"]),
     ],
     "fx_topk_page": [
         ("k1_topk", ["price"]),
@@ -103,6 +105,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("f_json_extract", ["avg_k"]),
         ("f_math_formula", ["calc_rate"]),
         ("f_categorizer", []),
+        ("x3_unpivot", []),
     ],
     "fx_quality_json": [
         ("q1_quality_report", ["bad_rate"]),
@@ -230,6 +233,11 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "n_total", "n_quality", "n_dedup", "n_train", "n_val", "n_test",
     ],
     "sp9_quota_sample": ["doc_id", "lang", "sample_rank"],
+    "a15_pivot_matrix": [
+        "user_id", "n_view", "n_click", "n_purchase", "n_signup", "n_error",
+    ],
+    "x3_unpivot": ["user_id", "metric", "n"],
+    "w9_gapfill_locf": ["user_id", "day", "n_events", "v_filled"],
 }
 
 _NULL_TOKEN = "∅"
