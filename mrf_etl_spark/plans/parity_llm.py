@@ -1974,34 +1974,36 @@ def w8_event_funnel(spark, sf_dir):
     "is an exact integer.",
 )
 def q3_prep_funnel(spark, sf_dir):
+    # ONE pass, no scalar crossJoin: the dedup window partitions by
+    # (content hash, quality flag) so ranking among quality rows is
+    # undisturbed by rejected rows, and every stage count folds into a
+    # single conditional aggregation — one window shuffle, one O(1) agg.
     from pyspark.sql.window import Window
 
     from mrf_etl_spark.operators.sampling import hash_bucket
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    totals = d.agg(
-        F.count("*").alias("n_total"),
-        F.sum(
-            F.when(tx.quality_score("text") >= 0.75, 1).otherwise(0)
-        ).alias("n_quality"),
-    )
-    kept = d.filter(tx.quality_score("text") >= 0.75)
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    canon = (
-        kept.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    q = (tx.quality_score("text") >= 0.75).alias("q")
+    w = Window.partitionBy(F.md5("text"), "q").orderBy("doc_id")
+    flagged = (
+        d.withColumn("q", q)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("canon", F.col("q") & (F.col("rn") == 1))
         .withColumn("bucket", hash_bucket("doc_id"))
     )
-    stages = canon.agg(
-        F.count("*").alias("n_dedup"),
-        F.sum(F.when(F.col("bucket") < 9000, 1).otherwise(0)).alias("n_train"),
-        F.sum(
-            F.when((F.col("bucket") >= 9000) & (F.col("bucket") < 9500), 1).otherwise(0)
-        ).alias("n_val"),
-        F.sum(F.when(F.col("bucket") >= 9500, 1).otherwise(0)).alias("n_test"),
-    )
-    return totals.crossJoin(stages).select(
-        "n_total", "n_quality", "n_dedup", "n_train", "n_val", "n_test"
+
+    def n(cond, name):
+        return F.sum(cond.cast("long")).alias(name)
+
+    c = F.col("canon")
+    b = F.col("bucket")
+    return flagged.agg(
+        F.count("*").alias("n_total"),
+        n(F.col("q"), "n_quality"),
+        n(c, "n_dedup"),
+        n(c & (b < 9000), "n_train"),
+        n(c & (b >= 9000) & (b < 9500), "n_val"),
+        n(c & (b >= 9500), "n_test"),
     )
 
 
