@@ -2256,3 +2256,69 @@ def w9_gapfill_locf(spark, sf_dir):
         F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+@register(
+    "w10_ohlc_downsample",
+    # open/close replayed with mirrored row_numbers; low/high/min are
+    # order-independent; the sum is the exact decimal money_sum
+    f"""WITH e AS (
+         SELECT user_id, date_trunc('day', ts) AS day, epoch_us(ts) AS tu,
+                event_id, value
+         FROM events),
+       r AS (
+         SELECT *,
+                row_number() OVER (PARTITION BY user_id, day
+                                   ORDER BY tu ASC, event_id ASC) AS ra,
+                row_number() OVER (PARTITION BY user_id, day
+                                   ORDER BY tu DESC, event_id DESC) AS rd
+         FROM e)
+       SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+              CAST(count(*) AS BIGINT) AS n_events,
+              min(value) AS v_low, max(value) AS v_high,
+              max(CASE WHEN ra = 1 THEN value END) AS v_open,
+              max(CASE WHEN rd = 1 THEN value END) AS v_close,
+              {money_sum_sql('value')} AS v_sum
+       FROM r GROUP BY user_id, day""",
+    doc="w10: OHLC time-bucket downsample (beyond-ref; the hypertable/"
+    "candlestick rollup) — per (key, day): first/last value in exact "
+    "event order plus min/max/count/exact-decimal sum. Open and close "
+    "come from mirrored row_numbers over ONE (key, day) partitioning — "
+    "a single exchange feeds both windows and the final partial-agg "
+    "rollup; (ts, event_id) tie-break totalizes the order so the result "
+    "is deterministic under any parallelism.",
+)
+def w10_ohlc_downsample(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts_ns",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts_ns").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts_ns").desc(), F.col("event_id").desc()
+    )
+    r = ev.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rd", F.row_number().over(wd)
+    )
+    # group on the RAW (user_id, day) keys — the same partitioning the
+    # windows installed, so the agg rides the existing exchange; grouping
+    # on the formatted string instead would re-shuffle (measured: 2
+    # exchanges -> 1). Format for output only.
+    out = r.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_events"),
+        F.min("value").alias("v_low"),
+        F.max("value").alias("v_high"),
+        F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("v_open"),
+        F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("v_close"),
+        money_sum("value").alias("v_sum"),
+    )
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events", "v_low", "v_high", "v_open", "v_close", "v_sum",
+    )

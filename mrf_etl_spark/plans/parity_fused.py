@@ -85,6 +85,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("w2_best_per_key", ["best_value"]),
         ("w8_event_funnel", ["conversion"]),
         ("w9_gapfill_locf", ["v_filled"]),
+        ("w10_ohlc_downsample", ["v_low", "v_high", "v_open", "v_close", "v_sum"]),
     ],
     "fx_topk_page": [
         ("k1_topk", ["price"]),
@@ -238,6 +239,10 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "x3_unpivot": ["user_id", "metric", "n"],
     "w9_gapfill_locf": ["user_id", "day", "n_events", "v_filled"],
+    "w10_ohlc_downsample": [
+        "user_id", "day", "n_events",
+        "v_low", "v_high", "v_open", "v_close", "v_sum",
+    ],
 }
 
 _NULL_TOKEN = "∅"

@@ -107,3 +107,14 @@ def test_quota_sample_rank_follows_hash_order(spark):
     ranked = sorted(out, key=lambda r: r.sample_rank)
     expect = sorted(hashes, key=lambda d: (hashes[d], d))
     assert [r.doc_id for r in ranked] == expect
+
+
+def test_ohlc_single_exchange(spark):
+    """w10's two mirrored windows AND the rollup agg must share one
+    (key, day) exchange — grouping on the formatted day string instead of
+    the raw keys would silently re-shuffle."""
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    df = REGISTRY["w10_ohlc_downsample"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
