@@ -277,3 +277,99 @@ def test_global_shuffle_is_a_dense_rank_of_the_hash_order(spark, gids):
 
     want = {i: pos for pos, i in enumerate(sorted(gids, key=lambda i: (h(i), i)))}
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 4),                     # actor
+            st.sampled_from(["view", "click", "purchase", "other"]),
+            st.integers(0, 50),                    # ts
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_funnel_matches_sequential_scan(spark, events):
+    """funnel_steps == the obvious per-actor sequential scan: walk events
+    in ts order, advance one step at a time, each step strictly after the
+    previous."""
+    from mrf_etl_spark.operators.funnel import funnel_steps
+
+    steps = ["view", "click", "purchase"]
+    df = spark.createDataFrame(events, "uid long, et string, ts long")
+    got = {
+        r.uid: (r.step_1_ts, r.step_2_ts, r.step_3_ts)
+        for r in funnel_steps(df, "uid", "et", "ts", steps).collect()
+    }
+
+    expect: dict[int, tuple] = {}
+    for uid in {e[0] for e in events}:
+        mine = sorted((ts, et) for (u, et, ts) in events if u == uid)
+        reached = []
+        last = None
+        for step in steps:
+            cand = [
+                ts for ts, et in mine
+                if et == step and (last is None or ts > last)
+            ]
+            if not cand:
+                break
+            last = min(cand)
+            reached.append(last)
+        expect[uid] = tuple(reached + [None] * (3 - len(reached)))
+    assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 6), st.integers(0, 1000)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_locf_carries_last_observed_day(spark, rows):
+    """Gap-fill+LOCF contract on a toy daily table: every spine day holds
+    the most recent observed day-sum at or before it, and the spine is
+    dense from each key's first to last day."""
+    import datetime as dt
+
+    from pyspark.sql.window import Window
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(k, base + dt.timedelta(days=d), float(v)) for k, d, v in rows],
+        "k long, day timestamp, v double",
+    )
+    daily = df.groupBy("k", "day").agg(F.sum("v").alias("v"))
+    bounds = daily.groupBy("k").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        "k", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        spine.join(daily, ["k", "day"], "left")
+        .select("k", "day", F.last("v", ignorenulls=True).over(w).alias("f"))
+        .collect()
+    )
+
+    per_key: dict[int, dict[int, float]] = {}
+    for k, d, v in rows:
+        per_key.setdefault(k, {}).setdefault(d, 0.0)
+        per_key[k][d] += float(v)
+    seen_days: dict[int, list[int]] = {}
+    for r in out:
+        day_idx = (r.day - base).days
+        seen_days.setdefault(r.k, []).append(day_idx)
+        obs = per_key[r.k]
+        last_obs = max(d for d in obs if d <= day_idx)
+        assert r.f == pytest.approx(obs[last_obs])
+    for k, days in seen_days.items():
+        lo, hi = min(per_key[k]), max(per_key[k])
+        assert sorted(days) == list(range(lo, hi + 1))
