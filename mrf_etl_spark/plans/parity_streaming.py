@@ -388,3 +388,63 @@ def st7_stream_dedup_ingest(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.read.parquet(doc_lake).select("doc_id")
+
+
+@register(
+    "st8_stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1""",
+    doc="stream-static broadcast enrichment join — the dimension-lookup "
+    "shape every streaming ingest needs: each micro-batch of the event "
+    "stream joins the static customer dim MAP-SIDE (broadcast; no "
+    "stream-side state, no watermark — the static side is re-resolvable "
+    "per batch by contract), lands enriched in an append lake, and the "
+    "drained lake's per-segment rollup equals the batch join+agg oracle "
+    "regardless of batch boundaries.",
+)
+def st8_stream_static_enrich(spark, sf_dir):
+    """availableNow stream over the events file, left-joined per batch to
+    the broadcast customer dim, appended to a parquet lake via
+    foreachBatch, then rolled up batch-side."""
+    raw_schema, ts_conv = _events_raw(spark, sf_dir)
+    lake = _scratch("st8_lake")
+    dim = F.broadcast(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+    def _sink(batch_df, _batch_id):
+        (
+            batch_df.withColumn("ts", ts_conv)
+            .join(dim, batch_df["user_id"] == dim["c_custkey"], "left")
+            .select("event_id", "user_id", "c_mktsegment", "value")
+            .write.mode("append")
+            .parquet(lake)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", _scratch("st8_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from mrf_etl_spark.plans.parity import money_sum
+
+    return (
+        spark.read.parquet(lake)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum("value").alias("total_value"),
+        )
+    )

@@ -35,6 +35,7 @@ from mrf_etl_spark.plans.parity_fused import (
 LOCAL_ONLY = {
     "st1_windowed_counts", "st2_sessionize", "st3_stream_upsert",
     "st4_stateful_totals", "st5_stream_dedup", "st7_stream_dedup_ingest",
+    "st8_stream_static_enrich",
     "d3_ngram_jaccard", "d3b_ngram_jaccard_capped", "d4_simhash",
     "d5_embedding_near_dup", "d6_dup_clusters", "d7_repeated_passages",
     "d8_semantic_dedup",
