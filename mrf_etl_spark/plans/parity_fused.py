@@ -127,6 +127,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("sp7_source_mix", []),
         ("pipe2_fuzzy_dedup", []),
         ("d9_incremental_dedup", []),
+        ("sp2_stratified_sample", []),
+        ("sp3_temporal_split", []),
     ],
     # round-4 session 2: three probes free the j5/j9/j12 slots (those
     # fuse into fx_key_joins) so the media family and the corpus-release
@@ -151,6 +153,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("pipe3_corpus_release", []),
         ("q3_prep_funnel", []),
         ("sp9_quota_sample", []),
+        ("t4_fingerprint", []),
+        ("d4_simhash", []),
     ],
 }
 
@@ -243,6 +247,10 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "user_id", "day", "n_events",
         "v_low", "v_high", "v_open", "v_close", "v_sum",
     ],
+    "sp2_stratified_sample": ["event_id", "event_type"],
+    "sp3_temporal_split": ["event_id", "split"],
+    "t4_fingerprint": ["doc_id", "fingerprint"],
+    "d4_simhash": ["doc_id", "simhash"],
 }
 
 _NULL_TOKEN = "∅"
