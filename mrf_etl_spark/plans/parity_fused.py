@@ -155,6 +155,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("sp9_quota_sample", []),
         ("t4_fingerprint", []),
         ("d4_simhash", []),
+        ("t1_lang_id", ["score_en", "score_es", "score_fr", "score_de", "score_zh"]),
     ],
 }
 
@@ -251,6 +252,10 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "sp3_temporal_split": ["event_id", "split"],
     "t4_fingerprint": ["doc_id", "fingerprint"],
     "d4_simhash": ["doc_id", "simhash"],
+    "t1_lang_id": [
+        "doc_id", "lang", "lang_pred",
+        "score_en", "score_es", "score_fr", "score_de", "score_zh",
+    ],
 }
 
 _NULL_TOKEN = "∅"
