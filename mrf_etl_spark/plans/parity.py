@@ -2322,3 +2322,77 @@ def w10_ohlc_downsample(spark, sf_dir):
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "n_events", "v_low", "v_high", "v_open", "v_close", "v_sum",
     )
+
+
+@register(
+    "u2_intersect_except",
+    # which (user, event type) pairs appear in BOTH January halves, and
+    # which only in the first — closes SURVEY §2.7's set-op family beyond
+    # anti-join; the pair grain keeps BOTH branches non-empty on the
+    # testdata (every bare type occurs in both halves)
+    """SELECT 'both' AS part, user_id, event_type FROM (
+         SELECT user_id, event_type FROM events WHERE day(ts) <= 25
+         INTERSECT
+         SELECT user_id, event_type FROM events WHERE day(ts) > 25)
+       UNION ALL
+       SELECT 'first_only' AS part, user_id, event_type FROM (
+         SELECT user_id, event_type FROM events WHERE day(ts) <= 25
+         EXCEPT
+         SELECT user_id, event_type FROM events WHERE day(ts) > 25)""",
+    doc="u2: INTERSECT / EXCEPT set ops (beyond-ref; SURVEY §2.7 notes "
+    "the reference has neither) — distinct event types present in both "
+    "month halves vs only the first. Both rewrite to hash semi/anti "
+    "joins over DISTINCT inputs: one shuffle each on the compared "
+    "column, scale-safe.",
+)
+def u2_intersect_except(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    first = ev.filter(F.dayofmonth("ts") <= 25).select("user_id", "event_type")
+    second = ev.filter(F.dayofmonth("ts") > 25).select("user_id", "event_type")
+    both = first.intersect(second).select(
+        F.lit("both").alias("part"), "user_id", "event_type"
+    )
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep the
+    # first side's duplicate rows and survive with pairs that DO appear
+    # in the second half
+    only = first.subtract(second).select(
+        F.lit("first_only").alias("part"), "user_id", "event_type"
+    )
+    return both.unionByName(only)
+
+
+K5_PAGE = 50
+K5_AFTER = (3000, 2)  # keyset cursor: last (o_orderkey, l_linenumber) seen
+
+
+@register(
+    "k5_keyset_pagination",
+    f"""SELECT l_orderkey, l_linenumber, l_extendedprice AS price
+       FROM lineitem
+       WHERE (l_orderkey, l_linenumber) > ({K5_AFTER[0]}, {K5_AFTER[1]})
+       ORDER BY l_orderkey, l_linenumber
+       LIMIT {K5_PAGE}""",
+    doc="k5: keyset (cursor) pagination (beyond-ref) — the scale-correct "
+    "alternative to k2's LIMIT/OFFSET: OFFSET n still produces and "
+    "discards n rows per page, so page p costs O(p); the keyset "
+    "predicate on the ordered unique key pushes into the scan "
+    "(PushedFilters on l_orderkey) and every page costs O(page). "
+    "Row-value comparison expressed as the expanded OR so both engines "
+    "plan plain range predicates.",
+)
+def k5_keyset_pagination(spark, sf_dir):
+    ok, ln = K5_AFTER
+    after = (F.col("l_orderkey") > ok) | (
+        (F.col("l_orderkey") == ok) & (F.col("l_linenumber") > ln)
+    )
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(after)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").alias("price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(K5_PAGE)
+    )

@@ -95,6 +95,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("k3_autocomplete", []),
         ("k4_detail_page", ["rate"]),
         ("u1_union_tolerant", ["total"]),
+        ("u2_intersect_except", []),
+        ("k5_keyset_pagination", ["price"]),
     ],
     "fx_scalars": [
         ("f_slugify", []),
@@ -156,6 +158,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("t4_fingerprint", []),
         ("d4_simhash", []),
         ("t1_lang_id", ["score_en", "score_es", "score_fr", "score_de", "score_zh"]),
+        ("t12_type_token_ratio", ["ttr"]),
     ],
 }
 
@@ -256,6 +259,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "doc_id", "lang", "lang_pred",
         "score_en", "score_es", "score_fr", "score_de", "score_zh",
     ],
+    "u2_intersect_except": ["part", "user_id", "event_type"],
+    "k5_keyset_pagination": ["l_orderkey", "l_linenumber", "price"],
+    "t12_type_token_ratio": ["doc_id", "n_tokens", "n_types", "ttr"],
 }
 
 _NULL_TOKEN = "∅"

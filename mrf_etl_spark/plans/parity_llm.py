@@ -2037,3 +2037,34 @@ def sp9_quota_sample(spark, sf_dir):
     return out.select(
         "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
     )
+
+
+# t12: type-token ratio (doc-local lexical diversity)
+@register(
+    "t12_type_token_ratio",
+    """WITH toks AS (
+         SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         FROM documents)
+       SELECT doc_id,
+              count(*) AS n_tokens,
+              CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+              CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS ttr
+       FROM toks GROUP BY doc_id""",
+    doc="t12: type-token ratio — doc-LOCAL lexical diversity (distinct "
+    "tokens / tokens; low TTR flags repetitive boilerplate, complements "
+    "t11's corpus-relative rarity and t7's run-based repetition). "
+    "Computed map-side from the token array (size + size(array_distinct)) "
+    "— zero shuffles beyond the scan; the one float is a single division "
+    "of two exact integers.",
+)
+def t12_type_token_ratio(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("ttr"),
+    )
