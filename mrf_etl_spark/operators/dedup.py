@@ -158,6 +158,7 @@ def ngram_jaccard_pairs_capped(
     k: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int = 1000,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """n-gram Jaccard near-dup with a document-frequency cap — the scale
     path for :func:`ngram_jaccard_pairs`.
@@ -177,8 +178,14 @@ def ngram_jaccard_pairs_capped(
 
     Works in the engine-neutral 60-bit md5 hash domain (like
     minhash_lsh_pairs), so the SQL oracle replays it verbatim. Returns
-    (doc_a, doc_b, n_common, size_a, size_b, jaccard); call
-    release_state(result) in long-lived sessions."""
+    (doc_a, doc_b, n_common, size_a, size_b, <metric>); call
+    release_state(result) in long-lived sessions.
+
+    ``metric="containment"`` scores c/least(|A|,|B|) instead — the
+    asymmetric-size form (Lee et al. ACL'22) that surfaces a short doc
+    EMBEDDED in a long one, which jaccard's union denominator dilutes
+    below any useful threshold. Same candidate generation, same lossless
+    prune shape (both metrics are increasing in c)."""
     from pyspark.storagelevel import StorageLevel
 
     # One shingle+hash pass feeds ONE aggregation; the compact per-doc
@@ -255,11 +262,23 @@ def ngram_jaccard_pairs_capped(
         F.col("sz").alias("size_b"),
         (F.col("sz") - F.col("kept")).alias("hot_b"),
     )
+    # both metrics are increasing in c with a c-independent-or-shrinking
+    # denominator, so the same ub yields a lossless prune:
+    #   jaccard     = c/(sa+sb-c)      ≤ ub/(sa+sb-ub)
+    #   containment = c/least(sa,sb)   ≤ ub/least(sa,sb)
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"metric must be jaccard|containment, got {metric!r}")
     ub = F.col("n_kept_common") + F.least("hot_a", "hot_b")
+
+    def score(c):
+        if metric == "containment":
+            return c / F.least("size_a", "size_b")
+        return c / (F.col("size_a") + F.col("size_b") - c)
+
     pruned = (
         cand.join(sta, "doc_a")
         .join(stb, "doc_b")
-        .filter(ub / (F.col("size_a") + F.col("size_b") - ub) >= threshold)
+        .filter(score(ub) >= threshold)
         .select("doc_a", "doc_b", "size_a", "size_b")
     )
     sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("set_a"))
@@ -268,13 +287,9 @@ def ngram_jaccard_pairs_capped(
         pruned.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_common")
-            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+        .withColumn(metric, score(F.col("n_common")))
+        .filter(F.col(metric) >= threshold)
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", metric)
     )
     out._mrf_persisted = per_doc
     return out

@@ -2068,3 +2068,56 @@ def t12_type_token_ratio(spark, sf_dir):
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
         ).alias("ttr"),
     )
+
+
+# d10: containment near-dup — the asymmetric-size form of d3b
+CONTAIN_T = 0.8
+
+
+@register(
+    "d10_ngram_containment",
+    # d3b's df-capped cascade with the containment score: the union
+    # denominator becomes least(|A|, |B|), surfacing short-doc-embedded-
+    # in-long-doc pairs that jaccard dilutes below threshold.
+    f"""WITH corpus AS {_NEAR_DUP_CORPUS_SQL},{_SHINGLE_CTES},
+       hsh AS (
+         SELECT DISTINCT doc_id,
+                CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+         FROM sh),
+       hsizes AS (SELECT doc_id, count(*) AS sz FROM hsh GROUP BY doc_id),
+       keep AS (
+         SELECT h FROM hsh GROUP BY h
+         HAVING count(*) >= 2 AND count(*) <= {MAX_DF}),
+       idx AS (SELECT doc_id, h FROM hsh JOIN keep USING (h)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id),
+       inter AS (
+         SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         FROM cand c
+         JOIN hsh a ON a.doc_id = c.doc_a
+         JOIN hsh b ON b.doc_id = c.doc_b AND b.h = a.h
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b, n_common, sa.sz AS size_a, sb.sz AS size_b,
+              n_common / least(sa.sz, sb.sz) AS containment
+       FROM inter
+       JOIN hsizes sa ON sa.doc_id = doc_a
+       JOIN hsizes sb ON sb.doc_id = doc_b
+       WHERE n_common / least(sa.sz, sb.sz) >= {CONTAIN_T}""",
+    doc="d10: containment near-dup (beyond-ref; Lee et al. ACL'22's "
+    "asymmetric form) — score = |A∩B| / least(|A|,|B|): a short document "
+    "embedded in a long one scores ~1.0 where jaccard's union "
+    "denominator dilutes it below any useful threshold. Same df-capped "
+    "candidate generation and lossless prune as d3b "
+    "(operators/dedup.ngram_jaccard_pairs_capped metric='containment').",
+)
+def d10_ngram_containment(spark, sf_dir):
+    return dd.ngram_jaccard_pairs_capped(
+        _docs_with_near_dups(spark, sf_dir),
+        "text",
+        "doc_id",
+        SHINGLE_K,
+        CONTAIN_T,
+        max_doc_freq=MAX_DF,
+        metric="containment",
+    )

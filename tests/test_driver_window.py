@@ -36,7 +36,7 @@ LOCAL_ONLY = {
     "st1_windowed_counts", "st2_sessionize", "st3_stream_upsert",
     "st4_stateful_totals", "st5_stream_dedup", "st7_stream_dedup_ingest",
     "st8_stream_static_enrich",
-    "d3_ngram_jaccard", "d3b_ngram_jaccard_capped", "d4_simhash",
+    "d3_ngram_jaccard", "d3b_ngram_jaccard_capped", "d10_ngram_containment",
     "d5_embedding_near_dup", "d6_dup_clusters", "d7_repeated_passages",
     "d8_semantic_dedup",
     "n1_ann_cosine_topk", "n2_ann_ivf",

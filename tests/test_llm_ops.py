@@ -800,3 +800,33 @@ def test_rare_token_ratio_hand_computed(spark):
     assert out[1].n_tokens == 3 and out[1].n_rare == 1
     assert out[2].n_rare == 0  # 'common' count 6 > 2
     assert out[3].n_rare == 2 and out[3].rare_ratio == pytest.approx(2 / 3)
+
+
+def test_containment_finds_embedded_doc_jaccard_misses(spark):
+    """A short doc fully embedded in a much longer one: containment ~1.0,
+    jaccard diluted far below threshold — the asymmetric metric's reason
+    to exist."""
+    from mrf_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs_capped,
+        release_state,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)], "doc_id long, text string"
+    )
+    cont = ngram_jaccard_pairs_capped(
+        df, "text", "doc_id", k=3, threshold=0.8, metric="containment"
+    )
+    rows = cont.collect()
+    release_state(cont)
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
+    assert rows[0].containment == 1.0
+
+    jac = ngram_jaccard_pairs_capped(
+        df, "text", "doc_id", k=3, threshold=0.8, metric="jaccard"
+    )
+    jrows = jac.collect()
+    release_state(jac)
+    assert jrows == []  # union denominator dilutes the embedded match
