@@ -53,6 +53,22 @@ BUDGETS = {
     # LSH probe: (id, bucket) candidate shuffle + verify join; queries
     # and signatures travel as broadcasts
     "n3_ann_lsh": 2,
+    # keyset pagination: predicate pushed to the scan, TakeOrdered top-k
+    # — NO shuffle at any page depth (the whole point vs OFFSET)
+    "k5_keyset_pagination": 0,
+    # doc-local TTR: pure map-side array projection
+    "t12_type_token_ratio": 0,
+    # quota sample: one stratum-keyed window shuffle
+    "sp9_quota_sample": 1,
+    # fixed-value-list pivot: one partial+final agg pair, no
+    # distinct-values job
+    "a15_pivot_matrix": 2,
+    # prep funnel: (hash, quality) window + the single-row rollup
+    "q3_prep_funnel": 2,
+    # gap fill: daily agg, bounds-agg/spine join, LOCF window
+    "w9_gapfill_locf": 3,
+    # INTERSECT + EXCEPT: each a distinct-agg + join exchange pair
+    "u2_intersect_except": 4,
 }
 
 
@@ -76,3 +92,14 @@ def test_exchange_budget(spark, name):
         f"{name}: {n} exchanges > budget {BUDGETS[name]} — the plan gained "
         f"a shuffle; inspect df.explain('formatted')"
     )
+
+
+def test_keyset_predicate_reaches_the_scan(spark):
+    """k5's row-value cursor predicate must push into the parquet scan as
+    the expanded OR — if it ever degrades to a post-scan filter, page
+    cost becomes a full scan and the operator loses its reason to exist."""
+    reg = _catalog()
+    df = reg["k5_keyset_pagination"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Or(GreaterThan(l_orderkey" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
