@@ -118,3 +118,34 @@ def test_ohlc_single_exchange(spark):
     df = REGISTRY["w10_ohlc_downsample"].spark_fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_quota_sample_plans_window_group_limit(spark):
+    """The rank<=k filter must reach the Window as a group limit
+    (WindowGroupLimit): each partition keeps a running top-k instead of
+    fully sorting its stratum — the property that makes exact-k viable on
+    a skewed 100 TB stratum."""
+    import mrf_etl_spark.plans.parity_llm  # noqa: F401  (registers sp9)
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    df = REGISTRY["sp9_quota_sample"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_ohlc_is_input_order_invariant(spark):
+    """Repartitioning/shuffling the event input must not change any OHLC
+    output — open/close come from the (ts, event_id) total order, not
+    arrival order."""
+    import __spark_entry__ as e
+
+    q = e.queries()["w10_ohlc_downsample"]
+    a = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
+    # same computation over a deliberately re-shuffled reader: rebuild via
+    # the registry but with a different shuffle width to perturb layout
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert a == b
