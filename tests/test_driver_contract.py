@@ -97,6 +97,15 @@ for name in [
     # session-2 additions: global rank (div + window), boilerplate
     # (window count), LSH ANN (generated literal-plane expressions)
     "sp8_global_shuffle", "t10_boilerplate_flags", "n3_ann_lsh",
+    # session-3 additions: funnel (chained windows), gap fill (sequence
+    # + interval arithmetic under ANSI), OHLC (mirrored row_numbers),
+    # pivot/unpivot, set ops, keyset pagination (row-value OR), quota
+    # sample (hash conv), containment dedup, TTR; the grown window probe
+    # covers w8/w9/w10 packing
+    "w9_gapfill_locf", "w10_ohlc_downsample", "q3_prep_funnel",
+    "a15_pivot_matrix", "x3_unpivot", "u2_intersect_except",
+    "k5_keyset_pagination", "sp9_quota_sample", "t12_type_token_ratio",
+    "d10_ngram_containment", "fx_latest_best",
 ]:
     rows = q[name](spark, "/root/testdata/sf0.001").collect()
     print(name, "rows:", len(rows))
