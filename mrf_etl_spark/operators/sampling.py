@@ -423,3 +423,38 @@ def global_shuffle(
         .withColumn(out_col, F.row_number().over(w) + F.col("_off") - 1)
         .drop("_gs_h", "_gs_b", "_off")
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str,
+    length_col: str,
+    batch_size: int,
+    salt: str = "",
+) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-efficiency batching
+    trick: group rows whose lengths share a power-of-two bucket
+    (floor(log2(len))), then cut each bucket into fixed-size batches in
+    salted-hash order. Batching similar lengths together means a batch
+    pads to its max member, wasting O(bucket width) instead of O(corpus
+    max); the hash order keeps batches shuffled WITHIN a bucket so
+    batch composition is still random, and deterministic across runs.
+
+    Adds (bucket, batch_id, batch_seq). One bucket-keyed window shuffle;
+    rank order is totalized by (hash, id) so output is engine- and
+    parallelism-independent.
+
+    floor(log2(n)) is computed as length(bin(n)) - 1 — pure integer/
+    string ops, identical on every engine; float log2 is within 1 ulp of
+    exact at powers of two, where a downward error flips the floor and
+    silently moves a row one bucket down on one engine only."""
+    blen = F.greatest(F.col(length_col), F.lit(1))
+    bucket = (F.length(F.bin(blen)) - 1).cast("long")
+    h = shard_hash(id_col, salt)
+    out = df.withColumn("bucket", bucket)
+    w = Window.partitionBy("bucket").orderBy(h.asc(), F.col(id_col).asc())
+    rn = F.row_number().over(w) - 1
+    return (
+        out.withColumn("batch_id", (rn / batch_size).cast("long"))
+        .withColumn("batch_seq", (rn % batch_size).cast("long"))
+    )

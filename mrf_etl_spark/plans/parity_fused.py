@@ -131,6 +131,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("d9_incremental_dedup", []),
         ("sp2_stratified_sample", []),
         ("sp3_temporal_split", []),
+        ("sp10_length_buckets", []),
+        ("q4_dedup_quality", ["recall"]),
     ],
     # round-4 session 2: three probes free the j5/j9/j12 slots (those
     # fuse into fx_key_joins) so the media family and the corpus-release
@@ -260,6 +262,8 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "score_en", "score_es", "score_fr", "score_de", "score_zh",
     ],
     "u2_intersect_except": ["part", "user_id", "event_type"],
+    "sp10_length_buckets": ["doc_id", "bucket", "batch_id", "batch_seq"],
+    "q4_dedup_quality": ["n_exact", "n_lsh", "n_tp", "n_missed", "recall"],
     "k5_keyset_pagination": ["l_orderkey", "l_linenumber", "price"],
     "t12_type_token_ratio": ["doc_id", "n_tokens", "n_types", "ttr"],
 }

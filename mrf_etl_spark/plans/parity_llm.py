@@ -2121,3 +2121,108 @@ def d10_ngram_containment(spark, sf_dir):
         max_doc_freq=MAX_DF,
         metric="containment",
     )
+
+
+# q4: dedup-quality report — LSH recall against the exact ground truth
+def _q4_oracle() -> str:
+    lsh = REGISTRY["d2_minhash_lsh"].oracle
+    exact = REGISTRY["d3b_ngram_jaccard_capped"].oracle
+    return f"""WITH lshp AS (SELECT doc_a, doc_b FROM ({lsh}) dl),
+       exct AS (SELECT doc_a, doc_b FROM ({exact}) de),
+       c AS (
+         SELECT (SELECT count(*) FROM exct) AS n_exact,
+                (SELECT count(*) FROM lshp) AS n_lsh,
+                (SELECT count(*) FROM exct JOIN lshp USING (doc_a, doc_b))
+                  AS n_tp)
+       SELECT CAST(n_exact AS BIGINT) AS n_exact,
+              CAST(n_lsh AS BIGINT) AS n_lsh,
+              CAST(n_tp AS BIGINT) AS n_tp,
+              CAST(n_exact - n_tp AS BIGINT) AS n_missed,
+              CASE WHEN n_exact > 0
+                   THEN CAST(n_tp AS DOUBLE) / n_exact END AS recall
+       FROM c"""
+
+
+from mrf_etl_spark.plans.parity import REGISTRY  # noqa: E402
+
+
+@register(
+    "q4_dedup_quality",
+    _q4_oracle(),
+    doc="q4: dedup-quality report — the approximate path audited against "
+    "the exact one ON THE SAME RUN: d2's MinHash-LSH pair set vs the "
+    "df-capped exact-Jaccard ground truth (d3b) at the same threshold, "
+    "rolled up to TP / missed / recall. Both pair sets exact-verify "
+    "their candidates, so precision is 1.0 by construction and recall "
+    "(band-collision probability) is the number to watch when tuning "
+    "NUM_HASHES/BANDS at scale. One full-outer join of two pair sets + "
+    "an O(1) agg.",
+)
+def q4_dedup_quality(spark, sf_dir):
+    docs = _docs_with_near_dups(spark, sf_dir)
+    lsh = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", SHINGLE_K, NUM_HASHES, BANDS, JACCARD_T
+    )
+    exact = dd.ngram_jaccard_pairs_capped(
+        docs, "text", "doc_id", SHINGLE_K, JACCARD_T, max_doc_freq=MAX_DF
+    )
+    e = exact.select("doc_a", "doc_b").withColumn("in_e", F.lit(1))
+    l = lsh.select("doc_a", "doc_b").withColumn("in_l", F.lit(1))
+    j = e.join(l, ["doc_a", "doc_b"], "full")
+    out = j.agg(
+        F.sum(F.coalesce("in_e", F.lit(0))).alias("n_exact"),
+        F.sum(F.coalesce("in_l", F.lit(0))).alias("n_lsh"),
+        F.sum(
+            F.when(F.col("in_e").isNotNull() & F.col("in_l").isNotNull(), 1).otherwise(0)
+        ).alias("n_tp"),
+    ).select(
+        "n_exact",
+        "n_lsh",
+        "n_tp",
+        (F.col("n_exact") - F.col("n_tp")).alias("n_missed"),
+        F.when(
+            F.col("n_exact") > 0, F.col("n_tp").cast("double") / F.col("n_exact")
+        ).alias("recall"),
+    )
+    return dd.carry_state(out, lsh, exact)
+
+
+# sp10: length-bucketed batch assignment
+SP10_B = 32
+SP10_SALT = "lenbatch"
+
+
+@register(
+    "sp10_length_buckets",
+    f"""WITH base AS (
+         SELECT doc_id,
+                CAST(length(bin(greatest(n_chars, 1))) - 1 AS BIGINT) AS bucket,
+                CAST('0x' || substring(md5('{SP10_SALT}' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         FROM documents),
+       r AS (
+         SELECT doc_id, bucket,
+                row_number() OVER (PARTITION BY bucket
+                                   ORDER BY h ASC, doc_id ASC) - 1 AS rn
+         FROM base)
+       SELECT doc_id, bucket,
+              CAST(rn // {SP10_B} AS BIGINT) AS batch_id,
+              CAST(rn % {SP10_B} AS BIGINT) AS batch_seq
+       FROM r""",
+    doc="sp10: length-bucketed batching (beyond-ref) — rows grouped by "
+    "power-of-two length bucket, each bucket cut into fixed-size batches "
+    "in salted-hash order: a batch pads to its bucket width instead of "
+    "the corpus max (the padding-efficiency trick), while hash order "
+    "keeps within-bucket composition random and reproducible. "
+    "floor(log2) computed integer-exactly as length(bin(n))-1 — float "
+    "log2 flips the floor at powers of two on one engine only. One "
+    "bucket-keyed window shuffle "
+    "(operators/sampling.length_bucket_batches).",
+)
+def sp10_length_buckets(spark, sf_dir):
+    from mrf_etl_spark.operators.sampling import length_bucket_batches
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return length_bucket_batches(
+        d, "doc_id", "n_chars", batch_size=SP10_B, salt=SP10_SALT
+    ).select("doc_id", "bucket", "batch_id", "batch_seq")
