@@ -133,6 +133,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("sp3_temporal_split", []),
         ("sp10_length_buckets", []),
         ("q4_dedup_quality", ["recall"]),
+        ("pipe4_eval_suite", []),
     ],
     # round-4 session 2: three probes free the j5/j9/j12 slots (those
     # fuse into fx_key_joins) so the media family and the corpus-release
@@ -264,6 +265,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "u2_intersect_except": ["part", "user_id", "event_type"],
     "sp10_length_buckets": ["doc_id", "bucket", "batch_id", "batch_seq"],
     "q4_dedup_quality": ["n_exact", "n_lsh", "n_tp", "n_missed", "recall"],
+    "pipe4_eval_suite": ["doc_id", "lang", "sample_rank"],
     "k5_keyset_pagination": ["l_orderkey", "l_linenumber", "price"],
     "t12_type_token_ratio": ["doc_id", "n_tokens", "n_types", "ttr"],
 }

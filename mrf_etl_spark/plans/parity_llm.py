@@ -2226,3 +2226,56 @@ def sp10_length_buckets(spark, sf_dir):
     return length_bucket_batches(
         d, "doc_id", "n_chars", batch_size=SP10_B, salt=SP10_SALT
     ).select("doc_id", "bucket", "batch_id", "batch_seq")
+
+
+# pipe4: eval-set builder — quality gate -> exact-dedup -> per-lang quota
+PIPE4_K = 20
+PIPE4_SALT = "evalset"
+
+
+@register(
+    "pipe4_eval_suite",
+    f"""WITH q AS (SELECT doc_id, quality FROM ({_T2_SQL}) tq),
+       kept AS (
+         SELECT d.doc_id, d.lang, d.text
+         FROM documents d JOIN q USING (doc_id)
+         WHERE q.quality >= 0.75),
+       canon AS (
+         SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM kept) WHERE rn = 1),
+       ranked AS (
+         SELECT doc_id, lang,
+                CAST(row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY CAST('0x' || substring(md5('{PIPE4_SALT}' ||
+                               CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+                           doc_id ASC) AS BIGINT) AS sample_rank
+         FROM canon)
+       SELECT doc_id, lang, sample_rank
+       FROM ranked WHERE sample_rank <= {PIPE4_K}""",
+    doc="pipe4: eval-set builder — quality gate (t2) -> exact dedup "
+    "keeping the min-id canonical (d1/W1 shape) -> exactly "
+    f"{PIPE4_K} docs per language by salted-hash rank (sp9) — the "
+    "held-out-suite construction recipe, composed through the public "
+    "operator API as ONE lazy plan: md5(text) window + lang window, "
+    "everything else scan-local.",
+)
+def pipe4_eval_suite(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from mrf_etl_spark.operators.sampling import quota_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    kept = d.filter(tx.quality_score("text") >= 0.75)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )
+    out = quota_sample(canon, "doc_id", "lang", k=PIPE4_K, salt=PIPE4_SALT)
+    return out.select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
