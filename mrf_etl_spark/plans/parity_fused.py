@@ -134,6 +134,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("sp10_length_buckets", []),
         ("q4_dedup_quality", ["recall"]),
         ("pipe4_eval_suite", []),
+        ("e2_embedding_dim_stats", ["v_min", "v_max", "v_mean"]),
     ],
     # round-4 session 2: three probes free the j5/j9/j12 slots (those
     # fuse into fx_key_joins) so the media family and the corpus-release
@@ -266,6 +267,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "sp10_length_buckets": ["doc_id", "bucket", "batch_id", "batch_seq"],
     "q4_dedup_quality": ["n_exact", "n_lsh", "n_tp", "n_missed", "recall"],
     "pipe4_eval_suite": ["doc_id", "lang", "sample_rank"],
+    "e2_embedding_dim_stats": ["dim", "n", "v_min", "v_max", "v_mean"],
     "k5_keyset_pagination": ["l_orderkey", "l_linenumber", "price"],
     "t12_type_token_ratio": ["doc_id", "n_tokens", "n_types", "ttr"],
 }

@@ -2279,3 +2279,48 @@ def pipe4_eval_suite(spark, sf_dir):
     return out.select(
         "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
     )
+
+
+# e2: per-dimension embedding stats (dead/degenerate dimension detection)
+@register(
+    "e2_embedding_dim_stats",
+    # unnest WITH ORDINALITY twin of posexplode; the mean is an exact
+    # decimal sum divided once (the money_sum discipline at embedding
+    # precision), min/max are order-independent
+    """WITH u AS (
+         SELECT unnest(embedding) AS x,
+                generate_subscripts(embedding, 1) - 1 AS pos
+         FROM embeddings)
+       SELECT CAST(pos AS BIGINT) AS dim,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(min(CAST(x AS DOUBLE)) AS DOUBLE) AS v_min,
+              CAST(max(CAST(x AS DOUBLE)) AS DOUBLE) AS v_max,
+              CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                        AS DOUBLE) / count(*) / 1000000 AS DOUBLE) AS v_mean
+       FROM u GROUP BY pos""",
+    doc="e2: per-dimension embedding statistics — posexplode over the "
+    "vector column -> (dim, n, min, max, mean): the embedding-QA pass "
+    "that catches dead dimensions (constant 0), saturated dims, and "
+    "normalization drift before they poison ANN recall. One dim-keyed "
+    "shuffle of (dim, partial-agg) pairs — the vectors themselves never "
+    "move; the mean quantizes each element to 1e-6 first (integer sum — "
+    "exact and order-independent, the st4 integer-cents discipline) so "
+    "cross-engine parity holds despite distributed sum order; double-to-"
+    "DECIMAL elementwise casts were measured to round differently across "
+    "engines at the last decimal.",
+)
+def e2_embedding_dim_stats(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    u = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select("dim", F.col("x").cast("double").alias("x"))
+    return u.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("v_min"),
+        F.max("x").alias("v_max"),
+        (
+            F.sum(F.round(F.col("x") * 1000000).cast("long")).cast("double")
+            / F.count("*")
+            / 1000000
+        ).alias("v_mean"),
+    )
