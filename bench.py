@@ -33,6 +33,8 @@ HEADLINE = [
     "w5_sessionize_batch",
     "w7_rolling_metrics",
     "w8_event_funnel",
+    "w9_gapfill_locf",
+    "w10_ohlc_downsample",
     "f_hash_uid",
     "f_categorizer",
     "k1_topk",
