@@ -163,6 +163,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("d4_simhash", []),
         ("t1_lang_id", ["score_en", "score_es", "score_fr", "score_de", "score_zh"]),
         ("t12_type_token_ratio", ["ttr"]),
+        ("q5_corpus_drift", ["mean_len_a", "mean_len_b", "count_ratio"]),
     ],
 }
 
@@ -268,6 +269,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "q4_dedup_quality": ["n_exact", "n_lsh", "n_tp", "n_missed", "recall"],
     "pipe4_eval_suite": ["doc_id", "lang", "sample_rank"],
     "e2_embedding_dim_stats": ["dim", "n", "v_min", "v_max", "v_mean"],
+    "q5_corpus_drift": [
+        "source", "n_a", "n_b", "mean_len_a", "mean_len_b", "count_ratio",
+    ],
     "k5_keyset_pagination": ["l_orderkey", "l_linenumber", "price"],
     "t12_type_token_ratio": ["doc_id", "n_tokens", "n_types", "ttr"],
 }

@@ -2324,3 +2324,66 @@ def e2_embedding_dim_stats(spark, sf_dir):
             / 1000000
         ).alias("v_mean"),
     )
+
+
+# q5: corpus snapshot drift report
+@register(
+    "q5_corpus_drift",
+    # per-source A/B comparison (doc_id parity proxies the two snapshots
+    # on static testdata): counts, 1e-?-exact mean length via integer
+    # sums, and the count ratio as one division
+    """WITH tagged AS (
+         SELECT source,
+                CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+                n_chars
+         FROM documents),
+       s AS (
+         SELECT source,
+                count(*) FILTER (WHERE snap = 'a') AS n_a,
+                count(*) FILTER (WHERE snap = 'b') AS n_b,
+                sum(n_chars) FILTER (WHERE snap = 'a') AS len_a,
+                sum(n_chars) FILTER (WHERE snap = 'b') AS len_b
+         FROM tagged GROUP BY source)
+       SELECT source,
+              CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+              CASE WHEN n_a > 0
+                   THEN CAST(CAST(len_a AS DOUBLE) / n_a AS DOUBLE) END AS mean_len_a,
+              CASE WHEN n_b > 0
+                   THEN CAST(CAST(len_b AS DOUBLE) / n_b AS DOUBLE) END AS mean_len_b,
+              CASE WHEN n_a > 0
+                   THEN CAST(CAST(n_b AS DOUBLE) / n_a AS DOUBLE) END AS count_ratio
+       FROM s""",
+    doc="q5: corpus drift report (beyond-ref) — the monitoring rollup a "
+    "recurring ingest runs between snapshots: per source, doc counts and "
+    "mean length for snapshot A vs B plus the count ratio (doc_id parity "
+    "proxies the snapshots on static testdata; in production the tag is "
+    "the ingest batch). All counts and length sums are exact integers; "
+    "each mean/ratio is one correctly-rounded division. One source-keyed "
+    "partial-agg shuffle.",
+)
+def q5_corpus_drift(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias("snap"),
+        "n_chars",
+    )
+    s = d.groupBy("source").agg(
+        F.sum(F.when(F.col("snap") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("snap") == "b", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("snap") == "a", F.col("n_chars")).otherwise(0)).alias("len_a"),
+        F.sum(F.when(F.col("snap") == "b", F.col("n_chars")).otherwise(0)).alias("len_b"),
+    )
+    return s.select(
+        "source",
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") > 0, F.col("len_a").cast("double") / F.col("n_a")).alias(
+            "mean_len_a"
+        ),
+        F.when(F.col("n_b") > 0, F.col("len_b").cast("double") / F.col("n_b")).alias(
+            "mean_len_b"
+        ),
+        F.when(F.col("n_a") > 0, F.col("n_b").cast("double") / F.col("n_a")).alias(
+            "count_ratio"
+        ),
+    )
