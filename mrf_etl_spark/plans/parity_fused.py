@@ -86,6 +86,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("w8_event_funnel", ["conversion"]),
         ("w9_gapfill_locf", ["v_filled"]),
         ("w10_ohlc_downsample", ["v_low", "v_high", "v_open", "v_close", "v_sum"]),
+        ("w11_user_reach", []),
     ],
     "fx_topk_page": [
         ("k1_topk", ["price"]),
@@ -272,6 +273,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "q5_corpus_drift": [
         "source", "n_a", "n_b", "mean_len_a", "mean_len_b", "count_ratio",
     ],
+    "w11_user_reach": ["event_type", "day", "new_users", "cum_users"],
     "k5_keyset_pagination": ["l_orderkey", "l_linenumber", "price"],
     "t12_type_token_ratio": ["doc_id", "n_tokens", "n_types", "ttr"],
 }

@@ -2387,3 +2387,51 @@ def q5_corpus_drift(spark, sf_dir):
             "count_ratio"
         ),
     )
+
+
+# w11: daily new / cumulative distinct users (the reach curve)
+@register(
+    "w11_user_reach",
+    # each user counts on their FIRST active day; the cumulative sum runs
+    # over the tiny per-day rollup, never the event stream
+    """WITH firsts AS (
+         SELECT event_type, user_id, min(date_trunc('day', ts)) AS first_day
+         FROM events GROUP BY event_type, user_id),
+       daily AS (
+         SELECT event_type, first_day AS day, count(*) AS new_users
+         FROM firsts GROUP BY event_type, first_day)
+       SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+              CAST(new_users AS BIGINT) AS new_users,
+              CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+       FROM daily""",
+    doc="w11: daily reach curve (beyond-ref) — new users per day (first "
+    "active day per user) and the running cumulative distinct-user "
+    "count. Exact running COUNT(DISTINCT) without distinct-state: each "
+    "user contributes once at their first day, so the curve is a "
+    "cumulative sum over the per-(type, day) rollup — one keyed agg "
+    "shuffle + a window over the tiny rollup, never an "
+    "expanding-distinct scan of the event stream; per-type curves keep "
+    "the window partitioned (no single-partition data window).",
+)
+def w11_user_reach(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    daily = firsts.groupBy("event_type", F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
