@@ -87,6 +87,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("w9_gapfill_locf", ["v_filled"]),
         ("w10_ohlc_downsample", ["v_low", "v_high", "v_open", "v_close", "v_sum"]),
         ("w11_user_reach", []),
+        ("w12_retention_cohorts", []),
     ],
     "fx_topk_page": [
         ("k1_topk", ["price"]),
@@ -274,6 +275,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "source", "n_a", "n_b", "mean_len_a", "mean_len_b", "count_ratio",
     ],
     "w11_user_reach": ["event_type", "day", "new_users", "cum_users"],
+    "w12_retention_cohorts": ["cohort_week", "week_offset", "n_active"],
     "k5_keyset_pagination": ["l_orderkey", "l_linenumber", "price"],
     "t12_type_token_ratio": ["doc_id", "n_tokens", "n_types", "ttr"],
 }

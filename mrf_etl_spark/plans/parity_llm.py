@@ -2435,3 +2435,43 @@ def w11_user_reach(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+# w12: weekly retention cohort matrix
+@register(
+    "w12_retention_cohorts",
+    # cohort = the user's first active week; a (cohort, offset) cell
+    # counts users active offset weeks later. DISTINCT (user, week)
+    # first, so within-week activity volume doesn't inflate cells.
+    """WITH uw AS (
+         SELECT DISTINCT user_id,
+                date_trunc('week', date_trunc('day', ts)) AS wk
+         FROM events),
+       firsts AS (
+         SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id)
+       SELECT strftime(f.cohort_wk, '%Y-%m-%d') AS cohort_week,
+              CAST(datediff('week', f.cohort_wk, uw.wk) AS BIGINT) AS week_offset,
+              CAST(count(*) AS BIGINT) AS n_active
+       FROM uw JOIN firsts f USING (user_id)
+       GROUP BY f.cohort_wk, datediff('week', f.cohort_wk, uw.wk)""",
+    doc="w12: weekly retention cohort matrix (beyond-ref) — users "
+    "cohorted by first active week; cell (cohort, offset) counts users "
+    "active offset weeks later. DISTINCT (user, week) activity first "
+    "(volume-proof), then a user-keyed join of the first-week rollup "
+    "back onto activity + one matrix agg — both shuffles are on "
+    "user_id, and the matrix is |cohorts| x |weeks| tiny.",
+)
+def w12_retention_cohorts(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.date_trunc("week", F.date_trunc("day", "ts")).alias("wk"),
+    ).distinct()
+    firsts = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    j = uw.join(firsts, "user_id")
+    return j.groupBy(
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+    ).agg(F.count("*").alias("n_active"))
