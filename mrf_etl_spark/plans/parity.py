@@ -2396,3 +2396,37 @@ def k5_keyset_pagination(spark, sf_dir):
         .orderBy("l_orderkey", "l_linenumber")
         .limit(K5_PAGE)
     )
+
+
+@register(
+    "x4_map_explode",
+    # the relational ground truth extracts the same key/value pairs the
+    # map parse must reconstruct
+    """SELECT 'k' AS key,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                            AS BIGINT)) AS BIGINT) AS v_sum,
+              CAST(min(CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                            AS BIGINT)) AS BIGINT) AS v_min,
+              CAST(max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                            AS BIGINT)) AS BIGINT) AS v_max
+       FROM events WHERE props IS NOT NULL""",
+    doc="x4: MapType end-to-end (beyond-ref; the one Spark column family "
+    "the catalog lacked) — from_json(props) as map<string,bigint>, "
+    "explode to (key, value) rows, per-key rollup. The parse and "
+    "explode stay scan-local; only the tiny per-key partial aggs "
+    "shuffle. Integer sums keep parity exact.",
+)
+def x4_map_explode(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    m = F.from_json("props", "map<string, bigint>")
+    return (
+        ev.select(F.explode(m).alias("key", "value"))
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("v_sum"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+    )

@@ -115,6 +115,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
     "fx_quality_json": [
         ("q1_quality_report", ["bad_rate"]),
         ("x2_json_explode", []),
+        ("x4_map_explode", []),
     ],
     "fx_lake_ops": [
         ("s18_compaction", ["val_sum"]),
@@ -217,6 +218,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "f_categorizer": ["procedure_set", "procedure_class", "procedure_group", "n"],
     "q1_quality_report": ["check", "n_bad", "n_total", "bad_rate"],
     "x2_json_explode": ["event_id", "k", "v"],
+    "x4_map_explode": ["key", "n", "v_sum", "v_min", "v_max"],
     "s18_compaction": ["n_rows", "val_sum", "n_ids"],
     "mv1_materialized_rollup": ["l_returnflag", "l_linestatus", "bucket_tax", "n", "revenue"],
     "sp1_hash_split": ["doc_id", "bucket", "split"],
