@@ -2430,3 +2430,50 @@ def x4_map_explode(spark, sf_dir):
             F.max("value").alias("v_max"),
         )
     )
+
+
+@register(
+    "w13_asof_forward",
+    # the forward direction: for every view, the user's EARLIEST click at
+    # or after it (time-to-next-action attribution). DuckDB ASOF with the
+    # <= comparison is the native twin.
+    """SELECT l.user_id, l.event_id AS view_id,
+              round(l.value, 2) AS view_value,
+              r.event_id AS click_id, round(r.value, 2) AS click_value
+       FROM (SELECT * FROM events WHERE event_type = 'view') l
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+         ON l.user_id = r.user_id AND l.ts <= r.ts""",
+    doc="w13: forward as-of join (beyond-ref) — for every view, the "
+    "user's earliest click at or after it: the time-to-next-action twin "
+    "of w4's point-in-time lookback, exercising asof_join's "
+    "direction='forward' carry (earliest-wins over the same single "
+    "key shuffle).",
+)
+def w13_asof_forward(spark, sf_dir):
+    from mrf_etl_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.round("value", 2).alias("view_value"),
+        "ts_ns",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "value", "ts_ns"
+    )
+    return asof_join(
+        views,
+        clicks,
+        on="user_id",
+        left_ts="ts_ns",
+        right_ts="ts_ns",
+        right_cols=["event_id", "value"],
+        direction="forward",
+    ).select(
+        "user_id",
+        "view_id",
+        "view_value",
+        F.col("event_id_asof").alias("click_id"),
+        F.round("value_asof", 2).alias("click_value"),
+    )

@@ -88,6 +88,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("w10_ohlc_downsample", ["v_low", "v_high", "v_open", "v_close", "v_sum"]),
         ("w11_user_reach", []),
         ("w12_retention_cohorts", []),
+        ("w13_asof_forward", ["view_value", "click_value"]),
     ],
     "fx_topk_page": [
         ("k1_topk", ["price"]),
@@ -278,6 +279,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "w11_user_reach": ["event_type", "day", "new_users", "cum_users"],
     "w12_retention_cohorts": ["cohort_week", "week_offset", "n_active"],
+    "w13_asof_forward": [
+        "user_id", "view_id", "view_value", "click_id", "click_value",
+    ],
     "k5_keyset_pagination": ["l_orderkey", "l_linenumber", "price"],
     "t12_type_token_ratio": ["doc_id", "n_tokens", "n_types", "ttr"],
 }
