@@ -2477,3 +2477,51 @@ def w13_asof_forward(spark, sf_dir):
         F.col("event_id_asof").alias("click_id"),
         F.round("value_asof", 2).alias("click_value"),
     )
+
+
+W14_HOURS = 24
+
+
+@register(
+    "w14_trailing_window",
+    # RANGE frame on event time: every event sees the sum/count of the
+    # same user's events in the trailing 24 h INCLUDING itself. Values
+    # quantize to integer cents before the frame sum (the st4 discipline)
+    # so the running totals are exact whatever order the frame
+    # accumulates in.
+    f"""SELECT user_id, event_id,
+              CAST(cnt_24h AS BIGINT) AS cnt_24h,
+              CAST(CAST(sum_cents AS DOUBLE) / 100 AS DOUBLE) AS sum_24h
+       FROM (
+         SELECT user_id, event_id,
+                count(*) OVER w AS cnt_24h,
+                sum(CAST(round(value * 100) AS BIGINT)) OVER w AS sum_cents
+         FROM events
+         WINDOW w AS (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN {W14_HOURS * 3600 * 1000000} PRECEDING
+                 AND CURRENT ROW))""",
+    doc="w14: time-based trailing window (beyond-ref) — per user, the "
+    f"count and exact-cents sum of events in the trailing {W14_HOURS} h "
+    "via a RANGE frame on event time (the trailing-feature shape "
+    "rolling/w7's ROWS frames can't express: the frame width is a "
+    "DURATION, not a row count). One user-keyed window shuffle; values "
+    "quantize to integer cents before the frame sum so accumulation "
+    "order can't move the result.",
+)
+def w14_trailing_window(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-W14_HOURS * 3600 * 1000000, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("cnt_24h"),
+        (F.sum(cents).over(w).cast("double") / 100).alias("sum_24h"),
+    )

@@ -89,6 +89,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("w11_user_reach", []),
         ("w12_retention_cohorts", []),
         ("w13_asof_forward", ["view_value", "click_value"]),
+        ("w14_trailing_window", ["sum_24h"]),
     ],
     "fx_topk_page": [
         ("k1_topk", ["price"]),
@@ -282,6 +283,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "w13_asof_forward": [
         "user_id", "view_id", "view_value", "click_id", "click_value",
     ],
+    "w14_trailing_window": ["user_id", "event_id", "cnt_24h", "sum_24h"],
     "k5_keyset_pagination": ["l_orderkey", "l_linenumber", "price"],
     "t12_type_token_ratio": ["doc_id", "n_tokens", "n_types", "ttr"],
 }
