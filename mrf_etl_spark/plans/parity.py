@@ -2525,3 +2525,61 @@ def w14_trailing_window(spark, sf_dir):
         F.count("*").over(w).alias("cnt_24h"),
         (F.sum(cents).over(w).cast("double") / 100).alias("sum_24h"),
     )
+
+
+@register(
+    "a16_weighted_median",
+    # lower weighted median: the smallest value whose cumulative weight
+    # reaches half the group total (ties in value broken by key order —
+    # cumulative sums then agree on both engines). Weights are integer
+    # quantities, values are SELECTED not computed, so parity is exact.
+    """WITH w AS (
+         SELECT l_returnflag,
+                round(l_extendedprice, 2) AS v,
+                CAST(l_quantity AS BIGINT) AS q
+         FROM lineitem),
+       c AS (
+         SELECT l_returnflag, v, q,
+                sum(q) OVER (PARTITION BY l_returnflag ORDER BY v, q
+                             ROWS UNBOUNDED PRECEDING) AS cum_q,
+                sum(q) OVER (PARTITION BY l_returnflag) AS tot_q
+         FROM w)
+       SELECT l_returnflag,
+              CAST(min(tot_q) AS BIGINT) AS total_weight,
+              min(v) AS weighted_median
+       FROM c
+       WHERE cum_q * 2 >= tot_q
+       GROUP BY l_returnflag""",
+    doc="a16: exact weighted median (beyond-ref; no native Spark "
+    "aggregate exists) — smallest value whose cumulative weight reaches "
+    "half the group total, via one (group)-keyed window pass: cumulative "
+    "weight + group total over the same partitioning, then min-over-"
+    "qualifying. Weights stay integer and the median is a SELECTED input "
+    "value, so cross-engine parity is exact with no float accumulation.",
+)
+def a16_weighted_median(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_extendedprice", 2).alias("v"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v", "q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "v",
+        F.sum("q").over(wc).alias("cum_q"),
+        F.sum("q").over(wt).alias("tot_q"),
+    )
+    return (
+        c.filter(F.col("cum_q") * 2 >= F.col("tot_q"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("tot_q").alias("total_weight"),
+            F.min("v").alias("weighted_median"),
+        )
+    )

@@ -73,6 +73,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("a4_summary_stats", ["avg_rate", "min_rate", "max_rate", "median_rate"]),
         ("a5_topk_group_stats", ["avg_rate"]),
         ("a6_percentile_profile", ["p10", "p25", "p50", "p75", "p90"]),
+        ("a16_weighted_median", ["weighted_median"]),
     ],
     "fx_distinct_dedup": [
         ("a9_multi_distinct", []),
@@ -284,6 +285,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "user_id", "view_id", "view_value", "click_id", "click_value",
     ],
     "w14_trailing_window": ["user_id", "event_id", "cnt_24h", "sum_24h"],
+    "a16_weighted_median": ["l_returnflag", "total_weight", "weighted_median"],
     "k5_keyset_pagination": ["l_orderkey", "l_linenumber", "price"],
     "t12_type_token_ratio": ["doc_id", "n_tokens", "n_types", "ttr"],
 }
