@@ -2583,3 +2583,56 @@ def a16_weighted_median(spark, sf_dir):
             F.min("v").alias("weighted_median"),
         )
     )
+
+
+K6_PER_GROUP = 3
+K6_TOTAL = 20
+
+
+@register(
+    "k6_diversified_topk",
+    # two ranking passes: cap each supplier at 3 entries, then take the
+    # global top 20 of the survivors — total order everywhere
+    f"""SELECT l_suppkey, l_orderkey, l_linenumber, price FROM (
+         SELECT *, row_number() OVER (
+                  ORDER BY price DESC, l_orderkey ASC, l_linenumber ASC)
+                  AS gr
+         FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber,
+                  round(l_extendedprice, 2) AS price,
+                  row_number() OVER (
+                    PARTITION BY l_suppkey
+                    ORDER BY round(l_extendedprice, 2) DESC,
+                             l_orderkey ASC, l_linenumber ASC) AS sr
+           FROM lineitem)
+         WHERE sr <= {K6_PER_GROUP})
+       WHERE gr <= {K6_TOTAL}""",
+    doc="k6: diversified top-k (beyond-ref) — the serving-layer ranking "
+    f"shape: global top {K6_TOTAL} rates but at most {K6_PER_GROUP} per "
+    "supplier, so one dominant group can't fill the page. Per-group "
+    "row_number (WindowGroupLimit keeps it top-k per partition) + a "
+    "TakeOrdered over the capped survivors; full (key, tie-break) total "
+    "order makes the page deterministic.",
+)
+def k6_diversified_topk(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+    ws = Window.partitionBy("l_suppkey").orderBy(
+        F.col("price").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    capped = li.withColumn("sr", F.row_number().over(ws)).filter(
+        F.col("sr") <= K6_PER_GROUP
+    )
+    return (
+        capped.orderBy(
+            F.col("price").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(K6_TOTAL)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "price")
+    )

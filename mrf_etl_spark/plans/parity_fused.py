@@ -95,6 +95,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
     "fx_topk_page": [
         ("k1_topk", ["price"]),
         ("k2_pagination", []),
+        ("k6_diversified_topk", ["price"]),
     ],
     "fx_serving": [
         ("k3_autocomplete", []),
@@ -286,6 +287,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "w14_trailing_window": ["user_id", "event_id", "cnt_24h", "sum_24h"],
     "a16_weighted_median": ["l_returnflag", "total_weight", "weighted_median"],
+    "k6_diversified_topk": ["l_suppkey", "l_orderkey", "l_linenumber", "price"],
     "k5_keyset_pagination": ["l_orderkey", "l_linenumber", "price"],
     "t12_type_token_ratio": ["doc_id", "n_tokens", "n_types", "ttr"],
 }
