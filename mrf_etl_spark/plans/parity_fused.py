@@ -171,6 +171,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("t1_lang_id", ["score_en", "score_es", "score_fr", "score_de", "score_zh"]),
         ("t12_type_token_ratio", ["ttr"]),
         ("q5_corpus_drift", ["mean_len_a", "mean_len_b", "count_ratio"]),
+        ("t15_source_similarity", ["cosine"]),
     ],
 }
 
@@ -288,6 +289,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "w14_trailing_window": ["user_id", "event_id", "cnt_24h", "sum_24h"],
     "a16_weighted_median": ["l_returnflag", "total_weight", "weighted_median"],
     "k6_diversified_topk": ["l_suppkey", "l_orderkey", "l_linenumber", "price"],
+    "t15_source_similarity": ["source_a", "source_b", "dot", "cosine"],
     "k5_keyset_pagination": ["l_orderkey", "l_linenumber", "price"],
     "t12_type_token_ratio": ["doc_id", "n_tokens", "n_types", "ttr"],
 }

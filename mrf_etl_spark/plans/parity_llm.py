@@ -2475,3 +2475,74 @@ def w12_retention_cohorts(spark, sf_dir):
         .cast("long")
         .alias("week_offset"),
     ).agg(F.count("*").alias("n_active"))
+
+
+# t15: source-pair vocabulary similarity (mirror / near-duplicate sources)
+@register(
+    "t15_source_similarity",
+    # integer word-count profiles per source; dot and norms are exact
+    # BIGINT sums, so the cosine is two correctly-rounded float ops
+    # (sqrt, divide) over identical integers on both engines
+    """WITH words AS (
+         SELECT source,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         FROM documents),
+       prof AS (
+         SELECT source, w, count(*) AS c FROM words GROUP BY source, w),
+       norms AS (
+         SELECT source, sum(c * c) AS n2 FROM prof GROUP BY source),
+       dots AS (
+         SELECT a.source AS source_a, b.source AS source_b,
+                sum(a.c * b.c) AS dot
+         FROM prof a JOIN prof b ON a.w = b.w AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT source_a, source_b,
+              CAST(dot AS BIGINT) AS dot,
+              CAST(CAST(dot AS DOUBLE) /
+                   sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+                   AS DOUBLE) AS cosine
+       FROM dots
+       JOIN norms na ON na.source = source_a
+       JOIN norms nb ON nb.source = source_b""",
+    doc="t15: source-pair vocabulary similarity (beyond-ref) — cosine "
+    "between per-source word-count profiles: the mirror/near-duplicate-"
+    "SOURCE detector (two crawls of the same site score ~1.0). Profiles "
+    "shuffle once on (source, word); the pair join is on the word key "
+    "with |sources|^2 bounded output; dot and norms are exact integer "
+    "sums so the one sqrt+divide is bit-identical cross-engine.",
+)
+def t15_source_similarity(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    prof = words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    norms = prof.groupBy("source").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    a = prof.select(
+        F.col("source").alias("source_a"), "w", F.col("c").alias("ca")
+    )
+    b = prof.select(
+        F.col("source").alias("source_b"), "w", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("source").alias("source_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("source").alias("source_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double"))
+            ).alias("cosine"),
+        )
+    )
