@@ -61,6 +61,10 @@ HEADLINE = [
     "pipe2_fuzzy_dedup",
     "pipe3_corpus_release",
     "m4_media_near_dup",
+    "a16_weighted_median",
+    "k6_diversified_topk",
+    "w14_trailing_window",
+    "t15_source_similarity",
 ]
 
 
