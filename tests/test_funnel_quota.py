@@ -149,3 +149,59 @@ def test_ohlc_is_input_order_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
     assert a == b
+
+
+def test_weighted_median_semantics(spark):
+    """Lower weighted median: smallest value whose cumulative weight
+    reaches half the total — checked against hand-computed cases
+    including an exact-half boundary."""
+    from mrf_etl_spark.plans.parity import REGISTRY  # noqa: F401
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def wmedian(rows):
+        df = spark.createDataFrame(rows, "g string, v double, q long")
+        wc = (
+            Window.partitionBy("g")
+            .orderBy("v", "q")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt = Window.partitionBy("g")
+        c = df.select(
+            "g", "v",
+            F.sum("q").over(wc).alias("cum"),
+            F.sum("q").over(wt).alias("tot"),
+        )
+        out = (
+            c.filter(F.col("cum") * 2 >= F.col("tot"))
+            .groupBy("g")
+            .agg(F.min("v").alias("m"))
+            .collect()
+        )
+        return {r.g: r.m for r in out}
+
+    # weights 1,1,1 -> plain median
+    assert wmedian([("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 1)]) == {"a": 2.0}
+    # heavy low value dominates
+    assert wmedian([("b", 1.0, 10), ("b", 100.0, 1)]) == {"b": 1.0}
+    # exact half boundary: cum(1.0)=2, tot=4 -> 2*2 >= 4 qualifies (lower median)
+    assert wmedian([("c", 1.0, 2), ("c", 5.0, 2)]) == {"c": 1.0}
+
+
+def test_diversified_topk_cap(spark):
+    """No supplier may exceed the per-group cap in the final page, and
+    the page is the best available under that constraint."""
+    import __spark_entry__ as e
+    from mrf_etl_spark.plans.parity import K6_PER_GROUP, K6_TOTAL
+
+    rows = e.queries()["k6_diversified_topk"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == K6_TOTAL
+    per = {}
+    for r in rows:
+        per[r.l_suppkey] = per.get(r.l_suppkey, 0) + 1
+    assert max(per.values()) <= K6_PER_GROUP
+    prices = [r.price for r in rows]
+    assert prices == sorted(prices, reverse=True)
