@@ -2636,3 +2636,88 @@ def k6_diversified_topk(spark, sf_dir):
         .limit(K6_TOTAL)
         .select("l_suppkey", "l_orderkey", "l_linenumber", "price")
     )
+
+
+@register(
+    "a17_deterministic_mode",
+    # exact per-group mode with a total tie order (count desc, value asc)
+    # — Spark's native mode() leaves ties unspecified, which a
+    # hash-compared engine cannot tolerate
+    """SELECT o_orderpriority, mode_status, CAST(n AS BIGINT) AS n FROM (
+         SELECT o_orderpriority, o_orderstatus AS mode_status, n,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY n DESC, o_orderstatus ASC) AS r
+         FROM (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+               FROM orders GROUP BY 1, 2))
+       WHERE r = 1""",
+    doc="a17: deterministic exact mode (beyond-ref) — most frequent "
+    "value per group with (count desc, value asc) tie-break: Spark's "
+    "native mode() leaves ties unspecified, so the catalog form is the "
+    "two-level groupBy + rank-1 window, whose result is a pure function "
+    "of the data. Both shuffles key on the group; the window input is "
+    "|groups x values| tiny.",
+)
+def a17_deterministic_mode(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), F.col("o_orderstatus").asc()
+    )
+    return (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            "n",
+        )
+    )
+
+
+J16_MAX_DIST = 3
+
+
+@register(
+    "j16_fuzzy_name_match",
+    # blocked edit-distance self-join: candidate pairs only within the
+    # (brand, size) block, then exact levenshtein filter — the
+    # standard entity-resolution shape (blocking bounds the quadratic)
+    f"""SELECT p_brand, p_size,
+              a.p_partkey AS key_a, b.p_partkey AS key_b,
+              CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+       FROM part a JOIN part b
+         USING (p_brand, p_size)
+       WHERE a.p_partkey < b.p_partkey
+         AND levenshtein(a.p_name, b.p_name) <= {J16_MAX_DIST}""",
+    doc="j16: typo-tolerant entity matching (beyond-ref) — near-identical "
+    f"names (levenshtein <= {J16_MAX_DIST}) found by a BLOCKED "
+    "self-join: candidates only within the (brand, size) block, so "
+    "the quadratic term is per-block, not corpus-wide — the standard "
+    "entity-resolution blocking discipline; the distance itself is the "
+    "exact DP, identical across engines.",
+)
+def j16_fuzzy_name_match(spark, sf_dir):
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
+    a = p.select(
+        "p_brand",
+        "p_size",
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        "p_brand",
+        "p_size",
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, ["p_brand", "p_size"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= J16_MAX_DIST)
+        .select("p_brand", "p_size", "key_a", "key_b", "dist")
+    )

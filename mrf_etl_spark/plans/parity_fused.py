@@ -80,6 +80,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("a10_drilldown", ["avg_price"]),
         ("a11_dedup_distinct", []),
         ("a15_pivot_matrix", []),
+        ("a17_deterministic_mode", []),
     ],
     "fx_latest_best": [
         ("w1_latest_per_key", ["value"]),
@@ -150,6 +151,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("j5_normalized_key_join", ["avg_rp"]),
         ("j9_computed_slug_join", []),
         ("j12_desc_coalesce", []),
+        ("j16_fuzzy_name_match", []),
     ],
     "fx_media": [
         ("m1_multimodal_features", []),
@@ -290,6 +292,8 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "a16_weighted_median": ["l_returnflag", "total_weight", "weighted_median"],
     "k6_diversified_topk": ["l_suppkey", "l_orderkey", "l_linenumber", "price"],
     "t15_source_similarity": ["source_a", "source_b", "dot", "cosine"],
+    "a17_deterministic_mode": ["o_orderpriority", "mode_status", "n"],
+    "j16_fuzzy_name_match": ["p_brand", "p_size", "key_a", "key_b", "dist"],
     "k5_keyset_pagination": ["l_orderkey", "l_linenumber", "price"],
     "t12_type_token_ratio": ["doc_id", "n_tokens", "n_types", "ttr"],
 }
