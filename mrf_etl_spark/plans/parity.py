@@ -2721,3 +2721,64 @@ def j16_fuzzy_name_match(spark, sf_dir):
         .filter(F.col("dist") <= J16_MAX_DIST)
         .select("p_brand", "p_size", "key_a", "key_b", "dist")
     )
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    """Shared rollup proving a lossless source round-trip: exact counts,
+    distincts, and the decimal money sum survive the format."""
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        money_sum("l_extendedprice").alias("price_sum"),
+    )
+
+
+_RT_ORACLE = """SELECT l_returnflag, count(*) AS n,
+              CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+                AS price_sum
+       FROM lineitem WHERE l_linenumber = 1 GROUP BY l_returnflag"""
+
+
+@register(
+    "s19_csv_roundtrip",
+    _RT_ORACLE,
+    doc="s19: CSV source (beyond-parquet format coverage) — write a "
+    "lineitem slice as headered CSV, read it back with an EXPLICIT "
+    "schema (schema-on-read inference is a correctness hazard: a chunk "
+    "of all-null strings infers to string and silently widens), and "
+    "prove the round-trip lossless against the parquet-direct rollup. "
+    "Doubles survive because Spark writes shortest-round-trip decimal "
+    "text.",
+)
+def s19_csv_roundtrip(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1).select(
+        "l_returnflag", "l_orderkey", "l_extendedprice"
+    )
+    path = _scratch("s19_csv")
+    li.write.option("header", True).csv(path)
+    back = spark.read.option("header", True).schema(
+        "l_returnflag string, l_orderkey bigint, l_extendedprice double"
+    ).csv(path)
+    return _roundtrip_agg(back)
+
+
+@register(
+    "s20_jsonl_roundtrip",
+    _RT_ORACLE,
+    doc="s20: JSON-lines source (the reference's MRF payloads are JSON; "
+    "machine-readable-file ingest needs a lossless JSONL path) — write "
+    "the slice as JSONL, read back with an explicit schema, same "
+    "lossless-rollup proof as s19. At 100 TB JSONL splits by line, so "
+    "the read parallelizes like any text source.",
+)
+def s20_jsonl_roundtrip(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1).select(
+        "l_returnflag", "l_orderkey", "l_extendedprice"
+    )
+    path = _scratch("s20_jsonl")
+    li.write.json(path)
+    back = spark.read.schema(
+        "l_returnflag string, l_orderkey bigint, l_extendedprice double"
+    ).json(path)
+    return _roundtrip_agg(back)

@@ -125,6 +125,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
     "fx_lake_ops": [
         ("s18_compaction", ["val_sum"]),
         ("mv1_materialized_rollup", ["bucket_tax", "revenue"]),
+        ("s19_csv_roundtrip", ["price_sum"]),
+        ("s20_jsonl_roundtrip", ["price_sum"]),
     ],
     # round-4 training-data pipeline flagships: split, domain quota, shard
     # packing, sequence packing, fuzzy-dedup composition, incremental
@@ -294,6 +296,8 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "t15_source_similarity": ["source_a", "source_b", "dot", "cosine"],
     "a17_deterministic_mode": ["o_orderpriority", "mode_status", "n"],
     "j16_fuzzy_name_match": ["p_brand", "p_size", "key_a", "key_b", "dist"],
+    "s19_csv_roundtrip": ["l_returnflag", "n", "n_orders", "price_sum"],
+    "s20_jsonl_roundtrip": ["l_returnflag", "n", "n_orders", "price_sum"],
     "k5_keyset_pagination": ["l_orderkey", "l_linenumber", "price"],
     "t12_type_token_ratio": ["doc_id", "n_tokens", "n_types", "ttr"],
 }
