@@ -2782,3 +2782,81 @@ def s20_jsonl_roundtrip(spark, sf_dir):
         "l_returnflag string, l_orderkey bigint, l_extendedprice double"
     ).json(path)
     return _roundtrip_agg(back)
+
+
+@register(
+    "u3_union_distinct",
+    # UNION (distinct) of two overlapping projections — completes the
+    # set-op family next to u1 (UNION ALL), u2 (INTERSECT/EXCEPT), j10
+    # (anti). Rewrites to union + hash-distinct: one shuffle on the row.
+    """SELECT user_id, event_type FROM events WHERE day(ts) <= 20
+       UNION
+       SELECT user_id, event_type FROM events WHERE day(ts) > 10""",
+    doc="u3: UNION DISTINCT (beyond-ref) — the deduplicating union the "
+    "set-op family lacked: two overlapping halves of the event log "
+    "unioned to distinct (user, type) pairs; plan is union + one "
+    "hash-aggregate distinct on the full row.",
+)
+def u3_union_distinct(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.dayofmonth("ts") <= 20).select("user_id", "event_type")
+    b = ev.filter(F.dayofmonth("ts") > 10).select("user_id", "event_type")
+    return a.union(b).distinct()
+
+
+@register(
+    "w15_rank_family",
+    # the ranking-function vocabulary over one totally-ordered window:
+    # rank/dense_rank on a COARSE key (real ties), percent_rank and
+    # cume_dist as exact int/int divisions, ntile buckets
+    """SELECT l_returnflag, l_orderkey, l_linenumber, qty,
+              CAST(rnk AS BIGINT) AS rnk,
+              CAST(drnk AS BIGINT) AS drnk,
+              pr, cd,
+              CAST(quartile AS BIGINT) AS quartile
+       FROM (
+         SELECT l_returnflag, l_orderkey, l_linenumber,
+                CAST(l_quantity AS BIGINT) AS qty,
+                rank() OVER wq AS rnk,
+                dense_rank() OVER wq AS drnk,
+                percent_rank() OVER wo AS pr,
+                cume_dist() OVER wo AS cd,
+                ntile(4) OVER wo AS quartile
+         FROM lineitem WHERE l_orderkey < 500
+         WINDOW wq AS (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)),
+                wo AS (PARTITION BY l_returnflag
+                       ORDER BY CAST(l_quantity AS BIGINT),
+                                l_orderkey, l_linenumber))""",
+    doc="w15: the ranking-function vocabulary (beyond-ref) — rank and "
+    "dense_rank over a COARSE key (integer quantity: real tie groups), "
+    "percent_rank / cume_dist (exact int/int divisions) and ntile "
+    "quartiles over the totally-ordered form. One group-keyed window "
+    "shuffle serves every function; total order where the function "
+    "demands determinism, deliberate ties where it must handle them.",
+)
+def w15_rank_family(spark, sf_dir):
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 500)
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    wq = Window.partitionBy("l_returnflag").orderBy("qty")
+    wo = Window.partitionBy("l_returnflag").orderBy(
+        "qty", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "qty",
+        F.rank().over(wq).cast("long").alias("rnk"),
+        F.dense_rank().over(wq).cast("long").alias("drnk"),
+        F.percent_rank().over(wo).alias("pr"),
+        F.cume_dist().over(wo).alias("cd"),
+        F.ntile(4).over(wo).cast("long").alias("quartile"),
+    )

@@ -104,6 +104,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("u1_union_tolerant", ["total"]),
         ("u2_intersect_except", []),
         ("k5_keyset_pagination", ["price"]),
+        ("u3_union_distinct", []),
+        ("w15_rank_family", ["pr", "cd"]),
     ],
     "fx_scalars": [
         ("f_slugify", []),
@@ -298,6 +300,11 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "j16_fuzzy_name_match": ["p_brand", "p_size", "key_a", "key_b", "dist"],
     "s19_csv_roundtrip": ["l_returnflag", "n", "n_orders", "price_sum"],
     "s20_jsonl_roundtrip": ["l_returnflag", "n", "n_orders", "price_sum"],
+    "u3_union_distinct": ["user_id", "event_type"],
+    "w15_rank_family": [
+        "l_returnflag", "l_orderkey", "l_linenumber", "qty",
+        "rnk", "drnk", "pr", "cd", "quartile",
+    ],
     "k5_keyset_pagination": ["l_orderkey", "l_linenumber", "price"],
     "t12_type_token_ratio": ["doc_id", "n_tokens", "n_types", "ttr"],
 }
