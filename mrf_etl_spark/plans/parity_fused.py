@@ -144,7 +144,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("sp2_stratified_sample", []),
         ("sp3_temporal_split", []),
         ("sp10_length_buckets", []),
-        ("q4_dedup_quality", ["recall"]),
+        # q4_dedup_quality is deliberately NOT fused: it re-runs BOTH the
+        # d2 and d3b cascades, which alone doubled this probe's cost —
+        # the audit stays a LOCAL_ONLY harness check while its inputs
+        # (d2 in the window, d3b local) keep their own driver stories.
         ("pipe4_eval_suite", []),
         ("e2_embedding_dim_stats", ["v_min", "v_max", "v_mean"]),
     ],

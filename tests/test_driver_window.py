@@ -42,7 +42,7 @@ LOCAL_ONLY = {
     "n1_ann_cosine_topk", "n2_ann_ivf",
     "t1_lang_id", "t3_token_count", "t4_fingerprint", "t5_tfidf_top_terms",
     "t6_pii_scrub", "t7_repetition_signals", "t9_top_ngrams",
-    "sp2_stratified_sample", "sp3_temporal_split",
+    "sp2_stratified_sample", "sp3_temporal_split", "q4_dedup_quality",
     "e1_quantize_int8",
 }
 
