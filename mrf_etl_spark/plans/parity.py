@@ -2860,3 +2860,36 @@ def w15_rank_family(spark, sf_dir):
         F.cume_dist().over(wo).alias("cd"),
         F.ntile(4).over(wo).cast("long").alias("quartile"),
     )
+
+
+X5_MIN_LEN = 7
+
+
+@register(
+    "x5_explode_outer",
+    # LEFT JOIN against unnest replays explode_outer's row-preservation:
+    # a document with NO long words still yields one row with NULL word
+    f"""WITH lw AS (
+         SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  w -> length(w) >= {X5_MIN_LEN})) AS word
+         FROM documents)
+       SELECT d.doc_id, lw.word,
+              CAST(lw.word IS NULL AS BOOLEAN) AS no_long_words
+       FROM documents d LEFT JOIN lw ON d.doc_id = lw.doc_id""",
+    doc="x5: explode_outer semantics (beyond-ref; the row-preservation "
+    "corner plain explode silently violates) — long words per document "
+    f"(length >= {X5_MIN_LEN}), with documents that have NONE kept as a "
+    "single NULL-word row: dropping them is the classic explode bug "
+    "that silently shrinks a corpus. Scan-local filter + generate; no "
+    "shuffle.",
+)
+def x5_explode_outer(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda w: F.length(w) >= X5_MIN_LEN,
+    )
+    return d.select("doc_id", F.explode_outer(words).alias("word")).withColumn(
+        "no_long_words", F.col("word").isNull()
+    )

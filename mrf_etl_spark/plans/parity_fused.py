@@ -118,6 +118,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("f_math_formula", ["calc_rate"]),
         ("f_categorizer", []),
         ("x3_unpivot", []),
+        ("x5_explode_outer", []),
     ],
     "fx_quality_json": [
         ("q1_quality_report", ["bad_rate"]),
@@ -304,6 +305,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "s19_csv_roundtrip": ["l_returnflag", "n", "n_orders", "price_sum"],
     "s20_jsonl_roundtrip": ["l_returnflag", "n", "n_orders", "price_sum"],
     "u3_union_distinct": ["user_id", "event_type"],
+    "x5_explode_outer": ["doc_id", "word", "no_long_words"],
     "w15_rank_family": [
         "l_returnflag", "l_orderkey", "l_linenumber", "qty",
         "rnk", "drnk", "pr", "cd", "quartile",
