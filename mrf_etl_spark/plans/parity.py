@@ -2893,3 +2893,59 @@ def x5_explode_outer(spark, sf_dir):
     return d.select("doc_id", F.explode_outer(words).alias("word")).withColumn(
         "no_long_words", F.col("word").isNull()
     )
+
+
+@register(
+    "s21_orc_roundtrip",
+    _RT_ORACLE,
+    doc="s21: ORC source/sink round-trip — the second columnar format "
+    "next to parquet (warehouse interchange); same lossless-rollup proof "
+    "as s19/s20 against the parquet-direct oracle. ORC carries real "
+    "schemas so no explicit-schema read is needed; the writer/reader "
+    "pair must still preserve doubles bit-for-bit.",
+)
+def s21_orc_roundtrip(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1).select(
+        "l_returnflag", "l_orderkey", "l_extendedprice"
+    )
+    path = _scratch("s21_orc")
+    li.write.orc(path)
+    return _roundtrip_agg(spark.read.orc(path))
+
+
+@register(
+    "w16_interarrival",
+    # lag() exposed directly: per-user inter-arrival gaps in exact
+    # micros, rolled up to count/min/max/sum — all integers
+    """WITH d AS (
+         SELECT user_id,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  AS gap_us
+         FROM events)
+       SELECT user_id,
+              CAST(count(gap_us) AS BIGINT) AS n_gaps,
+              CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+              CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+              CAST(sum(gap_us) AS BIGINT) AS total_gap_us
+       FROM d GROUP BY user_id""",
+    doc="w16: inter-arrival gaps (beyond-ref) — lag() exposed directly "
+    "(SURVEY notes the reference never uses lead/lag; w5 only consumes "
+    "it internally): per-user event spacing in exact integer micros, "
+    "rolled up to count/min/max/total. The burstiness profile "
+    "sessionization thresholds are tuned against; one user-keyed window "
+    "shuffle reused by the rollup.",
+)
+def w16_interarrival(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts_ns div 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = ev.select(
+        "user_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    )
+    return d.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("total_gap_us"),
+    )

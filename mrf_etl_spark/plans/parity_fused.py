@@ -90,6 +90,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("w10_ohlc_downsample", ["v_low", "v_high", "v_open", "v_close", "v_sum"]),
         ("w11_user_reach", []),
         ("w12_retention_cohorts", []),
+        ("w16_interarrival", []),
         ("w13_asof_forward", ["view_value", "click_value"]),
         ("w14_trailing_window", ["sum_24h"]),
     ],
@@ -130,6 +131,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("mv1_materialized_rollup", ["bucket_tax", "revenue"]),
         ("s19_csv_roundtrip", ["price_sum"]),
         ("s20_jsonl_roundtrip", ["price_sum"]),
+        ("s21_orc_roundtrip", ["price_sum"]),
     ],
     # round-4 training-data pipeline flagships: split, domain quota, shard
     # packing, sequence packing, fuzzy-dedup composition, incremental
@@ -305,6 +307,10 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "s19_csv_roundtrip": ["l_returnflag", "n", "n_orders", "price_sum"],
     "s20_jsonl_roundtrip": ["l_returnflag", "n", "n_orders", "price_sum"],
     "u3_union_distinct": ["user_id", "event_type"],
+    "s21_orc_roundtrip": ["l_returnflag", "n", "n_orders", "price_sum"],
+    "w16_interarrival": [
+        "user_id", "n_gaps", "min_gap_us", "max_gap_us", "total_gap_us",
+    ],
     "x5_explode_outer": ["doc_id", "word", "no_long_words"],
     "w15_rank_family": [
         "l_returnflag", "l_orderkey", "l_linenumber", "qty",
