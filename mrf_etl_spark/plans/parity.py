@@ -2949,3 +2949,44 @@ def w16_interarrival(spark, sf_dir):
         F.max("gap_us").alias("max_gap_us"),
         F.sum("gap_us").alias("total_gap_us"),
     )
+
+
+@register(
+    "a18_cube",
+    # CUBE = GROUPING SETS((a,b),(a),(b),()) — all four aggregation
+    # levels in one pass; grouping flags disambiguate NULL-as-subtotal
+    # from NULL data
+    f"""SELECT coalesce(l_returnflag, '∅') AS rf,
+              coalesce(l_linestatus, '∅') AS ls,
+              CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+              CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+              count(*) AS n,
+              {money_sum_sql('l_extendedprice')} AS price_sum
+       FROM lineitem
+       GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    doc="a18: CUBE aggregation (beyond-ref; completes the "
+    "multi-dimensional agg family next to a14's ROLLUP) — all four "
+    "grouping levels of (returnflag, linestatus) in ONE pass via "
+    "Expand: one shuffle carries every level's partial aggs; "
+    "GROUPING() flags make subtotal rows unambiguous (the NULL-vs-"
+    "subtotal trap), string-coalesced for the hash compare.",
+)
+def a18_cube(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            money_sum("l_extendedprice").alias("price_sum"),
+            F.grouping("l_returnflag").cast("long").alias("g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("g_ls"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("∅")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("∅")).alias("ls"),
+            "g_rf",
+            "g_ls",
+            "n",
+            "price_sum",
+        )
+    )

@@ -81,6 +81,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("a11_dedup_distinct", []),
         ("a15_pivot_matrix", []),
         ("a17_deterministic_mode", []),
+        ("a18_cube", ["price_sum"]),
     ],
     "fx_latest_best": [
         ("w1_latest_per_key", ["value"]),
@@ -308,6 +309,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "s20_jsonl_roundtrip": ["l_returnflag", "n", "n_orders", "price_sum"],
     "u3_union_distinct": ["user_id", "event_type"],
     "s21_orc_roundtrip": ["l_returnflag", "n", "n_orders", "price_sum"],
+    "a18_cube": ["rf", "ls", "g_rf", "g_ls", "n", "price_sum"],
     "w16_interarrival": [
         "user_id", "n_gaps", "min_gap_us", "max_gap_us", "total_gap_us",
     ],
