@@ -2990,3 +2990,51 @@ def a18_cube(spark, sf_dir):
             "price_sum",
         )
     )
+
+
+@register(
+    "j17_full_outer",
+    # reconciliation of two overlapping per-user rollups: rows present in
+    # either side survive, with presence flags and coalesced counts —
+    # the one join type (FULL OUTER) the catalog lacked
+    """WITH a AS (
+         SELECT user_id, count(*) AS n_a FROM events
+         WHERE day(ts) <= 10 GROUP BY user_id),
+       b AS (
+         SELECT user_id, count(*) AS n_b FROM events
+         WHERE day(ts) > 20 GROUP BY user_id)
+       SELECT coalesce(a.user_id, b.user_id) AS user_id,
+              CAST(coalesce(n_a, 0) AS BIGINT) AS n_first,
+              CAST(coalesce(n_b, 0) AS BIGINT) AS n_last,
+              CAST(a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+                   AS BOOLEAN) AS in_both
+       FROM a FULL OUTER JOIN b ON a.user_id = b.user_id""",
+    doc="j17: FULL OUTER join (the one join type the catalog lacked) — "
+    "reconciling two period rollups: users active in either window "
+    "survive with presence flags and zero-coalesced counts, the "
+    "snapshot-reconciliation shape. Both inputs pre-aggregate before "
+    "the join, so the full-outer shuffles rollups, not events.",
+)
+def j17_full_outer(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.dayofmonth("ts") <= 10)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        ev.filter(F.dayofmonth("ts") > 20)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_b"))
+    )
+    j = a.withColumnRenamed("user_id", "ua").join(
+        b.withColumnRenamed("user_id", "ub"),
+        F.col("ua") == F.col("ub"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce("ua", "ub").alias("user_id"),
+        F.coalesce("n_a", F.lit(0)).alias("n_first"),
+        F.coalesce("n_b", F.lit(0)).alias("n_last"),
+        (F.col("ua").isNotNull() & F.col("ub").isNotNull()).alias("in_both"),
+    )

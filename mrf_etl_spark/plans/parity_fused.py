@@ -163,6 +163,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("j9_computed_slug_join", []),
         ("j12_desc_coalesce", []),
         ("j16_fuzzy_name_match", []),
+        ("j17_full_outer", []),
     ],
     "fx_media": [
         ("m1_multimodal_features", []),
@@ -310,6 +311,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "u3_union_distinct": ["user_id", "event_type"],
     "s21_orc_roundtrip": ["l_returnflag", "n", "n_orders", "price_sum"],
     "a18_cube": ["rf", "ls", "g_rf", "g_ls", "n", "price_sum"],
+    "j17_full_outer": ["user_id", "n_first", "n_last", "in_both"],
     "w16_interarrival": [
         "user_id", "n_gaps", "min_gap_us", "max_gap_us", "total_gap_us",
     ],
