@@ -193,18 +193,38 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
         "timing": "min of 3 interleaved sweeps/query (steady-state; sweep 1 pays JIT)",
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    # Per-query detail: its own EARLY stdout line + a sidecar file. The
+    # LAST stdout line must stay short — round 4's final line (42 warm +
+    # 42 cold timings, ~2.6 kB) overflowed the driver's tail capture and
+    # BENCH_r04.json recorded "parsed": null.
+    print(json.dumps(detail))
+    try:
+        with open(Path(__file__).resolve().parent / "BENCH_DETAIL.json", "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:  # read-only checkout: the stdout copy above stands
+        print(f"# BENCH_DETAIL.json not written: {e}", file=sys.stderr)
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"detail": "see BENCH_DETAIL.json / earlier stdout line"},
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sf": sf_val,
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 import mrf_etl_spark.plans.parity_llm  # noqa: F401  (fx_llm_pipelines components must be registered first)
+import mrf_etl_spark.plans.parity_streaming  # noqa: F401  (fx_streaming_batch components)
 from mrf_etl_spark.plans.parity import REGISTRY, ParityQuery, register
 
 # fused name -> [(component entry name, [double-typed output columns])]
@@ -170,6 +171,56 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("m2_frame_sample", []),
         ("m3_media_exact_dup", []),
         ("m4_media_near_dup", ["jaccard"]),
+    ],
+    # round-5 probes: close the driver-verification tail. fx_agg_shapes /
+    # fx_ref_joins free five agg + three join direct slots; the freed
+    # slots carry the formerly local-only families (text stats, dedup
+    # variants, ANN, batch-checkable streaming drains) plus direct rows
+    # for the two heavyweight dedup entries (d3b, d6).
+    "fx_agg_shapes": [
+        ("a7_faceted_counts", []),
+        ("a8_availability_matrix", []),
+        ("a12_cross_product", []),
+        ("a13_conditional_sum", ["returned_value"]),
+        ("a14_rollup", ["val_sum"]),
+    ],
+    "fx_ref_joins": [
+        ("j1_broadcast_left_join", ["total"]),
+        ("j3_coalesce_merge", ["val"]),
+        ("j6_agg_map_join", []),
+    ],
+    "fx_text_stats": [
+        ("t3_token_count", []),
+        ("t5_tfidf_top_terms", ["score"]),
+        ("t6_pii_scrub", []),
+        ("t7_repetition_signals", ["distinct_ratio", "top_word_frac", "top_bigram_frac"]),
+        ("t9_top_ngrams", []),
+        ("e1_quantize_int8", ["scale"]),
+    ],
+    "fx_dedup_variants": [
+        ("d3_ngram_jaccard", ["jaccard"]),
+        ("d5_embedding_near_dup", ["cosine"]),
+        ("d7_repeated_passages", []),
+        ("d8_semantic_dedup", []),
+        ("d10_ngram_containment", ["containment"]),
+        ("q4_dedup_quality", ["recall"]),
+    ],
+    "fx_ann": [
+        ("n1_ann_cosine_topk", ["cosine"]),
+        ("n2_ann_ivf", ["cosine"]),
+    ],
+    # Each streaming entry runs its real availableNow drain and returns a
+    # batch DataFrame of the drained result, so they fuse like any other
+    # component; st6 (the hardest — stream-stream interval join) keeps its
+    # own direct window slot.
+    "fx_streaming_batch": [
+        ("st1_windowed_counts", ["total_value"]),
+        ("st2_sessionize", ["session_value"]),
+        ("st3_stream_upsert", []),
+        ("st4_stateful_totals", ["total_value"]),
+        ("st5_stream_dedup", []),
+        ("st7_stream_dedup_ingest", []),
+        ("st8_stream_static_enrich", ["total_value"]),
     ],
     "fx_corpus_release": [
         ("q2_corpus_card", ["words_p50", "words_p90", "chars_avg"]),
@@ -322,6 +373,52 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "k5_keyset_pagination": ["l_orderkey", "l_linenumber", "price"],
     "t12_type_token_ratio": ["doc_id", "n_tokens", "n_types", "ttr"],
+    # round-5 probe components
+    "a7_faceted_counts": ["facet", "n"],
+    "a8_availability_matrix": ["year_month", "o_orderstatus", "n", "n_cust"],
+    "a12_cross_product": ["r_name", "p_brand", "combo"],
+    "a13_conditional_sum": ["l_linestatus", "returned_value", "returned_n", "total_n"],
+    "a14_rollup": ["event_type", "ym", "n", "val_sum", "g_type", "g_ym"],
+    "j1_broadcast_left_join": ["p_brand", "n", "total"],
+    "j3_coalesce_merge": ["p_partkey", "val"],
+    "j6_agg_map_join": ["s_nationkey", "above_avg", "n"],
+    "t3_token_count": ["doc_id", "ws_tokens", "bpe_tokens"],
+    "t5_tfidf_top_terms": ["doc_id", "term", "tf_n", "doc_len", "df", "score", "rank"],
+    "t6_pii_scrub": ["doc_id", "scrubbed", "n_email", "n_ssn", "n_phone"],
+    "t7_repetition_signals": [
+        "doc_id", "n_words", "n_distinct_words", "distinct_ratio",
+        "top_word_frac", "n_bigrams", "top_bigram_frac",
+    ],
+    "t9_top_ngrams": ["gram", "cnt"],
+    "e1_quantize_int8": ["vec_id", "scale", "qvec"],
+    "d3_ngram_jaccard": ["doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard"],
+    "d5_embedding_near_dup": ["doc_a", "doc_b", "cosine"],
+    "d7_repeated_passages": ["passage_hash", "n_docs", "min_doc", "max_doc"],
+    "d8_semantic_dedup": ["keep_id", "n_members", "max_doc"],
+    "d10_ngram_containment": [
+        "doc_a", "doc_b", "n_common", "size_a", "size_b", "containment",
+    ],
+    "n1_ann_cosine_topk": ["query_id", "neighbor_id", "cosine", "rank"],
+    "n2_ann_ivf": ["query_id", "neighbor_id", "cosine", "rank"],
+    "st1_windowed_counts": [
+        "window_start_us", "window_end_us", "event_type", "n_events", "total_value",
+    ],
+    "st2_sessionize": [
+        "user_id", "session_start_us", "session_end_us", "n_events", "session_value",
+    ],
+    "st3_stream_upsert": ["n"],
+    "st4_stateful_totals": ["event_type", "n_events", "n_users", "total_value"],
+    "st5_stream_dedup": ["event_type", "n"],
+    "st7_stream_dedup_ingest": ["doc_id"],
+    "st8_stream_static_enrich": ["segment", "n_events", "total_value"],
+}
+
+# Components with array-typed output columns: serialized as ','-joined
+# element strings on BOTH sides (Spark concat_ws over cast(array<string>),
+# DuckDB array_to_string) — a raw VARCHAR cast of a list renders with
+# brackets/spaces engine-specifically and would silently hash-diverge.
+_ARRAY_COLS: dict[str, set[str]] = {
+    "e1_quantize_int8": {"qvec"},
 }
 
 _NULL_TOKEN = "∅"
@@ -336,12 +433,17 @@ def _fused_spark_fn(components: list[tuple[str, list[str]]]):
         for comp, dbl in components:
             df = REGISTRY[comp].spark_fn(spark, sf_dir)
             stateful.append(df)
+            arr = _ARRAY_COLS.get(comp, set())
             key_cols = [c for c in df.columns if c not in dbl]
             if key_cols:
                 k = F.concat_ws(
                     "|",
                     *[
-                        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_TOKEN))
+                        # concat_ws never returns NULL, matching the
+                        # oracle's coalesce(array_to_string(..), '')
+                        F.concat_ws(",", F.col(c).cast("array<string>"))
+                        if c in arr
+                        else F.coalesce(F.col(c).cast("string"), F.lit(_NULL_TOKEN))
                         for c in key_cols
                     ],
                 )
@@ -380,10 +482,14 @@ def _fused_oracle(components: list[tuple[str, list[str]]]) -> str:
     for comp, dbl in components:
         sub = REGISTRY[comp].oracle
         cols = _COMPONENT_COLS[comp]
+        arr = _ARRAY_COLS.get(comp, set())
         key_cols = [c for c in cols if c not in dbl]
         if key_cols:
             k = "concat_ws('|', " + ", ".join(
-                f"coalesce(CAST(\"{c}\" AS VARCHAR), '{_NULL_TOKEN}')" for c in key_cols
+                f"coalesce(array_to_string(\"{c}\", ','), '')"
+                if c in arr
+                else f"coalesce(CAST(\"{c}\" AS VARCHAR), '{_NULL_TOKEN}')"
+                for c in key_cols
             ) + ")"
         else:  # all-double output: constant key, mirrors the Spark side
             k = "''"
@@ -427,23 +533,17 @@ DRIVER_WINDOW: list[str] = [
     "fx_writer_roundtrips",
     "fx_latest_partitioned",
     "fx_projection_filters",
-    "j1_broadcast_left_join",
-    "j3_coalesce_merge",
+    "fx_ref_joins",
     "j4_join_chain",
     "fx_key_joins",
-    "j6_agg_map_join",
     "j7_class_split_join",
     "j8_star_join",
     "fx_anti_semi",
     "j13_salted_skew_join",
     "fx_means",
     "fx_stats",
-    "a7_faceted_counts",
-    "a8_availability_matrix",
+    "fx_agg_shapes",
     "fx_distinct_dedup",
-    "a12_cross_product",
-    "a13_conditional_sum",
-    "a14_rollup",
     "fx_latest_best",
     "w4_asof_join",
     "w5_sessionize_batch",
@@ -457,14 +557,20 @@ DRIVER_WINDOW: list[str] = [
     "pipe0_enrich",
     "d1_exact_dup",
     "d2_minhash_lsh",
+    "d3b_ngram_jaccard_capped",
+    "d6_dup_clusters",
+    "fx_dedup_variants",
     "d5b_embedding_near_dup_ivf",
+    "fx_ann",
     "t2_quality_score",
     "t8_contamination",
+    "fx_text_stats",
     "pipe1_llm_prep",
     "fx_llm_pipelines",
     "fx_media",
     "fx_corpus_release",
     "st6_stream_interval_join",
+    "fx_streaming_batch",
 ]
 
 

@@ -28,23 +28,11 @@ from mrf_etl_spark.plans.parity_fused import (
     ordered_registry,
 )
 
-# Entries intentionally outside the window: checked by the local oracle
-# harness every session, but not worth a driver slot because a sibling
-# entry in the window covers the same operator family at equal-or-greater
-# depth (e.g. st6 is the hardest streaming entry; d3b is d3's scale path).
-LOCAL_ONLY = {
-    "st1_windowed_counts", "st2_sessionize", "st3_stream_upsert",
-    "st4_stateful_totals", "st5_stream_dedup", "st7_stream_dedup_ingest",
-    "st8_stream_static_enrich",
-    "d3_ngram_jaccard", "d3b_ngram_jaccard_capped", "d10_ngram_containment",
-    "d5_embedding_near_dup", "d6_dup_clusters", "d7_repeated_passages",
-    "d8_semantic_dedup",
-    "n1_ann_cosine_topk", "n2_ann_ivf",
-    "t1_lang_id", "t3_token_count", "t4_fingerprint", "t5_tfidf_top_terms",
-    "t6_pii_scrub", "t7_repetition_signals", "t9_top_ngrams",
-    "sp2_stratified_sample", "sp3_temporal_split", "q4_dedup_quality",
-    "e1_quantize_int8",
-}
+# Entries intentionally outside the window. Empty since round 5: the
+# fx_agg_shapes / fx_ref_joins fusions freed enough slots that every
+# catalog entry (streaming drains included) now flows through a driver
+# row, either directly or via a fused probe.
+LOCAL_ONLY: set[str] = set()
 
 
 def test_window_is_exactly_50_unique_resolvable_names():
