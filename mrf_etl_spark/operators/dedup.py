@@ -186,6 +186,8 @@ def ngram_jaccard_pairs_capped(
     EMBEDDED in a long one, which jaccard's union denominator dilutes
     below any useful threshold. Same candidate generation, same lossless
     prune shape (both metrics are increasing in c)."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"metric must be jaccard|containment, got {metric!r}")
     from pyspark.storagelevel import StorageLevel
 
     # One shingle+hash pass feeds ONE aggregation; the compact per-doc
@@ -266,8 +268,6 @@ def ngram_jaccard_pairs_capped(
     # denominator, so the same ub yields a lossless prune:
     #   jaccard     = c/(sa+sb-c)      ≤ ub/(sa+sb-ub)
     #   containment = c/least(sa,sb)   ≤ ub/least(sa,sb)
-    if metric not in ("jaccard", "containment"):
-        raise ValueError(f"metric must be jaccard|containment, got {metric!r}")
     ub = F.col("n_kept_common") + F.least("hot_a", "hot_b")
 
     def score(c):

@@ -2296,11 +2296,16 @@ def w10_ohlc_downsample(spark, sf_dir):
         "event_id",
         "value",
     )
+    # order on MICROSECOND-truncated time (matching the oracle's epoch_us
+    # ordering), so a sub-µs ts_ns difference can't let Spark break ties
+    # by nanos while the oracle falls to the event_id tie-break — same
+    # scheme as w14/w16
+    tu = F.expr("ts_ns div 1000")
     wa = Window.partitionBy("user_id", "day").orderBy(
-        F.col("ts_ns").asc(), F.col("event_id").asc()
+        tu.asc(), F.col("event_id").asc()
     )
     wd = Window.partitionBy("user_id", "day").orderBy(
-        F.col("ts_ns").desc(), F.col("event_id").desc()
+        tu.desc(), F.col("event_id").desc()
     )
     r = ev.withColumn("ra", F.row_number().over(wa)).withColumn(
         "rd", F.row_number().over(wd)

@@ -1970,8 +1970,8 @@ def w8_event_funnel(spark, sf_dir):
     doc="q3: corpus-prep attrition funnel — how many documents survive "
     "each stage of the pipe1 chain (total -> quality gate -> exact dedup "
     "-> split sizes), the release-diagnostics row a data card quotes. "
-    "One md5(text) window shuffle + two constant-size aggs; every output "
-    "is an exact integer.",
+    "One md5(text) window shuffle + a single-pass conditional "
+    "aggregation; every output is an exact integer.",
 )
 def q3_prep_funnel(spark, sf_dir):
     # ONE pass, no scalar crossJoin: the dedup window partitions by
