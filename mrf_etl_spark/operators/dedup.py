@@ -826,3 +826,35 @@ def simhash_hex(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return per_pos.groupBy("doc_id").agg(
         F.concat_ws("", F.transform(ordered, lambda s: s.c)).alias("simhash")
     )
+
+
+def dedup_quality_report(lsh_pairs: DataFrame, exact_pairs: DataFrame) -> DataFrame:
+    """Recall audit of an approximate dedup pass against an exact ground
+    truth: full-outer join of the two (doc_a, doc_b) pair sets rolled up
+    to one (n_exact, n_lsh, n_tp, n_missed, recall) row.
+
+    Takes ALREADY-BUILT pair frames so a session can audit the cascades
+    it has just run (the pipe2 composition pattern) instead of paying
+    both candidate generations a second time; pass freshly-built frames
+    for a standalone audit. One shuffle on the pair key + an O(1) agg —
+    the frames' own lineage (cached or not) is the caller's choice."""
+    e = exact_pairs.select("doc_a", "doc_b").withColumn("in_e", F.lit(1))
+    l = lsh_pairs.select("doc_a", "doc_b").withColumn("in_l", F.lit(1))
+    j = e.join(l, ["doc_a", "doc_b"], "full")
+    return j.agg(
+        F.sum(F.coalesce("in_e", F.lit(0))).alias("n_exact"),
+        F.sum(F.coalesce("in_l", F.lit(0))).alias("n_lsh"),
+        F.sum(
+            F.when(
+                F.col("in_e").isNotNull() & F.col("in_l").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_tp"),
+    ).select(
+        "n_exact",
+        "n_lsh",
+        "n_tp",
+        (F.col("n_exact") - F.col("n_tp")).alias("n_missed"),
+        F.when(
+            F.col("n_exact") > 0, F.col("n_tp").cast("double") / F.col("n_exact")
+        ).alias("recall"),
+    )

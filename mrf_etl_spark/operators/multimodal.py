@@ -28,16 +28,57 @@ FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, header_hex string, mime string, feat_mean double"
 )
 
+# mime family -> real decoder, built lazily on first decode_media call so
+# optional deps (PIL, …) are probed at RUNTIME, once per process — the
+# executors each probe on first batch, never at import time.
+_DECODERS: dict[str, object] | None = None
+
+
+def _real_decoders() -> dict:
+    global _DECODERS
+    if _DECODERS is None:
+        decoders: dict[str, object] = {}
+        try:  # Pillow: images
+            import io
+
+            from PIL import Image
+
+            def _pil_decode(payload: bytes) -> dict:
+                img = Image.open(io.BytesIO(payload)).convert("L")
+                px = img.getdata()
+                n = len(px)
+                return {
+                    "n_bytes": len(payload),
+                    "header_hex": payload[:4].hex(),
+                    "feat_mean": (sum(px) / n) if n else 0.0,
+                }
+
+            decoders["image"] = _pil_decode
+        except ImportError:
+            pass
+        _DECODERS = decoders
+    return _DECODERS
+
 
 def decode_media(payload: bytes, mime: str, fake: bool = False) -> dict:
-    """Decode one media payload → features. REAL decode is not available
-    in this environment; `fake=True` computes deterministic pseudo-features
-    from the raw bytes (length, header, byte-mean) with the same output
-    contract a real decoder would fill."""
+    """Decode one media payload → features, selecting the path at runtime:
+
+    1. a REAL decoder for the payload's mime family when its optional
+       dependency is importable (PIL for image/*; grayscale pixel mean);
+    2. else the deterministic byte-featurizer stub when `fake=True`
+       (length, header hex, byte-mean — same output contract);
+    3. else NotImplementedError naming the missing dependency.
+
+    Both paths fill the same keys, so swapping environments changes
+    values only for mime families that gained a real decoder."""
+    real = _real_decoders().get(mime.split("/")[0])
+    if real is not None:
+        return {**real(payload), "mime": mime}
     if not fake:
         raise NotImplementedError(
-            "media decode requires PIL/torchaudio/ffmpeg — not in this container; "
-            "pass fake=True for the deterministic stub"
+            f"no decoder available for {mime!r} (PIL/torchaudio/ffmpeg not "
+            "importable in this environment); pass fake=True for the "
+            "deterministic stub"
         )
     return {
         "n_bytes": len(payload),

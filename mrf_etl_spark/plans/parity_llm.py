@@ -2158,32 +2158,23 @@ from mrf_etl_spark.plans.parity import REGISTRY  # noqa: E402
     "NUM_HASHES/BANDS at scale. One full-outer join of two pair sets + "
     "an O(1) agg.",
 )
-def q4_dedup_quality(spark, sf_dir):
-    docs = _docs_with_near_dups(spark, sf_dir)
-    lsh = dd.minhash_lsh_pairs(
-        docs, "text", "doc_id", SHINGLE_K, NUM_HASHES, BANDS, JACCARD_T
-    )
-    exact = dd.ngram_jaccard_pairs_capped(
-        docs, "text", "doc_id", SHINGLE_K, JACCARD_T, max_doc_freq=MAX_DF
-    )
-    e = exact.select("doc_a", "doc_b").withColumn("in_e", F.lit(1))
-    l = lsh.select("doc_a", "doc_b").withColumn("in_l", F.lit(1))
-    j = e.join(l, ["doc_a", "doc_b"], "full")
-    out = j.agg(
-        F.sum(F.coalesce("in_e", F.lit(0))).alias("n_exact"),
-        F.sum(F.coalesce("in_l", F.lit(0))).alias("n_lsh"),
-        F.sum(
-            F.when(F.col("in_e").isNotNull() & F.col("in_l").isNotNull(), 1).otherwise(0)
-        ).alias("n_tp"),
-    ).select(
-        "n_exact",
-        "n_lsh",
-        "n_tp",
-        (F.col("n_exact") - F.col("n_tp")).alias("n_missed"),
-        F.when(
-            F.col("n_exact") > 0, F.col("n_tp").cast("double") / F.col("n_exact")
-        ).alias("recall"),
-    )
+def q4_dedup_quality(spark, sf_dir, lsh=None, exact=None):
+    """Standalone: builds both cascades itself. Composed: pass the
+    session's ALREADY-BUILT d2 (``lsh``) / d3b (``exact``) pair frames and
+    the audit reuses them instead of re-running candidate generation —
+    the pipe2 reuse pattern (round-4 verdict nit: the double cascade was
+    unconditional)."""
+    if lsh is None or exact is None:
+        docs = _docs_with_near_dups(spark, sf_dir)
+        if lsh is None:
+            lsh = dd.minhash_lsh_pairs(
+                docs, "text", "doc_id", SHINGLE_K, NUM_HASHES, BANDS, JACCARD_T
+            )
+        if exact is None:
+            exact = dd.ngram_jaccard_pairs_capped(
+                docs, "text", "doc_id", SHINGLE_K, JACCARD_T, max_doc_freq=MAX_DF
+            )
+    out = dd.dedup_quality_report(lsh, exact)
     return dd.carry_state(out, lsh, exact)
 
 

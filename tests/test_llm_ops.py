@@ -88,9 +88,21 @@ def test_exact_dedup_finds_all_injected(spark, sf_dir):
     assert all(r.n == 2 and r.max_id == r.min_id + ID_SHIFT for r in rows)
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def test_multimodal_stub_contract():
-    with pytest.raises(NotImplementedError):
-        decode_media(b"abcd", "image/png", fake=False)
+    if not _pil_available():
+        # no real image decoder in this environment: image mimes raise
+        # without fake=True
+        with pytest.raises(NotImplementedError):
+            decode_media(b"abcd", "image/png", fake=False)
     out = decode_media(b"abcd", "text/plain", fake=True)
     assert out == {
         "n_bytes": 4,
@@ -98,6 +110,43 @@ def test_multimodal_stub_contract():
         "mime": "text/plain",
         "feat_mean": (97 + 98 + 99 + 100) / 4,
     }
+
+
+def test_multimodal_decode_golden_whichever_path():
+    """Golden decode of a 2x1 grayscale PNG (pixels 0 and 200): the REAL
+    path (PIL importable) must report the exact pixel mean; the stub path
+    must report the exact byte mean. Runs whichever is available, so the
+    selected-at-runtime branch is contract-tested in every environment."""
+    # 2x1 8-bit grayscale PNG, pixels [0, 200], built from the spec with
+    # stdlib zlib/struct so the test needs no encoder dependency
+    import struct
+    import zlib
+
+    def _chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)  # 2x1, 8-bit gray
+    idat = zlib.compress(bytes([0, 0, 200]))  # filter 0 + the two pixels
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+    if _pil_available():
+        out = decode_media(png, "image/png")
+        assert out["feat_mean"] == pytest.approx((0 + 200) / 2)
+    else:
+        out = decode_media(png, "image/png", fake=True)
+        assert out["feat_mean"] == pytest.approx(sum(png) / len(png))
+    assert out["n_bytes"] == len(png)
+    assert out["header_hex"] == "89504e47"
+    assert out["mime"] == "image/png"
 
 
 def test_frame_sampling(spark):
@@ -830,3 +879,31 @@ def test_containment_finds_embedded_doc_jaccard_misses(spark):
     jrows = jac.collect()
     release_state(jac)
     assert jrows == []  # union denominator dilutes the embedded match
+
+
+def test_q4_composed_reuses_precomputed_pair_frames(spark, sf_dir):
+    """q4 standalone == q4 handed the session's existing d2/d3b frames
+    (the pipe2 reuse pattern) — same single report row either way."""
+    from mrf_etl_spark.plans.parity_llm import (
+        BANDS,
+        JACCARD_T,
+        MAX_DF,
+        NUM_HASHES,
+        SHINGLE_K,
+    )
+    from mrf_etl_spark.plans.parity_llm import q4_dedup_quality
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    lsh = dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", SHINGLE_K, NUM_HASHES, BANDS, JACCARD_T
+    )
+    exact = dd.ngram_jaccard_pairs_capped(
+        docs, "text", "doc_id", SHINGLE_K, JACCARD_T, max_doc_freq=MAX_DF
+    )
+    composed = q4_dedup_quality(spark, sf_dir, lsh=lsh, exact=exact)
+    standalone = q4_dedup_quality(spark, sf_dir)
+    crow, srow = composed.collect()[0], standalone.collect()[0]
+    assert crow.asDict() == srow.asDict()
+    assert crow.n_exact > 0 and crow.recall is not None
+    dd.release_state(composed)
+    dd.release_state(standalone)
