@@ -34,8 +34,26 @@ def _round2(v: Any) -> Any:
     return round(v, 2) if v else 0
 
 
+# Hard ceiling on rows any endpoint may collect into the driver — the
+# serving twin of the reference's own 500-1000-row endpoint caps (and its
+# duckdb memory_limit guard). Every collect below goes through _rows /
+# _one, so every endpoint's plan carries a GlobalLimit regardless of what
+# the caller passed for limit/k.
+MAX_ROWS = 1000
+
+
+def _clamp(n: int) -> int:
+    return max(1, min(int(n), MAX_ROWS))
+
+
 def _rows(df: DataFrame) -> list[dict[str, Any]]:
-    return [r.asDict(recursive=True) for r in df.collect()]
+    return [r.asDict(recursive=True) for r in df.limit(MAX_ROWS).collect()]
+
+
+def _one(df: DataFrame) -> dict[str, Any]:
+    """Single-row envelope collect (summary/statistics aggregates) — the
+    limit(1) both guards a mis-shaped frame and pins the GlobalLimit."""
+    return df.limit(1).collect()[0].asDict()
 
 
 class RateAPI:
@@ -65,7 +83,7 @@ class RateAPI:
                 eq[k] = v
         ilike = {"reporting_entity_name": f"%{payer}%"} if payer else None
         pred = build_filter(eq=eq, ilike=ilike)
-        row = self.lake.rate_summary(pred).collect()[0].asDict()
+        row = _one(self.lake.rate_summary(pred))
         return {
             "state": state,
             "year_month": year_month,
@@ -96,7 +114,7 @@ class RateAPI:
                 "max_rate": _round2(r["max_rate"]),
                 "median_rate": _round2(r["median_rate"]),
             }
-            for r in _rows(self.lake.rates_by_payer(pred, limit))
+            for r in _rows(self.lake.rates_by_payer(pred, _clamp(limit)))
         ]
         return {"state": state, "year_month": year_month, "payers": payers}
 
@@ -125,7 +143,7 @@ class RateAPI:
                 "max_rate": _round2(r["max_rate"]),
                 "median_rate": _round2(r["median_rate"]),
             }
-            for r in _rows(self.lake.rates_by_procedure(build_filter(eq=eq), limit))
+            for r in _rows(self.lake.rates_by_procedure(build_filter(eq=eq), _clamp(limit)))
         ]
         return {"state": state, "year_month": year_month, "procedures": procedures}
 
@@ -144,7 +162,7 @@ class RateAPI:
 
     # -- /api/providers/search (backend/main.py:413-459) -----------------
     def provider_search(self, q: str, limit: int = 20) -> dict[str, Any]:
-        return {"query": q, "providers": _rows(self.lake.provider_search(q, limit))}
+        return {"query": q, "providers": _rows(self.lake.provider_search(q, _clamp(limit)))}
 
     # -- /api/meta/data-availability (backend/main.py:461-503) -----------
     def data_availability(self) -> dict[str, Any]:
@@ -155,13 +173,13 @@ class RateAPI:
 
     # -- /api/statistics (backend/main.py:908-924) -----------------------
     def statistics(self) -> dict[str, Any]:
-        return self.lake.dashboard_statistics().collect()[0].asDict()
+        return _one(self.lake.dashboard_statistics())
 
     # -- /api/meta/dimension-values (backend/main.py:505-580) ------------
     def dimension_values(self, dimension: str, k: int = 100) -> dict[str, Any]:
         return {
             "dimension": dimension,
-            "values": _rows(self.lake.dimension_values(dimension, k)),
+            "values": _rows(self.lake.dimension_values(dimension, _clamp(k))),
         }
 
     # -- /api/autocomplete (backend/main.py:791-906) ---------------------
@@ -169,7 +187,7 @@ class RateAPI:
         return {
             "field": field,
             "prefix": prefix,
-            "suggestions": _rows(self.lake.autocomplete(field, prefix, k)),
+            "suggestions": _rows(self.lake.autocomplete(field, prefix, _clamp(k))),
         }
 
     # -- /api/explore drilldown (optimized_queries.py:966-1024) ----------
@@ -177,7 +195,7 @@ class RateAPI:
         return {
             "fixed": fix,
             "group_by": group_by,
-            "groups": _rows(self.lake.drilldown(fix, group_by, k)),
+            "groups": _rows(self.lake.drilldown(fix, group_by, _clamp(k))),
         }
 
 

@@ -154,3 +154,76 @@ def test_cluster_plan_composes_into_get_spark():
     conf = cluster_plan(10, 100, 8)
     assert all(isinstance(k, str) and isinstance(v, str) for k, v in conf.items())
     assert all(v.isdigit() for v in conf.values())
+
+
+def test_salted_join_on_hot_key_fixture(spark):
+    """Skew rehearsal on a genuinely skewed fixture (round-4 verdict item
+    4): ONE key holds ~50% of a 2M-row fact. Asserts the thing salting is
+    FOR — the hot key's rows spread uniformly across n_salt shuffle
+    sub-keys, so the largest shuffle task drops from 50% of the fact to
+    ~50%/n_salt — plus row-parity with the plain join, and records the
+    measured wall-clock of both plans (salted must not lose)."""
+    import time
+
+    import pytest
+
+    from mrf_etl_spark.operators.skew import salted_join
+
+    n, n_salt = 2_000_000, 8
+    # key 0 takes every even row -> 50% of the fact; the rest spread
+    # over 10k keys
+    fact = spark.range(n).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(10_000)) + 1)
+        .alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    dim = spark.range(10_001).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim_val")
+    )
+    # measured skew: the hot key's share of the unsalted shuffle key space
+    counts = fact.groupBy("k").count()
+    hot = counts.orderBy(F.col("count").desc()).first()
+    assert hot["k"] == 0 and hot["count"] / n == pytest.approx(0.5, abs=0.01)
+    # after salting, the max (k, salt) cell must be ~hot/n_salt — the
+    # uniform-spread property that makes the biggest shuffle task 1/8th
+    salted_counts = (
+        fact.withColumn("_salt", F.pmod(F.xxhash64("row_id"), F.lit(n_salt)))
+        .groupBy("k", "_salt")
+        .count()
+    )
+    max_cell = salted_counts.agg(F.max("count")).first()[0]
+    assert max_cell < (hot["count"] / n_salt) * 1.2, (
+        f"hot key not spread: max cell {max_cell} vs ideal {hot['count'] / n_salt}"
+    )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    # disable broadcast (the dim would broadcast and hide the shuffle) and
+    # AQE skew-splitting: this pins the MANUAL salting path that a
+    # cluster needs when AQE can't see the skew (e.g. pre-AQE shuffle
+    # reuse or non-splittable aggregations)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def _run(df):
+            t0 = time.perf_counter()
+            out = df.agg(
+                F.count("*").alias("n"), F.sum(F.col("v") + F.col("dim_val")).alias("s")
+            ).first()
+            return time.perf_counter() - t0, out
+
+        t_plain, r_plain = _run(fact.join(dim, "k"))
+        t_salted, r_salted = _run(
+            salted_join(fact, dim, on=["k"], salt_col="row_id", n_salt=n_salt)
+        )
+        assert r_salted["n"] == r_plain["n"] == n
+        assert r_salted["s"] == pytest.approx(r_plain["s"])
+        print(f"\nskew fixture: plain={t_plain:.2f}s salted={t_salted:.2f}s")
+        # salting must not LOSE on a skewed input (it wins by ~n_salt on
+        # the hot task; generous margin absorbs CI noise)
+        assert t_salted < t_plain * 1.5, (t_salted, t_plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)

@@ -107,3 +107,55 @@ def test_http_round_trip(api):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_every_endpoint_plan_carries_global_limit(api, monkeypatch):
+    """Driver-protection audit (round-4 verdict item 7): every endpoint's
+    collect must go through a limit-capped plan, so an unboundedly large
+    lake can never flood the serving process. Spies on DataFrame.collect
+    and asserts each collected plan carries a GlobalLimit/CollectLimit."""
+    # patch the CONCRETE frame class (pyspark 4's facade DataFrame
+    # dispatches to pyspark.sql.classic.dataframe.DataFrame — patching
+    # the facade never fires)
+    frame_cls = type(api.lake.fact)
+
+    plans: list[tuple[str, str]] = []
+    orig = frame_cls.collect
+    current = ["?"]
+
+    def spy(self):
+        opt = self._jdf.queryExecution().optimizedPlan()
+        # Catalyst ELIMINATES limit(1) over a provably-single-row agg
+        # (EliminateLimits fires when maxRows <= limit) — there the
+        # plan's own maxRows bound is the proof of driver safety
+        max_rows = opt.maxRows().get() if opt.maxRows().isDefined() else None
+        plans.append((current[0], opt.toString(), max_rows))
+        return orig(self)
+
+    monkeypatch.setattr(frame_cls, "collect", spy)
+    calls = [
+        ("rate_summary", lambda: api.rate_summary("GA", "2025-01")),
+        ("rates_by_payer", lambda: api.rates_by_payer("GA", "2025-01", limit=10**9)),
+        ("rates_by_procedure", lambda: api.rates_by_procedure("GA", "2025-01", limit=10**9)),
+        ("rate_detail", lambda: api.rate_detail("GA", "2025-01")),
+        ("provider_search", lambda: api.provider_search("acme", limit=10**9)),
+        ("data_availability", lambda: api.data_availability()),
+        ("statistics", lambda: api.statistics()),
+        ("dimension_values", lambda: api.dimension_values("payer_slug", k=10**9)),
+        ("autocomplete", lambda: api.autocomplete("code", "99", k=10**9)),
+        ("drilldown", lambda: api.drilldown({"state": "GA"}, "payer_slug", k=10**9)),
+    ]
+    for name, call in calls:
+        current[0] = name
+        call()
+    assert len(plans) >= len(calls)
+    from mrf_etl_spark.serving.api import MAX_ROWS
+
+    unlimited = [
+        n
+        for n, p, mr in plans
+        if "GlobalLimit" not in p
+        and "CollectLimit" not in p
+        and not (mr is not None and mr <= MAX_ROWS)
+    ]
+    assert not unlimited, f"endpoints collecting without a limit: {unlimited}"
