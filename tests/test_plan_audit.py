@@ -50,6 +50,24 @@ NESTED_LOOP_OK = {
 }
 
 
+def _inherit_fused_allowlist() -> None:
+    """A fused fx_* probe unions its components' plans verbatim, so it
+    inherits exactly the allowlist reasons its components carry — no new
+    product shape can hide behind a probe (components are still audited
+    individually above)."""
+    from mrf_etl_spark.plans.parity_fused import FUSE_SPECS
+
+    for fused, comps in FUSE_SPECS.items():
+        reasons = [
+            f"{c}: {NESTED_LOOP_OK[c]}" for c, _ in comps if c in NESTED_LOOP_OK
+        ]
+        if reasons:
+            NESTED_LOOP_OK.setdefault(fused, "; ".join(reasons))
+
+
+_inherit_fused_allowlist()
+
+
 def _catalog():
     import mrf_etl_spark.plans.parity as parity
     import mrf_etl_spark.plans.parity_llm  # noqa: F401
@@ -64,9 +82,10 @@ def _entries():
         name
         for name in sorted(reg)
         # streaming ops run micro-batches inside spark_fn (audited via
-        # their batch twins); s8/s9/s10 run bounded mapInPandas fetch
-        # stages over driver-side temp caches, not sf-scaled plans
-        if not name.startswith(("st", "s8", "s9", "s10"))
+        # their batch twins) — the fx_streaming_batch probe likewise;
+        # s8/s9/s10 run bounded mapInPandas fetch stages over driver-side
+        # temp caches, not sf-scaled plans
+        if not name.startswith(("st", "s8", "s9", "s10", "fx_streaming_batch"))
     ]
 
 
