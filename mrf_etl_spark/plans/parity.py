@@ -3052,3 +3052,107 @@ def j17_full_outer(spark, sf_dir):
         F.coalesce("n_b", F.lit(0)).alias("n_last"),
         (F.col("ua").isNotNull() & F.col("ub").isNotNull()).alias("in_both"),
     )
+
+
+@register(
+    "w17_time_weighted_avg",
+    # TWAP in exact integer arithmetic: value → cents (st4's recipe),
+    # weight = micros until the NEXT sample in the (user, day) series;
+    # Σ(cents·gap_us) is exact decimal/HUGEINT on both engines and the
+    # single double division at the edge is IEEE-identical
+    """WITH d AS (
+         SELECT user_id, date_trunc('day', ts) AS day_t,
+                CAST(round(value * 100) AS BIGINT) AS cents,
+                lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+         FROM events
+         WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+                      ORDER BY epoch_us(ts), event_id))
+       SELECT user_id, strftime(day_t, '%Y-%m-%d') AS day,
+              CAST(count(*) AS BIGINT) AS n_gaps,
+              CAST(sum(gap_us) AS BIGINT) AS total_us,
+              CAST(sum(CAST(cents AS HUGEINT) * gap_us) AS DOUBLE)
+                / (CAST(sum(gap_us) AS DOUBLE) * 100) AS twap
+       FROM d WHERE gap_us IS NOT NULL
+       GROUP BY user_id, day_t
+       HAVING sum(gap_us) > 0""",
+    doc="w17: time-weighted average (beyond-ref; the hypertable "
+    "`time_weight` rollup next to w10's OHLC) — per (user, day), each "
+    "sample weighted by how long it was current (micros until the next "
+    "sample, last-observation-carried-forward semantics like w9). "
+    "Irregular sampling makes the plain mean lie; TWAP is the honest "
+    "per-day level. ONE (user, day)-keyed window shuffle reused by the "
+    "rollup (same partitioning), weighted sum in exact integer-cents × "
+    "integer-micros decimal arithmetic — floats appear only in the "
+    "final division.",
+)
+def w17_time_weighted_avg(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day_t"),
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "day_t").orderBy("ts_us", "event_id")
+    d = ev.withColumn("gap_us", F.lead("ts_us").over(w) - F.col("ts_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    # decimal(18,0) operands → exact decimal(37,0) products, exact sum;
+    # max |cents·gap| here is ~1e16, far under the 38-digit cap
+    agg = d.groupBy("user_id", "day_t").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_us").alias("total_us"),
+        F.sum(
+            F.col("cents").cast("decimal(18,0)") * F.col("gap_us").cast("decimal(18,0)")
+        ).alias("wsum"),
+    )
+    return agg.filter(F.col("total_us") > 0).select(
+        "user_id",
+        F.date_format("day_t", "yyyy-MM-dd").alias("day"),
+        "n_gaps",
+        "total_us",
+        (
+            F.col("wsum").cast("double") / (F.col("total_us").cast("double") * 100)
+        ).alias("twap"),
+    )
+
+
+@register(
+    "s22_range_layout_write",
+    # layout change must be invisible to readers: the range-partitioned
+    # sorted copy answers a date-window rollup with the source's values
+    f"""SELECT l_returnflag, count(*) AS n,
+              {money_sum_sql('l_extendedprice')} AS price_sum
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+       GROUP BY 1""",
+    doc="S22 (beyond-reference): range-partitioned sorted layout write — "
+    "the data-skipping pattern a 100 TB time-ordered lake needs: "
+    "repartitionByRange(l_shipdate) + sortWithinPartitions clusters "
+    "each parquet file on a disjoint date range, so parquet row-group "
+    "min/max stats (and file-level pruning) satisfy a date-window scan "
+    "from a fraction of the files. Query values must equal the "
+    "unclustered source; the disjoint-range layout itself is pinned in "
+    "tests/test_io_sources.py.",
+)
+def s22_range_layout_write(spark, sf_dir):
+    out = _scratch("s22_layout")
+    (
+        t(spark, sf_dir, "lineitem")
+        .repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            money_sum("l_extendedprice").alias("price_sum"),
+        )
+    )

@@ -95,6 +95,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("w16_interarrival", []),
         ("w13_asof_forward", ["view_value", "click_value"]),
         ("w14_trailing_window", ["sum_24h"]),
+        ("w17_time_weighted_avg", ["twap"]),
     ],
     "fx_topk_page": [
         ("k1_topk", ["price"]),
@@ -134,6 +135,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("s19_csv_roundtrip", ["price_sum"]),
         ("s20_jsonl_roundtrip", ["price_sum"]),
         ("s21_orc_roundtrip", ["price_sum"]),
+        ("s22_range_layout_write", ["price_sum"]),
     ],
     # round-4 training-data pipeline flagships: split, domain quota, shard
     # packing, sequence packing, fuzzy-dedup composition, incremental
@@ -411,6 +413,8 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "st5_stream_dedup": ["event_type", "n"],
     "st7_stream_dedup_ingest": ["doc_id"],
     "st8_stream_static_enrich": ["segment", "n_events", "total_value"],
+    "w17_time_weighted_avg": ["user_id", "day", "n_gaps", "total_us", "twap"],
+    "s22_range_layout_write": ["l_returnflag", "n", "price_sum"],
 }
 
 # Components with array-typed output columns: serialized as ','-joined

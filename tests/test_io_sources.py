@@ -101,3 +101,37 @@ def test_read_code_list(spark, tmp_path):
     p.write_text("99213\n  70450 \n\n99213\n")
     assert read_code_list(spark, str(p)) == {"99213", "70450"}
     assert read_code_list(spark, str(tmp_path / "missing.txt")) == set()
+
+
+def test_range_layout_write_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """s22's layout claim: after repartitionByRange + sortWithinPartitions
+    on l_shipdate, each parquet file covers a date range disjoint from
+    every other file's — the property parquet min/max stats need for a
+    date-window scan to skip files."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "layout")
+    (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.parquet(out)
+    )
+    import os
+
+    ranges = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(f"{out}/{f}", columns=["l_shipdate"])
+        col = t["l_shipdate"]
+        if len(col) == 0:
+            continue
+        import pyarrow.compute as pc
+
+        ranges.append((pc.min(col).as_py(), pc.max(col).as_py()))
+    assert len(ranges) >= 4  # the range partitioner actually spread the data
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
