@@ -227,3 +227,52 @@ def test_salted_join_on_hot_key_fixture(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime bloom-filter semi-join pushdown — the 100 TB pattern where
+    a selective dim filter prunes the FACT scan before the shuffle: Spark
+    injects might_contain(bloom_filter_agg(dim keys)) onto the fact side.
+    The default gates (10 GB probe-side scan) are sized for clusters, so
+    this lowers them to exercise the path locally; asserts the injected
+    filter appears in the optimized plan and row parity with bloom off."""
+    from pyspark.sql import functions as F
+
+    # sf0.1 regardless of the session fixture: the injection gate compares
+    # the probe-side SCAN SIZE against the threshold, and sf0.001's whole
+    # lineitem file sits under even a heavily lowered threshold
+    sf = "/root/testdata/sf0.1"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+
+    def _join():
+        return li.join(o, li.l_orderkey == o.o_orderkey)
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        baseline = _join().count()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1MB",
+        )
+        plan = _join()._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:1500]
+        assert "bloom_filter_agg" in plan
+        assert _join().count() == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
