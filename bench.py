@@ -215,14 +215,16 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError as e:  # read-only checkout: the stdout copy above stands
         print(f"# BENCH_DETAIL.json not written: {e}", file=sys.stderr)
+    # exactly the short shape the round-4 verdict prescribed — no
+    # queries dict here (a non-float value could trip a typed consumer;
+    # the full dict is on the earlier line + BENCH_DETAIL.json)
     summary = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": {"detail": "see BENCH_DETAIL.json / earlier stdout line"},
-        "n_queries": len(timings),
-        "n_errors": len(errors),
         "sf": sf_val,
+        "n_queries": len(timings),
+        "errors": errors,
     }
     print(json.dumps(summary))
 
