@@ -151,10 +151,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("sp2_stratified_sample", []),
         ("sp3_temporal_split", []),
         ("sp10_length_buckets", []),
-        # q4_dedup_quality is deliberately NOT fused: it re-runs BOTH the
-        # d2 and d3b cascades, which alone doubled this probe's cost —
-        # the audit stays a LOCAL_ONLY harness check while its inputs
-        # (d2 in the window, d3b local) keep their own driver stories.
+        # q4_dedup_quality rides fx_dedup_variants (round 5) rather than
+        # this probe, so its two cascades don't double THIS probe's cost.
         ("pipe4_eval_suite", []),
         ("e2_embedding_dim_stats", ["v_min", "v_max", "v_mean"]),
     ],
@@ -223,6 +221,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("st5_stream_dedup", []),
         ("st7_stream_dedup_ingest", []),
         ("st8_stream_static_enrich", ["total_value"]),
+        ("st9_stream_incremental_mv", ["total_value"]),
     ],
     "fx_corpus_release": [
         ("q2_corpus_card", ["words_p50", "words_p90", "chars_avg"]),
@@ -413,6 +412,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "st5_stream_dedup": ["event_type", "n"],
     "st7_stream_dedup_ingest": ["doc_id"],
     "st8_stream_static_enrich": ["segment", "n_events", "total_value"],
+    "st9_stream_incremental_mv": ["event_type", "n_events", "total_value"],
     "w17_time_weighted_avg": ["user_id", "day", "n_gaps", "total_us", "twap"],
     "s22_range_layout_write": ["l_returnflag", "n", "price_sum"],
 }

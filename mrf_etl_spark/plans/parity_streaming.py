@@ -448,3 +448,62 @@ def st8_stream_static_enrich(spark, sf_dir):
             money_sum("value").alias("total_value"),
         )
     )
+
+
+@register(
+    "st9_stream_incremental_mv",
+    # MV truth: the batch GROUP BY over everything ingested — boundaries
+    # (two micro-batches here) must not show in the merged rollup
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+             AS total_value
+    FROM events GROUP BY event_type""",
+    doc="st9: streaming incremental materialized-view maintenance — each "
+    "micro-batch reduces to per-key algebraic deltas (count + integer-"
+    "cents sum) merged into a parquet MV by atomic swap "
+    "(streaming/ingest.py:stream_incremental_rollup); the lake twin of "
+    "st4's in-memory state: serving reads the MV only and a restart "
+    "resumes from checkpoint + last published MV. Drained MV == the "
+    "batch GROUP BY regardless of batch boundaries.",
+)
+def st9_stream_incremental_mv(spark, sf_dir):
+    """Stages the events table as two disjoint halves consumed one per
+    micro-batch, so the MV is genuinely built by two delta merges."""
+    import os
+
+    from mrf_etl_spark.streaming import stream_incremental_rollup
+
+    raw_schema, ts_conv = _events_raw(spark, sf_dir)
+    staging = _scratch("st9_staging")
+    os.makedirs(staging, exist_ok=True)
+    ev = spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{staging}/half=1"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+        f"{staging}/half=2"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{staging}/half=*")
+    )
+    mv = _scratch("st9_mv")
+    q = stream_incremental_rollup(
+        stream,
+        mv,
+        _scratch("st9_ckpt"),
+        keys=["event_type"],
+        agg_exprs={
+            "n_events": "count(*)",
+            "cents": "sum(cast(round(value * 100) as bigint))",
+        },
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(mv).select(
+        "event_type",
+        "n_events",
+        F.round(F.col("cents").cast("double") / 100, 2).alias("total_value"),
+    )

@@ -14,6 +14,7 @@ from mrf_etl_spark.streaming.ingest import (
     sessionize_events,
     stateful_running_totals,
     stream_dedup_ingest,
+    stream_incremental_rollup,
     stream_upsert_ingest,
     windowed_event_counts,
 )
@@ -25,5 +26,6 @@ __all__ = [
     "stateful_running_totals",
     "dedup_stream",
     "stream_dedup_ingest",
+    "stream_incremental_rollup",
     "interval_join_streams",
 ]

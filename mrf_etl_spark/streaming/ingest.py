@@ -313,3 +313,76 @@ def stream_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_incremental_rollup(
+    stream: DataFrame,
+    mv_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    agg_exprs: dict[str, str],
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    available_now: bool = True,
+):
+    """Incremental materialized-view maintenance from a stream — the lake
+    twin of :func:`stateful_running_totals`: each micro-batch reduces to a
+    per-key DELTA of ALGEBRAIC aggregates (sums/counts — the merge is
+    addition, so pre-aggregated deltas compose exactly), which outer-merges
+    into the parquet MV with an atomic swap. The MV after draining equals
+    the batch GROUP BY over everything ingested, independent of batch
+    boundaries; serving reads the MV only (the reference's
+    DASHBOARD_OPTIMIZATION_GUIDE materialized-rollup pattern, kept fresh
+    by the stream instead of a rebuild job).
+
+    ``agg_exprs``: output column -> SQL aggregate over the batch (e.g.
+    ``{"n": "count(*)", "cents": "sum(cast(round(value*100) as bigint))"}``).
+    Aggregates must be sum-mergeable (count/sum); means and ratios are
+    derived at read time from these (never merged directly — averaging
+    averages is the classic incremental-MV bug). State lives IN the lake:
+    a restart resumes from the checkpoint and the last published MV, no
+    in-memory state to rebuild.
+
+    Scale: the per-batch delta is a map-side-combined aggregation of ONE
+    micro-batch; the merge joins |MV| keys with |delta| keys — both
+    key-partitioned, no full-history rescan. The read-modify-write is
+    single-writer by construction (one streaming query owns the MV)."""
+    import os
+
+    from mrf_etl_spark.io.writers import atomic_overwrite
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        df = transform(batch_df) if transform is not None else batch_df
+        spark = df.sparkSession
+        delta = df.groupBy(*keys).agg(
+            *[F.expr(e).alias(c) for c, e in agg_exprs.items()]
+        )
+        if os.path.isdir(mv_path) and any(
+            f.endswith(".parquet") for f in os.listdir(mv_path)
+        ):
+            old = spark.read.parquet(mv_path)
+            merged = (
+                old.select(
+                    *keys, *[F.col(c).alias(f"_old_{c}") for c in agg_exprs]
+                )
+                .join(delta, keys, "full_outer")
+                .select(
+                    *[F.col(k) for k in keys],
+                    *[
+                        (
+                            F.coalesce(f"_old_{c}", F.lit(0))
+                            + F.coalesce(c, F.lit(0))
+                        ).alias(c)
+                        for c in agg_exprs
+                    ],
+                )
+            )
+        else:
+            merged = delta
+        atomic_overwrite(merged, mv_path)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

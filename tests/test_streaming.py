@@ -243,3 +243,50 @@ def test_stream_dedup_ingest_redelivery_inserts_nothing(spark, sf_dir, tmp_path)
     assert got <= {r.doc_id for r in d.collect()}
     n_rows = spark.read.parquet(lake).count()
     assert n_rows == len(got)  # no doc ingested twice
+
+
+def test_incremental_mv_batch_boundary_independent(spark, events, tmp_path):
+    """stream_incremental_rollup: the MV after draining equals the batch
+    GROUP BY whether the stream arrived as ONE micro-batch or as two —
+    the algebraic-delta merge is associative by construction. Also pins
+    that means are NOT merged (only count/sum columns exist in the MV)."""
+    from pyspark.sql import types as T
+
+    from mrf_etl_spark.streaming import stream_incremental_rollup
+
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    agg_exprs = {
+        "n_events": "count(*)",
+        "cents": "sum(cast(round(value * 100) as bigint))",
+    }
+    expected = {
+        r["event_type"]: (r["n"], r["c"])
+        for r in raw.groupBy("event_type")
+        .agg(F.expr(agg_exprs["n_events"]).alias("n"), F.expr(agg_exprs["cents"]).alias("c"))
+        .collect()
+    }
+
+    def drain(n_files: int) -> dict:
+        staging = str(tmp_path / f"staging{n_files}")
+        if n_files == 1:
+            raw.write.parquet(f"{staging}/all")
+        else:
+            raw.filter(F.col("event_id") % 2 == 0).write.parquet(f"{staging}/a")
+            raw.filter(F.col("event_id") % 2 == 1).write.parquet(f"{staging}/b")
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staging}/*")
+        )
+        mv = str(tmp_path / f"mv{n_files}")
+        q = stream_incremental_rollup(
+            stream, mv, str(tmp_path / f"ckpt{n_files}"),
+            keys=["event_type"], agg_exprs=agg_exprs,
+        )
+        q.awaitTermination(300)
+        out = spark.read.parquet(mv)
+        assert set(out.columns) == {"event_type", "n_events", "cents"}
+        return {r["event_type"]: (r["n_events"], r["cents"]) for r in out.collect()}
+
+    assert drain(1) == expected
+    assert drain(2) == expected
