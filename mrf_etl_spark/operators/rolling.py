@@ -64,3 +64,48 @@ def rolling_metrics(
             / F.count("*").over(trail).cast("double"),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_us_col: str,
+    cents_col: str,
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Exact per-key time-weighted average (the hypertable ``time_weight``
+    rollup): each sample weighted by the integer microseconds until the
+    key's NEXT sample (last-observation-carried-forward), so irregular
+    sampling can't bias the level the way a plain mean does.
+
+    ``cents_col`` must already be an integer money representation — the
+    weighted sum runs as decimal(18,0)×decimal(18,0) (exact up to 38
+    digits), and the ONLY float operation is the final division, which is
+    IEEE-identical on every engine. Keys with a single sample (or all
+    samples at one instant) have no elapsed time and are dropped —
+    returning an arbitrary sample as "the average" would be a lie.
+
+    One key-partitioned window shuffle, reused by the rollup (the
+    aggregation groups on the same keys the window partitioned by).
+    Returns (*keys, n_gaps, total_us, twap) with twap in currency units.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_us_col, *order_tiebreak)
+    d = df.withColumn(
+        "_gap_us", F.lead(ts_us_col).over(w) - F.col(ts_us_col)
+    ).filter(F.col("_gap_us").isNotNull())
+    agg = d.groupBy(*keys).agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("_gap_us").alias("total_us"),
+        F.sum(
+            F.col(cents_col).cast("decimal(18,0)")
+            * F.col("_gap_us").cast("decimal(18,0)")
+        ).alias("_wsum"),
+    )
+    return agg.filter(F.col("total_us") > 0).select(
+        *keys,
+        "n_gaps",
+        "total_us",
+        (
+            F.col("_wsum").cast("double") / (F.col("total_us").cast("double") * 100)
+        ).alias("twap"),
+    )

@@ -3086,6 +3086,8 @@ def j17_full_outer(spark, sf_dir):
     "final division.",
 )
 def w17_time_weighted_avg(spark, sf_dir):
+    from mrf_etl_spark.operators.rolling import time_weighted_avg
+
     ev = t(spark, sf_dir, "events").select(
         "user_id",
         F.date_trunc("day", "ts").alias("day_t"),
@@ -3093,27 +3095,15 @@ def w17_time_weighted_avg(spark, sf_dir):
         "event_id",
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
     )
-    w = Window.partitionBy("user_id", "day_t").orderBy("ts_us", "event_id")
-    d = ev.withColumn("gap_us", F.lead("ts_us").over(w) - F.col("ts_us")).filter(
-        F.col("gap_us").isNotNull()
+    out = time_weighted_avg(
+        ev, ["user_id", "day_t"], "ts_us", "cents", order_tiebreak=["event_id"]
     )
-    # decimal(18,0) operands → exact decimal(37,0) products, exact sum;
-    # max |cents·gap| here is ~1e16, far under the 38-digit cap
-    agg = d.groupBy("user_id", "day_t").agg(
-        F.count("*").alias("n_gaps"),
-        F.sum("gap_us").alias("total_us"),
-        F.sum(
-            F.col("cents").cast("decimal(18,0)") * F.col("gap_us").cast("decimal(18,0)")
-        ).alias("wsum"),
-    )
-    return agg.filter(F.col("total_us") > 0).select(
+    return out.select(
         "user_id",
         F.date_format("day_t", "yyyy-MM-dd").alias("day"),
         "n_gaps",
         "total_us",
-        (
-            F.col("wsum").cast("double") / (F.col("total_us").cast("double") * 100)
-        ).alias("twap"),
+        "twap",
     )
 
 
@@ -3154,5 +3144,44 @@ def s22_range_layout_write(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             money_sum("l_extendedprice").alias("price_sum"),
+        )
+    )
+
+
+@register(
+    "x6_posexplode",
+    # unnest WITH ORDINALITY replays posexplode: (element position,
+    # element) pairs — position is the 0-based index on the Spark side,
+    # DuckDB's generate_subscripts-equivalent is 1-based, so -1 aligns
+    """WITH w AS (
+         SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+         FROM documents),
+       px AS (
+         SELECT doc_id, i - 1 AS pos, ws[i] AS word
+         FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w))
+       SELECT word,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(min(pos) AS BIGINT) AS first_pos,
+              CAST(max(pos) AS BIGINT) AS last_pos
+       FROM px WHERE pos < 3 GROUP BY word""",
+    doc="x6: posexplode (beyond-ref; completes the explode family next "
+    "to x1/x2/x4/x5) — position-aware flattening: words with their "
+    "0-based document position, rolled up to where each word FIRST "
+    "appears among the leading positions (the 'document opener' "
+    "vocabulary a boilerplate detector keys on). Generate is scan-local; "
+    "the only shuffle is the word-keyed rollup.",
+)
+def x6_posexplode(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        d.select("doc_id", F.posexplode(words).alias("pos", "word"))
+        .filter(F.col("pos") < 3)
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("pos").cast("long").alias("first_pos"),
+            F.max("pos").cast("long").alias("last_pos"),
         )
     )

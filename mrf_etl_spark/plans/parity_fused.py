@@ -123,6 +123,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("f_categorizer", []),
         ("x3_unpivot", []),
         ("x5_explode_outer", []),
+        ("x6_posexplode", []),
     ],
     "fx_quality_json": [
         ("q1_quality_report", ["bad_rate"]),
@@ -368,6 +369,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "user_id", "n_gaps", "min_gap_us", "max_gap_us", "total_gap_us",
     ],
     "x5_explode_outer": ["doc_id", "word", "no_long_words"],
+    "x6_posexplode": ["word", "n", "first_pos", "last_pos"],
     "w15_rank_family": [
         "l_returnflag", "l_orderkey", "l_linenumber", "qty",
         "rnk", "drnk", "pr", "cd", "quartile",

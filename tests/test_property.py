@@ -373,3 +373,54 @@ def test_locf_carries_last_observed_day(spark, rows):
     for k, days in seen_days.items():
         lo, hi = min(per_key[k]), max(per_key[k])
         assert sorted(days) == list(range(lo, hi + 1))
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # key
+            st.integers(0, 10_000_000),             # ts_us
+            st.integers(-10_000, 10_000),           # cents
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_time_weighted_avg_matches_bruteforce(spark, events):
+    """TWAP contract vs a sequential Python reference: per key, sort by
+    (ts, seq); twap = Σ cents_i·(t_{i+1}-t_i) / (Σ gaps · 100). Keys
+    with no elapsed time are dropped."""
+    from collections import defaultdict
+
+    from mrf_etl_spark.operators.rolling import time_weighted_avg
+
+    rows = [(k, ts, c, i) for i, (k, ts, c) in enumerate(events)]
+    df = spark.createDataFrame(rows, "k long, ts_us long, cents long, seq long")
+    got = {
+        r["k"]: (r["n_gaps"], r["total_us"], r["twap"])
+        for r in time_weighted_avg(
+            df, ["k"], "ts_us", "cents", order_tiebreak=["seq"]
+        ).collect()
+    }
+    by_key = defaultdict(list)
+    for k, ts, c, i in rows:
+        by_key[k].append((ts, i, c))
+    for k, samples in by_key.items():
+        samples.sort()
+        gaps = [
+            (samples[j + 1][0] - samples[j][0], samples[j][2])
+            for j in range(len(samples) - 1)
+        ]
+        total = sum(g for g, _ in gaps)
+        if total == 0:
+            assert k not in got
+            continue
+        wsum = sum(g * c for g, c in gaps)
+        n, t, tw = got[k]
+        assert n == len(gaps) and t == total
+        assert tw == pytest.approx(wsum / (total * 100), rel=1e-12)
+        # the level is bounded by the observed (cent) range
+        lo = min(c for _, c in gaps) / 100
+        hi = max(c for _, c in gaps) / 100
+        assert lo - 1e-9 <= tw <= hi + 1e-9
