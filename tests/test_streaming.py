@@ -290,3 +290,75 @@ def test_incremental_mv_batch_boundary_independent(spark, events, tmp_path):
 
     assert drain(1) == expected
     assert drain(2) == expected
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """The watermark CONTRACT, not just parity: once a window has been
+    finalized and EVICTED (the watermark passed its end in an earlier
+    micro-batch), a late event for it is dropped from the aggregation.
+    Nuance pinned here: eviction happens at batch END, after that
+    batch's input merges — so a late row arriving in the same batch
+    that closes its window still lands (deterministic, and kinder than
+    dropping data the sink has not yet seen). Batch 1 carries hours
+    0-5; batch 2's hour-12 event advances the watermark and evicts
+    them; batch 3 redelivers an hour-0 event -> dropped. The sink must
+    show exactly one event in the hour-0 window."""
+    import os
+    import time
+
+    from mrf_etl_spark.streaming import windowed_event_counts
+
+    base = 1_700_000_000_000_000  # µs epoch, arbitrary
+    hour = 3_600_000_000
+
+    def mk(rows, name, mtime):
+        df = spark.createDataFrame(rows, "event_id long, ts_us long, event_type string, value double")
+        tmp = str(tmp_path / f"_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        staging = str(tmp_path / "staging")
+        os.makedirs(staging, exist_ok=True)
+        dst = f"{staging}/{name}.parquet"
+        os.rename(f"{tmp}/{part}", dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    mk([(i, base + i * hour, "view", 1.0) for i in range(6)], "batch1", now - 60)
+    mk([(101, base + 12 * hour, "view", 1.0)], "batch2", now - 30)  # advances watermark, evicts hours 0-5
+    mk(
+        [(100, base, "view", 1.0),                 # LATE: hour-0 window evicted
+         (102, base + 13 * hour, "view", 1.0)],    # keeps the stream moving
+        "batch3", now,
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts_us long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "staging"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    out = windowed_event_counts(stream, window_duration="1 hour", watermark="1 hour")
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1, dropped
+    got = {
+        r["window_start"].timestamp(): r["n_events"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    hour0 = (base // hour) * hour / 1_000_000  # window starts floor to the hour
+    # the late redelivery did NOT land in the evicted hour-0 window
+    assert got[hour0] == 1, got
+    # batch-1 windows all flushed once the watermark passed them
+    assert all(got[hour0 + 3600 * i] == 1 for i in range(6)), got
