@@ -858,3 +858,82 @@ def dedup_quality_report(lsh_pairs: DataFrame, exact_pairs: DataFrame) -> DataFr
             F.col("n_exact") > 0, F.col("n_tp").cast("double") / F.col("n_exact")
         ).alias("recall"),
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_band_freq: int = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= ``max_hamming`` —
+    the low-Hamming half of the SimHash design (Manku, Jain & Sarma,
+    WWW'07), next to d4's signature-equality buckets.
+
+    Pigeonhole banding: the 64-bit signature splits into 4 bands of 16
+    bits; any pair within Hamming distance 3 differs in <= 3 bits, so at
+    least one band matches EXACTLY — candidates come from equality joins
+    on (band index, band value), never from an all-pairs scan. Candidates
+    then verify the true distance via ``bit_count(xor())`` over the two
+    32-bit signature halves, so every emitted pair is exact. Band values
+    with document frequency > ``max_band_freq`` are dropped from
+    candidate generation (the d3b df-cap pattern: a degenerate band —
+    e.g. all-zero from short docs — would emit df^2 candidates; capped,
+    the join is bounded and the only loss is pairs ALL of whose matching
+    bands are degenerate).
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
+
+    # the signature table feeds banding AND both verify sides — persist
+    # the compact (doc_id, sig) state so the bit-vote cascade runs once;
+    # caller frees via release_state(result)
+    sig = (
+        simhash_hex(df, text_col, id_col)
+        .select(
+            "doc_id",
+            "simhash",
+            F.expr("cast(conv(substring(simhash, 1, 8), 16, 10) as bigint)").alias("hi"),
+            F.expr("cast(conv(substring(simhash, 9, 8), 16, 10) as bigint)").alias("lo"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "b -> struct(b AS b, substring(simhash, b * 4 + 1, 4) AS bv))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.b", "band.bv")
+    kept = bands.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("b", "bv"))
+    ).filter(F.col("_df") <= max_band_freq)
+    a = kept.select(F.col("doc_id").alias("doc_a"), "b", "bv")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "b", "bv")
+    cand = (
+        a.join(b, ["b", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"))
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming",
+            F.expr(
+                "cast(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) as bigint)"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    out._mrf_persisted = sig
+    return out

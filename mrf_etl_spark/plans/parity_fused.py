@@ -205,6 +205,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("d8_semantic_dedup", []),
         ("d10_ngram_containment", ["containment"]),
         ("q4_dedup_quality", ["recall"]),
+        ("d4b_simhash_hamming", []),
     ],
     "fx_ann": [
         ("n1_ann_cosine_topk", ["cosine"]),
@@ -401,6 +402,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "d10_ngram_containment": [
         "doc_a", "doc_b", "n_common", "size_a", "size_b", "containment",
     ],
+    "d4b_simhash_hamming": ["doc_a", "doc_b", "hamming"],
     "n1_ann_cosine_topk": ["query_id", "neighbor_id", "cosine", "rank"],
     "n2_ann_ivf": ["query_id", "neighbor_id", "cosine", "rank"],
     "st1_windowed_counts": [

@@ -2549,3 +2549,82 @@ def t15_source_similarity(spark, sf_dir):
             ).alias("cosine"),
         )
     )
+
+
+D4B_MAX_HAMMING = 3
+D4B_BAND_CAP = 1000
+
+
+@register(
+    "d4b_simhash_hamming",
+    # same signature pipeline as d4's oracle, over the near-dup corpus,
+    # then: 4x16-bit pigeonhole bands -> df-capped equality candidates ->
+    # exact bit_count(xor) verify on the two 32-bit halves
+    f"""WITH corpus AS (SELECT doc_id, text FROM {_NEAR_DUP_CORPUS_SQL} nd),
+       w AS (
+         SELECT DISTINCT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+         FROM corpus),
+       base AS (SELECT doc_id, md5(word) AS h FROM w),
+       nib AS (
+         SELECT doc_id, p,
+                instr('0123456789abcdef', substring(h, CAST(p AS INT), 1)) - 1 AS v
+         FROM base, range(1, 17) r(p)),
+       votes AS (
+         SELECT doc_id, p, b,
+                CASE WHEN (v >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+         FROM nib, range(0, 4) rb(b)),
+       bit_sums AS (
+         SELECT doc_id, p, b, sum(vote) AS s FROM votes GROUP BY 1, 2, 3),
+       nibbles AS (
+         SELECT doc_id, p,
+                sum(CASE WHEN s > 0 THEN (1 << CAST(b AS INT)) ELSE 0 END) AS nv
+         FROM bit_sums GROUP BY 1, 2),
+       sig AS (
+         SELECT doc_id,
+                string_agg(substring('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+                           '' ORDER BY p) AS simhash
+         FROM nibbles GROUP BY doc_id),
+       sig2 AS (
+         SELECT doc_id, simhash,
+                CAST(('0x' || substring(simhash, 1, 8)) AS BIGINT) AS hi,
+                CAST(('0x' || substring(simhash, 9, 8)) AS BIGINT) AS lo
+         FROM sig),
+       bands AS (
+         SELECT doc_id, b,
+                substring(simhash, CAST(b * 4 + 1 AS INT), 4) AS bv
+         FROM sig2, range(0, 4) rb(b)),
+       kept AS (
+         SELECT * FROM (
+           SELECT doc_id, b, bv, count(*) OVER (PARTITION BY b, bv) AS _df
+           FROM bands)
+         WHERE _df <= {D4B_BAND_CAP}),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         FROM kept a JOIN kept c ON a.b = c.b AND a.bv = c.bv
+         WHERE a.doc_id < c.doc_id)
+       SELECT doc_a, doc_b,
+              CAST(bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo))
+                   AS BIGINT) AS hamming
+       FROM cand
+       JOIN sig2 sa ON sa.doc_id = doc_a
+       JOIN sig2 sb ON sb.doc_id = doc_b
+       WHERE bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo))
+             <= {D4B_MAX_HAMMING}""",
+    doc="d4b: SimHash LOW-HAMMING near-dup pairs (Manku/Jain/Sarma "
+    "WWW'07) — the distance half d4's equality buckets leave open: "
+    "4x16-bit pigeonhole bands make every pair within Hamming "
+    f"{D4B_MAX_HAMMING} agree exactly on >= 1 band, so candidates come "
+    "from band-equality joins (df-capped like d3b, never all-pairs) and "
+    "verify exactly via bit_count(xor) on the signature halves. One "
+    "band-keyed shuffle + the pair join; the signature state persists "
+    "once (operators/dedup.py:simhash_hamming_pairs).",
+)
+def d4b_simhash_hamming(spark, sf_dir):
+    return dd.simhash_hamming_pairs(
+        _docs_with_near_dups(spark, sf_dir),
+        "text",
+        "doc_id",
+        max_hamming=D4B_MAX_HAMMING,
+        max_band_freq=D4B_BAND_CAP,
+    )

@@ -907,3 +907,32 @@ def test_q4_composed_reuses_precomputed_pair_frames(spark, sf_dir):
     assert crow.n_exact > 0 and crow.recall is not None
     dd.release_state(composed)
     dd.release_state(standalone)
+
+
+def test_simhash_hamming_finds_injected_near_dups(spark, sf_dir):
+    """Every injected near-dup (doc + ' extra token tail') whose signature
+    is within Hamming 3 of its original must be surfaced by the banded
+    candidate path, and every returned pair's hamming must be exact
+    (checked against a Python popcount of the hex signatures)."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    sigs = {
+        r.doc_id: int(r.simhash, 16)
+        for r in dd.simhash_hex(corpus, "text", "doc_id").collect()
+    }
+    pairs = dd.simhash_hamming_pairs(corpus, "text", "doc_id", max_hamming=3)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    dd.release_state(pairs)
+    # exactness of every returned distance
+    for (a, b), h in got.items():
+        assert h == bin(sigs[a] ^ sigs[b]).count("1"), (a, b)
+        assert h <= 3
+    # completeness over the injected structure: original vs its shifted
+    # near-copy, whenever the true distance is within the threshold
+    expected = {
+        (i, i + ID_SHIFT)
+        for i in range(NEAR_DUP_IDS)
+        if i in sigs
+        and bin(sigs[i] ^ sigs[i + ID_SHIFT]).count("1") <= 3
+    }
+    assert expected, "fixture produced no close pairs — test is vacuous"
+    assert expected <= set(got)
