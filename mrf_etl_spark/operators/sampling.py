@@ -458,3 +458,68 @@ def length_bucket_batches(
         out.withColumn("batch_id", (rn / batch_size).cast("long"))
         .withColumn("batch_seq", (rn % batch_size).cast("long"))
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    total_k: int,
+    salt: str = "",
+    weight_scale: int = 10**6,
+) -> DataFrame:
+    """Temperature-based source mixing (alpha = 0.5): per-source sampling
+    quotas proportional to n_s^alpha — the multilingual/multi-source
+    rebalancing scheme (XLM-R-style alpha-sampling) that up-weights small
+    sources relative to raw-proportional mixing without the fixed
+    per-source rates of ``source_mix``.
+
+    Engine-exact by construction: alpha is FIXED at 0.5 because IEEE
+    sqrt is correctly rounded on every engine while pow(x, alpha) is
+    not; the weight is then floor(sqrt(n)·scale) — an integer — and the
+    quota split runs entirely in integer arithmetic (largest-remainder
+    apportionment, ties broken by source name), so two engines cannot
+    disagree by an ulp. Within each source, docs rank by the salted
+    60-bit hash (:func:`shard_hash`) with id tie-break. A source with
+    fewer docs than its quota contributes all of them (the realized
+    total can then undershoot ``total_k``; quotas are targets, not
+    padding).
+
+    Plan: two tiny aggs over the source-count table (bounded by the
+    source cardinality, broadcast back), then ONE source-keyed window
+    shuffle over the corpus — the same shape as quota_sample.
+
+    Returns (id, source, mix_rank, quota) with mix_rank <= quota.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
+    w = counts.select(
+        source_col,
+        F.floor(F.sqrt(F.col("_n")) * weight_scale).cast("long").alias("_w"),
+    )
+    tot = w.agg(F.sum("_w").alias("_tw"))
+    q0 = w.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.expr(f"_w * {total_k} div _tw").alias("_base"),
+        F.expr(f"(_w * {total_k}) % _tw").alias("_rem"),
+    )
+    sb = q0.agg(F.sum("_base").alias("_sb"))
+    rr = Window.orderBy(F.col("_rem").desc(), F.col(source_col).asc())
+    quota = (
+        q0.crossJoin(F.broadcast(sb))
+        .withColumn("_rr", F.row_number().over(rr))
+        .select(
+            source_col,
+            (
+                F.col("_base")
+                + F.when(F.col("_rr") <= total_k - F.col("_sb"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+    )
+    h = shard_hash(id_col, salt)
+    wnd = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    ranked = df.select(id_col, source_col).withColumn(
+        "mix_rank", F.row_number().over(wnd).cast("long")
+    )
+    return ranked.join(F.broadcast(quota), source_col).filter(
+        F.col("mix_rank") <= F.col("quota")
+    )

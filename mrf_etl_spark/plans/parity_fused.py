@@ -156,6 +156,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # this probe, so its two cascades don't double THIS probe's cost.
         ("pipe4_eval_suite", []),
         ("e2_embedding_dim_stats", ["v_min", "v_max", "v_mean"]),
+        ("sp13_temperature_mix", []),
     ],
     # round-4 session 2: three probes free the j5/j9/j12 slots (those
     # fuse into fx_key_joins) so the media family and the corpus-release
@@ -403,6 +404,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "doc_a", "doc_b", "n_common", "size_a", "size_b", "containment",
     ],
     "d4b_simhash_hamming": ["doc_a", "doc_b", "hamming"],
+    "sp13_temperature_mix": ["doc_id", "source", "mix_rank", "quota"],
     "n1_ann_cosine_topk": ["query_id", "neighbor_id", "cosine", "rank"],
     "n2_ann_ivf": ["query_id", "neighbor_id", "cosine", "rank"],
     "st1_windowed_counts": [

@@ -2628,3 +2628,58 @@ def d4b_simhash_hamming(spark, sf_dir):
         max_hamming=D4B_MAX_HAMMING,
         max_band_freq=D4B_BAND_CAP,
     )
+
+
+SP13_K = 1000
+SP13_SALT = "tmix"
+
+
+@register(
+    "sp13_temperature_mix",
+    # integer largest-remainder apportionment of floor(sqrt(n)*1e6)
+    # weights, then per-source salted-hash rank <= quota — every step
+    # exact-integer (sqrt is IEEE-correctly-rounded on both engines)
+    f"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+       w AS (SELECT source,
+                    CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS w
+             FROM c),
+       tw AS (SELECT sum(w) AS tw FROM w),
+       q0 AS (SELECT source,
+                     (w * {SP13_K}) // tw AS base,
+                     (w * {SP13_K}) % tw AS rem
+              FROM w, tw),
+       sb AS (SELECT sum(base) AS sb FROM q0),
+       q1 AS (SELECT source, base, rem,
+                     row_number() OVER (ORDER BY rem DESC, source ASC) AS rr
+              FROM q0),
+       quota AS (SELECT q1.source,
+                        base + CASE WHEN rr <= {SP13_K} - sb THEN 1 ELSE 0 END
+                          AS quota
+                 FROM q1, sb),
+       ranked AS (
+         SELECT doc_id, source,
+                CAST(row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY CAST('0x' || substring(md5('{SP13_SALT}' ||
+                               CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+                           doc_id ASC) AS BIGINT) AS mix_rank
+         FROM documents)
+       SELECT doc_id, source, mix_rank, CAST(quota AS BIGINT) AS quota
+       FROM ranked JOIN quota USING (source)
+       WHERE mix_rank <= quota""",
+    doc=f"sp13: temperature-based source mixing (alpha=0.5, XLM-R-style "
+    f"alpha-sampling) — {SP13_K} docs apportioned across sources by "
+    "sqrt-scaled counts via integer largest-remainder quotas (exact on "
+    "every engine: IEEE sqrt + integer arithmetic, no pow ulps), then "
+    "per-source salted-hash rank <= quota. Up-weights small sources "
+    "relative to raw-proportional mixing; two O(|sources|)-row aggs "
+    "broadcast back + ONE source-keyed window shuffle "
+    "(operators/sampling.temperature_mix).",
+)
+def sp13_temperature_mix(spark, sf_dir):
+    from mrf_etl_spark.operators.sampling import temperature_mix
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_mix(d, "doc_id", "source", SP13_K, salt=SP13_SALT).select(
+        "doc_id", "source", "mix_rank", F.col("quota").cast("long").alias("quota")
+    )

@@ -205,3 +205,30 @@ def test_diversified_topk_cap(spark):
     assert max(per.values()) <= K6_PER_GROUP
     prices = [r.price for r in rows]
     assert prices == sorted(prices, reverse=True)
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    """alpha=0.5 mixing: quotas apportion by sqrt(n), so a source 100x
+    smaller gets ~10x less (not 100x less) — the up-weighting that
+    raw-proportional mixing lacks. Quotas sum EXACTLY to total_k
+    (largest-remainder), realized rows == quota when subscribed."""
+    from pyspark.sql import functions as F
+
+    from mrf_etl_spark.operators.sampling import temperature_mix
+
+    big = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit("big").alias("source")
+    )
+    small = spark.range(100).select(
+        (F.col("id") + 1_000_000).alias("doc_id"), F.lit("small").alias("source")
+    )
+    df = big.unionByName(small)
+    k = 505
+    out = temperature_mix(df, "doc_id", "source", k)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["big"] + counts["small"] == k
+    # sqrt weights: 100 vs 10 -> small gets ~1/11 of k (46), vs ~5 raw-proportional
+    assert counts["small"] == 46 and counts["big"] == 459
+    # deterministic: a second run reproduces the exact membership
+    again = {r["doc_id"] for r in temperature_mix(df, "doc_id", "source", k).collect()}
+    assert again == {r["doc_id"] for r in out.collect()}
