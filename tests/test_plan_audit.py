@@ -47,6 +47,10 @@ NESTED_LOOP_OK = {
     # corpus size N attaches as a ONE-ROW broadcast crossJoin (the
     # collect-free way to join a global scalar); probe cost is 1 row
     "t5_tfidf_top_terms": "1-row global-scalar broadcast (n_docs)",
+    # quota apportionment: two 1-row aggregate scalars (total weight,
+    # base-quota sum) crossJoined onto the |sources|-row quota table
+    "sp13_temperature_mix": "1-row global-scalar broadcasts over the "
+    "bounded source-cardinality table",
 }
 
 
