@@ -542,3 +542,60 @@ def rare_token_ratio(
             F.col("n_rare").cast("double") / F.col("n_tokens"),
         )
     )
+
+
+def sentence_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document sentence-shape statistics: sentence count, mean and
+    max words per sentence — the 'wall of unbroken text / staccato
+    fragments' quality signal next to t7's repetition and t2's ratios
+    (RefinedWeb-style line/sentence heuristics at document grain).
+
+    Sentences split on runs of terminal punctuation ``[.!?]+``; empty
+    fragments (leading/trailing/double punctuation) are dropped. All
+    counts are integers and the mean is one double division, so every
+    engine reproduces the row bit-for-bit. Pure map-side projection —
+    zero shuffles at any scale."""
+    sents = F.expr(
+        f"filter(transform(split({text_col}, '[.!?]+'), s -> trim(s)), s -> s != '')"
+    )
+    words_per = "transform(_sents, s -> size(split(s, '\\\\s+')))"
+    return df.select(
+        F.col(id_col).alias("doc_id"), sents.alias("_sents")
+    ).select(
+        "doc_id",
+        F.expr("cast(size(_sents) as bigint)").alias("n_sentences"),
+        F.expr(
+            f"cast(aggregate({words_per}, 0L, (a, x) -> a + x) as bigint)"
+        ).alias("n_sentence_words"),
+        F.expr(
+            f"if(size(_sents) > 0, cast(aggregate({words_per}, 0L, (a, x) -> a + x) as double) / size(_sents), cast(null as double))"
+        ).alias("mean_sentence_words"),
+        F.expr(
+            f"if(size(_sents) > 0, cast(array_max({words_per}) as bigint), cast(null as bigint))"
+        ).alias("max_sentence_words"),
+    )
+
+
+def encoding_sanity(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document encoding-sanity profile: replacement characters
+    (U+FFFD — the mojibake fingerprint of a mis-decoded byte), C0
+    control characters (excluding tab/newline/CR), non-ASCII count and
+    ratio. Decode errors and binary contamination score high; the
+    integer counts make the filter exactly replayable (the counting
+    stand-in for chardet-style confidence scores). Map-side only."""
+    n = F.length(F.col(text_col))
+    repl = n - F.length(F.regexp_replace(F.col(text_col), "�", ""))
+    ctrl = n - F.length(
+        F.regexp_replace(F.col(text_col), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    )
+    ascii_only = F.length(
+        F.regexp_replace(F.col(text_col), "[^\\x00-\\x7F]", "")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_chars"),
+        repl.cast("long").alias("n_replacement"),
+        ctrl.cast("long").alias("n_control"),
+        (n - ascii_only).cast("long").alias("n_non_ascii"),
+        F.when(n > 0, (n - ascii_only).cast("double") / n).alias("non_ascii_ratio"),
+    )

@@ -198,6 +198,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("t7_repetition_signals", ["distinct_ratio", "top_word_frac", "top_bigram_frac"]),
         ("t9_top_ngrams", []),
         ("e1_quantize_int8", ["scale"]),
+        ("t13_sentence_stats", ["mean_sentence_words"]),
+        ("t14_encoding_sanity", ["non_ascii_ratio"]),
     ],
     "fx_dedup_variants": [
         ("d3_ngram_jaccard", ["jaccard"]),
@@ -405,6 +407,14 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "d4b_simhash_hamming": ["doc_a", "doc_b", "hamming"],
     "sp13_temperature_mix": ["doc_id", "source", "mix_rank", "quota"],
+    "t13_sentence_stats": [
+        "doc_id", "n_sentences", "n_sentence_words",
+        "mean_sentence_words", "max_sentence_words",
+    ],
+    "t14_encoding_sanity": [
+        "doc_id", "n_chars", "n_replacement", "n_control",
+        "n_non_ascii", "non_ascii_ratio",
+    ],
     "n1_ann_cosine_topk": ["query_id", "neighbor_id", "cosine", "rank"],
     "n2_ann_ivf": ["query_id", "neighbor_id", "cosine", "rank"],
     "st1_windowed_counts": [

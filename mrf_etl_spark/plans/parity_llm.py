@@ -2683,3 +2683,63 @@ def sp13_temperature_mix(spark, sf_dir):
     return temperature_mix(d, "doc_id", "source", SP13_K, salt=SP13_SALT).select(
         "doc_id", "source", "mix_rank", F.col("quota").cast("long").alias("quota")
     )
+
+
+@register(
+    "t13_sentence_stats",
+    # list_filter/list_transform replay the HOF pipeline; DuckDB's
+    # list_sum over an empty list is NULL -> coalesce to 0
+    """WITH s AS (
+         SELECT doc_id,
+                list_filter(list_transform(
+                    regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+                  x -> x != '') AS sents
+         FROM documents),
+       wp AS (
+         SELECT doc_id, sents,
+                list_transform(sents,
+                  x -> len(regexp_split_to_array(x, '\\s+'))) AS wps
+         FROM s)
+       SELECT doc_id,
+              CAST(len(sents) AS BIGINT) AS n_sentences,
+              CAST(coalesce(list_sum(wps), 0) AS BIGINT) AS n_sentence_words,
+              CASE WHEN len(sents) > 0
+                   THEN CAST(list_sum(wps) AS DOUBLE) / len(sents) END
+                AS mean_sentence_words,
+              CASE WHEN len(sents) > 0
+                   THEN CAST(list_max(wps) AS BIGINT) END AS max_sentence_words
+       FROM wp""",
+    doc="t13: sentence-shape statistics — sentence count / mean / max "
+    "words per sentence from terminal-punctuation splits; the "
+    "wall-of-text vs staccato-fragment quality heuristic "
+    "(RefinedWeb-style, document grain). Integer counts + one double "
+    "division; zero shuffles (operators/textops.sentence_stats).",
+)
+def t13_sentence_stats(spark, sf_dir):
+    return tx.sentence_stats(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "t14_encoding_sanity",
+    """SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(length(text) - length(replace(text, chr(65533), ''))
+                   AS BIGINT) AS n_replacement,
+              CAST(length(text) - length(regexp_replace(text,
+                     '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'))
+                   AS BIGINT) AS n_control,
+              CAST(length(text) - length(regexp_replace(text,
+                     '[^\\x00-\\x7F]', '', 'g')) AS BIGINT) AS n_non_ascii,
+              CASE WHEN length(text) > 0
+                   THEN CAST(length(text) - length(regexp_replace(text,
+                          '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE) / length(text)
+              END AS non_ascii_ratio
+       FROM documents""",
+    doc="t14: encoding-sanity profile — U+FFFD replacement chars (the "
+    "mojibake fingerprint), C0 controls (minus tab/LF/CR), non-ASCII "
+    "count/ratio; decode errors and binary contamination score high. "
+    "Integer counts, exactly replayable; map-side only "
+    "(operators/textops.encoding_sanity).",
+)
+def t14_encoding_sanity(spark, sf_dir):
+    return tx.encoding_sanity(t(spark, sf_dir, "documents"), "text", "doc_id")

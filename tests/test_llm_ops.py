@@ -936,3 +936,32 @@ def test_simhash_hamming_finds_injected_near_dups(spark, sf_dir):
     }
     assert expected, "fixture produced no close pairs — test is vacuous"
     assert expected <= set(got)
+
+
+def test_sentence_stats_and_encoding_sanity_edges(spark):
+    """Hand-checked edge cases: empty text, no terminal punctuation,
+    trailing/double punctuation, mojibake + control chars."""
+    from mrf_etl_spark.operators.textops import encoding_sanity, sentence_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "One two three. Four five! Six?"),
+            (2, "no terminal punctuation here"),
+            (3, ""),
+            (4, "Dots... and!! doubles? "),
+            (5, "café �� ok\x01"),
+        ],
+        "doc_id long, text string",
+    )
+    ss = {r.doc_id: r for r in sentence_stats(df, "text", "doc_id").collect()}
+    assert (ss[1].n_sentences, ss[1].n_sentence_words) == (3, 6)
+    assert ss[1].mean_sentence_words == pytest.approx(2.0)
+    assert ss[1].max_sentence_words == 3
+    assert (ss[2].n_sentences, ss[2].max_sentence_words) == (1, 4)
+    assert ss[3].n_sentences == 0 and ss[3].mean_sentence_words is None
+    assert (ss[4].n_sentences, ss[4].n_sentence_words) == (3, 3)  # Dots / and / doubles
+    es = {r.doc_id: r for r in encoding_sanity(df, "text", "doc_id").collect()}
+    assert es[5].n_replacement == 2 and es[5].n_control == 1
+    assert es[5].n_non_ascii == 3  # é + the 2 replacement chars (\x01 is ASCII)
+    assert es[3].n_chars == 0 and es[3].non_ascii_ratio is None
+    assert es[1].n_non_ascii == 0 and es[1].non_ascii_ratio == 0.0
