@@ -149,6 +149,8 @@ class RateAPI:
 
     # -- /api/rates/detail (backend/main.py:329-411) ---------------------
     def rate_detail(self, state: str, year_month: str, **kw: Any) -> dict[str, Any]:
+        if "limit" in kw:
+            kw["limit"] = _clamp(kw["limit"])
         results = _rows(self.lake.rate_detail(state, year_month, **kw))
         for r in results:
             if "negotiated_rate" in r:
@@ -191,6 +193,12 @@ class RateAPI:
         }
 
     # -- /api/explore drilldown (optimized_queries.py:966-1024) ----------
+    def explore(self, group_by: str, k: int = 20, **fix: Any) -> dict[str, Any]:
+        """URL form of :meth:`drilldown`: every query param besides
+        group_by/k is a fixed dimension (the reference's explore
+        endpoint shape)."""
+        return self.drilldown(fix, group_by, k)
+
     def drilldown(self, fix: dict[str, object], group_by: str, k: int = 20) -> dict[str, Any]:
         return {
             "fixed": fix,
@@ -205,11 +213,14 @@ _ROUTES = {
     "/api/rates/summary": ("rate_summary", ["state", "year_month", "payer", "code_type", "code", "billing_class"]),
     "/api/rates/by-payer": ("rates_by_payer", ["state", "year_month", "limit"]),
     "/api/rates/by-procedure": ("rates_by_procedure", ["state", "year_month", "code_type", "billing_class", "limit"]),
+    "/api/rates/detail": ("rate_detail", ["state", "year_month", "payer", "code", "billing_class", "tin_value", "limit"]),
     "/api/providers/search": ("provider_search", ["q", "limit"]),
     "/api/meta/data-availability": ("data_availability", []),
     "/api/statistics": ("statistics", []),
     "/api/meta/dimension-values": ("dimension_values", ["dimension", "k"]),
     "/api/autocomplete": ("autocomplete", ["field", "prefix", "k"]),
+    # every query param besides group_by/k is a fixed dimension
+    "/api/explore/drilldown": ("explore", ["group_by", "k", "*"]),
 }
 _INT_PARAMS = {"limit", "k"}
 
@@ -238,7 +249,11 @@ def serve(api: RateAPI, host: str = "127.0.0.1", port: int = 8000, block: bool =
             q = {k: v[0] for k, v in parse_qs(parsed.query).items()}
             kwargs = {}
             for p in params:
-                if p in q:
+                if p == "*":  # pass-through: remaining params as-is
+                    kwargs.update(
+                        {k: v for k, v in q.items() if k not in params}
+                    )
+                elif p in q:
                     kwargs[p] = int(q[p]) if p in _INT_PARAMS else q[p]
             try:
                 self._send(200, getattr(api, method)(**kwargs))

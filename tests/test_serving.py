@@ -93,6 +93,21 @@ def test_http_round_trip(api):
             assert resp.status == 200
             body = json.loads(resp.read())
         assert body["summary"]["total_rates"] == 3
+        # the reference's detail + explore URLs resolve too (round-5: the
+        # route table was missing both)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/rates/detail?state=GA&year_month=2025-01&code=99213&limit=5"
+        ) as resp:
+            detail = json.loads(resp.read())
+        assert detail["count"] == 2
+        assert all(r["code"] == "99213" for r in detail["results"])
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/explore/drilldown?group_by=payer_slug&k=5&state=GA&year_month=2025-01"
+        ) as resp:
+            ex = json.loads(resp.read())
+        assert ex["group_by"] == "payer_slug"
+        assert {g["payer_slug"] for g in ex["groups"]} == {"aetna", "uhc"}
+        assert ex["fixed"] == {"state": "GA", "year_month": "2025-01"}
         # unknown endpoint → 404 envelope
         try:
             urllib.request.urlopen(f"http://127.0.0.1:{port}/api/nope")
