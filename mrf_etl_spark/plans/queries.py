@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 from dataclasses import dataclass
+from typing import ClassVar
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -162,7 +163,10 @@ class StarLake:
         df = self.fact
         if self.xref_npi is not None:
             df = df.join(self.xref_npi, on="pg_uid", how="left")
-        if self.dim_npi is not None:
+        # dim_npi keys on npi, which only exists once xref_npi joined —
+        # a lake configured with the dim but no xref shouldn't crash the
+        # whole index (it just serves without provider columns)
+        if self.dim_npi is not None and "npi" in df.columns:
             df = df.join(self.dim_npi, on="npi", how="left")
         if self.xref_tin is not None:
             df = df.join(self.xref_tin.select("pg_uid", "tin_type", "tin_value"), on="pg_uid", how="left")
@@ -171,7 +175,7 @@ class StarLake:
                 F.col("proc_cd"), "proc_set", "proc_class", "proc_group"
             )
             df = df.join(broadcast(cc), on=df["code"] == cc["proc_cd"], how="left").drop("proc_cd")
-        if self.dim_npi_address is not None:
+        if self.dim_npi_address is not None and "npi" in df.columns:
             na = self.dim_npi_address.filter(F.col("address_purpose") == "LOCATION").select(
                 "npi",
                 "city",
@@ -207,6 +211,157 @@ class StarLake:
             .orderBy(F.col("negotiated_rate").desc())
             .limit(limit)
         )
+
+    # -- /api/search/{tin,organization,taxonomy,procedure-category,
+    #    billing-code,payer} (backend/main.py:586-722 →
+    #    utils/optimized_queries.py:265-540) -----------------------------
+    # search type -> (filter column, 'eq'|'ilike', identity/group columns,
+    # extra distinct-count aggs). Mirrors each reference endpoint's
+    # materialized-view rollup: filter + GROUP BY identity + count/avg/
+    # min/max(rate) + ORDER BY rate_count DESC LIMIT.
+    SEARCH_ROLLUPS: ClassVar[dict] = {
+        "tin": (
+            "tin_value", "eq",
+            ["tin_value", "tin_type", "npi", "organization_name", "first_name",
+             "last_name", "primary_taxonomy_desc", "payer_slug",
+             "reporting_entity_name"],
+            {},
+        ),
+        "organization": (
+            "organization_name", "ilike",
+            ["npi", "organization_name", "first_name", "last_name",
+             "primary_taxonomy_desc", "status", "enumeration_type", "city",
+             "provider_state", "provider_postal_code"],
+            {},
+        ),
+        "taxonomy": (
+            "primary_taxonomy_desc", "ilike",
+            ["npi", "organization_name", "first_name", "last_name",
+             "primary_taxonomy_desc", "status", "enumeration_type", "city",
+             "provider_state", "provider_postal_code"],
+            {},
+        ),
+        "procedure_category": (
+            "proc_class", "ilike",
+            ["code", "code_type", "proc_set", "proc_class", "proc_group"],
+            {"unique_payers": "payer_slug"},
+        ),
+        "billing_code": (
+            "code", "eq",
+            ["code", "code_type", "proc_set", "proc_class", "proc_group",
+             "billing_class"],
+            {"unique_payers": "payer_slug"},
+        ),
+        "payer": (
+            "reporting_entity_name", "ilike",
+            ["payer_slug", "reporting_entity_name"],
+            {"unique_procedures": "code", "unique_provider_groups": "pg_uid"},
+        ),
+    }
+
+    def search_rollup(
+        self,
+        search_type: str,
+        value: str,
+        state: str,
+        year_month: str,
+        limit: int = 100,
+    ) -> DataFrame:
+        """The reference's single-field search endpoints: one filter over
+        the search index + an identity-grain rollup of rate stats,
+        ordered by rate_count. The reference serves these from
+        per-endpoint materialized views; the QUERY is identical over the
+        live index (materialize ``search_index()`` once and build a lake
+        whose fact IS that table for the reference's serving latency).
+        The reference's bare ``ORDER BY rate_count DESC`` is
+        tie-nondeterministic under LIMIT — the identity columns join the
+        sort as a total-order tie-break (the rate_detail fix)."""
+        col, op, group_cols, extras = self.SEARCH_ROLLUPS[search_type]
+        idx = self.search_index().filter(
+            (F.col("state") == state) & (F.col("year_month") == year_month)
+        )
+        if op == "eq":
+            idx = idx.filter(F.col(col) == value)
+        else:
+            idx = idx.filter(F.col(col).ilike(f"%{value}%"))
+        present = [c for c in group_cols if c in idx.columns]
+        out = idx.groupBy(*present).agg(
+            F.count("*").alias("rate_count"),
+            F.avg("negotiated_rate").alias("avg_rate"),
+            F.min("negotiated_rate").alias("min_rate"),
+            F.max("negotiated_rate").alias("max_rate"),
+            *[
+                F.countDistinct(src).alias(name)
+                for name, src in extras.items()
+                if src in idx.columns
+            ],
+        )
+        return out.orderBy(
+            F.col("rate_count").desc(), *[F.col(c).asc_nulls_last() for c in present]
+        ).limit(limit)
+
+    # -- /api/explore/* (backend/main.py:926-996 →
+    #    utils/optimized_queries.py:828-1025) ---------------------------
+    # explore category name -> search-index column
+    CATEGORY_FIELDS: ClassVar[dict] = {
+        "payer": "reporting_entity_name",
+        "organization": "organization_name",
+        "taxonomy": "primary_taxonomy_desc",
+        "procedure_set": "proc_set",
+        "procedure_class": "proc_class",
+        "procedure": "code",
+        "provider": "npi",
+        "tin": "tin_value",
+    }
+
+    def category_rollup(
+        self,
+        state: str,
+        year_month: str,
+        category: str,
+        source: tuple[str, str] | None = None,
+        limit: int = 25,
+    ) -> DataFrame:
+        """The shared shape behind /api/explore/data-availability AND
+        /api/explore/drill-down: per-value-of-category rollup (record
+        count, distinct providers/procedures, rate stats) over the scoped
+        search index; ``source=(category, value)`` adds the drill-down's
+        source filter. Ordered (record_count DESC, value ASC — the
+        tie-break the reference's bare ORDER BY lacks under LIMIT)."""
+        field = self.CATEGORY_FIELDS[category]
+        idx = self.search_index().filter(
+            (F.col("state") == state)
+            & (F.col("year_month") == year_month)
+            & F.col(field).isNotNull()
+            & (F.col(field) != "")
+        )
+        if source is not None:
+            src_cat, src_val = source
+            idx = idx.filter(F.col(self.CATEGORY_FIELDS[src_cat]) == src_val)
+        out = idx.groupBy(F.col(field).alias("value")).agg(
+            F.count("*").alias("record_count"),
+            F.countDistinct("npi").alias("unique_providers"),
+            F.countDistinct("code").alias("unique_procedures"),
+            F.avg("negotiated_rate").alias("avg_rate"),
+            F.min("negotiated_rate").alias("min_rate"),
+            F.max("negotiated_rate").alias("max_rate"),
+        )
+        return out.orderBy(
+            F.col("record_count").desc(), F.col("value").asc()
+        ).limit(limit)
+
+    def category_statistics(self, state: str, year_month: str) -> DataFrame:
+        """/api/explore/category-stats: one row of distinct-value counts
+        per explore category + total records, over the scoped index."""
+        idx = self.search_index().filter(
+            (F.col("state") == state) & (F.col("year_month") == year_month)
+        )
+        aggs = [
+            F.countDistinct(col).alias(f"unique_{cat}")
+            for cat, col in self.CATEGORY_FIELDS.items()
+            if col in idx.columns
+        ]
+        return idx.agg(*aggs, F.count("*").alias("total_records"))
 
     def rate_summary(self, pred: Column | None = None) -> DataFrame:
         """/api/rates/summary (backend/main.py:127-158, A4): one stats block

@@ -192,6 +192,204 @@ class RateAPI:
             "suggestions": _rows(self.lake.autocomplete(field, prefix, _clamp(k))),
         }
 
+    # -- /api/search/* family (backend/main.py:586-722) ------------------
+    # route search_type -> (StarLake search type, value param name)
+    SEARCH_TYPES = {
+        "tin": ("tin", "tin_value"),
+        "organization": ("organization", "org_name"),
+        "taxonomy": ("taxonomy", "taxonomy_desc"),
+        "procedure-category": ("procedure_category", "proc_class"),
+        "billing-code": ("billing_code", "billing_code"),
+        "payer": ("payer", "payer_name"),
+    }
+
+    def search(
+        self, search_type: str, value: str, state: str, year_month: str,
+        limit: int = 100,
+    ) -> dict[str, Any]:
+        lake_type, _ = self.SEARCH_TYPES[search_type]
+        results = _rows(
+            self.lake.search_rollup(
+                lake_type, value, state, year_month, _clamp(limit)
+            )
+        )
+        for r in results:
+            for k in ("avg_rate", "min_rate", "max_rate"):
+                if k in r:
+                    r[k] = _round2(r[k])
+        return {
+            "search_type": lake_type,
+            "search_value": value,
+            "state": state,
+            "year_month": year_month,
+            "result_count": len(results),
+            "results": results,
+        }
+
+    # -- /api/search/multi-field (backend/main.py:724-789) ---------------
+    # query param -> (index column, 'in' | 'ilike-any'); comma-separated
+    # values fan out into IN lists / OR'd ILIKEs like the reference's
+    # parse_multi_value + build_in/ilike_clause pair
+    MULTI_FIELDS = {
+        "primary_taxonomy_desc": ("primary_taxonomy_desc", "in"),
+        "organization_name": ("organization_name", "ilike-any"),
+        "npi": ("npi", "in"),
+        "enumeration_type": ("enumeration_type", "in"),
+        "billing_class": ("billing_class", "in"),
+        "proc_set": ("proc_set", "in"),
+        "proc_class": ("proc_class", "in"),
+        "proc_group": ("proc_group", "in"),
+        "billing_code": ("code", "in"),
+        "tin_value": ("tin_value", "in"),
+        "payer": ("reporting_entity_name", "ilike-any"),
+    }
+
+    def multi_field(
+        self, state: str, year_month: str, limit: int = 100, **filters: Any
+    ) -> dict[str, Any]:
+        from pyspark.sql import functions as F
+
+        pred = build_filter(eq={"state": state, "year_month": year_month})
+        for param, raw in filters.items():
+            if param not in self.MULTI_FIELDS or raw in (None, ""):
+                continue
+            col, op = self.MULTI_FIELDS[param]
+            values = [v.strip() for v in str(raw).split(",") if v.strip()]
+            if not values:
+                continue
+            if op == "in":
+                pred = pred & F.col(col).isin(values)
+            else:
+                any_like = F.lit(False)
+                for v in values:
+                    any_like = any_like | F.col(col).ilike(f"%{v}%")
+                pred = pred & any_like
+        results = _rows(self.lake.multi_field_search(pred, limit=_clamp(limit)))
+        for r in results:
+            if "negotiated_rate" in r:
+                r["negotiated_rate"] = _round2(r["negotiated_rate"])
+        return {
+            "search_type": "multi_field",
+            "state": state,
+            "year_month": year_month,
+            "filters": {k: v for k, v in filters.items() if k in self.MULTI_FIELDS},
+            "result_count": len(results),
+            "results": results,
+        }
+
+    # -- /api/health (backend/main.py:62) --------------------------------
+    def health(self) -> dict[str, Any]:
+        return {"status": "healthy", "engine": "spark"}
+
+    # -- /api/explore/data-availability (backend/main.py:926-950) --------
+    CATEGORY_INFO = {
+        "payer": ("Payer Name", "Insurance companies and payers"),
+        "organization": ("Organization Name", "Healthcare organizations and provider groups"),
+        "taxonomy": ("Taxonomy Description", "Provider specialties and taxonomy classifications"),
+        "procedure_set": ("Procedure Set", "High-level procedure categories"),
+        "procedure_class": ("Procedure Class", "Detailed procedure classifications"),
+    }
+
+    def explore_availability(
+        self, state: str, year_month: str, category: str,
+        limit: int = 25, offset: int = 0,
+    ) -> dict[str, Any]:
+        limit, offset = _clamp(limit), max(0, min(int(offset), MAX_ROWS))
+        if category not in self.CATEGORY_INFO:
+            rows: list[dict[str, Any]] = []
+        else:
+            label, desc = self.CATEGORY_INFO[category]
+            rows = _rows(
+                self.lake.category_rollup(
+                    state, year_month, category, limit=min(limit + offset, MAX_ROWS)
+                )
+            )[offset:]
+            field = self.lake.CATEGORY_FIELDS[category]
+            for r in rows:
+                for k in ("avg_rate", "min_rate", "max_rate"):
+                    r[k] = _round2(r[k])
+                r["category_info"] = {
+                    "field": field, "label": label, "description": desc,
+                }
+        return {
+            "state": state, "year_month": year_month, "category": category,
+            "limit": limit, "offset": offset,
+            "result_count": len(rows), "has_more": len(rows) == limit,
+            "results": rows,
+        }
+
+    # -- /api/explore/category-stats (backend/main.py:952-968) -----------
+    def category_stats(self, state: str, year_month: str) -> dict[str, Any]:
+        row = _one(self.lake.category_statistics(state, year_month))
+        labels = {
+            "payer": ("Payers", "Insurance companies and payers"),
+            "organization": ("Organizations", "Healthcare organizations and provider groups"),
+            "taxonomy": ("Taxonomies", "Provider specialties and classifications"),
+            "procedure_set": ("Procedure Sets", "High-level procedure categories"),
+            "procedure_class": ("Procedure Classes", "Detailed procedure classifications"),
+            "procedure": ("Procedures", "Individual procedure codes"),
+            "provider": ("Providers", "Individual healthcare providers"),
+            "tin": ("TINs", "Tax identification numbers"),
+        }
+        stats: dict[str, Any] = {}
+        for cat, (label, desc) in labels.items():
+            key = f"unique_{cat}"
+            if key in row:
+                stats[cat] = {"count": row[key], "label": label, "description": desc}
+        stats["total_records"] = row["total_records"]
+        return {
+            "state": state, "year_month": year_month,
+            "category_statistics": stats,
+        }
+
+    # -- /api/explore/drill-down (backend/main.py:970-996) ---------------
+    def drill_down(
+        self, state: str, year_month: str, category: str,
+        selected_value: str, drill_category: str, limit: int = 50,
+    ) -> dict[str, Any]:
+        known = self.lake.CATEGORY_FIELDS
+        if category not in known or drill_category not in known:
+            rows: list[dict[str, Any]] = []
+        else:
+            rows = _rows(
+                self.lake.category_rollup(
+                    state, year_month, drill_category,
+                    source=(category, selected_value), limit=_clamp(limit),
+                )
+            )
+            for r in rows:
+                for k in ("avg_rate", "min_rate", "max_rate"):
+                    r[k] = _round2(r[k])
+                r["source_category"] = category
+                r["source_value"] = selected_value
+                r["drill_category"] = drill_category
+        return {
+            "state": state, "year_month": year_month,
+            "source_category": category, "selected_value": selected_value,
+            "drill_category": drill_category,
+            "result_count": len(rows), "results": rows,
+        }
+
+    # thin per-type wrappers so the route table can address each
+    # reference search URL by method name
+    def search_tin(self, tin_value, state, year_month, limit=100):
+        return self.search("tin", tin_value, state, year_month, limit)
+
+    def search_organization(self, org_name, state, year_month, limit=100):
+        return self.search("organization", org_name, state, year_month, limit)
+
+    def search_taxonomy(self, taxonomy_desc, state, year_month, limit=100):
+        return self.search("taxonomy", taxonomy_desc, state, year_month, limit)
+
+    def search_procedure_category(self, proc_class, state, year_month, limit=100):
+        return self.search("procedure-category", proc_class, state, year_month, limit)
+
+    def search_billing_code(self, billing_code, state, year_month, limit=100):
+        return self.search("billing-code", billing_code, state, year_month, limit)
+
+    def search_payer(self, payer_name, state, year_month, limit=100):
+        return self.search("payer", payer_name, state, year_month, limit)
+
     # -- /api/explore drilldown (optimized_queries.py:966-1024) ----------
     def explore(self, group_by: str, k: int = 20, **fix: Any) -> dict[str, Any]:
         """URL form of :meth:`drilldown`: every query param besides
@@ -221,8 +419,23 @@ _ROUTES = {
     "/api/autocomplete": ("autocomplete", ["field", "prefix", "k"]),
     # every query param besides group_by/k is a fixed dimension
     "/api/explore/drilldown": ("explore", ["group_by", "k", "*"]),
+    # the reference's full URL surface (backend/main.py:57-996)
+    "/": ("health", []),
+    "/api/health": ("health", []),
+    "/api/meta/available-data": ("data_availability", []),
+    "/api/search/statistics": ("statistics", []),
+    "/api/search/tin": ("search_tin", ["tin_value", "state", "year_month", "limit"]),
+    "/api/search/organization": ("search_organization", ["org_name", "state", "year_month", "limit"]),
+    "/api/search/taxonomy": ("search_taxonomy", ["taxonomy_desc", "state", "year_month", "limit"]),
+    "/api/search/procedure-category": ("search_procedure_category", ["proc_class", "state", "year_month", "limit"]),
+    "/api/search/billing-code": ("search_billing_code", ["billing_code", "state", "year_month", "limit"]),
+    "/api/search/payer": ("search_payer", ["payer_name", "state", "year_month", "limit"]),
+    "/api/search/multi-field": ("multi_field", ["state", "year_month", "limit", "*"]),
+    "/api/explore/data-availability": ("explore_availability", ["state", "year_month", "category", "limit", "offset"]),
+    "/api/explore/category-stats": ("category_stats", ["state", "year_month"]),
+    "/api/explore/drill-down": ("drill_down", ["state", "year_month", "category", "selected_value", "drill_category", "limit"]),
 }
-_INT_PARAMS = {"limit", "k"}
+_INT_PARAMS = {"limit", "k", "offset"}
 
 
 def serve(api: RateAPI, host: str = "127.0.0.1", port: int = 8000, block: bool = True):
@@ -241,12 +454,20 @@ def serve(api: RateAPI, host: str = "127.0.0.1", port: int = 8000, block: bool =
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 — http.server API
             parsed = urlparse(self.path)
-            route = _ROUTES.get(parsed.path)
+            path = parsed.path
+            # /api/autocomplete/{field} — the reference's PATH-parameter
+            # form (backend/main.py:791) next to the query-param form
+            extra: dict[str, str] = {}
+            if path.startswith("/api/autocomplete/") and path.count("/") == 3:
+                extra["field"] = path.rsplit("/", 1)[1]
+                path = "/api/autocomplete"
+            route = _ROUTES.get(path)
             if route is None:
                 self._send(404, {"error": f"unknown endpoint {parsed.path}"})
                 return
             method, params = route
             q = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+            q.update(extra)
             kwargs = {}
             for p in params:
                 if p == "*":  # pass-through: remaining params as-is

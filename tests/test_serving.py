@@ -40,7 +40,19 @@ def api(spark):
         "npi string, organization_name string, first_name string, last_name string, "
         "primary_taxonomy_desc string, enumeration_type string, status string",
     )
-    return RateAPI(StarLake(fact=fact, dim_code=dim_code, dim_npi=dim_npi))
+    xref_npi = spark.createDataFrame(
+        [("pg1", "n1"), ("pg2", "n1")], "pg_uid string, npi string"
+    )
+    xref_tin = spark.createDataFrame(
+        [("pg1", "ein", "123456789"), ("pg2", "ein", "987654321")],
+        "pg_uid string, tin_type string, tin_value string",
+    )
+    return RateAPI(
+        StarLake(
+            fact=fact, dim_code=dim_code, dim_npi=dim_npi,
+            xref_npi=xref_npi, xref_tin=xref_tin,
+        )
+    )
 
 
 def test_rate_summary_envelope(api):
@@ -150,6 +162,12 @@ def test_every_endpoint_plan_carries_global_limit(api, monkeypatch):
     monkeypatch.setattr(frame_cls, "collect", spy)
     calls = [
         ("rate_summary", lambda: api.rate_summary("GA", "2025-01")),
+        ("search_tin", lambda: api.search_tin("123456789", "GA", "2025-01", limit=10**9)),
+        ("search_payer", lambda: api.search_payer("aetna", "GA", "2025-01", limit=10**9)),
+        ("multi_field", lambda: api.multi_field("GA", "2025-01", limit=10**9, billing_code="99213")),
+        ("explore_availability", lambda: api.explore_availability("GA", "2025-01", "payer", limit=10**9)),
+        ("category_stats", lambda: api.category_stats("GA", "2025-01")),
+        ("drill_down", lambda: api.drill_down("GA", "2025-01", "payer", "Aetna Inc", "organization", limit=10**9)),
         ("rates_by_payer", lambda: api.rates_by_payer("GA", "2025-01", limit=10**9)),
         ("rates_by_procedure", lambda: api.rates_by_procedure("GA", "2025-01", limit=10**9)),
         ("rate_detail", lambda: api.rate_detail("GA", "2025-01")),
@@ -174,3 +192,84 @@ def test_every_endpoint_plan_carries_global_limit(api, monkeypatch):
         and not (mr is not None and mr <= MAX_ROWS)
     ]
     assert not unlimited, f"endpoints collecting without a limit: {unlimited}"
+
+
+def test_search_family_envelopes(api):
+    """The /api/search/* rollups (round-5: URL surface completed): each
+    returns the reference's envelope with identity-grain rate stats."""
+    tin = api.search_tin("123456789", "GA", "2025-01")
+    assert tin["search_type"] == "tin" and tin["result_count"] == 1
+    r = tin["results"][0]
+    assert r["tin_value"] == "123456789" and r["rate_count"] == 2
+    assert r["avg_rate"] == pytest.approx(150.28, abs=0.01)
+    assert r["organization_name"] == "ACME CLINIC"
+
+    org = api.search_organization("acme", "GA", "2025-01")
+    assert org["result_count"] == 1 and org["results"][0]["rate_count"] == 3
+
+    payer = api.search_payer("aetna", "GA", "2025-01")
+    assert payer["results"][0]["payer_slug"] == "aetna"
+    assert payer["results"][0]["unique_procedures"] == 2
+    assert payer["results"][0]["unique_provider_groups"] == 1
+
+    code = api.search_billing_code("99213", "GA", "2025-01")
+    # groups by billing_class too (the reference's grain): professional
+    # and institutional rows split
+    assert code["result_count"] == 2
+    assert all(r["rate_count"] == 1 for r in code["results"])
+
+    mf = api.multi_field("GA", "2025-01", billing_code="99213,99215", payer="aet")
+    assert mf["search_type"] == "multi_field" and mf["result_count"] == 2
+    assert {r["code"] for r in mf["results"]} == {"99213", "99215"}
+
+
+def test_explore_family_envelopes(api):
+    av = api.explore_availability("GA", "2025-01", "payer", limit=10)
+    assert av["result_count"] == 2 and not av["has_more"]
+    top = av["results"][0]
+    assert top["value"] in ("Aetna Inc", "United") and top["record_count"] >= 1
+    assert top["category_info"]["field"] == "reporting_entity_name"
+
+    stats = api.category_stats("GA", "2025-01")["category_statistics"]
+    assert stats["payer"]["count"] == 2 and stats["total_records"] == 3
+    assert stats["tin"]["count"] == 2
+
+    dd = api.drill_down("GA", "2025-01", "payer", "Aetna Inc", "procedure")
+    assert dd["result_count"] == 2
+    assert {r["value"] for r in dd["results"]} == {"99213", "99215"}
+    assert dd["results"][0]["source_category"] == "payer"
+
+
+def test_reference_url_surface(api):
+    """Every reference URL (backend/main.py:57-996) resolves: health,
+    search family, explore family, aliases, and the path-parameter
+    autocomplete form."""
+    server = serve(api, port=0, block=False)
+    try:
+        port = server.server_address[1]
+
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as resp:
+                assert resp.status == 200, path
+                return json.loads(resp.read())
+
+        assert get("/api/health")["status"] == "healthy"
+        assert get("/")["status"] == "healthy"
+        scope = "state=GA&year_month=2025-01"
+        assert get(f"/api/search/tin?tin_value=123456789&{scope}")["result_count"] == 1
+        assert get(f"/api/search/organization?org_name=acme&{scope}")["result_count"] == 1
+        assert get(f"/api/search/payer?payer_name=united&{scope}")["result_count"] == 1
+        assert get(f"/api/search/billing-code?billing_code=99213&{scope}")["result_count"] == 2
+        mf = get(f"/api/search/multi-field?{scope}&billing_code=99213,99215")
+        assert mf["result_count"] == 3  # f1, f2, f3 (no payer filter here)
+        assert get("/api/meta/available-data")["count"] == get("/api/meta/data-availability")["count"]
+        assert get("/api/search/statistics")["total_rates"] == 5
+        assert get(f"/api/explore/data-availability?{scope}&category=payer")["result_count"] == 2
+        assert get(f"/api/explore/category-stats?{scope}")["category_statistics"]["total_records"] == 3
+        dd = get(f"/api/explore/drill-down?{scope}&category=payer&selected_value=Aetna%20Inc&drill_category=procedure")
+        assert dd["result_count"] == 2
+        # path-parameter autocomplete form
+        ac = get("/api/autocomplete/code?prefix=99")
+        assert ac["suggestions"][0]["value"] == "99213"
+    finally:
+        server.shutdown()
