@@ -133,6 +133,10 @@ class StarLake:
     dim_npi_address: DataFrame | None = None
     xref_npi: DataFrame | None = None
     xref_tin: DataFrame | None = None
+    # a materialized copy of search_index() (materialize_search_index):
+    # when set, every index-derived endpoint reads it instead of
+    # re-joining the star — the reference's comprehensive_search_index MV
+    search_index_table: DataFrame | None = None
 
     @classmethod
     def load(cls, spark: SparkSession, lake_dir: str) -> StarLake:
@@ -160,6 +164,8 @@ class StarLake:
         groups and dim_npi with the NPI universe, so their join strategy is
         left to size stats + AQE (a forced hint OOMs the build side at
         scale)."""
+        if self.search_index_table is not None:
+            return self.search_index_table
         df = self.fact
         if self.xref_npi is not None:
             df = df.join(self.xref_npi, on="pg_uid", how="left")
@@ -575,6 +581,31 @@ class StarLake:
             ["year_month", "state", "payer_slug", "billing_class", "code_type", "code"],
             distinct_counts=distinct_counts,
             approx=approx,
+        )
+
+    def materialize_search_index(self, path: str) -> StarLake:
+        """The reference's comprehensive_search_index MV
+        (DASHBOARD_OPTIMIZATION_GUIDE.md: per-endpoint search views,
+        10-50x): write the joined index ONCE, partitioned by
+        (state, year_month) so every scoped endpoint prunes to its
+        partition, and return a lake whose index-derived endpoints
+        (search_rollup, category_rollup, multi_field_search, ...) read
+        the MV instead of re-joining the star per request. Refresh =
+        re-materialize the touched (state, year_month) partitions, the
+        refresh_market_rates pattern."""
+        spark = self.fact.sparkSession
+        self.search_index().write.mode("overwrite").partitionBy(
+            "state", "year_month"
+        ).parquet(path)
+        return StarLake(
+            fact=self.fact,
+            dim_code=self.dim_code,
+            dim_code_cat=self.dim_code_cat,
+            dim_npi=self.dim_npi,
+            dim_npi_address=self.dim_npi_address,
+            xref_npi=self.xref_npi,
+            xref_tin=self.xref_tin,
+            search_index_table=spark.read.parquet(path),
         )
 
     def materialize_market_rates(self, path: str) -> DataFrame:

@@ -273,3 +273,21 @@ def test_reference_url_surface(api):
         assert ac["suggestions"][0]["value"] == "99213"
     finally:
         server.shutdown()
+
+
+def test_materialized_search_index_serves_identically_and_prunes(api, tmp_path):
+    """The reference's comprehensive_search_index MV path: results over
+    the materialized index equal the live-join results, and a scoped
+    endpoint's scan carries partition filters on (state, year_month) —
+    the pruning that makes MV serving 10-50x."""
+    mv_lake = api.lake.materialize_search_index(str(tmp_path / "search_mv"))
+    live = api.lake.search_rollup("payer", "aetna", "GA", "2025-01").collect()
+    mat = mv_lake.search_rollup("payer", "aetna", "GA", "2025-01")
+    assert sorted(map(tuple, mat.collect())) == sorted(map(tuple, live))
+    plan = mat._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the filters actually bind the partition columns
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "state" in pf and "year_month" in pf, pf
