@@ -516,9 +516,28 @@ class StarLake:
             F.countDistinct("billing_class").alias("billing_classes"),
         )
 
-    def dimension_values(self, dimension: str, k: int = 100) -> DataFrame:
-        """/api/meta/dimension-values (backend/main.py:505-580, A7)."""
-        return faceted_counts(self.fact, dimension, k)
+    def dimension_values(
+        self,
+        dimension: str,
+        k: int = 100,
+        state: str | None = None,
+        year_month: str | None = None,
+    ) -> DataFrame:
+        """/api/meta/dimension-values (backend/main.py:505-580, A7).
+        The reference scopes by (state, year_month) — optional here so
+        the unscoped facet form stays available — and resolves
+        ``tin_value`` through the TIN xref (the only non-fact
+        dimension)."""
+        src = self.fact
+        if dimension == "tin_value" and self.xref_tin is not None:
+            src = src.join(
+                self.xref_tin.select("pg_uid", "tin_value"), on="pg_uid"
+            )
+        if state is not None:
+            src = src.filter(F.col("state") == state)
+        if year_month is not None:
+            src = src.filter(F.col("year_month") == year_month)
+        return faceted_counts(src, dimension, k)
 
     def drilldown(self, fix: dict[str, object], group_by: str, k: int = 20) -> DataFrame:
         """/api/explore drill-down (optimized_queries.py:966-1024, A10):

@@ -178,11 +178,26 @@ class RateAPI:
         return _one(self.lake.dashboard_statistics())
 
     # -- /api/meta/dimension-values (backend/main.py:505-580) ------------
-    def dimension_values(self, dimension: str, k: int = 100) -> dict[str, Any]:
-        return {
+    def dimension_values(
+        self, dimension: str, k: int = 100,
+        state: str | None = None, year_month: str | None = None,
+    ) -> dict[str, Any]:
+        rows = _rows(
+            self.lake.dimension_values(
+                dimension, _clamp(k), state=state, year_month=year_month
+            )
+        )
+        out: dict[str, Any] = {
             "dimension": dimension,
-            "values": _rows(self.lake.dimension_values(dimension, _clamp(k))),
+            "values": [
+                {"value": r["facet"], "count": r["n"]} for r in rows
+            ],
         }
+        if state is not None:
+            out["state"] = state
+        if year_month is not None:
+            out["year_month"] = year_month
+        return out
 
     # -- /api/autocomplete (backend/main.py:791-906) ---------------------
     def autocomplete(self, field: str, prefix: str, k: int = 15) -> dict[str, Any]:
@@ -415,7 +430,7 @@ _ROUTES = {
     "/api/providers/search": ("provider_search", ["q", "limit"]),
     "/api/meta/data-availability": ("data_availability", []),
     "/api/statistics": ("statistics", []),
-    "/api/meta/dimension-values": ("dimension_values", ["dimension", "k"]),
+    "/api/meta/dimension-values": ("dimension_values", ["dimension", "k", "state", "year_month"]),
     "/api/autocomplete": ("autocomplete", ["field", "prefix", "k"]),
     # every query param besides group_by/k is a fixed dimension
     "/api/explore/drilldown": ("explore", ["group_by", "k", "*"]),

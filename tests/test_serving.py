@@ -84,8 +84,17 @@ def test_statistics_and_dimension_values(api):
     stats = api.statistics()
     assert stats["total_rates"] == 5 and stats["states"] == 2
     dims = api.dimension_values("billing_class")
-    vals = {v["facet"]: v["n"] for v in dims["values"]}
+    vals = {v["value"]: v["count"] for v in dims["values"]}
     assert vals == {"professional": 4, "institutional": 1}
+    # the reference's scoped form + the xref-resolved tin dimension
+    scoped = api.dimension_values("billing_class", state="GA", year_month="2025-01")
+    assert {v["value"]: v["count"] for v in scoped["values"]} == {
+        "professional": 2, "institutional": 1,
+    }
+    tins = api.dimension_values("tin_value", state="GA", year_month="2025-01")
+    assert {v["value"]: v["count"] for v in tins["values"]} == {
+        "123456789": 2, "987654321": 1,
+    }
 
 
 def test_provider_search_and_autocomplete(api):
