@@ -564,6 +564,53 @@ class StarLake:
             .limit(k)
         )
 
+    # reference autocomplete field id -> (source attr, column, scoped?)
+    # (backend/main.py:791-906: fact fields scope by state/year_month,
+    # dim/xref fields are unscoped distinct-value lists)
+    AUTOCOMPLETE_SOURCES: ClassVar[dict] = {
+        "billing_class": ("fact", "billing_class", True),
+        "payer": ("fact", "reporting_entity_name", True),
+        "billing_code": ("fact", "code", True),
+        "proc_class": ("dim_code_cat", "proc_class", False),
+        "proc_set": ("dim_code_cat", "proc_set", False),
+        "proc_group": ("dim_code_cat", "proc_group", False),
+        "primary_taxonomy_desc": ("dim_npi", "primary_taxonomy_desc", False),
+        "organization_name": ("dim_npi", "organization_name", False),
+        "npi": ("dim_npi", "npi", False),
+        "tin_value": ("xref_tin", "tin_value", False),
+    }
+
+    def autocomplete_values(
+        self,
+        field: str,
+        state: str | None = None,
+        year_month: str | None = None,
+        limit: int = 20,
+    ) -> DataFrame:
+        """The reference's /api/autocomplete/{field} semantics verbatim:
+        DISTINCT non-empty values of the field from its OWN source table
+        (fact fields scoped by state/year_month; category, provider and
+        TIN fields straight off their dim/xref), ordered by value ASC.
+        (The reference echoes but never applies the query string — the
+        substring form lives in :meth:`autocomplete`.)"""
+        src_attr, col, scoped = self.AUTOCOMPLETE_SOURCES[field]
+        src = getattr(self, src_attr)
+        if src is None:
+            raise ValueError(f"lake has no {src_attr} table for field {field!r}")
+        df = src
+        if scoped:
+            if state is not None:
+                df = df.filter(F.col("state") == state)
+            if year_month is not None:
+                df = df.filter(F.col("year_month") == year_month)
+        return (
+            df.filter(F.col(col).isNotNull() & (F.col(col) != ""))
+            .select(F.col(col).alias("value"))
+            .distinct()
+            .orderBy(F.col("value").asc())
+            .limit(limit)
+        )
+
     def staged_funnel(self, stages: list[tuple[str, object | None]], k: int = 15) -> list[DataFrame]:
         """The 5-step staged dashboard (staged_dashboard.py:95-402): at each
         stage, facet counts for the next dimension under the filters chosen

@@ -200,11 +200,53 @@ class RateAPI:
         return out
 
     # -- /api/autocomplete (backend/main.py:791-906) ---------------------
-    def autocomplete(self, field: str, prefix: str, k: int = 15) -> dict[str, Any]:
+    def autocomplete(
+        self, field: str, prefix: str = "", k: int = 15,
+        query: str | None = None, state: str | None = None,
+        year_month: str | None = None, limit: int | None = None,
+    ) -> dict[str, Any]:
+        """Reference-scoped form (state + year_month given): per-field
+        DISTINCT value list from the field's own source table, the exact
+        /api/autocomplete/{field} contract (bare string suggestions,
+        query echoed). Legacy form otherwise: substring-filtered
+        most-common-first facets."""
+        if state is not None and year_month is not None:
+            lim = _clamp(limit if limit is not None else k)
+            values = [
+                r["value"]
+                for r in _rows(
+                    self.lake.autocomplete_values(field, state, year_month, lim)
+                )
+            ]
+            return {
+                "field": field,
+                "query": query if query is not None else prefix,
+                "state": state,
+                "year_month": year_month,
+                "suggestions": values,
+            }
         return {
             "field": field,
             "prefix": prefix,
             "suggestions": _rows(self.lake.autocomplete(field, prefix, _clamp(k))),
+        }
+
+    # -- /api/search/statistics (backend/main.py:908-924) ----------------
+    def search_statistics(self, state: str, year_month: str) -> dict[str, Any]:
+        row = _one(self.lake.category_statistics(state, year_month))
+        return {
+            "state": state,
+            "year_month": year_month,
+            "statistics": {
+                "unique_providers": row.get("unique_provider", 0),
+                "unique_organizations": row.get("unique_organization", 0),
+                "unique_taxonomies": row.get("unique_taxonomy", 0),
+                "unique_procedures": row.get("unique_procedure", 0),
+                "unique_procedure_classes": row.get("unique_procedure_class", 0),
+                "unique_payers": row.get("unique_payer", 0),
+                "unique_tins": row.get("unique_tin", 0),
+                "total_records": row["total_records"],
+            },
         }
 
     # -- /api/search/* family (backend/main.py:586-722) ------------------
@@ -431,14 +473,14 @@ _ROUTES = {
     "/api/meta/data-availability": ("data_availability", []),
     "/api/statistics": ("statistics", []),
     "/api/meta/dimension-values": ("dimension_values", ["dimension", "k", "state", "year_month"]),
-    "/api/autocomplete": ("autocomplete", ["field", "prefix", "k"]),
+    "/api/autocomplete": ("autocomplete", ["field", "prefix", "k", "query", "state", "year_month", "limit"]),
     # every query param besides group_by/k is a fixed dimension
     "/api/explore/drilldown": ("explore", ["group_by", "k", "*"]),
     # the reference's full URL surface (backend/main.py:57-996)
     "/": ("health", []),
     "/api/health": ("health", []),
     "/api/meta/available-data": ("data_availability", []),
-    "/api/search/statistics": ("statistics", []),
+    "/api/search/statistics": ("search_statistics", ["state", "year_month"]),
     "/api/search/tin": ("search_tin", ["tin_value", "state", "year_month", "limit"]),
     "/api/search/organization": ("search_organization", ["org_name", "state", "year_month", "limit"]),
     "/api/search/taxonomy": ("search_taxonomy", ["taxonomy_desc", "state", "year_month", "limit"]),

@@ -272,14 +272,23 @@ def test_reference_url_surface(api):
         mf = get(f"/api/search/multi-field?{scope}&billing_code=99213,99215")
         assert mf["result_count"] == 3  # f1, f2, f3 (no payer filter here)
         assert get("/api/meta/available-data")["count"] == get("/api/meta/data-availability")["count"]
-        assert get("/api/search/statistics")["total_rates"] == 5
+        ss = get(f"/api/search/statistics?{scope}")
+        assert ss["statistics"]["total_records"] == 3
+        assert ss["statistics"]["unique_payers"] == 2
+        assert ss["statistics"]["unique_tins"] == 2
         assert get(f"/api/explore/data-availability?{scope}&category=payer")["result_count"] == 2
         assert get(f"/api/explore/category-stats?{scope}")["category_statistics"]["total_records"] == 3
         dd = get(f"/api/explore/drill-down?{scope}&category=payer&selected_value=Aetna%20Inc&drill_category=procedure")
         assert dd["result_count"] == 2
-        # path-parameter autocomplete form
+        # path-parameter autocomplete form, legacy prefix flavor
         ac = get("/api/autocomplete/code?prefix=99")
         assert ac["suggestions"][0]["value"] == "99213"
+        # reference-scoped flavor: bare value list from the field's own
+        # source, value-ascending (backend/main.py:791-906)
+        ref = get(f"/api/autocomplete/billing_code?query=9&{scope}")
+        assert ref["suggestions"] == ["99213", "99215"]
+        tin = get(f"/api/autocomplete/tin_value?query=&{scope}")
+        assert tin["suggestions"] == ["123456789", "987654321"]
     finally:
         server.shutdown()
 
