@@ -3185,3 +3185,66 @@ def x6_posexplode(spark, sf_dir):
             F.max("pos").cast("long").alias("last_pos"),
         )
     )
+
+
+@register(
+    "a19_robust_spread",
+    # two-pass robust stats: exact interpolated median (the a4/W3
+    # percentile-parity recipe), then median absolute deviation and a
+    # 3-MAD outlier count — the robust outlier screen a rate-integrity
+    # audit runs where avg/stddev would be dragged by the outliers
+    # themselves
+    """WITH v AS (
+         SELECT l_returnflag, round(l_extendedprice, 2) AS v FROM lineitem),
+       med AS (
+         SELECT l_returnflag, quantile_cont(v, 0.5) AS median_v
+         FROM v GROUP BY l_returnflag),
+       dev AS (
+         SELECT v.l_returnflag, v.v, abs(v.v - m.median_v) AS adev, m.median_v
+         FROM v JOIN med m USING (l_returnflag)),
+       mad AS (
+         SELECT l_returnflag, min(median_v) AS median_v,
+                quantile_cont(adev, 0.5) AS mad
+         FROM dev GROUP BY l_returnflag)
+       SELECT d.l_returnflag,
+              CAST(count(*) AS BIGINT) AS n,
+              min(m.median_v) AS median_v,
+              min(m.mad) AS mad,
+              CAST(count(*) FILTER (WHERE d.adev > 3 * m.mad) AS BIGINT)
+                AS n_outliers
+       FROM dev d JOIN mad m USING (l_returnflag)
+       GROUP BY d.l_returnflag""",
+    doc="a19: robust spread + outlier screen (beyond-ref) — per-group "
+    "exact median, median absolute deviation, and the count of rows "
+    "beyond 3 MAD: the outlier-resistant integrity check for negotiated "
+    "rates (mean/stddev move with the very outliers being hunted; "
+    "median/MAD do not). Three group-keyed aggregation passes with the "
+    "tiny per-group stats broadcast back between them — group "
+    "cardinality bounds the joined tables, the fact never re-shuffles "
+    "on a new key.",
+)
+def a19_robust_spread(spark, sf_dir):
+    v = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.round("l_extendedprice", 2).alias("v")
+    )
+    med = v.groupBy("l_returnflag").agg(
+        F.expr("percentile(v, 0.5)").alias("median_v")
+    )
+    dev = v.join(F.broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(F.col("v") - F.col("median_v"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.min("median_v").alias("median_v"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+    return (
+        dev.drop("median_v")
+        .join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("median_v").alias("median_v"),
+            F.min("mad").alias("mad"),
+            F.count_if(F.col("adev") > 3 * F.col("mad")).alias("n_outliers"),
+        )
+    )

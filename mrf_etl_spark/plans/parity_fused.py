@@ -75,6 +75,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("a5_topk_group_stats", ["avg_rate"]),
         ("a6_percentile_profile", ["p10", "p25", "p50", "p75", "p90"]),
         ("a16_weighted_median", ["weighted_median"]),
+        ("a19_robust_spread", ["median_v", "mad"]),
     ],
     "fx_distinct_dedup": [
         ("a9_multi_distinct", []),
@@ -411,6 +412,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "doc_id", "n_sentences", "n_sentence_words",
         "mean_sentence_words", "max_sentence_words",
     ],
+    "a19_robust_spread": ["l_returnflag", "n", "median_v", "mad", "n_outliers"],
     "t14_encoding_sanity": [
         "doc_id", "n_chars", "n_replacement", "n_control",
         "n_non_ascii", "non_ascii_ratio",
