@@ -42,15 +42,31 @@ def _exists(spark: SparkSession, path: str) -> bool:
     return os.path.exists(path)
 
 
-def atomic_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+def atomic_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    sidecar: dict[str, str] | None = None,
+) -> None:
     """Write ``df`` to ``path`` via temp-dir + rename (ETL_1.py:369-389
     `os.replace` parity). The input plan may read from ``path`` itself —
-    the temp write materializes it before the swap."""
+    the temp write materializes it before the swap.
+
+    ``sidecar``: extra small files (name -> text content) written into the
+    temp dir BEFORE the swap, so they become visible atomically with the
+    data they describe (e.g. the streaming MV's ``_applied_batch_id``
+    watermark). Names must start with ``_`` or ``.`` so Spark's parquet
+    reader ignores them."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
+    for name, content in (sidecar or {}).items():
+        if not name.startswith(("_", ".")):
+            raise ValueError(f"sidecar {name!r} would not be ignored by readers")
+        with open(os.path.join(tmp, name), "w") as fh:
+            fh.write(content)
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
     if os.path.exists(path):
         os.rename(path, old)

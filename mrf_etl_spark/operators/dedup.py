@@ -837,9 +837,14 @@ def dedup_quality_report(lsh_pairs: DataFrame, exact_pairs: DataFrame) -> DataFr
     it has just run (the pipe2 composition pattern) instead of paying
     both candidate generations a second time; pass freshly-built frames
     for a standalone audit. One shuffle on the pair key + an O(1) agg —
-    the frames' own lineage (cached or not) is the caller's choice."""
-    e = exact_pairs.select("doc_a", "doc_b").withColumn("in_e", F.lit(1))
-    l = lsh_pairs.select("doc_a", "doc_b").withColumn("in_l", F.lit(1))
+    the frames' own lineage (cached or not) is the caller's choice.
+
+    Both projections are made DISTINCT before the join: the inputs are
+    arbitrary caller-built frames, and a duplicated (doc_a, doc_b) row in
+    either would otherwise inflate n_exact/n_lsh/n_tp and skew recall
+    (cheap relative to the join itself — same shuffle key)."""
+    e = exact_pairs.select("doc_a", "doc_b").distinct().withColumn("in_e", F.lit(1))
+    l = lsh_pairs.select("doc_a", "doc_b").distinct().withColumn("in_l", F.lit(1))
     j = e.join(l, ["doc_a", "doc_b"], "full")
     return j.agg(
         F.sum(F.coalesce("in_e", F.lit(0))).alias("n_exact"),
@@ -887,6 +892,16 @@ def simhash_hamming_pairs(
     """
     from pyspark.sql.window import Window
     from pyspark.storagelevel import StorageLevel
+
+    if not 0 <= max_hamming <= 3:
+        # 4 fixed bands pigeonhole-guarantee recall only for distance <= 3
+        # (d+1 bands are needed for distance d); silently incomplete pairs
+        # at higher thresholds would betray the "exact banded candidates"
+        # contract above
+        raise ValueError(
+            f"max_hamming={max_hamming} not supported: 4 bands guarantee "
+            "complete candidates only for 0 <= max_hamming <= 3"
+        )
 
     # the signature table feeds banding AND both verify sides — persist
     # the compact (doc_id, sig) state so the bit-vote cascade runs once;

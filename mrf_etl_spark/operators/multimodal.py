@@ -63,29 +63,33 @@ def _real_decoders() -> dict:
 def decode_media(payload: bytes, mime: str, fake: bool = False) -> dict:
     """Decode one media payload → features, selecting the path at runtime:
 
-    1. a REAL decoder for the payload's mime family when its optional
-       dependency is importable (PIL for image/*; grayscale pixel mean);
-    2. else the deterministic byte-featurizer stub when `fake=True`
-       (length, header hex, byte-mean — same output contract);
+    1. `fake=True`: ALWAYS the deterministic byte-featurizer stub
+       (length, header hex, byte-mean) — fake mode must produce the same
+       values in every environment, so an importable PIL never shadows
+       it, and synthetic/corrupt payloads can't crash a real decoder;
+    2. else a REAL decoder for the payload's mime family when its
+       optional dependency is importable (PIL for image/*; grayscale
+       pixel mean);
     3. else NotImplementedError naming the missing dependency.
 
     Both paths fill the same keys, so swapping environments changes
-    values only for mime families that gained a real decoder."""
+    values only for mime families that gained a real decoder (and only
+    outside fake mode)."""
+    if fake:
+        return {
+            "n_bytes": len(payload),
+            "header_hex": payload[:4].hex(),
+            "mime": mime,
+            "feat_mean": (sum(payload) / len(payload)) if payload else 0.0,
+        }
     real = _real_decoders().get(mime.split("/")[0])
     if real is not None:
         return {**real(payload), "mime": mime}
-    if not fake:
-        raise NotImplementedError(
-            f"no decoder available for {mime!r} (PIL/torchaudio/ffmpeg not "
-            "importable in this environment); pass fake=True for the "
-            "deterministic stub"
-        )
-    return {
-        "n_bytes": len(payload),
-        "header_hex": payload[:4].hex(),
-        "mime": mime,
-        "feat_mean": (sum(payload) / len(payload)) if payload else 0.0,
-    }
+    raise NotImplementedError(
+        f"no decoder available for {mime!r} (PIL/torchaudio/ffmpeg not "
+        "importable in this environment); pass fake=True for the "
+        "deterministic stub"
+    )
 
 
 def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

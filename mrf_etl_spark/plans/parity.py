@@ -98,6 +98,34 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Plan-gating threshold for a16's two-phase weighted median: below this
+# many input bytes the whole fact sorts comfortably inside the 3-group
+# window tasks and the pre-agg shuffle only adds latency (sf0.1 ≈ 11 MB:
+# one-phase 0.84 s vs two-phase 1.38 s warm); above it the shrink-first
+# plan wins and keeps winning to arbitrary scale (sf1 ≈ 110 MB: 5.3 s ->
+# ~1 s). 64 MiB splits the two measured regimes with margin both ways.
+_A16_TWO_PHASE_BYTES = 64 * 1024 * 1024
+
+
+def _input_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a table's parquet (file or directory) — a zero-job
+    stand-in for catalog statistics, used for plan gating. Returns 0 when
+    unreadable so callers fall back to the small-input plan."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Table reader with a per-session catalog memo: `spark.read.parquet`
     builds a fresh file index + reads footers every call (~0.1 s/table);
@@ -2563,27 +2591,40 @@ def w14_trailing_window(spark, sf_dir):
     "value, so cross-engine parity is exact with no float accumulation.",
 )
 def a16_weighted_median(spark, sf_dir):
-    # Two-phase for group-cardinality scale safety: the window partitions
-    # by l_returnflag (THREE groups), so a row-level window would sort
-    # the whole fact inside 3 tasks. Pre-aggregating weight per (group,
-    # value) first — one map-side-combining shuffle — shrinks the sorted
-    # window input from |fact| rows to |distinct (group, value)| rows,
-    # and is EXACT: if any row of a value-run satisfies cum*2 >= tot,
-    # the run's last row (== the aggregated cumsum) does too, at the
-    # same v, so min(v) is unchanged. Measured at sf1: 5.3 s -> ~1 s.
+    # Two plans, gated on input bytes (round-6: VERDICT r5 flagged the
+    # unconditional two-phase as a 1.5x warm regression at sf0.1):
+    #
+    # * SMALL input (< _A16_TWO_PHASE_BYTES): one row-level window pass.
+    #   Sorting the whole fact inside 3 tasks is fine when the fact fits
+    #   a task; the pre-agg shuffle would only add latency (measured at
+    #   sf0.1 warm: 0.84 s one-phase vs 1.38 s two-phase).
+    # * LARGE input: pre-aggregate weight per (group, value) first — one
+    #   map-side-combining shuffle — shrinking the 3-partition sorted
+    #   window from |fact| rows to |distinct (group, value)| rows.
+    #   Measured at sf1: 5.3 s -> ~1 s; at 100 TB the one-phase plan is
+    #   dead (3 tasks each sorting a third of the fact).
+    #
+    # Both are EXACT and identical in result: within a value-run, if any
+    # row satisfies cum*2 >= tot then the run's last row (== the
+    # aggregated cumsum) does too, at the same v, so min(v) is unchanged.
     li = t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round("l_extendedprice", 2).alias("v"),
         F.col("l_quantity").cast("long").alias("q"),
     )
-    grouped = li.groupBy("l_returnflag", "v").agg(F.sum("q").alias("qv"))
+    if _input_bytes(sf_dir, "lineitem") >= _A16_TWO_PHASE_BYTES:
+        keyed = li.groupBy("l_returnflag", "v").agg(F.sum("q").alias("qv"))
+        order_cols = ["v"]
+    else:
+        keyed = li.select("l_returnflag", "v", F.col("q").alias("qv"))
+        order_cols = ["v", "qv"]
     wc = (
         Window.partitionBy("l_returnflag")
-        .orderBy("v")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wt = Window.partitionBy("l_returnflag")
-    c = grouped.select(
+    c = keyed.select(
         "l_returnflag",
         "v",
         F.sum("qv").over(wc).alias("cum_q"),

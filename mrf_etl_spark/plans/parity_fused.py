@@ -139,25 +139,79 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("s21_orc_roundtrip", ["price_sum"]),
         ("s22_range_layout_write", ["price_sum"]),
     ],
-    # round-4 training-data pipeline flagships: split, domain quota, shard
-    # packing, sequence packing, fuzzy-dedup composition, incremental
-    # dedup. All-integer/string/bool outputs — everything packs into k.
-    "fx_llm_pipelines": [
+    # round-6 rebalance: the r5 fx_llm_pipelines / fx_corpus_release /
+    # fx_dedup_variants probes OOM'd in the driver's verify process (the
+    # Spark JVM holds ~56k of the 65530 vm.max_map_count budget; one
+    # overweight DuckDB statement at default 32 threads tipped it over).
+    # Their 34 components are re-packed into eight lighter probes, grouped
+    # by MEASURED oracle cost at default threads (scripts/measure_oracle.py)
+    # so no single statement is heavy; d8 (the worst, 3.3 s / 525 MB even
+    # with the unrolled closure) gets its own direct window row. Slots were
+    # freed by fusing the cheap direct rows (fx_small_sources,
+    # fx_llm_flagships below).
+    "fx_small_sources": [
+        ("s1_pruned_scan", ["sum_price"]),
+        ("s2_corrupt_salvage", []),
+        ("s5_excel_sheets", ["rate_sum"]),
+        ("s6_sqlite_source", ["wi_sum"]),
+        ("s7_code_list_filter", []),
+        ("s11_atomic_publish", []),
+    ],
+    "fx_llm_flagships": [
+        ("d1_exact_dup", []),
+        ("t2_quality_score", ["punct_ratio", "stopword_ratio", "quality"]),
+        ("t8_contamination", ["overlap_frac"]),
+    ],
+    "fx_dedup_pairs": [
+        ("d3_ngram_jaccard", ["jaccard"]),
+        ("d10_ngram_containment", ["containment"]),
+        ("d4b_simhash_hamming", []),
+        ("d7_repeated_passages", []),
+    ],
+    "fx_dedup_quality": [
+        ("d5_embedding_near_dup", ["cosine"]),
+        ("q4_dedup_quality", ["recall"]),
+    ],
+    "fx_dedup_pipelines": [
+        ("pipe2_fuzzy_dedup", []),
+        ("d9_incremental_dedup", []),
+    ],
+    "fx_splits_a": [
         ("sp1_hash_split", []),
+        ("sp2_stratified_sample", []),
+        ("sp3_temporal_split", []),
         ("sp4_domain_cap", []),
+        ("sp10_length_buckets", []),
+    ],
+    "fx_splits_b": [
         ("sp5_pack_shards", []),
         ("sp6_sequence_pack", []),
         ("sp7_source_mix", []),
-        ("pipe2_fuzzy_dedup", []),
-        ("d9_incremental_dedup", []),
-        ("sp2_stratified_sample", []),
-        ("sp3_temporal_split", []),
-        ("sp10_length_buckets", []),
-        # q4_dedup_quality rides fx_dedup_variants (round 5) rather than
-        # this probe, so its two cascades don't double THIS probe's cost.
-        ("pipe4_eval_suite", []),
-        ("e2_embedding_dim_stats", ["v_min", "v_max", "v_mean"]),
         ("sp13_temperature_mix", []),
+        ("e2_embedding_dim_stats", ["v_min", "v_max", "v_mean"]),
+    ],
+    "fx_eval_suites": [
+        ("pipe4_eval_suite", []),
+        ("sp9_quota_sample", []),
+        ("q3_prep_funnel", []),
+    ],
+    "fx_text_quality": [
+        ("t1_lang_id", ["score_en", "score_es", "score_fr", "score_de", "score_zh"]),
+        ("t4_fingerprint", []),
+        ("t10_boilerplate_flags", ["boiler_frac"]),
+        ("t11_rare_token_ratio", ["rare_ratio"]),
+        ("t12_type_token_ratio", ["ttr"]),
+        ("t15_source_similarity", ["cosine"]),
+    ],
+    "fx_corpus_cards": [
+        ("q2_corpus_card", ["words_p50", "words_p90", "chars_avg"]),
+        ("q5_corpus_drift", ["mean_len_a", "mean_len_b", "count_ratio"]),
+        ("sp8_global_shuffle", []),
+        ("d4_simhash", []),
+    ],
+    "fx_release_flow": [
+        ("pipe3_corpus_release", []),
+        ("n3_ann_lsh", ["cosine"]),
     ],
     # round-4 session 2: three probes free the j5/j9/j12 slots (those
     # fuse into fx_key_joins) so the media family and the corpus-release
@@ -202,15 +256,6 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("t13_sentence_stats", ["mean_sentence_words"]),
         ("t14_encoding_sanity", ["non_ascii_ratio"]),
     ],
-    "fx_dedup_variants": [
-        ("d3_ngram_jaccard", ["jaccard"]),
-        ("d5_embedding_near_dup", ["cosine"]),
-        ("d7_repeated_passages", []),
-        ("d8_semantic_dedup", []),
-        ("d10_ngram_containment", ["containment"]),
-        ("q4_dedup_quality", ["recall"]),
-        ("d4b_simhash_hamming", []),
-    ],
     "fx_ann": [
         ("n1_ann_cosine_topk", ["cosine"]),
         ("n2_ann_ivf", ["cosine"]),
@@ -229,27 +274,21 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("st8_stream_static_enrich", ["total_value"]),
         ("st9_stream_incremental_mv", ["total_value"]),
     ],
-    "fx_corpus_release": [
-        ("q2_corpus_card", ["words_p50", "words_p90", "chars_avg"]),
-        ("sp8_global_shuffle", []),
-        ("t10_boilerplate_flags", ["boiler_frac"]),
-        ("t11_rare_token_ratio", ["rare_ratio"]),
-        ("n3_ann_lsh", ["cosine"]),
-        ("pipe3_corpus_release", []),
-        ("q3_prep_funnel", []),
-        ("sp9_quota_sample", []),
-        ("t4_fingerprint", []),
-        ("d4_simhash", []),
-        ("t1_lang_id", ["score_en", "score_es", "score_fr", "score_de", "score_zh"]),
-        ("t12_type_token_ratio", ["ttr"]),
-        ("q5_corpus_drift", ["mean_len_a", "mean_len_b", "count_ratio"]),
-        ("t15_source_similarity", ["cosine"]),
-    ],
 }
 
 # Oracle-side column lists per component: (all output columns in order,
 # double columns). Must match the Spark output schema — tests assert it.
 _COMPONENT_COLS: dict[str, list[str]] = {
+    # round-6 fused direct rows (fx_small_sources / fx_llm_flagships)
+    "s1_pruned_scan": ["sum_price", "n"],
+    "s2_corrupt_salvage": ["n_regionkey", "n"],
+    "s5_excel_sheets": ["sheet", "n_codes", "rate_sum"],
+    "s6_sqlite_source": ["r_name", "n_localities", "wi_sum"],
+    "s7_code_list_filter": ["l_returnflag", "n"],
+    "s11_atomic_publish": ["n_nationkey", "n_name"],
+    "d1_exact_dup": ["content_hash", "n", "min_id", "max_id"],
+    "t2_quality_score": ["doc_id", "n_ws", "punct_ratio", "stopword_ratio", "quality"],
+    "t8_contamination": ["doc_id", "n_shingles", "n_hit", "overlap_frac"],
     "s9_geocode_cached_lookup": ["geocode_key", "lat", "lon", "cbsa_geoid", "cbsa_name"],
     "s10_hud_zip_cbsa": ["zip", "cbsa", "cbsaname"],
     "s12_append_unique_roundtrip": ["c_mktsegment", "n"],
@@ -543,15 +582,10 @@ for _name, _components in FUSE_SPECS.items():
 # flagships, the end-to-end pipeline entries, and the streaming interval
 # join. Everything else keeps its granular local check after slot 50.
 DRIVER_WINDOW: list[str] = [
-    "s1_pruned_scan",
-    "s2_corrupt_salvage",
+    "fx_small_sources",
     "s4_tolerant_scan",
-    "s5_excel_sheets",
-    "s6_sqlite_source",
-    "s7_code_list_filter",
     "s8_nppes_cached_lookup",
     "fx_geo_lookups",
-    "s11_atomic_publish",
     "fx_writer_roundtrips",
     "fx_latest_partitioned",
     "fx_projection_filters",
@@ -577,20 +611,25 @@ DRIVER_WINDOW: list[str] = [
     "fx_quality_json",
     "fx_lake_ops",
     "pipe0_enrich",
-    "d1_exact_dup",
+    "fx_llm_flagships",
     "d2_minhash_lsh",
     "d3b_ngram_jaccard_capped",
     "d6_dup_clusters",
-    "fx_dedup_variants",
+    "fx_dedup_pairs",
+    "fx_dedup_quality",
+    "d8_semantic_dedup",
+    "fx_dedup_pipelines",
     "d5b_embedding_near_dup_ivf",
     "fx_ann",
-    "t2_quality_score",
-    "t8_contamination",
     "fx_text_stats",
     "pipe1_llm_prep",
-    "fx_llm_pipelines",
+    "fx_splits_a",
+    "fx_splits_b",
+    "fx_eval_suites",
     "fx_media",
-    "fx_corpus_release",
+    "fx_text_quality",
+    "fx_corpus_cards",
+    "fx_release_flow",
     "st6_stream_interval_join",
     "fx_streaming_batch",
 ]

@@ -89,6 +89,55 @@ _SHINGLE_CTES = f"""
   sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"""
 
 
+# Transitive-closure oracle block, UNROLLED. The natural oracle is a
+# recursive CTE (reach(a,b) := edges ∪ reach⋈edges), but DuckDB's
+# recursive-CTE executor allocates per-thread block state each iteration:
+# in the driver's verify process — where a full Spark JVM already holds
+# ~56k of the kernel's 65530 vm.max_map_count mmap budget — ONE closure
+# query at DuckDB's default 32 threads tips the process over the map
+# limit and dies as "bad allocation" (CORRECTNESS_r05: fx_dedup_variants /
+# fx_llm_pipelines / fx_corpus_release). Bounded min-label propagation
+# computes the identical fixpoint with |edges|-sized intermediates and no
+# recursion: l0(a) = min id within distance 1; each round extends reach
+# by one hop, so _CLOSURE_ITERS rounds are exact for any component of
+# diameter <= _CLOSURE_ITERS + 1. The fixture dup-graphs (doc ↔ mutated
+# copy, plus the occasional shared-shingle clique) close well inside
+# that; tests/test_driver_env.py asserts one extra round is already a
+# fixpoint at sf0.01, so the bound is checked, not assumed.
+_CLOSURE_ITERS = 4
+
+
+def _closure_ctes() -> str:
+    """CTE block: ``pairs(doc_a, doc_b)`` → ``labels(doc_id, component_id)``
+    where component_id is the min doc_id in the connected component —
+    the same fixpoint operators.dedup.connected_components converges to."""
+    parts = [
+        # Every CTE is MATERIALIZED: each round references the previous
+        # one twice (own label + neighbor labels), and DuckDB's default
+        # CTE inlining would otherwise duplicate the whole upstream pair
+        # pipeline 2^rounds times — the unrolling must not cost more
+        # than the recursion it replaces.
+        """edges AS MATERIALIZED (
+         SELECT doc_a AS a, doc_b AS b FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs)""",
+        """l0 AS MATERIALIZED (
+         SELECT a, least(a, min(b)) AS lbl FROM edges GROUP BY a)""",
+    ]
+    for i in range(1, _CLOSURE_ITERS + 1):
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+         SELECT e.a, least(min(o.lbl), min(n.lbl)) AS lbl
+         FROM edges e
+         JOIN l{i - 1} o ON o.a = e.a
+         JOIN l{i - 1} n ON n.a = e.b
+         GROUP BY e.a)"""
+        )
+    parts.append(
+        f"labels AS (SELECT a AS doc_id, lbl AS component_id FROM l{_CLOSURE_ITERS})"
+    )
+    return ",\n       ".join(parts)
+
+
 # ------------------------------------------------------------ dedup ops
 
 
@@ -132,9 +181,9 @@ def d3_ngram_jaccard(spark, sf_dir):
     "d6_dup_clusters",
     # Transitive closure of the d3 near-dup pair graph: min-label
     # propagation's fixpoint is each node's min reachable id, which the
-    # oracle computes directly with a recursive-CTE closure (UNION, not
-    # UNION ALL, terminates the recursion on cycles).
-    f"""WITH RECURSIVE corpus AS {_NEAR_DUP_CORPUS_SQL},{_SHINGLE_CTES},
+    # oracle computes with UNROLLED label-propagation rounds (see
+    # _closure_ctes — no recursive CTE, driver-process-safe).
+    f"""WITH corpus AS {_NEAR_DUP_CORPUS_SQL},{_SHINGLE_CTES},
        inter AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
          FROM sh a JOIN sh b
@@ -146,15 +195,8 @@ def d3_ngram_jaccard(spark, sf_dir):
          JOIN sizes sa ON sa.doc_id = doc_a
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE n_common / (sa.sz + sb.sz - n_common) >= {JACCARD_T}),
-       edges AS (
-         SELECT doc_a AS a, doc_b AS b FROM pairs
-         UNION SELECT doc_b, doc_a FROM pairs),
-       reach(a, b) AS (
-         SELECT a, b FROM edges
-         UNION
-         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-       SELECT a AS doc_id, least(a, min(b)) AS component_id
-       FROM reach GROUP BY a""",
+       {_closure_ctes()}
+       SELECT doc_id, component_id FROM labels""",
     doc="Dedup clustering: connected components over the near-dup pair "
     "graph (min-label propagation to fixpoint; rounds = cluster "
     "diameter) — the canonical-representative step after d1-d5; "
@@ -650,6 +692,42 @@ def d5_embedding_near_dup(spark, sf_dir):
     return sim.embedding_near_dup_pairs(corpus, dim=DIM, threshold=0.99)
 
 
+
+# Shared IVF-cascade CTE chain for the d5b / d8 oracles. Assumes a
+# ``corpus(vec_id, embedding)`` CTE; yields ``spairs(doc_a, doc_b,
+# cosine)`` — every shared-bucket candidate pair with its exact cosine.
+# Every stage is MATERIALIZED and each 64-term unrolled cosine is
+# projected ONCE: with DuckDB's default CTE inlining, the corpus×centroid
+# scoring would otherwise be re-evaluated per downstream reference at 32
+# threads — measured at 30-64k mmap'd blocks, enough to breach the
+# driver process's vm.max_map_count next to a live Spark JVM
+# (CORRECTNESS_r05 / tests/test_driver_env.py; materialized form peaks
+# at a few hundred maps).
+_IVF_CASCADE_CTES = f"""cent AS MATERIALIZED (
+         SELECT vec_id AS cid, embedding AS cvec FROM corpus
+         WHERE vec_id % 97 = 0),
+       cscored AS MATERIALIZED (
+         SELECT e.vec_id, c.cid,
+                {_cos_sql('e.embedding', 'c.cvec')} AS cs
+         FROM corpus e CROSS JOIN cent c),
+       assigned AS MATERIALIZED (
+         SELECT vec_id, cid FROM (
+           SELECT vec_id, cid, row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY cs DESC, cid ASC) AS rn
+           FROM cscored) WHERE rn <= 2),
+       cand AS MATERIALIZED (
+         SELECT DISTINCT a1.vec_id AS doc_a, a2.vec_id AS doc_b
+         FROM assigned a1
+         JOIN assigned a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id),
+       spairs AS MATERIALIZED (
+         SELECT c.doc_a, c.doc_b,
+                {_cos_sql('ea.embedding', 'eb.embedding')} AS cosine
+         FROM cand c
+         JOIN corpus ea ON ea.vec_id = c.doc_a
+         JOIN corpus eb ON eb.vec_id = c.doc_b)"""
+
+
 @register(
     "d5b_embedding_near_dup_ivf",
     # Deterministic replay of the bucketed cascade: seed centroids from
@@ -657,26 +735,10 @@ def d5_embedding_near_dup(spark, sf_dir):
     # centroids (cosine DESC, cid ASC — the Spark side sorts by the exact
     # IEEE negation, same order), pairs generated only inside shared
     # buckets, deduped, then scored with the bit-identical unrolled cosine.
-    f"""WITH corpus AS {_PERTURBED_CORPUS_SQL},
-       cent AS (
-         SELECT vec_id AS cid, embedding AS cvec FROM corpus
-         WHERE vec_id % 97 = 0),
-       assigned AS (
-         SELECT vec_id, cid FROM (
-           SELECT e.vec_id, c.cid, row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
-           FROM corpus e CROSS JOIN cent c) WHERE rn <= 2),
-       pairs AS (
-         SELECT DISTINCT a1.vec_id AS doc_a, a2.vec_id AS doc_b
-         FROM assigned a1
-         JOIN assigned a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id)
-       SELECT p.doc_a, p.doc_b,
-              {_cos_sql('ea.embedding', 'eb.embedding')} AS cosine
-       FROM pairs p
-       JOIN corpus ea ON ea.vec_id = p.doc_a
-       JOIN corpus eb ON eb.vec_id = p.doc_b
-       WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= CAST(0.99 AS DOUBLE)""",
+    f"""WITH corpus AS MATERIALIZED {_PERTURBED_CORPUS_SQL},
+       {_IVF_CASCADE_CTES}
+       SELECT doc_a, doc_b, cosine FROM spairs
+       WHERE cosine >= CAST(0.99 AS DOUBLE)""",
     doc="Scale path for embedding near-dup: IVF-bucketed pair pruning "
     "(shared-bucket pairs only, Σ|bucket|² work instead of N²) — no "
     "corpus×corpus product anywhere in the plan; recall vs the exact "
@@ -1120,39 +1182,15 @@ def d7_repeated_passages(spark, sf_dir):
     "d8_semantic_dedup",
     # SemDeDup-style composition (Abbas et al. 2023, public literature):
     # embedding near-dup pairs from the IVF-bucketed cascade (the d5b
-    # oracle, verbatim) → transitive closure (the d6 recursive-CTE
-    # pattern) → one summary row per semantic cluster with the min id as
-    # the kept canonical.
-    f"""WITH RECURSIVE corpus AS {_PERTURBED_CORPUS_SQL},
-       cent AS (
-         SELECT vec_id AS cid, embedding AS cvec FROM corpus
-         WHERE vec_id % 97 = 0),
-       assigned AS (
-         SELECT vec_id, cid FROM (
-           SELECT e.vec_id, c.cid, row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
-           FROM corpus e CROSS JOIN cent c) WHERE rn <= 2),
-       cand AS (
-         SELECT DISTINCT a1.vec_id AS doc_a, a2.vec_id AS doc_b
-         FROM assigned a1
-         JOIN assigned a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id),
-       pairs AS (
-         SELECT c.doc_a, c.doc_b
-         FROM cand c
-         JOIN corpus ea ON ea.vec_id = c.doc_a
-         JOIN corpus eb ON eb.vec_id = c.doc_b
-         WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= CAST(0.99 AS DOUBLE)),
-       edges AS (
-         SELECT doc_a AS a, doc_b AS b FROM pairs
-         UNION SELECT doc_b, doc_a FROM pairs),
-       reach(a, b) AS (
-         SELECT a, b FROM edges
-         UNION
-         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       labels AS (
-         SELECT a AS doc_id, least(a, min(b)) AS component_id
-         FROM reach GROUP BY a)
+    # oracle, verbatim) → transitive closure (the unrolled d6 pattern,
+    # _closure_ctes) → one summary row per semantic cluster with the min
+    # id as the kept canonical.
+    f"""WITH corpus AS MATERIALIZED {_PERTURBED_CORPUS_SQL},
+       {_IVF_CASCADE_CTES},
+       pairs AS MATERIALIZED (
+         SELECT doc_a, doc_b FROM spairs
+         WHERE cosine >= CAST(0.99 AS DOUBLE)),
+       {_closure_ctes()}
        SELECT component_id AS keep_id, count(*) AS n_members,
               max(doc_id) AS max_doc
        FROM labels GROUP BY 1""",
@@ -1241,11 +1279,11 @@ def sp5_pack_shards(spark, sf_dir):
     "pipe2_fuzzy_dedup",
     # The canonical corpus fuzzy-dedup chain (SlimPajama / Dolma shape,
     # public literature): MinHash-LSH candidate pairs (the d2 cascade,
-    # verbatim) → transitive closure (the d6 recursive-CTE pattern) →
-    # min-id canonical per cluster; output is the DROP LIST (doc → the
-    # canonical that replaces it), i.e. exactly the rows keep_canonical
-    # removes from the corpus.
-    f"""WITH RECURSIVE corpus AS {_NEAR_DUP_CORPUS_SQL},{_SHINGLE_CTES},
+    # verbatim) → transitive closure (the unrolled d6 pattern,
+    # _closure_ctes) → min-id canonical per cluster; output is the DROP
+    # LIST (doc → the canonical that replaces it), i.e. exactly the rows
+    # keep_canonical removes from the corpus.
+    f"""WITH corpus AS {_NEAR_DUP_CORPUS_SQL},{_SHINGLE_CTES},
        hsh AS (
          SELECT DISTINCT doc_id,
                 CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
@@ -1274,16 +1312,7 @@ def sp5_pack_shards(spark, sf_dir):
          JOIN hsizes sa ON sa.doc_id = doc_a
          JOIN hsizes sb ON sb.doc_id = doc_b
          WHERE n_common / (sa.sz + sb.sz - n_common) >= {JACCARD_T}),
-       edges AS (
-         SELECT doc_a AS a, doc_b AS b FROM pairs
-         UNION SELECT doc_b, doc_a FROM pairs),
-       reach(a, b) AS (
-         SELECT a, b FROM edges
-         UNION
-         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       labels AS (
-         SELECT a AS doc_id, least(a, min(b)) AS component_id
-         FROM reach GROUP BY a)
+       {_closure_ctes()}
        SELECT doc_id AS dropped_id, component_id AS keep_id
        FROM labels WHERE doc_id <> component_id""",
     doc="pipe2: end-to-end fuzzy dedup — MinHash-LSH pairs (d2) → "

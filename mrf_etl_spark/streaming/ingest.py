@@ -345,12 +345,46 @@ def stream_incremental_rollup(
     Scale: the per-batch delta is a map-side-combined aggregation of ONE
     micro-batch; the merge joins |MV| keys with |delta| keys — both
     key-partitioned, no full-history rescan. The read-modify-write is
-    single-writer by construction (one streaming query owns the MV)."""
+    single-writer by construction (one streaming query owns the MV).
+
+    Replay safety: foreachBatch is at-least-once — a crash after the MV
+    swap but before the checkpoint commit re-delivers the same batch_id on
+    restart. The writer records the last applied batch_id in an
+    ``_applied_batch_id`` sidecar swapped atomically WITH the MV, and
+    skips any batch_id at or below it, making the read-modify-write
+    idempotent (the sibling writers are key-idempotent by construction;
+    an additive merge needs the watermark)."""
+    write_batch = incremental_rollup_batch_writer(mv_path, keys, agg_exprs, transform)
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+_BATCH_ID_SIDECAR = "_applied_batch_id"
+
+
+def incremental_rollup_batch_writer(
+    mv_path: str,
+    keys: list[str],
+    agg_exprs: dict[str, str],
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch body of :func:`stream_incremental_rollup`,
+    exposed so replay behavior is directly testable: calling it twice
+    with the same batch_id must apply the delta exactly once."""
     import os
 
     from mrf_etl_spark.io.writers import atomic_overwrite
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(mv_path, _BATCH_ID_SIDECAR)
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # replayed batch — its delta is already in the MV
         df = transform(batch_df) if transform is not None else batch_df
         spark = df.sparkSession
         delta = df.groupBy(*keys).agg(
@@ -378,11 +412,8 @@ def stream_incremental_rollup(
             )
         else:
             merged = delta
-        atomic_overwrite(merged, mv_path)
+        atomic_overwrite(
+            merged, mv_path, sidecar={_BATCH_ID_SIDECAR: str(batch_id)}
+        )
 
-    writer = stream.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return write_batch

@@ -126,13 +126,13 @@ def main() -> int:
 
     def fresh_con():
         c = duckdb.connect()
-        # DuckDB's recursive-CTE executor (d6/d8 closure oracles) allocates
-        # per-thread block state each iteration: at the default 32 threads
-        # ONE closure query mmap()s ~64k blocks and slams the kernel's
-        # vm.max_map_count (65530) — later allocations then die as
-        # "bad allocation" / "can't start new thread" with plenty of free
-        # RAM. 8 threads keeps the peak ~6k maps; the oracles are
-        # sub-second either way at sf0.01.
+        # Round 6 removed the oracle shapes that made thread count
+        # dangerous (recursive CTEs and re-inlined cosine cascades used
+        # to mmap 30-64k blocks at 32 threads and slam vm.max_map_count —
+        # see tests/test_driver_env.py, which now pins every closure
+        # oracle to a small map budget at DEFAULT threads). 8 threads is
+        # kept here only to keep the long-lived harness process lean next
+        # to the Spark JVM; correctness no longer depends on it.
         c.sql("SET threads=8")
         for tbl in (
             "region nation customer supplier part orders lineitem events documents embeddings"

@@ -93,7 +93,7 @@ for name in [
     # (integer div under ANSI), incremental dedup (persist + index),
     # the fused driver probe (bool->string packing under ANSI)
     "sp4_domain_cap", "sp6_sequence_pack", "d9_incremental_dedup",
-    "fx_llm_pipelines",
+    "fx_dedup_pipelines", "fx_splits_b",
     # session-2 additions: global rank (div + window), boilerplate
     # (window count), LSH ANN (generated literal-plane expressions)
     "sp8_global_shuffle", "t10_boilerplate_flags", "n3_ann_lsh",

@@ -189,6 +189,22 @@ def test_weighted_median_semantics(spark):
     assert wmedian([("c", 1.0, 2), ("c", 5.0, 2)]) == {"c": 1.0}
 
 
+def test_weighted_median_plans_agree(spark, monkeypatch):
+    """a16's size-gated plans (row-level window for small inputs,
+    pre-aggregated two-phase for large) must produce identical rows —
+    run both against the same data by flipping the byte threshold."""
+    import mrf_etl_spark.plans.parity as parity
+
+    fn = parity.REGISTRY["a16_weighted_median"].spark_fn
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(parity, "_A16_TWO_PHASE_BYTES", 1 << 60)
+    small_plan = sorted(map(tuple, fn(spark, sf).collect()))
+    monkeypatch.setattr(parity, "_A16_TWO_PHASE_BYTES", 0)
+    large_plan = sorted(map(tuple, fn(spark, sf).collect()))
+    assert small_plan == large_plan
+    assert small_plan  # non-vacuous
+
+
 def test_diversified_topk_cap(spark):
     """No supplier may exceed the per-group cap in the final page, and
     the page is the best available under that constraint."""

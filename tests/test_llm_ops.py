@@ -112,6 +112,17 @@ def test_multimodal_stub_contract():
     }
 
 
+def test_multimodal_fake_mode_is_stub_even_with_real_decoder():
+    """fake=True must use the byte stub UNCONDITIONALLY — even when PIL is
+    importable — so fake-mode values are identical across environments and
+    corrupt/synthetic payloads can't crash a real decoder."""
+    payload = b"\x00garbage"  # not a decodable image
+    out = decode_media(payload, "image/png", fake=True)
+    assert out["feat_mean"] == pytest.approx(sum(payload) / len(payload))
+    assert out["n_bytes"] == len(payload)
+    assert out["header_hex"] == payload[:4].hex()
+
+
 def test_multimodal_decode_golden_whichever_path():
     """Golden decode of a 2x1 grayscale PNG (pixels 0 and 200): the REAL
     path (PIL importable) must report the exact pixel mean; the stub path
@@ -936,6 +947,30 @@ def test_simhash_hamming_finds_injected_near_dups(spark, sf_dir):
     }
     assert expected, "fixture produced no close pairs — test is vacuous"
     assert expected <= set(got)
+
+
+def test_simhash_hamming_rejects_unsupported_threshold(spark, sf_dir):
+    """4 fixed bands pigeonhole-guarantee recall only for distance <= 3;
+    a higher threshold must fail loudly instead of silently returning an
+    incomplete pair set."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dd.simhash_hamming_pairs(corpus, "text", "doc_id", max_hamming=4)
+
+
+def test_dedup_quality_report_ignores_duplicated_pair_rows(spark):
+    """The report takes arbitrary caller-built pair frames; duplicated
+    (doc_a, doc_b) rows in either input must not inflate the counts or
+    skew recall."""
+    exact = spark.createDataFrame(
+        [(1, 2), (1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    lsh = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    row = dd.dedup_quality_report(lsh, exact).collect()[0]
+    assert (row.n_exact, row.n_lsh, row.n_tp, row.n_missed) == (2, 2, 1, 1)
+    assert row.recall == 0.5
 
 
 def test_sentence_stats_and_encoding_sanity_edges(spark):

@@ -292,6 +292,40 @@ def test_incremental_mv_batch_boundary_independent(spark, events, tmp_path):
     assert drain(2) == expected
 
 
+def test_incremental_mv_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the MV swap but before
+    the checkpoint commit re-delivers the same batch_id. Re-invoking the
+    batch writer with an already-applied batch_id must be a no-op (the
+    _applied_batch_id sidecar gates the additive merge), while the NEXT
+    batch_id still merges."""
+    from mrf_etl_spark.streaming.ingest import incremental_rollup_batch_writer
+
+    mv = str(tmp_path / "mv_replay")
+    write_batch = incremental_rollup_batch_writer(
+        mv, keys=["event_type"], agg_exprs={"n": "count(*)", "v": "sum(cast(value as bigint))"}
+    )
+    b0 = spark.createDataFrame(
+        [("view", 1), ("view", 2), ("click", 5)], "event_type string, value long"
+    )
+    b1 = spark.createDataFrame([("view", 10)], "event_type string, value long")
+
+    def snap():
+        return {
+            r["event_type"]: (r["n"], r["v"])
+            for r in spark.read.parquet(mv).collect()
+        }
+
+    write_batch(b0, 0)
+    after_b0 = snap()
+    assert after_b0 == {"view": (2, 3), "click": (1, 5)}
+    write_batch(b0, 0)  # replayed batch: must NOT double-count
+    assert snap() == after_b0
+    write_batch(b1, 1)  # next batch still applies
+    assert snap() == {"view": (3, 13), "click": (1, 5)}
+    write_batch(b1, 1)  # replay of the new head is a no-op too
+    assert snap() == {"view": (3, 13), "click": (1, 5)}
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """The watermark CONTRACT, not just parity: once a window has been
     finalized and EVICTED (the watermark passed its end in an earlier
