@@ -10,6 +10,7 @@ from mrf_etl_spark.io.writers import (
     append_unique,
     upsert_by_key,
     latest_merge,
+    scd2_history,
     write_partitioned,
     write_bucketed_table,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "append_unique",
     "upsert_by_key",
     "latest_merge",
+    "scd2_history",
     "write_partitioned",
     "write_bucketed_table",
 ]

@@ -165,6 +165,41 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
 
 
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: list[str] | None = None,
+    attrs: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an update log — the
+    warehouse-sink companion to :func:`latest_merge`: instead of keeping
+    only the newest record per key, keep EVERY version with its validity
+    interval, so point-in-time joins ("what was this provider's address
+    when the claim was filed?") become a range predicate.
+
+    For each key, updates ordered by ``(order_col, *tiebreak)`` become
+    rows (version, valid_from, valid_to, is_current, *attrs) where
+    valid_to is the next version's valid_from (NULL on the current row).
+    ``tiebreak`` must make the ordering total (e.g. a unique event id) or
+    same-instant updates would make valid_to nondeterministic.
+
+    Scale: one window over the key partitioning — shuffles each key's
+    update history to one task, which is exactly the data a version chain
+    needs; no global sort, no self-join. Pair with
+    ``atomic_overwrite(..., partition_by=["is_current"])`` so serving
+    reads prune to the current slice while history stays queryable."""
+    w = Window.partitionBy(*keys).orderBy(order_col, *(tiebreak or []))
+    return df.select(
+        *keys,
+        F.row_number().over(w).alias("version"),
+        F.col(order_col).alias("valid_from"),
+        F.lead(order_col).over(w).alias("valid_to"),
+        F.lead(order_col).over(w).isNull().alias("is_current"),
+        *(attrs or []),
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

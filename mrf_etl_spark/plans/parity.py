@@ -612,6 +612,56 @@ def s15_partitioned_write(spark, sf_dir):
     return spark.read.parquet(path).groupBy("event_type").agg(F.count("*").alias("n"))
 
 
+@register(
+    "s23_scd2_history",
+    # events replayed as an attribute-update log: one SCD2 row per
+    # update with [valid_from, valid_to) from the next update's
+    # timestamp; event_id makes the per-key ordering total so ties in
+    # ts are deterministic on both engines.
+    """WITH upd AS (
+         SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+         FROM events)
+       SELECT user_id,
+              row_number() OVER w AS version,
+              ts_us AS valid_from_us,
+              lead(ts_us) OVER w AS valid_to_us,
+              lead(ts_us) OVER w IS NULL AS is_current,
+              value
+       FROM upd
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""",
+    doc="S23 (beyond-ref lake op): SCD2 dimension history — every key's "
+    "update becomes a versioned [valid_from, valid_to) row with an "
+    "is_current flag, enabling point-in-time joins; written partitioned "
+    "by is_current (current-slice pruning for serving, full history "
+    "retained) and read back through the sink (io.writers.scd2_history)",
+)
+def s23_scd2_history(spark, sf_dir):
+    from mrf_etl_spark.io import scd2_history
+    from mrf_etl_spark.io.writers import atomic_overwrite
+
+    upd = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    hist = scd2_history(
+        upd, keys=["user_id"], order_col="ts_us", tiebreak=["event_id"], attrs=["value"]
+    ).withColumnsRenamed({"valid_from": "valid_from_us", "valid_to": "valid_to_us"})
+    path = _scratch("s23_scd2")
+    atomic_overwrite(hist, path, partition_by=["is_current"])
+    # partition-column values come back as strings (Spark's partition
+    # inference has no boolean rule) — restore the written type
+    return spark.read.parquet(path).select(
+        "user_id",
+        "version",
+        "valid_from_us",
+        "valid_to_us",
+        F.col("is_current").cast("boolean").alias("is_current"),
+        "value",
+    )
+
+
 # =====================================================================
 # §2.2 Projections / filters / predicates
 # =====================================================================
@@ -3287,5 +3337,87 @@ def a19_robust_spread(spark, sf_dir):
             F.min("median_v").alias("median_v"),
             F.min("mad").alias("mad"),
             F.count_if(F.col("adev") > 3 * F.col("mad")).alias("n_outliers"),
+        )
+    )
+
+
+# Sketch scale paths with VERIFIED error contracts (a20/a21). At 100 TB
+# the exact forms of a6 (sort-based percentile) and a9 (count distinct)
+# are the expensive aggregations in the catalog; the sketch forms
+# (t-digest-style quantile summaries, HyperLogLog++) are constant-memory
+# and merge map-side. A sketch's value can't be hash-compared across
+# engines, so the parity contract is the ERROR BOUND instead: the entry
+# outputs the exact statistic (bit-matched against the oracle as usual)
+# plus a boolean asserting the sketch landed inside its documented
+# error envelope — the oracle expects TRUE, so a sketch drifting out of
+# contract turns the driver row red. Bounds carry ~3x margin over the
+# configured accuracy so they are deterministic in practice at every SF.
+A20_ACCURACY = 10_000  # rank error <= n/accuracy rows
+A20_REL_BOUND = 0.02
+A21_RSD = 0.05  # HLL++ relative standard deviation
+A21_REL_BOUND = 0.15  # 3 sigma
+
+
+@register(
+    "a20_approx_quantile_bound",
+    f"""SELECT l_returnflag, p50, p90,
+              TRUE AS p50_ok, TRUE AS p90_ok
+       FROM ({_pctl_sql("lineitem", "l_extendedprice", ["l_returnflag"],
+                        [(0.5, "p50"), (0.9, "p90")])})""",
+    doc="a20: approximate-quantile scale path — approx_percentile "
+    "(Greenwald-Khanna style summary, mergeable, constant memory) "
+    "checked against the exact interpolated percentile inside the same "
+    "plan; emits the exact values plus in-bound booleans, so the sketch "
+    "error contract itself is driver-verified",
+)
+def a20_approx_quantile_bound(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("_e"),
+        F.expr(
+            f"approx_percentile(l_extendedprice, array(0.5, 0.9), {A20_ACCURACY})"
+        ).alias("_a"),
+    )
+    def ok(i):
+        return (
+            F.abs(F.col("_a")[i] - F.col("_e")[i]) / F.col("_e")[i]
+            <= A20_REL_BOUND
+        )
+    return both.select(
+        "l_returnflag",
+        F.col("_e")[0].alias("p50"),
+        F.col("_e")[1].alias("p90"),
+        ok(0).alias("p50_ok"),
+        ok(1).alias("p90_ok"),
+    )
+
+
+@register(
+    "a21_approx_distinct_bound",
+    """SELECT l_returnflag,
+              count(DISTINCT l_orderkey) AS d_orders,
+              TRUE AS within_bound
+       FROM lineitem GROUP BY l_returnflag""",
+    doc="a21: approximate-distinct scale path — approx_count_distinct "
+    "(HyperLogLog++, constant memory, map-side mergeable — the form "
+    "that replaces a9's exact distincts at 100 TB) checked against the "
+    "exact count in the same plan; the 3-sigma in-bound boolean is what "
+    "the oracle verifies",
+)
+def a21_approx_distinct_bound(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("d_orders"),
+            F.expr(f"approx_count_distinct(l_orderkey, {A21_RSD})").alias("_a"),
+        )
+        .select(
+            "l_returnflag",
+            "d_orders",
+            (
+                F.abs(F.col("_a") - F.col("d_orders"))
+                <= F.lit(A21_REL_BOUND) * F.col("d_orders")
+            ).alias("within_bound"),
         )
     )

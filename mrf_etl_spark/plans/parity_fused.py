@@ -50,6 +50,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
     "fx_writer_roundtrips": [
         ("s12_append_unique_roundtrip", []),
         ("s13_upsert_idempotent", ["total"]),
+        ("s23_scd2_history", ["value"]),
     ],
     "fx_latest_partitioned": [
         ("s14_latest_merge", ["sum_value"]),
@@ -240,6 +241,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("a12_cross_product", []),
         ("a13_conditional_sum", ["returned_value"]),
         ("a14_rollup", ["val_sum"]),
+        ("a20_approx_quantile_bound", ["p50", "p90"]),
+        ("a21_approx_distinct_bound", []),
     ],
     "fx_ref_joins": [
         ("j1_broadcast_left_join", ["total"]),
@@ -289,6 +292,11 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "d1_exact_dup": ["content_hash", "n", "min_id", "max_id"],
     "t2_quality_score": ["doc_id", "n_ws", "punct_ratio", "stopword_ratio", "quality"],
     "t8_contamination": ["doc_id", "n_shingles", "n_hit", "overlap_frac"],
+    "s23_scd2_history": [
+        "user_id", "version", "valid_from_us", "valid_to_us", "is_current", "value",
+    ],
+    "a20_approx_quantile_bound": ["l_returnflag", "p50", "p90", "p50_ok", "p90_ok"],
+    "a21_approx_distinct_bound": ["l_returnflag", "d_orders", "within_bound"],
     "s9_geocode_cached_lookup": ["geocode_key", "lat", "lon", "cbsa_geoid", "cbsa_name"],
     "s10_hud_zip_cbsa": ["zip", "cbsa", "cbsaname"],
     "s12_append_unique_roundtrip": ["c_mktsegment", "n"],

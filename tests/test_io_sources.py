@@ -135,3 +135,46 @@ def test_range_layout_write_produces_disjoint_file_ranges(spark, sf_dir, tmp_pat
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_scd2_history_semantics(spark):
+    """SCD2 contract on a hand-built update log: per-key version chains
+    with half-open [valid_from, valid_to) intervals that tile the
+    timeline (no gaps, no overlaps), exactly one current row per key,
+    and a point-in-time lookup resolving to the version effective at the
+    queried instant."""
+    from mrf_etl_spark.io import scd2_history
+
+    upd = spark.createDataFrame(
+        [
+            (1, 100, 1, "a"),
+            (1, 200, 2, "b"),
+            (1, 300, 3, "c"),
+            (2, 150, 4, "x"),
+            # same-instant updates: tiebreak (uid) must order them
+            (3, 50, 5, "p"),
+            (3, 50, 6, "q"),
+        ],
+        "key long, ts long, uid long, attr string",
+    )
+    h = scd2_history(upd, keys=["key"], order_col="ts", tiebreak=["uid"], attrs=["attr"])
+    rows = {(r.key, r.version): r for r in h.collect()}
+    assert rows[(1, 1)].valid_from == 100 and rows[(1, 1)].valid_to == 200
+    assert rows[(1, 2)].valid_from == 200 and rows[(1, 2)].valid_to == 300
+    assert rows[(1, 3)].valid_to is None and rows[(1, 3)].is_current
+    assert rows[(2, 1)].is_current and rows[(2, 1)].attr == "x"
+    # tie resolved by uid: version 1 = uid 5 ('p'), current = uid 6 ('q')
+    assert rows[(3, 1)].attr == "p" and not rows[(3, 1)].is_current
+    assert rows[(3, 2)].attr == "q" and rows[(3, 2)].is_current
+    # exactly one current row per key
+    cur = h.filter("is_current").groupBy("key").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+    # point-in-time join: key 1 at ts=250 resolves to version 2 ('b')
+    from pyspark.sql import functions as F
+
+    at = h.filter(
+        (F.col("key") == 1)
+        & (F.col("valid_from") <= 250)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > 250))
+    ).collect()
+    assert len(at) == 1 and at[0].attr == "b"
