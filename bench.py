@@ -65,6 +65,10 @@ HEADLINE = [
     "k6_diversified_topk",
     "w14_trailing_window",
     "t15_source_similarity",
+    # round-6 additions: SCD2 history sink, sketch scale paths
+    "s23_scd2_history",
+    "a20_approx_quantile_bound",
+    "a21_approx_distinct_bound",
 ]
 
 

@@ -276,6 +276,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("st7_stream_dedup_ingest", []),
         ("st8_stream_static_enrich", ["total_value"]),
         ("st9_stream_incremental_mv", ["total_value"]),
+        ("st10_stream_scd2", ["value"]),
     ],
 }
 
@@ -296,6 +297,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "user_id", "version", "valid_from_us", "valid_to_us", "is_current", "value",
     ],
     "a20_approx_quantile_bound": ["l_returnflag", "p50", "p90", "p50_ok", "p90_ok"],
+    "st10_stream_scd2": [
+        "user_id", "version", "valid_from_us", "valid_to_us", "is_current", "value",
+    ],
     "a21_approx_distinct_bound": ["l_returnflag", "d_orders", "within_bound"],
     "s9_geocode_cached_lookup": ["geocode_key", "lat", "lon", "cbsa_geoid", "cbsa_name"],
     "s10_hud_zip_cbsa": ["zip", "cbsa", "cbsaname"],

@@ -507,3 +507,76 @@ def st9_stream_incremental_mv(spark, sf_dir):
         "n_events",
         F.round(F.col("cents").cast("double") / 100, 2).alias("total_value"),
     )
+
+
+@register(
+    "st10_stream_scd2",
+    # History truth: the batch SCD2 over every update ingested (the s23
+    # oracle shape) — micro-batch boundaries must not show in the chains
+    oracle="""
+    WITH upd AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events)
+    SELECT user_id,
+           row_number() OVER w AS version,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER w AS valid_to_us,
+           lead(ts_us) OVER w IS NULL AS is_current,
+           value
+    FROM upd
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""",
+    doc="st10: streaming incremental SCD2 maintenance — each micro-batch "
+    "rebuilds only the AFFECTED key-hash buckets of the hive-partitioned "
+    "history (partition-pruned read, dynamic-partition-overwrite write; "
+    "streaming/ingest.py:stream_scd2_ingest), so per-batch work is "
+    "O(affected buckets), not O(history), and replay is idempotent "
+    "because the merge is state-based. Drained history == the batch "
+    "SCD2 (s23) regardless of batch boundaries.",
+)
+def st10_stream_scd2(spark, sf_dir):
+    """Stages events as two disjoint halves consumed one per micro-batch,
+    so the final history is genuinely built by two incremental
+    bucket-rebuild merges, then compares against the one-shot SCD2."""
+    import os
+
+    from mrf_etl_spark.streaming import stream_scd2_ingest
+
+    raw_schema, ts_conv = _events_raw(spark, sf_dir)
+    staging = _scratch("st10_staging")
+    os.makedirs(staging, exist_ok=True)
+    ev = spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{staging}/half=1"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+        f"{staging}/half=2"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{staging}/half=*")
+        .select(
+            "user_id",
+            F.unix_micros(ts_conv).alias("ts_us"),
+            "event_id",
+            "value",
+        )
+    )
+    hist = _scratch("st10_hist")
+    q = stream_scd2_ingest(
+        stream,
+        hist,
+        _scratch("st10_ckpt"),
+        keys=["user_id"],
+        order_col="ts_us",
+        tiebreak=["event_id"],
+        attrs=["value"],
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(hist).select(
+        "user_id",
+        "version",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "is_current",
+        "value",
+    )

@@ -15,6 +15,7 @@ from mrf_etl_spark.streaming.ingest import (
     stateful_running_totals,
     stream_dedup_ingest,
     stream_incremental_rollup,
+    stream_scd2_ingest,
     stream_upsert_ingest,
     windowed_event_counts,
 )
@@ -27,5 +28,6 @@ __all__ = [
     "dedup_stream",
     "stream_dedup_ingest",
     "stream_incremental_rollup",
+    "stream_scd2_ingest",
     "interval_join_streams",
 ]

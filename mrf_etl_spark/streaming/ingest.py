@@ -363,6 +363,103 @@ def stream_incremental_rollup(
     return writer.start()
 
 
+def stream_scd2_ingest(
+    stream: DataFrame,
+    history_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_col: str,
+    tiebreak: list[str],
+    attrs: list[str],
+    n_buckets: int = 16,
+    available_now: bool = True,
+):
+    """Incremental SCD2 maintenance from an update stream — the streaming
+    twin of :func:`mrf_etl_spark.io.writers.scd2_history` (s23): the
+    history table stays equal to the batch SCD2 over every update
+    ingested so far, without ever rebuilding unaffected keys.
+
+    Layout: history is hive-partitioned by ``_bucket = pmod(xxhash64(
+    keys), n_buckets)``. Each micro-batch:
+
+    1. projects the batch to update rows and finds the AFFECTED buckets
+       (distinct buckets of the batch's keys — a tiny aggregate);
+    2. reads ONLY those bucket partitions of the existing history
+       (partition pruning — untouched buckets are never opened);
+    3. converts affected keys' existing version rows back into update
+       rows (a version row IS its source update: valid_from + attrs),
+       unions the new updates, dedups on (keys, order, tiebreak), and
+       re-derives the chains with the batch scd2 window;
+    4. writes the rebuilt buckets with dynamic partition overwrite, so
+       only affected bucket partitions are replaced.
+
+    Replay safety: the merge is state-based, not delta-based — a
+    redelivered batch's updates dedup into chains that already contain
+    them and the rebuilt buckets are byte-identical, so foreachBatch's
+    at-least-once delivery needs no batch-id watermark here.
+
+    Scale: per batch the work is O(affected buckets), not O(history);
+    bucket count trades rewrite amplification (fewer, bigger buckets)
+    against small-file pressure (more, smaller ones). ``tiebreak`` must
+    make per-key ordering total (e.g. a unique update id) — it is
+    retained in the history for the rebuild round-trip."""
+    from mrf_etl_spark.io.writers import scd2_history
+
+    update_cols = [*keys, order_col, *tiebreak, *attrs]
+
+    def _bucketed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "_bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets))
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        new_upd = _bucketed(batch_df.select(*update_cols).dropDuplicates(
+            [*keys, order_col, *tiebreak]
+        ))
+        if new_upd.isEmpty():
+            return
+        have_history = os.path.isdir(history_path) and any(
+            e.startswith("_bucket=") for e in os.listdir(history_path)
+        )
+        if have_history:
+            buckets = [r["_bucket"] for r in new_upd.select("_bucket").distinct().collect()]
+            existing = spark.read.parquet(history_path).filter(
+                F.col("_bucket").isin(buckets)
+            )
+            # a version row is its source update; replay it as one
+            existing_upd = existing.select(
+                *keys,
+                F.col("valid_from").alias(order_col),
+                *tiebreak,
+                *attrs,
+                "_bucket",
+            )
+            all_upd = existing_upd.unionByName(new_upd).dropDuplicates(
+                [*keys, order_col, *tiebreak]
+            )
+        else:
+            all_upd = new_upd
+        rebuilt = scd2_history(
+            all_upd,
+            keys=keys,
+            order_col=order_col,
+            tiebreak=tiebreak,
+            attrs=[*tiebreak, *attrs, "_bucket"],
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        rebuilt.write.mode("overwrite").partitionBy("_bucket").parquet(history_path)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 _BATCH_ID_SIDECAR = "_applied_batch_id"
 
 

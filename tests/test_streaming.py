@@ -396,3 +396,104 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert got[hour0] == 1, got
     # batch-1 windows all flushed once the watermark passed them
     assert all(got[hour0 + 3600 * i] == 1 for i in range(6)), got
+
+
+def test_stream_scd2_incremental_and_replay(spark, tmp_path):
+    """stream_scd2_ingest: (a) incremental merge across micro-batches with
+    interleaved (out-of-order between batches) timestamps equals the
+    one-shot batch SCD2; (b) a FULL replay (fresh checkpoint, same
+    staging — every file redelivered) leaves the history unchanged,
+    because the merge is state-based; (c) only affected buckets are
+    rewritten (the untouched key's partition files keep their mtime)."""
+    import os
+
+    from mrf_etl_spark.io.writers import scd2_history
+    from mrf_etl_spark.streaming import stream_scd2_ingest
+
+    rows = [
+        # key 1: versions land in DIFFERENT half-files out of order
+        (1, 300, 1, 30.0), (1, 100, 2, 10.0), (1, 200, 3, 20.0),
+        # key 2: single version, first half only
+        (2, 150, 4, 15.0),
+        # key 7: chosen to land in a different hash bucket than 1/2
+        (7, 500, 5, 50.0), (7, 600, 6, 60.0),
+    ]
+    upd = spark.createDataFrame(rows, "key long, ts long, uid long, v double")
+    staging = str(tmp_path / "staging")
+    upd.filter("uid % 2 = 0").write.parquet(f"{staging}/half=a")
+    upd.filter("uid % 2 = 1").write.parquet(f"{staging}/half=b")
+    schema = upd.schema
+    hist = str(tmp_path / "hist")
+
+    def drain(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staging}/half=*")
+        )
+        q = stream_scd2_ingest(
+            stream, hist, str(tmp_path / ckpt),
+            keys=["key"], order_col="ts", tiebreak=["uid"], attrs=["v"],
+            n_buckets=4,
+        )
+        q.awaitTermination(300)
+
+    def snap():
+        return sorted(
+            map(tuple, spark.read.parquet(hist)
+                .select("key", "version", "valid_from", "valid_to", "is_current", "v")
+                .collect())
+        )
+
+    drain("ckpt1")
+    expected = sorted(
+        map(tuple, scd2_history(upd, ["key"], "ts", ["uid"], ["v"])
+            .select("key", "version", "valid_from", "valid_to", "is_current", "v")
+            .collect())
+    )
+    assert snap() == expected
+
+    # (c) bucket pruning: replay only the file containing key 7's updates
+    # and check the OTHER keys' bucket partitions are not rewritten
+    def bucket_dirs():
+        return {
+            d: max(
+                os.path.getmtime(os.path.join(hist, d, f))
+                for f in os.listdir(os.path.join(hist, d))
+                if f.endswith(".parquet")
+            )
+            for d in os.listdir(hist)
+            if d.startswith("_bucket=")
+        }
+
+    before = bucket_dirs()
+    only7 = spark.createDataFrame([(7, 700, 8, 70.0)], schema)
+    staging2 = str(tmp_path / "staging2")
+    only7.write.parquet(f"{staging2}/half=a")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{staging2}/half=*")
+    )
+    q2 = stream_scd2_ingest(
+        stream2, hist, str(tmp_path / "ckpt2"),
+        keys=["key"], order_col="ts", tiebreak=["uid"], attrs=["v"], n_buckets=4,
+    )
+    q2.awaitTermination(300)
+    after = bucket_dirs()
+    k7_bucket = spark.sql(
+        "SELECT concat('_bucket=', pmod(xxhash64(7L), 4)) AS b"
+    ).collect()[0]["b"]
+    assert after[k7_bucket] > before[k7_bucket]  # affected bucket rebuilt
+    for b, mt in before.items():
+        if b != k7_bucket:
+            assert after[b] == mt, f"untouched bucket {b} was rewritten"
+    # key 7 now has 3 versions; others unchanged
+    got = {(r[0], r[1]): r for r in snap()}
+    assert (7, 3) in got and got[(7, 3)][4] is True
+
+    # (b) full replay of the ORIGINAL staging with a fresh checkpoint:
+    # every original file redelivered; history must not change
+    final_before = snap()
+    drain("ckpt3")
+    assert snap() == final_before
