@@ -69,6 +69,13 @@ BUDGETS = {
     "w9_gapfill_locf": 3,
     # INTERSECT + EXCEPT: each a distinct-agg + join exchange pair
     "u2_intersect_except": 4,
+    # sketch-vs-exact in ONE grouped agg: a single partial+final pair
+    "a20_approx_quantile_bound": 1,
+    # exact distinct forces the Expand path: distinct agg + final
+    "a21_approx_distinct_bound": 2,
+    # small-input gate picks the one-phase plan at sf0.001: ONE window
+    # shuffle (the two-phase variant is budgeted separately below)
+    "a16_weighted_median": 1,
 }
 
 
@@ -103,3 +110,41 @@ def test_keyset_predicate_reaches_the_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Or(GreaterThan(l_orderkey" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_a16_two_phase_plan_budget(spark, monkeypatch):
+    """The large-input (gated) a16 plan: pre-agg exchange on (group,
+    value) + the 3-partition window exchange — exactly two, and the
+    window's input must be the AGGREGATED frame (shrink-first), never
+    the raw fact."""
+    import mrf_etl_spark.plans.parity as parity
+
+    monkeypatch.setattr(parity, "_A16_TWO_PHASE_BYTES", 0)
+    df = _catalog()["a16_weighted_median"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(r"\bExchange\b", plan)) - len(
+        re.findall(r"\bReusedExchange\b", plan)
+    )
+    assert n <= 2, plan
+    # the window must sit above an aggregate, not the raw scan
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_scd2_build_single_window_shuffle(spark):
+    """scd2_history is ONE key-partitioned window — a second exchange
+    would mean the version chain re-shuffles (e.g. a lost co-partition
+    between row_number and lead)."""
+    from pyspark.sql import functions as F
+
+    from mrf_etl_spark.io import scd2_history
+    from mrf_etl_spark.plans.parity import t
+
+    upd = t(spark, SF_DIR, "events").select(
+        "user_id", F.expr("ts_ns div 1000").alias("ts_us"), "event_id", "value"
+    )
+    h = scd2_history(upd, ["user_id"], "ts_us", ["event_id"], ["value"])
+    plan = h._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(r"\bExchange\b", plan)) - len(
+        re.findall(r"\bReusedExchange\b", plan)
+    )
+    assert n <= 1, plan
