@@ -757,27 +757,32 @@ def d5b_embedding_near_dup_ivf(spark, sf_dir):
     # vec_id % 97 == 0, cosine ties broken by id), so the full
     # assign→probe→rank cascade replays exactly in SQL — approximate
     # relative to exact ANN, but bit-reproducible across engines.
-    f"""WITH cent AS (
+    # Map-budget discipline (see _IVF_CASCADE_CTES): every unrolled
+    # cosine is projected ONCE into a MATERIALIZED stage and the windows
+    # order by the projected column — the vector-to-centroid scoring is
+    # shared between corpus assignment and query probing, and nothing is
+    # re-inlined at 32 threads.
+    f"""WITH cent AS MATERIALIZED (
          SELECT vec_id AS cid, embedding AS cvec
          FROM embeddings WHERE vec_id % 97 = 0),
-       assigned AS (
+       cscored AS MATERIALIZED (
+         SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.cvec')} AS cs
+         FROM embeddings e CROSS JOIN cent c),
+       assigned AS MATERIALIZED (
          SELECT vec_id, cid FROM (
-           SELECT e.vec_id, c.cid, row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
-           FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
-       q AS (SELECT vec_id AS query_id, embedding AS qv
-             FROM embeddings WHERE vec_id < 10),
-       probes AS (
-         SELECT query_id, qv, cid FROM (
-           SELECT q.query_id, q.qv, c.cid, row_number() OVER (
-               PARTITION BY q.query_id
-               ORDER BY {_cos_sql('q.qv', 'c.cvec')} DESC, c.cid ASC) AS rn
-           FROM q CROSS JOIN cent c) WHERE rn <= 2),
-       scored AS (
+           SELECT vec_id, cid, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+           FROM cscored) WHERE rn = 1),
+       probes AS MATERIALIZED (
+         SELECT vec_id AS query_id, cid FROM (
+           SELECT vec_id, cid, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+           FROM cscored WHERE vec_id < 10) WHERE rn <= 2),
+       scored AS MATERIALIZED (
          SELECT p.query_id, e.vec_id AS neighbor_id,
-                {_cos_sql('p.qv', 'e.embedding')} AS cosine
+                {_cos_sql('q.embedding', 'e.embedding')} AS cosine
          FROM probes p
+         JOIN embeddings q ON q.vec_id = p.query_id
          JOIN assigned a ON a.cid = p.cid
          JOIN embeddings e ON e.vec_id = a.vec_id
          WHERE p.query_id <> e.vec_id)

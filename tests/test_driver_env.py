@@ -116,7 +116,21 @@ def test_closure_iteration_bound_is_a_fixpoint_at_sf001():
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "name", ["d8_semantic_dedup", "pipe2_fuzzy_dedup", "d6_dup_clusters"]
+    "name",
+    [
+        # closure shapes (the r5 killers)
+        "d8_semantic_dedup",
+        "pipe2_fuzzy_dedup",
+        "d6_dup_clusters",
+        # unrolled-cosine shapes (the other measured map hog)
+        "d5b_embedding_near_dup_ivf",
+        "fx_dedup_quality",
+        "fx_ann",
+        # the heaviest surviving union probes
+        "fx_release_flow",
+        "fx_streaming_batch",
+        "fx_dedup_pairs",
+    ],
 )
 def test_closure_oracles_fit_map_budget_at_default_threads(name):
     reg = ordered_registry()
