@@ -425,6 +425,58 @@ def global_shuffle(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    band_col: str,
+    salt: str = "curriculum",
+    n_buckets: int = 1024,
+    out_col: str = "curriculum_pos",
+) -> DataFrame:
+    """Curriculum training order: dense position ``0..n-1`` ordered by
+    ascending ``band_col`` (easiest / highest-quality band first), with a
+    deterministic salted-hash shuffle WITHIN each band — the "order the
+    corpus easy→hard, shuffle within difficulty" step of curriculum
+    training, reproducible across engines and re-runs.
+
+    The spec is ``row_number() OVER (ORDER BY band, hash, id)`` — a
+    single-partition window at corpus scale. This computes the identical
+    ranking distributed with :func:`global_shuffle`'s decomposition, the
+    (band, bucket) pair taking the bucket's role: per-(band, bucket)
+    counts (a constant-size agg: |bands| x n_buckets rows) → exclusive
+    prefix offsets over that tiny table → broadcast back → per-(band,
+    bucket) ``row_number`` plus the offset. One data shuffle, one
+    broadcast join; the only ordered window runs over the offset table.
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    width = (1 << 60) // n_buckets
+    from pyspark.sql.window import Window
+
+    with_h = df.withColumn("_co_h", shard_hash(id_col, salt)).withColumn(
+        "_co_b", F.expr(f"_co_h div {width}")
+    )
+    counts = with_h.groupBy(band_col, "_co_b").agg(F.count("*").alias("_c"))
+    offsets = counts.select(
+        band_col,
+        "_co_b",
+        F.coalesce(
+            F.sum("_c").over(
+                Window.orderBy(band_col, "_co_b").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    w = Window.partitionBy(band_col, "_co_b").orderBy("_co_h", F.col(id_col))
+    return (
+        with_h.join(F.broadcast(offsets), [band_col, "_co_b"])
+        .withColumn(out_col, F.row_number().over(w) + F.col("_off") - 1)
+        .drop("_co_h", "_co_b", "_off")
+    )
+
+
 def length_bucket_batches(
     df: DataFrame,
     id_col: str,

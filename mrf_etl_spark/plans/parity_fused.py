@@ -195,6 +195,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("pipe4_eval_suite", []),
         ("sp9_quota_sample", []),
         ("q3_prep_funnel", []),
+        ("sp14_curriculum_order", []),
     ],
     "fx_text_quality": [
         ("t1_lang_id", ["score_en", "score_es", "score_fr", "score_de", "score_zh"]),
@@ -301,6 +302,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "user_id", "version", "valid_from_us", "valid_to_us", "is_current", "value",
     ],
     "a21_approx_distinct_bound": ["l_returnflag", "d_orders", "within_bound"],
+    "sp14_curriculum_order": ["doc_id", "band", "curriculum_pos"],
     "s9_geocode_cached_lookup": ["geocode_key", "lat", "lon", "cbsa_geoid", "cbsa_name"],
     "s10_hud_zip_cbsa": ["zip", "cbsa", "cbsaname"],
     "s12_append_unique_roundtrip": ["c_mktsegment", "n"],

@@ -2777,3 +2777,45 @@ def t13_sentence_stats(spark, sf_dir):
 )
 def t14_encoding_sanity(spark, sf_dir):
     return tx.encoding_sanity(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "sp14_curriculum_order",
+    # The spec window (ORDER BY band, hash, id) IS the oracle; the Spark
+    # side reproduces it distributed via (band, bucket) prefix offsets.
+    # Quality bands reuse the t2 composite exactly (values in
+    # {0, .25, .5, .75, 1.0}), so (1-q)*4 is an exact small integer.
+    f"""WITH q AS ({_T2_SQL}),
+       b AS (
+         SELECT doc_id,
+                CAST(round((CAST(1.0 AS DOUBLE) - quality) * 4, 0) AS BIGINT)
+                  AS band
+         FROM q),
+       h AS (
+         SELECT doc_id, band,
+                CAST('0x' || substring(md5('curriculum' || CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) AS hh
+         FROM b)
+       SELECT doc_id, band,
+              CAST(row_number() OVER (ORDER BY band, hh, doc_id) - 1 AS BIGINT)
+                AS curriculum_pos
+       FROM h""",
+    doc="sp14: curriculum training order — corpus ordered easy→hard by "
+    "t2 quality band, deterministically hash-shuffled within each band; "
+    "the single-window spec is computed distributed via per-(band, "
+    "bucket) prefix offsets so no task ever ranks the whole corpus "
+    "(operators/sampling.curriculum_order).",
+)
+def sp14_curriculum_order(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    d = t(spark, sf_dir, "documents")
+    banded = d.select(
+        "doc_id",
+        F.round((F.lit(1.0) - tx.quality_score("text")) * 4, 0)
+        .cast("long")
+        .alias("band"),
+    )
+    return sp.curriculum_order(banded, "doc_id", "band", salt="curriculum").select(
+        "doc_id", "band", "curriculum_pos"
+    )

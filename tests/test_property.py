@@ -424,3 +424,40 @@ def test_time_weighted_avg_matches_bruteforce(spark, events):
         lo = min(c for _, c in gaps) / 100
         hi = max(c for _, c in gaps) / 100
         assert lo - 1e-9 <= tw <= hi + 1e-9
+
+
+@given(
+    upd=st.lists(
+        st.tuples(
+            st.integers(0, 5),      # key
+            st.integers(0, 20),     # ts (collisions likely)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_scd2_intervals_tile_the_update_timeline(spark, upd):
+    """scd2_history contract on arbitrary update logs (with heavy ts
+    collisions): per key, versions are 1..n in (ts, uid) order, interval
+    starts are exactly the update timestamps, each valid_to equals the
+    next version's valid_from (half-open chain, no gaps or overlaps),
+    and exactly the last version is current."""
+    from mrf_etl_spark.io import scd2_history
+
+    rows = [(k, ts, uid) for uid, (k, ts) in enumerate(upd)]
+    df = spark.createDataFrame(rows, "key long, ts long, uid long")
+    h = scd2_history(df, keys=["key"], order_col="ts", tiebreak=["uid"]).collect()
+    by_key: dict[int, list] = {}
+    for r in h:
+        by_key.setdefault(r.key, []).append(r)
+    assert sum(len(v) for v in by_key.values()) == len(rows)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r.version)
+        expect = sorted(((ts, uid) for kk, ts, uid in rows if kk == k))
+        assert [r.version for r in versions] == list(range(1, len(expect) + 1))
+        assert [r.valid_from for r in versions] == [ts for ts, _ in expect]
+        for a, b in zip(versions, versions[1:]):
+            assert a.valid_to == b.valid_from  # chain tiles, half-open
+            assert not a.is_current
+        assert versions[-1].valid_to is None and versions[-1].is_current
