@@ -599,3 +599,58 @@ def encoding_sanity(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         (n - ascii_only).cast("long").alias("n_non_ascii"),
         F.when(n > 0, (n - ascii_only).cast("double") / n).alias("non_ascii_ratio"),
     )
+
+
+def chunk_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    win: int = 100,
+    stride: int = 50,
+) -> DataFrame:
+    """Overlapping passage chunking with provenance — the corpus→chunk
+    step of RAG indexing and context-window packing: each document emits
+    ``win``-word chunks every ``stride`` words, PLUS one final
+    full-width chunk anchored at ``size - win`` so the tail is always
+    covered exactly once (dedup'd when the strides already land there);
+    docs shorter than ``win`` emit one whole-doc chunk.
+
+    Output: (doc_id, chunk_idx, start_word, n_words, chunk_md5) —
+    chunk_idx dense 0.. per doc in start order, chunk_md5 over the
+    single-space re-joined window (whitespace-normalized, the d7 passage
+    convention, so chunk hashes are directly joinable against
+    repeated_passages output for leakage screens).
+
+    Scale shape: one map-side explode — no shuffle, no window; chunk
+    count is size/stride per doc. The text itself is NOT emitted (only
+    offsets + hash): the consumer re-slices from the source column,
+    keeping the chunk table narrow for 100 TB corpora.
+    """
+    from mrf_etl_spark.operators.dedup import widen_narrow_input
+
+    words_df = widen_narrow_input(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    starts = F.expr(
+        f"CASE WHEN size(_w) <= {win} THEN array(0) "
+        f"ELSE array_distinct(concat("
+        f"  sequence(0, size(_w) - {win}, {stride}),"
+        f"  array(size(_w) - {win}))) END"
+    )
+    exploded = words_df.select(
+        "doc_id",
+        "_w",
+        F.posexplode(starts).alias("chunk_idx", "start_word"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_word").cast("long").alias("start_word"),
+        F.least(F.lit(win), F.size("_w") - F.col("start_word"))
+        .cast("long")
+        .alias("n_words"),
+        F.expr(f"md5(concat_ws(' ', slice(_w, start_word + 1, {win})))").alias(
+            "chunk_md5"
+        ),
+    )

@@ -204,6 +204,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("t11_rare_token_ratio", ["rare_ratio"]),
         ("t12_type_token_ratio", ["ttr"]),
         ("t15_source_similarity", ["cosine"]),
+        ("t16_chunk_passages", []),
     ],
     "fx_corpus_cards": [
         ("q2_corpus_card", ["words_p50", "words_p90", "chars_avg"]),
@@ -303,6 +304,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "a21_approx_distinct_bound": ["l_returnflag", "d_orders", "within_bound"],
     "sp14_curriculum_order": ["doc_id", "band", "curriculum_pos"],
+    "t16_chunk_passages": ["doc_id", "chunk_idx", "start_word", "n_words", "chunk_md5"],
     "s9_geocode_cached_lookup": ["geocode_key", "lat", "lon", "cbsa_geoid", "cbsa_name"],
     "s10_hud_zip_cbsa": ["zip", "cbsa", "cbsaname"],
     "s12_append_unique_roundtrip": ["c_mktsegment", "n"],

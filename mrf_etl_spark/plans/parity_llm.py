@@ -2819,3 +2819,49 @@ def sp14_curriculum_order(spark, sf_dir):
     return sp.curriculum_order(banded, "doc_id", "band", salt="curriculum").select(
         "doc_id", "band", "curriculum_pos"
     )
+
+
+# fixture docs average ~55 words: 24/12 yields ~4 overlapping chunks per
+# doc, so the stride grid, the tail anchor, AND the whole-doc short path
+# all occur in the checked output
+T16_WIN = 24
+T16_STRIDE = 12
+
+
+@register(
+    "t16_chunk_passages",
+    # DuckDB twin: same start-set (stride multiples + the full-width tail
+    # anchor, distinct), chunk_idx as row_number in start order — Spark's
+    # posexplode over the ascending distinct array yields the identical
+    # dense index.
+    f"""WITH w AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+         FROM documents),
+       s AS (
+         SELECT doc_id, ws, len(ws) AS n,
+                CASE WHEN len(ws) <= {T16_WIN} THEN [0]
+                     ELSE list_distinct(list_append(
+                       range(0, len(ws) - {T16_WIN} + 1, {T16_STRIDE}),
+                       len(ws) - {T16_WIN})) END AS starts
+         FROM w),
+       c AS (
+         SELECT doc_id, ws, n, unnest(starts) AS start_word FROM s)
+       SELECT doc_id,
+              CAST(row_number() OVER (
+                PARTITION BY doc_id ORDER BY start_word) - 1 AS BIGINT)
+                AS chunk_idx,
+              CAST(start_word AS BIGINT) AS start_word,
+              CAST(least({T16_WIN}, n - start_word) AS BIGINT) AS n_words,
+              md5(array_to_string(ws[start_word + 1 : start_word + {T16_WIN}], ' '))
+                AS chunk_md5
+       FROM c""",
+    doc="t16: overlapping passage chunking with provenance (RAG indexing "
+    "/ context-window packing) — win-word chunks every stride words plus "
+    "a full-width tail anchor, whole-doc chunk for short docs; emits "
+    "offsets + md5 only (narrow chunk table, text re-sliced on demand). "
+    "Map-side explode, no shuffle (operators/textops.chunk_passages).",
+)
+def t16_chunk_passages(spark, sf_dir):
+    return tx.chunk_passages(
+        t(spark, sf_dir, "documents"), "text", "doc_id", win=T16_WIN, stride=T16_STRIDE
+    )

@@ -1000,3 +1000,37 @@ def test_sentence_stats_and_encoding_sanity_edges(spark):
     assert es[5].n_non_ascii == 3  # é + the 2 replacement chars (\x01 is ASCII)
     assert es[3].n_chars == 0 and es[3].non_ascii_ratio is None
     assert es[1].n_non_ascii == 0 and es[1].non_ascii_ratio == 0.0
+
+
+def test_chunk_passages_offsets_and_tail_coverage(spark):
+    """Chunking contract on hand-built docs: dense chunk_idx in start
+    order, stride grid + full-width tail anchor (dedup'd when aligned),
+    whole-doc chunk for short docs, and hashes joinable against the d7
+    passage convention (same whitespace-normalized md5)."""
+    import hashlib
+
+    from mrf_etl_spark.operators.textops import chunk_passages
+
+    words10 = " ".join(f"w{i}" for i in range(10))   # == win: one chunk
+    words25 = " ".join(f"w{i}" for i in range(25))   # tail NOT on grid
+    words20 = " ".join(f"w{i}" for i in range(20))   # tail ON grid
+    short = "a b c"
+    df = spark.createDataFrame(
+        [(1, words10), (2, words25), (3, words20), (4, short)],
+        "doc_id long, text string",
+    )
+    out = chunk_passages(df, "text", "doc_id", win=10, stride=5)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    starts = lambda d: [rows[(d, i)].start_word for i in range(
+        sum(1 for k in rows if k[0] == d))]
+    assert starts(1) == [0]
+    # 25 words, win 10, stride 5: grid 0,5,10,15 + tail anchor 15 (dup) ->
+    # distinct [0, 5, 10, 15]
+    assert starts(2) == [0, 5, 10, 15]
+    assert starts(3) == [0, 5, 10]
+    assert starts(4) == [0]
+    assert rows[(4, 0)].n_words == 3
+    assert all(rows[(2, i)].n_words == 10 for i in range(4))
+    # hash = md5 of the single-space re-joined slice
+    want = hashlib.md5(" ".join(f"w{i}" for i in range(5, 15)).encode()).hexdigest()
+    assert rows[(2, 1)].chunk_md5 == want
