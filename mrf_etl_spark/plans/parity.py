@@ -3421,3 +3421,69 @@ def a21_approx_distinct_bound(spark, sf_dir):
             ).alias("within_bound"),
         )
     )
+
+
+J18_RADIUS = 0.5  # grid cell side == verify radius, coordinate units
+
+
+@register(
+    "j18_grid_spatial_join",
+    # Deterministic synthetic coords from the md5-hash recipe (uniform in
+    # [0, 10)^2 at 3 decimal resolution); all arithmetic is multiply/add
+    # on doubles, bit-identical across engines (no trig).
+    f"""WITH c AS (
+         SELECT c_custkey,
+                CAST(CAST('0x' || substring(md5('lat|' || CAST(c_custkey AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 10000 AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS lat,
+                CAST(CAST('0x' || substring(md5('lon|' || CAST(c_custkey AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 10000 AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS lon
+         FROM customer),
+       s AS (
+         SELECT s_suppkey,
+                CAST(CAST('0x' || substring(md5('lat|' || CAST(s_suppkey AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 10000 AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS lat,
+                CAST(CAST('0x' || substring(md5('lon|' || CAST(s_suppkey AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 10000 AS DOUBLE) / CAST(1000.0 AS DOUBLE) AS lon
+         FROM s_src),
+       pairs AS (
+         SELECT c.c_custkey, s.s_suppkey,
+                (c.lat - s.lat) * (c.lat - s.lat)
+                  + (c.lon - s.lon) * (c.lon - s.lon) AS dist2
+         FROM c
+         JOIN (VALUES (-1), (0), (1)) di(i) ON true
+         JOIN (VALUES (-1), (0), (1)) dj(j) ON true
+         JOIN s ON floor(c.lat / {J18_RADIUS}) + di.i = floor(s.lat / {J18_RADIUS})
+               AND floor(c.lon / {J18_RADIUS}) + dj.j = floor(s.lon / {J18_RADIUS}))
+       SELECT c_custkey, s_suppkey, dist2 FROM pairs
+       WHERE dist2 <= {J18_RADIUS} * {J18_RADIUS}""".replace("s_src", "supplier"),
+    doc="J18 (beyond-ref): spatial radius join via grid bucketing — "
+    "points quantized to radius-sized cells, left expanded to its 3x3 "
+    "neighborhood (pigeonhole-complete), equi-join on the cell key, "
+    "exact squared-distance verify. Candidates bounded by local density "
+    "x 9 cells instead of |L| x |R|; the 'providers within r of each "
+    "member' query the reference's geocoded dashboards answer by "
+    "post-filter (operators/spatial.grid_radius_join).",
+)
+def j18_grid_spatial_join(spark, sf_dir):
+    from mrf_etl_spark.operators.spatial import grid_radius_join
+
+    def coords(df, key):
+        def h(salt):
+            raw = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt + "|"), F.col(key).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            return (raw % 10000).cast("double") / F.lit(1000.0)
+
+        return df.select(key, h("lat").alias("lat"), h("lon").alias("lon"))
+
+    c = coords(t(spark, sf_dir, "customer"), "c_custkey")
+    s = coords(t(spark, sf_dir, "supplier"), "s_suppkey")
+    return grid_radius_join(c, s, radius=J18_RADIUS).select(
+        "c_custkey", "s_suppkey", "dist2"
+    )

@@ -225,6 +225,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("j12_desc_coalesce", []),
         ("j16_fuzzy_name_match", []),
         ("j17_full_outer", []),
+        ("j18_grid_spatial_join", ["dist2"]),
     ],
     "fx_media": [
         ("m1_multimodal_features", []),
@@ -305,6 +306,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "a21_approx_distinct_bound": ["l_returnflag", "d_orders", "within_bound"],
     "sp14_curriculum_order": ["doc_id", "band", "curriculum_pos"],
     "t16_chunk_passages": ["doc_id", "chunk_idx", "start_word", "n_words", "chunk_md5"],
+    "j18_grid_spatial_join": ["c_custkey", "s_suppkey", "dist2"],
     "s9_geocode_cached_lookup": ["geocode_key", "lat", "lon", "cbsa_geoid", "cbsa_name"],
     "s10_hud_zip_cbsa": ["zip", "cbsa", "cbsaname"],
     "s12_append_unique_roundtrip": ["c_mktsegment", "n"],

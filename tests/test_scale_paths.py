@@ -285,3 +285,40 @@ def test_runtime_bloom_filter_join_pruning(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_grid_radius_join_equals_bruteforce(spark):
+    """The 3x3 grid-neighborhood join must return EXACTLY the pairs the
+    brute-force cross join finds (the pigeonhole makes it complete, the
+    verify filter makes it precise) — including points on cell
+    boundaries and radius-exact distances."""
+    from mrf_etl_spark.operators.spatial import grid_radius_join
+
+    pts_l = [
+        (1, 0.0, 0.0),     # on a cell corner
+        (2, 0.49, 0.49),   # near a corner, neighbors across cells
+        (3, 5.0, 5.0),
+        (4, 9.99, 9.99),
+    ]
+    pts_r = [
+        (10, 0.5, 0.0),    # exactly radius away from (1)  -> included (<=)
+        (11, 0.5, 0.5),    # cell boundary, close to (2)
+        (12, 5.3, 4.8),
+        (13, 0.0, 0.51),   # just outside radius of (1)
+        (14, 9.7, 9.7),
+    ]
+    L = spark.createDataFrame(pts_l, "lid long, lat double, lon double")
+    R = spark.createDataFrame(pts_r, "rid long, lat double, lon double")
+    r = 0.5
+    got = {
+        (x.lid, x.rid)
+        for x in grid_radius_join(L, R, radius=r).select("lid", "rid").collect()
+    }
+    want = {
+        (lid, rid)
+        for lid, la, lo in pts_l
+        for rid, ra, ro in pts_r
+        if (la - ra) ** 2 + (lo - ro) ** 2 <= r * r
+    }
+    assert got == want
+    assert (1, 10) in got and (1, 13) not in got  # boundary semantics pinned
