@@ -3487,3 +3487,70 @@ def j18_grid_spatial_join(spark, sf_dir):
     return grid_radius_join(c, s, radius=J18_RADIUS).select(
         "c_custkey", "s_suppkey", "dist2"
     )
+
+
+S24_QUERY_MOD = 17  # event_id % MOD == 0 rows become point-in-time queries
+
+
+@register(
+    "s24_point_in_time",
+    # Inner-join oracle is exact here: every query's as_of is its own
+    # update's timestamp, so a matching version always exists; ties on
+    # valid_from (same-instant updates) resolve to the highest version
+    # on both sides.
+    f"""WITH upd AS (
+         SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+       h AS (
+         SELECT user_id,
+                row_number() OVER w AS version,
+                ts_us AS vf, value
+         FROM upd
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       q AS (
+         SELECT event_id AS query_id, user_id, ts_us AS as_of
+         FROM upd WHERE event_id % {S24_QUERY_MOD} = 0)
+       SELECT query_id, user_id, as_of,
+              CAST(version AS BIGINT) AS version_asof, value AS value_asof
+       FROM (
+         SELECT q.query_id, q.user_id, q.as_of, h.version, h.value,
+                row_number() OVER (
+                  PARTITION BY q.query_id
+                  ORDER BY h.vf DESC, h.version DESC) AS rn
+         FROM q JOIN h ON h.user_id = q.user_id AND h.vf <= q.as_of)
+       WHERE rn = 1""",
+    doc="S24 (beyond-ref): point-in-time join over the SCD2 history — "
+    "'what was this key's version when the claim was filed': each query "
+    "(key, as_of) resolves to the version whose [valid_from, valid_to) "
+    "contains as_of, computed as a backward as-of join on valid_from "
+    "(chain tiling makes the two formulations identical). Composes s23 "
+    "scd2_history with the W4 union+window as-of operator — one key "
+    "shuffle, no range join (io.writers.scd2_history + "
+    "operators/asof.asof_join).",
+)
+def s24_point_in_time(spark, sf_dir):
+    from mrf_etl_spark.io import scd2_history
+    from mrf_etl_spark.operators.asof import asof_join
+
+    upd = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    hist = scd2_history(
+        upd, keys=["user_id"], order_col="ts_us", tiebreak=["event_id"], attrs=["value"]
+    ).select("user_id", "version", F.col("valid_from").alias("vf"), "value")
+    q = upd.filter(F.col("event_id") % S24_QUERY_MOD == 0).select(
+        F.col("event_id").alias("query_id"), "user_id", F.col("ts_us").alias("as_of")
+    )
+    out = asof_join(
+        q, hist, on="user_id", left_ts="as_of", right_ts="vf",
+        right_cols=["version", "value"],
+    )
+    return out.select(
+        "query_id",
+        "user_id",
+        "as_of",
+        F.col("version_asof").cast("long").alias("version_asof"),
+        "value_asof",
+    )

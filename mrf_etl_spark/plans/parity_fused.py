@@ -51,6 +51,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("s12_append_unique_roundtrip", []),
         ("s13_upsert_idempotent", ["total"]),
         ("s23_scd2_history", ["value"]),
+        ("s24_point_in_time", ["value_asof"]),
     ],
     "fx_latest_partitioned": [
         ("s14_latest_merge", ["sum_value"]),
@@ -307,6 +308,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "sp14_curriculum_order": ["doc_id", "band", "curriculum_pos"],
     "t16_chunk_passages": ["doc_id", "chunk_idx", "start_word", "n_words", "chunk_md5"],
     "j18_grid_spatial_join": ["c_custkey", "s_suppkey", "dist2"],
+    "s24_point_in_time": ["query_id", "user_id", "as_of", "version_asof", "value_asof"],
     "s9_geocode_cached_lookup": ["geocode_key", "lat", "lon", "cbsa_geoid", "cbsa_name"],
     "s10_hud_zip_cbsa": ["zip", "cbsa", "cbsaname"],
     "s12_append_unique_roundtrip": ["c_mktsegment", "n"],
