@@ -65,10 +65,15 @@ HEADLINE = [
     "k6_diversified_topk",
     "w14_trailing_window",
     "t15_source_similarity",
-    # round-6 additions: SCD2 history sink, sketch scale paths
+    # round-6 additions: SCD2 family, sketch scale paths, curriculum
+    # order, passage chunking, spatial radius join
     "s23_scd2_history",
     "a20_approx_quantile_bound",
     "a21_approx_distinct_bound",
+    "s24_point_in_time",
+    "sp14_curriculum_order",
+    "t16_chunk_passages",
+    "j18_grid_spatial_join",
 ]
 
 
