@@ -99,6 +99,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("w13_asof_forward", ["view_value", "click_value"]),
         ("w14_trailing_window", ["sum_24h"]),
         ("w17_time_weighted_avg", ["twap"]),
+        ("w18_sliding_reach", []),
+        ("w19_streaks", []),
     ],
     "fx_topk_page": [
         ("k1_topk", ["price"]),
@@ -309,6 +311,8 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "t16_chunk_passages": ["doc_id", "chunk_idx", "start_word", "n_words", "chunk_md5"],
     "j18_grid_spatial_join": ["c_custkey", "s_suppkey", "dist2"],
     "s24_point_in_time": ["query_id", "user_id", "as_of", "version_asof", "value_asof"],
+    "w18_sliding_reach": ["day", "reach_7d"],
+    "w19_streaks": ["user_id", "streak_start", "streak_len"],
     "s9_geocode_cached_lookup": ["geocode_key", "lat", "lon", "cbsa_geoid", "cbsa_name"],
     "s10_hud_zip_cbsa": ["zip", "cbsa", "cbsaname"],
     "s12_append_unique_roundtrip": ["c_mktsegment", "n"],

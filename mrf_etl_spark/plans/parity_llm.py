@@ -2865,3 +2865,81 @@ def t16_chunk_passages(spark, sf_dir):
     return tx.chunk_passages(
         t(spark, sf_dir, "documents"), "text", "doc_id", win=T16_WIN, stride=T16_STRIDE
     )
+
+
+_US_PER_DAY = 86_400_000_000
+W18_WINDOW_DAYS = 7
+
+
+@register(
+    "w18_sliding_reach",
+    # Exact trailing-7-day distinct users per active day. Day = floor
+    # division of positive epoch micros — identical across engines, no
+    # calendar/timezone surface. The per-(user, day) dedup bounds the
+    # explode at x7 of the DEDUPED activity table, never the raw stream.
+    f"""WITH ud AS (
+         SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS d
+         FROM events),
+       days AS (SELECT DISTINCT d FROM ud),
+       hits AS (
+         SELECT days.d AS day, ud.user_id
+         FROM ud JOIN days ON days.d BETWEEN ud.d AND ud.d + {W18_WINDOW_DAYS - 1})
+       SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS reach_7d
+       FROM hits GROUP BY day""",
+    doc="w18: sliding-window reach (beyond-ref) — EXACT trailing-7-day "
+    "distinct users for every active day. Sliding distinct is the "
+    "classic 'can't use a window frame' aggregate (COUNT(DISTINCT) OVER "
+    "RANGE is unsupported and inherently holds per-frame state); the "
+    "scale shape is dedup to (user, day) first, then explode each "
+    "activity day to the <=7 window days it serves and run ONE "
+    "distinct-agg keyed by day — explode factor bounded by the window, "
+    "input bounded by |users| x |active days|, never the event stream.",
+)
+def w18_sliding_reach(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr(f"(ts_ns div 1000) div {_US_PER_DAY}").alias("d")
+    ).distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    exploded = ud.withColumn(
+        "day", F.explode(F.sequence(F.col("d"), F.col("d") + (W18_WINDOW_DAYS - 1)))
+    ).drop("d")
+    hits = exploded.join(days, "day", "left_semi")
+    return hits.groupBy("day").agg(F.countDistinct("user_id").alias("reach_7d"))
+
+
+@register(
+    "w19_streaks",
+    # Gaps-and-islands: maximal runs of CONSECUTIVE active days per user.
+    # day - row_number is constant exactly within a consecutive run — the
+    # textbook islands rewrite, one key-partitioned window + one rollup.
+    f"""WITH ud AS (
+         SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS d
+         FROM events),
+       marked AS (
+         SELECT user_id, d,
+                d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+         FROM ud)
+       SELECT user_id,
+              CAST(min(d) AS BIGINT) AS streak_start,
+              CAST(count(*) AS BIGINT) AS streak_len
+       FROM marked GROUP BY user_id, grp""",
+    doc="w19: activity streaks / gaps-and-islands (beyond-ref) — maximal "
+    "consecutive-active-day runs per user via the day-minus-rank "
+    "constant-group rewrite: one window over the per-(user, day) dedup "
+    "(shuffles each user's activity days to one task) + one "
+    "map-side-combinable rollup; no self-join, no sequence explosion.",
+)
+def w19_streaks(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr(f"(ts_ns div 1000) div {_US_PER_DAY}").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    marked = ud.withColumn("grp", F.col("d") - F.row_number().over(w))
+    return marked.groupBy("user_id", "grp").agg(
+        F.min("d").alias("streak_start"),
+        F.count("*").alias("streak_len"),
+    ).drop("grp")
