@@ -3554,3 +3554,47 @@ def s24_point_in_time(spark, sf_dir):
         F.col("version_asof").cast("long").alias("version_asof"),
         "value_asof",
     )
+
+
+A22_SUPPORT = 0.05  # emit values covering >= 5% of their group
+
+
+@register(
+    "a22_frequent_items",
+    # item = floor(sqrt(quantity)): a skewed 7-value categorical whose
+    # supports run ~4%..26% (count of bucket k ∝ 2k+1), so the 5%
+    # threshold genuinely drops the rare tail bucket with wide margin on
+    # both sides (supports are exact integer ratios — no knife edge).
+    # IEEE sqrt is correctly rounded, so floor(sqrt) is engine-identical.
+    f"""WITH vc AS (
+         SELECT l_returnflag,
+                CAST(floor(sqrt(CAST(l_quantity AS DOUBLE))) AS BIGINT) AS item,
+                count(*) AS n
+         FROM lineitem GROUP BY 1, 2),
+       tot AS (
+         SELECT l_returnflag, sum(n) AS tot FROM vc GROUP BY l_returnflag)
+       SELECT vc.l_returnflag, vc.item, CAST(vc.n AS BIGINT) AS n,
+              CAST(vc.n AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS support
+       FROM vc JOIN tot USING (l_returnflag)
+       WHERE CAST(vc.n AS DOUBLE) / CAST(tot.tot AS DOUBLE)
+               >= CAST({A22_SUPPORT} AS DOUBLE)""",
+    doc="a22 (beyond-ref): exact frequent items per group — every value "
+    "holding >= support fraction of its group (a17's mode generalized "
+    "from top-1 to all-above-threshold; the exact counterpart of "
+    "misra-gries/space-saving sketches). Two map-side-combinable aggs "
+    "over the same grouping prefix + a broadcast-size totals join — the "
+    "value-count rollup is the only data shuffle.",
+)
+def a22_frequent_items(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    vc = li.groupBy(
+        "l_returnflag",
+        F.floor(F.sqrt(F.col("l_quantity").cast("double"))).cast("long").alias("item"),
+    ).agg(F.count("*").alias("n"))
+    tot = vc.groupBy("l_returnflag").agg(F.sum("n").alias("tot"))
+    return (
+        vc.join(F.broadcast(tot), "l_returnflag")
+        .withColumn("support", F.col("n").cast("double") / F.col("tot").cast("double"))
+        .filter(F.col("support") >= A22_SUPPORT)
+        .select("l_returnflag", "item", "n", "support")
+    )

@@ -86,6 +86,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("a15_pivot_matrix", []),
         ("a17_deterministic_mode", []),
         ("a18_cube", ["price_sum"]),
+        ("a22_frequent_items", ["support"]),
     ],
     "fx_latest_best": [
         ("w1_latest_per_key", ["value"]),
@@ -313,6 +314,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "s24_point_in_time": ["query_id", "user_id", "as_of", "version_asof", "value_asof"],
     "w18_sliding_reach": ["day", "reach_7d"],
     "w19_streaks": ["user_id", "streak_start", "streak_len"],
+    "a22_frequent_items": ["l_returnflag", "item", "n", "support"],
     "s9_geocode_cached_lookup": ["geocode_key", "lat", "lon", "cbsa_geoid", "cbsa_name"],
     "s10_hud_zip_cbsa": ["zip", "cbsa", "cbsaname"],
     "s12_append_unique_roundtrip": ["c_mktsegment", "n"],
