@@ -506,3 +506,43 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def truncation_quality(
+    df: DataFrame,
+    dim: int,
+    ks: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style truncation QA: the cosine similarity each vector
+    RETAINS when truncated to its first k dimensions (Kusupati et al.
+    2022, public literature) — cos(v, v[:k] zero-padded) reduces to
+    sqrt(prefix_norm2 / full_norm2), so the whole audit is one map-side
+    projection, no pairs. The per-k retention profile is what decides
+    how far stored embeddings can be truncated before ANN recall decays
+    (the e1 int8-quantization question, asked of dimensionality).
+
+    Emits one row per (vector, k): (id, k, cos_retained). Prefix sums
+    are left-associative over dims 1..k, so k's value is a strict prefix
+    of the full-norm accumulation — bit-identical across engines."""
+
+    def prefix2(k: int) -> Column:
+        s = _elem(vec_col, 0) * _elem(vec_col, 0)
+        for i in range(1, k):
+            s = s + _elem(vec_col, i) * _elem(vec_col, i)
+        return s
+
+    full2 = prefix2(dim)
+    per_k = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.sqrt(prefix2(k) / full2).alias("cos_retained"),
+            )
+            for k in ks
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.explode(per_k).alias("_t")
+    ).select(id_col, F.col("_t.k").alias("k"), F.col("_t.cos_retained").alias("cos_retained"))

@@ -194,6 +194,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("sp7_source_mix", []),
         ("sp13_temperature_mix", []),
         ("e2_embedding_dim_stats", ["v_min", "v_max", "v_mean"]),
+        ("e3_truncation_quality", ["cos_retained"]),
     ],
     "fx_eval_suites": [
         ("pipe4_eval_suite", []),
@@ -315,6 +316,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "w18_sliding_reach": ["day", "reach_7d"],
     "w19_streaks": ["user_id", "streak_start", "streak_len"],
     "a22_frequent_items": ["l_returnflag", "item", "n", "support"],
+    "e3_truncation_quality": ["vec_id", "k", "cos_retained"],
     "s9_geocode_cached_lookup": ["geocode_key", "lat", "lon", "cbsa_geoid", "cbsa_name"],
     "s10_hud_zip_cbsa": ["zip", "cbsa", "cbsaname"],
     "s12_append_unique_roundtrip": ["c_mktsegment", "n"],

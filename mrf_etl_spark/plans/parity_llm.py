@@ -2943,3 +2943,36 @@ def w19_streaks(spark, sf_dir):
         F.min("d").alias("streak_start"),
         F.count("*").alias("streak_len"),
     ).drop("grp")
+
+
+E3_KS = (8, 16, 32)
+
+
+def _prefix2_sql(k: int) -> str:
+    return " + ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{i}] AS DOUBLE)"
+        for i in range(1, k + 1)
+    )
+
+
+@register(
+    "e3_truncation_quality",
+    # one branch per k, same left-associative prefix sums as the Spark
+    # side; UNION ALL of per-k projections (cheap — 3 scans of 64 floats
+    # x 50 sampled vectors)
+    "\nUNION ALL\n".join(
+        f"""SELECT vec_id, CAST({k} AS BIGINT) AS k,
+               sqrt(({_prefix2_sql(k)}) / ({_prefix2_sql(64)})) AS cos_retained
+        FROM embeddings WHERE vec_id < 50"""
+        for k in E3_KS
+    ),
+    doc="e3: matryoshka truncation QA (beyond-ref) — cosine retained "
+    "when an embedding is truncated to its first k dims; reduces to "
+    "sqrt(prefix_norm2/full_norm2), one map-side projection, no pairs. "
+    "The retention-by-k profile decides how far stored embeddings can "
+    "shrink before ANN recall decays "
+    "(operators/similarity.truncation_quality).",
+)
+def e3_truncation_quality(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return sim.truncation_quality(emb, dim=DIM, ks=list(E3_KS))
