@@ -3598,3 +3598,51 @@ def a22_frequent_items(spark, sf_dir):
         .filter(F.col("support") >= A22_SUPPORT)
         .select("l_returnflag", "item", "n", "support")
     )
+
+
+A23_LO, A23_HI, A23_BINS = 900.0, 105000.0, 20
+_A23_W = (A23_HI - A23_LO) / A23_BINS
+
+
+@register(
+    "a23_histogram",
+    # Manual fixed-width binning (no width_bucket dependency): bucket =
+    # clamp(floor((x - lo) / w)) — identical double arithmetic both
+    # engines; edges derived from the bucket index, so the whole
+    # histogram is reproducible from (lo, w) alone.
+    f"""WITH b AS (
+         SELECT l_returnflag,
+                least(greatest(CAST(floor((l_extendedprice - {A23_LO}) / {_A23_W})
+                                    AS BIGINT), 0), {A23_BINS - 1}) AS bucket
+         FROM lineitem)
+       SELECT l_returnflag, bucket,
+              CAST({A23_LO} AS DOUBLE) + bucket * CAST({_A23_W} AS DOUBLE) AS bin_lo,
+              CAST(count(*) AS BIGINT) AS n
+       FROM b GROUP BY 1, 2""",
+    doc="a23 (beyond-ref): fixed-width histogram per group — the "
+    "rate-distribution panel behind the reference's summary-stats "
+    "dashboards, computed as ONE map-side-combinable aggregation "
+    "(bucket is a per-row projection; under-/overflow clamp to the edge "
+    "bins). Engine-neutral manual binning: clamp(floor((x-lo)/w)), no "
+    "width_bucket semantics to cross-check.",
+)
+def a23_histogram(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("l_extendedprice") - A23_LO) / _A23_W).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(A23_BINS - 1),
+    )
+    return (
+        li.select("l_returnflag", bucket.alias("bucket"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "l_returnflag",
+            "bucket",
+            (F.lit(A23_LO) + F.col("bucket") * F.lit(_A23_W)).alias("bin_lo"),
+            "n",
+        )
+    )

@@ -251,6 +251,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("a14_rollup", ["val_sum"]),
         ("a20_approx_quantile_bound", ["p50", "p90"]),
         ("a21_approx_distinct_bound", []),
+        ("a23_histogram", ["bin_lo"]),
     ],
     "fx_ref_joins": [
         ("j1_broadcast_left_join", ["total"]),
@@ -317,6 +318,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "w19_streaks": ["user_id", "streak_start", "streak_len"],
     "a22_frequent_items": ["l_returnflag", "item", "n", "support"],
     "e3_truncation_quality": ["vec_id", "k", "cos_retained"],
+    "a23_histogram": ["l_returnflag", "bucket", "bin_lo", "n"],
     "s9_geocode_cached_lookup": ["geocode_key", "lat", "lon", "cbsa_geoid", "cbsa_name"],
     "s10_hud_zip_cbsa": ["zip", "cbsa", "cbsaname"],
     "s12_append_unique_roundtrip": ["c_mktsegment", "n"],

@@ -461,3 +461,37 @@ def test_scd2_intervals_tile_the_update_timeline(spark, upd):
             assert a.valid_to == b.valid_from  # chain tiles, half-open
             assert not a.is_current
         assert versions[-1].valid_to is None and versions[-1].is_current
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 500),  # id
+            st.integers(0, 3),    # band
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_curriculum_order_contract(spark, rows):
+    """curriculum_order invariants on arbitrary banded sets: positions
+    are a dense permutation of 0..n-1, bands occupy contiguous ascending
+    position ranges, and within a band the order is exactly (salted
+    hash, id) — i.e. the distributed decomposition reproduces the
+    single-window spec."""
+    import hashlib
+
+    from mrf_etl_spark.operators.sampling import curriculum_order
+
+    df = spark.createDataFrame(rows, "doc_id long, band long")
+    out = curriculum_order(df, "doc_id", "band", salt="s").collect()
+    assert sorted(r.curriculum_pos for r in out) == list(range(len(rows)))
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(f"s{i}".encode()).hexdigest()[:15], 16)
+
+    spec = sorted(rows, key=lambda t: (t[1], h(t[0]), t[0]))
+    got = sorted(out, key=lambda r: r.curriculum_pos)
+    assert [(r.doc_id, r.band) for r in got] == spec
