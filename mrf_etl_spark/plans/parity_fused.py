@@ -216,6 +216,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("q5_corpus_drift", ["mean_len_a", "mean_len_b", "count_ratio"]),
         ("sp8_global_shuffle", []),
         ("d4_simhash", []),
+        ("q6_token_budget", []),
     ],
     "fx_release_flow": [
         ("pipe3_corpus_release", []),
@@ -319,6 +320,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "a22_frequent_items": ["l_returnflag", "item", "n", "support"],
     "e3_truncation_quality": ["vec_id", "k", "cos_retained"],
     "a23_histogram": ["l_returnflag", "bucket", "bin_lo", "n"],
+    "q6_token_budget": ["source", "split", "n_docs", "tokens"],
     "s9_geocode_cached_lookup": ["geocode_key", "lat", "lon", "cbsa_geoid", "cbsa_name"],
     "s10_hud_zip_cbsa": ["zip", "cbsa", "cbsaname"],
     "s12_append_unique_roundtrip": ["c_mktsegment", "n"],

@@ -2976,3 +2976,45 @@ def _prefix2_sql(k: int) -> str:
 def e3_truncation_quality(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     return sim.truncation_quality(emb, dim=DIM, ks=list(E3_KS))
+
+
+@register(
+    "q6_token_budget",
+    # sp1's split recipe + t3's BPE-ish token estimate, rolled up to the
+    # (source, split) budget table — integer sums only, engine-exact
+    f"""WITH s AS (
+         SELECT doc_id, source,
+                CASE WHEN {_BUCKET_SQL.format(id='doc_id')} < 9000 THEN 'train'
+                     WHEN {_BUCKET_SQL.format(id='doc_id')} < 9500 THEN 'val'
+                     ELSE 'test' END AS split,
+                CAST(coalesce(list_sum(list_transform(
+                    regexp_extract_all(text, '[a-z]+|[A-Z]+'),
+                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+                + len(regexp_extract_all(text, '[0-9]+'))
+                + len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS tok
+         FROM documents)
+       SELECT source, split,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(tok) AS BIGINT) AS tokens
+       FROM s GROUP BY source, split""",
+    doc="q6: training token budget (beyond-ref) — tokens per (source, "
+    "split): the planning table that decides epochs and mixture rates "
+    "before a run. Composes sp1's deterministic hash split with t3's "
+    "BPE-ish token estimate in ONE pass over the corpus (per-row "
+    "projections + a single map-side-combinable rollup; integer sums, "
+    "so the budget is engine-exact, not approximate).",
+)
+def q6_token_budget(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    d = t(spark, sf_dir, "documents")
+    split = sp.assign_split(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (
+        split.select(
+            "source",
+            "split",
+            tx.token_count_bpe("text").cast("long").alias("tok"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("tokens"))
+    )
