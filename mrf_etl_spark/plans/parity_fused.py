@@ -201,6 +201,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("sp9_quota_sample", []),
         ("q3_prep_funnel", []),
         ("sp14_curriculum_order", []),
+        ("sp19_budget_sample", []),
     ],
     "fx_text_quality": [
         ("t1_lang_id", ["score_en", "score_es", "score_fr", "score_de", "score_zh"]),
@@ -321,6 +322,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "e3_truncation_quality": ["vec_id", "k", "cos_retained"],
     "a23_histogram": ["l_returnflag", "bucket", "bin_lo", "n"],
     "q6_token_budget": ["source", "split", "n_docs", "tokens"],
+    "sp19_budget_sample": ["doc_id", "source", "tok", "cum_tokens"],
     "s9_geocode_cached_lookup": ["geocode_key", "lat", "lon", "cbsa_geoid", "cbsa_name"],
     "s10_hud_zip_cbsa": ["zip", "cbsa", "cbsaname"],
     "s12_append_unique_roundtrip": ["c_mktsegment", "n"],

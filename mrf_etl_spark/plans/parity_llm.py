@@ -3018,3 +3018,60 @@ def q6_token_budget(spark, sf_dir):
         .groupBy("source", "split")
         .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("tokens"))
     )
+
+
+SP19_BUDGET = 800  # per-source token budget
+
+
+@register(
+    "sp19_budget_sample",
+    # deterministic budgeted cut: salted-hash order within source,
+    # cumulative BPE-ish token account, keep while the running total fits
+    f"""WITH d AS (
+         SELECT doc_id, source,
+                CAST('0x' || substring(md5('budget' || CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) AS h,
+                CAST(coalesce(list_sum(list_transform(
+                    regexp_extract_all(text, '[a-z]+|[A-Z]+'),
+                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+                + len(regexp_extract_all(text, '[0-9]+'))
+                + len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS tok
+         FROM documents),
+       c AS (
+         SELECT doc_id, source, tok,
+                sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         FROM d)
+       SELECT doc_id, source, CAST(tok AS BIGINT) AS tok,
+              CAST(cum_tokens AS BIGINT) AS cum_tokens
+       FROM c WHERE cum_tokens <= {SP19_BUDGET}""",
+    doc="sp19: token-budget-constrained sampling (beyond-ref) — per "
+    "source, keep documents in deterministic salted-hash order while "
+    "the cumulative token count fits the budget: the enforcement step "
+    "for q6's budget table (epochs/mixture planned there, the corpus "
+    "cut made here). One source-keyed window over per-row projections; "
+    "the cut is stable under appends (new docs rank after by hash, "
+    "never evicting an earlier keep... unless they hash earlier — the "
+    "budget cut is REPLAYED per release, not incremental, by design).",
+)
+def sp19_budget_sample(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from mrf_etl_spark.operators.sampling import shard_hash
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        shard_hash("doc_id", salt="budget").alias("h"),
+        tx.token_count_bpe("text").cast("long").alias("tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("tok").over(w))
+        .filter(F.col("cum_tokens") <= SP19_BUDGET)
+        .select("doc_id", "source", "tok", "cum_tokens")
+    )
