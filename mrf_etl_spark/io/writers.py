@@ -159,10 +159,14 @@ def write_partitioned(
     committer."""
     if dedup_keys:
         df = df.dropDuplicates(dedup_keys)
+    # writer-scoped dynamic overwrite: does not mutate the shared session
+    # conf, so unrelated writes keep static (full-replace) semantics
     (
-        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
     )
-    df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
 
 
 def scd2_history(
@@ -189,6 +193,17 @@ def scd2_history(
     needs; no global sort, no self-join. Pair with
     ``atomic_overwrite(..., partition_by=["is_current"])`` so serving
     reads prune to the current slice while history stays queryable."""
+    reserved = {"version", "valid_from", "valid_to", "is_current"}
+    clash = reserved & set(keys) | reserved & set(attrs or [])
+    if order_col in reserved:
+        clash = clash | {order_col}
+    if clash:
+        # Fail at plan-build time, not at the eventual select/write where a
+        # duplicate column name would surface as an opaque analysis error.
+        raise ValueError(
+            "scd2_history reserves output columns "
+            f"{sorted(reserved)}; rename input column(s) {sorted(clash)}"
+        )
     w = Window.partitionBy(*keys).orderBy(order_col, *(tiebreak or []))
     return df.select(
         *keys,

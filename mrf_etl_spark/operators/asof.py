@@ -39,6 +39,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     direction: str = "backward",
     suffix: str = "_asof",
+    tiebreak: str | list[str] | None = None,
 ) -> DataFrame:
     """Left as-of join. Every ``left`` row survives; matched ``right_cols``
     arrive as nullable ``<col><suffix>`` columns.
@@ -46,9 +47,11 @@ def asof_join(
     ``on`` — equality key(s); ``left_ts``/``right_ts`` — orderable columns
     (timestamps, epoch longs); ``direction`` — 'backward' (right_ts ≤
     left_ts, latest wins) or 'forward' (right_ts ≥ left_ts, earliest wins).
-    Right rows tied on (key, ts) resolve by the LAST of ``right_cols``'s
-    natural struct order — pass a unique column (event id) first if you
-    need a documented tie-break."""
+    ``tiebreak`` — right column(s) ordering right rows tied on (key, ts):
+    the HIGHEST tiebreak wins in both directions. Without it, ties
+    resolve to an arbitrary (partition-order-dependent) right row — pass
+    a unique column (version, event id) whenever same-instant right rows
+    can exist."""
     keys = [on] if isinstance(on, str) else list(on)
     right_cols = right_cols or [
         c for c in right.columns if c not in keys and c != right_ts
@@ -56,6 +59,18 @@ def asof_join(
     backward = direction == "backward"
     if not backward and direction != "forward":
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    tb_cols = (
+        [] if tiebreak is None
+        else [tiebreak] if isinstance(tiebreak, str)
+        else list(tiebreak)
+    )
+    # Tie-break rides inside the window ORDER as a struct so multi-column
+    # precedence is lexicographic; left rows carry null (sorted below any
+    # right row by *_nulls_first/last placement, which never matters:
+    # side already separates left from right at equal ts).
+    tb_expr = (
+        F.struct(*[F.col(c) for c in tb_cols]) if tb_cols else F.lit(0)
+    )
 
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("_r")
     l_tag = left.select(
@@ -65,6 +80,9 @@ def asof_join(
         F.lit(None).cast(
             right.select(payload).schema["_r"].dataType.simpleString()
         ).alias("_r"),
+        F.lit(None).cast(
+            right.select(tb_expr.alias("_tb")).schema["_tb"].dataType.simpleString()
+        ).alias("_tb"),
     )
     r_tag = right.select(
         *[F.col(k) for k in keys],
@@ -72,17 +90,30 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         payload,
+        tb_expr.alias("_tb"),
     ).select(*l_tag.columns)
 
     u = l_tag.unionByName(r_tag)
     if backward:
         # right row sorts BEFORE a left row at the same ts (side 0 < 1),
-        # so last() at the left row sees it — the inclusive `<=` match
-        order = [F.col("_ts").asc(), F.col("_is_left").asc()]
+        # so last() at the left row sees it — the inclusive `<=` match.
+        # Among tied right rows, _tb asc puts the HIGHEST tiebreak last,
+        # which is the one last() carries.
+        order = [
+            F.col("_ts").asc(),
+            F.col("_is_left").asc(),
+            F.col("_tb").asc_nulls_last(),
+        ]
         frame = Window.unboundedPreceding, Window.currentRow
         pick = F.last("_r", ignorenulls=True)
     else:
-        order = [F.col("_ts").asc(), F.col("_is_left").desc()]
+        # first() scans forward: _tb desc puts the highest tiebreak first
+        # among right rows tied at the same ts.
+        order = [
+            F.col("_ts").asc(),
+            F.col("_is_left").desc(),
+            F.col("_tb").desc_nulls_first(),
+        ]
         frame = Window.currentRow, Window.unboundedFollowing
         pick = F.first("_r", ignorenulls=True)
     w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(*frame)
@@ -90,7 +121,7 @@ def asof_join(
     matched = (
         u.withColumn("_match", pick.over(w))
         .filter(F.col("_is_left") == 1)
-        .drop("_ts", "_is_left", "_r")
+        .drop("_ts", "_is_left", "_r", "_tb")
     )
     out_cols = [F.col(c) for c in left.columns] + [
         F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in right_cols

@@ -3545,7 +3545,7 @@ def s24_point_in_time(spark, sf_dir):
     )
     out = asof_join(
         q, hist, on="user_id", left_ts="as_of", right_ts="vf",
-        right_cols=["version", "value"],
+        right_cols=["version", "value"], tiebreak="version",
     )
     return out.select(
         "query_id",

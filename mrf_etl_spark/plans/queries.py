@@ -704,8 +704,8 @@ class StarLake:
             xref_npi=self.xref_npi,
             xref_tin=self.xref_tin,
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        scoped.market_rates(approx=approx).write.mode("overwrite").partitionBy(
-            "state"
-        ).parquet(path)
+        # writer-scoped, not session conf — leaves other writes' semantics alone
+        scoped.market_rates(approx=approx).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("state").parquet(path)
         return spark.read.parquet(path)

@@ -353,8 +353,12 @@ def stream_incremental_rollup(
     ``_applied_batch_id`` sidecar swapped atomically WITH the MV, and
     skips any batch_id at or below it, making the read-modify-write
     idempotent (the sibling writers are key-idempotent by construction;
-    an additive merge needs the watermark)."""
-    write_batch = incremental_rollup_batch_writer(mv_path, keys, agg_exprs, transform)
+    an additive merge needs the watermark). The checkpoint dir doubles as
+    the sidecar's stream_id, so the guard never confuses a NEW
+    checkpoint's restarted batch numbering with a replay."""
+    write_batch = incremental_rollup_batch_writer(
+        mv_path, keys, agg_exprs, transform, stream_id=checkpoint_dir
+    )
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
     )
@@ -449,8 +453,15 @@ def stream_scd2_ingest(
             tiebreak=tiebreak,
             attrs=[*tiebreak, *attrs, "_bucket"],
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        rebuilt.write.mode("overwrite").partitionBy("_bucket").parquet(history_path)
+        # Writer-scoped dynamic overwrite (NOT the session conf): other
+        # writes in the same session keep whatever overwrite semantics
+        # they were configured with (ADVICE r6).
+        (
+            rebuilt.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(history_path)
+        )
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -468,20 +479,38 @@ def incremental_rollup_batch_writer(
     keys: list[str],
     agg_exprs: dict[str, str],
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    stream_id: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The foreachBatch body of :func:`stream_incremental_rollup`,
     exposed so replay behavior is directly testable: calling it twice
-    with the same batch_id must apply the delta exactly once."""
+    with the same batch_id must apply the delta exactly once.
+
+    ``stream_id`` identifies the checkpoint lineage (the checkpoint dir).
+    batch_id is only monotone WITHIN one checkpoint's lifetime — a fresh
+    checkpoint restarts at 0, so the replay guard skips a batch only when
+    the sidecar's stream_id matches the caller's (ADVICE r6: a bare
+    batch-id watermark silently dropped every early batch of a new
+    checkpoint pointed at an existing MV). A mismatched stream_id applies
+    the batch — re-ingesting history into a populated MV double-counts
+    VISIBLY, which is the correct failure mode; pair each MV with exactly
+    one checkpoint dir for its lifetime."""
     import os
 
     from mrf_etl_spark.io.writers import atomic_overwrite
+
+    def _parse_marker(text: str) -> tuple[str | None, int]:
+        lines = text.strip().splitlines()
+        if len(lines) == 1:  # legacy sidecar: batch id only, no lineage
+            return None, int(lines[0])
+        return lines[0], int(lines[1])
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(mv_path, _BATCH_ID_SIDECAR)
         if os.path.isfile(marker):
             with open(marker) as fh:
-                if batch_id <= int(fh.read().strip()):
-                    return  # replayed batch — its delta is already in the MV
+                marked_sid, marked_bid = _parse_marker(fh.read())
+            if marked_sid == stream_id and batch_id <= marked_bid:
+                return  # replayed batch — its delta is already in the MV
         df = transform(batch_df) if transform is not None else batch_df
         spark = df.sparkSession
         delta = df.groupBy(*keys).agg(
@@ -509,8 +538,11 @@ def incremental_rollup_batch_writer(
             )
         else:
             merged = delta
+        marker_text = (
+            str(batch_id) if stream_id is None else f"{stream_id}\n{batch_id}"
+        )
         atomic_overwrite(
-            merged, mv_path, sidecar={_BATCH_ID_SIDECAR: str(batch_id)}
+            merged, mv_path, sidecar={_BATCH_ID_SIDECAR: marker_text}
         )
 
     return write_batch

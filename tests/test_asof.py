@@ -40,3 +40,47 @@ def test_asof_forward(spark):
         (1, 10, "a", "X"),  # equal ts matches; earliest ≥ wins
         (1, 99, "b", None),
     ]
+
+
+def test_asof_tiebreak_backward(spark):
+    # Two right rows at the SAME (key, ts): the highest tiebreak must win
+    # deterministically (ADVICE r6: without it, F.last picks by partition
+    # order). Shuffle-width 32 over 4 rows makes arbitrary order likely
+    # to differ from insertion order if the tiebreak were ignored.
+    left = spark.createDataFrame([(1, 10, "q")], "k long, t long, v string")
+    right = spark.createDataFrame(
+        [(1, 10, 2, "v2"), (1, 10, 5, "v5"), (1, 10, 3, "v3"), (1, 4, 9, "old")],
+        "k long, t long, ver long, p string",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        right_cols=["ver", "p"], tiebreak="ver",
+    )
+    assert _rows(out, "k", "t", "ver_asof", "p_asof") == [(1, 10, 5, "v5")]
+
+
+def test_asof_tiebreak_forward(spark):
+    left = spark.createDataFrame([(1, 10, "q")], "k long, t long, v string")
+    right = spark.createDataFrame(
+        [(1, 10, 1, "v1"), (1, 10, 7, "v7"), (1, 12, 9, "later")],
+        "k long, t long, ver long, p string",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        right_cols=["ver", "p"], direction="forward", tiebreak="ver",
+    )
+    assert _rows(out, "k", "t", "ver_asof", "p_asof") == [(1, 10, 7, "v7")]
+
+
+def test_asof_tiebreak_multi_column(spark):
+    # Lexicographic precedence: (major, minor) — major dominates.
+    left = spark.createDataFrame([(1, 10, "q")], "k long, t long, v string")
+    right = spark.createDataFrame(
+        [(1, 10, 1, 9, "a"), (1, 10, 2, 0, "b"), (1, 10, 2, 1, "c")],
+        "k long, t long, major long, minor long, p string",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        right_cols=["p"], tiebreak=["major", "minor"],
+    )
+    assert _rows(out, "k", "t", "p_asof") == [(1, 10, "c")]

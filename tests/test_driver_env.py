@@ -25,6 +25,7 @@ from __future__ import annotations
 import re
 import subprocess
 import sys
+from pathlib import Path
 
 import pytest
 
@@ -79,11 +80,31 @@ def test_no_window_oracle_uses_recursive_cte():
     assert not offenders, f"recursive CTE back in window oracles: {offenders}"
 
 
-def test_closure_iteration_bound_is_a_fixpoint_at_sf001():
+_SCALE_DIRS = [
+    p
+    for p in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+        str(Path(__file__).resolve().parents[1] / ".scale" / "sf1"),
+    )
+    if (Path(p) / "documents.parquet").is_file()
+]
+
+
+@pytest.mark.parametrize(
+    "sf_dir", _SCALE_DIRS, ids=[Path(p).name for p in _SCALE_DIRS]
+)
+def test_closure_iteration_bound_is_a_fixpoint(sf_dir):
     """Run the pipe2 pair graph's closure with _CLOSURE_ITERS and with one
     extra round; identical labels proves the unroll bound covers every
     fixture component's diameter (label propagation gains exactly one hop
-    per round, so fixpoint-at-k ⇒ exact for all deeper unrolls too)."""
+    per round, so fixpoint-at-k ⇒ exact for all deeper unrolls too).
+
+    Parameterized over EVERY available scale dir (ADVICE r6): the driver
+    compares at sf0.01, but make_scale_sf's perturbed copies (.scale/sf1)
+    are exactly where a longer dup-chain could appear, and that would make
+    the ORACLE wrong with a misleading 'Spark mismatch' signal."""
     import duckdb
 
     reg = ordered_registry()
@@ -106,7 +127,7 @@ def test_closure_iteration_bound_is_a_fixpoint_at_sf001():
     for tbl in ("documents",):
         con.sql(
             f"CREATE VIEW {tbl} AS SELECT * FROM "
-            f"read_parquet('{SF_001}/{tbl}.parquet')"
+            f"read_parquet('{sf_dir}/{tbl}.parquet')"
         )
     a = sorted(con.sql(base_sql).fetchall())
     b = sorted(con.sql(deeper_sql).fetchall())

@@ -178,3 +178,21 @@ def test_scd2_history_semantics(spark):
         & (F.col("valid_to").isNull() | (F.col("valid_to") > 250))
     ).collect()
     assert len(at) == 1 and at[0].attr == "b"
+
+
+def test_scd2_history_rejects_reserved_column_collisions(spark):
+    """version/valid_from/valid_to/is_current are scd2_history outputs; an
+    input column with one of those names must fail at plan-build time with
+    a clear error, not later as a duplicate-column analysis error
+    (ADVICE r6)."""
+    import pytest
+
+    from mrf_etl_spark.io import scd2_history
+
+    df = spark.createDataFrame(
+        [(1, 10, "x")], "key long, valid_from long, version string"
+    )
+    with pytest.raises(ValueError, match="reserves output columns"):
+        scd2_history(df, keys=["key"], order_col="valid_from", attrs=["version"])
+    ok = spark.createDataFrame([(1, 10, "x")], "key long, ts long, attr string")
+    assert scd2_history(ok, keys=["key"], order_col="ts", attrs=["attr"]).count() == 1

@@ -497,3 +497,67 @@ def test_stream_scd2_incremental_and_replay(spark, tmp_path):
     final_before = snap()
     drain("ckpt3")
     assert snap() == final_before
+
+
+def test_incremental_mv_fresh_checkpoint_is_not_mistaken_for_replay(spark, tmp_path):
+    """batch_id is only monotone within ONE checkpoint lineage: a fresh
+    checkpoint restarts numbering at 0. The sidecar records the stream_id
+    (checkpoint dir) next to the batch id, so batch 0 of a NEW lineage is
+    applied (visible double-count — the honest failure mode), not
+    silently skipped as a 'replay' (ADVICE r6)."""
+    from mrf_etl_spark.streaming.ingest import incremental_rollup_batch_writer
+
+    mv = str(tmp_path / "mv_lineage")
+    b0 = spark.createDataFrame([("view", 1)], "event_type string, value long")
+
+    def snap():
+        return {
+            r["event_type"]: (r["n"], r["v"])
+            for r in spark.read.parquet(mv).collect()
+        }
+
+    w_ckpt_a = incremental_rollup_batch_writer(
+        mv, keys=["event_type"],
+        agg_exprs={"n": "count(*)", "v": "sum(cast(value as bigint))"},
+        stream_id="ckpt-A",
+    )
+    w_ckpt_a(b0, 0)
+    assert snap() == {"view": (1, 1)}
+    w_ckpt_a(b0, 0)  # same lineage, same id: true replay — skipped
+    assert snap() == {"view": (1, 1)}
+
+    w_ckpt_b = incremental_rollup_batch_writer(
+        mv, keys=["event_type"],
+        agg_exprs={"n": "count(*)", "v": "sum(cast(value as bigint))"},
+        stream_id="ckpt-B",
+    )
+    w_ckpt_b(b0, 0)  # NEW lineage, batch 0: must apply, not skip
+    assert snap() == {"view": (2, 2)}
+    w_ckpt_b(b0, 0)  # and replay within the new lineage is again a no-op
+    assert snap() == {"view": (2, 2)}
+
+
+def test_scd2_stream_does_not_mutate_session_overwrite_mode(spark, tmp_path):
+    """stream_scd2_ingest's dynamic partition overwrite is writer-scoped:
+    the shared session's partitionOverwriteMode must be untouched after a
+    drain, so later partitioned overwrites keep full-replace semantics
+    (ADVICE r6)."""
+    from mrf_etl_spark.streaming.ingest import stream_scd2_ingest
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    src = str(tmp_path / "scd2_src")
+    spark.createDataFrame(
+        [(1, 100, 1, "a")], "user_id long, ts long, uid long, val string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts long, uid long, val string"
+    ).parquet(src)
+    q = stream_scd2_ingest(
+        stream,
+        history_path=str(tmp_path / "scd2_hist"),
+        checkpoint_dir=str(tmp_path / "scd2_ckpt"),
+        keys=["user_id"], order_col="ts", tiebreak=["uid"], attrs=["val"],
+    )
+    q.awaitTermination()
+    assert spark.conf.get(key) == before
