@@ -80,6 +80,17 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # Optional subset (comma-separated names) for drift isolation
+    # experiments — e.g. replaying an earlier round's exact sweep size to
+    # separate sweep-composition interference from real plan cost.
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    global HEADLINE
+    if subset:
+        wanted = [s.strip() for s in subset.split(",") if s.strip()]
+        unknown = set(wanted) - set(HEADLINE)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_QUERIES not in HEADLINE: {sorted(unknown)}")
+        HEADLINE = [n for n in HEADLINE if n in wanted]
 
     from mrf_etl_spark.session import get_spark
 
