@@ -88,6 +88,11 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("a18_cube", ["price_sum"]),
         ("a22_frequent_items", ["support"]),
     ],
+    # round-7 rebalance (VERDICT r6 #4): fx_latest_best carried 13
+    # components — one environmental failure there would blank 13
+    # verifications (the r5 lesson). Split by family into two ~equal-cost
+    # probes; slots freed by fusing the cheap direct rows s4+s8
+    # (fx_tolerant_lookups) and w4-w7 (fx_event_windows) below.
     "fx_latest_best": [
         ("w1_latest_per_key", ["value"]),
         ("w2_best_per_key", ["best_value"]),
@@ -95,6 +100,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("w9_gapfill_locf", ["v_filled"]),
         ("w10_ohlc_downsample", ["v_low", "v_high", "v_open", "v_close", "v_sum"]),
         ("w11_user_reach", []),
+    ],
+    "fx_window_analytics": [
         ("w12_retention_cohorts", []),
         ("w16_interarrival", []),
         ("w13_asof_forward", ["view_value", "click_value"]),
@@ -102,6 +109,16 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("w17_time_weighted_avg", ["twap"]),
         ("w18_sliding_reach", []),
         ("w19_streaks", []),
+    ],
+    "fx_tolerant_lookups": [
+        ("s4_tolerant_scan", []),
+        ("s8_nppes_cached_lookup", []),
+    ],
+    "fx_event_windows": [
+        ("w4_asof_join", ["click_value", "view_value"]),
+        ("w5_sessionize_batch", ["val_sum"]),
+        ("w6_range_join", []),
+        ("w7_rolling_metrics", ["cum_sum", "roll_sum", "roll_avg"]),
     ],
     "fx_topk_page": [
         ("k1_topk", ["price"]),
@@ -173,10 +190,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("d4b_simhash_hamming", []),
         ("d7_repeated_passages", []),
     ],
-    "fx_dedup_quality": [
-        ("d5_embedding_near_dup", ["cosine"]),
-        ("q4_dedup_quality", ["recall"]),
-    ],
+    # round-7: fx_dedup_quality (1.37 s, the heaviest probe oracle after
+    # the r6 fix) and fx_release_flow (1.78 s) are dissolved — their
+    # components take direct window rows, halving the heaviest single
+    # DuckDB statements the driver runs.
     "fx_dedup_pipelines": [
         ("pipe2_fuzzy_dedup", []),
         ("d9_incremental_dedup", []),
@@ -218,10 +235,6 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("sp8_global_shuffle", []),
         ("d4_simhash", []),
         ("q6_token_budget", []),
-    ],
-    "fx_release_flow": [
-        ("pipe3_corpus_release", []),
-        ("n3_ann_lsh", ["cosine"]),
     ],
     # round-4 session 2: three probes free the j5/j9/j12 slots (those
     # fuse into fx_key_joins) so the media family and the corpus-release
@@ -278,12 +291,16 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
     # batch DataFrame of the drained result, so they fuse like any other
     # component; st6 (the hardest — stream-stream interval join) keeps its
     # own direct window slot.
+    # round-7: split 9 streaming drains into stateful-window vs lake-sink
+    # families — a single environmental failure no longer blanks all nine.
     "fx_streaming_batch": [
         ("st1_windowed_counts", ["total_value"]),
         ("st2_sessionize", ["session_value"]),
         ("st3_stream_upsert", []),
         ("st4_stateful_totals", ["total_value"]),
         ("st5_stream_dedup", []),
+    ],
+    "fx_streaming_lake": [
         ("st7_stream_dedup_ingest", []),
         ("st8_stream_static_enrich", ["total_value"]),
         ("st9_stream_incremental_mv", ["total_value"]),
@@ -323,6 +340,21 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "a23_histogram": ["l_returnflag", "bucket", "bin_lo", "n"],
     "q6_token_budget": ["source", "split", "n_docs", "tokens"],
     "sp19_budget_sample": ["doc_id", "source", "tok", "cum_tokens"],
+    # round-7 fused direct rows (fx_tolerant_lookups / fx_event_windows)
+    "s4_tolerant_scan": ["l_orderkey", "l_linenumber", "ghost_col"],
+    "s8_nppes_cached_lookup": [
+        "npi", "enumeration_type", "org_name", "status",
+        "primary_taxonomy_code", "address_1", "city", "state",
+        "postal_code", "last_updated",
+    ],
+    "w4_asof_join": ["user_id", "click_id", "click_value", "view_id", "view_value"],
+    "w5_sessionize_batch": [
+        "user_id", "session_seq", "n_events", "first_event", "last_event", "val_sum",
+    ],
+    "w6_range_join": ["user_id", "click_id", "view_id", "dt_us"],
+    "w7_rolling_metrics": [
+        "user_id", "event_id", "cum_sum", "cum_n", "roll_sum", "roll_avg",
+    ],
     "s9_geocode_cached_lookup": ["geocode_key", "lat", "lon", "cbsa_geoid", "cbsa_name"],
     "s10_hud_zip_cbsa": ["zip", "cbsa", "cbsaname"],
     "s12_append_unique_roundtrip": ["c_mktsegment", "n"],
@@ -617,8 +649,7 @@ for _name, _components in FUSE_SPECS.items():
 # join. Everything else keeps its granular local check after slot 50.
 DRIVER_WINDOW: list[str] = [
     "fx_small_sources",
-    "s4_tolerant_scan",
-    "s8_nppes_cached_lookup",
+    "fx_tolerant_lookups",
     "fx_geo_lookups",
     "fx_writer_roundtrips",
     "fx_latest_partitioned",
@@ -635,10 +666,8 @@ DRIVER_WINDOW: list[str] = [
     "fx_agg_shapes",
     "fx_distinct_dedup",
     "fx_latest_best",
-    "w4_asof_join",
-    "w5_sessionize_batch",
-    "w6_range_join",
-    "w7_rolling_metrics",
+    "fx_window_analytics",
+    "fx_event_windows",
     "fx_topk_page",
     "fx_serving",
     "fx_scalars",
@@ -650,7 +679,8 @@ DRIVER_WINDOW: list[str] = [
     "d3b_ngram_jaccard_capped",
     "d6_dup_clusters",
     "fx_dedup_pairs",
-    "fx_dedup_quality",
+    "d5_embedding_near_dup",
+    "q4_dedup_quality",
     "d8_semantic_dedup",
     "fx_dedup_pipelines",
     "d5b_embedding_near_dup_ivf",
@@ -663,9 +693,11 @@ DRIVER_WINDOW: list[str] = [
     "fx_media",
     "fx_text_quality",
     "fx_corpus_cards",
-    "fx_release_flow",
+    "pipe3_corpus_release",
+    "n3_ann_lsh",
     "st6_stream_interval_join",
     "fx_streaming_batch",
+    "fx_streaming_lake",
 ]
 
 

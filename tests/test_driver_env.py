@@ -145,11 +145,15 @@ def test_closure_iteration_bound_is_a_fixpoint(sf_dir):
         "d6_dup_clusters",
         # unrolled-cosine shapes (the other measured map hog)
         "d5b_embedding_near_dup_ivf",
-        "fx_dedup_quality",
+        "d5_embedding_near_dup",
+        "q4_dedup_quality",
         "fx_ann",
-        # the heaviest surviving union probes
-        "fx_release_flow",
+        # the heaviest surviving union probes / direct rows (r7 split
+        # fx_release_flow and fx_dedup_quality into these direct rows)
+        "pipe3_corpus_release",
+        "n3_ann_lsh",
         "fx_streaming_batch",
+        "fx_streaming_lake",
         "fx_dedup_pairs",
     ],
 )
