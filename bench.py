@@ -225,6 +225,15 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
+    # carry the serving-latency section (scripts/bench_serving.py writes
+    # BENCH_SERVING.json) so a fresh ETL bench doesn't drop it from the
+    # committed detail
+    serving_path = Path(__file__).resolve().parent / "BENCH_SERVING.json"
+    if serving_path.is_file():
+        try:
+            detail["serving_ms"] = json.loads(serving_path.read_text())
+        except (OSError, ValueError):
+            pass
     # Per-query detail: its own EARLY stdout line + a sidecar file. The
     # LAST stdout line must stay short — round 4's final line (42 warm +
     # 42 cold timings, ~2.6 kB) overflowed the driver's tail capture and
