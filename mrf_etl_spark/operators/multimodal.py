@@ -1,13 +1,16 @@
 """Multimodal-column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched Pandas functions.
 
-The decode step itself (PIL / torchaudio / ffmpeg) is STUBBED — those
-libraries are not in this container — behind `decode_media`, which raises
-NotImplementedError unless `fake=True`, in which case a deterministic fake
-featurizer runs. What IS real and tested: the Spark-side contract —
-binary column schema, metadata struct, `mapInPandas` batch iteration,
-output schema, and partition-parallel execution. Swapping the fake for a
-real decoder changes only the inner function body.
+Decoding has three tiers behind `decode_media`: (1) `fake=True` — a
+deterministic byte-featurizer identical in every environment; (2) a REAL
+decoder when available — Pillow for any image format, plus a pure-stdlib
+PNG decoder (`decode_png_gray_mean`: zlib inflate + full filter
+reconstruction) so the real branch runs and is TESTED even in this
+container, which has no Pillow; (3) NotImplementedError naming the
+missing dependency for everything else (torchaudio/ffmpeg payloads).
+The Spark-side contract — binary column schema, metadata struct,
+`mapInPandas` batch iteration, output schema, partition-parallel
+execution — is identical across tiers.
 
 Scale notes: media bytes dominate row size, so the pattern is
 (1) keep binary in its own column, projected away except in decode stages;
@@ -34,11 +37,86 @@ FEATURE_SCHEMA = (
 _DECODERS: dict[str, object] | None = None
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png_gray_mean(payload: bytes) -> float:
+    """REAL stdlib PNG decode: inflate IDAT, reconstruct the per-scanline
+    filters (types 0-4, the full PNG spec set), and return the grayscale
+    pixel mean (ITU-R 601 luma for color images). Supports 8-bit
+    grayscale / RGB / gray+alpha / RGBA, non-interlaced — the shapes a
+    training-data thumbnail pipeline actually emits. Exists so the
+    real-decoder branch is exercised and TESTED in environments without
+    Pillow; PIL, when importable, handles every other image format."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, b"", None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+                raise ValueError(
+                    f"unsupported PNG shape (depth={depth} color={color} "
+                    f"interlace={interlace}); install Pillow for full coverage"
+                )
+            meta = (w, h, {0: 1, 2: 3, 4: 2, 6: 4}[color])
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ch = meta
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    prev = bytearray(stride)
+    total, npx = 0.0, 0
+    for y in range(h):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0  # left
+            b = prev[i]  # up
+            c = prev[i - ch] if i >= ch else 0  # upper-left
+            if ftype == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ftype == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif ftype == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                line[i] = (line[i] + pred) & 0xFF
+        for x in range(0, stride, ch):
+            if ch == 1:
+                total += line[x]
+            elif ch == 2:  # gray + alpha: luma is the gray sample
+                total += line[x]
+            else:  # RGB / RGBA: ITU-R 601 luma
+                total += (
+                    0.299 * line[x] + 0.587 * line[x + 1] + 0.114 * line[x + 2]
+                )
+            npx += 1
+        prev = line
+    return total / npx if npx else 0.0
+
+
 def _real_decoders() -> dict:
     global _DECODERS
     if _DECODERS is None:
         decoders: dict[str, object] = {}
-        try:  # Pillow: images
+        try:  # Pillow: every image format
             import io
 
             from PIL import Image
@@ -55,7 +133,21 @@ def _real_decoders() -> dict:
 
             decoders["image"] = _pil_decode
         except ImportError:
-            pass
+            # no Pillow: PNG still decodes for REAL via the stdlib path;
+            # other image formats keep the NotImplementedError contract
+            def _png_only(payload: bytes) -> dict:
+                if payload[:8] != _PNG_MAGIC:
+                    raise NotImplementedError(
+                        "only PNG decodes without Pillow; install PIL for "
+                        "other image formats or pass fake=True"
+                    )
+                return {
+                    "n_bytes": len(payload),
+                    "header_hex": payload[:4].hex(),
+                    "feat_mean": decode_png_gray_mean(payload),
+                }
+
+            decoders["image"] = _png_only
         _DECODERS = decoders
     return _DECODERS
 
@@ -84,7 +176,16 @@ def decode_media(payload: bytes, mime: str, fake: bool = False) -> dict:
         }
     real = _real_decoders().get(mime.split("/")[0])
     if real is not None:
-        return {**real(payload), "mime": mime}
+        out = real(payload)
+        # same key ORDER as the fake path: mapInPandas builds the Arrow
+        # batch from the pandas column layout, which pd.DataFrame takes
+        # from the first dict
+        return {
+            "n_bytes": out["n_bytes"],
+            "header_hex": out["header_hex"],
+            "mime": mime,
+            "feat_mean": out["feat_mean"],
+        }
     raise NotImplementedError(
         f"no decoder available for {mime!r} (PIL/torchaudio/ffmpeg not "
         "importable in this environment); pass fake=True for the "
@@ -105,14 +206,18 @@ def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFram
     )
 
 
-def extract_features(mm: DataFrame, partitions: int | None = None) -> DataFrame:
+def extract_features(
+    mm: DataFrame, partitions: int | None = None, fake: bool = True
+) -> DataFrame:
     """Arrow-batched feature extraction over the binary column via
-    mapInPandas (the real plumbing a 100 TB media pipeline needs)."""
+    mapInPandas (the real plumbing a 100 TB media pipeline needs).
+    ``fake=False`` routes each payload through the real decoder tier
+    (Pillow / stdlib PNG) on the executors."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                decode_media(payload, meta["mime"], fake=True)
+                decode_media(bytes(payload), meta["mime"], fake=fake)
                 for payload, meta in zip(pdf["payload"], pdf["meta"])
             ]
             out = pd.DataFrame(feats)

@@ -149,15 +149,142 @@ def test_multimodal_decode_golden_whichever_path():
         + _chunk(b"IDAT", idat)
         + _chunk(b"IEND", b"")
     )
-    if _pil_available():
-        out = decode_media(png, "image/png")
-        assert out["feat_mean"] == pytest.approx((0 + 200) / 2)
-    else:
-        out = decode_media(png, "image/png", fake=True)
-        assert out["feat_mean"] == pytest.approx(sum(png) / len(png))
+    # PNG now decodes for REAL in every environment: PIL when importable,
+    # the stdlib inflate+filter decoder otherwise — same golden value
+    out = decode_media(png, "image/png")
+    assert out["feat_mean"] == pytest.approx((0 + 200) / 2)
     assert out["n_bytes"] == len(png)
     assert out["header_hex"] == "89504e47"
     assert out["mime"] == "image/png"
+
+
+def _encode_png(rows, color_type, filters):
+    """Minimal spec-correct PNG encoder for tests: ``rows`` is a list of
+    scanlines, each a list of pixel tuples (or ints for grayscale);
+    ``filters[y]`` selects the filter type actually ENCODED for row y, so
+    the decoder's reconstruction of every filter type is exercised."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+
+    def flat(row):
+        out = []
+        for px in row:
+            out.extend([px] if isinstance(px, int) else list(px))
+        return out
+
+    h, w = len(rows), len(rows[0])
+    raw = bytearray()
+    prev = [0] * (w * ch)
+    for y, row in enumerate(rows):
+        line = flat(row)
+        ft = filters[y]
+        raw.append(ft)
+        enc = []
+        for i, v in enumerate(line):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                enc.append(v & 0xFF)
+            elif ft == 1:
+                enc.append((v - a) & 0xFF)
+            elif ft == 2:
+                enc.append((v - b) & 0xFF)
+            elif ft == 3:
+                enc.append((v - (a + b) // 2) & 0xFF)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                enc.append((v - pred) & 0xFF)
+        raw.extend(enc)
+        prev = line
+
+    def _chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_stdlib_png_decoder_all_filters_and_color_types():
+    """The stdlib PNG path is a REAL decoder: reconstruct every filter
+    type (0-4) and every supported 8-bit color type, and match the mean
+    computed directly from the source pixels."""
+    from mrf_etl_spark.operators.multimodal import decode_png_gray_mean
+
+    # grayscale 4x5, one row per filter type, values exercising wraparound
+    rows = [
+        [0, 255, 3, 128],
+        [10, 10, 200, 200],
+        [250, 1, 2, 3],
+        [7, 99, 99, 7],
+        [128, 0, 255, 64],
+    ]
+    png = _encode_png(rows, color_type=0, filters=[0, 1, 2, 3, 4])
+    expect = sum(v for r in rows for v in r) / 20
+    assert decode_png_gray_mean(png) == pytest.approx(expect)
+
+    # RGB 2x2 with Paeth + average filters: ITU-R 601 luma mean
+    rgb = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    png = _encode_png(rgb, color_type=2, filters=[3, 4])
+    lumas = [0.299 * r + 0.587 * g + 0.114 * b for row in rgb for (r, g, b) in row]
+    assert decode_png_gray_mean(png) == pytest.approx(sum(lumas) / 4)
+
+    # gray+alpha and RGBA: alpha ignored, luma/gray mean
+    ga = [[(100, 255), (50, 0)]]
+    assert decode_png_gray_mean(
+        _encode_png(ga, color_type=4, filters=[1])
+    ) == pytest.approx(75.0)
+    rgba = [[(10, 20, 30, 255), (10, 20, 30, 0)]]
+    luma = 0.299 * 10 + 0.587 * 20 + 0.114 * 30
+    assert decode_png_gray_mean(
+        _encode_png(rgba, color_type=6, filters=[2])
+    ) == pytest.approx(luma)
+
+
+def test_real_decode_distributed_via_map_in_pandas(spark):
+    """m1's fake=False tier end-to-end on executors: PNG payloads decode
+    for real inside mapInPandas and the distributed means match the
+    driver-side decode (the last fake-only contract in the catalog,
+    closed per VERDICT r6 #8)."""
+    from mrf_etl_spark.operators.multimodal import (
+        decode_png_gray_mean,
+        extract_features,
+    )
+
+    pngs = [
+        (i, _encode_png([[i * 10, 255 - i], [i, i * 7 % 256]], 0, [0, 4]))
+        for i in range(1, 9)
+    ]
+    mm = spark.createDataFrame(
+        [(i, p) for i, p in pngs], "doc_id long, payload binary"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(F.lit("image/png").alias("mime")).alias("meta"),
+    )
+    out = {
+        r["doc_id"]: r
+        for r in extract_features(mm, partitions=4, fake=False).collect()
+    }
+    assert len(out) == 8
+    for i, p in pngs:
+        assert out[i]["feat_mean"] == pytest.approx(decode_png_gray_mean(p))
+        assert out[i]["n_bytes"] == len(p)
+        assert out[i]["mime"] == "image/png"
 
 
 def test_frame_sampling(spark):
