@@ -97,7 +97,19 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     reg_queries = entry_mod.queries()
-    spark = get_spark(app_name="mrf-etl-bench")
+    # Optional "input_tb:executors:cores_per_executor" — derive the
+    # volume-coupled confs with deploy.cluster_plan instead of the local
+    # defaults, so the sizing helper is exercised end-to-end by a real
+    # sweep (the sweep must stay green and row-identical under it).
+    plan_env = os.environ.get("SPARK_GRAFT_CLUSTER_PLAN")
+    extra_conf = None
+    if plan_env:
+        from mrf_etl_spark.deploy import cluster_plan
+
+        tb, ex, cores = plan_env.split(":")
+        extra_conf = cluster_plan(float(tb), int(ex), int(cores))
+        print(f"# cluster_plan({plan_env}) -> {extra_conf}", file=sys.stderr)
+    spark = get_spark(app_name="mrf-etl-bench", extra_conf=extra_conf)
     # Warm the JVM the way a resident engine is warm: parquet footers for
     # every table, plus one throwaway query exercising the shared operator
     # paths (columnar scan → hash agg → broadcast join → window) so the

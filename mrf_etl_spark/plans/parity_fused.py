@@ -235,6 +235,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("sp8_global_shuffle", []),
         ("d4_simhash", []),
         ("q6_token_budget", []),
+        ("q7_incremental_corpus_card", ["chars_avg"]),
     ],
     # round-4 session 2: three probes free the j5/j9/j12 slots (those
     # fuse into fx_key_joins) so the media family and the corpus-release
@@ -339,6 +340,10 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "e3_truncation_quality": ["vec_id", "k", "cos_retained"],
     "a23_histogram": ["l_returnflag", "bucket", "bin_lo", "n"],
     "q6_token_budget": ["source", "split", "n_docs", "tokens"],
+    "q7_incremental_corpus_card": [
+        "source", "lang", "n_docs", "words_total", "chars_avg",
+        "p50_bucket", "p90_bucket", "p50_ok", "p90_ok",
+    ],
     "sp19_budget_sample": ["doc_id", "source", "tok", "cum_tokens"],
     # round-7 fused direct rows (fx_tolerant_lookups / fx_event_windows)
     "s4_tolerant_scan": ["l_orderkey", "l_linenumber", "ghost_col"],

@@ -3075,3 +3075,139 @@ def sp19_budget_sample(spark, sf_dir):
         .filter(F.col("cum_tokens") <= SP19_BUDGET)
         .select("doc_id", "source", "tok", "cum_tokens")
     )
+
+
+@register(
+    "q7_incremental_corpus_card",
+    # The oracle recomputes the bucket rollup + bucket-quantiles single-
+    # pass; the Spark side builds the state in TWO halves and merges, so
+    # a green row proves merge-exactness end-to-end. The in-bucket
+    # booleans compare each engine's own pow() bracket to its own exact
+    # rank-statistic (the a20/a21 sketch-bound pattern): floats never
+    # enter the hashed surface, and a bucket boundary can only coincide
+    # with the exact quantile at powers of two, where IEEE log2/pow are
+    # exact in both engines.
+    """WITH w AS (
+         SELECT source, lang,
+                len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                n_chars
+         FROM documents),
+       b AS (
+         SELECT source, lang, n_words, n_chars,
+                CAST(floor(16 * log2(CAST(n_words AS DOUBLE))) AS INT) AS bucket
+         FROM w WHERE n_words >= 1),
+       g AS (
+         SELECT source, lang, bucket, count(*) AS n,
+                sum(n_words) AS ws, sum(n_chars) AS cs
+         FROM b GROUP BY 1, 2, 3),
+       tot AS (
+         SELECT source, lang, CAST(sum(n) AS BIGINT) AS n_docs,
+                CAST(sum(ws) AS BIGINT) AS words_total,
+                CAST(sum(cs) AS DOUBLE) / sum(n) AS chars_avg
+         FROM g GROUP BY 1, 2),
+       cum AS (
+         SELECT source, lang, bucket,
+                sum(n) OVER (PARTITION BY source, lang ORDER BY bucket) AS cum
+         FROM g),
+       pq AS (
+         SELECT c.source, c.lang,
+                min(CASE WHEN c.cum >= ceil(0.5 * CAST(t.n_docs AS DOUBLE))
+                         THEN c.bucket END) AS p50_bucket,
+                min(CASE WHEN c.cum >= ceil(0.9 * CAST(t.n_docs AS DOUBLE))
+                         THEN c.bucket END) AS p90_bucket
+         FROM cum c JOIN tot t USING (source, lang) GROUP BY 1, 2),
+       rn AS (
+         SELECT source, lang, n_words,
+                row_number() OVER (PARTITION BY source, lang ORDER BY n_words)
+                  AS rn
+         FROM b),
+       ex AS (
+         SELECT r.source, r.lang,
+                min(CASE WHEN r.rn = CAST(ceil(0.5 * CAST(t.n_docs AS DOUBLE)) AS BIGINT)
+                         THEN r.n_words END) AS p50_exact,
+                min(CASE WHEN r.rn = CAST(ceil(0.9 * CAST(t.n_docs AS DOUBLE)) AS BIGINT)
+                         THEN r.n_words END) AS p90_exact
+         FROM rn r JOIN tot t USING (source, lang) GROUP BY 1, 2)
+       SELECT t.source, t.lang, t.n_docs, t.words_total, t.chars_avg,
+              p.p50_bucket, p.p90_bucket,
+              (pow(2, p.p50_bucket / 16.0) <= e.p50_exact
+               AND e.p50_exact < pow(2, (p.p50_bucket + 1) / 16.0)) AS p50_ok,
+              (pow(2, p.p90_bucket / 16.0) <= e.p90_exact
+               AND e.p90_exact < pow(2, (p.p90_bucket + 1) / 16.0)) AS p90_ok
+       FROM tot t
+       JOIN pq p USING (source, lang)
+       JOIN ex e USING (source, lang)""",
+    doc="q7 (beyond-ref): INCREMENTAL corpus card — q2's documentation "
+    "rollup derived from a mergeable sketch state instead of a corpus "
+    "rescan (operators/cardsketch.py): per (source, lang, log2/16 "
+    "bucket) counts+sums, built here in two halves and MERGED, proving "
+    "state(A)+state(B) == state(A∪B) exactly. n_docs/words_total/"
+    "chars_avg are exact; length quantiles come back as bucket ids with "
+    "a 2^(1/16)≈4.4% envelope, verified in-row: each pXX_ok asserts the "
+    "exact rank statistic falls inside the reported bucket (the a20/a21 "
+    "bound pattern). Per-batch cost at 100 TB: one combinable rollup of "
+    "the batch + an O(state) merge — never a corpus rescan (the st9/d9 "
+    "incremental-ingest story for dataset documentation).",
+)
+def q7_incremental_corpus_card(spark, sf_dir):
+    from mrf_etl_spark.operators.cardsketch import (
+        corpus_card_from_state,
+        corpus_card_state,
+        merge_card_states,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    # build the state in two batch halves and merge — the merge-exactness
+    # claim is what the driver row then hash-verifies against the
+    # single-pass oracle
+    state = merge_card_states(
+        corpus_card_state(d.filter(F.col("doc_id") % 2 == 0)),
+        corpus_card_state(d.filter(F.col("doc_id") % 2 == 1)),
+    )
+    card = corpus_card_from_state(state)
+
+    w = tx.token_count_ws("text").cast("long")
+    per = d.select("source", "lang", w.alias("_w")).filter(F.col("_w") >= 1)
+    from pyspark.sql.window import Window
+
+    totals = per.groupBy("source", "lang").agg(F.count("*").alias("_n"))
+    rn = per.withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy("source", "lang").orderBy("_w")),
+    ).join(totals, ["source", "lang"])
+    ex = (
+        rn.groupBy("source", "lang").agg(
+            F.min(
+                F.when(
+                    F.col("_rn")
+                    == F.ceil(F.lit(0.5) * F.col("_n").cast("double")),
+                    F.col("_w"),
+                )
+            ).alias("p50_exact"),
+            F.min(
+                F.when(
+                    F.col("_rn")
+                    == F.ceil(F.lit(0.9) * F.col("_n").cast("double")),
+                    F.col("_w"),
+                )
+            ).alias("p90_exact"),
+        )
+    )
+    out = card.join(ex, ["source", "lang"])
+
+    def _ok(bucket: str, exact: str) -> F.Column:
+        lo = F.pow(F.lit(2.0), F.col(bucket).cast("double") / 16.0)
+        hi = F.pow(F.lit(2.0), (F.col(bucket).cast("double") + 1) / 16.0)
+        return (lo <= F.col(exact)) & (F.col(exact) < hi)
+
+    return out.select(
+        "source",
+        "lang",
+        "n_docs",
+        "words_total",
+        "chars_avg",
+        "p50_bucket",
+        "p90_bucket",
+        _ok("p50_bucket", "p50_exact").alias("p50_ok"),
+        _ok("p90_bucket", "p90_exact").alias("p90_ok"),
+    )

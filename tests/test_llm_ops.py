@@ -1161,3 +1161,73 @@ def test_chunk_passages_offsets_and_tail_coverage(spark):
     # hash = md5 of the single-space re-joined slice
     want = hashlib.md5(" ".join(f"w{i}" for i in range(5, 15)).encode()).hexdigest()
     assert rows[(2, 1)].chunk_md5 == want
+
+
+def test_card_sketch_merge_is_exact_and_order_independent(spark):
+    """The corpus-card sketch state is algebraic: state(A)+state(B) ==
+    state(A∪B) EXACTLY, for any split and any merge order — the property
+    that makes the card incrementally maintainable without corpus
+    rescans."""
+    from mrf_etl_spark.operators.cardsketch import (
+        corpus_card_from_state,
+        corpus_card_state,
+        merge_card_states,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = corpus_card_state(d)
+    a = corpus_card_state(d.filter(F.col("doc_id") % 3 == 0))
+    b = corpus_card_state(d.filter(F.col("doc_id") % 3 == 1))
+    c = corpus_card_state(d.filter(F.col("doc_id") % 3 == 2))
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    merged = merge_card_states(a, b, c)
+    assert rows(merged) == rows(full)
+    # associativity/commutativity: fold in a different shape
+    merged2 = merge_card_states(merge_card_states(c, a), b)
+    assert rows(merged2) == rows(full)
+    # and the derived cards agree too
+    assert rows(corpus_card_from_state(merged)) == rows(corpus_card_from_state(full))
+
+
+def test_card_sketch_bucket_brackets_exact_quantile(spark):
+    """The bucket returned for each percentile must bracket the exact
+    rank statistic within one 2^(1/16) cell — the documented error
+    envelope of the log-grid sketch."""
+    import math
+
+    from mrf_etl_spark.operators.cardsketch import (
+        corpus_card_from_state,
+        corpus_card_state,
+    )
+    from mrf_etl_spark.operators.textops import token_count_ws
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    card = {
+        (r["source"], r["lang"]): r
+        for r in corpus_card_from_state(corpus_card_state(d)).collect()
+    }
+    per = (
+        d.select(
+            "source", "lang", token_count_ws("text").cast("long").alias("w")
+        )
+        .filter(F.col("w") >= 1)
+        .collect()
+    )
+    groups: dict = {}
+    for r in per:
+        groups.setdefault((r["source"], r["lang"]), []).append(r["w"])
+    assert set(card) == set(groups)
+    for key, ws in groups.items():
+        ws.sort()
+        n = len(ws)
+        assert card[key]["n_docs"] == n
+        assert card[key]["words_total"] == sum(ws)
+        for q, col in ((0.5, "p50_bucket"), (0.9, "p90_bucket")):
+            exact = ws[max(0, math.ceil(q * n) - 1)]
+            bkt = card[key][col]
+            assert 2 ** (bkt / 16.0) <= exact < 2 ** ((bkt + 1) / 16.0), (
+                key, q, exact, bkt,
+            )

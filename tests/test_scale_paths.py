@@ -385,3 +385,61 @@ def test_steepest_scalers_stay_sublinear_sf01_to_sf1():
         f"sf0.1->sf1 ratio >= 20x (2x-linear gate) on {over}; "
         "a lost persist / self-join blowup / global window regression"
     )
+
+
+@pytest.mark.slow
+def test_sweep_green_and_row_identical_under_cluster_plan_confs():
+    """deploy.cluster_plan derives the volume-coupled confs; VERDICT r6 #6
+    asked for an end-to-end run under them. A representative bench subset
+    (one heavy entry per family: join/agg/window/dedup/ANN/sample) must
+    run green under cluster_plan-derived confs AND return exactly the
+    same row counts as the default-conf run — sizing knobs may change
+    plans (shuffle width, AQE coalesce targets), never results."""
+    import json
+    import os
+    import re
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    names = [
+        "j8_star_join",
+        "a6_percentile_profile",
+        "w5_sessionize_batch",
+        "d2_minhash_lsh",
+        "n1_ann_cosine_topk",
+        "sp8_global_shuffle",
+    ]
+
+    def run(plan: str | None) -> tuple[dict, dict[str, int]]:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR="/root/testdata/sf0.01",
+            SPARK_GRAFT_QUERIES=",".join(names),
+        )
+        if plan:
+            env["SPARK_GRAFT_CLUSTER_PLAN"] = plan
+        out = subprocess.run(
+            [sys.executable, str(repo / "bench.py")],
+            env=env, capture_output=True, text=True, cwd=repo, timeout=1200,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        payload = next(
+            json.loads(l) for l in out.stdout.splitlines()
+            if l.strip().startswith("{")
+        )
+        rows = {
+            m.group(1): int(m.group(2))
+            for m in re.finditer(
+                r"# (\w+): [\d.]+s .*rows=(\d+)", out.stdout + out.stderr
+            )
+        }
+        return payload, rows
+
+    base_payload, base_rows = run(None)
+    plan_payload, plan_rows = run("0.001:1:32")
+    assert not base_payload.get("errors") and not plan_payload.get("errors")
+    assert set(base_rows) == set(names) and plan_rows == base_rows, (
+        base_rows, plan_rows,
+    )
