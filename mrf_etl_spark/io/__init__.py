@@ -13,6 +13,8 @@ from mrf_etl_spark.io.writers import (
     scd2_history,
     write_partitioned,
     write_bucketed_table,
+    zorder_key,
+    zorder_layout_write,
 )
 
 __all__ = [
@@ -28,4 +30,6 @@ __all__ = [
     "scd2_history",
     "write_partitioned",
     "write_bucketed_table",
+    "zorder_key",
+    "zorder_layout_write",
 ]

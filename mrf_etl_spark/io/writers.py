@@ -282,3 +282,70 @@ def compact_parquet(
     df = spark.read.parquet(path)
     atomic_overwrite(df.repartition(n_files), path)
     return n_files
+
+
+def zorder_key(
+    bucket_cols: list, bits_per_dim: int = 8
+) -> "F.Column":  # noqa: F821 (Column for doc only)
+    """Interleave the bits of N already-bucketed dimension columns into a
+    Morton (Z-order) key: dimension d contributes its i-th bit at key
+    position i*N + d, so keys close in Z-value are close in EVERY
+    dimension simultaneously."""
+    n = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits_per_dim):
+        for d, col in enumerate(bucket_cols):
+            bit = F.shiftright(col.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + d))
+    return z
+
+
+def zorder_layout_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits_per_dim: int = 8,
+) -> None:
+    """Z-order (Morton) clustered layout — multi-column data skipping,
+    the piece a 100 TB lake needs when queries filter on MORE than the
+    one column a sorted layout (s22) can serve.
+
+    A single-column sort gives perfect file pruning on that column and
+    NONE on any other; Z-ordering buckets each clustering column into
+    2^bits_per_dim equi-width cells (one tiny min/max agg), interleaves
+    the cell bits into a Morton key, and range-partitions + sorts the
+    data by it. Every file then covers a small HYPERCUBE of the key
+    space, so parquet footer min/max stats prune scans filtered on ANY
+    subset of the clustering columns to ~|files|^(1-k/N) instead of all
+    files (the Delta/Iceberg OPTIMIZE ZORDER layout, built from plain
+    DataFrame ops: one agg + one range repartition + a partition-local
+    sort — no extra shuffle beyond what any reclustering pays).
+
+    Values are untouched: readers see the same rows (parity-checked by
+    s25); only physical locality changes. Equi-width cells keep the key
+    computable without a global rank pass — skewed columns trade some
+    balance for that, which the range-partition on the final key largely
+    restores (AQE-friendly)."""
+    stats = df.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in cols],
+    ).first()
+    nb = 1 << bits_per_dim
+    buckets = []
+    for c in cols:
+        lo = float(stats[f"_lo_{c}"])
+        hi = float(stats[f"_hi_{c}"]) + 1.0  # right-open: max lands in cell nb
+        buckets.append(
+            F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(nb))
+            - 1
+        )
+    z = zorder_key(buckets, bits_per_dim)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

