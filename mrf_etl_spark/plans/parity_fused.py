@@ -307,6 +307,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("st8_stream_static_enrich", ["total_value"]),
         ("st9_stream_incremental_mv", ["total_value"]),
         ("st10_stream_scd2", ["value"]),
+        ("st11_stream_corpus_card", ["chars_avg"]),
     ],
 }
 
@@ -344,6 +345,10 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "q7_incremental_corpus_card": [
         "source", "lang", "n_docs", "words_total", "chars_avg",
         "p50_bucket", "p90_bucket", "p50_ok", "p90_ok",
+    ],
+    "st11_stream_corpus_card": [
+        "source", "lang", "n_docs", "words_total", "chars_avg",
+        "p50_bucket", "p90_bucket",
     ],
     "sp19_budget_sample": ["doc_id", "source", "tok", "cum_tokens"],
     # round-7 fused direct rows (fx_tolerant_lookups / fx_event_windows)

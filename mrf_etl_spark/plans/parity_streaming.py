@@ -580,3 +580,108 @@ def st10_stream_scd2(spark, sf_dir):
         "is_current",
         "value",
     )
+
+
+@register(
+    "st11_stream_corpus_card",
+    # Card truth: the q7 bucket rollup computed single-pass over ALL
+    # documents — micro-batch boundaries must not show in the state
+    # (merge is additive per (source, lang, bucket); the bucket-quantile
+    # derivation runs over the drained state only)
+    oracle="""
+    WITH w AS (
+      SELECT source, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+             n_chars
+      FROM documents),
+    b AS (
+      SELECT source, lang, n_words, n_chars,
+             CAST(floor(16 * log2(CAST(n_words AS DOUBLE))) AS INT) AS bucket
+      FROM w WHERE n_words >= 1),
+    g AS (
+      SELECT source, lang, bucket, count(*) AS n,
+             sum(n_words) AS ws, sum(n_chars) AS cs
+      FROM b GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT source, lang, CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(sum(ws) AS BIGINT) AS words_total,
+             CAST(sum(cs) AS DOUBLE) / sum(n) AS chars_avg
+      FROM g GROUP BY 1, 2),
+    cum AS (
+      SELECT source, lang, bucket,
+             sum(n) OVER (PARTITION BY source, lang ORDER BY bucket) AS cum
+      FROM g),
+    pq AS (
+      SELECT c.source, c.lang,
+             min(CASE WHEN c.cum >= ceil(0.5 * CAST(t.n_docs AS DOUBLE))
+                      THEN c.bucket END) AS p50_bucket,
+             min(CASE WHEN c.cum >= ceil(0.9 * CAST(t.n_docs AS DOUBLE))
+                      THEN c.bucket END) AS p90_bucket
+      FROM cum c JOIN tot t USING (source, lang) GROUP BY 1, 2)
+    SELECT t.source, t.lang, t.n_docs, t.words_total, t.chars_avg,
+           p.p50_bucket, p.p90_bucket
+    FROM tot t JOIN pq p USING (source, lang)""",
+    doc="st11: streaming incremental corpus card — the q7 sketch state "
+    "maintained by the st9 incremental-rollup machinery (keys = (source, "
+    "lang, log-bucket); counts/sums are additive, so each micro-batch is "
+    "one combinable delta merged into the state MV, replay-guarded by "
+    "the batch-id+lineage sidecar). The card derives from the drained "
+    "state alone; it must equal the single-pass batch card regardless "
+    "of batch boundaries — dataset documentation that stays fresh as "
+    "the lake ingests, at O(state) per batch.",
+)
+def st11_stream_corpus_card(spark, sf_dir):
+    """Stages documents as two disjoint halves consumed one per
+    micro-batch, so the final state is genuinely built by two additive
+    merges, then derives the card from state only."""
+    import os
+
+    from mrf_etl_spark.operators.cardsketch import corpus_card_from_state
+    from mrf_etl_spark.operators.textops import token_count_ws
+    from mrf_etl_spark.streaming import stream_incremental_rollup
+
+    docs = t(spark, sf_dir, "documents")
+    staging = _scratch("st11_staging")
+    os.makedirs(staging, exist_ok=True)
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{staging}/half=1"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
+        f"{staging}/half=2"
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{staging}/half=*")
+    )
+
+    def prep(df):
+        w = token_count_ws("text").cast("long")
+        return (
+            df.select(
+                "source",
+                "lang",
+                w.alias("_w"),
+                F.col("n_chars").cast("long").alias("_c"),
+            )
+            .filter(F.col("_w") >= 1)
+            .withColumn(
+                "bucket",
+                F.floor(F.lit(16) * F.log2(F.col("_w").cast("double"))).cast("int"),
+            )
+        )
+
+    state_mv = _scratch("st11_state")
+    q = stream_incremental_rollup(
+        stream,
+        state_mv,
+        _scratch("st11_ckpt"),
+        keys=["source", "lang", "bucket"],
+        agg_exprs={"n": "count(*)", "words_sum": "sum(_w)", "chars_sum": "sum(_c)"},
+        transform=prep,
+    )
+    q.awaitTermination(300)
+    return corpus_card_from_state(spark.read.parquet(state_mv)).select(
+        "source", "lang", "n_docs", "words_total", "chars_avg",
+        "p50_bucket", "p90_bucket",
+    )
