@@ -74,6 +74,8 @@ HEADLINE = [
     "sp14_curriculum_order",
     "t16_chunk_passages",
     "j18_grid_spatial_join",
+    # round-7 addition: incremental corpus card (mergeable sketch state)
+    "q7_incremental_corpus_card",
 ]
 
 

@@ -96,21 +96,32 @@ def corpus_card_from_state(
     bucket. No access to the raw corpus."""
     keys = list(keys or STATE_KEYS)
     percentiles = percentiles or [(0.5, "p50_bucket"), (0.9, "p90_bucket")]
-    totals = state.groupBy(*keys).agg(
-        F.sum("n").alias("n_docs"),
-        F.sum("words_sum").alias("words_total"),
-        (F.sum("chars_sum").cast("double") / F.sum("n")).alias("chars_avg"),
+    # ONE window pass derives everything: cumulative count in bucket
+    # order plus per-key totals as unbounded windows (no totals join —
+    # the state is already key-partitioned by the window shuffle), then
+    # one grouped agg picks every percentile's bucket via min(when(...)).
+    by_key = Window.partitionBy(*keys)
+    cum = (
+        state.withColumn("cum", F.sum("n").over(by_key.orderBy("bucket")))
+        .withColumn("n_docs", F.sum("n").over(by_key))
+        .withColumn("words_total", F.sum("words_sum").over(by_key))
+        .withColumn("chars_total", F.sum("chars_sum").over(by_key))
     )
-    cum = state.withColumn(
-        "cum", F.sum("n").over(Window.partitionBy(*keys).orderBy("bucket"))
-    ).join(totals.select(*keys, "n_docs"), keys)
-    out = totals
-    for q, name in percentiles:
-        rank = F.ceil(F.lit(q) * F.col("n_docs").cast("double"))
-        pick = (
-            cum.filter(F.col("cum") >= rank)
-            .groupBy(*keys)
-            .agg(F.min("bucket").alias(name))
-        )
-        out = out.join(pick, keys)
-    return out
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.ceil(F.lit(q) * F.col("n_docs").cast("double")),
+                F.col("bucket"),
+            )
+        ).alias(name)
+        for q, name in percentiles
+    ]
+    return cum.groupBy(*keys).agg(
+        F.first("n_docs").alias("n_docs"),
+        F.first("words_total").alias("words_total"),
+        (F.first("chars_total").cast("double") / F.first("n_docs")).alias(
+            "chars_avg"
+        ),
+        *picks,
+    )

@@ -3160,21 +3160,25 @@ def q7_incremental_corpus_card(spark, sf_dir):
     # build the state in two batch halves and merge — the merge-exactness
     # claim is what the driver row then hash-verifies against the
     # single-pass oracle
+    # the tiny merged state feeds two consumers (card totals + quantile
+    # windows); truncate its lineage so documents is scanned once per
+    # half, not once per downstream reference
     state = merge_card_states(
         corpus_card_state(d.filter(F.col("doc_id") % 2 == 0)),
         corpus_card_state(d.filter(F.col("doc_id") % 2 == 1)),
-    )
+    ).localCheckpoint()
     card = corpus_card_from_state(state)
 
     w = tx.token_count_ws("text").cast("long")
     per = d.select("source", "lang", w.alias("_w")).filter(F.col("_w") >= 1)
     from pyspark.sql.window import Window
 
-    totals = per.groupBy("source", "lang").agg(F.count("*").alias("_n"))
-    rn = per.withColumn(
-        "_rn",
-        F.row_number().over(Window.partitionBy("source", "lang").orderBy("_w")),
-    ).join(totals, ["source", "lang"])
+    # exact rank statistics in ONE key-partitioned pass: the group count
+    # rides an unbounded window next to row_number (no totals join)
+    by_key = Window.partitionBy("source", "lang")
+    rn = per.withColumn("_rn", F.row_number().over(by_key.orderBy("_w"))).withColumn(
+        "_n", F.count("*").over(by_key)
+    )
     ex = (
         rn.groupBy("source", "lang").agg(
             F.min(
