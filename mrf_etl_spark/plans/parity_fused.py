@@ -229,6 +229,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("t12_type_token_ratio", ["ttr"]),
         ("t15_source_similarity", ["cosine"]),
         ("t16_chunk_passages", []),
+        ("t17_vocab_stats", []),
     ],
     "fx_corpus_cards": [
         ("q2_corpus_card", ["words_p50", "words_p90", "chars_avg"]),
@@ -349,6 +350,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "st11_stream_corpus_card": [
         "source", "lang", "n_docs", "words_total", "chars_avg",
         "p50_bucket", "p90_bucket",
+    ],
+    "t17_vocab_stats": [
+        "source", "n_tokens", "vocab_size", "hapax_count", "top_word", "top_count",
     ],
     "sp19_budget_sample": ["doc_id", "source", "tok", "cum_tokens"],
     # round-7 fused direct rows (fx_tolerant_lookups / fx_event_windows)

@@ -3215,3 +3215,73 @@ def q7_incremental_corpus_card(spark, sf_dir):
         _ok("p50_bucket", "p50_exact").alias("p50_ok"),
         _ok("p90_bucket", "p90_exact").alias("p90_ok"),
     )
+
+
+@register(
+    "t17_vocab_stats",
+    # Integer-only compare surface: vocabulary/token/hapax counts and a
+    # deterministically tie-broken top word — no floats anywhere.
+    """WITH toks AS (
+         SELECT source,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         FROM documents),
+       wc AS (
+         SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+       top AS (
+         SELECT source, tok AS top_word, n AS top_count,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY n DESC, tok ASC) AS rn
+         FROM wc)
+       SELECT w.source,
+              CAST(sum(w.n) AS BIGINT) AS n_tokens,
+              count(*) AS vocab_size,
+              CAST(sum(CASE WHEN w.n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS hapax_count,
+              min(t.top_word) AS top_word,
+              CAST(min(t.top_count) AS BIGINT) AS top_count
+       FROM wc w
+       JOIN (SELECT * FROM top WHERE rn = 1) t USING (source)
+       GROUP BY 1""",
+    doc="t17 (beyond-ref): per-source vocabulary statistics — token "
+    "total, vocabulary size, hapax-legomena count (singleton words: the "
+    "classic OCR-noise / boilerplate-spam diagnostic; a healthy corpus "
+    "runs ~40-60% hapax, near-0% flags template text and near-100% "
+    "flags garbage tokens), and the mode word with (count DESC, word "
+    "ASC) tie-break. One explode + one (source, word) rollup + one "
+    "per-source reduce — every aggregate map-side combinable, compare "
+    "surface all-integer (the a17/a22 family extended to corpus "
+    "vocabulary).",
+)
+def t17_vocab_stats(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    wc = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    top = (
+        wc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("n").desc(), F.col("tok").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("tok").alias("top_word"),
+            F.col("n").alias("top_count"),
+        )
+    )
+    agg = wc.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax_count"),
+    )
+    return agg.join(top, "source").select(
+        "source", "n_tokens", "vocab_size", "hapax_count", "top_word", "top_count"
+    )
