@@ -112,10 +112,55 @@ def decode_png_gray_mean(payload: bytes) -> float:
     return total / npx if npx else 0.0
 
 
+def decode_wav_mean_amplitude(payload: bytes) -> float:
+    """REAL stdlib WAV decode: parse the RIFF container with the `wave`
+    module and return the mean absolute sample amplitude normalized to
+    [0, 1] — the loudness feature an audio-quality gate thresholds on.
+    PCM 8/16/32-bit, any channel count/rate. Exists so the audio tier of
+    the real-decoder branch is exercised and TESTED without torchaudio;
+    compressed codecs still raise via the NotImplementedError contract."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        width = w.getsampwidth()
+        n = w.getnframes() * w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    if n == 0:
+        return 0.0
+    if width == 1:  # unsigned 8-bit, midpoint 128
+        samples = [abs(b - 128) for b in raw]
+        full = 128.0
+    elif width == 2:
+        samples = [abs(v) for v in struct.unpack(f"<{n}h", raw)]
+        full = 32768.0
+    elif width == 4:
+        samples = [abs(v) for v in struct.unpack(f"<{n}i", raw)]
+        full = 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    return sum(samples) / n / full
+
+
 def _real_decoders() -> dict:
     global _DECODERS
     if _DECODERS is None:
         decoders: dict[str, object] = {}
+
+        def _wav_decode(payload: bytes) -> dict:
+            if payload[:4] != b"RIFF":
+                raise NotImplementedError(
+                    "only RIFF/WAVE decodes via the stdlib path; compressed "
+                    "audio needs torchaudio/ffmpeg or fake=True"
+                )
+            return {
+                "n_bytes": len(payload),
+                "header_hex": payload[:4].hex(),
+                "feat_mean": decode_wav_mean_amplitude(payload),
+            }
+
+        decoders["audio"] = _wav_decode
         try:  # Pillow: every image format
             import io
 

@@ -1231,3 +1231,56 @@ def test_card_sketch_bucket_brackets_exact_quantile(spark):
             assert 2 ** (bkt / 16.0) <= exact < 2 ** ((bkt + 1) / 16.0), (
                 key, q, exact, bkt,
             )
+
+
+def test_stdlib_wav_decoder_real_amplitude():
+    """The audio tier decodes RIFF/WAVE for real: mean |sample|/fullscale
+    across widths and channel counts, golden-checked against samples the
+    test itself writes with the stdlib wave module."""
+    import io
+    import struct
+    import wave
+
+    from mrf_etl_spark.operators.multimodal import (
+        decode_media,
+        decode_wav_mean_amplitude,
+    )
+
+    def make_wav(samples, width=2, channels=1, rate=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            fmt = {2: "h", 4: "i"}.get(width)
+            if fmt:
+                w.writeframes(struct.pack(f"<{len(samples)}{fmt}", *samples))
+            else:
+                w.writeframes(bytes(samples))
+        return buf.getvalue()
+
+    # 16-bit mono: mean(|s|)/32768
+    s16 = [0, 16384, -32768, 8192]
+    wav = make_wav(s16)
+    expect = sum(abs(v) for v in s16) / len(s16) / 32768.0
+    assert decode_wav_mean_amplitude(wav) == pytest.approx(expect)
+    out = decode_media(wav, "audio/wav")
+    assert out["feat_mean"] == pytest.approx(expect)
+    assert out["mime"] == "audio/wav" and out["header_hex"] == "52494646"
+
+    # 8-bit (unsigned, midpoint 128) and stereo 16-bit
+    s8 = [128, 255, 0, 200]
+    assert decode_wav_mean_amplitude(make_wav(s8, width=1)) == pytest.approx(
+        sum(abs(v - 128) for v in s8) / len(s8) / 128.0
+    )
+    st = [100, -100, 30000, -30000]
+    assert decode_wav_mean_amplitude(
+        make_wav(st, width=2, channels=2)
+    ) == pytest.approx(sum(abs(v) for v in st) / len(st) / 32768.0)
+
+    # non-RIFF audio keeps the NotImplementedError contract
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xfbgarbage-mp3", "audio/mpeg")
+    # fake mode still byte-deterministic for audio payloads
+    fk = decode_media(wav, "audio/wav", fake=True)
+    assert fk["feat_mean"] == pytest.approx(sum(wav) / len(wav))
