@@ -40,14 +40,14 @@ _DECODERS: dict[str, object] | None = None
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png_gray_mean(payload: bytes) -> float:
+def decode_png_gray(payload: bytes) -> tuple[int, int, list[float]]:
     """REAL stdlib PNG decode: inflate IDAT, reconstruct the per-scanline
-    filters (types 0-4, the full PNG spec set), and return the grayscale
-    pixel mean (ITU-R 601 luma for color images). Supports 8-bit
-    grayscale / RGB / gray+alpha / RGBA, non-interlaced — the shapes a
-    training-data thumbnail pipeline actually emits. Exists so the
-    real-decoder branch is exercised and TESTED in environments without
-    Pillow; PIL, when importable, handles every other image format."""
+    filters (types 0-4, the full PNG spec set), and return (width,
+    height, row-major grayscale pixels — ITU-R 601 luma for color).
+    Supports 8-bit grayscale / RGB / gray+alpha / RGBA, non-interlaced —
+    the shapes a training-data thumbnail pipeline actually emits. Exists
+    so the real-decoder branch is exercised and TESTED in environments
+    without Pillow; PIL, when importable, handles every other format."""
     import struct
     import zlib
 
@@ -78,7 +78,7 @@ def decode_png_gray_mean(payload: bytes) -> float:
     raw = zlib.decompress(idat)
     stride = w * ch
     prev = bytearray(stride)
-    total, npx = 0.0, 0
+    pixels: list[float] = []
     for y in range(h):
         row_start = y * (stride + 1)
         ftype = raw[row_start]
@@ -99,17 +99,48 @@ def decode_png_gray_mean(payload: bytes) -> float:
                 pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
                 line[i] = (line[i] + pred) & 0xFF
         for x in range(0, stride, ch):
-            if ch == 1:
-                total += line[x]
-            elif ch == 2:  # gray + alpha: luma is the gray sample
-                total += line[x]
+            if ch <= 2:  # grayscale (alpha ignored)
+                pixels.append(float(line[x]))
             else:  # RGB / RGBA: ITU-R 601 luma
-                total += (
+                pixels.append(
                     0.299 * line[x] + 0.587 * line[x + 1] + 0.114 * line[x + 2]
                 )
-            npx += 1
         prev = line
-    return total / npx if npx else 0.0
+    return w, h, pixels
+
+
+def decode_png_gray_mean(payload: bytes) -> float:
+    """Grayscale pixel mean via :func:`decode_png_gray`."""
+    _w, _h, px = decode_png_gray(payload)
+    return sum(px) / len(px) if px else 0.0
+
+
+def resize_nearest(
+    pixels: list[float], w: int, h: int, out_w: int = 8, out_h: int = 8
+) -> list[float]:
+    """Nearest-neighbor resize of a row-major grayscale image — the
+    thumbnail step of the multimodal briefing surface. Sample point for
+    output cell (i, j) is the source pixel at (floor(j*h/out_h),
+    floor(i*w/out_w)) — integer-exact, engine-neutral."""
+    return [
+        pixels[(j * h // out_h) * w + (i * w // out_w)]
+        for j in range(out_h)
+        for i in range(out_w)
+    ]
+
+
+def ahash_halves(values: list[float]) -> tuple[int, int]:
+    """Average-hash over exactly 64 samples: bit i set iff values[i] >=
+    mean(values). Returned as two 32-bit halves (hi = bits 32..63) so
+    the number fits signed 64-bit engines without 1<<63 overflow. The
+    mean is sum/64.0 — division by a power of two, so it is EXACT in
+    IEEE doubles and the bit pattern is engine-identical."""
+    if len(values) != 64:
+        raise ValueError(f"ahash needs exactly 64 samples, got {len(values)}")
+    mu = sum(values) / 64.0
+    lo = sum(1 << i for i in range(32) if values[i] >= mu)
+    hi = sum(1 << (i - 32) for i in range(32, 64) if values[i] >= mu)
+    return hi, lo
 
 
 def decode_wav_mean_amplitude(payload: bytes) -> float:
@@ -272,6 +303,71 @@ def extract_features(
     if partitions:
         mm = mm.repartition(partitions, "doc_id")
     return mm.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+def gray_pixels(payload: bytes) -> tuple[int, int, list[float]]:
+    """Decode any image payload to row-major grayscale pixels: PIL when
+    importable, the stdlib PNG decoder otherwise."""
+    try:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        w, h = img.size
+        return w, h, [float(v) for v in img.getdata()]
+    except ImportError:
+        if payload[:8] == _PNG_MAGIC:
+            return decode_png_gray(payload)
+        raise NotImplementedError(
+            "only PNG decodes without Pillow; install PIL for other formats"
+        ) from None
+
+
+PHASH_SCHEMA = "doc_id long, ahash_hi long, ahash_lo long"
+
+
+def perceptual_hash(mm: DataFrame, fake: bool = True, partitions: int | None = None) -> DataFrame:
+    """Average-hash (aHash) image fingerprint via decode → 8×8 nearest-
+    neighbor RESIZE → threshold-at-mean, the classic perceptual-hash
+    near-dup signature: re-encoded/re-scaled copies of an image keep a
+    low Hamming distance while m3's exact byte hash changes completely.
+
+    Real path (``fake=False``): decode to grayscale (PIL / stdlib PNG),
+    :func:`resize_nearest` to 64 samples, :func:`ahash_halves`. Fake
+    path: the deterministic byte stand-in — 64 bytes sampled at offsets
+    (i·n)//64 — same hash shape, environment-independent, and exactly
+    reproducible in SQL for the parity oracle (m5). Output is two
+    32-bit halves so the 64-bit pattern never touches signed-overflow
+    territory in any engine.
+
+    Scale: map-side mapInPandas over the binary column, no shuffle; the
+    hashes then feed the d4b-style banded Hamming join for corpus-level
+    image dedup."""
+
+    def _one(doc_id: int, payload: bytes) -> tuple[int, int, int]:
+        if fake:
+            n = len(payload)
+            if n == 0:
+                return doc_id, 0, 0
+            samples = [float(payload[(i * n) // 64]) for i in range(64)]
+        else:
+            w, h, px = gray_pixels(payload)
+            samples = resize_nearest(px, w, h)
+        hi, lo = ahash_halves(samples)
+        return doc_id, hi, lo
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                _one(doc_id, bytes(payload))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash_hi", "ahash_lo"])
+
+    if partitions:
+        mm = mm.repartition(partitions, "doc_id")
+    return mm.select("doc_id", "payload").mapInPandas(_batches, schema=PHASH_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx long, offset long, frame_bytes long, frame_md5 string"

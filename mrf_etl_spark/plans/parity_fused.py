@@ -255,6 +255,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("m2_frame_sample", []),
         ("m3_media_exact_dup", []),
         ("m4_media_near_dup", ["jaccard"]),
+        ("m5_perceptual_hash", []),
     ],
     # round-5 probes: close the driver-verification tail. fx_agg_shapes /
     # fx_ref_joins free five agg + three join direct slots; the freed
@@ -432,6 +433,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "m2_frame_sample": ["doc_id", "frame_idx", "offset", "frame_bytes", "frame_md5"],
     "m3_media_exact_dup": ["content_hash", "n", "min_id", "max_id"],
     "m4_media_near_dup": ["doc_a", "doc_b", "jaccard"],
+    "m5_perceptual_hash": ["doc_id", "ahash_hi", "ahash_lo"],
     "q2_corpus_card": [
         "source", "lang", "n_docs", "words_total",
         "words_p50", "words_p90", "chars_avg",

@@ -3285,3 +3285,48 @@ def t17_vocab_stats(spark, sf_dir):
     return agg.join(top, "source").select(
         "source", "n_tokens", "vocab_size", "hapax_count", "top_word", "top_count"
     )
+
+
+@register(
+    "m5_perceptual_hash",
+    # Fake-path parity (the m1-m4 pattern: byte stand-in driver-verified,
+    # real decode pytest-verified): 64 bytes sampled at (i*n)//64 from
+    # the UTF-8 payload, threshold at mean (sum/64.0 — division by a
+    # power of two, IEEE-exact, so the bit pattern is engine-identical),
+    # packed as two 32-bit halves to stay clear of signed-64 overflow.
+    """WITH p AS (
+         SELECT doc_id, hex(encode(text)) AS hx,
+                octet_length(encode(text)) AS n
+         FROM documents),
+       s AS (
+         SELECT doc_id, CAST(t.i AS INT) AS i,
+                CAST('0x' || substring(hx, 1 + 2 * CAST((t.i * n) // 64 AS INT), 2)
+                     AS BIGINT) AS byte
+         FROM p, range(64) t(i) WHERE n >= 1),
+       m AS (SELECT doc_id, sum(byte) / 64.0 AS mu FROM s GROUP BY doc_id)
+       SELECT s.doc_id,
+              CAST(sum(CASE WHEN s.i >= 32 AND s.byte >= m.mu
+                            THEN CAST(1 AS BIGINT) << (s.i - 32) ELSE 0 END)
+                   AS BIGINT) AS ahash_hi,
+              CAST(sum(CASE WHEN s.i < 32 AND s.byte >= m.mu
+                            THEN CAST(1 AS BIGINT) << s.i ELSE 0 END)
+                   AS BIGINT) AS ahash_lo
+       FROM s JOIN m USING (doc_id) GROUP BY 1""",
+    doc="m5 (beyond-ref): perceptual image hash — decode -> 8x8 "
+    "nearest-neighbor RESIZE -> average-hash (bit i = sample_i >= "
+    "mean), the re-encode/re-scale-robust near-dup signature m3's "
+    "exact byte hash misses (operators/multimodal.perceptual_hash; "
+    "resize per the briefing's multimodal surface, REAL for PNG via "
+    "the stdlib decoder, PIL otherwise — pytest-verified; driver row "
+    "runs the deterministic byte stand-in, same hash shape). Map-side "
+    "mapInPandas, no shuffle; hashes feed the d4b banded Hamming join "
+    "for corpus-level image dedup.",
+)
+def m5_perceptual_hash(spark, sf_dir):
+    from mrf_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        perceptual_hash,
+    )
+
+    mm = attach_binary_payload(t(spark, sf_dir, "documents"), "text", "doc_id")
+    return perceptual_hash(mm, fake=True)

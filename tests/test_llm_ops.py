@@ -1284,3 +1284,55 @@ def test_stdlib_wav_decoder_real_amplitude():
     # fake mode still byte-deterministic for audio payloads
     fk = decode_media(wav, "audio/wav", fake=True)
     assert fk["feat_mean"] == pytest.approx(sum(wav) / len(wav))
+
+
+def test_perceptual_hash_real_resize_path(spark):
+    """m5's fake=False tier: REAL PNG decode -> 8x8 nearest-neighbor
+    resize -> average-hash. Properties that make it a near-dup signature:
+    (a) golden hash on a known image; (b) a lightly-perturbed copy stays
+    within a small Hamming distance while its exact byte hash differs;
+    (c) a structurally different image is far."""
+    from mrf_etl_spark.operators.multimodal import (
+        ahash_halves,
+        decode_png_gray,
+        perceptual_hash,
+        resize_nearest,
+    )
+
+    def hamming(a, b):
+        return bin((a[0] ^ b[0]) << 32 | (a[1] ^ b[1])).count("1")
+
+    # 16x16 half-dark/half-light image; copy with one pixel flipped;
+    # inverse-layout image as the far control
+    base = [[0] * 8 + [255] * 8 for _ in range(16)]
+    near = [r[:] for r in base]
+    near[3][3] = 40  # light perturbation (stays on the dark side)
+    far = [[255] * 8 + [0] * 8 for _ in range(16)]
+    pngs = {1: _encode_png(base, 0, [0] * 16), 2: _encode_png(near, 0, [1] * 16),
+            3: _encode_png(far, 0, [2] * 16)}
+
+    mm = spark.createDataFrame(
+        [(k, v) for k, v in pngs.items()], "doc_id long, payload binary"
+    )
+    out = {
+        r["doc_id"]: (r["ahash_hi"], r["ahash_lo"])
+        for r in perceptual_hash(mm, fake=False).collect()
+    }
+    # golden: distributed result equals the driver-side composition
+    for k, png in pngs.items():
+        w, h, px = decode_png_gray(png)
+        assert out[k] == ahash_halves(resize_nearest(px, w, h)), k
+    assert hamming(out[1], out[2]) <= 2  # near-dup: tiny Hamming distance
+    assert out[1] != out[2] or pngs[1] != pngs[2]
+    assert hamming(out[1], out[3]) == 64  # inverse layout: every bit flips
+
+
+def test_resize_nearest_known_grid():
+    from mrf_etl_spark.operators.multimodal import resize_nearest
+
+    # 4x2 image downsampled to 2x2: picks (row 0/1 x col 0/2)
+    px = [1.0, 2.0, 3.0, 4.0,
+          5.0, 6.0, 7.0, 8.0]
+    assert resize_nearest(px, 4, 2, 2, 2) == [1.0, 3.0, 5.0, 7.0]
+    # upscale repeats nearest samples
+    assert resize_nearest([9.0], 1, 1, 2, 2) == [9.0] * 4
