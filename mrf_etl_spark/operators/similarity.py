@@ -546,3 +546,117 @@ def truncation_quality(
     return df.select(
         F.col(id_col), F.explode(per_k).alias("_t")
     ).select(id_col, F.col("_t.k").alias("k"), F.col("_t.cos_retained").alias("cos_retained"))
+
+
+# ------------------------------------------------- persisted IVF index
+
+def ivf_index_create(
+    emb: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Materialize an IVF index ON THE LAKE: centroids (the frozen
+    codebook — in production the output of a k-means run on a sample)
+    persist next to the corpus, and every vector lands in the parquet
+    partition of its nearest centroid with its norm precomputed. Queries
+    then read nprobe PARTITIONS, not the corpus — the physical layout
+    n2 computes on the fly, made durable and incrementally appendable.
+
+    Layout: ``path/centroids`` (cid, cvec) and ``path/index``
+    hive-partitioned by cid with (neighbor_id, cv, cn)."""
+    centroids.select("cid", "cvec").write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    assigned = assign_centroids(emb, centroids, id_col, vec_col, dim)
+    (
+        emb.join(assigned, id_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            norm_fold(vec_col).alias("cn"),
+            "cid",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/index")
+    )
+
+
+def ivf_index_append(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Incremental maintenance: assign ONLY the new vectors against the
+    frozen codebook and append their rows to the touched cid partitions.
+    Cost is O(batch × centroids) — the index is never rebuilt and
+    existing partitions' files are never rewritten (append, not
+    overwrite), the d9/st10 incremental-ingest shape for ANN."""
+    spark = new_emb.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids")
+    assigned = assign_centroids(new_emb, cent, id_col, vec_col, dim)
+    (
+        new_emb.join(assigned, id_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            norm_fold(vec_col).alias("cn"),
+            "cid",
+        )
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(f"{path}/index")
+    )
+
+
+def ivf_index_query(
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Query the persisted index: per query, pick the nprobe nearest
+    centroids (broadcast codebook), then scan ONLY those cid partitions
+    (the distinct probed-cid list is a bounded partition filter, like
+    st10's affected-bucket pruning) and rank exact cosine within them.
+    Result semantics are identical to :func:`ivf_topk` over the same
+    corpus+codebook — batch boundaries and append history are invisible."""
+    spark = queries.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", norm_fold("qv"))
+    qprobe = q.crossJoin(
+        F.broadcast(cent.withColumn("_cnorm", norm_fold("cvec")))
+    ).withColumn("cos_c", dot_fold("qv", "cvec") / (F.col("qn") * F.col("_cnorm")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    probes = (
+        qprobe.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "qn", "cid")
+    )
+    # bounded driver-side partition filter: <= min(|queries|*nprobe, |centroids|)
+    probed_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
+    idx = spark.read.parquet(f"{path}/index").filter(F.col("cid").isin(probed_cids))
+    scored = (
+        idx.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot_fold("qv", "cv") / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -290,6 +290,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
     "fx_ann": [
         ("n1_ann_cosine_topk", ["cosine"]),
         ("n2_ann_ivf", ["cosine"]),
+        ("n4_ann_index_incremental", ["cosine"]),
     ],
     # Each streaming entry runs its real availableNow drain and returns a
     # batch DataFrame of the drained result, so they fuse like any other
@@ -355,6 +356,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "t17_vocab_stats": [
         "source", "n_tokens", "vocab_size", "hapax_count", "top_word", "top_count",
     ],
+    "n4_ann_index_incremental": ["query_id", "neighbor_id", "cosine", "rank"],
     "sp19_budget_sample": ["doc_id", "source", "tok", "cum_tokens"],
     # round-7 fused direct rows (fx_tolerant_lookups / fx_event_windows)
     "s4_tolerant_scan": ["l_orderkey", "l_linenumber", "ghost_col"],

@@ -3330,3 +3330,47 @@ def m5_perceptual_hash(spark, sf_dir):
 
     mm = attach_binary_payload(t(spark, sf_dir, "documents"), "text", "doc_id")
     return perceptual_hash(mm, fake=True)
+
+
+def _register_n4():
+    # n4's truth is n2's: the persisted index must answer queries exactly
+    # like the on-the-fly IVF cascade over the same corpus + codebook,
+    # regardless of how many append batches built it — so the oracle IS
+    # n2's oracle, reused verbatim.
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    @register(
+        "n4_ann_index_incremental",
+        REGISTRY["n2_ann_ivf"].oracle,
+        doc="n4 (beyond-ref): PERSISTED incremental IVF index — the "
+        "codebook and the centroid-partitioned corpus live on the lake "
+        "(operators/similarity.ivf_index_create/append/query): new "
+        "batches assign against the frozen codebook and APPEND to their "
+        "cid partitions (O(batch), no rebuild); queries broadcast the "
+        "codebook, derive a bounded probed-cid partition filter, and "
+        "scan nprobe partitions instead of the corpus. The driver row "
+        "creates the index from even vec_ids, appends the odd half, and "
+        "must answer exactly like n2's one-shot cascade — batch "
+        "boundaries invisible (the d9/st10 incremental==batch proof for "
+        "ANN serving).",
+    )
+    def n4_ann_index_incremental(spark, sf_dir):
+        from mrf_etl_spark.plans.parity import _scratch
+
+        emb = t(spark, sf_dir, "embeddings")
+        cent = emb.filter((F.col("vec_id") % 97) == 0).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+        path = _scratch("n4_ivf_index")
+        sim.ivf_index_create(
+            emb.filter(F.col("vec_id") % 2 == 0), path, cent, dim=DIM
+        )
+        sim.ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), path, dim=DIM)
+        return sim.ivf_index_query(
+            emb.filter(F.col("vec_id") < 10), path, nprobe=2, k=5
+        )
+
+    return n4_ann_index_incremental
+
+
+n4_ann_index_incremental = _register_n4()

@@ -1336,3 +1336,50 @@ def test_resize_nearest_known_grid():
     assert resize_nearest(px, 4, 2, 2, 2) == [1.0, 3.0, 5.0, 7.0]
     # upscale repeats nearest samples
     assert resize_nearest([9.0], 1, 1, 2, 2) == [9.0] * 4
+
+
+def test_ivf_index_query_prunes_partitions_and_matches_onthefly(spark, tmp_path):
+    """n4's scale claim, asserted physically: the persisted index read
+    carries the probed-cid PartitionFilters (queries scan nprobe
+    partitions, not the corpus), appends land as new files without
+    rewriting existing partitions, and the incremental index answers
+    exactly like the one-shot ivf_topk cascade."""
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = emb.filter((F.col("vec_id") % 97) == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    path = str(tmp_path / "ivf")
+    sim.ivf_index_create(emb.filter(F.col("vec_id") % 2 == 0), path, cent, dim=DIM)
+    files_before = {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(f"{path}/index")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    sim.ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), path, dim=DIM)
+    files_after = {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(f"{path}/index")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert files_before < files_after  # pure append: old files untouched
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = sim.ivf_index_query(queries, path, nprobe=2, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cid" in plan.replace("#", " #").replace(
+        "PartitionFilters: [isnotnull(cid", "PartitionFilters: [cid"
+    ) or "cid IN" in plan, plan[:1500]
+
+    expect = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivf_topk(
+            emb, dim=DIM, centroid_mod=97, nprobe=2,
+            query_filter=F.col("vec_id") < 10, k=5,
+        ).collect()
+    )
+    got = sorted((r.query_id, r.neighbor_id, r.rank) for r in out.collect())
+    assert got == expect
