@@ -35,6 +35,9 @@ NESTED_LOOP_OK = {
     "n1_ann_cosine_topk": "bounded broadcast query set (exact baseline)",
     # IVF assign/probe: centroid set is fixed-size and broadcast
     "n2_ann_ivf": "bounded broadcast centroid set",
+    # same cascade against the PERSISTED codebook (index create/append
+    # assign + query probe all cross the broadcast centroid set)
+    "n4_ann_index_incremental": "bounded broadcast centroid set (persisted codebook)",
     "d5b_embedding_near_dup_ivf": "bounded broadcast centroid set",
     # d8 composes the d5b cascade (same centroid broadcast) before the
     # star-contraction clustering — the product side is the centroid set
