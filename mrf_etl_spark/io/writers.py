@@ -290,8 +290,19 @@ def zorder_key(
     """Interleave the bits of N already-bucketed dimension columns into a
     Morton (Z-order) key: dimension d contributes its i-th bit at key
     position i*N + d, so keys close in Z-value are close in EVERY
-    dimension simultaneously."""
+    dimension simultaneously.
+
+    The interleave must fit in a signed long's 63 value bits: one bit
+    higher lands in the sign bit (negative keys sort BEFORE small
+    positive ones, splitting hypercubes across files) and Java shift
+    counts >= 64 wrap (the JVM masks them to 6 bits), silently aliasing
+    two dimensions onto one bit — so over-budget parameters raise."""
     n = len(bucket_cols)
+    if n * bits_per_dim > 63:
+        raise ValueError(
+            f"zorder_key needs {n * bits_per_dim} bits but a signed long "
+            "holds 63: lower bits_per_dim or cluster on fewer columns"
+        )
     z = F.lit(0).cast("long")
     for i in range(bits_per_dim):
         for d, col in enumerate(bucket_cols):
@@ -327,6 +338,11 @@ def zorder_layout_write(
     computable without a global rank pass — skewed columns trade some
     balance for that, which the range-partition on the final key largely
     restores (AQE-friendly)."""
+    if not cols:
+        raise ValueError("zorder_layout_write needs at least one clustering column")
+    # fit the interleave in a long's 63 value bits: resolution degrades
+    # (coarser cells) rather than corrupting the key ordering
+    bits_per_dim = max(1, min(bits_per_dim, 63 // len(cols)))
     stats = df.agg(
         *[F.min(c).alias(f"_lo_{c}") for c in cols],
         *[F.max(c).alias(f"_hi_{c}") for c in cols],
@@ -334,8 +350,14 @@ def zorder_layout_write(
     nb = 1 << bits_per_dim
     buckets = []
     for c in cols:
-        lo = float(stats[f"_lo_{c}"])
-        hi = float(stats[f"_hi_{c}"]) + 1.0  # right-open: max lands in cell nb
+        lo, hi = stats[f"_lo_{c}"], stats[f"_hi_{c}"]
+        if lo is None or hi is None:
+            # empty input or all-NULL column: no spread to cluster on —
+            # a constant cell keeps the write valid instead of crashing
+            buckets.append(F.lit(0))
+            continue
+        lo = float(lo)
+        hi = float(hi) + 1.0  # right-open: max lands in cell nb
         buckets.append(
             F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(nb))
             - 1

@@ -48,21 +48,38 @@ def _bucket(words) -> F.Column:
     return F.floor(F.lit(16) * F.log2(words.cast("double"))).cast("int")
 
 
+def card_rows(
+    docs: DataFrame, text_col: str = "text", keys: list[str] | None = None
+) -> DataFrame:
+    """Per-document projection onto the sketch grid: (keys..., _w, _c,
+    bucket). The ONE place the grid (log base, resolution 16, the
+    zero-word exclusion) is defined on the Spark side — both the batch
+    state rollup and the st11 streaming prep build on this, so the
+    streamed state can never land on a different grid than
+    :func:`corpus_card_from_state` assumes. Documents with zero words
+    are excluded (a log grid has no cell for 0; empty docs are a
+    quality-gate concern, not a length-distribution one)."""
+    keys = list(keys or STATE_KEYS)
+    w = token_count_ws(text_col).cast("long")
+    return (
+        docs.select(
+            *keys,
+            w.alias("_w"),
+            F.col("n_chars").cast("long").alias("_c"),
+        )
+        .filter(F.col("_w") >= 1)
+        .withColumn("bucket", _bucket(F.col("_w")))
+    )
+
+
 def corpus_card_state(
     docs: DataFrame, text_col: str = "text", keys: list[str] | None = None
 ) -> DataFrame:
     """One map-side-combinable rollup of a document batch into sketch
-    state rows (keys..., bucket, n, words_sum, chars_sum). Documents with
-    zero words are excluded (a log grid has no cell for 0; empty docs are
-    a quality-gate concern, not a length-distribution one)."""
+    state rows (keys..., bucket, n, words_sum, chars_sum)."""
     keys = list(keys or STATE_KEYS)
-    w = token_count_ws(text_col).cast("long")
-    per = docs.select(
-        *keys,
-        w.alias("_w"),
-        F.col("n_chars").cast("long").alias("_c"),
-    ).filter(F.col("_w") >= 1)
-    return per.groupBy(*keys, _bucket(F.col("_w")).alias("bucket")).agg(
+    per = card_rows(docs, text_col, keys)
+    return per.groupBy(*keys, "bucket").agg(
         F.count("*").alias("n"),
         F.sum("_w").alias("words_sum"),
         F.sum("_c").alias("chars_sum"),

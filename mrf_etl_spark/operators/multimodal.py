@@ -348,8 +348,6 @@ def perceptual_hash(mm: DataFrame, fake: bool = True, partitions: int | None = N
     def _one(doc_id: int, payload: bytes) -> tuple[int, int, int]:
         if fake:
             n = len(payload)
-            if n == 0:
-                return doc_id, 0, 0
             samples = [float(payload[(i * n) // 64]) for i in range(64)]
         else:
             w, h, px = gray_pixels(payload)
@@ -359,9 +357,13 @@ def perceptual_hash(mm: DataFrame, fake: bool = True, partitions: int | None = N
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # empty payloads are DROPPED, not hashed: neither path can
+            # fingerprint zero bytes, and the m5 parity oracle encodes
+            # the same policy (WHERE n >= 1) — the two sides must agree
             rows = [
                 _one(doc_id, bytes(payload))
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+                if len(bytes(payload)) > 0
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "ahash_hi", "ahash_lo"])
 

@@ -570,6 +570,22 @@ def ivf_index_create(
     centroids.select("cid", "cvec").write.mode("overwrite").parquet(
         f"{path}/centroids"
     )
+    _write_index_rows(emb, centroids, path, "overwrite", id_col, vec_col, dim)
+
+
+def _write_index_rows(
+    emb: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    mode: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> None:
+    """The ONE definition of an index row — (neighbor_id, cv, cn)
+    partitioned by cid. create and append both write through here, so
+    the two paths can never produce incompatible partitions under the
+    same index root."""
     assigned = assign_centroids(emb, centroids, id_col, vec_col, dim)
     (
         emb.join(assigned, id_col)
@@ -579,7 +595,7 @@ def ivf_index_create(
             norm_fold(vec_col).alias("cn"),
             "cid",
         )
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("cid")
         .parquet(f"{path}/index")
     )
@@ -599,19 +615,7 @@ def ivf_index_append(
     overwrite), the d9/st10 incremental-ingest shape for ANN."""
     spark = new_emb.sparkSession
     cent = spark.read.parquet(f"{path}/centroids")
-    assigned = assign_centroids(new_emb, cent, id_col, vec_col, dim)
-    (
-        new_emb.join(assigned, id_col)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cv"),
-            norm_fold(vec_col).alias("cn"),
-            "cid",
-        )
-        .write.mode("append")
-        .partitionBy("cid")
-        .parquet(f"{path}/index")
-    )
+    _write_index_rows(new_emb, cent, path, "append", id_col, vec_col, dim)
 
 
 def ivf_index_query(
@@ -643,6 +647,11 @@ def ivf_index_query(
         qprobe.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "qv", "qn", "cid")
+        # the cascade (centroid read + crossJoin + window) is consumed
+        # TWICE — once collected for the partition filter, once joined
+        # against the index — so materialize it once; the result is
+        # bounded at |queries|*nprobe rows
+        .cache()
     )
     # bounded driver-side partition filter: <= min(|queries|*nprobe, |centroids|)
     probed_cids = [r["cid"] for r in probes.select("cid").distinct().collect()]

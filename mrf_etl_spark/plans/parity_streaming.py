@@ -636,8 +636,10 @@ def st11_stream_corpus_card(spark, sf_dir):
     merges, then derives the card from state only."""
     import os
 
-    from mrf_etl_spark.operators.cardsketch import corpus_card_from_state
-    from mrf_etl_spark.operators.textops import token_count_ws
+    from mrf_etl_spark.operators.cardsketch import (
+        card_rows,
+        corpus_card_from_state,
+    )
     from mrf_etl_spark.streaming import stream_incremental_rollup
 
     docs = t(spark, sf_dir, "documents")
@@ -656,20 +658,10 @@ def st11_stream_corpus_card(spark, sf_dir):
     )
 
     def prep(df):
-        w = token_count_ws("text").cast("long")
-        return (
-            df.select(
-                "source",
-                "lang",
-                w.alias("_w"),
-                F.col("n_chars").cast("long").alias("_c"),
-            )
-            .filter(F.col("_w") >= 1)
-            .withColumn(
-                "bucket",
-                F.floor(F.lit(16) * F.log2(F.col("_w").cast("double"))).cast("int"),
-            )
-        )
+        # the grid (resolution, zero-word policy) is defined ONCE in
+        # cardsketch.card_rows — the streamed state must sit on exactly
+        # the grid corpus_card_from_state assumes
+        return card_rows(df)
 
     state_mv = _scratch("st11_state")
     q = stream_incremental_rollup(

@@ -509,7 +509,13 @@ def incremental_rollup_batch_writer(
         if os.path.isfile(marker):
             with open(marker) as fh:
                 marked_sid, marked_bid = _parse_marker(fh.read())
-            if marked_sid == stream_id and batch_id <= marked_bid:
+            # a legacy (pre-lineage) sidecar carries no stream_id: treat
+            # it as belonging to the current lineage, else the first
+            # replay after an upgrade would bypass the guard and
+            # double-count (the one case the watermark exists for)
+            if (
+                marked_sid is None or marked_sid == stream_id
+            ) and batch_id <= marked_bid:
                 return  # replayed batch — its delta is already in the MV
         df = transform(batch_df) if transform is not None else batch_df
         spark = df.sparkSession

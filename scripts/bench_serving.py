@@ -30,6 +30,7 @@ the serving_ms section into it.
 from __future__ import annotations
 
 import json
+import math
 import statistics
 import sys
 import tempfile
@@ -154,9 +155,13 @@ def main() -> None:
             fn().collect()
             times.append((time.perf_counter() - t0) * 1000)
         times.sort()
+        # nearest-rank p95: the ceil(0.95*n)-th order statistic (index
+        # ceil(0.95*n)-1); int(n*0.95) lands one rank high and reports
+        # the MAXIMUM at n=20
+        p95_idx = max(0, math.ceil(len(times) * 0.95) - 1)
         return {
             "p50": round(statistics.median(times), 1),
-            "p95": round(times[min(len(times) - 1, int(len(times) * 0.95))], 1),
+            "p95": round(times[p95_idx], 1),
             "n": reps,
         }
 

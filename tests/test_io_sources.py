@@ -242,3 +242,41 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
     # a dedicated sort, but bounded)
     z_p = files_touched(zpath, "l_partkey", 40, 160)
     assert z_p <= n_files // 2, z_p
+
+
+def test_zorder_key_bit_budget_and_degenerate_inputs(spark, tmp_path):
+    """zorder_key must refuse an interleave that overflows a signed
+    long's 63 value bits (sign-bit keys mis-sort; JVM shift counts wrap
+    at 64, aliasing dimensions), zorder_layout_write must instead CLAMP
+    resolution to fit, and empty / all-NULL inputs must write cleanly
+    rather than crash on float(None)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mrf_etl_spark.io import zorder_layout_write
+    from mrf_etl_spark.io.writers import zorder_key
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_key([F.col(f"c{i}") for i in range(8)], bits_per_dim=8)
+    # 7 dims x 9 bits = 63: exactly at budget, allowed
+    zorder_key([F.col(f"c{i}") for i in range(7)], bits_per_dim=9)
+
+    df = spark.range(100).select(
+        *[(F.col("id") * (i + 1) % 97).alias(f"c{i}") for i in range(8)]
+    )
+    # 8 columns at the default 8 bits would need 64 bits: the writer
+    # clamps to 7 bits/dim and must produce non-negative keys + all rows
+    p8 = str(tmp_path / "z8")
+    zorder_layout_write(df, p8, [f"c{i}" for i in range(8)], n_files=4)
+    assert spark.read.parquet(p8).count() == 100
+
+    # empty input: valid empty dataset, not a TypeError
+    pe = str(tmp_path / "zempty")
+    zorder_layout_write(df.filter(F.lit(False)), pe, ["c0", "c1"], n_files=4)
+    assert spark.read.parquet(pe).count() == 0
+
+    # all-NULL clustering column: constant cell, rows preserved
+    pn = str(tmp_path / "znull")
+    dfn = df.withColumn("c1", F.lit(None).cast("long"))
+    zorder_layout_write(dfn, pn, ["c0", "c1"], n_files=4)
+    assert spark.read.parquet(pn).count() == 100

@@ -1327,6 +1327,20 @@ def test_perceptual_hash_real_resize_path(spark):
     assert hamming(out[1], out[3]) == 64  # inverse layout: every bit flips
 
 
+def test_perceptual_hash_drops_empty_payloads(spark):
+    """Empty payloads are dropped, not hashed to (0, 0): the m5 parity
+    oracle excludes them (WHERE n >= 1), and the two sides must encode
+    the SAME empty-doc policy or a future fixture with an empty doc
+    turns the driver row red on row count."""
+    from mrf_etl_spark.operators.multimodal import perceptual_hash
+
+    mm = spark.createDataFrame(
+        [(1, b""), (2, b"some-nonempty-payload")], "doc_id long, payload binary"
+    )
+    out = perceptual_hash(mm, fake=True).collect()
+    assert [r["doc_id"] for r in out] == [2]
+
+
 def test_resize_nearest_known_grid():
     from mrf_etl_spark.operators.multimodal import resize_nearest
 

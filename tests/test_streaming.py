@@ -326,6 +326,52 @@ def test_incremental_mv_replay_is_idempotent(spark, tmp_path):
     assert snap() == {"view": (3, 13), "click": (1, 5)}
 
 
+def test_incremental_mv_legacy_sidecar_still_guards_replay(spark, tmp_path):
+    """Upgrade path: an MV written by the pre-lineage code has a
+    single-line sidecar (batch id only, stream_id None). A lineage-aware
+    writer replaying the SAME batch over it must still skip — a legacy
+    marker belongs to the current lineage by definition, and bypassing
+    the guard would double-count, the one corruption the watermark
+    exists to prevent. The next batch then applies and upgrades the
+    sidecar to the two-line form."""
+    import os
+
+    from mrf_etl_spark.streaming.ingest import (
+        _BATCH_ID_SIDECAR,
+        incremental_rollup_batch_writer,
+    )
+
+    mv = str(tmp_path / "mv_legacy")
+    b0 = spark.createDataFrame(
+        [("view", 1), ("click", 5)], "event_type string, value long"
+    )
+    # legacy writer: no stream_id -> single-line sidecar
+    legacy = incremental_rollup_batch_writer(
+        mv, keys=["event_type"], agg_exprs={"n": "count(*)"}
+    )
+    legacy(b0, 7)
+    assert open(os.path.join(mv, _BATCH_ID_SIDECAR)).read().strip() == "7"
+
+    def snap():
+        return {
+            r["event_type"]: r["n"] for r in spark.read.parquet(mv).collect()
+        }
+
+    after = snap()
+    upgraded = incremental_rollup_batch_writer(
+        mv,
+        keys=["event_type"],
+        agg_exprs={"n": "count(*)"},
+        stream_id="ckpt-dir-A",
+    )
+    upgraded(b0, 7)  # at-least-once replay across the upgrade: no-op
+    assert snap() == after
+    upgraded(b0, 8)  # next batch applies and stamps the lineage
+    assert snap() == {"view": after["view"] * 2, "click": after["click"] * 2}
+    marker = open(os.path.join(mv, _BATCH_ID_SIDECAR)).read().splitlines()
+    assert marker == ["ckpt-dir-A", "8"]
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """The watermark CONTRACT, not just parity: once a window has been
     finalized and EVICTED (the watermark passed its end in an earlier
