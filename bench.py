@@ -76,6 +76,10 @@ HEADLINE = [
     "j18_grid_spatial_join",
     # round-7 addition: incremental corpus card (mergeable sketch state)
     "q7_incremental_corpus_card",
+    # round-7 session 2: leakage-safe split (cluster-as-unit assignment)
+    # and sentence-level corpus scrub (shared-sentence removal transform)
+    "sp20_leakage_safe_split",
+    "t18_sentence_scrub",
 ]
 
 

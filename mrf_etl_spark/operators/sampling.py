@@ -575,3 +575,54 @@ def temperature_mix(
     return ranked.join(F.broadcast(quota), source_col).filter(
         F.col("mix_rank") <= F.col("quota")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: every connected component of the duplicate-pair graph moves
+    as ONE unit. Plain per-id splitting (sp1) puts a document and its
+    near-copy in different splits with probability ~2·p_val — exactly the
+    train→test contamination a dedup pass exists to prevent; splitting by
+    cluster REPRESENTATIVE closes that hole while leaving every
+    un-clustered document's assignment byte-identical to
+    :func:`assign_split` (the representative of a singleton is itself).
+
+    The representative is the component's min id (the fixpoint
+    ``operators.dedup.connected_components`` computes); rows absent from
+    the pair graph — the overwhelming majority of any deduplicated
+    corpus — represent themselves via ``coalesce``. Both then flow
+    through the same :func:`hash_bucket` recipe as sp1, so split
+    fractions still converge to ``weights`` over representatives.
+
+    Scale shape: the label table is bounded by the NODES of the pair
+    graph (orders of magnitude smaller than the corpus after banded
+    candidate generation), so the left join broadcasts under AQE; the
+    assignment itself stays a pure per-row expression. Adds columns
+    ``rep``, ``bucket`` and ``out_col``.
+    """
+    from mrf_etl_spark.operators.dedup import carry_state, connected_components
+
+    cc = connected_components(pairs, a_col, b_col)
+    labels = cc.select(
+        F.col("doc_id").alias("_ls_id"), F.col("component_id").alias("_ls_rep")
+    )
+    out = (
+        df.join(labels, F.col(id_col) == F.col("_ls_id"), "left")
+        .drop("_ls_id")
+        .withColumn(
+            "rep", F.coalesce(F.col("_ls_rep"), F.col(id_col).cast("long"))
+        )
+        .drop("_ls_rep")
+    )
+    out = assign_split(out, "rep", weights, salt, out_col)
+    out = out.withColumn("bucket", hash_bucket("rep", salt))
+    return carry_state(out, cc)

@@ -654,3 +654,85 @@ def chunk_passages(
             "chunk_md5"
         ),
     )
+
+
+def sentence_scrub(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 5,
+    sep: str = ". ",
+) -> DataFrame:
+    """Corpus-level boilerplate REMOVAL at sentence grain — the transform
+    whose detection side is :func:`boilerplate_flags`: a sentence whose
+    normalized (lowercased) form appears in >= ``min_docs`` distinct
+    documents is stripped from EVERY document and the survivors re-joined
+    in original order (the CCNet/RefinedWeb shared-line filter, applied
+    to terminal-punctuation sentences because this corpus has no line
+    structure; sentences split exactly like :func:`sentence_stats`).
+
+    Returns one row per input document:
+    (doc_id, n_sentences, n_dropped, kept_frac, cleaned) — documents
+    with no sentences (empty text) keep a row with counts 0, NULL
+    kept_frac and '' cleaned, so the output is a full-corpus transform,
+    not a filter.
+
+    Plan shape: sentences explode map-side; document frequency needs
+    count(DISTINCT doc) per sentence, which Spark windows can't express
+    directly — instead a row_number over (doc, norm) marks each
+    document's first occurrence and a sum-window over (norm) counts the
+    marks: two sentence-keyed exchanges, no self-join, and hot sentences
+    spread because the partition key IS the sentence. The recompose is
+    one groupBy(doc) collecting (pos, sent) structs sorted by position —
+    deterministic because positions are unique per document.
+
+    Scrubbing is a FIXPOINT: removing df >= min_docs sentences cannot
+    raise any surviving sentence's df, so a second pass drops nothing
+    (property-tested).
+    """
+    from pyspark.sql.window import Window
+
+    sents = F.expr(
+        f"filter(transform(split({text_col}, '[.!?]+'), s -> trim(s)), s -> s != '')"
+    )
+    pos = (
+        df.select(F.col(id_col).alias("doc_id"), F.posexplode(sents))
+        .withColumnRenamed("col", "sent")
+        .withColumn("norm", F.lower(F.col("sent")))
+    )
+    w_first = Window.partitionBy("doc_id", "norm").orderBy("pos")
+    w_norm = Window.partitionBy("norm")
+    scored = pos.withColumn(
+        "_first", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    ).withColumn("dfc", F.sum("_first").over(w_norm))
+    agg = (
+        scored.filter(F.col("dfc") < min_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                    lambda x: x["sent"],
+                ),
+                sep,
+            ).alias("cleaned"),
+        )
+    )
+    totals = pos.groupBy("doc_id").agg(F.count("*").alias("n_sentences"))
+    n_s = F.coalesce("n_sentences", F.lit(0))
+    n_k = F.coalesce("n_kept", F.lit(0))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_s.cast("long").alias("n_sentences"),
+            (n_s - n_k).cast("long").alias("n_dropped"),
+            F.when(n_s > 0, n_k.cast("double") / F.col("n_sentences")).alias(
+                "kept_frac"
+            ),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        )
+    )

@@ -184,6 +184,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("d1_exact_dup", []),
         ("t2_quality_score", ["punct_ratio", "stopword_ratio", "quality"]),
         ("t8_contamination", ["overlap_frac"]),
+        ("t18_sentence_scrub", ["kept_frac"]),
     ],
     "fx_dedup_pairs": [
         ("d3_ngram_jaccard", ["jaccard"]),
@@ -249,6 +250,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("j16_fuzzy_name_match", []),
         ("j17_full_outer", []),
         ("j18_grid_spatial_join", ["dist2"]),
+        # round-7 session 2: j13's direct slot freed for sp20 (the
+        # leakage-safe split) — its oracle is the PLAIN join (salting is
+        # result-invisible), ~0.02 s, so the probe stays light
+        ("j13_salted_skew_join", ["total"]),
     ],
     "fx_media": [
         ("m1_multimodal_features", []),
@@ -558,6 +563,11 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "w17_time_weighted_avg": ["user_id", "day", "n_gaps", "total_us", "twap"],
     "s22_range_layout_write": ["l_returnflag", "n", "price_sum"],
     "s25_zorder_layout_write": ["l_returnflag", "n", "price_sum"],
+    # round-7 session 2 fused direct row + new components
+    "j13_salted_skew_join": ["o_orderkey", "o_custkey", "total", "c_mktsegment"],
+    "t18_sentence_scrub": [
+        "doc_id", "n_sentences", "n_dropped", "kept_frac", "cleaned",
+    ],
 }
 
 # Components with array-typed output columns: serialized as ','-joined
@@ -680,7 +690,7 @@ DRIVER_WINDOW: list[str] = [
     "j7_class_split_join",
     "j8_star_join",
     "fx_anti_semi",
-    "j13_salted_skew_join",
+    "sp20_leakage_safe_split",
     "fx_means",
     "fx_stats",
     "fx_agg_shapes",

@@ -3374,3 +3374,141 @@ def _register_n4():
 
 
 n4_ann_index_incremental = _register_n4()
+
+
+# ------------------------------------- round-7: leakage-safe splitting
+
+@register(
+    "sp20_leakage_safe_split",
+    # d6's pair pipeline + closure VERBATIM (same corpus, shingles,
+    # threshold, unrolled label propagation), then sp1's bucket recipe
+    # applied to the cluster REPRESENTATIVE instead of the document id.
+    f"""WITH corpus AS {_NEAR_DUP_CORPUS_SQL},{_SHINGLE_CTES},
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         FROM sh a JOIN sh b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT doc_a, doc_b
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_common / (sa.sz + sb.sz - n_common) >= {JACCARD_T}),
+       {_closure_ctes()},
+       reps AS (
+         SELECT c.doc_id, coalesce(l.component_id, c.doc_id) AS rep
+         FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id)
+       SELECT doc_id, rep, bucket,
+              CASE WHEN bucket < 9000 THEN 'train'
+                   WHEN bucket < 9500 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM (SELECT doc_id, rep, {_BUCKET_SQL.format(id='rep')} AS bucket
+             FROM reps)""",
+    doc="sp20: leakage-safe train/val/test split — near-dup clusters "
+    "(d6's connected components over the d3 pair graph) move as ONE "
+    "unit by hashing the component representative through sp1's bucket "
+    "recipe; singletons represent themselves, so their assignment is "
+    "byte-identical to sp1. Closes the dedup→split contamination hole "
+    "(operators/sampling.leakage_safe_split).",
+)
+def sp20_leakage_safe_split(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    docs = _docs_with_near_dups(spark, sf_dir).select("doc_id")
+    pairs = dd.ngram_jaccard_pairs(
+        _docs_with_near_dups(spark, sf_dir), "text", "doc_id", SHINGLE_K, JACCARD_T
+    ).select("doc_a", "doc_b")
+    out = sp.leakage_safe_split(
+        docs, pairs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.select("doc_id", "rep", "bucket", "split")
+
+
+# --------------------------------- round-7: sentence-level corpus scrub
+
+_SCRUB_MIN_DOCS = 5
+_BOILER_A = "Subscribe to our newsletter today"
+_BOILER_B = "All rights reserved"
+
+# The synthetic corpus shares no sentences across documents (verified at
+# sf0.01), so the scrub corpus injects boilerplate deterministically:
+# every third document gains a newsletter plea, every seventh a license
+# tail — the nav-bar/cookie-banner shape the operator exists to remove.
+# The injection LEADS with '.' so it forms its own sentence even when the
+# document text doesn't end in terminal punctuation (most don't — an
+# un-delimited append would merge into the final original sentence and
+# the boilerplate would never reach min_docs).
+_BOILER_CORPUS_SQL = f"""(
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN '. {_BOILER_A}.' ELSE '' END
+              || CASE WHEN doc_id % 7 = 0
+                      THEN '. {_BOILER_B}.' ELSE '' END AS text
+  FROM documents)"""
+
+
+def _docs_with_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(f". {_BOILER_A}."))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(f". {_BOILER_B}."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@register(
+    "t18_sentence_scrub",
+    # t13's sentence split replayed verbatim; df = count(DISTINCT doc)
+    # per lowercased sentence; survivors re-join '. '-separated in
+    # position order (string_agg ORDER BY pos == Spark's array_sort over
+    # (pos, sent) structs — positions unique per doc on both sides).
+    f"""WITH corpus AS {_BOILER_CORPUS_SQL},
+       s AS (
+         SELECT doc_id,
+                list_filter(list_transform(
+                    regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+                  x -> x != '') AS sents
+         FROM corpus),
+       pos AS (
+         SELECT doc_id, i AS pos, sents[i] AS sent, lower(sents[i]) AS norm
+         FROM (SELECT doc_id, sents, unnest(range(1, len(sents) + 1)) AS i
+               FROM s)),
+       dfreq AS (
+         SELECT norm, count(DISTINCT doc_id) AS dfc FROM pos GROUP BY norm),
+       kept AS (
+         SELECT p.doc_id, p.pos, p.sent
+         FROM pos p JOIN dfreq d USING (norm)
+         WHERE d.dfc < {_SCRUB_MIN_DOCS}),
+       agg AS (
+         SELECT doc_id, count(*) AS n_kept,
+                string_agg(sent, '. ' ORDER BY pos) AS cleaned
+         FROM kept GROUP BY doc_id),
+       tot AS (SELECT doc_id, count(*) AS n_sents FROM pos GROUP BY doc_id)
+       SELECT c.doc_id,
+              CAST(coalesce(t.n_sents, 0) AS BIGINT) AS n_sentences,
+              CAST(coalesce(t.n_sents, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+                AS n_dropped,
+              CASE WHEN coalesce(t.n_sents, 0) > 0
+                   THEN CAST(coalesce(a.n_kept, 0) AS DOUBLE) / t.n_sents END
+                AS kept_frac,
+              coalesce(a.cleaned, '') AS cleaned
+       FROM corpus c
+       LEFT JOIN tot t ON t.doc_id = c.doc_id
+       LEFT JOIN agg a ON a.doc_id = c.doc_id""",
+    doc="t18: sentence-level corpus scrub — the REMOVAL transform next "
+    "to t10's detection: sentences shared by >= 5 documents (injected "
+    "newsletter/license boilerplate) are stripped from every document "
+    "and survivors re-joined in order (CCNet/RefinedWeb shared-line "
+    "filter at sentence grain; operators/textops.sentence_scrub).",
+)
+def t18_sentence_scrub(spark, sf_dir):
+    return tx.sentence_scrub(
+        _docs_with_boilerplate(spark, sf_dir), "text", "doc_id",
+        min_docs=_SCRUB_MIN_DOCS,
+    )

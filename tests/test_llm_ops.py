@@ -1397,3 +1397,83 @@ def test_ivf_index_query_prunes_partitions_and_matches_onthefly(spark, tmp_path)
     )
     got = sorted((r.query_id, r.neighbor_id, r.rank) for r in out.collect())
     assert got == expect
+
+
+def test_leakage_safe_split_clusters_move_as_one_unit(spark):
+    """The sp20 contract: (1) every duplicate cluster lands in exactly
+    one split, (2) documents outside the pair graph get assignments
+    byte-identical to plain assign_split, (3) fractions still track the
+    weights over a large corpus."""
+    from mrf_etl_spark.operators import sampling as sp
+
+    n = 20000
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    # chains of 4 near-dups over the first 2000 ids: 0-1-2-3, 4-5-6-7, …
+    pairs = (
+        spark.range(1500)
+        .select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+        .filter((F.col("id") % 4) != 3)
+    )
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    out = sp.leakage_safe_split(docs, pairs, "doc_id", w).cache()
+
+    # (1) no cluster spans two splits — every member shares the chain
+    # head's assignment
+    spans = (
+        out.filter(F.col("doc_id") < 1500)
+        .withColumn("cluster", (F.col("doc_id") / 4).cast("long"))
+        .groupBy("cluster")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
+    head = {r.doc_id: r.split for r in out.filter(F.col("doc_id") < 8).collect()}
+    assert head[1] == head[0] and head[2] == head[0] and head[3] == head[0]
+    assert head[5] == head[4] and head[7] == head[4]
+
+    # (2) singletons == assign_split verbatim
+    plain = sp.assign_split(docs, "doc_id", w).filter(F.col("doc_id") >= 1504)
+    ours = out.filter(F.col("doc_id") >= 1504).select("doc_id", "split")
+    assert plain.select("doc_id", "split").exceptAll(ours).count() == 0
+
+    # (3) proportions over representatives still track the weights
+    counts = {
+        r.split: r.n
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(counts["train"] / n - 0.9) < 0.03
+    out.unpersist()
+
+
+def test_sentence_scrub_removes_shared_and_is_fixpoint(spark):
+    """t18's operator contract: shared sentences (df >= min_docs) vanish
+    from every document, rare sentences survive in original order, docs
+    with no sentences keep a row, and scrubbing is idempotent."""
+    from mrf_etl_spark.operators.textops import sentence_scrub
+
+    boiler = "Subscribe now."
+    rows = [(i, f"Unique thought {i}. {boiler} Closing remark {i}.") for i in range(6)]
+    rows.append((6, "Lone doc without boilerplate."))
+    rows.append((7, ""))  # no sentences at all
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in sentence_scrub(df, "text", "doc_id", min_docs=5).collect()}
+
+    assert len(out) == 8
+    for i in range(6):
+        r = out[i]
+        assert r.n_sentences == 3 and r.n_dropped == 1
+        assert r.cleaned == f"Unique thought {i}. Closing remark {i}"
+        assert abs(r.kept_frac - 2 / 3) < 1e-12
+    assert out[6].n_dropped == 0 and out[6].cleaned == "Lone doc without boilerplate"
+    assert out[7].n_sentences == 0 and out[7].cleaned == "" and out[7].kept_frac is None
+
+    # fixpoint: dropping df>=min_docs sentences cannot raise a survivor's
+    # df, so a second pass over the cleaned text drops nothing
+    cleaned = sentence_scrub(df, "text", "doc_id", min_docs=5).select(
+        "doc_id", F.col("cleaned").alias("text")
+    )
+    second = sentence_scrub(cleaned, "text", "doc_id", min_docs=5)
+    assert second.filter(F.col("n_dropped") > 0).count() == 0
