@@ -80,6 +80,8 @@ HEADLINE = [
     # and sentence-level corpus scrub (shared-sentence removal transform)
     "sp20_leakage_safe_split",
     "t18_sentence_scrub",
+    "t19_quality_classifier",
+    "w20_approx_sliding_reach",
 ]
 
 

@@ -736,3 +736,61 @@ def sentence_scrub(
             F.coalesce("cleaned", F.lit("")).alias("cleaned"),
         )
     )
+
+
+# Frozen linear quality-classifier weights (t19). Every weight is an
+# exact binary fraction and the length divisor is a power of two, so the
+# whole logit is mul/add of correctly-rounded IEEE doubles — both engines
+# reproduce it bit-for-bit (the tfidf log-free precedent).
+QUALITY_CLF_WEIGHTS = {
+    "bias": -0.75,
+    "len_norm": 0.5,
+    "punct": -8.0,
+    "stopword": 6.0,
+}
+# length saturation: min(n_ws, 64)/64 — a power of two keeps the division
+# exact; 64 sits mid-corpus so the decision boundary actually separates
+QUALITY_CLF_LEN_DIVISOR = 64.0
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Batch inference for a frozen LINEAR quality classifier — the
+    fastText/logistic corpus-filter serving shape reduced to its Spark
+    plumbing: featurize with t2's exact recipes (length band, punctuation
+    ratio, stopword ratio), dot with constant weights, threshold into a
+    keep decision. Returns (doc_id, logit, keep).
+
+    Entirely native expressions, no UDF: a linear scorer is a projection,
+    so inference runs at scan speed inside whole-stage codegen — the
+    right shape for a first-pass filter over 100 TB (a learned non-linear
+    model would take the Arrow-batched mapInPandas tier instead, like the
+    multimodal decoders).
+
+    The sigmoid is deliberately omitted: it is monotone, so thresholding
+    the logit decides identically, and exp() is the one op whose last
+    ulp varies across math libraries — keeping the score to mul/add
+    keeps it bit-identical across engines (cf. tfidf_top_terms).
+    Documents with NULL features (empty text) get NULL logit and NULL
+    keep — undecidable, a quality-gate concern upstream.
+    """
+    w = {**QUALITY_CLF_WEIGHTS, **(weights or {})}
+    n = token_count_ws(text_col).cast("double")
+    d = QUALITY_CLF_LEN_DIVISOR
+    len_norm = F.least(n, F.lit(d)) / F.lit(d)
+    logit = (
+        F.lit(float(w["bias"]))
+        + F.lit(float(w["len_norm"])) * len_norm
+        + F.lit(float(w["punct"])) * punct_ratio(text_col)
+        + F.lit(float(w["stopword"])) * stopword_ratio(text_col)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        logit.alias("logit"),
+        (logit > F.lit(float(threshold))).alias("keep"),
+    )

@@ -119,6 +119,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("w5_sessionize_batch", ["val_sum"]),
         ("w6_range_join", []),
         ("w7_rolling_metrics", ["cum_sum", "roll_sum", "roll_avg"]),
+        ("w20_approx_sliding_reach", []),
     ],
     "fx_topk_page": [
         ("k1_topk", ["price"]),
@@ -185,6 +186,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("t2_quality_score", ["punct_ratio", "stopword_ratio", "quality"]),
         ("t8_contamination", ["overlap_frac"]),
         ("t18_sentence_scrub", ["kept_frac"]),
+        ("t19_quality_classifier", ["logit"]),
     ],
     "fx_dedup_pairs": [
         ("d3_ngram_jaccard", ["jaccard"]),
@@ -568,6 +570,8 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "t18_sentence_scrub": [
         "doc_id", "n_sentences", "n_dropped", "kept_frac", "cleaned",
     ],
+    "t19_quality_classifier": ["doc_id", "logit", "keep"],
+    "w20_approx_sliding_reach": ["day", "reach_7d", "within_bound"],
 }
 
 # Components with array-typed output columns: serialized as ','-joined

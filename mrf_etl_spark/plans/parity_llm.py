@@ -418,8 +418,8 @@ def t1_lang_id(spark, sf_dir):
     )
 
 
-_T2_SQL = """
-  WITH base AS (
+# t2's exact feature recipes, shared with the t19 classifier oracle
+_T2_BASE_CTE = """base AS (
     SELECT doc_id,
            len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws,
            (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
@@ -431,7 +431,10 @@ _T2_SQL = """
             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4)
              / nullif(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 0.0)
              AS stopword_ratio
-    FROM documents)
+    FROM documents)"""
+
+_T2_SQL = f"""
+  WITH {_T2_BASE_CTE}
   SELECT doc_id, n_ws, punct_ratio, stopword_ratio,
          (CASE WHEN n_ws >= 20 AND n_ws <= 1000 THEN CAST(1.0 AS DOUBLE)
                WHEN n_ws >= 5 THEN CAST(0.5 AS DOUBLE)
@@ -3511,4 +3514,89 @@ def t18_sentence_scrub(spark, sf_dir):
     return tx.sentence_scrub(
         _docs_with_boilerplate(spark, sf_dir), "text", "doc_id",
         min_docs=_SCRUB_MIN_DOCS,
+    )
+
+
+# ------------------------------ round-7: classifier-filter batch inference
+
+@register(
+    "t19_quality_classifier",
+    # t2's feature CTE verbatim; the logit is mul/add of exact binary
+    # fractions in one fixed association order, so both engines produce
+    # the identical double and the identical keep decision.
+    f"""WITH {_T2_BASE_CTE}
+       SELECT doc_id, logit, logit > CAST(0.0 AS DOUBLE) AS keep
+       FROM (SELECT doc_id,
+                    CAST(-0.75 AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)
+                      * (least(CAST(n_ws AS DOUBLE), CAST(64.0 AS DOUBLE))
+                         / CAST(64.0 AS DOUBLE))
+                    + CAST(-8.0 AS DOUBLE) * punct_ratio
+                    + CAST(6.0 AS DOUBLE) * stopword_ratio AS logit
+             FROM base)""",
+    doc="t19: frozen linear quality-classifier batch inference — the "
+    "fastText/logistic corpus-filter serving shape as pure native "
+    "expressions (featurize with t2's recipes, dot with constant "
+    "weights, threshold): inference at scan speed inside whole-stage "
+    "codegen, no UDF tier needed for a linear scorer "
+    "(operators/textops.quality_classifier).",
+)
+def t19_quality_classifier(spark, sf_dir):
+    return tx.quality_classifier(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# --------------------------- round-7: approximate sliding-window reach
+
+W20_RSD = 0.05  # HLL++ relative standard deviation
+W20_REL_BOUND = 0.25  # 5 sigma
+
+
+@register(
+    "w20_approx_sliding_reach",
+    # Oracle computes the EXACT reach (w18's statement verbatim) and
+    # requires the sketch's in-bound boolean TRUE — the a20/a21 pattern
+    # at window grain: the sketch value itself never enters the compare
+    # surface (HLL register layout is engine-specific).
+    f"""WITH ud AS (
+         SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS d
+         FROM events),
+       days AS (SELECT DISTINCT d FROM ud),
+       hits AS (
+         SELECT days.d AS day, ud.user_id
+         FROM ud JOIN days ON days.d BETWEEN ud.d AND ud.d + {W18_WINDOW_DAYS - 1})
+       SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS reach_7d,
+              TRUE AS within_bound
+       FROM hits GROUP BY day""",
+    doc="w20: approximate sliding-window reach — w18's trailing-7-day "
+    "distinct users with approx_count_distinct (HyperLogLog++) checked "
+    "against the exact count IN THE SAME grouped aggregate, the form "
+    "that survives 100 TB: the HLL sketch is constant-memory and "
+    "map-side mergeable where the exact distinct must shuffle every "
+    "(day, user) pair; the 5-sigma in-bound boolean is what the oracle "
+    "verifies (a20/a21's sketch-bound pattern at window grain).",
+)
+def w20_approx_sliding_reach(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr(f"(ts_ns div 1000) div {_US_PER_DAY}").alias("d")
+    ).distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    exploded = ud.withColumn(
+        "day", F.explode(F.sequence(F.col("d"), F.col("d") + (W18_WINDOW_DAYS - 1)))
+    ).drop("d")
+    hits = exploded.join(days, "day", "left_semi")
+    return (
+        hits.groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("reach_7d"),
+            F.expr(f"approx_count_distinct(user_id, {W20_RSD})").alias("_a"),
+        )
+        .select(
+            "day",
+            "reach_7d",
+            (
+                F.abs(F.col("_a") - F.col("reach_7d"))
+                <= F.lit(W20_REL_BOUND) * F.col("reach_7d")
+            ).alias("within_bound"),
+        )
     )

@@ -1477,3 +1477,69 @@ def test_sentence_scrub_removes_shared_and_is_fixpoint(spark):
     )
     second = sentence_scrub(cleaned, "text", "doc_id", min_docs=5)
     assert second.filter(F.col("n_dropped") > 0).count() == 0
+
+
+def test_quality_classifier_contract(spark):
+    """t19: the frozen linear scorer decides by thresholding the logit —
+    hand-computed logits match, custom weights/threshold steer the
+    decision, and NULL features yield NULL (undecidable), not False."""
+    from mrf_etl_spark.operators.textops import quality_classifier
+
+    rows = [
+        (1, "the cat and the dog of the house " * 8),  # stopword-rich, 64 words
+        (2, "alpha beta gamma delta"),                 # 4 rare words, no stopwords
+        (3, ""),                                       # empty: NULL features
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_classifier(df, "text", "doc_id").collect()}
+
+    # doc 1: len_norm=1.0, punct=0, stopword_ratio=40/64 -> logit=-0.75+0.5+3.75
+    assert abs(out[1].logit - 3.5) < 1e-12 and out[1].keep is True
+    # doc 2: len_norm=4/64, no punct/stopwords -> logit=-0.75+0.03125
+    assert abs(out[2].logit - (-0.71875)) < 1e-12 and out[2].keep is False
+    assert out[3].logit is None and out[3].keep is None
+
+    # weights and threshold are parameters, not baked constants
+    flipped = {
+        r.doc_id: r.keep
+        for r in quality_classifier(
+            df, "text", "doc_id", weights={"stopword": -6.0}, threshold=-1.0
+        ).collect()
+    }
+    assert flipped[1] is False and flipped[2] is True
+
+
+def test_approx_sliding_reach_matches_exact_within_bound(spark):
+    """w20: the HLL sliding reach agrees with w18's exact reach within
+    the 5-sigma envelope on a synthetic multi-day stream, and the row
+    set (days) is identical to the exact operator's."""
+    from mrf_etl_spark.plans.parity_llm import (
+        W20_REL_BOUND,
+        W20_RSD,
+        W18_WINDOW_DAYS,
+        _US_PER_DAY,
+    )
+
+    ev = spark.range(5000).select(
+        (F.col("id") % 400).alias("user_id"),
+        ((F.col("id") % 30) * _US_PER_DAY * 1000 + 1_000_000).alias("ts_ns"),
+    )
+    ud = ev.select(
+        "user_id", F.expr(f"(ts_ns div 1000) div {_US_PER_DAY}").alias("d")
+    ).distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    exploded = ud.withColumn(
+        "day", F.explode(F.sequence(F.col("d"), F.col("d") + (W18_WINDOW_DAYS - 1)))
+    ).drop("d")
+    hits = exploded.join(days, "day", "left_semi")
+    out = (
+        hits.groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.expr(f"approx_count_distinct(user_id, {W20_RSD})").alias("approx"),
+        )
+        .collect()
+    )
+    assert len(out) == 30
+    for r in out:
+        assert abs(r.approx - r.exact) <= W20_REL_BOUND * r.exact, (r.day, r.exact, r.approx)
