@@ -82,6 +82,8 @@ HEADLINE = [
     "t18_sentence_scrub",
     "t19_quality_classifier",
     "w20_approx_sliding_reach",
+    "d11_soft_dedup_weights",
+    "pipe5_release_v2",
 ]
 
 

@@ -787,6 +787,53 @@ def keep_canonical(
     return df.join(losers, id_col, "left_anti")
 
 
+def soft_dedup_weights(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    components: DataFrame | None = None,
+) -> DataFrame:
+    """Down-weight instead of drop — the soft alternative to
+    :func:`keep_canonical`: every document gets weight 1/|cluster| so a
+    passage duplicated N times contributes ONE document's worth of
+    training mass in expectation (the repeat-penalty used when hard
+    dedup is too aggressive, e.g. boilerplate-heavy but individually
+    useful pages; cf. the "deduplicating training data" line of work —
+    down-weighting preserves coverage where dropping loses it).
+
+    Returns ``df``'s id column plus (cluster_size, weight): singletons —
+    anything absent from the pair graph — get size 1 / weight 1.0, and
+    cluster members share weight 1/size exactly (one correctly-rounded
+    IEEE division both engines reproduce bit-for-bit).
+
+    Plan: component labels (bounded by the pair-graph nodes, tiny next
+    to the corpus) roll up to per-component sizes, then broadcast back
+    onto the corpus through two small-side left joins — no shuffle of
+    the corpus itself at any scale."""
+    comp = components if components is not None else connected_components(pairs)
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    labeled = comp.join(sizes, "component_id").select(
+        F.col("doc_id").alias("_sd_id"), "cluster_size"
+    )
+    out = (
+        df.join(labeled, F.col(id_col) == F.col("_sd_id"), "left")
+        .drop("_sd_id")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long").alias(
+                "cluster_size"
+            ),
+            (
+                F.lit(1.0)
+                / F.coalesce(F.col("cluster_size"), F.lit(1)).cast("double")
+            ).alias("weight"),
+        )
+    )
+    return carry_state(out, comp)
+
+
 # --------------------------------------------------------------- simhash
 
 

@@ -208,6 +208,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("sp3_temporal_split", []),
         ("sp4_domain_cap", []),
         ("sp10_length_buckets", []),
+        # d11 feeds sampling (its weights are the temperature-mix input),
+        # and this probe has the headroom (0.04 s) its closure oracle
+        # (~0.16 s) needs
+        ("d11_soft_dedup_weights", ["weight"]),
     ],
     "fx_splits_b": [
         ("sp5_pack_shards", []),
@@ -283,6 +287,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("j1_broadcast_left_join", ["total"]),
         ("j3_coalesce_merge", ["val"]),
         ("j6_agg_map_join", []),
+        # round-7 session 2: j8's direct slot freed for pipe5 (the
+        # composed release flow) — j8's oracle is a 0.03 s star join
+        ("j8_star_join", ["price"]),
     ],
     "fx_text_stats": [
         ("t3_token_count", []),
@@ -572,6 +579,11 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "t19_quality_classifier": ["doc_id", "logit", "keep"],
     "w20_approx_sliding_reach": ["day", "reach_7d", "within_bound"],
+    "d11_soft_dedup_weights": ["doc_id", "cluster_size", "weight"],
+    "j8_star_join": [
+        "l_orderkey", "l_linenumber", "c_name", "n_name", "p_brand",
+        "s_name", "price",
+    ],
 }
 
 # Components with array-typed output columns: serialized as ','-joined
@@ -692,7 +704,7 @@ DRIVER_WINDOW: list[str] = [
     "j4_join_chain",
     "fx_key_joins",
     "j7_class_split_join",
-    "j8_star_join",
+    "pipe5_release_v2",
     "fx_anti_semi",
     "sp20_leakage_safe_split",
     "fx_means",

@@ -418,8 +418,11 @@ def t1_lang_id(spark, sf_dir):
     )
 
 
-# t2's exact feature recipes, shared with the t19 classifier oracle
-_T2_BASE_CTE = """base AS (
+# t2's exact feature recipes, shared with the t19 classifier oracle and
+# the pipe5 release flow (which featurizes SCRUBBED text, so the source
+# relation is a parameter)
+def _t2_base_cte(src: str = "documents", name: str = "base") -> str:
+    return f"""{name} AS (
     SELECT doc_id,
            len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws,
            (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
@@ -431,7 +434,10 @@ _T2_BASE_CTE = """base AS (
             + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4)
              / nullif(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 0.0)
              AS stopword_ratio
-    FROM documents)"""
+    FROM {src})"""
+
+
+_T2_BASE_CTE = _t2_base_cte()
 
 _T2_SQL = f"""
   WITH {_T2_BASE_CTE}
@@ -3451,8 +3457,7 @@ _BOILER_CORPUS_SQL = f"""(
   FROM documents)"""
 
 
-def _docs_with_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+def _inject_boilerplate(d: DataFrame) -> DataFrame:
     return d.select(
         "doc_id",
         F.concat(
@@ -3465,6 +3470,40 @@ def _docs_with_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_with_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _inject_boilerplate(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _scrub_ctes(src: str) -> str:
+    """CTE block replaying sentence_scrub over relation ``src``:
+    ``scrubagg(doc_id, n_kept, cleaned)`` + ``tot(doc_id, n_sents)``
+    (docs absent from either had no sentences / no survivors). Shared by
+    the t18 entry and the pipe5 release flow."""
+    return f"""s AS (
+         SELECT doc_id,
+                list_filter(list_transform(
+                    regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+                  x -> x != '') AS sents
+         FROM {src}),
+       pos AS (
+         SELECT doc_id, i AS pos, sents[i] AS sent, lower(sents[i]) AS norm
+         FROM (SELECT doc_id, sents, unnest(range(1, len(sents) + 1)) AS i
+               FROM s)),
+       dfreq AS (
+         SELECT norm, count(DISTINCT doc_id) AS dfc FROM pos GROUP BY norm),
+       keptrows AS (
+         SELECT p.doc_id, p.pos, p.sent
+         FROM pos p JOIN dfreq d USING (norm)
+         WHERE d.dfc < {_SCRUB_MIN_DOCS}),
+       scrubagg AS (
+         SELECT doc_id, count(*) AS n_kept,
+                string_agg(sent, '. ' ORDER BY pos) AS cleaned
+         FROM keptrows GROUP BY doc_id),
+       tot AS (SELECT doc_id, count(*) AS n_sents FROM pos GROUP BY doc_id)"""
+
+
 @register(
     "t18_sentence_scrub",
     # t13's sentence split replayed verbatim; df = count(DISTINCT doc)
@@ -3472,27 +3511,7 @@ def _docs_with_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # position order (string_agg ORDER BY pos == Spark's array_sort over
     # (pos, sent) structs — positions unique per doc on both sides).
     f"""WITH corpus AS {_BOILER_CORPUS_SQL},
-       s AS (
-         SELECT doc_id,
-                list_filter(list_transform(
-                    regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
-                  x -> x != '') AS sents
-         FROM corpus),
-       pos AS (
-         SELECT doc_id, i AS pos, sents[i] AS sent, lower(sents[i]) AS norm
-         FROM (SELECT doc_id, sents, unnest(range(1, len(sents) + 1)) AS i
-               FROM s)),
-       dfreq AS (
-         SELECT norm, count(DISTINCT doc_id) AS dfc FROM pos GROUP BY norm),
-       kept AS (
-         SELECT p.doc_id, p.pos, p.sent
-         FROM pos p JOIN dfreq d USING (norm)
-         WHERE d.dfc < {_SCRUB_MIN_DOCS}),
-       agg AS (
-         SELECT doc_id, count(*) AS n_kept,
-                string_agg(sent, '. ' ORDER BY pos) AS cleaned
-         FROM kept GROUP BY doc_id),
-       tot AS (SELECT doc_id, count(*) AS n_sents FROM pos GROUP BY doc_id)
+       {_scrub_ctes("corpus")}
        SELECT c.doc_id,
               CAST(coalesce(t.n_sents, 0) AS BIGINT) AS n_sentences,
               CAST(coalesce(t.n_sents, 0) - coalesce(a.n_kept, 0) AS BIGINT)
@@ -3503,7 +3522,7 @@ def _docs_with_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
               coalesce(a.cleaned, '') AS cleaned
        FROM corpus c
        LEFT JOIN tot t ON t.doc_id = c.doc_id
-       LEFT JOIN agg a ON a.doc_id = c.doc_id""",
+       LEFT JOIN scrubagg a ON a.doc_id = c.doc_id""",
     doc="t18: sentence-level corpus scrub — the REMOVAL transform next "
     "to t10's detection: sentences shared by >= 5 documents (injected "
     "newsletter/license boilerplate) are stripped from every document "
@@ -3519,6 +3538,18 @@ def t18_sentence_scrub(spark, sf_dir):
 
 # ------------------------------ round-7: classifier-filter batch inference
 
+# The frozen logit over t2's feature names, mirrored from
+# operators.textops.QUALITY_CLF_WEIGHTS in the same association order —
+# mul/add of exact binary fractions, bit-identical on both engines.
+# Shared by the t19 entry and the pipe5 release flow.
+_CLF_LOGIT_EXPR = """CAST(-0.75 AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)
+                      * (least(CAST(n_ws AS DOUBLE), CAST(64.0 AS DOUBLE))
+                         / CAST(64.0 AS DOUBLE))
+                    + CAST(-8.0 AS DOUBLE) * punct_ratio
+                    + CAST(6.0 AS DOUBLE) * stopword_ratio"""
+
+
 @register(
     "t19_quality_classifier",
     # t2's feature CTE verbatim; the logit is mul/add of exact binary
@@ -3526,13 +3557,7 @@ def t18_sentence_scrub(spark, sf_dir):
     # the identical double and the identical keep decision.
     f"""WITH {_T2_BASE_CTE}
        SELECT doc_id, logit, logit > CAST(0.0 AS DOUBLE) AS keep
-       FROM (SELECT doc_id,
-                    CAST(-0.75 AS DOUBLE)
-                    + CAST(0.5 AS DOUBLE)
-                      * (least(CAST(n_ws AS DOUBLE), CAST(64.0 AS DOUBLE))
-                         / CAST(64.0 AS DOUBLE))
-                    + CAST(-8.0 AS DOUBLE) * punct_ratio
-                    + CAST(6.0 AS DOUBLE) * stopword_ratio AS logit
+       FROM (SELECT doc_id, {_CLF_LOGIT_EXPR} AS logit
              FROM base)""",
     doc="t19: frozen linear quality-classifier batch inference — the "
     "fastText/logistic corpus-filter serving shape as pure native "
@@ -3600,3 +3625,140 @@ def w20_approx_sliding_reach(spark, sf_dir):
             ).alias("within_bound"),
         )
     )
+
+
+# ----------------------------------- round-7: soft dedup (down-weighting)
+
+@register(
+    "d11_soft_dedup_weights",
+    # d6's pair pipeline + closure verbatim, rolled up to per-component
+    # sizes; weight = one correctly-rounded division both engines agree on
+    f"""WITH corpus AS {_NEAR_DUP_CORPUS_SQL},{_SHINGLE_CTES},
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         FROM sh a JOIN sh b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT doc_a, doc_b
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_common / (sa.sz + sb.sz - n_common) >= {JACCARD_T}),
+       {_closure_ctes()},
+       csizes AS (
+         SELECT component_id, count(*) AS cluster_size
+         FROM labels GROUP BY component_id),
+       lbl AS (
+         SELECT l.doc_id, s.cluster_size
+         FROM labels l JOIN csizes s USING (component_id))
+       SELECT c.doc_id,
+              CAST(coalesce(l.cluster_size, 1) AS BIGINT) AS cluster_size,
+              CAST(1.0 AS DOUBLE)
+                / CAST(coalesce(l.cluster_size, 1) AS DOUBLE) AS weight
+       FROM corpus c LEFT JOIN lbl l ON l.doc_id = c.doc_id""",
+    doc="d11: soft dedup — down-weight every document by 1/|cluster| "
+    "instead of dropping non-canonical members (keep_canonical's soft "
+    "alternative: a passage duplicated N times contributes one "
+    "document's training mass in expectation while coverage survives). "
+    "Labels are bounded by the pair-graph nodes, so the corpus is never "
+    "shuffled — two small-side joins (operators/dedup.soft_dedup_weights).",
+)
+def d11_soft_dedup_weights(spark, sf_dir):
+    corpus = _docs_with_near_dups(spark, sf_dir).select("doc_id")
+    pairs = dd.ngram_jaccard_pairs(
+        _docs_with_near_dups(spark, sf_dir), "text", "doc_id", SHINGLE_K, JACCARD_T
+    ).select("doc_a", "doc_b")
+    return dd.soft_dedup_weights(corpus, pairs, "doc_id")
+
+
+# ------------------------- round-7: release flow v2 (scrub->clf->split)
+
+# pipe5's input: the near-dup corpus (doc_id-shifted mutated copies) WITH
+# boilerplate injected on top — both defect classes the flow must handle.
+_PIPE5_SRC_SQL = f"""(
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN '. {_BOILER_A}.' ELSE '' END
+              || CASE WHEN doc_id % 7 = 0
+                      THEN '. {_BOILER_B}.' ELSE '' END AS text
+  FROM (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {ID_SHIFT} AS doc_id,
+               text || ' extra token tail' AS text
+        FROM documents WHERE doc_id < {NEAR_DUP_IDS}))"""
+
+
+@register(
+    "pipe5_release_v2",
+    # Every stage's CTE block reused verbatim: scrub (t18) -> cleaned ->
+    # classifier gate (t19's logit) -> shingle/pair/closure (d6) over the
+    # SURVIVING cleaned text -> leakage-safe buckets (sp20). The `corpus`
+    # CTE name is deliberately bound to the post-gate cleaned docs so
+    # _SHINGLE_CTES applies unchanged.
+    f"""WITH src AS {_PIPE5_SRC_SQL},
+       {_scrub_ctes("src")},
+       cleaned AS (
+         SELECT r.doc_id, coalesce(a.cleaned, '') AS text
+         FROM src r LEFT JOIN scrubagg a ON a.doc_id = r.doc_id),
+       {_t2_base_cte("cleaned", "feat")},
+       scored AS (
+         SELECT doc_id, {_CLF_LOGIT_EXPR} AS logit, n_ws FROM feat),
+       corpus AS (
+         SELECT c.doc_id, c.text
+         FROM cleaned c JOIN scored sc ON sc.doc_id = c.doc_id
+         WHERE sc.logit > CAST(0.0 AS DOUBLE)),
+       {_SHINGLE_CTES},
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         FROM sh a JOIN sh b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT doc_a, doc_b
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_common / (sa.sz + sb.sz - n_common) >= {JACCARD_T}),
+       {_closure_ctes()},
+       reps AS (
+         SELECT c.doc_id, coalesce(l.component_id, c.doc_id) AS rep
+         FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id)
+       SELECT doc_id, rep, bucket,
+              CASE WHEN bucket < 9000 THEN 'train'
+                   WHEN bucket < 9500 THEN 'val'
+                   ELSE 'test' END AS split,
+              tok
+       FROM (SELECT r.doc_id, r.rep, {_BUCKET_SQL.format(id='r.rep')} AS bucket,
+                    CAST(sc.n_ws AS BIGINT) AS tok
+             FROM reps r JOIN scored sc ON sc.doc_id = r.doc_id)""",
+    doc="pipe5: release flow v2 — the round-7 operators composed "
+    "end-to-end: sentence scrub (t18) removes injected boilerplate, the "
+    "frozen linear classifier (t19) gates quality on the CLEANED text, "
+    "near-dup clusters are recomputed over the survivors (d3/d6 on "
+    "scrubbed text — scrubbing changes shingles, so dedup must follow "
+    "it), and the leakage-safe split (sp20) assigns each cluster as one "
+    "unit. Output: (doc_id, rep, bucket, split, tok).",
+)
+def pipe5_release_v2(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    src = _inject_boilerplate(_docs_with_near_dups(spark, sf_dir))
+    scrubbed = tx.sentence_scrub(
+        src, "text", "doc_id", min_docs=_SCRUB_MIN_DOCS
+    ).select("doc_id", F.col("cleaned").alias("text"))
+    scored = tx.quality_classifier(scrubbed, "text", "doc_id")
+    kept = scrubbed.join(
+        scored.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    pairs = dd.ngram_jaccard_pairs(
+        kept, "text", "doc_id", SHINGLE_K, JACCARD_T
+    ).select("doc_a", "doc_b")
+    out = sp.leakage_safe_split(
+        kept.select("doc_id"), pairs, "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    tok = kept.select(
+        "doc_id", tx.token_count_ws("text").cast("long").alias("tok")
+    )
+    return out.join(tok, "doc_id").select("doc_id", "rep", "bucket", "split", "tok")

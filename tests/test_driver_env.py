@@ -155,6 +155,12 @@ def test_closure_iteration_bound_is_a_fixpoint(sf_dir):
         "fx_streaming_batch",
         "fx_streaming_lake",
         "fx_dedup_pairs",
+        # round-7 session-2 closure carriers: the leakage-safe split, the
+        # soft-dedup weights (both ride d6's closure) and the composed
+        # release flow (scrub + classifier + closure in ONE statement)
+        "sp20_leakage_safe_split",
+        "d11_soft_dedup_weights",
+        "pipe5_release_v2",
     ],
 )
 def test_closure_oracles_fit_map_budget_at_default_threads(name):

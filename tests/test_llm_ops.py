@@ -1543,3 +1543,56 @@ def test_approx_sliding_reach_matches_exact_within_bound(spark):
     assert len(out) == 30
     for r in out:
         assert abs(r.approx - r.exact) <= W20_REL_BOUND * r.exact, (r.day, r.exact, r.approx)
+
+
+def test_soft_dedup_weights_conserve_mass(spark):
+    """d11: cluster members share 1/size exactly, singletons keep 1.0,
+    and total weight == number of distinct retained 'effective docs'
+    (clusters + singletons) — the conservation property that makes the
+    weights usable as sampling mass."""
+    from mrf_etl_spark.operators.dedup import soft_dedup_weights
+
+    docs = spark.range(100).withColumnRenamed("id", "doc_id")
+    # one 3-cluster {0,1,2} and one 2-cluster {10, 11}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r for r in soft_dedup_weights(docs, pairs, "doc_id").collect()}
+    assert len(out) == 100
+    for d in (0, 1, 2):
+        assert out[d].cluster_size == 3 and abs(out[d].weight - 1 / 3) < 1e-15
+    for d in (10, 11):
+        assert out[d].cluster_size == 2 and out[d].weight == 0.5
+    assert out[50].cluster_size == 1 and out[50].weight == 1.0
+    total = sum(r.weight for r in out.values())
+    assert abs(total - (95 + 2)) < 1e-9  # 95 singletons + 2 clusters
+
+
+def test_pipe5_release_flow_composition(spark):
+    """pipe5 end-to-end at sf0.001: boilerplate is scrubbed before
+    pairing (so dedup sees cleaned text), the classifier gate reduces
+    the corpus, near-dup clusters survive scrubbing, and no cluster
+    spans two splits."""
+    from mrf_etl_spark.plans.parity_llm import pipe5_release_v2, ID_SHIFT
+
+    out = pipe5_release_v2(spark, "/root/testdata/sf0.001").cache()
+    rows = out.collect()
+    assert 0 < len(rows)
+    # the gate actually filters (not a pass-through)
+    from mrf_etl_spark.plans.parity import t as _t
+    n_src = _t(spark, "/root/testdata/sf0.001", "documents").count()
+    assert len(rows) < n_src + 40
+    # clusters exist (a shifted near-dup copy shares its original's rep)
+    clustered = [r for r in rows if r.rep != r.doc_id]
+    assert clustered, "no near-dup cluster survived the scrub+gate"
+    by_id = {r.doc_id: r for r in rows}
+    for r in clustered:
+        if r.doc_id >= ID_SHIFT and (r.doc_id - ID_SHIFT) in by_id:
+            assert by_id[r.doc_id - ID_SHIFT].split == r.split
+    # cluster-unity: one split per rep
+    from collections import defaultdict
+    reps = defaultdict(set)
+    for r in rows:
+        reps[r.rep].add(r.split)
+    assert all(len(s) == 1 for s in reps.values())
+    out.unpersist()
