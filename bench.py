@@ -84,6 +84,7 @@ HEADLINE = [
     "w20_approx_sliding_reach",
     "d11_soft_dedup_weights",
     "pipe5_release_v2",
+    "e4_product_quantization",
 ]
 
 

@@ -669,3 +669,127 @@ def ivf_index_query(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ------------------------------------------------ product quantization
+
+def _pq_block(vec: str, b: int, size: int) -> Column:
+    # F.slice is 1-based
+    return F.slice(F.col(vec), b * size + 1, size)
+
+
+def _pq_fold2(a: Column, b: Column, combine) -> Column:
+    """Left-associative fold of combine(x, y) over two zipped slices —
+    the dot_fold shape, so every per-block scalar is bit-identical to an
+    unrolled left-associative SQL chain."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: combine(x.cast("double"), y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_blocks: int = 8,
+    seeds: DataFrame | None = None,
+    seed_filter: Column | None = None,
+) -> DataFrame:
+    """Product quantization (the FAISS IVF-PQ compression stage): split
+    each vector into ``n_blocks`` contiguous sub-vectors and replace each
+    with the id of its nearest sub-centroid — dim doubles collapse to
+    n_blocks small codes (64x compression at 8 blocks vs 64 float64s),
+    the memory step that makes billion-vector ANN serving fit in RAM.
+    The companion to e1's int8 scalar quantization: PQ is the
+    codebook-based tier below it.
+
+    Returns (vec_id, codes, recon_cos): ``codes`` is the ','-joined
+    per-block centroid id string, ``recon_cos`` the cosine between the
+    original vector and its codebook reconstruction — the quantization-
+    quality number a release gate thresholds (e3's truncation-QA shape).
+
+    The codebook is ``seeds`` (or rows passing ``seed_filter``; default
+    ``id < 16``): sub-centroid c of block b is the b-th slice of seed c —
+    deterministic, so the oracle replays codebook and assignment exactly.
+    A k-means codebook would drop in unchanged (frozen centroids are the
+    contract, how they were trained is not); determinism is what makes
+    the entry verifiable.
+
+    Plan shape: the codebook broadcasts (constant 16 rows); each vector
+    meets each seed once and explodes to n_blocks rows (constant x128
+    fan-out), argmin per (vec, block) is ONE vec-keyed window, and the
+    rollup is ONE vec-keyed groupBy — two exchanges on vec_id, corpus
+    linear, nothing driver-side. Every per-block scalar (distance, dot,
+    centroid norm) is a left-associative fold, bit-identical to the
+    oracle's unrolled chains; ties in the argmin break on centroid id.
+    """
+    from pyspark.sql.window import Window
+
+    size = dim // n_blocks
+    if seeds is None:
+        sf = seed_filter if seed_filter is not None else (F.col(id_col) < 16)
+        seeds = emb.filter(sf)
+    sd = seeds.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("ev")
+    ).withColumn("en2", _pq_fold2(F.col("ev"), F.col("ev"), lambda x, y: x * y))
+    pairs = e.crossJoin(F.broadcast(sd))
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                _pq_fold2(
+                    _pq_block("ev", b, size),
+                    _pq_block("cv", b, size),
+                    lambda x, y: (x - y) * (x - y),
+                ).alias("d"),
+                _pq_fold2(
+                    _pq_block("ev", b, size),
+                    _pq_block("cv", b, size),
+                    lambda x, y: x * y,
+                ).alias("dot"),
+                _pq_fold2(
+                    _pq_block("cv", b, size),
+                    _pq_block("cv", b, size),
+                    lambda x, y: x * y,
+                ).alias("cn2"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    rows = pairs.select(
+        "vec_id", "en2", "cid", F.explode(blocks).alias("blk")
+    ).select("vec_id", "en2", "cid", "blk.b", "blk.d", "blk.dot", "blk.cn2")
+    w = Window.partitionBy("vec_id", "b").orderBy(
+        F.col("d").asc(), F.col("cid").asc()
+    )
+    chosen = rows.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    agg = chosen.groupBy("vec_id", "en2").agg(
+        *[
+            F.max(F.when(F.col("b") == b, F.col("cid"))).alias(f"c{b}")
+            for b in range(n_blocks)
+        ],
+        *[
+            F.max(F.when(F.col("b") == b, F.col("dot"))).alias(f"dot{b}")
+            for b in range(n_blocks)
+        ],
+        *[
+            F.max(F.when(F.col("b") == b, F.col("cn2"))).alias(f"cn2{b}")
+            for b in range(n_blocks)
+        ],
+    )
+    dot = F.col("dot0")
+    cn2 = F.col("cn20")
+    for b in range(1, n_blocks):
+        dot = dot + F.col(f"dot{b}")
+        cn2 = cn2 + F.col(f"cn2{b}")
+    return agg.select(
+        "vec_id",
+        F.concat_ws(
+            ",", *[F.col(f"c{b}").cast("string") for b in range(n_blocks)]
+        ).alias("codes"),
+        (dot / (F.sqrt(F.col("en2")) * F.sqrt(cn2))).alias("recon_cos"),
+    )

@@ -220,6 +220,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("sp13_temperature_mix", []),
         ("e2_embedding_dim_stats", ["v_min", "v_max", "v_mean"]),
         ("e3_truncation_quality", ["cos_retained"]),
+        ("e4_product_quantization", ["recon_cos"]),
     ],
     "fx_eval_suites": [
         ("pipe4_eval_suite", []),
@@ -318,6 +319,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("st3_stream_upsert", []),
         ("st4_stateful_totals", ["total_value"]),
         ("st5_stream_dedup", []),
+        ("st12_stream_classifier_gate", ["logit"]),
     ],
     "fx_streaming_lake": [
         ("st7_stream_dedup_ingest", []),
@@ -584,6 +586,8 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "l_orderkey", "l_linenumber", "c_name", "n_name", "p_brand",
         "s_name", "price",
     ],
+    "st12_stream_classifier_gate": ["doc_id", "logit"],
+    "e4_product_quantization": ["vec_id", "codes", "recon_cos"],
 }
 
 # Components with array-typed output columns: serialized as ','-joined

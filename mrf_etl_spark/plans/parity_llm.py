@@ -3762,3 +3762,93 @@ def pipe5_release_v2(spark, sf_dir):
         "doc_id", tx.token_count_ws("text").cast("long").alias("tok")
     )
     return out.join(tok, "doc_id").select("doc_id", "rep", "bucket", "split", "tok")
+
+
+# ------------------------------- round-7: product quantization (e4)
+
+_PQ_BLOCKS = 8
+_PQ_SIZE = DIM // _PQ_BLOCKS  # 8 dims per block
+_PQ_SEEDS = 16
+
+
+def _pq_chain(expr_fmt: str, b: int) -> str:
+    """Left-associative 8-term chain over block b's 1-based indices —
+    the unrolled mirror of operators.similarity._pq_fold2 (same op
+    order, so every per-block scalar is bit-identical)."""
+    terms = [
+        expr_fmt.format(i=i)
+        for i in range(b * _PQ_SIZE + 1, (b + 1) * _PQ_SIZE + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_oracle() -> str:
+    d_cols = ", ".join(
+        f"{_pq_chain('(CAST(e.ev[{i}] AS DOUBLE) - CAST(s.cv[{i}] AS DOUBLE)) * (CAST(e.ev[{i}] AS DOUBLE) - CAST(s.cv[{i}] AS DOUBLE))', b)} AS d{b}, "
+        f"{_pq_chain('CAST(e.ev[{i}] AS DOUBLE) * CAST(s.cv[{i}] AS DOUBLE)', b)} AS dot{b}, "
+        f"{_pq_chain('CAST(s.cv[{i}] AS DOUBLE) * CAST(s.cv[{i}] AS DOUBLE)', b)} AS cn2{b}"
+        for b in range(_PQ_BLOCKS)
+    )
+    en2 = " + ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    case = lambda col: " ".join(  # noqa: E731
+        f"WHEN {b} THEN {col}{b}" for b in range(_PQ_BLOCKS)
+    )
+    maxes = ", ".join(
+        f"max(CASE WHEN b = {b} THEN {col} END) AS {alias}{b}"
+        for col, alias in (("cid", "c"), ("dot", "dot"), ("cn2", "cn2"))
+        for b in range(_PQ_BLOCKS)
+    )
+    codes = ", ".join(f"c{b}" for b in range(_PQ_BLOCKS))
+    dot_chain = "(" * (_PQ_BLOCKS - 1) + "dot0" + "".join(
+        f" + dot{b})" for b in range(1, _PQ_BLOCKS)
+    )
+    cn2_chain = "(" * (_PQ_BLOCKS - 1) + "cn20" + "".join(
+        f" + cn2{b})" for b in range(1, _PQ_BLOCKS)
+    )
+    return f"""WITH seeds AS (
+         SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         WHERE vec_id < {_PQ_SEEDS}),
+       e AS (
+         SELECT vec_id, embedding AS ev, ({en2}) AS en2 FROM embeddings),
+       pairsq AS (
+         SELECT e.vec_id, e.en2, s.cid, {d_cols}
+         FROM e CROSS JOIN seeds s),
+       longf AS (
+         SELECT vec_id, en2, cid, r.b,
+                CASE r.b {case('d')} END AS d,
+                CASE r.b {case('dot')} END AS dot,
+                CASE r.b {case('cn2')} END AS cn2
+         FROM pairsq, (SELECT unnest(range({_PQ_BLOCKS})) AS b) r),
+       chosen AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (
+               PARTITION BY vec_id, b ORDER BY d ASC, cid ASC) AS rn
+           FROM longf) WHERE rn = 1),
+       agg AS (
+         SELECT vec_id, max(en2) AS en2, {maxes}
+         FROM chosen GROUP BY vec_id)
+       SELECT vec_id,
+              concat_ws(',', {codes}) AS codes,
+              {dot_chain} / (sqrt(en2) * sqrt({cn2_chain})) AS recon_cos
+       FROM agg"""
+
+
+@register(
+    "e4_product_quantization",
+    _pq_oracle(),
+    doc="e4: product quantization (the FAISS IVF-PQ compression stage) — "
+    "each vector's 8 sub-blocks replaced by nearest-sub-centroid ids "
+    "from a frozen 16-entry codebook (64 doubles -> 8 small codes), "
+    "with the reconstruction cosine as the quantization-quality column "
+    "(e3's truncation-QA shape). Codebook broadcasts, constant x128 "
+    "fan-out, two vec-keyed exchanges; every scalar is a "
+    "left-associative fold mirrored by unrolled SQL chains "
+    "(operators/similarity.pq_encode).",
+)
+def e4_product_quantization(spark, sf_dir):
+    return sim.pq_encode(
+        t(spark, sf_dir, "embeddings"), dim=DIM, n_blocks=_PQ_BLOCKS
+    )

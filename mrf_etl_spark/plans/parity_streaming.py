@@ -677,3 +677,72 @@ def st11_stream_corpus_card(spark, sf_dir):
         "source", "lang", "n_docs", "words_total", "chars_avg",
         "p50_bucket", "p90_bucket",
     )
+
+
+def _register_st12():
+    from mrf_etl_spark.plans.parity_llm import _CLF_LOGIT_EXPR, _t2_base_cte
+
+    @register(
+        "st12_stream_classifier_gate",
+        # stream == batch for a stateless gate: the oracle is t19's
+        # statement with the keep filter applied — micro-batch
+        # boundaries must be invisible
+        oracle=f"""
+        WITH {_t2_base_cte("documents")}
+        SELECT doc_id, logit
+        FROM (SELECT doc_id, {_CLF_LOGIT_EXPR} AS logit FROM base)
+        WHERE logit > CAST(0.0 AS DOUBLE)""",
+        doc="streaming classifier gate — t19's frozen linear quality "
+        "filter applied per micro-batch in foreachBatch (stateless "
+        "projection: no watermark, no state store; the filter commutes "
+        "with batching, so the gated lake is EXACTLY the batch filter's "
+        "output regardless of batch boundaries). The ingest-time shape "
+        "of corpus filtering: score documents as they land, not in a "
+        "nightly rescan.",
+    )
+    def st12_stream_classifier_gate(spark, sf_dir):
+        """Stages documents as two disjoint halves consumed one per
+        micro-batch; each batch is scored and gated independently and
+        the kept (doc_id, logit) rows appended to the lake."""
+        import os
+
+        from mrf_etl_spark.operators.textops import quality_classifier
+
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        staging = _scratch("st12_staging")
+        os.makedirs(staging, exist_ok=True)
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+            f"{staging}/half=1"
+        )
+        docs.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
+            f"{staging}/half=2"
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staging}/half=*")
+        )
+        lake = _scratch("st12_lake")
+
+        def _sink(batch_df, _batch_id):
+            (
+                quality_classifier(batch_df, "text", "doc_id")
+                .filter(F.col("keep"))
+                .select("doc_id", "logit")
+                .write.mode("append")
+                .parquet(lake)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", _scratch("st12_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(lake)
+
+    return st12_stream_classifier_gate
+
+
+st12_stream_classifier_gate = _register_st12()

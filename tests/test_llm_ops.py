@@ -1596,3 +1596,26 @@ def test_pipe5_release_flow_composition(spark):
         reps[r.rep].add(r.split)
     assert all(len(s) == 1 for s in reps.values())
     out.unpersist()
+
+
+def test_pq_encode_hand_checkable(spark):
+    """e4: a vector equal to a seed encodes to that seed's id in every
+    block with reconstruction cosine ~1; a vector whose halves match
+    DIFFERENT seeds picks each per block (PQ's whole point: the code
+    space is the product of per-block choices); ties break on cid."""
+    from mrf_etl_spark.operators.similarity import pq_encode
+
+    s0 = [1.0, 0.0, 0.0, 0.0, 2.0, 0.0, 0.0, 0.0]
+    s1 = [0.0, 3.0, 0.0, 0.0, 0.0, 4.0, 0.0, 0.0]
+    mixed = s0[:4] + s1[4:]  # block 0 == s0's, block 1 == s1's
+    rows = [(0, s0), (1, s1), (10, list(s0)), (11, mixed)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in pq_encode(
+            emb, dim=8, n_blocks=2, seed_filter=(F.col("vec_id") < 2)
+        ).collect()
+    }
+    assert out[10].codes == "0,0" and abs(out[10].recon_cos - 1.0) < 1e-12
+    assert out[0].codes == "0,0" and out[1].codes == "1,1"
+    assert out[11].codes == "0,1" and abs(out[11].recon_cos - 1.0) < 1e-12
