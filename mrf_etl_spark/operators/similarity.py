@@ -722,9 +722,14 @@ def pq_encode(
     meets each seed once and explodes to n_blocks rows (constant x128
     fan-out), argmin per (vec, block) is ONE vec-keyed window, and the
     rollup is ONE vec-keyed groupBy — two exchanges on vec_id, corpus
-    linear, nothing driver-side. Every per-block scalar (distance, dot,
-    centroid norm) is a left-associative fold, bit-identical to the
-    oracle's unrolled chains; ties in the argmin break on centroid id.
+    linear, nothing driver-side. Per-block norms are hoisted to where
+    they are constant — centroid norms onto the 16-row codebook, vector
+    block-norms onto the per-vector pass — so the per-pair stage folds
+    ONLY the dot, and the squared distance derives as
+    ``(en2b + cn2b) - 2*dotb`` (the same expansion on both engines, so
+    the argmin ordering stays bit-identical; ties break on centroid id).
+    Every fold is left-associative, mirroring the oracle's unrolled
+    chains.
     """
     from pyspark.sql.window import Window
 
@@ -732,10 +737,31 @@ def pq_encode(
     if seeds is None:
         sf = seed_filter if seed_filter is not None else (F.col(id_col) < 16)
         seeds = emb.filter(sf)
-    sd = seeds.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    sd = seeds.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        *[
+            _pq_fold2(
+                _pq_block(vec_col, b, size),
+                _pq_block(vec_col, b, size),
+                lambda x, y: x * y,
+            ).alias(f"_cn2_{b}")
+            for b in range(n_blocks)
+        ],
+    )
     e = emb.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("ev")
-    ).withColumn("en2", _pq_fold2(F.col("ev"), F.col("ev"), lambda x, y: x * y))
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("ev"),
+        _pq_fold2(F.col(vec_col), F.col(vec_col), lambda x, y: x * y).alias("en2"),
+        *[
+            _pq_fold2(
+                _pq_block(vec_col, b, size),
+                _pq_block(vec_col, b, size),
+                lambda x, y: x * y,
+            ).alias(f"_en2_{b}")
+            for b in range(n_blocks)
+        ],
+    )
     pairs = e.crossJoin(F.broadcast(sd))
     blocks = F.array(
         *[
@@ -744,25 +770,28 @@ def pq_encode(
                 _pq_fold2(
                     _pq_block("ev", b, size),
                     _pq_block("cv", b, size),
-                    lambda x, y: (x - y) * (x - y),
-                ).alias("d"),
-                _pq_fold2(
-                    _pq_block("ev", b, size),
-                    _pq_block("cv", b, size),
                     lambda x, y: x * y,
                 ).alias("dot"),
-                _pq_fold2(
-                    _pq_block("cv", b, size),
-                    _pq_block("cv", b, size),
-                    lambda x, y: x * y,
-                ).alias("cn2"),
+                F.col(f"_en2_{b}").alias("en2b"),
+                F.col(f"_cn2_{b}").alias("cn2"),
             )
             for b in range(n_blocks)
         ]
     )
     rows = pairs.select(
         "vec_id", "en2", "cid", F.explode(blocks).alias("blk")
-    ).select("vec_id", "en2", "cid", "blk.b", "blk.d", "blk.dot", "blk.cn2")
+    ).select(
+        "vec_id",
+        "en2",
+        "cid",
+        "blk.b",
+        (
+            (F.col("blk.en2b") + F.col("blk.cn2"))
+            - F.lit(2.0) * F.col("blk.dot")
+        ).alias("d"),
+        "blk.dot",
+        "blk.cn2",
+    )
     w = Window.partitionBy("vec_id", "b").orderBy(
         F.col("d").asc(), F.col("cid").asc()
     )

@@ -3783,10 +3783,21 @@ def _pq_chain(expr_fmt: str, b: int) -> str:
 
 
 def _pq_oracle() -> str:
-    d_cols = ", ".join(
-        f"{_pq_chain('(CAST(e.ev[{i}] AS DOUBLE) - CAST(s.cv[{i}] AS DOUBLE)) * (CAST(e.ev[{i}] AS DOUBLE) - CAST(s.cv[{i}] AS DOUBLE))', b)} AS d{b}, "
-        f"{_pq_chain('CAST(e.ev[{i}] AS DOUBLE) * CAST(s.cv[{i}] AS DOUBLE)', b)} AS dot{b}, "
-        f"{_pq_chain('CAST(s.cv[{i}] AS DOUBLE) * CAST(s.cv[{i}] AS DOUBLE)', b)} AS cn2{b}"
+    # per-block norms live where they are CONSTANT: centroid norms on the
+    # 16-row seeds CTE, vector block-norms on the per-vector CTE; the
+    # per-pair stage folds only the dot, and the squared distance derives
+    # as (en2b + cn2b) - 2*dotb — the same expansion the Spark side uses,
+    # so the argmin ordering compares bit-identical doubles.
+    seed_cn2 = ", ".join(
+        f"{_pq_chain('CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{i}] AS DOUBLE)', b)} AS cn2_{b}"
+        for b in range(_PQ_BLOCKS)
+    )
+    vec_en2b = ", ".join(
+        f"{_pq_chain('CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{i}] AS DOUBLE)', b)} AS en2_{b}"
+        for b in range(_PQ_BLOCKS)
+    )
+    dot_cols = ", ".join(
+        f"{_pq_chain('CAST(e.ev[{i}] AS DOUBLE) * CAST(s.cv[{i}] AS DOUBLE)', b)} AS dot{b}"
         for b in range(_PQ_BLOCKS)
     )
     en2 = " + ".join(
@@ -3795,6 +3806,9 @@ def _pq_oracle() -> str:
     )
     case = lambda col: " ".join(  # noqa: E731
         f"WHEN {b} THEN {col}{b}" for b in range(_PQ_BLOCKS)
+    )
+    case_u = lambda col: " ".join(  # noqa: E731
+        f"WHEN {b} THEN {col}_{b}" for b in range(_PQ_BLOCKS)
     )
     maxes = ", ".join(
         f"max(CASE WHEN b = {b} THEN {col} END) AS {alias}{b}"
@@ -3809,18 +3823,23 @@ def _pq_oracle() -> str:
         f" + cn2{b})" for b in range(1, _PQ_BLOCKS)
     )
     return f"""WITH seeds AS (
-         SELECT vec_id AS cid, embedding AS cv FROM embeddings
-         WHERE vec_id < {_PQ_SEEDS}),
+         SELECT vec_id AS cid, embedding AS cv, {seed_cn2}
+         FROM embeddings WHERE vec_id < {_PQ_SEEDS}),
        e AS (
-         SELECT vec_id, embedding AS ev, ({en2}) AS en2 FROM embeddings),
+         SELECT vec_id, embedding AS ev, ({en2}) AS en2, {vec_en2b}
+         FROM embeddings),
        pairsq AS (
-         SELECT e.vec_id, e.en2, s.cid, {d_cols}
+         SELECT e.vec_id, e.en2, s.cid, {dot_cols},
+                {", ".join(f"e.en2_{b}" for b in range(_PQ_BLOCKS))},
+                {", ".join(f"s.cn2_{b}" for b in range(_PQ_BLOCKS))}
          FROM e CROSS JOIN seeds s),
        longf AS (
          SELECT vec_id, en2, cid, r.b,
-                CASE r.b {case('d')} END AS d,
+                ((CASE r.b {case_u('en2')} END)
+                 + (CASE r.b {case_u('cn2')} END))
+                - CAST(2.0 AS DOUBLE) * (CASE r.b {case('dot')} END) AS d,
                 CASE r.b {case('dot')} END AS dot,
-                CASE r.b {case('cn2')} END AS cn2
+                CASE r.b {case_u('cn2')} END AS cn2
          FROM pairsq, (SELECT unnest(range({_PQ_BLOCKS})) AS b) r),
        chosen AS (
          SELECT * FROM (
