@@ -85,6 +85,7 @@ HEADLINE = [
     "d11_soft_dedup_weights",
     "pipe5_release_v2",
     "e4_product_quantization",
+    "n5_ann_pq_adc",
 ]
 
 

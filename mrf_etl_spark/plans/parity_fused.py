@@ -306,6 +306,7 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("n1_ann_cosine_topk", ["cosine"]),
         ("n2_ann_ivf", ["cosine"]),
         ("n4_ann_index_incremental", ["cosine"]),
+        ("n5_ann_pq_adc", ["cosine"]),
     ],
     # Each streaming entry runs its real availableNow drain and returns a
     # batch DataFrame of the drained result, so they fuse like any other
@@ -588,6 +589,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "st12_stream_classifier_gate": ["doc_id", "logit"],
     "e4_product_quantization": ["vec_id", "codes", "recon_cos"],
+    "n5_ann_pq_adc": ["query_id", "neighbor_id", "cosine", "rank"],
 }
 
 # Components with array-typed output columns: serialized as ','-joined

@@ -3782,12 +3782,15 @@ def _pq_chain(expr_fmt: str, b: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _pq_oracle() -> str:
-    # per-block norms live where they are CONSTANT: centroid norms on the
-    # 16-row seeds CTE, vector block-norms on the per-vector CTE; the
-    # per-pair stage folds only the dot, and the squared distance derives
-    # as (en2b + cn2b) - 2*dotb — the same expansion the Spark side uses,
-    # so the argmin ordering compares bit-identical doubles.
+def _pq_longf_ctes(materialized: bool = False) -> str:
+    """Shared CTE prefix for e4 (encode) and n5 (ADC search): the PQ
+    long form ``longf(vec_id, en2, cid, b, d, dot, cn2)`` — the oracle
+    mirror of operators.similarity._pq_rows. Per-block norms live where
+    they are CONSTANT (centroid norms on the 16-row seeds CTE, vector
+    block-norms on the per-vector CTE); the per-pair stage chains only
+    the dot, and d derives as (en2b + cn2b) - 2*dotb — the same
+    expansion the Spark side uses, so orderings compare bit-identical
+    doubles."""
     seed_cn2 = ", ".join(
         f"{_pq_chain('CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{i}] AS DOUBLE)', b)} AS cn2_{b}"
         for b in range(_PQ_BLOCKS)
@@ -3810,6 +3813,28 @@ def _pq_oracle() -> str:
     case_u = lambda col: " ".join(  # noqa: E731
         f"WHEN {b} THEN {col}_{b}" for b in range(_PQ_BLOCKS)
     )
+    return f"""seeds AS (
+         SELECT vec_id AS cid, embedding AS cv, {seed_cn2}
+         FROM embeddings WHERE vec_id < {_PQ_SEEDS}),
+       e AS (
+         SELECT vec_id, embedding AS ev, ({en2}) AS en2, {vec_en2b}
+         FROM embeddings),
+       pairsq AS (
+         SELECT e.vec_id, e.en2, s.cid, {dot_cols},
+                {", ".join(f"e.en2_{b}" for b in range(_PQ_BLOCKS))},
+                {", ".join(f"s.cn2_{b}" for b in range(_PQ_BLOCKS))}
+         FROM e CROSS JOIN seeds s),
+       longf AS {"MATERIALIZED " if materialized else ""}(
+         SELECT vec_id, en2, cid, r.b,
+                ((CASE r.b {case_u('en2')} END)
+                 + (CASE r.b {case_u('cn2')} END))
+                - CAST(2.0 AS DOUBLE) * (CASE r.b {case('dot')} END) AS d,
+                CASE r.b {case('dot')} END AS dot,
+                CASE r.b {case_u('cn2')} END AS cn2
+         FROM pairsq, (SELECT unnest(range({_PQ_BLOCKS})) AS b) r)"""
+
+
+def _pq_oracle() -> str:
     maxes = ", ".join(
         f"max(CASE WHEN b = {b} THEN {col} END) AS {alias}{b}"
         for col, alias in (("cid", "c"), ("dot", "dot"), ("cn2", "cn2"))
@@ -3822,25 +3847,7 @@ def _pq_oracle() -> str:
     cn2_chain = "(" * (_PQ_BLOCKS - 1) + "cn20" + "".join(
         f" + cn2{b})" for b in range(1, _PQ_BLOCKS)
     )
-    return f"""WITH seeds AS (
-         SELECT vec_id AS cid, embedding AS cv, {seed_cn2}
-         FROM embeddings WHERE vec_id < {_PQ_SEEDS}),
-       e AS (
-         SELECT vec_id, embedding AS ev, ({en2}) AS en2, {vec_en2b}
-         FROM embeddings),
-       pairsq AS (
-         SELECT e.vec_id, e.en2, s.cid, {dot_cols},
-                {", ".join(f"e.en2_{b}" for b in range(_PQ_BLOCKS))},
-                {", ".join(f"s.cn2_{b}" for b in range(_PQ_BLOCKS))}
-         FROM e CROSS JOIN seeds s),
-       longf AS (
-         SELECT vec_id, en2, cid, r.b,
-                ((CASE r.b {case_u('en2')} END)
-                 + (CASE r.b {case_u('cn2')} END))
-                - CAST(2.0 AS DOUBLE) * (CASE r.b {case('dot')} END) AS d,
-                CASE r.b {case('dot')} END AS dot,
-                CASE r.b {case_u('cn2')} END AS cn2
-         FROM pairsq, (SELECT unnest(range({_PQ_BLOCKS})) AS b) r),
+    return f"""WITH {_pq_longf_ctes()},
        chosen AS (
          SELECT * FROM (
            SELECT *, row_number() OVER (
@@ -3870,4 +3877,75 @@ def _pq_oracle() -> str:
 def e4_product_quantization(spark, sf_dir):
     return sim.pq_encode(
         t(spark, sf_dir, "embeddings"), dim=DIM, n_blocks=_PQ_BLOCKS
+    )
+
+
+# --------------------------------- round-7: PQ-ADC ANN search (n5)
+
+_N5_CANDIDATES = 50
+_N5_K = 5
+
+
+def _n5_oracle() -> str:
+    qd_maxes = ", ".join(
+        f"max(CASE WHEN b = {b} THEN qd END) AS qd{b}"
+        for b in range(_PQ_BLOCKS)
+    )
+    adc_chain = "(" * (_PQ_BLOCKS - 1) + "qd0" + "".join(
+        f" + qd{b})" for b in range(1, _PQ_BLOCKS)
+    )
+    return f"""WITH {_pq_longf_ctes(materialized=True)},
+       codes AS (
+         SELECT vec_id AS neighbor_id, b, cid FROM (
+           SELECT vec_id, b, cid, row_number() OVER (
+               PARTITION BY vec_id, b ORDER BY d ASC, cid ASC) AS rn
+           FROM longf) WHERE rn = 1),
+       lut AS (
+         SELECT vec_id AS query_id, b, cid, d AS qd
+         FROM longf WHERE vec_id < 10),
+       adc AS (
+         SELECT query_id, neighbor_id, {qd_maxes}
+         FROM codes JOIN lut USING (b, cid)
+         WHERE query_id <> neighbor_id
+         GROUP BY query_id, neighbor_id),
+       cand AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {adc_chain} ASC, neighbor_id ASC) AS crank
+           FROM adc) WHERE crank <= {_N5_CANDIDATES}),
+       rer AS (
+         SELECT c.query_id, c.neighbor_id,
+                {_cos_sql('q.embedding', 'n.embedding')} AS cosine
+         FROM cand c
+         JOIN embeddings q ON q.vec_id = c.query_id
+         JOIN embeddings n ON n.vec_id = c.neighbor_id)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT *, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         FROM rer) WHERE rank <= {_N5_K}"""
+
+
+@register(
+    "n5_ann_pq_adc",
+    _n5_oracle(),
+    doc="n5: ANN via PQ codes with asymmetric distance computation + "
+    "exact rerank — e4's serving side (the FAISS search shape): the "
+    "query precomputes a per-block distance table to all 16 "
+    "sub-centroids, each corpus distance is the fixed-order sum of 8 "
+    "table entries looked up by the corpus CODES (never its floats), "
+    "the best 50 candidates rerank exactly. Every stage deterministic "
+    "(pivot-assembled sums, id tie-breaks), so the oracle replays the "
+    "WHOLE cascade instead of settling for a recall envelope "
+    "(operators/similarity.pq_adc_topk).",
+)
+def n5_ann_pq_adc(spark, sf_dir):
+    return sim.pq_adc_topk(
+        t(spark, sf_dir, "embeddings"),
+        dim=DIM,
+        n_blocks=_PQ_BLOCKS,
+        query_filter=F.col("vec_id") < 10,
+        n_candidates=_N5_CANDIDATES,
+        k=_N5_K,
     )

