@@ -3748,9 +3748,13 @@ def pipe5_release_v2(spark, sf_dir):
         src, "text", "doc_id", min_docs=_SCRUB_MIN_DOCS
     ).select("doc_id", F.col("cleaned").alias("text"))
     scored = tx.quality_classifier(scrubbed, "text", "doc_id")
+    # persist the gate's survivors: three downstream consumers (the pair
+    # cascade, the split assignment, the token rollup) would otherwise
+    # each re-execute the scrub's two window shuffles + the classifier —
+    # the pipe3 persist-between-consumers precedent
     kept = scrubbed.join(
         scored.filter(F.col("keep")).select("doc_id"), "doc_id"
-    )
+    ).persist()
     pairs = dd.ngram_jaccard_pairs(
         kept, "text", "doc_id", SHINGLE_K, JACCARD_T
     ).select("doc_a", "doc_b")
@@ -3761,7 +3765,10 @@ def pipe5_release_v2(spark, sf_dir):
     tok = kept.select(
         "doc_id", tx.token_count_ws("text").cast("long").alias("tok")
     )
-    return out.join(tok, "doc_id").select("doc_id", "rep", "bucket", "split", "tok")
+    res = out.join(tok, "doc_id").select(
+        "doc_id", "rep", "bucket", "split", "tok"
+    )
+    return dd.carry_state(res, out, hold=(kept,))
 
 
 # ------------------------------- round-7: product quantization (e4)
