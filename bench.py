@@ -263,6 +263,13 @@ def main() -> None:
     # 42 cold timings, ~2.6 kB) overflowed the driver's tail capture and
     # BENCH_r04.json recorded "parsed": null.
     print(json.dumps(detail))
+    if subset:
+        # a SPARK_GRAFT_QUERIES subset run is a drift-isolation probe,
+        # not the headline record — writing it to the sidecar would
+        # clobber the committed full-sweep numbers with a partial total
+        # labeled "headline_queries_total" (it did, once)
+        print("# subset run: BENCH_DETAIL.json left untouched", file=sys.stderr)
+        return
     try:
         with open(Path(__file__).resolve().parent / "BENCH_DETAIL.json", "w") as f:
             json.dump(detail, f, indent=1)

@@ -638,8 +638,12 @@ def _cc_driver_local(raw: DataFrame) -> DataFrame:
             else:
                 parent[ru] = rv
     data = [(n, find(n)) for n in parent]
+    # label types mirror the edge id type: a string-id corpus (URL/hash
+    # ids) must not be forced through a long schema (min/ordering works
+    # the same — union-by-min is lexicographic there)
+    id_type = raw.schema[0].dataType.simpleString()
     out = raw.sparkSession.createDataFrame(
-        data, schema="doc_id long, component_id long"
+        data, schema=f"doc_id {id_type}, component_id {id_type}"
     )
     out._mrf_rounds = 0
     return out

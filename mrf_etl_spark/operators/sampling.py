@@ -618,9 +618,11 @@ def leakage_safe_split(
     out = (
         df.join(labels, F.col(id_col) == F.col("_ls_id"), "left")
         .drop("_ls_id")
-        .withColumn(
-            "rep", F.coalesce(F.col("_ls_rep"), F.col(id_col).cast("long"))
-        )
+        # no cast: component ids come from the same id domain as df's, so
+        # coalesce unifies naturally — a forced cast("long") would NULL
+        # every string id (URL/hash corpora) and silently dump the whole
+        # corpus into the last split via hash_bucket(NULL)
+        .withColumn("rep", F.coalesce(F.col("_ls_rep"), F.col(id_col)))
         .drop("_ls_rep")
     )
     out = assign_split(out, "rep", weights, salt, out_col)

@@ -664,11 +664,17 @@ def ivf_index_query(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+    # the cached probe cascade must not outlive the query result: carry
+    # the handle so the caller's release_state frees it (a long-lived
+    # serving session would otherwise pin one cached plan per call)
+    from mrf_etl_spark.operators.dedup import carry_state
+
+    return carry_state(out, hold=(probes,))
 
 
 # ------------------------------------------------ product quantization
@@ -881,7 +887,12 @@ def pq_adc_topk(
     ≤ |Q| x n_candidates winners back to the corpus floats.
     """
     rows = _pq_rows(emb, id_col, vec_col, dim, n_blocks, seeds, seed_filter)
-    qf = query_filter if query_filter is not None else (F.col("vec_id") < 10)
+    # query_filter is written against emb's own columns; _pq_rows renames
+    # the id to vec_id, so the query side routes through an explicit id
+    # set rather than re-applying the filter to the renamed frame (which
+    # would break for any id_col != "vec_id")
+    qf = query_filter if query_filter is not None else (F.col(id_col) < 10)
+    qids = emb.filter(qf).select(F.col(id_col).alias("query_id"))
     w_code = Window.partitionBy("vec_id", "b").orderBy(
         F.col("d").asc(), F.col("cid").asc()
     )
@@ -890,9 +901,9 @@ def pq_adc_topk(
         .filter(F.col("rn") == 1)
         .select(F.col("vec_id").alias("neighbor_id"), "b", "cid")
     )
-    lut = rows.filter(qf).select(
-        F.col("vec_id").alias("query_id"), "b", "cid", F.col("d").alias("qd")
-    )
+    lut = rows.join(
+        F.broadcast(qids), rows["vec_id"] == qids["query_id"]
+    ).select("query_id", "b", "cid", F.col("d").alias("qd"))
     adc = (
         codes.join(F.broadcast(lut), ["b", "cid"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -917,7 +928,7 @@ def pq_adc_topk(
         .select("query_id", "neighbor_id")
     )
     q = (
-        emb.filter(qf if query_filter is None else query_filter)
+        emb.filter(qf)
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .withColumn("qn", norm_fold("qv"))
     )

@@ -779,18 +779,28 @@ def quality_classifier(
     Documents with NULL features (empty text) get NULL logit and NULL
     keep — undecidable, a quality-gate concern upstream.
     """
-    w = {**QUALITY_CLF_WEIGHTS, **(weights or {})}
-    n = token_count_ws(text_col).cast("double")
-    d = QUALITY_CLF_LEN_DIVISOR
-    len_norm = F.least(n, F.lit(d)) / F.lit(d)
-    logit = (
-        F.lit(float(w["bias"]))
-        + F.lit(float(w["len_norm"])) * len_norm
-        + F.lit(float(w["punct"])) * punct_ratio(text_col)
-        + F.lit(float(w["stopword"])) * stopword_ratio(text_col)
-    )
+    logit = quality_logit(text_col, weights)
     return df.select(
         F.col(id_col).alias("doc_id"),
         logit.alias("logit"),
         (logit > F.lit(float(threshold))).alias("keep"),
+    )
+
+
+def quality_logit(
+    text_col: str, weights: dict[str, float] | None = None
+) -> Column:
+    """The frozen linear quality score as a plain Column expression —
+    :func:`quality_classifier` projects it; pipelines that already hold
+    the text can filter on it directly (``df.filter(quality_logit("text")
+    > 0)``) without a join back to the classifier's output."""
+    w = {**QUALITY_CLF_WEIGHTS, **(weights or {})}
+    n = token_count_ws(text_col).cast("double")
+    d = QUALITY_CLF_LEN_DIVISOR
+    len_norm = F.least(n, F.lit(d)) / F.lit(d)
+    return (
+        F.lit(float(w["bias"]))
+        + F.lit(float(w["len_norm"])) * len_norm
+        + F.lit(float(w["punct"])) * punct_ratio(text_col)
+        + F.lit(float(w["stopword"])) * stopword_ratio(text_col)
     )

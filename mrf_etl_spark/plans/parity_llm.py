@@ -3447,14 +3447,22 @@ _BOILER_B = "All rights reserved"
 # The injection LEADS with '.' so it forms its own sentence even when the
 # document text doesn't end in terminal punctuation (most don't — an
 # un-delimited append would merge into the final original sentence and
-# the boilerplate would never reach min_docs).
-_BOILER_CORPUS_SQL = f"""(
+# the boilerplate would never reach min_docs). ONE definition of the
+# injection arms — t18's oracle, pipe5's oracle and the Spark-side
+# _inject_boilerplate must never drift apart.
+
+
+def _boiler_wrap(src: str) -> str:
+    return f"""(
   SELECT doc_id,
          text || CASE WHEN doc_id % 3 = 0
                       THEN '. {_BOILER_A}.' ELSE '' END
               || CASE WHEN doc_id % 7 = 0
                       THEN '. {_BOILER_B}.' ELSE '' END AS text
-  FROM documents)"""
+  FROM {src})"""
+
+
+_BOILER_CORPUS_SQL = _boiler_wrap("documents")
 
 
 def _inject_boilerplate(d: DataFrame) -> DataFrame:
@@ -3676,17 +3684,7 @@ def d11_soft_dedup_weights(spark, sf_dir):
 
 # pipe5's input: the near-dup corpus (doc_id-shifted mutated copies) WITH
 # boilerplate injected on top — both defect classes the flow must handle.
-_PIPE5_SRC_SQL = f"""(
-  SELECT doc_id,
-         text || CASE WHEN doc_id % 3 = 0
-                      THEN '. {_BOILER_A}.' ELSE '' END
-              || CASE WHEN doc_id % 7 = 0
-                      THEN '. {_BOILER_B}.' ELSE '' END AS text
-  FROM (SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + {ID_SHIFT} AS doc_id,
-               text || ' extra token tail' AS text
-        FROM documents WHERE doc_id < {NEAR_DUP_IDS}))"""
+_PIPE5_SRC_SQL = _boiler_wrap(_NEAR_DUP_CORPUS_SQL)
 
 
 @register(
@@ -3747,14 +3745,13 @@ def pipe5_release_v2(spark, sf_dir):
     scrubbed = tx.sentence_scrub(
         src, "text", "doc_id", min_docs=_SCRUB_MIN_DOCS
     ).select("doc_id", F.col("cleaned").alias("text"))
-    scored = tx.quality_classifier(scrubbed, "text", "doc_id")
-    # persist the gate's survivors: three downstream consumers (the pair
-    # cascade, the split assignment, the token rollup) would otherwise
-    # each re-execute the scrub's two window shuffles + the classifier —
-    # the pipe3 persist-between-consumers precedent
-    kept = scrubbed.join(
-        scored.filter(F.col("keep")).select("doc_id"), "doc_id"
-    ).persist()
+    # the gate is a pure column predicate over the scrubbed text — filter
+    # in place (a join back to quality_classifier's output would run the
+    # scrub cascade once per join branch) — and persist the survivors:
+    # three downstream consumers (the pair cascade, the split assignment,
+    # the token rollup) would otherwise each re-execute the scrub's two
+    # window shuffles — the pipe3 persist-between-consumers precedent
+    kept = scrubbed.filter(tx.quality_logit("text") > 0).persist()
     pairs = dd.ngram_jaccard_pairs(
         kept, "text", "doc_id", SHINGLE_K, JACCARD_T
     ).select("doc_a", "doc_b")

@@ -506,15 +506,20 @@ def incremental_rollup_batch_writer(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(mv_path, _BATCH_ID_SIDECAR)
+        marked_sid: str | None = None
         if os.path.isfile(marker):
             with open(marker) as fh:
                 marked_sid, marked_bid = _parse_marker(fh.read())
-            # a legacy (pre-lineage) sidecar carries no stream_id: treat
-            # it as belonging to the current lineage, else the first
-            # replay after an upgrade would bypass the guard and
-            # double-count (the one case the watermark exists for)
+            # a missing stream_id on EITHER side means "the current
+            # lineage": a legacy sidecar (pre-lineage upgrade) and a
+            # sid-less writer over a stamped MV (mixed call sites or a
+            # rollback) must both keep the replay guard, else an
+            # already-applied batch re-applies and double-counts — the
+            # one corruption the watermark exists for. Only two DIFFERENT
+            # explicit lineages disarm it (a fresh checkpoint legitimately
+            # restarts batch ids at 0).
             if (
-                marked_sid is None or marked_sid == stream_id
+                marked_sid is None or stream_id is None or marked_sid == stream_id
             ) and batch_id <= marked_bid:
                 return  # replayed batch — its delta is already in the MV
         df = transform(batch_df) if transform is not None else batch_df
@@ -544,8 +549,12 @@ def incremental_rollup_batch_writer(
             )
         else:
             merged = delta
+        # a sid-less writer must not DOWNGRADE an existing lineage stamp
+        # to the one-line legacy form — preserve the marked lineage so a
+        # later lineage-aware writer still recognizes its own stream
+        eff_sid = stream_id if stream_id is not None else marked_sid
         marker_text = (
-            str(batch_id) if stream_id is None else f"{stream_id}\n{batch_id}"
+            str(batch_id) if eff_sid is None else f"{eff_sid}\n{batch_id}"
         )
         atomic_overwrite(
             merged, mv_path, sidecar={_BATCH_ID_SIDECAR: marker_text}

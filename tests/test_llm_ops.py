@@ -1649,3 +1649,54 @@ def test_pq_adc_topk_recall_and_shape(spark):
             per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
     assert hits / 50 >= 0.6, hits
     assert all(v >= 1 for v in per_q.values())
+
+
+def test_leakage_safe_split_string_ids(spark):
+    """String-id corpora (URL/hash ids) must split like assign_split,
+    not silently collapse into the last split: the rep column unifies
+    with the component domain without a numeric cast."""
+    from mrf_etl_spark.operators import sampling as sp
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(500)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("doc-0", "doc-1"), ("doc-1", "doc-2")], "doc_a string, doc_b string"
+    )
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    out = sp.leakage_safe_split(docs, pairs, "doc_id", w).cache()
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("train", 0) > 300, counts  # not all dumped in 'test'
+    heads = {r.doc_id: r.split for r in out.filter(F.col("doc_id").isin("doc-0", "doc-1", "doc-2")).collect()}
+    assert heads["doc-1"] == heads["doc-0"] and heads["doc-2"] == heads["doc-0"]
+    plain = {
+        r.doc_id: r.split
+        for r in sp.assign_split(docs, "doc_id", w).filter(~F.col("doc_id").isin("doc-0", "doc-1", "doc-2")).collect()
+    }
+    ours = {r.doc_id: r.split for r in out.filter(~F.col("doc_id").isin("doc-0", "doc-1", "doc-2")).collect()}
+    assert plain == ours
+    out.unpersist()
+
+
+def test_pq_adc_topk_custom_id_col(spark):
+    """n5's operator must work for any id column name — the query filter
+    is written against the caller's schema and applied before the PQ
+    rename (the review found both default and explicit filters crashed
+    for id_col != 'vec_id')."""
+    from mrf_etl_spark.operators.similarity import pq_adc_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .withColumnRenamed("vec_id", "item_id")
+    )
+    out = pq_adc_topk(
+        emb,
+        id_col="item_id",
+        dim=64,
+        seed_filter=F.col("item_id") < 16,
+        query_filter=F.col("item_id") < 4,
+        n_candidates=20,
+        k=3,
+    ).collect()
+    assert len(out) == 12  # 4 queries x 3
+    assert all(r.query_id < 4 and r.query_id != r.neighbor_id for r in out)

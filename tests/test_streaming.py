@@ -607,3 +607,40 @@ def test_scd2_stream_does_not_mutate_session_overwrite_mode(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.conf.get(key) == before
+
+
+def test_incremental_mv_sidless_writer_over_stamped_mv_still_guards(spark, tmp_path):
+    """The symmetric direction of the legacy-sidecar fix: a writer built
+    WITHOUT stream_id replaying a batch over a lineage-STAMPED MV (mixed
+    call sites, or a rollback to pre-lineage code) must still skip the
+    replay — and its own write must preserve the existing lineage stamp
+    rather than downgrading the sidecar to the one-line legacy form."""
+    import os
+
+    from mrf_etl_spark.streaming.ingest import (
+        _BATCH_ID_SIDECAR,
+        incremental_rollup_batch_writer,
+    )
+
+    mv = str(tmp_path / "mv_sidless")
+    b0 = spark.createDataFrame(
+        [("view", 1), ("click", 5)], "event_type string, value long"
+    )
+    stamped = incremental_rollup_batch_writer(
+        mv, keys=["event_type"], agg_exprs={"n": "count(*)"}, stream_id="ckpt-B"
+    )
+    stamped(b0, 3)
+
+    def snap():
+        return {r["event_type"]: r["n"] for r in spark.read.parquet(mv).collect()}
+
+    after = snap()
+    sidless = incremental_rollup_batch_writer(
+        mv, keys=["event_type"], agg_exprs={"n": "count(*)"}
+    )
+    sidless(b0, 3)  # replay of an applied batch: must be a no-op
+    assert snap() == after
+    sidless(b0, 4)  # a NEW batch applies and keeps the lineage stamp
+    assert snap() == {k: v * 2 for k, v in after.items()}
+    marker = open(os.path.join(mv, _BATCH_ID_SIDECAR)).read().splitlines()
+    assert marker == ["ckpt-B", "4"]
