@@ -677,21 +677,24 @@ def sentence_scrub(
     kept_frac and '' cleaned, so the output is a full-corpus transform,
     not a filter.
 
-    Plan shape: sentences explode map-side; document frequency needs
-    count(DISTINCT doc) per sentence, which Spark windows can't express
-    directly — instead a row_number over (doc, norm) marks each
-    document's first occurrence and a sum-window over (norm) counts the
-    marks: two sentence-keyed exchanges, no self-join, and hot sentences
-    spread because the partition key IS the sentence. The recompose is
-    one groupBy(doc) collecting (pos, sent) structs sorted by position —
-    deterministic because positions are unique per document.
+    Plan shape: sentences explode map-side; the per-sentence document
+    frequency is a DISTINCT on (doc, norm) — keys spread over both
+    columns, no hot partition — then a groupBy(norm) count whose
+    map-side partial aggregation caps any hot sentence's reduce-side
+    input at one row per task, joined back onto the positions. The df
+    side is deliberately an aggregate+join rather than a count-window
+    over (norm): a window partition is ONE task per key (a boilerplate
+    sentence shared by 1% of a billion docs would serialize 10M rows
+    through it, and AQE cannot split a skewed window partition), while
+    the skewed JOIN probe side is exactly what AQE's skew-join handles.
+    The recompose is one groupBy(doc) collecting (pos, sent) structs
+    sorted by position — deterministic because positions are unique per
+    document.
 
     Scrubbing is a FIXPOINT: removing df >= min_docs sentences cannot
     raise any surviving sentence's df, so a second pass drops nothing
     (property-tested).
     """
-    from pyspark.sql.window import Window
-
     sents = F.expr(
         f"filter(transform(split({text_col}, '[.!?]+'), s -> trim(s)), s -> s != '')"
     )
@@ -700,11 +703,13 @@ def sentence_scrub(
         .withColumnRenamed("col", "sent")
         .withColumn("norm", F.lower(F.col("sent")))
     )
-    w_first = Window.partitionBy("doc_id", "norm").orderBy("pos")
-    w_norm = Window.partitionBy("norm")
-    scored = pos.withColumn(
-        "_first", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
-    ).withColumn("dfc", F.sum("_first").over(w_norm))
+    dfreq = (
+        pos.select("doc_id", "norm")
+        .distinct()
+        .groupBy("norm")
+        .agg(F.count("*").alias("dfc"))
+    )
+    scored = pos.join(dfreq, "norm")
     agg = (
         scored.filter(F.col("dfc") < min_docs)
         .groupBy("doc_id")
