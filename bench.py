@@ -86,6 +86,9 @@ HEADLINE = [
     "pipe5_release_v2",
     "e4_product_quantization",
     "n5_ann_pq_adc",
+    # round-7 session 3: Bloom decontamination gate (scan-speed flag +
+    # in-row exact verification)
+    "d12_bloom_decontam",
 ]
 
 

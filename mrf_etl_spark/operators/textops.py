@@ -383,6 +383,202 @@ def contamination_overlap_tagged(
     return _overlap_single_agg(c_sh, ev)
 
 
+def bloom_positions(h: Column, m_bits: int, n_hashes: int) -> list[Column]:
+    """The ``n_hashes`` Bloom bit positions of a 60-bit shingle hash, by
+    double hashing (Kirsch–Mitzenmacher: pos_j = h1 + j*h2): h1 = h,
+    h2 = (h >> 20) | 1 (odd, so the stride cycles the whole table).
+    Pure nonneg int64 arithmetic — h < 2^60, j*h2 < 2^42, no overflow —
+    and ``& (m_bits-1)`` instead of ``%`` (m_bits is a power of two), so
+    an ANSI-SQL oracle replays every position bit-identically."""
+    assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+    h2 = F.shiftright(h, 20).bitwiseOR(F.lit(1))
+    return [
+        (h + F.lit(j) * h2).bitwiseAND(F.lit(m_bits - 1)) for j in range(n_hashes)
+    ]
+
+
+# int64 single-bit masks, bit 63 as the two's-complement min long —
+# shiftleft() takes only a literal shift amount, so "1 << (p & 63)" with a
+# column p is an element_at into this 64-entry literal array instead.
+_BIT_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+
+
+def _bit_mask(p: Column) -> Column:
+    """2^(p & 63) as int64 (bit 63 → min long), via the literal mask table."""
+    return F.element_at(
+        F.lit(_BIT_MASKS), p.bitwiseAND(F.lit(63)).cast("int") + F.lit(1)
+    )
+
+
+def bloom_bitset_words(
+    ev_hashes: DataFrame, m_bits: int = 1 << 17, n_hashes: int = 3
+) -> list[int]:
+    """Build the eval-side Bloom bitset as a Python list of ``m_bits/64``
+    int64 words (16 KiB at the default m) from a DataFrame with a 60-bit
+    hash column ``h``.
+
+    The collect here is CONSTANT-SIZE BY CONSTRUCTION — at most m/64 rows
+    regardless of eval size (the same precedent as the code list in
+    io/readers.py): positions reduce to (word, bit_or(mask)) pairs
+    distributedly, only the finished words come back. In production this
+    runs ONCE per frozen eval suite; the corpus never sees this job."""
+    pos_cols = bloom_positions(F.col("h"), m_bits, n_hashes)
+    pos = ev_hashes.select(
+        F.explode(F.array(*pos_cols)).alias("p")
+    )
+    rows = (
+        pos.select(
+            F.shiftright(F.col("p"), 6).cast("int").alias("w"),
+            _bit_mask(F.col("p")).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_member(
+    h: Column, words: list[int], m_bits: int, n_hashes: int
+) -> Column:
+    """Bloom membership test of a 60-bit hash against a literal bitset —
+    a pure projection (3 array lookups + int64 arithmetic, no join, no
+    shuffle): the decontamination gate that runs at scan speed on a
+    100 TB corpus. ``F.lit(words)`` is ONE ArrayType Literal node (not a
+    2048-element CreateArray), so codegen stays compact."""
+    bitset = F.lit(words)
+    cond = F.lit(True)
+    for p in bloom_positions(h, m_bits, n_hashes):
+        word = F.element_at(bitset, F.shiftright(p, 6).cast("int") + F.lit(1))
+        cond = cond & (word.bitwiseAND(_bit_mask(p)) != 0)
+    return cond
+
+
+def bloom_contam_gate(
+    df: DataFrame,
+    words: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    m_bits: int = 1 << 17,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """The production decontamination gate: given a frozen eval bitset
+    (:func:`bloom_bitset_words`, built once per eval suite), flag every
+    corpus document whose shingles hit the filter — as ONE narrow
+    projection. No explode, no join, no shuffle: shingles, hashes, and
+    the k-bit probes all evaluate inside higher-order array functions on
+    the scan, so at 100 TB this is a pass over the corpus at I/O speed
+    (tests pin the zero-Exchange plan). Bloom guarantees no false
+    negatives: ``clean`` docs are PROVABLY free of eval overlap; flagged
+    docs (tiny at any sane m) go to the exact recheck if needed.
+
+    Returns (id, n_shingles, n_bloom_hit, clean)."""
+    from mrf_etl_spark.operators.dedup import shingle_hash_expr
+
+    words_arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    parts = ", ".join(f"_words[i + {j}]" for j in range(k))
+    shingles = F.expr(
+        f"CASE WHEN size(_words) < {k} THEN array(concat_ws(' ', _words)) "
+        f"ELSE array_distinct(transform(sequence(0, greatest(size(_words) - {k}, 0)), "
+        f"i -> concat_ws(' ', {parts}))) END"
+    )
+    hits = F.filter(
+        F.col("_hs"),
+        lambda h: bloom_member(h, words, m_bits, n_hashes),
+    )
+    return (
+        df.select(F.col(id_col), words_arr.alias("_words"))
+        .select(F.col(id_col), shingles.alias("_sh"))
+        .select(
+            F.col(id_col),
+            F.transform(F.col("_sh"), lambda s: shingle_hash_expr(s)).alias("_hs"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("_hs").cast("long").alias("n_shingles"),
+            F.size(hits).cast("long").alias("n_bloom_hit"),
+        )
+        .withColumn("clean", F.col("n_bloom_hit") == 0)
+    )
+
+
+def bloom_decontam_tagged(
+    df: DataFrame,
+    eval_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    m_bits: int = 1 << 17,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter decontamination gate — the 100 TB-shape alternative to
+    :func:`contamination_overlap`: instead of semi-joining every corpus
+    shingle against the eval universe, the eval suite is compiled ONCE
+    into an ``m_bits``-bit Bloom bitset (16 KiB at the default m — it
+    ships inside the plan as one array literal) and each corpus shingle
+    tests k bits with pure int64 arithmetic. The corpus side does ZERO
+    joins for the gate — decontamination at scan speed; Bloom guarantees
+    no false negatives, so every contaminated doc is flagged.
+
+    This parity form ALSO computes the exact overlap (the t8 broadcast
+    semi-join) to verify the gate in-row: per corpus doc,
+    (doc_id, n_shingles, n_hit [exact], n_bloom_hit, clean
+    [no bloom hits → provably uncontaminated], no_false_neg [every
+    exact-hit shingle bloom-hit — must be TRUE by construction]).
+    Because the hash recipe is the engine-neutral md5 domain and the
+    positions are replayable arithmetic, an ANSI oracle reproduces the
+    bitset semantics exactly (position ∈ eval position set ⇔ bit set) —
+    n_bloom_hit compares exactly, false positives included."""
+    from pyspark import StorageLevel
+
+    from mrf_etl_spark.operators.dedup import doc_shingles, shingle_hash_expr
+
+    # Eval shingles come from a PRE-FILTERED scan (shingling the whole
+    # tagged corpus and keeping 1/101 of the rows would pay the corpus
+    # md5 pass twice); the distinct hash set is tiny (the eval suite) and
+    # feeds two consumers — the bitset build (an action) and the exact
+    # verification join — so it persists between them.
+    ev = (
+        doc_shingles(df.filter(eval_pred), text_col, id_col, k)
+        .select(shingle_hash_expr(F.col("shingle")).alias("h"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    words = bloom_bitset_words(ev, m_bits, n_hashes)
+    c_sh = doc_shingles(df.filter(~eval_pred), text_col, id_col, k).select(
+        "doc_id", shingle_hash_expr(F.col("shingle")).alias("h")
+    )
+    joined = c_sh.join(ev.withColumn("_hit", F.lit(True)), "h", "left")
+    # project the k-probe test ONCE per shingle row; two aggregate
+    # expressions then read the boolean instead of re-probing the bitset
+    probed = joined.withColumn(
+        "_bloom", bloom_member(F.col("h"), words, m_bits, n_hashes)
+    )
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_hit"),
+            F.sum(F.col("_bloom").cast("long")).alias("n_bloom_hit"),
+            F.sum(
+                (F.col("_hit").isNotNull() & ~F.col("_bloom")).cast("long")
+            ).alias("_miss"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            "n_bloom_hit",
+            (F.col("n_bloom_hit") == 0).alias("clean"),
+            (F.col("_miss") == 0).alias("no_false_neg"),
+        )
+    )
+
+
 def repeated_passages(
     df: DataFrame,
     text_col: str = "text",

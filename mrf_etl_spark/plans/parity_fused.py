@@ -187,6 +187,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("t8_contamination", ["overlap_frac"]),
         ("t18_sentence_scrub", ["kept_frac"]),
         ("t19_quality_classifier", ["logit"]),
+        # round-7 session 3: the Bloom gate beside its exact twin t8 —
+        # all-integer/boolean compare surface, 0.06 s oracle
+        ("d12_bloom_decontam", []),
     ],
     "fx_dedup_pairs": [
         ("d3_ngram_jaccard", ["jaccard"]),
@@ -321,6 +324,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("st4_stateful_totals", ["total_value"]),
         ("st5_stream_dedup", []),
         ("st12_stream_classifier_gate", ["logit"]),
+        # round-7 session 3: streaming Bloom gate (d12's ingest twin) —
+        # all-integer compare surface, oracle = d12's filtered to clean
+        ("st13_stream_bloom_gate", []),
     ],
     "fx_streaming_lake": [
         ("st7_stream_dedup_ingest", []),
@@ -344,6 +350,10 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "d1_exact_dup": ["content_hash", "n", "min_id", "max_id"],
     "t2_quality_score": ["doc_id", "n_ws", "punct_ratio", "stopword_ratio", "quality"],
     "t8_contamination": ["doc_id", "n_shingles", "n_hit", "overlap_frac"],
+    "d12_bloom_decontam": [
+        "doc_id", "n_shingles", "n_hit", "n_bloom_hit", "clean", "no_false_neg",
+    ],
+    "st13_stream_bloom_gate": ["doc_id", "n_shingles"],
     "s23_scd2_history": [
         "user_id", "version", "valid_from_us", "valid_to_us", "is_current", "value",
     ],

@@ -1011,6 +1011,88 @@ def t8_contamination(spark, sf_dir):
     )
 
 
+BLOOM_M = 1 << 17  # Bloom bitset bits (16 KiB of int64 words)
+BLOOM_K = 3  # hash functions (double hashing off the shared 60-bit md5 h)
+
+# d12's oracle replays the BITSET semantics exactly: bit p is set iff p
+# is in the eval position set, so corpus-shingle membership is "all
+# BLOOM_K positions ∈ epos" — identical to the Spark side's literal-
+# bitset probes, false positives included (positions are pure int64
+# arithmetic off the engine-neutral md5 hash domain; & replaces % as
+# BLOOM_M is a power of two). euniv/epos are MATERIALIZED: both are
+# referenced downstream and DuckDB's default CTE inlining would
+# duplicate the eval shingle pipeline per reference (the map-budget
+# lesson of CORRECTNESS_r05). Shared with st13 (the streaming gate
+# drains to exactly d12's clean set).
+_D12_ORACLE_SQL = f"""WITH corpus AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} <> 0),
+       ev AS (SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} = 0),
+       cw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM corpus),
+       csh AS (
+         SELECT DISTINCT doc_id,
+                CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h
+         FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+                     FROM cw WHERE len(ws) >= 3)
+               UNION ALL
+               SELECT doc_id, array_to_string(ws, ' ') AS sh
+               FROM cw WHERE len(ws) < 3)),
+       ew AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM ev),
+       euniv AS MATERIALIZED (
+         SELECT DISTINCT CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h
+         FROM (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i
+                     FROM ew WHERE len(ws) >= 3)
+               UNION ALL
+               SELECT array_to_string(ws, ' ') AS sh FROM ew WHERE len(ws) < 3)),
+       epos AS MATERIALIZED (
+         SELECT DISTINCT (h + j * ((h >> 20) | 1)) & {BLOOM_M - 1} AS p
+         FROM euniv, (SELECT unnest(range(0, {BLOOM_K})) AS j)),
+       probes AS (
+         SELECT doc_id, h, (h + j * ((h >> 20) | 1)) & {BLOOM_M - 1} AS p
+         FROM csh, (SELECT unnest(range(0, {BLOOM_K})) AS j)),
+       bhits AS (
+         SELECT c.doc_id, c.h, count(ep.p) = {BLOOM_K} AS bloom_hit
+         FROM probes c LEFT JOIN epos ep ON c.p = ep.p
+         GROUP BY c.doc_id, c.h),
+       ahit AS (
+         SELECT b.doc_id, b.bloom_hit, (e.h IS NOT NULL) AS exact_hit
+         FROM bhits b LEFT JOIN euniv e ON b.h = e.h)
+       SELECT doc_id, count(*) AS n_shingles,
+              count(*) FILTER (WHERE exact_hit) AS n_hit,
+              count(*) FILTER (WHERE bloom_hit) AS n_bloom_hit,
+              count(*) FILTER (WHERE bloom_hit) = 0 AS clean,
+              count(*) FILTER (WHERE exact_hit AND NOT bloom_hit) = 0
+                AS no_false_neg
+       FROM ahit GROUP BY doc_id"""
+
+
+@register(
+    "d12_bloom_decontam",
+    _D12_ORACLE_SQL,
+    doc="d12: Bloom-filter decontamination gate — the eval suite compiled "
+    "once into a 16 KiB literal bitset; the corpus side tests k bits per "
+    "shingle with pure int64 arithmetic (ZERO joins for the gate — "
+    "decontamination at scan speed at 100 TB). Exact overlap verified "
+    "in-row: no_false_neg must be TRUE everywhere by Bloom's guarantee, "
+    "and n_bloom_hit compares exactly because the oracle replays the "
+    "position arithmetic (false positives included).",
+)
+def d12_bloom_decontam(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.bloom_decontam_tagged(
+        d,
+        F.col("doc_id") % EVAL_MOD == 0,
+        "text",
+        "doc_id",
+        k=SHINGLE_K,
+        m_bits=BLOOM_M,
+        n_hashes=BLOOM_K,
+    )
+
+
 SP3_CUTOFF_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z
 SP3_GAP_US = 48 * 3600 * 1_000_000  # 48 h leakage buffer
 

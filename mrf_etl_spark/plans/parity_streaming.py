@@ -746,3 +746,89 @@ def _register_st12():
 
 
 st12_stream_classifier_gate = _register_st12()
+
+
+def _register_st13():
+    from mrf_etl_spark.plans.parity_llm import _D12_ORACLE_SQL
+
+    @register(
+        "st13_stream_bloom_gate",
+        # stream == batch for the stateless Bloom gate: the drained lake
+        # must be exactly d12's clean set (the frozen bitset makes every
+        # per-doc decision independent of batch boundaries)
+        oracle=f"""
+        SELECT doc_id, n_shingles
+        FROM ({_D12_ORACLE_SQL}) WHERE clean""",
+        doc="streaming Bloom decontamination gate — d12's frozen eval "
+        "bitset applied per micro-batch via the pure-projection gate "
+        "(bloom_contam_gate: no joins, no state store, no watermark); "
+        "docs with zero Bloom hits append to the training lake as they "
+        "land. The ingest-time shape of decontamination: the bitset is "
+        "built ONCE from the frozen eval suite, then every arriving "
+        "batch is screened at scan speed — at 100 TB/day this is the "
+        "only decontamination shape that keeps up with ingest.",
+    )
+    def st13_stream_bloom_gate(spark, sf_dir):
+        """Builds the eval bitset batch-side (the frozen-suite step),
+        stages the non-eval corpus as two disjoint halves consumed one
+        per micro-batch, gates each batch with the literal bitset, and
+        appends clean (doc_id, n_shingles) rows to the lake."""
+        import os
+
+        from mrf_etl_spark.operators.dedup import doc_shingles, shingle_hash_expr
+        from mrf_etl_spark.operators.textops import (
+            bloom_bitset_words,
+            bloom_contam_gate,
+        )
+        from mrf_etl_spark.plans.parity_llm import BLOOM_K, BLOOM_M, EVAL_MOD
+
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        ev = (
+            doc_shingles(
+                docs.filter(F.col("doc_id") % EVAL_MOD == 0), "text", "doc_id"
+            )
+            .select(shingle_hash_expr(F.col("shingle")).alias("h"))
+            .distinct()
+        )
+        words = bloom_bitset_words(ev, BLOOM_M, BLOOM_K)
+
+        corpus = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+        staging = _scratch("st13_staging")
+        os.makedirs(staging, exist_ok=True)
+        corpus.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+            f"{staging}/half=1"
+        )
+        corpus.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
+            f"{staging}/half=2"
+        )
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staging}/half=*")
+        )
+        lake = _scratch("st13_lake")
+
+        def _sink(batch_df, _batch_id):
+            (
+                bloom_contam_gate(
+                    batch_df, words, m_bits=BLOOM_M, n_hashes=BLOOM_K
+                )
+                .filter(F.col("clean"))
+                .select("doc_id", "n_shingles")
+                .write.mode("append")
+                .parquet(lake)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", _scratch("st13_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(lake)
+
+    return st13_stream_bloom_gate
+
+
+st13_stream_bloom_gate = _register_st13()

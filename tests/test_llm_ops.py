@@ -1700,3 +1700,78 @@ def test_pq_adc_topk_custom_id_col(spark):
     ).collect()
     assert len(out) == 12  # 4 queries x 3
     assert all(r.query_id < 4 and r.query_id != r.neighbor_id for r in out)
+
+
+def test_bloom_gate_matches_tagged_and_never_misses(spark):
+    """d12's pure-projection gate (the production path) must agree with
+    the join-verified tagged form on every (n_shingles, n_bloom_hit,
+    clean), no_false_neg must hold corpus-wide (Bloom's guarantee), and
+    the gate plan must contain ZERO exchanges — decontamination as a
+    scan-time filter is the whole point at 100 TB."""
+    from mrf_etl_spark.operators import textops as tx
+    from mrf_etl_spark.operators.dedup import doc_shingles, shingle_hash_expr
+    from mrf_etl_spark.plans.parity_llm import BLOOM_K, BLOOM_M, EVAL_MOD
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    ev = (
+        doc_shingles(d.filter(F.col("doc_id") % EVAL_MOD == 0), "text", "doc_id")
+        .select(shingle_hash_expr(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    words = tx.bloom_bitset_words(ev, BLOOM_M, BLOOM_K)
+    assert len(words) == BLOOM_M // 64 and any(words)
+
+    corpus = d.filter(F.col("doc_id") % EVAL_MOD != 0)
+    gate = tx.bloom_contam_gate(corpus, words, m_bits=BLOOM_M, n_hashes=BLOOM_K)
+    assert "Exchange" not in gate._jdf.queryExecution().executedPlan().toString()
+
+    full = tx.bloom_decontam_tagged(
+        d, F.col("doc_id") % EVAL_MOD == 0, m_bits=BLOOM_M, n_hashes=BLOOM_K
+    ).cache()
+    try:
+        got = {
+            r.doc_id: (r.n_shingles, r.n_bloom_hit, r.clean) for r in gate.collect()
+        }
+        want = {
+            r.doc_id: (r.n_shingles, r.n_bloom_hit, r.clean) for r in full.collect()
+        }
+        assert got == want and len(got) > 0
+        agg = full.agg(
+            F.min("no_false_neg").alias("nfn"),
+            F.sum(F.col("clean").cast("long")).alias("n_clean"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        assert agg.nfn is True  # no false negatives, ever
+        assert 0 < agg.n_clean <= agg.n  # the gate actually clears docs
+    finally:
+        full.unpersist()
+
+
+def test_bloom_gate_tiny_table_shows_false_positives_but_superset(spark):
+    """Shrinking the bitset to 64 bits forces collisions: the flag set
+    must become a strict SUPERSET of the exact hits (false positives
+    appear) while no_false_neg stays TRUE — pinning that the two failure
+    directions are asymmetric exactly as Bloom promises."""
+    from mrf_etl_spark.operators import textops as tx
+    from mrf_etl_spark.plans.parity_llm import EVAL_MOD
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    full = tx.bloom_decontam_tagged(
+        d, F.col("doc_id") % EVAL_MOD == 0, m_bits=64, n_hashes=3
+    ).cache()
+    try:
+        agg = full.agg(
+            F.min("no_false_neg").alias("nfn"),
+            F.sum("n_hit").alias("nh"),
+            F.sum("n_bloom_hit").alias("nb"),
+        ).collect()[0]
+        assert agg.nfn is True
+        assert agg.nb > agg.nh  # collisions at m=64: FPs exist, FNs don't
+    finally:
+        full.unpersist()

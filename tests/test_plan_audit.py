@@ -38,6 +38,11 @@ NESTED_LOOP_OK = {
     # same cascade against the PERSISTED codebook (index create/append
     # assign + query probe all cross the broadcast centroid set)
     "n4_ann_index_incremental": "bounded broadcast centroid set (persisted codebook)",
+    # PQ: every vector/query crosses the CONSTANT 16-entry sub-centroid
+    # codebook (a bounded broadcast, linear in corpus); n5 additionally
+    # crosses the 1-row query distance table onto the code scan
+    "e4_product_quantization": "bounded broadcast PQ codebook (16 seeds)",
+    "n5_ann_pq_adc": "bounded broadcast PQ codebook + 1-row query table",
     "d5b_embedding_near_dup_ivf": "bounded broadcast centroid set",
     # d8 composes the d5b cascade (same centroid broadcast) before the
     # star-contraction clustering — the product side is the centroid set

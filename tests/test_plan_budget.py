@@ -76,6 +76,11 @@ BUDGETS = {
     # small-input gate picks the one-phase plan at sf0.001: ONE window
     # shuffle (the two-phase variant is budgeted separately below)
     "a16_weighted_median": 1,
+    # bloom decontam: the only corpus-proportional exchange is the final
+    # doc_id agg pair; the eval join BROADCASTS (BroadcastExchange is not
+    # counted) and the other Exchange mentions are the constant-size eval
+    # distinct inside the persisted bitset-source plan's string
+    "d12_bloom_decontam": 6,
 }
 
 
