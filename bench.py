@@ -87,8 +87,9 @@ HEADLINE = [
     "e4_product_quantization",
     "n5_ann_pq_adc",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
-    # in-row exact verification)
+    # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",
+    "j19_bloom_pruned_join",
 ]
 
 

@@ -54,3 +54,63 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     return l.join(r, keys, how).drop("_salt")
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    m_bits: int = 1 << 17,
+    n_hashes: int = 3,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with an explicit Bloom runtime filter: the dim side's
+    join keys compile into a constant-size bitset (16 KiB at the default
+    m — built by ONE tiny job over the dim) and the FACT side drops
+    non-candidate rows AT THE SCAN, before its shuffle. At 100 TB the
+    shuffle is the cost: when the dim is selective (a filtered dimension
+    slice), most fact rows can never match, and shipping them to the
+    join reducers is pure waste — the bitset prunes them for three int64
+    probes per row, no extra exchange, no broadcast of the dim itself.
+
+    This is the plan-level form of Spark's runtime bloom-filter
+    injection (spark.sql.optimizer.runtime.bloomFilter.*), usable when
+    the optimizer can't prove the dim selective (opaque UDF filters,
+    pre-computed dim snapshots, reuse of one bitset across many joins).
+
+    Bloom has no false negatives, so every matching fact row survives
+    the prune; false positives are eliminated by the exact join that
+    follows — the result is ROW-IDENTICAL to ``fact.join(dim, on, how)``
+    (the parity oracle is the plain join). Inner and left-semi only: any
+    fact-preserving join would have to keep the pruned rows.
+
+    The prune never reaches the result (the exact join re-checks every
+    key), so unlike d12's oracle-replayed bitset the hash here does NOT
+    need an engine-neutral domain — it is xxhash64 over the '|'-joined
+    STRING form of the keys (canonical across int/long/string key
+    types), one JVM hash per row instead of an md5. Equal keys hash
+    equally on both sides, which is all no-false-negatives needs. The
+    hash is materialized as a named column before the filter so it
+    evaluates ONCE per row even when the probe expression falls out of
+    whole-stage codegen (the interpreted evaluator has no
+    common-subexpression elimination)."""
+    from mrf_etl_spark.operators.textops import bloom_bitset_words, bloom_member
+
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError("bloom_pruned_join supports inner/left-semi joins only")
+
+    def _key_hash() -> F.Column:
+        # masked to the nonneg 60-bit domain bloom_positions assumes
+        # (h + j*h2 must not overflow int64, which would throw under ANSI)
+        return F.xxhash64(
+            F.concat_ws("|", *[F.col(k).cast("string") for k in on])
+        ).bitwiseAND(F.lit((1 << 60) - 1))
+
+    dim_hashes = dim.select(_key_hash().alias("h")).distinct()
+    words = bloom_bitset_words(dim_hashes, m_bits, n_hashes)
+    pruned = (
+        fact.withColumn("_h", _key_hash())
+        .filter(bloom_member(F.col("_h"), words, m_bits, n_hashes))
+        .drop("_h")
+    )
+    return pruned.join(dim, list(on), how)

@@ -402,11 +402,27 @@ def bloom_positions(h: Column, m_bits: int, n_hashes: int) -> list[Column]:
 # column p is an element_at into this 64-entry literal array instead.
 _BIT_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
 
+_LONG_MIN = -(1 << 63)
+
+
+def _lit_long_array(vals: list[int]) -> Column:
+    """array<bigint> literal in ONE py4j round trip: ``F.lit(list)``
+    desugars to 2048 individual ``lit`` calls for a 2048-word bitset
+    (~2-3 s of driver-side chatter per plan build, measured); a parsed
+    ``array(...)`` string is one call and constant-folds to the same
+    Literal. Long.MIN can't be lexed directly (the parser overflows on
+    the unsigned digits before applying the minus), so it is emitted as
+    the canonical (-MAX - 1) expression."""
+    parts = [
+        "(-9223372036854775807L - 1L)" if v == _LONG_MIN else f"{v}L" for v in vals
+    ]
+    return F.expr(f"array({','.join(parts)})")
+
 
 def _bit_mask(p: Column) -> Column:
     """2^(p & 63) as int64 (bit 63 → min long), via the literal mask table."""
     return F.element_at(
-        F.lit(_BIT_MASKS), p.bitwiseAND(F.lit(63)).cast("int") + F.lit(1)
+        _lit_long_array(_BIT_MASKS), p.bitwiseAND(F.lit(63)).cast("int") + F.lit(1)
     )
 
 
@@ -447,9 +463,10 @@ def bloom_member(
     """Bloom membership test of a 60-bit hash against a literal bitset —
     a pure projection (3 array lookups + int64 arithmetic, no join, no
     shuffle): the decontamination gate that runs at scan speed on a
-    100 TB corpus. ``F.lit(words)`` is ONE ArrayType Literal node (not a
-    2048-element CreateArray), so codegen stays compact."""
-    bitset = F.lit(words)
+    100 TB corpus. The bitset parses as ONE array(...) expression (a
+    single py4j round trip) and constant-folds to one ArrayType
+    Literal."""
+    bitset = _lit_long_array(words)
     cond = F.lit(True)
     for p in bloom_positions(h, m_bits, n_hashes):
         word = F.element_at(bitset, F.shiftright(p, 6).cast("int") + F.lit(1))
@@ -476,9 +493,12 @@ def bloom_contam_gate(
     negatives: ``clean`` docs are PROVABLY free of eval overlap; flagged
     docs (tiny at any sane m) go to the exact recheck if needed.
 
-    Returns (id, n_shingles, n_bloom_hit, clean)."""
+    Returns (id, n_shingles, n_bloom_hit, clean). NULL-text docs are
+    dropped, matching the tagged/exploded form (explode of an empty
+    shingle set emits no rows there)."""
     from mrf_etl_spark.operators.dedup import shingle_hash_expr
 
+    df = df.filter(F.col(text_col).isNotNull())
     words_arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     parts = ", ".join(f"_words[i + {j}]" for j in range(k))
     shingles = F.expr(

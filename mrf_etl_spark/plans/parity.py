@@ -1955,6 +1955,45 @@ def j13_salted_skew_join(spark, sf_dir):
 
 
 @register(
+    "j19_bloom_pruned_join",
+    # the Bloom prune is result-invisible (no false negatives; FPs die
+    # in the exact join), so the truth is the PLAIN join — the oracle
+    # proves the runtime filter changes cost, never rows
+    """SELECT p.p_type, count(*) AS n,
+              sum(CAST(l.l_quantity AS BIGINT)) AS qty
+       FROM lineitem l
+       JOIN (SELECT p_partkey, p_type FROM part WHERE p_brand = 'Brand#11') p
+         ON l.l_partkey = p.p_partkey
+       GROUP BY p.p_type""",
+    doc="J19 (beyond-reference, brief bullet 'minimize shuffles'): an "
+    "explicit Bloom runtime filter — the selective part slice's keys "
+    "compile into a 16 KiB bitset and lineitem drops non-candidate rows "
+    "AT THE SCAN (~24/25 of the fact at this selectivity), before any "
+    "shuffle; the plan-level form of Spark's runtime bloomFilter "
+    "injection for when the optimizer can't see the dim's selectivity",
+)
+def j19_bloom_pruned_join(spark, sf_dir):
+    from mrf_etl_spark.operators.skew import bloom_pruned_join
+
+    fact = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity"
+    )
+    dim = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey", "p_type")
+    )
+    return (
+        bloom_pruned_join(fact, dim, on=["p_partkey"])
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+    )
+
+
+@register(
     "q1_quality_report",
     """SELECT 'fk_lineitem_orders' AS check,
               count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_bad,

@@ -294,6 +294,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-7 session 2: j8's direct slot freed for pipe5 (the
         # composed release flow) — j8's oracle is a 0.03 s star join
         ("j8_star_join", ["price"]),
+        # round-7 session 3: Bloom-pruned join (prune is result-
+        # invisible; oracle is the plain join+agg, ~0.02 s)
+        ("j19_bloom_pruned_join", []),
     ],
     "fx_text_stats": [
         ("t3_token_count", []),
@@ -354,6 +357,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "doc_id", "n_shingles", "n_hit", "n_bloom_hit", "clean", "no_false_neg",
     ],
     "st13_stream_bloom_gate": ["doc_id", "n_shingles"],
+    "j19_bloom_pruned_join": ["p_type", "n", "qty"],
     "s23_scd2_history": [
         "user_id", "version", "valid_from_us", "valid_to_us", "is_current", "value",
     ],

@@ -443,3 +443,58 @@ def test_sweep_green_and_row_identical_under_cluster_plan_confs():
     assert set(base_rows) == set(names) and plan_rows == base_rows, (
         base_rows, plan_rows,
     )
+
+
+def test_bloom_pruned_join_identity_prune_and_placement(spark):
+    """The Bloom runtime filter must be result-invisible (rows identical
+    to the plain join for inner AND left-semi), must actually prune (the
+    surviving fact fraction ~ dim selectivity plus the tiny FP tail),
+    and must run BELOW the join (a Filter on the fact scan side, not a
+    post-join residual) — pruning after the shuffle would be pointless."""
+    import pytest
+
+    from mrf_etl_spark.operators.skew import bloom_pruned_join
+
+    sf = "/root/testdata/sf0.001"
+    fact = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        F.col("l_partkey").alias("p_partkey"), "l_orderkey", "l_linenumber"
+    )
+    dim = (
+        spark.read.parquet(f"{sf}/part.parquet")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey", "p_type")
+    )
+    plain = fact.join(dim, "p_partkey")
+    pruned = bloom_pruned_join(fact, dim, on=["p_partkey"])
+    assert pruned.exceptAll(plain).count() == 0
+    assert plain.exceptAll(pruned).count() == 0
+
+    semi_plain = fact.join(dim, "p_partkey", "left_semi")
+    semi = bloom_pruned_join(fact, dim, on=["p_partkey"], how="left_semi")
+    assert semi.exceptAll(semi_plain).count() == 0
+    assert semi_plain.exceptAll(semi).count() == 0
+
+    # the prune itself: surviving fraction tracks the dim's selectivity
+    from mrf_etl_spark.operators.textops import bloom_bitset_words, bloom_member
+
+    def _h():
+        return F.xxhash64(F.col("p_partkey").cast("string")).bitwiseAND(
+            F.lit((1 << 60) - 1)
+        )
+
+    dim_h = dim.select(_h().alias("h")).distinct()
+    words = bloom_bitset_words(dim_h)
+    n_all = fact.count()
+    n_kept = fact.filter(bloom_member(_h(), words, 1 << 17, 3)).count()
+    n_match = semi_plain.count()
+    assert n_match <= n_kept < n_all * 0.25  # superset of matches, real prune
+
+    # placement: the bloom Filter must sit under the fact side of the
+    # join, not above it — no Filter node after the join in the plan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    join_pos = plan.find("Join")
+    filter_pos = plan.find("Filter")
+    assert 0 <= join_pos < filter_pos, plan[:400]
+
+    with pytest.raises(ValueError):
+        bloom_pruned_join(fact, dim, on=["p_partkey"], how="left")
