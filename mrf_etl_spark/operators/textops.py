@@ -438,6 +438,8 @@ def bloom_bitset_words(
     io/readers.py): positions reduce to (word, bit_or(mask)) pairs
     distributedly, only the finished words come back. In production this
     runs ONCE per frozen eval suite; the corpus never sees this job."""
+    if m_bits < 64:
+        raise ValueError("m_bits must be >= 64 (one int64 word)")
     pos_cols = bloom_positions(F.col("h"), m_bits, n_hashes)
     pos = ev_hashes.select(
         F.explode(F.array(*pos_cols)).alias("p")

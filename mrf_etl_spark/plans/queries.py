@@ -137,6 +137,13 @@ class StarLake:
     # when set, every index-derived endpoint reads it instead of
     # re-joining the star — the reference's comprehensive_search_index MV
     search_index_table: DataFrame | None = None
+    # second-tier serving MVs (materialize_search_rollups /
+    # materialize_category_stats): per-endpoint PRE-AGGREGATED rollups,
+    # the reference's per-endpoint search views — when set, search_rollup
+    # and category_statistics filter these instead of aggregating the
+    # scoped index per request
+    search_rollup_mvs: dict[str, DataFrame] | None = None
+    category_stats_table: DataFrame | None = None
 
     @classmethod
     def load(cls, spark: SparkSession, lake_dir: str) -> StarLake:
@@ -283,15 +290,49 @@ class StarLake:
         tie-nondeterministic under LIMIT — the identity columns join the
         sort as a total-order tie-break (the rate_detail fix)."""
         col, op, group_cols, extras = self.SEARCH_ROLLUPS[search_type]
+        value_pred = (
+            (lambda c: c == value) if op == "eq"
+            else (lambda c: c.ilike(f"%{value}%"))
+        )
+        if self.search_rollup_mvs and search_type in self.search_rollup_mvs:
+            # second-tier MV: the identity-grain rollup is PRE-AGGREGATED
+            # per (state, year_month) and the value predicate filters
+            # GROUPS — exact, because the predicate column is part of the
+            # rollup's group key (filtering groups == filtering rows).
+            # The request scans thousands of rollup rows in one pruned
+            # partition instead of re-aggregating the index slice.
+            mv = self.search_rollup_mvs[search_type]
+            present = [c for c in group_cols if c in mv.columns]
+            agg_names = ["rate_count", "avg_rate", "min_rate", "max_rate"] + [
+                name for name in extras if name in mv.columns
+            ]
+            out = mv.filter(
+                (F.col("state") == state) & (F.col("year_month") == year_month)
+            ).filter(value_pred(F.col(col)))
+            return (
+                out.select(*present, *agg_names)
+                .orderBy(
+                    F.col("rate_count").desc(),
+                    *[F.col(c).asc_nulls_last() for c in present],
+                )
+                .limit(limit)
+            )
         idx = self.search_index().filter(
             (F.col("state") == state) & (F.col("year_month") == year_month)
         )
-        if op == "eq":
-            idx = idx.filter(F.col(col) == value)
-        else:
-            idx = idx.filter(F.col(col).ilike(f"%{value}%"))
+        idx = idx.filter(value_pred(F.col(col)))
         present = [c for c in group_cols if c in idx.columns]
-        out = idx.groupBy(*present).agg(
+        out = idx.groupBy(*present).agg(*self._rollup_aggs(idx, extras))
+        return out.orderBy(
+            F.col("rate_count").desc(), *[F.col(c).asc_nulls_last() for c in present]
+        ).limit(limit)
+
+    @staticmethod
+    def _rollup_aggs(idx: DataFrame, extras: dict[str, str]) -> list[Column]:
+        """The shared per-group stat block of search_rollup — used both by
+        the per-request aggregation and the MV build, so the two paths
+        cannot drift."""
+        return [
             F.count("*").alias("rate_count"),
             F.avg("negotiated_rate").alias("avg_rate"),
             F.min("negotiated_rate").alias("min_rate"),
@@ -301,10 +342,7 @@ class StarLake:
                 for name, src in extras.items()
                 if src in idx.columns
             ],
-        )
-        return out.orderBy(
-            F.col("rate_count").desc(), *[F.col(c).asc_nulls_last() for c in present]
-        ).limit(limit)
+        ]
 
     # -- /api/explore/* (backend/main.py:926-996 →
     #    utils/optimized_queries.py:828-1025) ---------------------------
@@ -358,7 +396,16 @@ class StarLake:
 
     def category_statistics(self, state: str, year_month: str) -> DataFrame:
         """/api/explore/category-stats: one row of distinct-value counts
-        per explore category + total records, over the scoped index."""
+        per explore category + total records, over the scoped index.
+        With the stats MV materialized this is a POINT READ of one
+        pre-aggregated row (the scoped countDistincts equal the grouped
+        countDistincts at (state, year_month) grain exactly)."""
+        if self.category_stats_table is not None:
+            mv = self.category_stats_table
+            keep = [c for c in mv.columns if c not in ("state", "year_month")]
+            return mv.filter(
+                (F.col("state") == state) & (F.col("year_month") == year_month)
+            ).select(*keep)
         idx = self.search_index().filter(
             (F.col("state") == state) & (F.col("year_month") == year_month)
         )
@@ -672,6 +719,63 @@ class StarLake:
             xref_npi=self.xref_npi,
             xref_tin=self.xref_tin,
             search_index_table=spark.read.parquet(path),
+        )
+
+    def materialize_search_rollups(
+        self, path: str, search_types: Iterable[str] | None = None
+    ) -> StarLake:
+        """Second-tier serving MVs — the reference's per-endpoint search
+        views (DASHBOARD_OPTIMIZATION_GUIDE.md, the 10-50x tier): for
+        each search type, the identity-grain rollup pre-aggregates per
+        (state, year_month) WITHOUT the value predicate. The predicate
+        column is part of every rollup's group key, so filtering the
+        pre-aggregated groups at request time returns exactly what
+        aggregating the filtered index would (parity-tested); an ilike
+        request then scans a few thousand rollup rows in one pruned
+        partition instead of re-aggregating the scoped index slice.
+        Refresh = re-materialize touched (state, year_month) partitions,
+        the refresh_market_rates pattern."""
+        import dataclasses
+
+        spark = self.fact.sparkSession
+        idx = self.search_index()
+        mvs: dict[str, DataFrame] = {}
+        for st in search_types or list(self.SEARCH_ROLLUPS):
+            _, _, group_cols, extras = self.SEARCH_ROLLUPS[st]
+            present = [c for c in group_cols if c in idx.columns]
+            (
+                idx.groupBy("state", "year_month", *present)
+                .agg(*self._rollup_aggs(idx, extras))
+                .write.mode("overwrite")
+                .partitionBy("state", "year_month")
+                .parquet(f"{path}/{st}")
+            )
+            mvs[st] = spark.read.parquet(f"{path}/{st}")
+        return dataclasses.replace(self, search_rollup_mvs=mvs)
+
+    def materialize_category_stats(self, path: str) -> StarLake:
+        """The explore-stats MV: ONE row per (state, year_month) holding
+        every category's distinct-value count + total records. The
+        endpoint becomes a partition-pruned point read — the smallest
+        serving table in the tier (|states| x |months| rows)."""
+        import dataclasses
+
+        spark = self.fact.sparkSession
+        idx = self.search_index()
+        aggs = [
+            F.countDistinct(col).alias(f"unique_{cat}")
+            for cat, col in self.CATEGORY_FIELDS.items()
+            if col in idx.columns
+        ]
+        (
+            idx.groupBy("state", "year_month")
+            .agg(*aggs, F.count("*").alias("total_records"))
+            .write.mode("overwrite")
+            .partitionBy("state", "year_month")
+            .parquet(path)
+        )
+        return dataclasses.replace(
+            self, category_stats_table=spark.read.parquet(path)
         )
 
     def materialize_market_rates(self, path: str) -> DataFrame:

@@ -141,6 +141,11 @@ def main() -> None:
     mv_lake = lake.materialize_search_index(f"{tmp}/search_mv")
     mr_path = f"{tmp}/market_rates"
     lake.materialize_market_rates(mr_path)
+    # second-tier MVs (pre-aggregated per-endpoint rollups): built from
+    # the materialized index, so the build is one agg job per endpoint
+    mv2_lake = mv_lake.materialize_search_rollups(
+        f"{tmp}/rollup_mv", search_types=["payer"]
+    ).materialize_category_stats(f"{tmp}/stats_mv")
 
     # one sample code/payer that actually exists, picked deterministically
     sample = mv_lake.search_index().select("code", "payer_slug").first()
@@ -185,6 +190,15 @@ def main() -> None:
             "GA", "2025-01", "procedure", source=("payer", payer_val)
         ),
         "explore_stats": lambda: mv_lake.category_statistics("GA", "2025-01"),
+        # second-tier pre-aggregated MVs: the same two requests served
+        # from per-endpoint rollups (the families above them re-aggregate
+        # the pruned index slice per request)
+        "search_payer_ilike_mv2": lambda: mv2_lake.search_rollup(
+            "payer", payer_val[:5], "GA", "2025-01"
+        ),
+        "explore_stats_mv2": lambda: mv2_lake.category_statistics(
+            "GA", "2025-01"
+        ),
         # the dashboard page fetch: pruned partition -> top-100 by volume
         # (collecting the WHOLE state slice would bench Arrow transfer of
         # the full rollup, not the serving path a dashboard request takes)

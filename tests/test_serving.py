@@ -309,3 +309,54 @@ def test_materialized_search_index_serves_identically_and_prunes(api, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "state" in pf and "year_month" in pf, pf
+
+
+def test_second_tier_rollup_mvs_serve_identically_and_prune(api, tmp_path):
+    """The per-endpoint pre-aggregated rollup MVs (the reference's
+    10-50x tier): every search type's MV-served rollup must equal the
+    live aggregation row-for-row — filtering pre-aggregated groups is
+    exact because the predicate column is part of each rollup's group
+    key — and the request plan must carry (state, year_month) partition
+    filters. category_statistics from its MV must equal the live scoped
+    aggregation and also prune."""
+
+    def norm(rows):
+        return sorted(
+            tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+            for r in rows
+        )
+
+    mv_lake = api.lake.materialize_search_index(str(tmp_path / "idx_mv"))
+    mv2 = mv_lake.materialize_search_rollups(str(tmp_path / "rollup_mv"))
+    probes = [
+        ("payer", "aetna"),
+        ("payer", "ZZZ-no-match"),
+        ("billing_code", "99213"),
+        ("organization", "acme"),
+        ("taxonomy", "surgery"),
+        ("tin", "91-111"),
+        # procedure_category needs dim_code_cat, absent from this
+        # fixture — the live path can't serve it here either
+    ]
+    for st, val in probes:
+        live = api.lake.search_rollup(st, val, "GA", "2025-01")
+        mat = mv2.search_rollup(st, val, "GA", "2025-01")
+        assert mat.columns == live.columns, (st, mat.columns, live.columns)
+        assert norm(mat.collect()) == norm(live.collect()), (st, val)
+    plan = mv2.search_rollup("payer", "aetna", "GA", "2025-01")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "state" in pf and "year_month" in pf, pf
+
+    mv3 = mv_lake.materialize_category_stats(str(tmp_path / "stats_mv"))
+    live = api.lake.category_statistics("GA", "2025-01")
+    mat = mv3.category_statistics("GA", "2025-01")
+    assert mat.columns == live.columns, (mat.columns, live.columns)
+    assert norm(mat.collect()) == norm(live.collect())
+    splan = mat._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in splan
+    # an out-of-lake scope serves an empty frame, not a crash
+    assert mv3.category_statistics("ZZ", "1999-01").count() == 0
