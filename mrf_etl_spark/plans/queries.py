@@ -144,6 +144,7 @@ class StarLake:
     # scoped index per request
     search_rollup_mvs: dict[str, DataFrame] | None = None
     category_stats_table: DataFrame | None = None
+    category_rollup_mvs: dict[str, DataFrame] | None = None
 
     @classmethod
     def load(cls, spark: SparkSession, lake_dir: str) -> StarLake:
@@ -373,6 +374,27 @@ class StarLake:
         source filter. Ordered (record_count DESC, value ASC — the
         tie-break the reference's bare ORDER BY lacks under LIMIT)."""
         field = self.CATEGORY_FIELDS[category]
+        if source is None and self.category_rollup_mvs is not None and (
+            category in self.category_rollup_mvs
+        ):
+            # availability requests (no drill-down source) serve from the
+            # per-category value-grain MV: countDistinct at (state,
+            # year_month, value) grain IS the final answer (no merge
+            # step exists), so the request is a pruned-partition read +
+            # order/limit. Drill-downs keep the live path — their grain
+            # is (source value × target value), not materialized.
+            mv = self.category_rollup_mvs[category]
+            return (
+                mv.filter(
+                    (F.col("state") == state) & (F.col("year_month") == year_month)
+                )
+                .select(
+                    "value", "record_count", "unique_providers",
+                    "unique_procedures", "avg_rate", "min_rate", "max_rate",
+                )
+                .orderBy(F.col("record_count").desc(), F.col("value").asc())
+                .limit(limit)
+            )
         idx = self.search_index().filter(
             (F.col("state") == state)
             & (F.col("year_month") == year_month)
@@ -383,16 +405,24 @@ class StarLake:
             src_cat, src_val = source
             idx = idx.filter(F.col(self.CATEGORY_FIELDS[src_cat]) == src_val)
         out = idx.groupBy(F.col(field).alias("value")).agg(
+            *self._category_rollup_aggs()
+        )
+        return out.orderBy(
+            F.col("record_count").desc(), F.col("value").asc()
+        ).limit(limit)
+
+    @staticmethod
+    def _category_rollup_aggs() -> list[Column]:
+        """category_rollup's per-value stat block — shared by the
+        per-request aggregation and the MV build."""
+        return [
             F.count("*").alias("record_count"),
             F.countDistinct("npi").alias("unique_providers"),
             F.countDistinct("code").alias("unique_procedures"),
             F.avg("negotiated_rate").alias("avg_rate"),
             F.min("negotiated_rate").alias("min_rate"),
             F.max("negotiated_rate").alias("max_rate"),
-        )
-        return out.orderBy(
-            F.col("record_count").desc(), F.col("value").asc()
-        ).limit(limit)
+        ]
 
     def category_statistics(self, state: str, year_month: str) -> DataFrame:
         """/api/explore/category-stats: one row of distinct-value counts
@@ -752,6 +782,37 @@ class StarLake:
             )
             mvs[st] = spark.read.parquet(f"{path}/{st}")
         return dataclasses.replace(self, search_rollup_mvs=mvs)
+
+    def materialize_category_rollups(
+        self, path: str, categories: Iterable[str] | None = None
+    ) -> StarLake:
+        """Value-grain MVs for the /api/explore availability requests:
+        per category, one row per (state, year_month, value) holding the
+        category_rollup stat block. The per-value countDistincts ARE the
+        final answer at this grain (no merge step), so availability
+        becomes a pruned-partition read + order/limit. Drill-downs
+        (source × target grain) stay on the live path."""
+        import dataclasses
+
+        spark = self.fact.sparkSession
+        idx = self.search_index()
+        mvs: dict[str, DataFrame] = {}
+        for cat in categories or list(self.CATEGORY_FIELDS):
+            field = self.CATEGORY_FIELDS[cat]
+            if field not in idx.columns:
+                continue
+            (
+                idx.filter(F.col(field).isNotNull() & (F.col(field) != ""))
+                .groupBy(
+                    "state", "year_month", F.col(field).alias("value")
+                )
+                .agg(*self._category_rollup_aggs())
+                .write.mode("overwrite")
+                .partitionBy("state", "year_month")
+                .parquet(f"{path}/{cat}")
+            )
+            mvs[cat] = spark.read.parquet(f"{path}/{cat}")
+        return dataclasses.replace(self, category_rollup_mvs=mvs)
 
     def materialize_category_stats(self, path: str) -> StarLake:
         """The explore-stats MV: ONE row per (state, year_month) holding

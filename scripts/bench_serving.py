@@ -143,9 +143,15 @@ def main() -> None:
     lake.materialize_market_rates(mr_path)
     # second-tier MVs (pre-aggregated per-endpoint rollups): built from
     # the materialized index, so the build is one agg job per endpoint
-    mv2_lake = mv_lake.materialize_search_rollups(
-        f"{tmp}/rollup_mv", search_types=["payer"]
-    ).materialize_category_stats(f"{tmp}/stats_mv")
+    mv2_lake = (
+        mv_lake.materialize_search_rollups(
+            f"{tmp}/rollup_mv", search_types=["payer", "billing_code"]
+        )
+        .materialize_category_stats(f"{tmp}/stats_mv")
+        .materialize_category_rollups(
+            f"{tmp}/cat_mv", categories=["procedure_set"]
+        )
+    )
 
     # one sample code/payer that actually exists, picked deterministically
     sample = mv_lake.search_index().select("code", "payer_slug").first()
@@ -198,6 +204,12 @@ def main() -> None:
         ),
         "explore_stats_mv2": lambda: mv2_lake.category_statistics(
             "GA", "2025-01"
+        ),
+        "search_code_mv2": lambda: mv2_lake.search_rollup(
+            "billing_code", code_val, "GA", "2025-01"
+        ),
+        "explore_avail_mv2": lambda: mv2_lake.category_rollup(
+            "GA", "2025-01", "procedure_set"
         ),
         # the dashboard page fetch: pruned partition -> top-100 by volume
         # (collecting the WHOLE state slice would bench Arrow transfer of

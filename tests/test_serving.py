@@ -360,3 +360,19 @@ def test_second_tier_rollup_mvs_serve_identically_and_prune(api, tmp_path):
     assert "PartitionFilters: [" in splan
     # an out-of-lake scope serves an empty frame, not a crash
     assert mv3.category_statistics("ZZ", "1999-01").count() == 0
+
+    # availability (value-grain) MVs: MV == live per category; drill-down
+    # requests (source=) must FALL BACK to the live path unchanged
+    mv4 = mv_lake.materialize_category_rollups(str(tmp_path / "cat_mv"))
+    for cat in ("payer", "procedure", "organization"):
+        live = api.lake.category_rollup("GA", "2025-01", cat)
+        mat = mv4.category_rollup("GA", "2025-01", cat)
+        assert mat.columns == live.columns, (cat, mat.columns)
+        assert norm(mat.collect()) == norm(live.collect()), cat
+    live_dd = api.lake.category_rollup(
+        "GA", "2025-01", "procedure", source=("payer", "Aetna Inc")
+    )
+    mv_dd = mv4.category_rollup(
+        "GA", "2025-01", "procedure", source=("payer", "Aetna Inc")
+    )
+    assert norm(mv_dd.collect()) == norm(live_dd.collect())
