@@ -90,6 +90,7 @@ HEADLINE = [
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",
     "j19_bloom_pruned_join",
+    "a24_grouped_regression",
 ]
 
 

@@ -3724,3 +3724,91 @@ def a23_histogram(spark, sf_dir):
             "n",
         )
     )
+
+@register(
+    "a24_grouped_regression",
+    # All five moments are EXACT (per-factor DECIMAL(18,4) casts recover
+    # the generator's 2-decimal grid from the double approximations;
+    # decimal products and sums are exact in any order), so both engines
+    # derive slope/intercept/r2 from bit-identical double moments with
+    # the same IEEE op order — no rounding, no tolerance (the money_sum
+    # doctrine extended to second moments).
+    f"""WITH m AS (
+         SELECT l_returnflag, count(*) AS n,
+                {money_sum_sql('l_quantity')} AS sx,
+                {money_sum_sql('l_extendedprice')} AS sy,
+                -- width 19 promotes DuckDB's product to int128 (a width-18
+                -- decimal multiplies in int64 and overflows on price^2);
+                -- the VARCHAR hop matters: DuckDB's decimal->double cast
+                -- double-rounds (int128->double, then /10^scale) and lands
+                -- one ulp off at these magnitudes, while decimal->string is
+                -- exact and string->double correctly rounded in BOTH engines
+                -- (Spark's BigDecimal.doubleValue already rounds once)
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                       * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                       * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                       * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS syy
+         FROM lineitem GROUP BY l_returnflag),
+       d AS (
+         SELECT l_returnflag, n,
+                CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
+                CAST(n AS DOUBLE) * sxx - sx * sx AS varx,
+                CAST(n AS DOUBLE) * syy - sy * sy AS vary,
+                sx, sy
+         FROM m)
+       SELECT l_returnflag, n,
+              CASE WHEN varx <> CAST(0 AS DOUBLE)
+                   THEN cov / varx END AS slope,
+              CASE WHEN varx <> CAST(0 AS DOUBLE)
+                   THEN (sy - (cov / varx) * sx) / CAST(n AS DOUBLE)
+                   END AS intercept,
+              CASE WHEN varx <> CAST(0 AS DOUBLE) AND vary <> CAST(0 AS DOUBLE)
+                   THEN (cov * cov) / (varx * vary) END AS r2
+       FROM d""",
+    doc="A24 (beyond-reference): exact distributed least squares per group "
+    "— price ~ quantity slope/intercept/r2 from five decimal-exact moments "
+    "in ONE map-side-combinable aggregate (the continuous-aggregate shape "
+    "of timeseries stores' regr_* functions). At 100 TB this is a single "
+    "partial-agg shuffle of 5 numbers per group; degenerate groups "
+    "(zero x-variance) yield NULLs, never NaN/Inf.",
+)
+def a24_grouped_regression(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        money_sum("l_quantity").alias("sx"),
+        money_sum("l_extendedprice").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    d = m.select(
+        "l_returnflag",
+        "n",
+        (n_d * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov"),
+        (n_d * F.col("sxx") - F.col("sx") * F.col("sx")).alias("varx"),
+        (n_d * F.col("syy") - F.col("sy") * F.col("sy")).alias("vary"),
+        "sx",
+        "sy",
+    )
+    zero = F.lit(0).cast("double")
+    slope = F.when(F.col("varx") != zero, F.col("cov") / F.col("varx"))
+    return d.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        F.when(
+            F.col("varx") != zero,
+            (F.col("sy") - (F.col("cov") / F.col("varx")) * F.col("sx"))
+            / F.col("n").cast("double"),
+        ).alias("intercept"),
+        F.when(
+            (F.col("varx") != zero) & (F.col("vary") != zero),
+            (F.col("cov") * F.col("cov")) / (F.col("varx") * F.col("vary")),
+        ).alias("r2"),
+    )

@@ -71,6 +71,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("a1_group_mean", ["avg_bal"]),
         ("a2_multi_mean", ["avg_qty", "avg_price", "avg_disc"]),
         ("a3_global_mean", ["avg_qty", "avg_tax"]),
+        # round-7 session 3: exact grouped least squares (decimal-exact
+        # moments -> bit-identical doubles; oracle 0.03 s)
+        ("a24_grouped_regression", ["slope", "intercept", "r2"]),
     ],
     "fx_stats": [
         ("a4_summary_stats", ["avg_rate", "min_rate", "max_rate", "median_rate"]),
@@ -358,6 +361,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "st13_stream_bloom_gate": ["doc_id", "n_shingles"],
     "j19_bloom_pruned_join": ["p_type", "n", "qty"],
+    "a24_grouped_regression": ["l_returnflag", "n", "slope", "intercept", "r2"],
     "s23_scd2_history": [
         "user_id", "version", "valid_from_us", "valid_to_us", "is_current", "value",
     ],

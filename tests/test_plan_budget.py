@@ -81,6 +81,9 @@ BUDGETS = {
     # counted) and the other Exchange mentions are the constant-size eval
     # distinct inside the persisted bitset-source plan's string
     "d12_bloom_decontam": 6,
+    # grouped regression: ONE map-side-combinable agg (five moments ride
+    # the same partial/final pair); the derivation is a projection
+    "a24_grouped_regression": 1,
 }
 
 
