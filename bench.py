@@ -91,6 +91,7 @@ HEADLINE = [
     "d12_bloom_decontam",
     "j19_bloom_pruned_join",
     "a24_grouped_regression",
+    "n6_ann_recall",
 ]
 
 

@@ -948,3 +948,40 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ann_recall_report(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k audit of an approximate ANN result against its exact
+    baseline — the evaluation harness every production ANN deployment
+    needs before trusting an index (tune nprobe/bands until recall
+    holds, re-audit after reindexing). Per query:
+    (query_id, n_exact, n_hit, recall) where n_hit counts exact top-k
+    neighbors the approximate result recovered.
+
+    Plan shape: both inputs are top-k results (k rows per query — tiny
+    relative to any corpus), so the join is broadcast-sized and the
+    aggregate is one combinable pass; the expensive parts are the ANN
+    cascades themselves, which the caller already ran. Works for any
+    pair of result sets sharing the (query, neighbor) schema (IVF vs
+    brute, PQ-ADC vs brute, LSH vs brute)."""
+    a = approx.select(query_col, neighbor_col).withColumn("_hit", F.lit(True))
+    j = exact.select(query_col, neighbor_col).join(
+        a, [query_col, neighbor_col], "left"
+    )
+    return (
+        j.groupBy(query_col)
+        .agg(F.count("*").alias("n_exact"), F.count("_hit").alias("n_hit"))
+        .select(
+            query_col,
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_exact").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )

@@ -298,8 +298,11 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # composed release flow) — j8's oracle is a 0.03 s star join
         ("j8_star_join", ["price"]),
         # round-7 session 3: Bloom-pruned join (prune is result-
-        # invisible; oracle is the plain join+agg, ~0.02 s)
+        # invisible; oracle is the plain join+agg, ~0.02 s), and j4's
+        # direct slot freed for n6 (j4's oracle is a 0.02 s dim-chain
+        # join; the flagship entry() still runs it directly)
         ("j19_bloom_pruned_join", []),
+        ("j4_join_chain", ["revenue"]),
     ],
     "fx_text_stats": [
         ("t3_token_count", []),
@@ -362,6 +365,8 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "st13_stream_bloom_gate": ["doc_id", "n_shingles"],
     "j19_bloom_pruned_join": ["p_type", "n", "qty"],
     "a24_grouped_regression": ["l_returnflag", "n", "slope", "intercept", "r2"],
+    "j4_join_chain": ["n_name", "revenue"],
+    "n6_ann_recall": ["query_id", "n_exact", "n_hit", "recall"],
     "s23_scd2_history": [
         "user_id", "version", "valid_from_us", "valid_to_us", "is_current", "value",
     ],
@@ -725,7 +730,6 @@ DRIVER_WINDOW: list[str] = [
     "fx_latest_partitioned",
     "fx_projection_filters",
     "fx_ref_joins",
-    "j4_join_chain",
     "fx_key_joins",
     "j7_class_split_join",
     "pipe5_release_v2",
@@ -755,6 +759,10 @@ DRIVER_WINDOW: list[str] = [
     "fx_dedup_pipelines",
     "d5b_embedding_near_dup_ivf",
     "fx_ann",
+    # round-7 session 3: n6's recall audit composes the n1+n2 cascades,
+    # so its oracle (0.80 s) sits in the single-statement ANN band —
+    # a direct row (slot freed by fusing j4 into fx_ref_joins)
+    "n6_ann_recall",
     "fx_text_stats",
     "pipe1_llm_prep",
     "fx_splits_a",

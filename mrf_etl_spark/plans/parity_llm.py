@@ -4035,3 +4035,48 @@ def n5_ann_pq_adc(spark, sf_dir):
         n_candidates=_N5_CANDIDATES,
         k=_N5_K,
     )
+
+
+def _register_n6():
+    # n6 composes two already-registered deterministic cascades, so its
+    # oracle is literally "n1's statement ∩ n2's statement": both are
+    # reused verbatim as MATERIALIZED CTE bodies (nested WITH is legal in
+    # a CTE; materialization keeps the unrolled cosine stages from being
+    # inlined twice — the map-budget rule) and the recall arithmetic is
+    # integer-derived doubles with identical division order.
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    @register(
+        "n6_ann_recall",
+        f"""WITH exact AS MATERIALIZED ({REGISTRY['n1_ann_cosine_topk'].oracle}),
+           ivf AS MATERIALIZED ({REGISTRY['n2_ann_ivf'].oracle}),
+           j AS (
+             SELECT e.query_id, i.neighbor_id AS hit
+             FROM exact e LEFT JOIN ivf i
+               ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id)
+           SELECT query_id, count(*) AS n_exact, count(hit) AS n_hit,
+                  CAST(count(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS recall
+           FROM j GROUP BY query_id""",
+        doc="n6 (beyond-ref): recall@k audit of the IVF index against the "
+        "exact baseline — the ANN evaluation harness (tune nprobe until "
+        "recall holds, re-audit after reindexing) as a first-class "
+        "operator (operators/similarity.ann_recall_report). Per query: "
+        "n_exact, n_hit, recall. Both cascades are deterministic, so "
+        "recall itself is oracle-exact — not an envelope.",
+    )
+    def n6_ann_recall(spark, sf_dir):
+        emb = t(spark, sf_dir, "embeddings")
+        exact = sim.cosine_topk(
+            emb, dim=DIM, query_filter=F.col("vec_id") < 10, k=5
+        )
+        approx = sim.ivf_topk(
+            emb, dim=DIM, centroid_mod=97, nprobe=2,
+            query_filter=F.col("vec_id") < 10, k=5,
+        )
+        return sim.ann_recall_report(exact, approx)
+
+    return n6_ann_recall
+
+
+n6_ann_recall = _register_n6()

@@ -1775,3 +1775,28 @@ def test_bloom_gate_tiny_table_shows_false_positives_but_superset(spark):
         assert agg.nb > agg.nh  # collisions at m=64: FPs exist, FNs don't
     finally:
         full.unpersist()
+
+
+def test_ann_recall_report_partial_overlap(spark):
+    """The recall arithmetic on a hand-built case: query 1 recovers 2 of
+    3 exact neighbors, query 2 none, query 3 all — and approximate-only
+    neighbors (false candidates) never inflate the numerator."""
+    from mrf_etl_spark.operators.similarity import ann_recall_report
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 21), (3, 30), (3, 31)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r.query_id: (r.n_exact, r.n_hit, r.recall)
+        for r in ann_recall_report(exact, approx).collect()
+    }
+    assert got == {
+        1: (3, 2, 2 / 3),
+        2: (1, 0, 0.0),
+        3: (1, 1, 1.0),
+    }
