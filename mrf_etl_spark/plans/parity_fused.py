@@ -191,8 +191,12 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("t18_sentence_scrub", ["kept_frac"]),
         ("t19_quality_classifier", ["logit"]),
         # round-7 session 3: the Bloom gate beside its exact twin t8 —
-        # all-integer/boolean compare surface, 0.06 s oracle
+        # all-integer/boolean compare surface, 0.06 s oracle — and
+        # pipe1's direct slot freed for st14 (streaming ANN ingest):
+        # pipe1's phase-replay oracle is 0.06 s and belongs with the
+        # flagship prep family
         ("d12_bloom_decontam", []),
+        ("pipe1_llm_prep", []),
     ],
     "fx_dedup_pairs": [
         ("d3_ngram_jaccard", ["jaccard"]),
@@ -367,6 +371,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "a24_grouped_regression": ["l_returnflag", "n", "slope", "intercept", "r2"],
     "j4_join_chain": ["n_name", "revenue"],
     "n6_ann_recall": ["query_id", "n_exact", "n_hit", "recall"],
+    "pipe1_llm_prep": ["doc_id", "split", "content_hash"],
     "s23_scd2_history": [
         "user_id", "version", "valid_from_us", "valid_to_us", "is_current", "value",
     ],
@@ -764,7 +769,6 @@ DRIVER_WINDOW: list[str] = [
     # a direct row (slot freed by fusing j4 into fx_ref_joins)
     "n6_ann_recall",
     "fx_text_stats",
-    "pipe1_llm_prep",
     "fx_splits_a",
     "fx_splits_b",
     "fx_eval_suites",
@@ -776,6 +780,10 @@ DRIVER_WINDOW: list[str] = [
     "st6_stream_interval_join",
     "fx_streaming_batch",
     "fx_streaming_lake",
+    # round-7 session 3: streaming ANN index maintenance — n2's cascade
+    # oracle (0.44 s, the ANN band) on a direct row (slot freed by
+    # fusing j7 into fx_key_joins)
+    "st14_stream_ann_ingest",
 ]
 
 

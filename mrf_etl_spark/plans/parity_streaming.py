@@ -832,3 +832,76 @@ def _register_st13():
 
 
 st13_stream_bloom_gate = _register_st13()
+
+
+def _register_st14():
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    @register(
+        "st14_stream_ann_ingest",
+        # stream == batch == one-shot for the persisted IVF index: n2's
+        # oracle verbatim (n4 proved incremental == one-shot; st14 proves
+        # the increments can arrive as micro-batches)
+        oracle=REGISTRY["n2_ann_ivf"].oracle,
+        doc="streaming ANN index maintenance — n4's persisted IVF index "
+        "kept current by a stream: each micro-batch of new vectors "
+        "assigns against the frozen codebook and APPENDS to its cid "
+        "partitions inside foreachBatch (O(batch), no rebuild, files "
+        "never rewritten). After the drain, queries over the index must "
+        "answer exactly like n2's one-shot cascade over the full corpus "
+        "— batch boundaries invisible. The vector-lake ingest shape: "
+        "embeddings become searchable as they land, not after a nightly "
+        "reindex.",
+    )
+    def st14_stream_ann_ingest(spark, sf_dir):
+        import os
+
+        from mrf_etl_spark.operators import similarity as sim
+        from mrf_etl_spark.plans.parity import _scratch
+        from mrf_etl_spark.plans.parity_llm import DIM
+
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+        cent = emb.filter((F.col("vec_id") % 97) == 0).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+        path = _scratch("st14_ivf_index")
+        # initial build from the even half (the offline bootstrap)...
+        sim.ivf_index_create(
+            emb.filter(F.col("vec_id") % 2 == 0), path, cent, dim=DIM
+        )
+        # ...then the odd half ARRIVES as two micro-batches
+        arriving = emb.filter(F.col("vec_id") % 2 == 1)
+        staging = _scratch("st14_staging")
+        os.makedirs(staging, exist_ok=True)
+        arriving.filter(F.col("vec_id") % 4 == 1).write.mode("overwrite").parquet(
+            f"{staging}/half=1"
+        )
+        arriving.filter(F.col("vec_id") % 4 == 3).write.mode("overwrite").parquet(
+            f"{staging}/half=2"
+        )
+        stream = (
+            spark.readStream.schema(arriving.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staging}/half=*")
+        )
+
+        def _sink(batch_df, _batch_id):
+            sim.ivf_index_append(
+                batch_df.select("vec_id", "embedding"), path, dim=DIM
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", _scratch("st14_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sim.ivf_index_query(
+            emb.filter(F.col("vec_id") < 10), path, nprobe=2, k=5
+        )
+
+    return st14_stream_ann_ingest
+
+
+st14_stream_ann_ingest = _register_st14()
