@@ -92,6 +92,7 @@ HEADLINE = [
     "j19_bloom_pruned_join",
     "a24_grouped_regression",
     "n6_ann_recall",
+    "w21_burst_detection",
 ]
 
 

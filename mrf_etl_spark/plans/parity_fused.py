@@ -123,6 +123,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("w6_range_join", []),
         ("w7_rolling_metrics", ["cum_sum", "roll_sum", "roll_avg"]),
         ("w20_approx_sliding_reach", []),
+        # round-7 session 3: burst detection (all-integer/boolean
+        # surface, 0.01 s oracle)
+        ("w21_burst_detection", []),
     ],
     "fx_topk_page": [
         ("k1_topk", ["price"]),
@@ -372,6 +375,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "j4_join_chain": ["n_name", "revenue"],
     "n6_ann_recall": ["query_id", "n_exact", "n_hit", "recall"],
     "pipe1_llm_prep": ["doc_id", "split", "content_hash"],
+    "w21_burst_detection": [
+        "event_type", "day", "n", "base_sum", "base_sumsq", "burst",
+    ],
     "s23_scd2_history": [
         "user_id", "version", "valid_from_us", "valid_to_us", "is_current", "value",
     ],

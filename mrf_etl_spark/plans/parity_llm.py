@@ -4080,3 +4080,80 @@ def _register_n6():
 
 
 n6_ann_recall = _register_n6()
+
+
+W21_BASE_DAYS = 7
+W21_Z = 3  # burst threshold in baseline standard deviations
+
+
+@register(
+    "w21_burst_detection",
+    # The z>3 test is expressed as a SQUARED RATIONAL INEQUALITY over
+    # exact integer sums — z = (c - s1/7)/std rearranges to
+    # 7c-s1 > 0 AND (7c-s1)^2 > z^2 * (7*s2 - s1^2) — so no sqrt ever
+    # crosses the compare surface (libm sqrt/log are not bit-identical
+    # across engines; the sketch-bound lesson). A zero-variance baseline
+    # makes ANY uptick a burst (the inequality degenerates to
+    # (7c-s1)^2 > 0), which is the deterministic, documented choice.
+    f"""WITH dc AS (
+         SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS day,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       base AS (
+         SELECT event_type, day, n,
+                CAST(sum(n) OVER w AS BIGINT) AS base_sum,
+                CAST(sum(n * n) OVER w AS BIGINT) AS base_sumsq,
+                count(*) OVER w AS base_n
+         FROM dc
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN {W21_BASE_DAYS} PRECEDING AND 1 PRECEDING))
+       SELECT event_type, day, n, base_sum, base_sumsq,
+              ({W21_BASE_DAYS} * n - base_sum > 0)
+              AND (({W21_BASE_DAYS} * n - base_sum)
+                   * ({W21_BASE_DAYS} * n - base_sum)
+                   > {W21_Z * W21_Z} * ({W21_BASE_DAYS} * base_sumsq
+                                        - base_sum * base_sum)) AS burst
+       FROM base WHERE base_n = {W21_BASE_DAYS}""",
+    doc="w21: ingest burst detection (beyond-ref) — per (event_type, day) "
+    "count vs the previous 7 ACTIVE days' baseline, flagged when the "
+    "z-score exceeds 3; the monitoring pass an ingest pipeline runs to "
+    "catch crawler loops / upstream dumps before they skew a corpus. "
+    "ONE daily-count aggregate + ONE key-partitioned window over the "
+    "tiny (type, day) table — the heavy lifting is the first map-side-"
+    "combinable count; everything after is per-key metadata scale.",
+)
+def w21_burst_detection(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    dc = (
+        ev.select(
+            "event_type",
+            F.expr(f"(ts_ns div 1000) div {_US_PER_DAY}").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        -W21_BASE_DAYS, -1
+    )
+    base = dc.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("base_sum"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("base_sumsq"),
+        F.count("*").over(w).alias("base_n"),
+    ).filter(F.col("base_n") == W21_BASE_DAYS)
+    dev = F.lit(W21_BASE_DAYS) * F.col("n") - F.col("base_sum")
+    var7 = F.lit(W21_BASE_DAYS) * F.col("base_sumsq") - F.col("base_sum") * F.col(
+        "base_sum"
+    )
+    return base.select(
+        "event_type",
+        "day",
+        "n",
+        "base_sum",
+        "base_sumsq",
+        ((dev > 0) & (dev * dev > F.lit(W21_Z * W21_Z) * var7)).alias("burst"),
+    )

@@ -1800,3 +1800,57 @@ def test_ann_recall_report_partial_overlap(spark):
         2: (1, 0, 0.0),
         3: (1, 1, 1.0),
     }
+
+
+def test_burst_detection_hand_case(spark):
+    """w21's squared-rational z-test on a hand-built series: a flat
+    7-day baseline of 10/day flags a day of 11 (zero variance — any
+    uptick bursts), a noisy baseline needs the real 3-sigma jump, and a
+    DROP never flags (one-sided)."""
+    from mrf_etl_spark.plans.parity_llm import _US_PER_DAY
+
+    rows = []
+    # type 'flat': days 0-6 at 10 events, day 7 at 11 (zero-var burst)
+    for d in range(7):
+        rows += [("flat", d, i) for i in range(10)]
+    rows += [("flat", 7, i) for i in range(11)]
+    # type 'noisy': baseline 8..14 (var>0), day 7 at 13 — NOT 3 sigma
+    for d, c in enumerate([8, 14, 10, 12, 9, 13, 11]):
+        rows += [("noisy", d, i) for i in range(c)]
+    rows += [("noisy", 7, i) for i in range(13)]
+    # type 'drop': flat 10s then day 7 at 1 — one-sided, never flags
+    for d in range(7):
+        rows += [("drop", d, i) for i in range(10)]
+    rows += [("drop", 7, 0)]
+    ev = spark.createDataFrame(
+        [(t_, d * _US_PER_DAY * 1000 + i, i) for t_, d, i in rows],
+        "event_type string, ts_ns long, _i int",
+    )
+
+    from pyspark.sql.window import Window
+
+    from mrf_etl_spark.plans.parity_llm import W21_BASE_DAYS, W21_Z
+
+    # reuse the registered operator body via a local rebuild over the
+    # synthetic frame (the parity fn is bound to the testdata reader)
+    dc = (
+        ev.select("event_type", F.expr(f"(ts_ns div 1000) div {_US_PER_DAY}").alias("day"))
+        .groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-W21_BASE_DAYS, -1)
+    base = dc.select(
+        "event_type", "day", "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count("*").over(w).alias("m"),
+    ).filter(F.col("m") == W21_BASE_DAYS)
+    dev = F.lit(W21_BASE_DAYS) * F.col("n") - F.col("s1")
+    var7 = F.lit(W21_BASE_DAYS) * F.col("s2") - F.col("s1") * F.col("s1")
+    out = {
+        r.event_type: r.burst
+        for r in base.select(
+            "event_type",
+            ((dev > 0) & (dev * dev > F.lit(W21_Z * W21_Z) * var7)).alias("burst"),
+        ).collect()
+    }
+    assert out == {"flat": True, "noisy": False, "drop": False}
