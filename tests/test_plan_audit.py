@@ -43,6 +43,9 @@ NESTED_LOOP_OK = {
     # crosses the 1-row query distance table onto the code scan
     "e4_product_quantization": "bounded broadcast PQ codebook (16 seeds)",
     "n5_ann_pq_adc": "bounded broadcast PQ codebook + 1-row query table",
+    # n6 composes n1 (bounded broadcast query set) and n2 (bounded
+    # broadcast centroid set) — it inherits both allowlisted shapes
+    "n6_ann_recall": "composes n1+n2's bounded broadcasts",
     "d5b_embedding_near_dup_ivf": "bounded broadcast centroid set",
     # d8 composes the d5b cascade (same centroid broadcast) before the
     # star-contraction clustering — the product side is the centroid set
