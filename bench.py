@@ -93,6 +93,7 @@ HEADLINE = [
     "a24_grouped_regression",
     "n6_ann_recall",
     "w21_burst_detection",
+    "a25_countmin_heavy_hitters",
 ]
 
 

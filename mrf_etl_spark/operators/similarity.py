@@ -32,19 +32,8 @@ def _elem(col: str, i: int) -> Column:
     return F.element_at(F.col(col), i + 1).cast("double")
 
 
-def dot_unrolled(a: str, b: str, dim: int) -> Column:
-    """Left-associative unrolled dot product — deterministic fp order."""
-    s = _elem(a, 0) * _elem(b, 0)
-    for i in range(1, dim):
-        s = s + _elem(a, i) * _elem(b, i)
-    return s
-
-
 def norm_unrolled(a: str, dim: int) -> Column:
-    s = _elem(a, 0) * _elem(a, 0)
-    for i in range(1, dim):
-        s = s + _elem(a, i) * _elem(a, i)
-    return F.sqrt(s)
+    return F.sqrt(dot_unrolled(a, a, dim))
 
 
 def cosine_expr(a: str, b: str, dim: int) -> Column:
@@ -69,6 +58,24 @@ def dot_fold(a: str, b: str) -> Column:
 
 def norm_fold(a: str) -> Column:
     return F.sqrt(dot_fold(a, a))
+
+
+def dot_unrolled(a: str, b: str, dim: int) -> Column:
+    """The unrolled twin of :func:`dot_fold` — BIT-IDENTICAL (SQL ``+``
+    is left-associative and the fold's 0.0 seed is exact), built as ONE
+    parsed expression (single py4j round trip; the Column-composed form
+    cost 64 round trips per call). Kept as the oracle-shaped reference
+    and for sub-~16-dim uses; do NOT reach for it on hot paths — at
+    dim=64 the generated method exceeds the JIT's method-size limits and
+    runs as interpreted bytecode, MEASURED 3x slower than dot_fold on
+    the corpus x centroids crossJoin (n6 at sf1: 24 s fold vs 74 s
+    unrolled), exactly the task-binary blowup dot_fold's docstring
+    warns about."""
+    terms = " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    return F.expr(terms)
 
 
 def cosine_topk(
@@ -116,20 +123,33 @@ def assign_centroids(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (ties → lowest
     centroid id). Output (vec_id, centroid_id) — at scale, write the corpus
-    bucketed by centroid_id so probes prune partitions."""
+    bucketed by centroid_id so probes prune partitions.
+
+    Aggregation-based argmax, not a window: min(struct(-cos, cid)) is the
+    lexicographic minimum, i.e. exactly `ORDER BY cos DESC, cid ASC`
+    (IEEE negation is exact — the assign_topn_centroids doctrine), and it
+    combines MAP-SIDE, so the shuffle carries N tiny structs instead of
+    the old row_number window's N x |centroids| scored rows WITH both
+    embedded vectors. The dot stays dot_fold: the 64-term unrolled form
+    was MEASURED 3x slower on this crossJoin (the generated method blows
+    past the JIT's method-size limits and runs as interpreted bytecode —
+    exactly what dot_fold's docstring warns)."""
     c = centroids.select(F.col("cid"), F.col("cvec")).withColumn("_cnorm", norm_fold("cvec"))
     scored = (
         emb.select(F.col(id_col), F.col(vec_col))
         .withColumn("_vnorm", norm_fold(vec_col))
         .crossJoin(F.broadcast(c))
-        .withColumn("cos_c", dot_fold(vec_col, "cvec") / (F.col("_vnorm") * F.col("_cnorm")))
+        .withColumn(
+            "cos_c",
+            dot_fold(vec_col, "cvec") / (F.col("_vnorm") * F.col("_cnorm")),
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("cos_c").desc(), F.col("cid").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "cid")
+    best = scored.groupBy(id_col).agg(
+        F.min(
+            F.struct((-F.col("cos_c")).alias("neg"), F.col("cid").alias("cid"))
+        ).alias("_b")
     )
+    return best.select(F.col(id_col), F.col("_b.cid").alias("cid"))
 
 
 def ivf_topk(

@@ -3812,3 +3812,70 @@ def a24_grouped_regression(spark, sf_dir):
             (F.col("cov") * F.col("cov")) / (F.col("varx") * F.col("vary")),
         ).alias("r2"),
     )
+
+A25_CMS_W = 256
+A25_CMS_D = 3
+A25_TOP = 20
+_P31 = 2147483647  # operators.dedup.MINHASH_P — the shared universal-hash prime
+
+
+def _cms_pos_sql(h: str, j: str) -> str:
+    return f"((({h} % {_P31}) * (2*{j}+1) + {j}) % {_P31}) & {A25_CMS_W - 1}"
+
+
+@register(
+    "a25_countmin_heavy_hitters",
+    # The oracle replays the WHOLE sketch: counters are deterministic
+    # arithmetic off the shared md5 hash domain (the d12 doctrine), so
+    # cms_est compares exactly, collisions included, and never_under
+    # pins the CMS no-undercount guarantee as a required-TRUE boolean.
+    # hh is MATERIALIZED (referenced by both the counter build and the
+    # exact top-k; default inlining would md5 the fact twice).
+    f"""WITH hh AS MATERIALIZED (
+         SELECT l_partkey AS item,
+                CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+                     AS BIGINT) AS h
+         FROM lineitem),
+       cms AS MATERIALIZED (
+         SELECT j, {_cms_pos_sql('h', 'j')} AS pos, count(*) AS c
+         FROM hh, (SELECT unnest(range(0, {A25_CMS_D})) AS j)
+         GROUP BY 1, 2),
+       top AS (
+         SELECT item, h, count(*) AS true_n FROM hh GROUP BY item, h
+         ORDER BY true_n DESC, item ASC LIMIT {A25_TOP}),
+       probes AS (
+         SELECT item, true_n, j, {_cms_pos_sql('h', 'j')} AS pos
+         FROM top, (SELECT unnest(range(0, {A25_CMS_D})) AS j))
+       SELECT p.item, p.true_n,
+              CAST(min(coalesce(c.c, 0)) AS BIGINT) AS cms_est,
+              CAST(min(coalesce(c.c, 0)) AS BIGINT) >= p.true_n AS never_under
+       FROM probes p LEFT JOIN cms c ON c.j = p.j AND c.pos = p.pos
+       GROUP BY p.item, p.true_n""",
+    doc="A25 (beyond-reference): count-min heavy hitters — the mergeable "
+    "frequency sketch (depth x width integer cells, cellwise-additive "
+    "merge) estimated against the exact top-20, with the no-undercount "
+    "guarantee as an in-row required-TRUE boolean. At 100 TB the sketch "
+    "is constant-size however many keys exist: per-partition sketches "
+    "combine map-side, stream batches fold in by addition (the q7/st9 "
+    "incremental shape), and heavy hitters come from a 768-cell table "
+    "instead of a billion-key groupBy. All counters replay exactly in "
+    "the oracle — collisions included.",
+)
+def a25_countmin_heavy_hitters(spark, sf_dir):
+    from mrf_etl_spark.operators.cms import countmin_estimate, countmin_table
+
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("item"))
+    cms = countmin_table(li, "item", width=A25_CMS_W, depth=A25_CMS_D)
+    top = (
+        li.groupBy("item")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("item").asc())
+        .limit(A25_TOP)
+    )
+    est = countmin_estimate(top, cms, "item", width=A25_CMS_W, depth=A25_CMS_D)
+    return top.join(est, "item").select(
+        "item",
+        "true_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("true_n")).alias("never_under"),
+    )

@@ -72,8 +72,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("a2_multi_mean", ["avg_qty", "avg_price", "avg_disc"]),
         ("a3_global_mean", ["avg_qty", "avg_tax"]),
         # round-7 session 3: exact grouped least squares (decimal-exact
-        # moments -> bit-identical doubles; oracle 0.03 s)
+        # moments -> bit-identical doubles; oracle 0.03 s) and count-min
+        # heavy hitters (fully replayed counters; oracle 0.04 s)
         ("a24_grouped_regression", ["slope", "intercept", "r2"]),
+        ("a25_countmin_heavy_hitters", []),
     ],
     "fx_stats": [
         ("a4_summary_stats", ["avg_rate", "min_rate", "max_rate", "median_rate"]),
@@ -378,6 +380,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "w21_burst_detection": [
         "event_type", "day", "n", "base_sum", "base_sumsq", "burst",
     ],
+    "a25_countmin_heavy_hitters": ["item", "true_n", "cms_est", "never_under"],
     "s23_scd2_history": [
         "user_id", "version", "valid_from_us", "valid_to_us", "is_current", "value",
     ],
