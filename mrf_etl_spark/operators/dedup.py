@@ -135,17 +135,31 @@ def doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_words"),
     )
-    # ONE parsed expression instead of Python-side Column composition:
-    # the lambda/element_at form cost ~50 py4j round trips to build
-    # (~0.5 s first call); the parsed string is 1 round trip, verified
-    # row-identical. _words[i] is 0-based == element_at(words, i+1).
-    parts = ", ".join(f"_words[i + {j}]" for j in range(k))
-    arr = F.expr(
-        f"CASE WHEN size(_words) < {k} THEN array(concat_ws(' ', _words)) "
-        f"ELSE array_distinct(transform(sequence(0, greatest(size(_words) - {k}, 0)), "
+    return words_df.select(
+        "doc_id", F.explode(shingle_array_expr(k)).alias("shingle")
+    )
+
+
+def shingle_array_expr(k: int, words_col: str = "_words") -> Column:
+    """Distinct word k-gram shingles of a pre-split ``words_col`` array
+    (short docs contribute their whole text as the single shingle) — the
+    ONE shingle recipe shared by doc_shingles, bloom_contam_gate, and
+    repeated_span_flags, so the d12/st13 gate==tagged equivalence and
+    every shingle-replaying oracle can never drift from a divergent
+    copy.
+
+    ONE parsed expression instead of Python-side Column composition: the
+    lambda/element_at form cost ~50 py4j round trips to build (~0.5 s
+    first call); the parsed string is 1 round trip, verified
+    row-identical. ``w[i]`` is 0-based == element_at(w, i+1)."""
+    parts = ", ".join(f"{words_col}[i + {j}]" for j in range(k))
+    return F.expr(
+        f"CASE WHEN size({words_col}) < {k} "
+        f"THEN array(concat_ws(' ', {words_col})) "
+        f"ELSE array_distinct(transform("
+        f"sequence(0, greatest(size({words_col}) - {k}, 0)), "
         f"i -> concat_ws(' ', {parts}))) END"
     )
-    return words_df.select("doc_id", F.explode(arr).alias("shingle"))
 
 
 # ---------------------------------------------------------- exact jaccard

@@ -109,3 +109,51 @@ def time_weighted_avg(
             F.col("_wsum").cast("double") / (F.col("total_us").cast("double") * 100)
         ).alias("twap"),
     )
+
+
+def burst_flags(
+    daily: DataFrame,
+    key_col: str = "event_type",
+    day_col: str = "day",
+    n_col: str = "n",
+    base_days: int = 7,
+    z: int = 3,
+) -> DataFrame:
+    """Flag count bursts against a trailing baseline: for each (key, day)
+    count, compare against the previous ``base_days`` ACTIVE days and
+    flag when the one-sided z-score exceeds ``z``. The z-test is a
+    SQUARED RATIONAL INEQUALITY over exact integer sums —
+    b*n - s1 > 0 AND (b*n - s1)^2 > z^2 * (b*s2 - s1^2) — so no sqrt
+    crosses any engine-compare surface; a zero-variance baseline makes
+    ANY uptick a burst (deterministic, documented). Rows without a full
+    baseline are dropped. int64-exact up to (b*n)^2 < 2^63 (~1.1e9/day
+    at b=7); pre-scale counts beyond that.
+
+    Output: (key, day, n, base_sum, base_sumsq, burst)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(-base_days, -1)
+    )
+    base = daily.select(
+        key_col,
+        day_col,
+        n_col,
+        F.sum(n_col).over(w).alias("base_sum"),
+        F.sum(F.col(n_col) * F.col(n_col)).over(w).alias("base_sumsq"),
+        F.count("*").over(w).alias("_base_n"),
+    ).filter(F.col("_base_n") == base_days)
+    dev = F.lit(base_days) * F.col(n_col) - F.col("base_sum")
+    var_b = F.lit(base_days) * F.col("base_sumsq") - F.col("base_sum") * F.col(
+        "base_sum"
+    )
+    return base.select(
+        key_col,
+        day_col,
+        n_col,
+        "base_sum",
+        "base_sumsq",
+        ((dev > 0) & (dev * dev > F.lit(z * z) * var_b)).alias("burst"),
+    )

@@ -144,9 +144,24 @@ def assign_centroids(
             dot_fold(vec_col, "cvec") / (F.col("_vnorm") * F.col("_cnorm")),
         )
     )
+    # The struct key must replicate `ORDER BY cos_c DESC, cid ASC` under
+    # BOTH engines' edge ordering, where plain min(struct(-cos, cid))
+    # would not: NULL cosines (a NULL embedding element) sort FIRST in
+    # struct comparison but LAST under DESC on both engines, and NaN
+    # cosines (a zero-norm vector) sort LAST under min but FIRST under
+    # DESC (NaN > all doubles in both engines' sort order). A rank field
+    # restores the window's priority: NaN(0) < real(1) < NULL(2).
+    rank = (
+        F.when(F.col("cos_c").isNull(), F.lit(2))
+        .when(F.isnan(F.col("cos_c")), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    neg = F.when(rank == 1, -F.col("cos_c")).otherwise(F.lit(0.0))
     best = scored.groupBy(id_col).agg(
         F.min(
-            F.struct((-F.col("cos_c")).alias("neg"), F.col("cid").alias("cid"))
+            F.struct(
+                rank.alias("rk"), neg.alias("neg"), F.col("cid").alias("cid")
+            )
         ).alias("_b")
     )
     return best.select(F.col(id_col), F.col("_b.cid").alias("cid"))

@@ -98,6 +98,10 @@ def bloom_pruned_join(
 
     if how not in ("inner", "semi", "left_semi", "leftsemi"):
         raise ValueError("bloom_pruned_join supports inner/left-semi joins only")
+    if "_bloom_h__" in fact.columns:
+        raise ValueError(
+            "fact already has a column named _bloom_h__ (internal name)"
+        )
 
     def _key_hash() -> F.Column:
         # masked to the nonneg 60-bit domain bloom_positions assumes
@@ -109,8 +113,8 @@ def bloom_pruned_join(
     dim_hashes = dim.select(_key_hash().alias("h")).distinct()
     words = bloom_bitset_words(dim_hashes, m_bits, n_hashes)
     pruned = (
-        fact.withColumn("_h", _key_hash())
-        .filter(bloom_member(F.col("_h"), words, m_bits, n_hashes))
-        .drop("_h")
+        fact.withColumn("_bloom_h__", _key_hash())
+        .filter(bloom_member(F.col("_bloom_h__"), words, m_bits, n_hashes))
+        .drop("_bloom_h__")
     )
     return pruned.join(dim, list(on), how)

@@ -498,16 +498,11 @@ def bloom_contam_gate(
     Returns (id, n_shingles, n_bloom_hit, clean). NULL-text docs are
     dropped, matching the tagged/exploded form (explode of an empty
     shingle set emits no rows there)."""
-    from mrf_etl_spark.operators.dedup import shingle_hash_expr
+    from mrf_etl_spark.operators.dedup import shingle_array_expr, shingle_hash_expr
 
     df = df.filter(F.col(text_col).isNotNull())
     words_arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    parts = ", ".join(f"_words[i + {j}]" for j in range(k))
-    shingles = F.expr(
-        f"CASE WHEN size(_words) < {k} THEN array(concat_ws(' ', _words)) "
-        f"ELSE array_distinct(transform(sequence(0, greatest(size(_words) - {k}, 0)), "
-        f"i -> concat_ws(' ', {parts}))) END"
-    )
+    shingles = shingle_array_expr(k)
     hits = F.filter(
         F.col("_hs"),
         lambda h: bloom_member(h, words, m_bits, n_hashes),
@@ -580,7 +575,7 @@ def bloom_decontam_tagged(
     probed = joined.withColumn(
         "_bloom", bloom_member(F.col("h"), words, m_bits, n_hashes)
     )
-    return (
+    out = (
         probed.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
@@ -599,6 +594,12 @@ def bloom_decontam_tagged(
             (F.col("_miss") == 0).alias("no_false_neg"),
         )
     )
+    # attach the persisted eval set so release_state(out) frees it —
+    # without this every d12 run pins another cached copy for the
+    # session's lifetime (the carry_state doctrine, dedup.py)
+    from mrf_etl_spark.operators.dedup import carry_state
+
+    return carry_state(out, hold=(ev,))
 
 
 def repeated_passages(
@@ -690,13 +691,11 @@ def boilerplate_flags(
         F.col(source_col).alias("source"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_words"),
     )
-    parts = ", ".join(f"_words[i + {j}]" for j in range(k))
-    arr = F.expr(
-        f"CASE WHEN size(_words) < {k} THEN array(concat_ws(' ', _words)) "
-        f"ELSE array_distinct(transform(sequence(0, greatest(size(_words) - {k}, 0)), "
-        f"i -> concat_ws(' ', {parts}))) END"
+    from mrf_etl_spark.operators.dedup import shingle_array_expr
+
+    spans = words_df.select(
+        "doc_id", "source", F.explode(shingle_array_expr(k)).alias("span")
     )
-    spans = words_df.select("doc_id", "source", F.explode(arr).alias("span"))
     dfc = F.count("*").over(Window.partitionBy("source", "span"))
     flagged = spans.withColumn("_dfc", dfc)
     if min_frac is not None:

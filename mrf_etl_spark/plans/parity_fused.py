@@ -375,7 +375,6 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "j19_bloom_pruned_join": ["p_type", "n", "qty"],
     "a24_grouped_regression": ["l_returnflag", "n", "slope", "intercept", "r2"],
     "j4_join_chain": ["n_name", "revenue"],
-    "n6_ann_recall": ["query_id", "n_exact", "n_hit", "recall"],
     "pipe1_llm_prep": ["doc_id", "split", "content_hash"],
     "w21_burst_detection": [
         "event_type", "day", "n", "base_sum", "base_sumsq", "burst",
@@ -791,7 +790,8 @@ DRIVER_WINDOW: list[str] = [
     "fx_streaming_lake",
     # round-7 session 3: streaming ANN index maintenance — n2's cascade
     # oracle (0.44 s, the ANN band) on a direct row (slot freed by
-    # fusing j7 into fx_key_joins)
+    # fusing pipe1's 0.06 s oracle into fx_llm_flagships; j7 stays a
+    # direct row — its 0.29 s oracle would have fattened fx_key_joins)
     "st14_stream_ann_ingest",
 ]
 

@@ -4120,10 +4120,13 @@ W21_Z = 3  # burst threshold in baseline standard deviations
     "catch crawler loops / upstream dumps before they skew a corpus. "
     "ONE daily-count aggregate + ONE key-partitioned window over the "
     "tiny (type, day) table — the heavy lifting is the first map-side-"
-    "combinable count; everything after is per-key metadata scale.",
+    "combinable count; everything after is per-key metadata scale. "
+    "Valid domain: the squared terms are int64-exact up to ~1.1e9 "
+    "events/day/type ((7n)^2 < 2^63); past that, pre-scale the daily "
+    "counts (e.g. to thousands) before the z-test.",
 )
 def w21_burst_detection(spark, sf_dir):
-    from pyspark.sql.window import Window
+    from mrf_etl_spark.operators.rolling import burst_flags
 
     ev = t(spark, sf_dir, "events")
     dc = (
@@ -4134,26 +4137,4 @@ def w21_burst_detection(spark, sf_dir):
         .groupBy("event_type", "day")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
-        -W21_BASE_DAYS, -1
-    )
-    base = dc.select(
-        "event_type",
-        "day",
-        "n",
-        F.sum("n").over(w).alias("base_sum"),
-        F.sum(F.col("n") * F.col("n")).over(w).alias("base_sumsq"),
-        F.count("*").over(w).alias("base_n"),
-    ).filter(F.col("base_n") == W21_BASE_DAYS)
-    dev = F.lit(W21_BASE_DAYS) * F.col("n") - F.col("base_sum")
-    var7 = F.lit(W21_BASE_DAYS) * F.col("base_sumsq") - F.col("base_sum") * F.col(
-        "base_sum"
-    )
-    return base.select(
-        "event_type",
-        "day",
-        "n",
-        "base_sum",
-        "base_sumsq",
-        ((dev > 0) & (dev * dev > F.lit(W21_Z * W21_Z) * var7)).alias("burst"),
-    )
+    return burst_flags(dc, base_days=W21_BASE_DAYS, z=W21_Z)

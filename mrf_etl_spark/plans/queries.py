@@ -433,9 +433,18 @@ class StarLake:
         if self.category_stats_table is not None:
             mv = self.category_stats_table
             keep = [c for c in mv.columns if c not in ("state", "year_month")]
+            # re-aggregate the <=1-row pruned slice so an ABSENT scope
+            # still yields the live path's one-row-of-zeros shape (agg
+            # over empty input emits one NULL row; coalesce restores the
+            # zeros a caller indexing result[0] expects)
             return mv.filter(
                 (F.col("state") == state) & (F.col("year_month") == year_month)
-            ).select(*keep)
+            ).agg(
+                *[
+                    F.coalesce(F.sum(c), F.lit(0)).cast("long").alias(c)
+                    for c in keep
+                ]
+            )
         idx = self.search_index().filter(
             (F.col("state") == state) & (F.col("year_month") == year_month)
         )

@@ -1827,31 +1827,18 @@ def test_burst_detection_hand_case(spark):
         "event_type string, ts_ns long, _i int",
     )
 
-    from pyspark.sql.window import Window
-
+    from mrf_etl_spark.operators.rolling import burst_flags
     from mrf_etl_spark.plans.parity_llm import W21_BASE_DAYS, W21_Z
 
-    # reuse the registered operator body via a local rebuild over the
-    # synthetic frame (the parity fn is bound to the testdata reader)
+    # drives the SAME operator the w21 plan entry calls (burst_flags),
+    # so logic drift in the operator fails this test
     dc = (
         ev.select("event_type", F.expr(f"(ts_ns div 1000) div {_US_PER_DAY}").alias("day"))
         .groupBy("event_type", "day").agg(F.count("*").alias("n"))
     )
-    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-W21_BASE_DAYS, -1)
-    base = dc.select(
-        "event_type", "day", "n",
-        F.sum("n").over(w).alias("s1"),
-        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
-        F.count("*").over(w).alias("m"),
-    ).filter(F.col("m") == W21_BASE_DAYS)
-    dev = F.lit(W21_BASE_DAYS) * F.col("n") - F.col("s1")
-    var7 = F.lit(W21_BASE_DAYS) * F.col("s2") - F.col("s1") * F.col("s1")
     out = {
         r.event_type: r.burst
-        for r in base.select(
-            "event_type",
-            ((dev > 0) & (dev * dev > F.lit(W21_Z * W21_Z) * var7)).alias("burst"),
-        ).collect()
+        for r in burst_flags(dc, base_days=W21_BASE_DAYS, z=W21_Z).collect()
     }
     assert out == {"flat": True, "noisy": False, "drop": False}
 
@@ -1895,3 +1882,28 @@ def test_countmin_merge_exact_and_never_undercounts(spark):
     slack = int(2.72 * n_total / 256) + 1
     n_over = j.filter(F.col("cms_est") > F.col("true_n") + slack).count()
     assert n_over <= n_items * 0.02, (n_over, n_items)
+
+
+def test_assign_centroids_null_nan_order_matches_window_semantics(spark):
+    """The struct-min argmax must replicate `ORDER BY cos DESC, cid ASC`
+    edge ordering on BOTH engines: a NaN cosine (zero-norm vector vs any
+    centroid) sorts FIRST under DESC (NaN > all doubles) so it must WIN
+    the assignment; a NULL cosine (NULL embedding element) sorts LAST so
+    it must LOSE to any real score."""
+    from mrf_etl_spark.operators.similarity import assign_centroids
+
+    # centroid 0 is healthy; centroid 1 has a NULL element (NULL cosine
+    # vs everyone); vector 10 is zero-norm (NaN cosine vs everyone)
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [None, 1.0])],
+        "cid long, cvec array<float>",
+    )
+    emb = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (11, [1.0, 0.0]), (12, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r.cid for r in assign_centroids(emb, cent, dim=2).collect()}
+    # NULL-cosine centroid 1 never wins; NaN rows (vec 10) still assign
+    # deterministically to the lowest cid among its NaN scores (cid 0,
+    # matching NaN-first DESC with cid ASC tie-break)
+    assert got == {10: 0, 11: 0, 12: 0}

@@ -358,8 +358,12 @@ def test_second_tier_rollup_mvs_serve_identically_and_prune(api, tmp_path):
     assert norm(mat.collect()) == norm(live.collect())
     splan = mat._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in splan
-    # an out-of-lake scope serves an empty frame, not a crash
-    assert mv3.category_statistics("ZZ", "1999-01").count() == 0
+    # an out-of-lake scope serves the SAME one-row-of-zeros shape as the
+    # live path (a point-read caller indexes row [0])
+    live_absent = api.lake.category_statistics("ZZ", "1999-01").collect()
+    mv_absent = mv3.category_statistics("ZZ", "1999-01").collect()
+    assert len(live_absent) == len(mv_absent) == 1
+    assert norm(mv_absent) == norm(live_absent)
 
     # availability (value-grain) MVs: MV == live per category; drill-down
     # requests (source=) must FALL BACK to the live path unchanged
