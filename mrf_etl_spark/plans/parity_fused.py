@@ -352,6 +352,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("st9_stream_incremental_mv", ["total_value"]),
         ("st10_stream_scd2", ["value"]),
         ("st11_stream_corpus_card", ["chars_avg"]),
+        # round-7 session 3: streaming burst monitor (w21's 0.01 s
+        # oracle reused verbatim)
+        ("st15_stream_burst_monitor", []),
     ],
 }
 
@@ -380,6 +383,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "event_type", "day", "n", "base_sum", "base_sumsq", "burst",
     ],
     "a25_countmin_heavy_hitters": ["item", "true_n", "cms_est", "never_under"],
+    "st15_stream_burst_monitor": [
+        "event_type", "day", "n", "base_sum", "base_sumsq", "burst",
+    ],
     "s23_scd2_history": [
         "user_id", "version", "valid_from_us", "valid_to_us", "is_current", "value",
     ],

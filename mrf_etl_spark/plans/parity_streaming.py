@@ -905,3 +905,74 @@ def _register_st14():
 
 
 st14_stream_ann_ingest = _register_st14()
+
+
+def _register_st15():
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    @register(
+        "st15_stream_burst_monitor",
+        # stream == batch: the incrementally-maintained daily counts MV
+        # equals the batch daily GROUP BY (the st9 invariant), and
+        # burst_flags is a pure function of those counts — so the
+        # monitor's output is w21's statement verbatim
+        oracle=REGISTRY["w21_burst_detection"].oracle,
+        doc="streaming ingest-burst monitor — w21's trailing-baseline "
+        "z-test kept current by a stream: each micro-batch reduces to "
+        "per-(event_type, day) count DELTAS merged into the daily-counts "
+        "MV (the st9 additive-rollup machinery), and the burst flags "
+        "derive from the MV alone after every merge. The monitoring "
+        "loop an ingest pipeline actually runs: crawler loops surface "
+        "within one micro-batch of landing, not in a nightly scan — and "
+        "the drained monitor equals the batch w21 exactly, batch "
+        "boundaries invisible.",
+    )
+    def st15_stream_burst_monitor(spark, sf_dir):
+        import os
+
+        from mrf_etl_spark.operators.rolling import burst_flags
+        from mrf_etl_spark.plans.parity_llm import (
+            _US_PER_DAY,
+            W21_BASE_DAYS,
+            W21_Z,
+        )
+        from mrf_etl_spark.streaming import stream_incremental_rollup
+
+        raw_schema, ts_conv = _events_raw(spark, sf_dir)
+        staging = _scratch("st15_staging")
+        os.makedirs(staging, exist_ok=True)
+        ev = spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet")
+        ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+            f"{staging}/half=1"
+        )
+        ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+            f"{staging}/half=2"
+        )
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staging}/half=*")
+        )
+        mv = _scratch("st15_mv")
+        q = stream_incremental_rollup(
+            stream,
+            mv,
+            _scratch("st15_ckpt"),
+            keys=["event_type", "day"],
+            agg_exprs={"n": "count(*)"},
+            # integer div, not float: a double quotient can floor one
+            # day off at epoch-scale numerators
+            transform=lambda df: df.withColumn(
+                "_us", F.unix_micros(ts_conv)
+            ).withColumn("day", F.expr(f"_us div {_US_PER_DAY}")),
+        )
+        q.awaitTermination(300)
+        daily = spark.read.parquet(mv).select(
+            "event_type", "day", F.col("n").cast("long").alias("n")
+        )
+        return burst_flags(daily, base_days=W21_BASE_DAYS, z=W21_Z)
+
+    return st15_stream_burst_monitor
+
+
+st15_stream_burst_monitor = _register_st15()
