@@ -358,9 +358,20 @@ def zorder_layout_write(
             continue
         lo = float(lo)
         hi = float(hi) + 1.0  # right-open: max lands in cell nb
+        # NULL policy (ADVICE r7): a NULL value in a clustering column
+        # would make width_bucket NULL and propagate to a NULL Morton key,
+        # leaving those rows unclustered AND degrading skipping on every
+        # other dimension for them. Coalesce NULLs to cell 0 — they
+        # cluster deterministically at the low corner of the hypercube,
+        # and min/max pruning on the other dimensions still works.
         buckets.append(
-            F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(nb))
-            - 1
+            F.coalesce(
+                F.width_bucket(
+                    F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(nb)
+                )
+                - 1,
+                F.lit(0),
+            )
         )
     z = zorder_key(buckets, bits_per_dim)
     (

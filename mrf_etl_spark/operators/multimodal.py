@@ -82,6 +82,11 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, list[float]]:
     for y in range(h):
         row_start = y * (stride + 1)
         ftype = raw[row_start]
+        if ftype > 4:
+            # ADVICE r7: filter types 5-255 are invalid per the PNG spec —
+            # decoding them as None would yield garbage pixels silently,
+            # breaking the module's explicit-failure contract
+            raise ValueError(f"unknown PNG filter type {ftype} at row {y}")
         line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
         for i in range(stride):
             a = line[i - ch] if i >= ch else 0  # left

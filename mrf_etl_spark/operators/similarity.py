@@ -666,7 +666,14 @@ def ivf_index_query(
     (the distinct probed-cid list is a bounded partition filter, like
     st10's affected-bucket pruning) and rank exact cosine within them.
     Result semantics are identical to :func:`ivf_topk` over the same
-    corpus+codebook — batch boundaries and append history are invisible."""
+    corpus+codebook — batch boundaries and append history are invisible.
+
+    .. note:: The returned DataFrame carries a cached probe cascade
+       (``|queries| * nprobe`` rows) that the plan consumes twice; it
+       cannot be unpersisted before the result is materialized. Callers
+       that keep a long-lived session (e.g. a serving loop) MUST call
+       ``mrf_etl_spark.operators.dedup.release_state(result)`` after
+       consuming the result, or one cached plan is pinned per call."""
     spark = queries.sparkSession
     cent = spark.read.parquet(f"{path}/centroids")
     q = queries.select(

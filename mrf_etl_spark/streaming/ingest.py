@@ -499,10 +499,27 @@ def incremental_rollup_batch_writer(
     from mrf_etl_spark.io.writers import atomic_overwrite
 
     def _parse_marker(text: str) -> tuple[str | None, int]:
+        # ADVICE r7: an empty or truncated sidecar (e.g. a crash between
+        # create and write) must fail with a diagnostic naming the file,
+        # not an opaque IndexError/ValueError that kills the stream. We
+        # fail rather than treat it as "no watermark": silently disarming
+        # the replay guard risks double-applying a batch — the one
+        # corruption the sidecar exists to prevent. Operator remedy: delete
+        # the sidecar only if the MV is known consistent.
         lines = text.strip().splitlines()
-        if len(lines) == 1:  # legacy sidecar: batch id only, no lineage
-            return None, int(lines[0])
-        return lines[0], int(lines[1])
+        try:
+            if len(lines) == 1:  # legacy sidecar: batch id only, no lineage
+                return None, int(lines[0])
+            if len(lines) >= 2:
+                return lines[0], int(lines[1])
+        except ValueError:
+            pass
+        raise ValueError(
+            f"corrupt incremental-MV sidecar {_BATCH_ID_SIDECAR!r}: expected "
+            f"'<stream_id>\\n<batch_id>' (or a legacy single batch-id line), "
+            f"got {text!r}; remove the sidecar only if the MV is known to be "
+            f"consistent with its checkpoint"
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(mv_path, _BATCH_ID_SIDECAR)

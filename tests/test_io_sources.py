@@ -280,3 +280,18 @@ def test_zorder_key_bit_budget_and_degenerate_inputs(spark, tmp_path):
     dfn = df.withColumn("c1", F.lit(None).cast("long"))
     zorder_layout_write(dfn, pn, ["c0", "c1"], n_files=4)
     assert spark.read.parquet(pn).count() == 100
+
+    # PARTIALLY-NULL clustering column (ADVICE r7): NULL values coalesce
+    # to cell 0 — rows preserved, and the NULL rows still cluster
+    # deterministically (they land in the lowest-key files, so min/max
+    # pruning on the OTHER dimension keeps working instead of degrading)
+    pp = str(tmp_path / "zpartialnull")
+    dfp = df.withColumn(
+        "c1", F.when(F.col("c0") % 3 == 0, F.col("c1")).cast("long")
+    )
+    zorder_layout_write(dfp, pp, ["c0", "c1"], n_files=4)
+    back = spark.read.parquet(pp)
+    assert back.count() == 100
+    assert back.filter(F.col("c1").isNull()).count() == dfp.filter(
+        F.col("c1").isNull()
+    ).count()

@@ -255,6 +255,39 @@ def test_stdlib_png_decoder_all_filters_and_color_types():
     ) == pytest.approx(luma)
 
 
+def test_png_decoder_rejects_unknown_filter_type():
+    """ADVICE r7: filter types 5-255 are invalid per the PNG spec; a
+    corrupt payload must raise (the module's explicit-failure contract),
+    not decode as if unfiltered and yield garbage pixels."""
+    from mrf_etl_spark.operators.multimodal import decode_png_gray
+
+    png = bytearray(_encode_png([[1, 2], [3, 4]], color_type=0, filters=[0, 0]))
+    # rebuild with a corrupted filter byte on row 1: re-deflate raw
+    # scanlines with filter byte 9
+    import struct
+    import zlib
+
+    raw = bytearray(b"\x00\x01\x02\x09\x03\x04")
+    idat = zlib.compress(bytes(raw))
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    corrupt = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="filter type 9"):
+        decode_png_gray(corrupt)
+
+
 def test_real_decode_distributed_via_map_in_pandas(spark):
     """m1's fake=False tier end-to-end on executors: PNG payloads decode
     for real inside mapInPandas and the distributed means match the

@@ -372,6 +372,37 @@ def test_incremental_mv_legacy_sidecar_still_guards_replay(spark, tmp_path):
     assert marker == ["ckpt-dir-A", "8"]
 
 
+def test_incremental_mv_corrupt_sidecar_fails_with_diagnostic(spark, tmp_path):
+    """ADVICE r7: an empty or non-numeric sidecar (crash between create
+    and write, manual edit) must raise a descriptive error naming the
+    expected format — not an IndexError/ValueError deep in int() — and
+    must NOT silently disarm the replay guard (that risks double-apply,
+    the corruption the sidecar exists to prevent)."""
+    import os
+
+    import pytest
+
+    from mrf_etl_spark.streaming.ingest import (
+        _BATCH_ID_SIDECAR,
+        incremental_rollup_batch_writer,
+    )
+
+    mv = str(tmp_path / "mv_corrupt")
+    b0 = spark.createDataFrame([("view", 1)], "event_type string, value long")
+    write_batch = incremental_rollup_batch_writer(
+        mv, keys=["event_type"], agg_exprs={"n": "count(*)"}
+    )
+    write_batch(b0, 0)
+    marker = os.path.join(mv, _BATCH_ID_SIDECAR)
+    for bad in ("", "not-a-number", "sid-only\nnot-a-number"):
+        with open(marker, "w") as fh:
+            fh.write(bad)
+        with pytest.raises(ValueError, match="sidecar"):
+            write_batch(b0, 1)
+    # MV content untouched by the failed attempts
+    assert spark.read.parquet(mv).collect()[0]["n"] == 1
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """The watermark CONTRACT, not just parity: once a window has been
     finalized and EVICTED (the watermark passed its end in an earlier
