@@ -68,6 +68,31 @@ def test_every_catalog_entry_has_a_driver_path_or_is_allowlisted():
     assert not uncovered, f"entries with no driver story: {uncovered}"
 
 
+def test_probe_blast_radius_at_most_seven_components():
+    """Post-r5 discipline, made binding in r8 (VERDICT r7 #1): one
+    environmental failure on a probe blanks every component riding it, so
+    no fused probe may carry more than 7 components."""
+    fat = {f: len(c) for f, c in FUSE_SPECS.items() if len(c) > 7}
+    assert not fat, f"probes above the 7-component blast-radius cap: {fat}"
+
+
+def test_ordered_registry_is_self_checking():
+    """VERDICT r7 #8: the orphan/window invariants must fail at registry
+    BUILD (every consumer), not only in pytest. Simulate an orphan by
+    registering a throwaway entry and assert ordered_registry raises."""
+    from mrf_etl_spark.plans.parity import ParityQuery
+
+    REGISTRY["zz_orphan_canary"] = ParityQuery(
+        name="zz_orphan_canary", spark_fn=lambda s, d: None, oracle="SELECT 1"
+    )
+    try:
+        with pytest.raises(RuntimeError, match="zz_orphan_canary"):
+            ordered_registry()
+    finally:
+        del REGISTRY["zz_orphan_canary"]
+    ordered_registry()  # clean registry builds fine
+
+
 def test_fuse_specs_double_cols_subset_of_component_cols():
     for fused, comps in FUSE_SPECS.items():
         for comp, dbl in comps:
