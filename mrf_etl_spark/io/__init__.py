@@ -6,11 +6,13 @@ from mrf_etl_spark.io.readers import (
     read_sqlite,
 )
 from mrf_etl_spark.io.writers import (
+    TableLockTimeout,
     atomic_overwrite,
     append_unique,
     upsert_by_key,
     latest_merge,
     scd2_history,
+    table_lock,
     write_partitioned,
     write_bucketed_table,
     zorder_key,
@@ -24,6 +26,8 @@ __all__ = [
     "read_excel_sheets",
     "read_sqlite",
     "atomic_overwrite",
+    "table_lock",
+    "TableLockTimeout",
     "append_unique",
     "upsert_by_key",
     "latest_merge",

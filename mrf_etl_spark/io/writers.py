@@ -27,8 +27,10 @@ touch (a batch is one payer-month in the reference's model).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -40,6 +42,74 @@ def _exists(spark: SparkSession, path: str) -> bool:
     # local-fs check is enough for this build; on HDFS/S3 use the Hadoop FS
     # API via spark._jvm — kept simple deliberately.
     return os.path.exists(path)
+
+
+class TableLockTimeout(RuntimeError):
+    """Raised when :func:`table_lock` cannot acquire the mutex in time."""
+
+
+@contextlib.contextmanager
+def table_lock(
+    path: str,
+    timeout: float = 120.0,
+    stale_after: float = 600.0,
+    poll: float = 0.05,
+):
+    """Cross-process mutex for read-merge-swap mutations of the table at
+    ``path`` (VERDICT r7 #6): without it, two simultaneous
+    :func:`append_unique` / :func:`latest_merge` writers each read the
+    pre-merge table, each union their own delta, and the LAST swap wins —
+    silently dropping the other writer's rows despite both runs
+    "succeeding". The reference never hits this only because its ETL is a
+    single process (ETL_1.py's idempotent re-run model); a lake with
+    concurrent batch + streaming writers needs the mutex.
+
+    Protocol: ``os.mkdir(path + ".lock")`` — atomic on POSIX — with an
+    owner file (pid, timestamp) for diagnostics. Contenders poll until
+    ``timeout``. Crash recovery: a lock whose mtime is older than
+    ``stale_after`` is broken by atomically RENAMING it aside (only one
+    contender's rename succeeds, so two waiters can never both break in
+    and both enter). Holding a lock across a merge longer than
+    ``stale_after`` is therefore the operator's responsibility to avoid —
+    size it to ~10× the slowest expected merge.
+
+    Scope: local/POSIX filesystems (this build's storage). On object
+    stores, a table format's transaction log (Delta/Iceberg optimistic
+    commit) takes this role — the call sites below are exactly the
+    operations a MERGE/commit would cover."""
+    lock_dir = f"{path}.lock"
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            os.mkdir(lock_dir)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock_dir)
+            except OSError:
+                continue  # released between mkdir and stat — retry at once
+            if age > stale_after:
+                aside = f"{lock_dir}.stale-{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(lock_dir, aside)  # atomic: one breaker wins
+                except OSError:
+                    continue  # another contender broke it first
+                shutil.rmtree(aside, ignore_errors=True)
+                continue
+            if time.monotonic() > deadline:
+                raise TableLockTimeout(
+                    f"could not acquire {lock_dir} within {timeout}s "
+                    f"(held for {age:.0f}s; see its owner file)"
+                ) from None
+            time.sleep(poll)
+    try:
+        with open(os.path.join(lock_dir, "owner"), "w") as fh:
+            fh.write(f"pid={os.getpid()}\nacquired={time.time()}\n")
+        yield
+    finally:
+        shutil.rmtree(lock_dir, ignore_errors=True)
 
 
 def atomic_overwrite(
@@ -95,19 +165,27 @@ def append_unique(
     100 TB fact path (a batch must never rewrite the lake). Idempotency is
     unchanged (the anti-join gates inserts); atomicity drops to
     file-commit granularity, which a table format's transaction log (or a
-    re-run, thanks to idempotency) covers in production."""
+    re-run, thanks to idempotency) covers in production.
+
+    Concurrency: the whole read-merge-swap runs under :func:`table_lock`,
+    so simultaneous writers serialize instead of last-swap-wins dropping
+    one side's rows (and two concurrent appenders can't collide in the
+    committer's shared ``_temporary`` dir). Guarantee: N concurrent
+    append_unique calls with disjoint keys leave ALL N deltas in the
+    table; overlapping keys keep first-writer-wins idempotency."""
     new_df = new_df.dropDuplicates(keys)
-    if not _exists(spark, path):
-        atomic_overwrite(new_df, path)
-        return
-    existing = spark.read.parquet(path)
-    scope = existing.filter(existing_filter) if existing_filter is not None else existing
-    to_insert = new_df.join(scope.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
-    if rewrite:
-        merged = existing.unionByName(to_insert, allowMissingColumns=True)
-        atomic_overwrite(merged, path)
-    else:
-        to_insert.write.mode("append").parquet(path)
+    with table_lock(path):
+        if not _exists(spark, path):
+            atomic_overwrite(new_df, path)
+            return
+        existing = spark.read.parquet(path)
+        scope = existing.filter(existing_filter) if existing_filter is not None else existing
+        to_insert = new_df.join(scope.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
+        if rewrite:
+            merged = existing.unionByName(to_insert, allowMissingColumns=True)
+            atomic_overwrite(merged, path)
+        else:
+            to_insert.write.mode("append").parquet(path)
 
 
 # Fact upsert (S13) is append-unique keyed on the deterministic fact_uid —
@@ -124,27 +202,31 @@ def latest_merge(
 ) -> None:
     """Union existing+delta and keep the newest row per key
     (utils_nppes.py:215-253: ROW_NUMBER ordered by
-    COALESCE(try_cast(last_updated AS TIMESTAMP), '1900-01-01') DESC)."""
-    if _exists(spark, path):
-        existing = spark.read.parquet(path)
-        # delta wins ties (the reference puts the delta first in its UNION
-        # ALL and row_number is stable on insertion order there; we make the
-        # tie-break explicit instead of relying on scan order).
-        unioned = existing.withColumn("_src", F.lit(0)).unionByName(
-            delta_df.withColumn("_src", F.lit(1)), allowMissingColumns=True
+    COALESCE(try_cast(last_updated AS TIMESTAMP), '1900-01-01') DESC).
+
+    Concurrency: read-merge-swap under :func:`table_lock` — concurrent
+    deltas serialize, so neither's newest-per-key updates are lost."""
+    with table_lock(path):
+        if _exists(spark, path):
+            existing = spark.read.parquet(path)
+            # delta wins ties (the reference puts the delta first in its UNION
+            # ALL and row_number is stable on insertion order there; we make the
+            # tie-break explicit instead of relying on scan order).
+            unioned = existing.withColumn("_src", F.lit(0)).unionByName(
+                delta_df.withColumn("_src", F.lit(1)), allowMissingColumns=True
+            )
+        else:
+            unioned = delta_df.withColumn("_src", F.lit(1))
+        ts = F.coalesce(
+            F.col(order_col).cast("timestamp"), F.lit("1900-01-01").cast("timestamp")
         )
-    else:
-        unioned = delta_df.withColumn("_src", F.lit(1))
-    ts = F.coalesce(
-        F.col(order_col).cast("timestamp"), F.lit("1900-01-01").cast("timestamp")
-    )
-    w = Window.partitionBy(*keys).orderBy(ts.desc(), F.col("_src").desc())
-    deduped = (
-        unioned.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_src")
-    )
-    atomic_overwrite(deduped, path)
+        w = Window.partitionBy(*keys).orderBy(ts.desc(), F.col("_src").desc())
+        deduped = (
+            unioned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
+        atomic_overwrite(deduped, path)
 
 
 def write_partitioned(
@@ -271,16 +353,21 @@ def compact_parquet(
 
     Hive-partitioned lakes should compact per partition directory (call
     this per partition path) so a hot partition's rewrite doesn't touch
-    cold ones."""
-    total = sum(
-        os.path.getsize(os.path.join(dirpath, f))
-        for dirpath, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
-    n_files = max(1, -(-total // target_bytes))
-    df = spark.read.parquet(path)
-    atomic_overwrite(df.repartition(n_files), path)
+    cold ones.
+
+    Concurrency: runs under :func:`table_lock` — a compaction racing an
+    upsert would otherwise swap the PRE-upsert bytes back in, erasing the
+    upsert's committed rows."""
+    with table_lock(path):
+        total = sum(
+            os.path.getsize(os.path.join(dirpath, f))
+            for dirpath, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-total // target_bytes))
+        df = spark.read.parquet(path)
+        atomic_overwrite(df.repartition(n_files), path)
     return n_files
 
 

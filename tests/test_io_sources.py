@@ -295,3 +295,85 @@ def test_zorder_key_bit_budget_and_degenerate_inputs(spark, tmp_path):
     assert back.filter(F.col("c1").isNull()).count() == dfp.filter(
         F.col("c1").isNull()
     ).count()
+
+
+def test_concurrent_append_unique_writers_lose_no_rows(spark, tmp_path):
+    """VERDICT r7 #6: two simultaneous append_unique writers each used to
+    read the pre-merge table, union their own delta, and last-swap-wins
+    dropped the other side's rows. Under table_lock the read-merge-swap
+    serializes: N concurrent writers with disjoint keys must leave ALL
+    deltas in the table (this test loses rows if the lock is removed)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from mrf_etl_spark.io import append_unique
+
+    path = str(tmp_path / "race_table")
+    n_writers, rows_each = 4, 50
+    barrier = threading.Barrier(n_writers)
+    errors: list[Exception] = []
+
+    def writer(w: int) -> None:
+        try:
+            delta = spark.range(w * rows_each, (w + 1) * rows_each).select(
+                F.col("id"), F.lit(w).alias("writer")
+            )
+            barrier.wait()  # maximize read-merge-swap overlap
+            append_unique(spark, delta, path, keys=["id"])
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    back = spark.read.parquet(path)
+    assert back.count() == n_writers * rows_each
+    assert back.select("writer").distinct().count() == n_writers
+    # idempotent re-run still inserts nothing, and the lock was released
+    append_unique(
+        spark,
+        spark.range(0, rows_each).select(F.col("id"), F.lit(99).alias("writer")),
+        path,
+        keys=["id"],
+    )
+    assert spark.read.parquet(path).count() == n_writers * rows_each
+
+
+def test_table_lock_protocol_stale_break_and_timeout(tmp_path):
+    """Lock mechanics without Spark: mutual exclusion, a crashed writer's
+    stale lock is broken by exactly one contender (atomic rename-aside),
+    and a live lock times out with a diagnostic."""
+    import os
+    import time
+
+    import pytest
+
+    from mrf_etl_spark.io import TableLockTimeout, table_lock
+
+    path = str(tmp_path / "t")
+
+    # mutual exclusion: a held lock makes a second acquire time out
+    with table_lock(path):
+        assert os.path.isdir(f"{path}.lock")
+        with pytest.raises(TableLockTimeout, match="owner"):
+            with table_lock(path, timeout=0.3):
+                pass
+    assert not os.path.exists(f"{path}.lock")  # released on exit
+
+    # stale break: simulate a crashed writer by pre-creating an old lock
+    os.mkdir(f"{path}.lock")
+    old = time.time() - 10_000
+    os.utime(f"{path}.lock", (old, old))
+    with table_lock(path, timeout=5.0, stale_after=600.0):
+        pass  # acquired by breaking the stale lock
+    assert not os.path.exists(f"{path}.lock")
+
+    # exception inside the critical section still releases
+    with pytest.raises(RuntimeError, match="boom"):
+        with table_lock(path):
+            raise RuntimeError("boom")
+    assert not os.path.exists(f"{path}.lock")
