@@ -255,6 +255,40 @@ def test_stdlib_png_decoder_all_filters_and_color_types():
     ) == pytest.approx(luma)
 
 
+def test_pil_branch_decodes_jpeg_and_phash_behind_importorskip():
+    """VERDICT r7 #2: the Pillow branch itself, exercised where PIL is
+    importable (skipped in the no-Pillow container, where the stdlib PNG
+    path and the NotImplementedError contract are tested instead). A JPEG
+    — the format the stdlib path genuinely cannot decode — round-trips
+    through decode_media and gray_pixels: a solid-gray 64x64 JPEG must
+    decode to ~its gray level (lossy codec, so approx), and the
+    perceptual-hash pixel path must see the same 64 samples."""
+    Image = pytest.importorskip("PIL.Image", reason="Pillow optional")
+    import io
+
+    from mrf_etl_spark.operators.multimodal import (
+        ahash_halves,
+        decode_media,
+        gray_pixels,
+        resize_nearest,
+    )
+
+    buf = io.BytesIO()
+    Image.new("L", (64, 64), color=128).save(buf, format="JPEG")
+    jpeg = buf.getvalue()
+
+    out = decode_media(jpeg, "image/jpeg", fake=False)
+    assert out["feat_mean"] == pytest.approx(128, abs=2)
+    assert out["n_bytes"] == len(jpeg)
+
+    w, h, px = gray_pixels(jpeg)
+    assert (w, h, len(px)) == (64, 64, 64 * 64)
+    thumb = resize_nearest(px, w, h)
+    hi, lo = ahash_halves(thumb)
+    # solid image: every sample >= mean, so every ahash bit is set
+    assert (hi, lo) == (0xFFFFFFFF, 0xFFFFFFFF)
+
+
 def test_png_decoder_rejects_unknown_filter_type():
     """ADVICE r7: filter types 5-255 are invalid per the PNG spec; a
     corrupt payload must raise (the module's explicit-failure contract),
