@@ -56,7 +56,49 @@ def _perturb_text(texts: list[str], copy: int) -> list[str]:
     return out
 
 
+def write_zipf_events(src: Path, dst: Path, m: int = 4, hot_ranks: int = 8) -> int:
+    """Zipf-skewed events fixture (round-8, VERDICT r7 #7): the repo's
+    skew-safety arguments for t18/d11/sp20 rest on AQE splitting a
+    pathological shuffle key, but no driver fixture actually HAS one — the
+    synthetic events table is near-uniform. This writes one: events
+    replicated ``m``× (event_id offset, FK structure intact), then
+    ``user_id`` reassigned by a geometric rank ladder — rank r takes
+    ~2^-(r+1) of ALL rows (rank 0 = 50%, rank 1 = 25%, …), ranks beyond
+    ``hot_ranks`` keep their original near-uniform user — i.e. a
+    zipf-shaped head over a uniform tail, the web-corpus boilerplate /
+    hot-user profile. Hot keys are user ids 1..hot_ranks, which exist in
+    every sf's customer table, so the fixture joins to the real dim.
+    Rank assignment hashes event_id (Knuth multiplicative) so hot rows
+    spread across the file, not one contiguous run. ``customer`` is
+    copied unchanged for self-contained joins. Returns the row count."""
+    ev = _read(src, "events")
+    b_event = _max(ev, "event_id") + 1
+    big = pa.concat_tables([_shift(ev, "event_id", c * b_event) for c in range(m)])
+    eid = np.asarray(big["event_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    frac = ((eid * np.uint64(2654435761)) % np.uint64(2**32)) / float(2**32)
+    # geometric ladder: rank r iff frac ∈ [1-2^-r, 1-2^-(r+1))
+    rank = np.floor(-np.log2(1.0 - np.clip(frac, 0.0, 1.0 - 2.0**-32))).astype(
+        np.int64
+    )
+    orig = np.asarray(big["user_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    new_user = np.where(rank < hot_ranks, rank + 1, orig)
+    i = big.schema.get_field_index("user_id")
+    big = big.set_column(i, big.schema.field(i), pa.array(new_user, type=pa.int64()))
+    dst.mkdir(parents=True, exist_ok=True)
+    pq.write_table(big, dst / "events.parquet")
+    pq.write_table(_read(src, "customer"), dst / "customer.parquet")
+    print(f"zipf events: {ev.num_rows} -> {big.num_rows} "
+          f"(rank-0 share ~{np.mean(new_user == 1):.2f})", flush=True)
+    return big.num_rows
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "zipf":
+        src = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("/root/testdata/sf0.1")
+        dst = Path(sys.argv[3]) if len(sys.argv) > 3 else Path(".scale/zipf")
+        m = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+        write_zipf_events(src, dst, m)
+        return
     src = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("/root/testdata/sf0.1")
     dst = Path(sys.argv[2]) if len(sys.argv) > 2 else Path(".scale/sf1")
     m = int(sys.argv[3]) if len(sys.argv) > 3 else 10

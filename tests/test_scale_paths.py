@@ -498,3 +498,93 @@ def test_bloom_pruned_join_identity_prune_and_placement(spark):
 
     with pytest.raises(ValueError):
         bloom_pruned_join(fact, dim, on=["p_partkey"], how="left")
+
+
+@pytest.mark.slow
+def test_aqe_skew_split_engages_on_zipf_fixture(spark, tmp_path):
+    """AQE skew rehearsal on a written zipf fixture (VERDICT r7 #7): the
+    skew-safety arguments for t18/d11/sp20 say "AQE splits the hot key" —
+    this proves it against a fixture that actually HAS one. A zipf-shaped
+    events table (rank-0 user holds ~50% of rows, geometric head over a
+    uniform tail — the boilerplate-sentence / hot-user profile) is
+    written by scripts/make_scale_sf.py's zipf mode, read back from
+    parquet (real shuffle sizes), and sort-merge-joined to the customer
+    dim. The executed adaptive plan must contain the skew-handled join
+    (``SortMergeJoin(skew=true)`` + ``AQEShuffleRead .. skewed``), rows
+    must match the unsplit join, and the run must stay bounded.
+
+    Conf notes a cluster operator needs (measured here, r8 session):
+    with DEFAULT skew-join confs the split fires when the join output is
+    re-shuffled downstream anyway — exactly t18/d11's join→doc-level-agg
+    shape; an aggregation directly ON the join key makes Spark skip the
+    split (it would add an exchange) unless
+    ``spark.sql.adaptive.forceOptimizeSkewedJoin=true``. The local
+    thresholds below only scale the 256 MB default down to fixture size.
+    """
+    import sys
+    import time
+
+    sys.path.insert(0, "/root/repo/scripts")
+    try:
+        from make_scale_sf import write_zipf_events
+    finally:
+        sys.path.pop(0)
+    from pathlib import Path
+
+    sf = "/root/testdata/sf0.01"
+    # m=200 -> 2M rows: at m=50 (500k rows) the hot partition's shuffle
+    # bytes fall below even the lowered detection bar and AQE correctly
+    # declines to split (measured r8) — the rehearsal needs a hot
+    # partition that is genuinely heavy, which is also the honest shape
+    n_rows = write_zipf_events(Path(sf), Path(str(tmp_path)), m=200)
+    ev = spark.read.parquet(str(tmp_path / "events.parquet"))
+    cust = spark.read.parquet(str(tmp_path / "customer.parquet"))
+
+    # fixture shape: rank-0 key (~50%) dominates, tail near-uniform
+    hot = ev.groupBy("user_id").count().orderBy(F.col("count").desc()).first()
+    assert hot["user_id"] == 1 and hot["count"] / n_rows == pytest.approx(0.5, abs=0.02)
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100k",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        t0 = time.perf_counter()
+        # the t18/d11 shape: skewed-key join, then aggregate on a
+        # DIFFERENT key (doc-level rollup) — re-shuffle happens anyway,
+        # so DEFAULT confs may split the hot partitions
+        j = (
+            ev.join(cust, ev.user_id == cust.c_custkey)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        )
+        rows = {r["event_type"]: (r["n"], r["s"]) for r in j.collect()}
+        elapsed = time.perf_counter() - t0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan[:800]
+        assert "skewed" in plan, plan[:800]
+        assert elapsed < 120, f"skew join took {elapsed:.0f}s"
+
+        # row parity with the unsplit plan (broadcast join, no skew path)
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        ref = {
+            r["event_type"]: (r["n"], r["s"])
+            for r in ev.join(cust, ev.user_id == cust.c_custkey)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        assert set(rows) == set(ref)
+        for et in ref:
+            assert rows[et][0] == ref[et][0]
+            assert rows[et][1] == pytest.approx(ref[et][1])
+        print(f"\nzipf skew fixture: {n_rows} rows, skew-split join {elapsed:.1f}s")
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
