@@ -588,3 +588,55 @@ def test_aqe_skew_split_engages_on_zipf_fixture(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+@pytest.mark.slow
+def test_n6_recall_audit_linear_under_frozen_codebook(spark):
+    """n6 fixed-codebook proof (VERDICT r7 #3): SCALE.md attributes n6's
+    super-10x sf1 ratio to the FIXTURE codebook scaling with the corpus
+    (vec_id % 97 seeds -> 10x centroids -> ~100x assignment arithmetic).
+    The production shape freezes the codebook size (a k-means result is
+    chosen once, |centroids| independent of corpus growth). This measures
+    the SAME recall audit at sf1 with the codebook frozen to the sf0.1
+    size (mod 970 -> same ~21 seed centroids) and gates it at the suite's
+    2x-linear bar: < 20x runtime for 10x data.
+
+    Measured (r8 session, min of 3 fresh-plan runs): sf0.1/mod97 0.91 s,
+    sf1/mod970 2.91 s = 3.2x for 10x data; the corpus-scaled fixture
+    (sf1/mod97, 207 centroids) reads 24.7 s = 27x in the same session —
+    the artifact is the codebook, not the operator."""
+    import time
+    from pathlib import Path
+
+    from mrf_etl_spark.operators import similarity as sim
+    from mrf_etl_spark.plans.parity import t
+    from mrf_etl_spark.plans.parity_llm import DIM
+
+    repo = Path(__file__).resolve().parents[1]
+    sf1 = repo / ".scale" / "sf1"
+    if not (sf1 / "embeddings.parquet").is_file():
+        pytest.skip("no .scale/sf1 rehearsal data (run scripts/make_scale_sf.py)")
+
+    def audit(sf_dir: str, mod: int) -> float:
+        best = float("inf")
+        for _ in range(3):
+            emb = t(spark, sf_dir, "embeddings")
+            exact = sim.cosine_topk(
+                emb, dim=DIM, query_filter=F.col("vec_id") < 10, k=5
+            )
+            approx = sim.ivf_topk(
+                emb, dim=DIM, centroid_mod=mod, nprobe=2,
+                query_filter=F.col("vec_id") < 10, k=5,
+            )
+            t0 = time.perf_counter()
+            rows = sim.ann_recall_report(exact, approx).collect()
+            best = min(best, time.perf_counter() - t0)
+            assert len(rows) == 10
+        return best
+
+    t_01 = audit("/root/testdata/sf0.1", 97)
+    t_1_frozen = audit(str(sf1), 970)  # same |centroids| as sf0.1's mod 97
+    ratio = t_1_frozen / t_01
+    print(f"\nn6 frozen codebook: sf0.1={t_01:.2f}s sf1={t_1_frozen:.2f}s "
+          f"ratio={ratio:.1f}x for 10x data")
+    assert ratio < 20, (t_01, t_1_frozen)
