@@ -146,6 +146,37 @@ def test_market_rates_materialize(lake, tmp_path):
     assert any(d.startswith("state=") for d in os.listdir(path))  # partition pruning layout
 
 
+def test_market_rates_head_matches_full_order_limit(lake, tmp_path):
+    """The pre-ranked serving head (VERDICT r7 #5) must return, per
+    state, EXACTLY the full MV's ORDER BY p50 DESC, code LIMIT k — the
+    deterministic presentation order the dashboard page fetch uses —
+    while storing only k rows per state partition."""
+    import os
+
+    mr_path = str(tmp_path / "mr")
+    head_path = str(tmp_path / "mr_head")
+    mr = lake.materialize_market_rates(mr_path)
+    k = 2
+    head = lake.materialize_market_rates_head(mr, head_path, k=k)
+    assert any(d.startswith("state=") for d in os.listdir(head_path))
+    for state in [r["state"] for r in mr.select("state").distinct().collect()]:
+        want = (
+            mr.filter(F.col("state") == state)
+            .orderBy(F.col("p50").desc(), F.col("code"))
+            .limit(k)
+            .collect()
+        )
+        got = (
+            head.filter(F.col("state") == state)
+            .orderBy(F.col("p50").desc(), F.col("code"))
+            .collect()
+        )
+        assert len(got) == min(k, mr.filter(F.col("state") == state).count())
+        assert [(r["code"], r["p50"]) for r in got] == [
+            (r["code"], r["p50"]) for r in want
+        ]
+
+
 def test_rate_detail_filters_and_shape(lake):
     rows = lake.rate_detail("GA", "2025-01").collect()
     assert [r.code for r in rows] == ["99213", "99215", "99213"]  # payer,code,rate order
