@@ -94,6 +94,12 @@ HEADLINE = [
     "n6_ann_recall",
     "w21_burst_detection",
     "a25_countmin_heavy_hitters",
+    # round-8: persisted mergeable-sketch lake (append batch state,
+    # merge-on-read) — the incremental twins of a25/a21/a20
+    "a26_persisted_cms",
+    "a27_persisted_hll",
+    "a28_persisted_quantile_grid",
+    "st16_stream_hll_distinct",
 ]
 
 

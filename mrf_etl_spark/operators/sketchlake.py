@@ -1,0 +1,185 @@
+"""Persisted mergeable-sketch state — the lake form of the approx family.
+
+a20/a21/a25 verify the ERROR CONTRACTS of the three sketch families
+(Greenwald-Khanna quantile summary, HyperLogLog, count-min) inside one
+plan; q7/st9 keep a mergeable corpus-card state fresh incrementally.
+This module completes that story (VERDICT r7 #8): sketch STATE lives ON
+THE LAKE as an append-only parquet table, each ingest batch appends its
+constant-size state rows, and readers MERGE ON READ — so a day's heavy
+hitters / distinct counts / quantile brackets come from state-sized
+reads, never a corpus rescan. The reference rebuilds its summary MVs in
+full per refresh (webapp/utils/refresh_optimizations.py); this is the
+scale-correct replacement for its statistics endpoints.
+
+Three state shapes, all with the algebraic-merge property
+``state(A ∪ B) == merge(state(A), state(B))``:
+
+* **count-min counters** ``(j, pos, c)`` — cellwise-additive; merge is
+  ``groupBy(j, pos).sum(c)``. Engine-replayable arithmetic (the d12
+  doctrine), so a persisted-and-merged sketch is BIT-IDENTICAL to the
+  single-pass sketch — exactness tested, not just bounded.
+* **HLL binaries** ``(keys…, sketch)`` — Spark's ``hll_sketch_agg``
+  DataSketches state (the industry interchange format); merge is
+  ``hll_union_agg``. Not replayable cross-engine, so its parity contract
+  is the a21 shape: exact value + in-envelope boolean.
+* **log-grid histograms** ``(keys…, bucket, n)`` — the cardsketch grid
+  (``floor(16·log2(v))``, ratio 2^(1/16)) applied to any positive
+  measure; merge is additive. Quantile BRACKETS derived from the merged
+  grid bound the true quantile within one bucket each side.
+
+Batch appends go through :func:`append_state`, which takes the
+``io.writers.table_lock`` so concurrent batch writers can't collide in
+the committer's shared temp dir (same guarantee as append_unique).
+
+At 100 TB: per-batch work is one map-side-combinable rollup of the
+BATCH (the shuffle moves at most |state| rows — 768 CMS cells, |keys|
+HLL binaries, |keys|×~200 grid cells); the merge-on-read cost is
+O(accumulated state) = O(batches × state), which compaction
+(:func:`compact_state`) folds back to O(state) whenever the batch count
+grows — never O(corpus) anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mrf_etl_spark.io.writers import table_lock
+
+
+def append_state(state: DataFrame, path: str) -> None:
+    """Append one batch's sketch-state rows to the lake table at
+    ``path`` under the cross-writer lock (two concurrent batch appends
+    would otherwise race in the committer's ``_temporary`` dir)."""
+    with table_lock(path):
+        state.write.mode("append").parquet(path)
+
+
+# ------------------------------------------------------------ count-min
+
+def cms_lake_merge(spark: SparkSession, path: str) -> DataFrame:
+    """Merge-on-read of an appended CMS lake: cellwise addition across
+    every batch's counters. Exact — the merged table equals the
+    single-pass :func:`~mrf_etl_spark.operators.cms.countmin_table` over
+    the union of the batches, bit for bit."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("j", "pos")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+# ------------------------------------------------------------------ HLL
+
+def hll_state(
+    df: DataFrame, keys: list[str], col: str, lgk: int = 12
+) -> DataFrame:
+    """One batch's HLL state: per key group, the DataSketches HLL binary
+    over ``col``. lgk=12 → ~2.5% relative standard error, 4 KiB/sketch."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("sketch")
+    )
+
+
+def hll_lake_distinct(
+    spark: SparkSession, path: str, keys: list[str]
+) -> DataFrame:
+    """Merge-on-read distinct estimate from an appended HLL lake:
+    union the batch sketches per key, then estimate. Returns
+    ``(keys…, distinct_est)``."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(*keys)
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias(
+                "distinct_est"
+            )
+        )
+    )
+
+
+# ------------------------------------------------------- log-grid hist
+
+GRID_RES = 16  # buckets per doubling — 2^(1/16) ≈ 4.4% bucket ratio
+
+
+def grid_bucket(col) -> F.Column:
+    """The cardsketch log grid over any positive measure: only exact at
+    powers of two (where IEEE log2 is exact), so bucketing is
+    deterministic for a given engine's double arithmetic."""
+    return F.floor(F.lit(GRID_RES) * F.log2(F.col(col).cast("double"))).cast(
+        "int"
+    )
+
+
+def grid_state(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """One batch's histogram state ``(keys…, bucket, n)`` over the log
+    grid. Rows with a non-positive measure are excluded (no log cell)."""
+    return (
+        df.filter(F.col(col) > 0)
+        .groupBy(*keys, grid_bucket(col).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def grid_lake_quantile_brackets(
+    spark: SparkSession, path: str, keys: list[str], qs: list[float]
+) -> DataFrame:
+    """Merge-on-read quantile BRACKETS from an appended grid lake: per
+    key group and quantile q, the first bucket whose cumulative count
+    reaches q·total, returned as its value range
+    ``[2^(b/16), 2^((b+1)/16))``. The value at rank ⌈q·total⌉ provably
+    lies inside that range; an interpolated percentile can straddle at
+    most the adjacent bucket, so callers asserting an envelope should
+    allow one bucket (2^(1/16)) of slack each side. Output:
+    ``(keys…, q, bucket, lo, hi)``."""
+    merged = (
+        spark.read.parquet(path)
+        .groupBy(*keys, "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*keys)
+    cum = merged.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(wt)
+    )
+    picks = []
+    for q in qs:
+        hit = cum.filter(F.col("cum") >= F.lit(q) * F.col("total"))
+        picks.append(
+            hit.groupBy(*keys)
+            .agg(F.min("bucket").alias("bucket"))
+            .withColumn("q", F.lit(q))
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        *keys,
+        "q",
+        "bucket",
+        F.pow(F.lit(2.0), F.col("bucket") / GRID_RES).alias("lo"),
+        F.pow(F.lit(2.0), (F.col("bucket") + 1) / F.lit(GRID_RES)).alias("hi"),
+    )
+
+
+def compact_state(spark: SparkSession, path: str, keys: list[str]) -> None:
+    """Fold an appended state lake back to one row per cell: read, merge
+    (groupBy keys + sum of every numeric state column — valid for the
+    additive shapes: CMS counters and grid histograms; HLL lakes should
+    compact by ``hll_union_agg`` instead), atomic-overwrite in place.
+    Run whenever the batch count makes merge-on-read reads heavy; the
+    locked overwrite composes with concurrent :func:`append_state`."""
+    from mrf_etl_spark.io.writers import atomic_overwrite
+
+    df = spark.read.parquet(path)
+    sums = [
+        F.sum(c).alias(c) for c in df.columns if c not in keys
+    ]
+    with table_lock(path):
+        atomic_overwrite(df.groupBy(*keys).agg(*sums), path)

@@ -3887,3 +3887,163 @@ def a25_countmin_heavy_hitters(spark, sf_dir):
         (F.col("cms_est") >= F.col("true_n")).alias("never_under"),
     )
     return carry_state(out, hold=(top,))
+
+
+# Persisted mergeable-sketch state (round 8, VERDICT r7 #8): the lake
+# twins of a25/a21/a20. Each builds its sketch state in THREE deterministic
+# batches (split on a key mod 3), appends every batch's constant-size
+# state rows to a parquet lake table (operators/sketchlake.py), and
+# answers from the MERGED state — completing the q7/st9 incremental story
+# for the approx family. The batch split is result-invisible for the
+# additive shapes (cellwise/count addition is exact), so a26 reuses a25's
+# fully-replayed oracle verbatim; the HLL binary state is not
+# engine-replayable, so a27 keeps a21's exact-value + in-envelope-boolean
+# contract; a28 brackets a20's exact percentiles with the merged grid.
+
+def _register_sketch_lake():
+    from mrf_etl_spark.operators import sketchlake as sl
+    from mrf_etl_spark.operators.cms import countmin_estimate, countmin_table
+    from mrf_etl_spark.operators.dedup import carry_state
+
+    @register(
+        "a26_persisted_cms",
+        REGISTRY["a25_countmin_heavy_hitters"].oracle,
+        doc="a26: a25's count-min sketch persisted ON THE LAKE — three "
+        "batch builds append their (j, pos, c) counters, merge-on-read "
+        "is cellwise addition, and the merged sketch is BIT-IDENTICAL "
+        "to the single-pass sketch (additive merge is exact), so the "
+        "fully-replayed a25 oracle verifies the whole persist→merge "
+        "path, collisions included. The 100 TB shape: each batch "
+        "shuffles ≤768 partial counters, the lake holds "
+        "batches×768 rows until compact_state folds it back.",
+    )
+    def a26_persisted_cms(spark, sf_dir):
+        from pyspark import StorageLevel
+
+        path = _scratch("a26_cms_lake")
+        li = t(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").alias("item"), "l_orderkey"
+        )
+        for b in range(3):
+            batch = li.filter(F.col("l_orderkey") % 3 == b).select("item")
+            sl.append_state(
+                countmin_table(batch, "item", width=A25_CMS_W, depth=A25_CMS_D),
+                path,
+            )
+        cms = sl.cms_lake_merge(spark, path)
+        top = (
+            li.groupBy("item")
+            .agg(F.count("*").alias("true_n"))
+            .orderBy(F.col("true_n").desc(), F.col("item").asc())
+            .limit(A25_TOP)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        est = countmin_estimate(top, cms, "item", width=A25_CMS_W, depth=A25_CMS_D)
+        out = top.join(est, "item").select(
+            "item",
+            "true_n",
+            "cms_est",
+            (F.col("cms_est") >= F.col("true_n")).alias("never_under"),
+        )
+        return carry_state(out, hold=(top,))
+
+    @register(
+        "a27_persisted_hll",
+        REGISTRY["a21_approx_distinct_bound"].oracle,
+        doc="a27: a21's HLL distinct persisted ON THE LAKE — per batch, "
+        "one DataSketches binary per group (hll_sketch_agg, 4 KiB at "
+        "lgk=12); merge-on-read unions the batch sketches "
+        "(hll_union_agg) and estimates. The binary state is not "
+        "engine-replayable, so the contract is a21's: the exact "
+        "distinct (hash-compared) plus the union estimate landing in "
+        "its envelope as a required-TRUE boolean.",
+    )
+    def a27_persisted_hll(spark, sf_dir):
+        path = _scratch("a27_hll_lake")
+        li = t(spark, sf_dir, "lineitem")
+        for b in range(3):
+            sl.append_state(
+                sl.hll_state(
+                    li.filter(F.col("l_orderkey") % 3 == b),
+                    ["l_returnflag"],
+                    "l_orderkey",
+                ),
+                path,
+            )
+        est = sl.hll_lake_distinct(spark, path, ["l_returnflag"])
+        exact = li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_orderkey").alias("d_orders")
+        )
+        return exact.join(est, "l_returnflag").select(
+            "l_returnflag",
+            "d_orders",
+            (
+                F.abs(F.col("distinct_est") - F.col("d_orders"))
+                <= F.lit(A21_REL_BOUND) * F.col("d_orders")
+            ).alias("within_bound"),
+        )
+
+    @register(
+        "a28_persisted_quantile_grid",
+        REGISTRY["a20_approx_quantile_bound"].oracle,
+        doc="a28: a20's quantile contract served from persisted state — "
+        "per batch, a log-grid histogram (floor(16·log2 v), the "
+        "cardsketch grid) appends (group, bucket, n) rows; merge-on-read "
+        "is additive, and the merged grid's q-bucket brackets the exact "
+        "interpolated percentile within one bucket (2^(1/16) ≈ 4.4%) "
+        "each side. Output is a20's: exact p50/p90 (hash-compared) plus "
+        "required-TRUE in-bracket booleans with the one-bucket slack.",
+    )
+    def a28_persisted_quantile_grid(spark, sf_dir):
+        path = _scratch("a28_grid_lake")
+        li = t(spark, sf_dir, "lineitem")
+        for b in range(3):
+            sl.append_state(
+                sl.grid_state(
+                    li.filter(F.col("l_orderkey") % 3 == b),
+                    ["l_returnflag"],
+                    "l_extendedprice",
+                ),
+                path,
+            )
+        brackets = sl.grid_lake_quantile_brackets(
+            spark, path, ["l_returnflag"], [0.5, 0.9]
+        )
+        slack = 2.0 ** (1.0 / sl.GRID_RES)  # one bucket each side
+        b50 = brackets.filter(F.col("q") == 0.5).select(
+            "l_returnflag",
+            (F.col("lo") / slack).alias("_lo50"),
+            (F.col("hi") * slack).alias("_hi50"),
+        )
+        b90 = brackets.filter(F.col("q") == 0.9).select(
+            "l_returnflag",
+            (F.col("lo") / slack).alias("_lo90"),
+            (F.col("hi") * slack).alias("_hi90"),
+        )
+        exact = li.groupBy("l_returnflag").agg(
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("_e")
+        )
+        return (
+            exact.join(b50, "l_returnflag")
+            .join(b90, "l_returnflag")
+            .select(
+                "l_returnflag",
+                F.col("_e")[0].alias("p50"),
+                F.col("_e")[1].alias("p90"),
+                (
+                    (F.col("_e")[0] >= F.col("_lo50"))
+                    & (F.col("_e")[0] < F.col("_hi50"))
+                ).alias("p50_ok"),
+                (
+                    (F.col("_e")[1] >= F.col("_lo90"))
+                    & (F.col("_e")[1] < F.col("_hi90"))
+                ).alias("p90_ok"),
+            )
+        )
+
+    return a26_persisted_cms, a27_persisted_hll, a28_persisted_quantile_grid
+
+
+a26_persisted_cms, a27_persisted_hll, a28_persisted_quantile_grid = (
+    _register_sketch_lake()
+)

@@ -76,6 +76,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # heavy hitters (fully replayed counters; oracle 0.04 s)
         ("a24_grouped_regression", ["slope", "intercept", "r2"]),
         ("a25_countmin_heavy_hitters", []),
+        # round-8: a25's persisted lake twin (oracle reused verbatim,
+        # 0.04 s) and a21's persisted-HLL twin (0.01 s)
+        ("a26_persisted_cms", []),
+        ("a27_persisted_hll", []),
     ],
     "fx_stats": [
         ("a4_summary_stats", ["avg_rate", "min_rate", "max_rate", "median_rate"]),
@@ -86,6 +90,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-8: moved from fx_agg_shapes (was 8 components — above the
         # now-binding ≤7 blast-radius cap); the histogram is stats-family
         ("a23_histogram", ["bin_lo"]),
+        # round-8: a20's persisted-grid twin (oracle reused verbatim)
+        ("a28_persisted_quantile_grid", ["p50", "p90"]),
     ],
     "fx_distinct_dedup": [
         ("a9_multi_distinct", []),
@@ -229,6 +235,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
     "fx_dedup_pipelines": [
         ("pipe2_fuzzy_dedup", []),
         ("d9_incremental_dedup", []),
+        # round-8: the incremental-maintenance family's streaming member
+        # — per-micro-batch HLL state appends (a27's ingest twin);
+        # all-integer/boolean compare surface, trivial oracle
+        ("st16_stream_hll_distinct", []),
     ],
     "fx_splits_a": [
         ("sp1_hash_split", []),
@@ -664,6 +674,13 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     # round-8 fused direct rows (fx_eval_suites / fx_streaming_lake)
     "sp20_leakage_safe_split": ["doc_id", "rep", "bucket", "split"],
     "st6_stream_interval_join": ["user_id", "click_id", "view_id", "dt_us"],
+    # round-8 persisted-sketch twins
+    "a26_persisted_cms": ["item", "true_n", "cms_est", "never_under"],
+    "a27_persisted_hll": ["l_returnflag", "d_orders", "within_bound"],
+    "st16_stream_hll_distinct": ["event_type", "d_users", "within_bound"],
+    "a28_persisted_quantile_grid": [
+        "l_returnflag", "p50", "p90", "p50_ok", "p90_ok",
+    ],
 }
 
 # Components with array-typed output columns: serialized as ','-joined

@@ -976,3 +976,82 @@ def _register_st15():
 
 
 st15_stream_burst_monitor = _register_st15()
+
+
+# ---------------------------------------------- round-8: streaming HLL
+
+def _register_st16():
+    @register(
+        "st16_stream_hll_distinct",
+        # stream == batch for the estimate's CONTRACT: the union of
+        # per-batch sketches estimates the same population as one
+        # sketch over everything, so the exact distinct (hash-compared)
+        # plus the in-envelope boolean must match the batch truth
+        oracle="""SELECT event_type,
+                         count(DISTINCT user_id) AS d_users,
+                         TRUE AS within_bound
+                  FROM events GROUP BY event_type""",
+        doc="st16: streaming distinct-user maintenance from the persisted "
+        "HLL sketch lake (a27's ingest twin, VERDICT r7 #8) — each "
+        "micro-batch appends per-group DataSketches binaries "
+        "(sketchlake.append_state inside foreachBatch, locked against "
+        "concurrent writers), the serving read unions on read "
+        "(hll_union_agg). State per batch is |groups| 4 KiB binaries "
+        "regardless of user cardinality — the 100 TB distinct-counting "
+        "shape; no per-user state, no rebuild, batches fold in forever.",
+    )
+    def st16_stream_hll_distinct(spark, sf_dir):
+        import os
+
+        from mrf_etl_spark.operators import sketchlake as sl
+
+        raw_schema, _ = _events_raw(spark, sf_dir)
+        ev = (
+            spark.read.schema(raw_schema)
+            .parquet(f"{sf_dir}/events.parquet")
+            .select("event_id", "user_id", "event_type")
+        )
+        staging = _scratch("st16_staging")
+        os.makedirs(staging, exist_ok=True)
+        ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+            f"{staging}/half=1"
+        )
+        ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+            f"{staging}/half=2"
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staging}/half=*")
+        )
+        lake = _scratch("st16_hll_lake")
+
+        def fold(batch_df, _batch_id):
+            sl.append_state(
+                sl.hll_state(batch_df, ["event_type"], "user_id"), lake
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", _scratch("st16_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        est = sl.hll_lake_distinct(spark, lake, ["event_type"])
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("d_users")
+        )
+        return exact.join(est, "event_type").select(
+            "event_type",
+            "d_users",
+            (
+                F.abs(F.col("distinct_est") - F.col("d_users"))
+                <= F.lit(0.15) * F.col("d_users")
+            ).alias("within_bound"),
+        )
+
+    return st16_stream_hll_distinct
+
+
+st16_stream_hll_distinct = _register_st16()
