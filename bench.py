@@ -86,6 +86,7 @@ HEADLINE = [
     "pipe5_release_v2",
     "e4_product_quantization",
     "n5_ann_pq_adc",
+    "n7_ann_ivf_pq",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

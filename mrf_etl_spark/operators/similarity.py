@@ -992,6 +992,131 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    centroid_mod: int = 97,
+    nprobe: int = 2,
+    n_blocks: int = 8,
+    seeds: DataFrame | None = None,
+    seed_filter: Column | None = None,
+    query_filter: Column | None = None,
+    n_candidates: int = 50,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ ANN — the composed production shape (FAISS ``IVFx,PQy``):
+    a coarse quantizer prunes the corpus to the query's ``nprobe``
+    buckets, the ADC scan runs over PQ CODES of just those buckets, and
+    only the surviving ``n_candidates`` touch corpus floats for the
+    exact rerank. Composes n2's pruning (ivf_topk) with n5's compressed
+    scan (pq_adc_topk): at 100 TB the codes table lives partitioned by
+    coarse bucket, so a query reads nprobe partitions of ~1%-sized code
+    bytes — neither the full corpus (n5's ADC still scans every code)
+    nor any float column before the rerank.
+
+    Returns (query_id, neighbor_id, cosine, rank) — n1's output shape.
+    Every stage is deterministic (seed coarse centroids = id % mod == 0,
+    seed PQ codebook = first 16 ids, all ties break on ids), so the
+    oracle replays the whole cascade exactly; recall vs exact is audited
+    with ann_recall_report in tests, as for n2/n5.
+
+    Plan shape: coarse assignment is assign_centroids' map-side-
+    combinable min(struct) agg; the PQ long form is computed once for
+    codes + query LUT (pq_adc_topk's sharing); the bucket prune joins
+    the N×n_blocks codes against a broadcast (query, bucket) probe list
+    BEFORE the ADC pivot, so the per-query ADC work is Σ|probed bucket|
+    instead of N; rerank joins ≤ |Q|×n_candidates winners to floats."""
+    cent = emb.filter((F.col(id_col) % centroid_mod) == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    assigned = assign_centroids(emb, cent, id_col, vec_col, dim).select(
+        F.col(id_col).alias("neighbor_id"), F.col("cid").alias("ccid")
+    )
+
+    qf = query_filter if query_filter is not None else (F.col(id_col) < 10)
+    q = emb.filter(qf).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", norm_fold("qv"))
+    qprobe = q.crossJoin(
+        F.broadcast(cent.withColumn("_cnorm", norm_fold("cvec")))
+    ).withColumn(
+        "cos_c", dot_fold("qv", "cvec") / (F.col("qn") * F.col("_cnorm"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    probes = (
+        qprobe.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cid").alias("ccid"))
+    )
+
+    rows = _pq_rows(emb, id_col, vec_col, dim, n_blocks, seeds, seed_filter)
+    w_code = Window.partitionBy("vec_id", "b").orderBy(
+        F.col("d").asc(), F.col("cid").asc()
+    )
+    codes = (
+        rows.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "b", "cid")
+    )
+    qids = q.select("query_id")
+    lut = rows.join(
+        F.broadcast(qids), rows["vec_id"] == qids["query_id"]
+    ).select("query_id", "b", "cid", F.col("d").alias("qd"))
+
+    # The IVF prune: codes gain their coarse bucket (vec-keyed, colocated
+    # with the code window's shuffle), then meet the broadcast probe list —
+    # rows for unprobed buckets never reach the ADC pivot. At scale this
+    # join is a partition prune on a ccid-partitioned codes table.
+    pruned = codes.join(assigned, "neighbor_id").join(
+        F.broadcast(probes), "ccid"
+    )
+    adc = (
+        pruned.join(F.broadcast(lut), ["query_id", "b", "cid"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("b") == b, F.col("qd"))).alias(f"qd{b}")
+                for b in range(n_blocks)
+            ]
+        )
+    )
+    dist = F.col("qd0")
+    for b in range(1, n_blocks):
+        dist = dist + F.col(f"qd{b}")
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        adc.select("query_id", "neighbor_id", dist.alias("adc"))
+        .withColumn("crank", F.row_number().over(w_cand))
+        .filter(F.col("crank") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", norm_fold("cv"))
+    rer = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine", dot_fold("qv", "cv") / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ann_recall_report(
     exact: DataFrame,
     approx: DataFrame,

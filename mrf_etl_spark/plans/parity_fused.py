@@ -363,6 +363,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("n2_ann_ivf", ["cosine"]),
         ("n4_ann_index_incremental", ["cosine"]),
         ("n5_ann_pq_adc", ["cosine"]),
+        # round-8: the composed IVF-PQ cascade — deterministic like both
+        # parents, so the oracle replays it exactly (ANN cost band)
+        ("n7_ann_ivf_pq", ["cosine"]),
     ],
     # Each streaming entry runs its real availableNow drain and returns a
     # batch DataFrame of the drained result, so they fuse like any other
@@ -671,6 +674,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "st12_stream_classifier_gate": ["doc_id", "logit"],
     "e4_product_quantization": ["vec_id", "codes", "recon_cos"],
     "n5_ann_pq_adc": ["query_id", "neighbor_id", "cosine", "rank"],
+    "n7_ann_ivf_pq": ["query_id", "neighbor_id", "cosine", "rank"],
     # round-8 fused direct rows (fx_eval_suites / fx_streaming_lake)
     "sp20_leakage_safe_split": ["doc_id", "rep", "bucket", "split"],
     "st6_stream_interval_join": ["user_id", "click_id", "view_id", "dt_us"],

@@ -4082,6 +4082,103 @@ def _register_n6():
 n6_ann_recall = _register_n6()
 
 
+# --------------------------------- round-8: composed IVF-PQ ANN (n7)
+
+
+def _n7_oracle() -> str:
+    # n2's coarse cascade (renamed g* to keep clear of the PQ CTEs) +
+    # n5's codes/LUT, with the IVF prune joined in BEFORE the ADC pivot:
+    # a (query, neighbor, block) row exists only when the neighbor's
+    # coarse bucket is one the query probes. Same map-budget discipline
+    # as both parents: every unrolled cosine is projected ONCE into a
+    # MATERIALIZED stage; windows order by projected columns.
+    qd_maxes = ", ".join(
+        f"max(CASE WHEN co.b = {b} THEN l.qd END) AS qd{b}"
+        for b in range(_PQ_BLOCKS)
+    )
+    adc_chain = "(" * (_PQ_BLOCKS - 1) + "qd0" + "".join(
+        f" + qd{b})" for b in range(1, _PQ_BLOCKS)
+    )
+    return f"""WITH {_pq_longf_ctes(materialized=True)},
+       gcent AS MATERIALIZED (
+         SELECT vec_id AS ccid, embedding AS cvec
+         FROM embeddings WHERE vec_id % 97 = 0),
+       gscored AS MATERIALIZED (
+         SELECT em.vec_id, c.ccid, {_cos_sql('em.embedding', 'c.cvec')} AS cs
+         FROM embeddings em CROSS JOIN gcent c),
+       gassigned AS MATERIALIZED (
+         SELECT vec_id AS neighbor_id, ccid FROM (
+           SELECT vec_id, ccid, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, ccid ASC) AS rn
+           FROM gscored) WHERE rn = 1),
+       gprobes AS MATERIALIZED (
+         SELECT vec_id AS query_id, ccid FROM (
+           SELECT vec_id, ccid, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, ccid ASC) AS rn
+           FROM gscored WHERE vec_id < 10) WHERE rn <= 2),
+       codes AS (
+         SELECT vec_id AS neighbor_id, b, cid FROM (
+           SELECT vec_id, b, cid, row_number() OVER (
+               PARTITION BY vec_id, b ORDER BY d ASC, cid ASC) AS rn
+           FROM longf) WHERE rn = 1),
+       lut AS (
+         SELECT vec_id AS query_id, b, cid, d AS qd
+         FROM longf WHERE vec_id < 10),
+       adc AS (
+         SELECT l.query_id, co.neighbor_id, {qd_maxes}
+         FROM codes co
+         JOIN gassigned ga ON ga.neighbor_id = co.neighbor_id
+         JOIN gprobes gp ON gp.ccid = ga.ccid
+         JOIN lut l ON l.query_id = gp.query_id
+                   AND l.b = co.b AND l.cid = co.cid
+         WHERE gp.query_id <> co.neighbor_id
+         GROUP BY 1, 2),
+       cand AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {adc_chain} ASC, neighbor_id ASC) AS crank
+           FROM adc) WHERE crank <= {_N5_CANDIDATES}),
+       rer AS (
+         SELECT c.query_id, c.neighbor_id,
+                {_cos_sql('q.embedding', 'n.embedding')} AS cosine
+         FROM cand c
+         JOIN embeddings q ON q.vec_id = c.query_id
+         JOIN embeddings n ON n.vec_id = c.neighbor_id)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT *, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         FROM rer) WHERE rank <= {_N5_K}"""
+
+
+@register(
+    "n7_ann_ivf_pq",
+    _n7_oracle(),
+    doc="n7: composed IVF-PQ ANN (the FAISS IVFx,PQy production shape) — "
+    "n2's coarse quantizer prunes the corpus to the query's nprobe "
+    "buckets, n5's ADC scan runs over the PQ codes of just those "
+    "buckets, exact rerank on the survivors. At 100 TB the codes table "
+    "is partitioned by coarse bucket: a query reads nprobe partitions "
+    "of ~1%-sized code bytes and touches floats only for "
+    "|Q|×n_candidates rerank rows. Fully deterministic end-to-end "
+    "(both parent cascades' seeds + id tie-breaks), so the oracle "
+    "replays the composition exactly "
+    "(operators/similarity.ivf_pq_topk).",
+)
+def n7_ann_ivf_pq(spark, sf_dir):
+    return sim.ivf_pq_topk(
+        t(spark, sf_dir, "embeddings"),
+        dim=DIM,
+        centroid_mod=97,
+        nprobe=2,
+        n_blocks=_PQ_BLOCKS,
+        query_filter=F.col("vec_id") < 10,
+        n_candidates=_N5_CANDIDATES,
+        k=_N5_K,
+    )
+
+
 W21_BASE_DAYS = 7
 W21_Z = 3  # burst threshold in baseline standard deviations
 

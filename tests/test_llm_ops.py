@@ -1718,6 +1718,90 @@ def test_pq_adc_topk_recall_and_shape(spark):
     assert all(v >= 1 for v in per_q.values())
 
 
+def test_ivf_pq_topk_composition_and_recall(spark):
+    """n7: the composed IVF-PQ cascade returns exact cosines in n1's
+    shape, every returned neighbor lives in a coarse bucket its query
+    actually probes (the prune is real, not decorative), and recall@5
+    against the exact top-5 clears a floor below n5's (the coarse prune
+    can only remove candidates)."""
+    from mrf_etl_spark.operators.similarity import (
+        assign_centroids,
+        cosine_topk,
+        ivf_pq_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = ivf_pq_topk(
+        emb, dim=64, centroid_mod=97, nprobe=2,
+        query_filter=F.col("vec_id") < 10, n_candidates=50, k=5,
+    ).collect()
+    assert len(out) == 50  # 10 queries x 5: pruned buckets still >= k deep
+    exact = cosine_topk(
+        emb, dim=64, query_filter=F.col("vec_id") < 10, k=5
+    ).collect()
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    hits = 0
+    for r in out:
+        assert 1 <= r.rank <= 5 and r.query_id != r.neighbor_id
+        if (r.query_id, r.neighbor_id) in ex:
+            hits += 1
+            assert r.cosine == ex[(r.query_id, r.neighbor_id)]
+    assert hits / 50 >= 0.3, hits  # measured 0.48 on this corpus/codebook
+
+    # prune is real: every neighbor's coarse bucket is probed by its query
+    cent = emb.filter((F.col("vec_id") % 97) == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    buckets = {
+        r.vec_id: r.cid
+        for r in assign_centroids(emb, cent, "vec_id", "embedding", 64).collect()
+    }
+    # ivf_topk's probe stage is the same recipe; re-derive probes from it
+    # by reading which buckets each query's IVF neighbors came from is
+    # indirect — instead recompute the nprobe=2 probe set exactly
+    qsc = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .crossJoin(F.broadcast(cent))
+    )
+    from mrf_etl_spark.operators.similarity import dot_fold, norm_fold
+
+    qsc = qsc.withColumn(
+        "cos_c",
+        dot_fold("qv", "cvec") / (norm_fold("qv") * norm_fold("cvec")),
+    )
+    from pyspark.sql.window import Window as W
+
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    probes = {}
+    for r in (
+        qsc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "cid")
+        .collect()
+    ):
+        probes.setdefault(r.query_id, set()).add(r.cid)
+    for r in out:
+        assert buckets[r.neighbor_id] in probes[r.query_id], r
+
+    # pruning can only shrink the candidate pool: n7 recall <= n2-with-
+    # the-same-buckets' ceiling is structural; sanity-check vs plain IVF
+    ivf = ivf_topk(
+        emb, dim=64, centroid_mod=97, nprobe=2,
+        query_filter=F.col("vec_id") < 10, k=5,
+    ).collect()
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf}
+    # n7's survivors come from the same probed buckets, so any n7 hit
+    # that IVF ranks top-5 must carry the identical exact cosine
+    iv = {(r.query_id, r.neighbor_id): r.cosine for r in ivf}
+    for r in out:
+        if (r.query_id, r.neighbor_id) in ivf_set:
+            assert r.cosine == iv[(r.query_id, r.neighbor_id)]
+
+
 def test_leakage_safe_split_string_ids(spark):
     """String-id corpora (URL/hash ids) must split like assign_split,
     not silently collapse into the last split: the rep column unifies
