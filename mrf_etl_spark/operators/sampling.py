@@ -290,6 +290,89 @@ def pack_sequences(
     ).drop("_ps_cum")
 
 
+def token_stream_chunks(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    chunk_tokens: int,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Concat-and-chunk packing — the GPT-pretraining loader shape:
+    conceptually concatenate every document's tokens in ``id_col`` order
+    into one stream and cut it every ``chunk_tokens`` tokens, letting
+    documents STRADDLE chunk boundaries (sp6/pack_sequences is the
+    doc-preserving alternative; this is the zero-padding one). Returns
+    the doc→chunk span map a loader or attention-mask builder needs:
+    (id, n_tok, start_off, first_chunk, last_chunk, n_chunks) — all
+    exact integers, n_chunks = boundary crossings + 1.
+
+    The global exclusive running sum is NOT a single-task
+    ``ORDER BY id`` window: ids bucket by ``id div width`` (width from
+    one max-id aggregate, broadcast — monotone, so bucket order IS id
+    order), per-bucket token sums prefix-scan on the ≤``n_buckets``-row
+    offset table, and the only corpus-sized window runs per bucket —
+    global_shuffle's decomposition, keyed by id range instead of hash.
+    Dense ids (ingest-minted) give uniform buckets; a sparse or skewed
+    id space concentrates buckets — re-mint ids or raise n_buckets.
+    Zero-token rows are excluded from the stream (they occupy no
+    positions); ids must be non-negative."""
+    from pyspark.sql.window import Window
+
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    pos = df.select(
+        F.col(id_col), F.col(token_col).cast("long").alias("_tc_tok")
+    ).filter(F.col("_tc_tok") > 0)
+    width = pos.agg(
+        ((F.max(id_col) + F.lit(n_buckets)) / F.lit(n_buckets))
+        .cast("long")
+        .alias("_w")
+    )
+    b = pos.crossJoin(F.broadcast(width)).withColumn(
+        "_b", F.expr(f"{id_col} div _w")
+    )
+    offsets = (
+        b.groupBy("_b")
+        .agg(F.sum("_tc_tok").alias("_bsum"))
+        .select(
+            "_b",
+            F.coalesce(
+                F.sum("_bsum").over(
+                    Window.orderBy("_b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_off"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("_off") + F.coalesce(F.sum("_tc_tok").over(w_in), F.lit(0))
+    out = (
+        b.join(F.broadcast(offsets), "_b")
+        .withColumn("start_off", start)
+        .withColumn("first_chunk", F.expr(f"start_off div {int(chunk_tokens)}"))
+        .withColumn(
+            "last_chunk",
+            F.expr(f"(start_off + _tc_tok - 1) div {int(chunk_tokens)}"),
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("_tc_tok").alias("n_tok"),
+        "start_off",
+        "first_chunk",
+        "last_chunk",
+        (F.col("last_chunk") - F.col("first_chunk") + F.lit(1)).alias(
+            "n_chunks"
+        ),
+    )
+
+
 def mix_sources(
     df: DataFrame,
     id_col: str,

@@ -250,6 +250,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # and this probe has the headroom (0.04 s) its closure oracle
         # (~0.16 s) needs
         ("d11_soft_dedup_weights", ["weight"]),
+        # round-8: concat-and-chunk span map — all-integer surface,
+        # window-decomposition parity (oracle ~0.02 s)
+        ("sp21_token_stream_chunks", []),
     ],
     "fx_splits_b": [
         ("sp5_pack_shards", []),
@@ -667,6 +670,10 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "t19_quality_classifier": ["doc_id", "logit", "keep"],
     "w20_approx_sliding_reach": ["day", "reach_7d", "within_bound"],
     "d11_soft_dedup_weights": ["doc_id", "cluster_size", "weight"],
+    "sp21_token_stream_chunks": [
+        "doc_id", "n_tok", "start_off", "first_chunk", "last_chunk",
+        "n_chunks",
+    ],
     "j8_star_join": [
         "l_orderkey", "l_linenumber", "c_name", "n_name", "p_brand",
         "s_name", "price",

@@ -1484,6 +1484,51 @@ def sp6_sequence_pack(spark, sf_dir):
     )
 
 
+CHUNK_TOKENS = 512  # sp21 context length (tokens per chunk)
+
+
+@register(
+    "sp21_token_stream_chunks",
+    # The oracle's single ORDER BY doc_id window is the SEMANTICS; the
+    # Spark side computes the identical exclusive running sum with the
+    # bucket-offset decomposition (global_shuffle's), so no engine runs
+    # a one-task global window. Integer sums in id order are
+    # association-free — the decomposition is exact, not approximate.
+    f"""WITH tok AS (
+         SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                     AS BIGINT) AS n_tok
+         FROM documents),
+       s AS (
+         SELECT doc_id, n_tok,
+                CAST(coalesce(sum(n_tok) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_off
+         FROM tok WHERE n_tok > 0)
+       SELECT doc_id, n_tok, start_off,
+              start_off // {CHUNK_TOKENS} AS first_chunk,
+              (start_off + n_tok - 1) // {CHUNK_TOKENS} AS last_chunk,
+              (start_off + n_tok - 1) // {CHUNK_TOKENS}
+                - start_off // {CHUNK_TOKENS} + 1 AS n_chunks
+       FROM s""",
+    doc="sp21: concat-and-chunk packing (the GPT-pretraining loader "
+    "shape, sp6's document-splitting dual) — the corpus token stream in "
+    "doc_id order cut every CHUNK_TOKENS tokens, documents straddling "
+    "boundaries; output is the exact doc→chunk span map "
+    "(start offset, first/last chunk, chunks spanned) a loader or "
+    "attention-mask builder consumes. All-integer compare surface "
+    "(operators/sampling.token_stream_chunks).",
+)
+def sp21_token_stream_chunks(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count_ws("text").cast("long").alias("n_tok")
+    )
+    return sp.token_stream_chunks(d, "doc_id", "n_tok", CHUNK_TOKENS)
+
+
 # d9: incremental dedup — corpus = even doc_ids (the "lake"), batch =
 # odd doc_ids (mostly novel) + mutated copies of the first 40 even docs
 # (known near-dups that must match their originals through the index).

@@ -811,6 +811,49 @@ def test_pack_sequences_fill_invariants(spark, sf_dir):
         assert seqs == set(range(len(seqs))), sid
 
 
+def test_token_stream_chunks_invariants(spark, sf_dir):
+    """sp21: the bucket-offset decomposition must produce the EXACT
+    single-window semantics — offsets contiguous in id order (each doc
+    starts where the previous one ended), chunk span arithmetic holds,
+    zero-token rows occupy no stream positions, and a non-positive
+    chunk size raises."""
+    import pytest
+
+    from mrf_etl_spark.operators import sampling as sp
+    from mrf_etl_spark.operators import textops as tx
+
+    B = 512
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", tx.token_count_ws("text").cast("long").alias("n_tok")
+    )
+    out = sp.token_stream_chunks(d, "doc_id", "n_tok", B).collect()
+    assert len(out) == d.filter(F.col("n_tok") > 0).count()
+    out.sort(key=lambda r: r.doc_id)
+    cum = 0
+    for r in out:
+        assert r.start_off == cum, (r.doc_id, r.start_off, cum)
+        assert r.first_chunk == r.start_off // B
+        assert r.last_chunk == (r.start_off + r.n_tok - 1) // B
+        assert r.n_chunks == r.last_chunk - r.first_chunk + 1 >= 1
+        cum += r.n_tok
+    # total chunks = ceil(total tokens / B); every chunk is touched
+    total = cum
+    touched = set()
+    for r in out:
+        touched.update(range(r.first_chunk, r.last_chunk + 1))
+    assert touched == set(range((total + B - 1) // B))
+
+    # zero-token rows are excluded, and the remaining offsets unchanged
+    with_zero = d.union(
+        spark.createDataFrame([(10**9, 0)], "doc_id long, n_tok long")
+    )
+    out2 = sp.token_stream_chunks(with_zero, "doc_id", "n_tok", B)
+    assert out2.count() == len(out)
+
+    with pytest.raises(ValueError):
+        sp.token_stream_chunks(d, "doc_id", "n_tok", 0)
+
+
 def test_domain_cap_null_domain_is_one_partition(spark):
     """Rows with a NULL domain form their own quota partition (the window
     spec's semantics) — they must not be dropped by the histogram join."""
