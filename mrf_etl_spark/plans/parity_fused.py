@@ -301,6 +301,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("d4_simhash", []),
         ("q6_token_budget", []),
         ("q7_incremental_corpus_card", ["chars_avg"]),
+        # round-8: release diff manifest — all-integer rollup, 0.02 s
+        ("q8_dataset_diff", []),
     ],
     # round-4 session 2: three probes free the j5/j9/j12 slots (those
     # fuse into fx_key_joins) so the media family and the corpus-release
@@ -670,6 +672,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "t19_quality_classifier": ["doc_id", "logit", "keep"],
     "w20_approx_sliding_reach": ["day", "reach_7d", "within_bound"],
     "d11_soft_dedup_weights": ["doc_id", "cluster_size", "weight"],
+    "q8_dataset_diff": ["source", "status", "n_docs", "chars_a", "chars_b"],
     "sp21_token_stream_chunks": [
         "doc_id", "n_tok", "start_off", "first_chunk", "last_chunk",
         "n_chunks",

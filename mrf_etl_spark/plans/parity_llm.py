@@ -2562,6 +2562,74 @@ def q5_corpus_drift(spark, sf_dir):
     )
 
 
+# q8: release-to-release dataset diff (added/removed/changed manifest)
+@register(
+    "q8_dataset_diff",
+    # Release A drops doc_id % 7 == 1, release B drops % 7 == 2 and
+    # rewrites % 5 == 0 texts — so all four statuses occur. Content
+    # compare is md5 over the text (null→''), statuses roll up per
+    # (source, status) with exact char sums on each side.
+    """WITH a AS (
+         SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 1),
+       b AS (
+         SELECT doc_id, source,
+                CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+                  AS text
+         FROM documents WHERE doc_id % 7 <> 2),
+       j AS (
+         SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                coalesce(b.source, a.source) AS source,
+                CASE WHEN a.doc_id IS NULL THEN 'added'
+                     WHEN b.doc_id IS NULL THEN 'removed'
+                     WHEN md5(coalesce(a.text, ''))
+                          <> md5(coalesce(b.text, '')) THEN 'changed'
+                     ELSE 'unchanged' END AS status,
+                coalesce(length(a.text), 0) AS ca,
+                coalesce(length(b.text), 0) AS cb
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+       SELECT source, status,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(ca) AS BIGINT) AS chars_a,
+              CAST(sum(cb) AS BIGINT) AS chars_b
+       FROM j GROUP BY 1, 2""",
+    doc="q8: dataset release diff (beyond-ref) — the versioning manifest "
+    "a corpus pipeline publishes between releases: every doc classified "
+    "added/removed/changed/unchanged by content hash via ONE full-outer "
+    "join (zero exchanges when both releases are bucketed by id), "
+    "rolled up per (source, status) with exact char volumes on each "
+    "side (plans/quality.dataset_diff).",
+)
+def q8_dataset_diff(spark, sf_dir):
+    from mrf_etl_spark.plans.quality import dataset_diff
+
+    docs = t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 7 != 1).select("doc_id", "source", "text")
+    b = docs.filter(F.col("doc_id") % 7 != 2).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    d = dataset_diff(a, b, "doc_id", ["text"], keep=("source", "text"))
+    return (
+        d.select(
+            F.coalesce("b_source", "a_source").alias("source"),
+            "status",
+            F.coalesce(F.length("a_text"), F.lit(0)).alias("ca"),
+            F.coalesce(F.length("b_text"), F.lit(0)).alias("cb"),
+        )
+        .groupBy("source", "status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ca").alias("chars_a"),
+            F.sum("cb").alias("chars_b"),
+        )
+    )
+
+
 # w11: daily new / cumulative distinct users (the reach curve)
 @register(
     "w11_user_reach",

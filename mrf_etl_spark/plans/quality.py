@@ -54,6 +54,58 @@ def fk_check(
     )
 
 
+def dataset_diff(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Row-level diff between two dataset releases — the versioning step
+    a corpus release pipeline runs before publishing: one row per id in
+    EITHER release with ``status`` in added / removed / changed /
+    unchanged, where "changed" means the md5 over ``content_cols``
+    differs (null columns hash as '' — the hashing.py uid discipline).
+    ``keep`` columns come through prefixed ``a_`` / ``b_`` so callers
+    can roll up deltas (token counts, bytes) without re-joining.
+
+    Scale: ONE full-outer shuffle join on id — content hashes are
+    computed scan-side (never ship full texts twice if the releases
+    already store a content-hash column; pass that as the sole content
+    col), and two releases written bucketed by id (io/writers
+    bucketed_write) diff with zero exchanges. No windows, no collects;
+    the output is corpus-sized but projects to the hash+keep columns."""
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit(""))
+                    for c in content_cols
+                ],
+            )
+        )
+        return df.select(
+            F.col(id_col).alias("_dd_id"),
+            h.alias(f"_h_{tag}"),
+            *[F.col(c).alias(f"{tag}_{c}") for c in keep],
+        )
+
+    j = side(a, "a").join(side(b, "b"), "_dd_id", "full_outer")
+    status = (
+        F.when(F.col("_h_a").isNull(), F.lit("added"))
+        .when(F.col("_h_b").isNull(), F.lit("removed"))
+        .when(F.col("_h_a") != F.col("_h_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.col("_dd_id").alias(id_col),
+        status.alias("status"),
+        *[f"a_{c}" for c in keep],
+        *[f"b_{c}" for c in keep],
+    )
+
+
 def quality_report(checks: list[DataFrame]) -> DataFrame:
     """UNION the one-row check frames and derive the violation rate.
     ``bad_rate`` is one double division of exact counts (engine-stable)."""

@@ -150,6 +150,36 @@ def test_quality_report_counts_injected_violations(spark):
     assert rep["range"] == (2, 3, 2 / 3)  # null + 500 out of range
 
 
+def test_dataset_diff_statuses_and_null_content(spark):
+    """q8's core: every id in either release appears exactly once with
+    the right status; NULL content hashes as '' (so NULL == '' counts
+    as unchanged — the documented hashing.py uid discipline); keep
+    columns ride through prefixed."""
+    from mrf_etl_spark.plans.quality import dataset_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", "s1"), (2, "y", "s1"), (3, "z", "s2"), (5, None, "s2")],
+        "id long, body string, src string",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", "s1"), (2, "Y", "s1"), (4, "new", "s2"), (5, "", "s2")],
+        "id long, body string, src string",
+    )
+    rows = {
+        r.id: r
+        for r in dataset_diff(a, b, "id", ["body"], keep=("src",)).collect()
+    }
+    assert {k: v.status for k, v in rows.items()} == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "unchanged",  # NULL and '' hash identically by design
+    }
+    assert rows[3].a_src == "s2" and rows[3].b_src is None
+    assert rows[4].b_src == "s2" and rows[4].a_src is None
+
+
 def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     import glob
 
