@@ -346,6 +346,17 @@ def token_stream_chunks(
             ).alias("_off"),
         )
     )
+    return _span_map(b, offsets, id_col, chunk_tokens)
+
+
+def _span_map(
+    b: DataFrame, offsets: DataFrame, id_col: str, chunk_tokens: int
+) -> DataFrame:
+    """Shared tail of token_stream_chunks / token_stream_chunks_from_state:
+    given rows (_b, id, _tc_tok) and the exclusive per-bucket offset table
+    (_b, _off), derive the exact span map."""
+    from pyspark.sql.window import Window
+
     w_in = (
         Window.partitionBy("_b")
         .orderBy(id_col)
@@ -371,6 +382,46 @@ def token_stream_chunks(
             "n_chunks"
         ),
     )
+
+
+def token_stream_chunks_from_state(
+    lake: DataFrame,
+    bucket_sums: DataFrame,
+    id_col: str,
+    token_col: str,
+    bucket_col: str,
+    chunk_tokens: int,
+) -> DataFrame:
+    """token_stream_chunks served from persisted state — the incremental
+    form: ``lake`` is the ingested doc table carrying a FIXED-width
+    bucket column minted at ingest, ``bucket_sums`` the additively
+    maintained (bucket, tok_sum) MV (st9's incremental-rollup shape).
+    Start offsets depend only on id order — any monotone bucketing
+    yields the identical span map — so stream-ingested state reproduces
+    the batch operator's output exactly, independent of batch
+    boundaries. The prefix scan runs over the ≤|buckets|-row MV; a new
+    batch's spans need only its own buckets' lake rows plus the MV."""
+    from pyspark.sql.window import Window
+
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    b = lake.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("_tc_tok"),
+        F.col(bucket_col).alias("_b"),
+    ).filter(F.col("_tc_tok") > 0)
+    offsets = bucket_sums.select(
+        F.col(bucket_col).alias("_b"),
+        F.coalesce(
+            F.sum(F.col("tok_sum")).over(
+                Window.orderBy(F.col(bucket_col)).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    return _span_map(b, offsets, id_col, chunk_tokens)
 
 
 def mix_sources(

@@ -239,6 +239,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # — per-micro-batch HLL state appends (a27's ingest twin);
         # all-integer/boolean compare surface, trivial oracle
         ("st16_stream_hll_distinct", []),
+        # round-8: streaming packing offsets (sp21's ingest twin) —
+        # all-integer surface, oracle reused verbatim from sp21
+        ("st17_stream_pack_offsets", []),
     ],
     "fx_splits_a": [
         ("sp1_hash_split", []),
@@ -674,6 +677,10 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "d11_soft_dedup_weights": ["doc_id", "cluster_size", "weight"],
     "q8_dataset_diff": ["source", "status", "n_docs", "chars_a", "chars_b"],
     "sp21_token_stream_chunks": [
+        "doc_id", "n_tok", "start_off", "first_chunk", "last_chunk",
+        "n_chunks",
+    ],
+    "st17_stream_pack_offsets": [
         "doc_id", "n_tok", "start_off", "first_chunk", "last_chunk",
         "n_chunks",
     ],

@@ -1055,3 +1055,97 @@ def _register_st16():
 
 
 st16_stream_hll_distinct = _register_st16()
+
+
+# ----------------------------------- round-8: streaming packing offsets
+
+ST17_BUCKET_WIDTH = 64  # fixed id-range width minted at ingest
+
+
+def _register_st17():
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    @register(
+        "st17_stream_pack_offsets",
+        # stream == batch: start offsets depend only on doc_id order and
+        # token counts — any monotone fixed-width bucketing yields the
+        # identical span map (the bucket decomposition is plan shape, not
+        # semantics) — so the drained state serves sp21's statement
+        # verbatim, batch boundaries and arrival order invisible.
+        oracle=REGISTRY["sp21_token_stream_chunks"].oracle,
+        doc="st17: streaming packing-offset maintenance (sp21's ingest "
+        "twin) — each micro-batch appends (doc, n_tok, bucket) to the "
+        "doc lake (append_unique: replay-idempotent) and additively "
+        "merges per-bucket token sums into the offsets MV (the st9 "
+        "rollup machinery, batch-id guarded). The span map any loader "
+        "needs is served from lake + ≤|buckets|-row MV — a new batch's "
+        "chunk assignments never rescan the corpus; ORDER-INVARIANT "
+        "state, so out-of-order halves drain to the batch result "
+        "exactly (operators/sampling.token_stream_chunks_from_state).",
+    )
+    def st17_stream_pack_offsets(spark, sf_dir):
+        import os
+
+        from mrf_etl_spark.operators import sampling as sp
+        from mrf_etl_spark.operators import textops as tx
+        from mrf_etl_spark.io.writers import append_unique
+        from mrf_etl_spark.plans.parity_llm import CHUNK_TOKENS
+        from mrf_etl_spark.streaming.ingest import (
+            incremental_rollup_batch_writer,
+        )
+
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        staging = _scratch("st17_staging")
+        os.makedirs(staging, exist_ok=True)
+        # halves staged by id PARITY, deliberately interleaved — the
+        # order-invariance claim is only tested if batches do NOT arrive
+        # in id order
+        docs.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
+            f"{staging}/half=1"
+        )
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+            f"{staging}/half=2"
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staging}/half=*")
+        )
+        lake = _scratch("st17_lake")
+        mv = _scratch("st17_offsets_mv")
+        ckpt = _scratch("st17_ckpt")
+        merge_mv = incremental_rollup_batch_writer(
+            mv, ["bucket"], {"tok_sum": "sum(n_tok)"}, stream_id=ckpt
+        )
+
+        def fold(batch_df, batch_id):
+            bdf = batch_df.select(
+                "doc_id",
+                tx.token_count_ws("text").cast("long").alias("n_tok"),
+                F.expr(f"doc_id div {ST17_BUCKET_WIDTH}").alias("bucket"),
+            )
+            append_unique(
+                batch_df.sparkSession, bdf, lake, keys=["doc_id"]
+            )
+            merge_mv(bdf, batch_id)
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sp.token_stream_chunks_from_state(
+            spark.read.parquet(lake),
+            spark.read.parquet(mv),
+            "doc_id",
+            "n_tok",
+            "bucket",
+            CHUNK_TOKENS,
+        )
+
+    return st17_stream_pack_offsets
+
+
+st17_stream_pack_offsets = _register_st17()

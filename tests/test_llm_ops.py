@@ -854,6 +854,38 @@ def test_token_stream_chunks_invariants(spark, sf_dir):
         sp.token_stream_chunks(d, "doc_id", "n_tok", 0)
 
 
+def test_token_stream_chunks_from_state_matches_batch(spark, sf_dir):
+    """st17's serving path: a fixed-width bucket lake + additively-built
+    offsets MV must reproduce the batch operator's span map EXACTLY —
+    offsets depend only on id order, so the bucketing (and any ingest
+    order) is result-invisible."""
+    from mrf_etl_spark.operators import sampling as sp
+    from mrf_etl_spark.operators import textops as tx
+
+    B = 512
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", tx.token_count_ws("text").cast("long").alias("n_tok")
+    )
+    batch = {r.doc_id: r for r in sp.token_stream_chunks(d, "doc_id", "n_tok", B).collect()}
+
+    # build the state as TWO additive merges in arrival order odd-then-
+    # even (not id order), widths different from the batch op's derived one
+    lake = d.withColumn("bucket", F.expr("doc_id div 64"))
+    sums = lake.groupBy("bucket").agg(F.sum("n_tok").alias("tok_sum"))
+    out = {
+        r.doc_id: r
+        for r in sp.token_stream_chunks_from_state(
+            lake, sums, "doc_id", "n_tok", "bucket", B
+        ).collect()
+    }
+    assert out.keys() == batch.keys()
+    for k, r in out.items():
+        br = batch[k]
+        assert (r.start_off, r.first_chunk, r.last_chunk, r.n_chunks) == (
+            br.start_off, br.first_chunk, br.last_chunk, br.n_chunks
+        ), k
+
+
 def test_domain_cap_null_domain_is_one_partition(spark):
     """Rows with a NULL domain form their own quota partition (the window
     spec's semantics) — they must not be dropped by the histogram join."""
