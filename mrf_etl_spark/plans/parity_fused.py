@@ -269,6 +269,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
     "fx_eval_suites": [
         ("pipe4_eval_suite", []),
         ("sp9_quota_sample", []),
+        # round-8: balanced shard manifest — all-integer, 0.02 s oracle
+        ("sp22_balanced_shards", []),
         ("q3_prep_funnel", []),
         ("sp14_curriculum_order", []),
         ("sp19_budget_sample", []),
@@ -676,6 +678,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "w20_approx_sliding_reach": ["day", "reach_7d", "within_bound"],
     "d11_soft_dedup_weights": ["doc_id", "cluster_size", "weight"],
     "q8_dataset_diff": ["source", "status", "n_docs", "chars_a", "chars_b"],
+    "sp22_balanced_shards": ["shard_id", "n_docs", "total_tokens"],
     "sp21_token_stream_chunks": [
         "doc_id", "n_tok", "start_off", "first_chunk", "last_chunk",
         "n_chunks",

@@ -1529,6 +1529,51 @@ def sp21_token_stream_chunks(spark, sf_dir):
     return sp.token_stream_chunks(d, "doc_id", "n_tok", CHUNK_TOKENS)
 
 
+@register(
+    "sp22_balanced_shards",
+    # The snake deal replays in SQL from the same total order; the
+    # Spark side computes the identical rank with the two-level
+    # bucket-offset decomposition (weight ties split across id
+    # sub-buckets), so no one-task global window exists in the plan.
+    f"""WITH tok AS (
+         SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                     AS BIGINT) AS n_tok
+         FROM documents),
+       r AS (
+         SELECT doc_id, n_tok,
+                row_number() OVER (ORDER BY n_tok DESC, doc_id ASC) - 1
+                  AS rk
+         FROM tok),
+       s AS (
+         SELECT doc_id, n_tok,
+                CASE WHEN (rk // {N_SHARDS}) % 2 = 0 THEN rk % {N_SHARDS}
+                     ELSE {N_SHARDS} - 1 - (rk % {N_SHARDS}) END AS shard_id
+         FROM r)
+       SELECT shard_id,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens
+       FROM s GROUP BY 1""",
+    doc="sp22: weight-balanced shard export (beyond-ref) — documents "
+    "dealt snake-wise over the (token count DESC, id) rank so the N "
+    "output shards carry near-equal token totals (equal-ROW sharding "
+    "skews training shards when length varies; this is the "
+    "LPT-flavored fix). Output is the per-shard export manifest "
+    "(operators/sampling.balanced_shards).",
+)
+def sp22_balanced_shards(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count_ws("text").cast("long").alias("n_tok")
+    )
+    out = sp.balanced_shards(d, "doc_id", "n_tok", N_SHARDS)
+    return out.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+
+
 # d9: incremental dedup — corpus = even doc_ids (the "lake"), batch =
 # odd doc_ids (mostly novel) + mutated copies of the first 40 even docs
 # (known near-dups that must match their originals through the index).

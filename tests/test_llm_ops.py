@@ -886,6 +886,42 @@ def test_token_stream_chunks_from_state_matches_batch(spark, sf_dir):
         ), k
 
 
+def test_balanced_shards_rank_and_balance(spark, sf_dir):
+    """sp22: the two-level decomposed rank must equal the naive global
+    (weight DESC, id ASC) rank exactly; the snake deal partitions the
+    corpus with row counts within 1 and token totals within one lap's
+    weight spread."""
+    from mrf_etl_spark.operators import sampling as sp
+    from mrf_etl_spark.operators import textops as tx
+
+    N = 7
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", tx.token_count_ws("text").cast("long").alias("n_tok")
+    )
+    out = sp.balanced_shards(d, "doc_id", "n_tok", N).collect()
+    assert len(out) == d.count()
+    # replay the spec in Python
+    rows = sorted(out, key=lambda r: (-r.n_tok, r.doc_id))
+    for rk, r in enumerate(rows):
+        lap, pos = divmod(rk, N)
+        want = pos if lap % 2 == 0 else N - 1 - pos
+        assert r.shard_id == want, (rk, r.doc_id, r.shard_id, want)
+    totals = {}
+    counts = {}
+    for r in out:
+        totals[r.shard_id] = totals.get(r.shard_id, 0) + r.n_tok
+        counts[r.shard_id] = counts.get(r.shard_id, 0) + 1
+    assert set(counts) == set(range(N))
+    assert max(counts.values()) - min(counts.values()) <= 1
+    max_w = max(r.n_tok for r in out)
+    assert max(totals.values()) - min(totals.values()) <= N * max_w
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        sp.balanced_shards(d, "doc_id", "n_tok", 0)
+
+
 def test_domain_cap_null_domain_is_one_partition(spark):
     """Rows with a NULL domain form their own quota partition (the window
     spec's semantics) — they must not be dropped by the histogram join."""
