@@ -84,6 +84,20 @@ BUDGETS = {
     # grouped regression: ONE map-side-combinable agg (five moments ride
     # the same partial/final pair); the derivation is a projection
     "a24_grouped_regression": 1,
+    # concat-and-chunk span map: bucket-sum agg pair + the ONE per-bucket
+    # corpus window + the constant-size offsets scan; the offsets window
+    # sorts ≤n_buckets rows (single partition BY DESIGN, tiny table)
+    "sp21_token_stream_chunks": 5,
+    # balanced shards: two-level pair-count agg + per-pair corpus window
+    # + manifest agg; the prefix window runs over the tiny pair table
+    "sp22_balanced_shards": 6,
+    # release diff: the full-outer join's two input exchanges + rollup —
+    # content hashes computed scan-side, no window anywhere
+    "q8_dataset_diff": 3,
+    # composed IVF-PQ: coarse-assign agg, codes window, ADC pivot agg,
+    # candidate window, final rank window — probe list, LUT, offsets and
+    # codebook all travel as broadcasts (not counted)
+    "n7_ann_ivf_pq": 5,
 }
 
 
