@@ -101,6 +101,10 @@ HEADLINE = [
     "a27_persisted_hll",
     "a28_persisted_quantile_grid",
     "st16_stream_hll_distinct",
+    "sp21_token_stream_chunks",
+    "sp22_balanced_shards",
+    "q8_dataset_diff",
+    "st17_stream_pack_offsets",
 ]
 
 

@@ -1026,3 +1026,58 @@ def quality_logit(
         + F.lit(float(w["punct"])) * punct_ratio(text_col)
         + F.lit(float(w["stopword"])) * stopword_ratio(text_col)
     )
+
+
+def shingle_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    heavy_df: int = 5,
+) -> DataFrame:
+    """Per-document shingle novelty — the memorization-risk audit a
+    training-data release runs: of a doc's distinct word k-gram
+    shingles, how many appear in NO other document (df == 1, novel) and
+    how many are corpus-common (df >= ``heavy_df``)? Low novelty flags
+    near-boilerplate / heavily templated docs BEFORE near-dup thresholds
+    trip; the novel share is also the denominator memorization probes
+    normalize by. Returns (doc_id, n_shingles, n_novel, n_heavy,
+    novelty) — counts exact, novelty ONE division of exact integers.
+
+    Uses the ONE shared shingle recipe (dedup.shingle_array_expr via
+    doc_shingles — shingles are per-doc DISTINCT, so df counts
+    DOCUMENTS, not occurrences). Plan: shingle-keyed df aggregate
+    (map-side combinable) + shingle-keyed join back + doc-keyed rollup —
+    three key-partitioned exchanges, all AQE-splittable; no windows, no
+    caps (per-doc distinct shingles are bounded by doc length). At
+    100 TB this is d3's posting-list shape without the pair emission."""
+    from mrf_etl_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        text_col,
+        "doc_id",
+        k,
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    per = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("n_novel"),
+            F.sum(
+                F.when(F.col("_df") >= heavy_df, 1).otherwise(0)
+            ).alias("n_heavy"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        "n_heavy",
+        (
+            F.col("n_novel").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
+    )

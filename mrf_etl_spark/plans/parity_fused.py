@@ -298,6 +298,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-8: moved from fx_text_stats (was 8 components — above the
         # now-binding ≤7 cap); sentence stats are a structure signal
         ("t13_sentence_stats", ["mean_sentence_words"]),
+        # round-8: novelty audit — exact counts + one int/int division
+        ("t21_shingle_novelty", ["novelty"]),
     ],
     "fx_corpus_cards": [
         ("q2_corpus_card", ["words_p50", "words_p90", "chars_avg"]),
@@ -679,6 +681,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "d11_soft_dedup_weights": ["doc_id", "cluster_size", "weight"],
     "q8_dataset_diff": ["source", "status", "n_docs", "chars_a", "chars_b"],
     "sp22_balanced_shards": ["shard_id", "n_docs", "total_tokens"],
+    "t21_shingle_novelty": [
+        "doc_id", "n_shingles", "n_novel", "n_heavy", "novelty",
+    ],
     "sp21_token_stream_chunks": [
         "doc_id", "n_tok", "start_off", "first_chunk", "last_chunk",
         "n_chunks",

@@ -3818,6 +3818,45 @@ def t19_quality_classifier(spark, sf_dir):
     return tx.quality_classifier(t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+T21_HEAVY_DF = 5
+
+
+@register(
+    "t21_shingle_novelty",
+    # The shared shingle recipe over the PLAIN corpus; shm MATERIALIZED
+    # because it is referenced twice (df agg + join back) — DuckDB
+    # inlines by default and the map-budget rule forbids recomputing a
+    # corpus-sized CTE at 32 threads. novelty is ONE division of exact
+    # integer counts.
+    f"""WITH corpus AS (SELECT doc_id, text FROM documents),{_SHINGLE_CTES},
+       shm AS MATERIALIZED (SELECT doc_id, shingle FROM sh),
+       dfx AS (SELECT shingle, count(*) AS df FROM shm GROUP BY shingle),
+       per AS (
+         SELECT s.doc_id,
+                CAST(count(*) AS BIGINT) AS n_shingles,
+                CAST(count(*) FILTER (WHERE d.df = 1) AS BIGINT) AS n_novel,
+                CAST(count(*) FILTER (WHERE d.df >= {T21_HEAVY_DF})
+                     AS BIGINT) AS n_heavy
+         FROM shm s JOIN dfx d USING (shingle) GROUP BY s.doc_id)
+       SELECT doc_id, n_shingles, n_novel, n_heavy,
+              CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+                AS novelty
+       FROM per""",
+    doc="t21: per-document shingle novelty (beyond-ref) — the "
+    "memorization-risk audit: the share of a doc's distinct 3-gram "
+    "shingles appearing in NO other document, plus the corpus-common "
+    "count (df >= 5). Low novelty flags templated/boilerplate docs "
+    "below near-dup thresholds. Shingle-keyed df agg + join back + "
+    "doc rollup — d3's posting-list shape without the pair emission "
+    "(operators/textops.shingle_novelty).",
+)
+def t21_shingle_novelty(spark, sf_dir):
+    return tx.shingle_novelty(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        k=SHINGLE_K, heavy_df=T21_HEAVY_DF,
+    )
+
+
 # --------------------------- round-7: approximate sliding-window reach
 
 W20_RSD = 0.05  # HLL++ relative standard deviation

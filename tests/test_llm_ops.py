@@ -922,6 +922,31 @@ def test_balanced_shards_rank_and_balance(spark, sf_dir):
         sp.balanced_shards(d, "doc_id", "n_tok", 0)
 
 
+def test_shingle_novelty_hand_case(spark):
+    """t21 on a known corpus: shared shingles zero out novelty, unique
+    docs score 1.0, and the heavy-df counter uses the DOCUMENT
+    frequency (per-doc distinct shingles — repeats inside one doc never
+    inflate df)."""
+    from mrf_etl_spark.operators.textops import shingle_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),     # shares all with doc 2
+            (2, "alpha beta gamma delta"),
+            (3, "unique words only here now"), # fully novel
+            (4, "tiny"),                        # <k words: whole-text shingle
+            (5, "rep rep rep rep rep"),         # one distinct shingle, df=1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in shingle_novelty(docs, "text", "doc_id", k=3, heavy_df=2).collect()}
+    assert out[1].n_shingles == 2 and out[1].n_novel == 0 and out[1].novelty == 0.0
+    assert out[2].n_novel == 0 and out[2].n_heavy == 2  # df=2 >= heavy_df
+    assert out[3].novelty == 1.0 and out[3].n_heavy == 0
+    assert out[4].n_shingles == 1 and out[4].novelty == 1.0
+    assert out[5].n_shingles == 1 and out[5].n_novel == 1  # in-doc repeats collapse
+
+
 def test_domain_cap_null_domain_is_one_partition(spark):
     """Rows with a NULL domain form their own quota partition (the window
     spec's semantics) — they must not be dropped by the histogram join."""
