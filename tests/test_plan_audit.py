@@ -62,6 +62,13 @@ NESTED_LOOP_OK = {
     # base-quota sum) crossJoined onto the |sources|-row quota table
     "sp13_temperature_mix": "1-row global-scalar broadcasts over the "
     "bounded source-cardinality table",
+    # n7 composes n2's coarse-centroid broadcast with n5's PQ-codebook
+    # broadcast — both bounded; the prune joins are keyed, not products
+    "n7_ann_ivf_pq": "composes n2+n5's bounded broadcasts",
+    # bucket width derives from a ONE-ROW max-id (and max-weight)
+    # aggregate crossJoined on (the t5 collect-free global-scalar shape)
+    "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",
+    "sp22_balanced_shards": "1-row bucket-width scalar broadcast",
 }
 
 
