@@ -484,6 +484,7 @@ def bloom_contam_gate(
     k: int = 3,
     m_bits: int = 1 << 17,
     n_hashes: int = 3,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The production decontamination gate: given a frozen eval bitset
     (:func:`bloom_bitset_words`, built once per eval suite), flag every
@@ -495,7 +496,9 @@ def bloom_contam_gate(
     negatives: ``clean`` docs are PROVABLY free of eval overlap; flagged
     docs (tiny at any sane m) go to the exact recheck if needed.
 
-    Returns (id, n_shingles, n_bloom_hit, clean). NULL-text docs are
+    Returns (id, n_shingles, n_bloom_hit, clean [, keep_cols...]) —
+    ``keep_cols`` ride through the projection so pipelines gate in ONE
+    pass instead of joining the verdict back. NULL-text docs are
     dropped, matching the tagged/exploded form (explode of an empty
     shingle set emits no rows there)."""
     from mrf_etl_spark.operators.dedup import shingle_array_expr, shingle_hash_expr
@@ -507,17 +510,20 @@ def bloom_contam_gate(
         F.col("_hs"),
         lambda h: bloom_member(h, words, m_bits, n_hashes),
     )
+    keep = [F.col(c) for c in keep_cols]
     return (
-        df.select(F.col(id_col), words_arr.alias("_words"))
-        .select(F.col(id_col), shingles.alias("_sh"))
+        df.select(F.col(id_col), words_arr.alias("_words"), *keep)
+        .select(F.col(id_col), shingles.alias("_sh"), *keep)
         .select(
             F.col(id_col),
             F.transform(F.col("_sh"), lambda s: shingle_hash_expr(s)).alias("_hs"),
+            *keep,
         )
         .select(
             F.col(id_col),
             F.size("_hs").cast("long").alias("n_shingles"),
             F.size(hits).cast("long").alias("n_bloom_hit"),
+            *keep,
         )
         .withColumn("clean", F.col("n_bloom_hit") == 0)
     )

@@ -242,6 +242,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-8: streaming packing offsets (sp21's ingest twin) —
         # all-integer surface, oracle reused verbatim from sp21
         ("st17_stream_pack_offsets", []),
+        # round-8: incremental release flow — all-integer manifest,
+        # delta-only gates (oracle ~0.15 s)
+        ("pipe6_incremental_release", []),
     ],
     "fx_splits_a": [
         ("sp1_hash_split", []),
@@ -683,6 +686,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "sp22_balanced_shards": ["shard_id", "n_docs", "total_tokens"],
     "t21_shingle_novelty": [
         "doc_id", "n_shingles", "n_novel", "n_heavy", "novelty",
+    ],
+    "pipe6_incremental_release": [
+        "source", "final_status", "n_docs", "total_tokens",
     ],
     "sp21_token_stream_chunks": [
         "doc_id", "n_tok", "start_off", "first_chunk", "last_chunk",

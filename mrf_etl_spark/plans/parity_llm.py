@@ -4047,6 +4047,169 @@ def pipe5_release_v2(spark, sf_dir):
     return dd.carry_state(res, out, hold=(kept,))
 
 
+# -------------------- round-8: incremental release flow (diff-gated)
+
+
+def _pipe6_oracle() -> str:
+    # q8's diff (MATERIALIZED: kept + delta both read it), then ONLY the
+    # delta runs the gates — t19's logit CTE over the delta and d12's
+    # bloom arithmetic against the eval positions (euniv/epos MATERIALIZED
+    # per the map-budget rule; so is delta, referenced four times).
+    # 'removed' docs vanish; 'unchanged' docs are NOT re-gated — that is
+    # the incremental contract.
+    return f"""WITH a AS (
+         SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 1),
+       b AS (
+         SELECT doc_id, source,
+                CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+                  AS text
+         FROM documents WHERE doc_id % 7 <> 2),
+       j AS MATERIALIZED (
+         SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                a.source AS asource, b.source AS bsource,
+                a.text AS atext, b.text AS btext,
+                CASE WHEN a.doc_id IS NULL THEN 'added'
+                     WHEN b.doc_id IS NULL THEN 'removed'
+                     WHEN md5(coalesce(a.text, ''))
+                          <> md5(coalesce(b.text, '')) THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+       delta AS MATERIALIZED (
+         SELECT doc_id, bsource AS source, btext AS text, status
+         FROM j WHERE status IN ('added', 'changed')),
+       {_t2_base_cte("delta", "dfeat")},
+       dscored AS (
+         SELECT doc_id, {_CLF_LOGIT_EXPR} AS logit FROM dfeat),
+       ew AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM documents WHERE doc_id % {EVAL_MOD} = 0),
+       euniv AS MATERIALIZED (
+         SELECT DISTINCT CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h
+         FROM (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i
+                     FROM ew WHERE len(ws) >= 3)
+               UNION ALL
+               SELECT array_to_string(ws, ' ') AS sh FROM ew WHERE len(ws) < 3)),
+       epos AS MATERIALIZED (
+         SELECT DISTINCT (h + j * ((h >> 20) | 1)) & {BLOOM_M - 1} AS p
+         FROM euniv, (SELECT unnest(range(0, {BLOOM_K})) AS j)),
+       dw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM delta),
+       dsh AS (
+         SELECT DISTINCT doc_id,
+                CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h
+         FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+                     FROM dw WHERE len(ws) >= 3)
+               UNION ALL
+               SELECT doc_id, array_to_string(ws, ' ') AS sh
+               FROM dw WHERE len(ws) < 3)),
+       dprobes AS (
+         SELECT doc_id, h, (h + j * ((h >> 20) | 1)) & {BLOOM_M - 1} AS p
+         FROM dsh, (SELECT unnest(range(0, {BLOOM_K})) AS j)),
+       dbh AS (
+         SELECT c.doc_id, c.h, count(ep.p) = {BLOOM_K} AS bloom_hit
+         FROM dprobes c LEFT JOIN epos ep ON c.p = ep.p
+         GROUP BY c.doc_id, c.h),
+       dclean AS (
+         SELECT doc_id, count(*) FILTER (WHERE bloom_hit) = 0 AS clean
+         FROM dbh GROUP BY doc_id),
+       gated AS (
+         SELECT d.doc_id, d.source, d.text, d.status,
+                (sc.logit > CAST(0.0 AS DOUBLE)) AND c.clean AS pass
+         FROM delta d
+         JOIN dscored sc ON sc.doc_id = d.doc_id
+         JOIN dclean c ON c.doc_id = d.doc_id),
+       final AS (
+         SELECT asource AS source, 'kept' AS final_status, atext AS text
+         FROM j WHERE status = 'unchanged'
+         UNION ALL
+         SELECT source,
+                CASE WHEN status = 'added' THEN 'added' ELSE 'updated' END,
+                text
+         FROM gated WHERE pass
+         UNION ALL
+         SELECT source, 'dropped_gate', text FROM gated WHERE NOT pass)
+       SELECT source, final_status,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                   AS BIGINT) AS total_tokens
+       FROM final GROUP BY 1, 2"""
+
+
+@register(
+    "pipe6_incremental_release",
+    _pipe6_oracle(),
+    doc="pipe6: incremental corpus release (beyond-ref) — the "
+    "continued-pretraining refresh flow: diff the new crawl against the "
+    "previous release (q8), gate ONLY the added/changed delta through "
+    "the frozen quality classifier (t19) and the Bloom decontamination "
+    "filter (d12's zero-exchange scan gate, verdict columns riding the "
+    "same projection — no join back), and publish the manifest: "
+    "unchanged docs carry over ungated (the incremental contract — the "
+    "corpus is never rescanned), removed docs vanish, delta docs land "
+    "as added/updated or dropped_gate. Per (source, final_status): "
+    "exact doc and ws-token counts.",
+)
+def pipe6_incremental_release(spark, sf_dir):
+    from mrf_etl_spark.operators.dedup import doc_shingles, shingle_hash_expr
+    from mrf_etl_spark.plans.quality import dataset_diff
+
+    docs = t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 7 != 1).select("doc_id", "source", "text")
+    b = docs.filter(F.col("doc_id") % 7 != 2).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # two consumers (kept carry-over + delta) read the diff — persist it
+    diff = dataset_diff(a, b, "doc_id", ["text"], keep=("source", "text")).persist()
+    kept = diff.filter(F.col("status") == "unchanged").select(
+        F.col("a_source").alias("source"),
+        F.lit("kept").alias("final_status"),
+        F.col("a_text").alias("text"),
+    )
+    delta = diff.filter(F.col("status").isin("added", "changed")).select(
+        "doc_id",
+        F.col("b_source").alias("source"),
+        F.col("b_text").alias("text"),
+        "status",
+    )
+    ev = (
+        doc_shingles(
+            docs.filter(F.col("doc_id") % EVAL_MOD == 0), "text", "doc_id",
+            SHINGLE_K,
+        )
+        .select(shingle_hash_expr(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    words = tx.bloom_bitset_words(ev, BLOOM_M, BLOOM_K)
+    gated = tx.bloom_contam_gate(
+        delta, words, "text", "doc_id",
+        k=SHINGLE_K, m_bits=BLOOM_M, n_hashes=BLOOM_K,
+        keep_cols=("source", "text", "status"),
+    ).withColumn("pass", (tx.quality_logit("text") > 0) & F.col("clean"))
+    accepted = gated.filter(F.col("pass")).select(
+        "source",
+        F.when(F.col("status") == "added", F.lit("added"))
+        .otherwise(F.lit("updated"))
+        .alias("final_status"),
+        "text",
+    )
+    dropped = gated.filter(~F.col("pass")).select(
+        "source", F.lit("dropped_gate").alias("final_status"), "text"
+    )
+    final = kept.unionByName(accepted).unionByName(dropped)
+    manifest = final.groupBy("source", "final_status").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tx.token_count_ws("text").cast("long")).alias("total_tokens"),
+    )
+    return dd.carry_state(manifest, hold=(diff,))
+
+
 # ------------------------------- round-7: product quantization (e4)
 
 _PQ_BLOCKS = 8

@@ -947,6 +947,63 @@ def test_shingle_novelty_hand_case(spark):
     assert out[5].n_shingles == 1 and out[5].n_novel == 1  # in-doc repeats collapse
 
 
+def test_pipe6_incremental_release_gates_only_the_delta(spark, tmp_path):
+    """pipe6's incremental contract on a hand corpus: unchanged docs
+    carry over even when they would FAIL today's gates; changed docs
+    re-gate (a contaminated update drops); removed docs vanish; added
+    docs land when clean and high-quality."""
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    eval_text = "held out benchmark question about rare topic xq17"
+    good = (
+        "the quick brown fox and the lazy dog walked over a bridge of "
+        "words and the sentence kept a natural flow of common tokens."
+    )
+    rows = [
+        # doc 0: eval doc (0 % 101 == 0) defines the bitset; 0 % 5 == 0
+        # so release B REWRITES it → it re-gates as 'changed' and drops
+        # as self-contaminated — eval data never enters the release.
+        (0, eval_text, "en", "s0", len(eval_text)),
+        # doc 3: unchanged, low quality (!!!) — must STAY (not re-gated)
+        (3, "!!!! ???? !!!!", "en", "s0", 14),
+        # doc 5: changed (5 % 5 == 0 appends ' v2') and good → updated
+        (5, good, "en", "s0", len(good)),
+        # doc 6: unchanged good doc → kept
+        (6, good + " extra tail of plain prose.", "en", "s0", 1),
+        # doc 8: in A only is impossible here (8 % 7 = 1 drops it from A
+        # → it shows up as 'added' in B); make it contaminated with the
+        # eval text → dropped_gate
+        (8, good + " " + eval_text, "en", "s0", 1),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "source": [r[3] for r in rows],
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = REGISTRY["pipe6_incremental_release"].spark_fn(
+        spark, str(tmp_path)
+    )
+    got = {(r.source, r.final_status): r.n_docs for r in out.collect()}
+    from mrf_etl_spark.operators.dedup import release_state
+
+    release_state(out)
+    # kept: docs 3 (low quality but unchanged — NOT re-gated) and 6
+    assert got.get(("s0", "kept")) == 2, got
+    # doc 5 changed+good → updated; doc 8 added+contaminated and doc 0
+    # changed+self-contaminated → dropped_gate
+    assert got.get(("s0", "updated")) == 1, got
+    assert got.get(("s0", "dropped_gate")) == 2, got
+    assert ("s0", "added") not in got, got
+
+
 def test_domain_cap_null_domain_is_one_partition(spark):
     """Rows with a NULL domain form their own quota partition (the window
     spec's semantics) — they must not be dropped by the histogram join."""
