@@ -105,6 +105,8 @@ HEADLINE = [
     "sp22_balanced_shards",
     "q8_dataset_diff",
     "st17_stream_pack_offsets",
+    "t21_shingle_novelty",
+    "pipe6_incremental_release",
 ]
 
 

@@ -98,6 +98,12 @@ BUDGETS = {
     # candidate window, final rank window — probe list, LUT, offsets and
     # codebook all travel as broadcasts (not counted)
     "n7_ann_ivf_pq": 5,
+    # novelty audit: shingle-df agg pair + join-back + doc rollup —
+    # d3's posting-list shape without the pair emission
+    "t21_shingle_novelty": 4,
+    # incremental release: the diff's full-outer inputs + delta gate
+    # rollups; the Bloom gate itself contributes ZERO (scan projection)
+    "pipe6_incremental_release": 7,
 }
 
 
