@@ -157,3 +157,49 @@ def burst_flags(
         "base_sumsq",
         ((dev > 0) & (dev * dev > F.lit(z * z) * var_b)).alias("burst"),
     )
+
+
+def ewma_momentum(
+    daily: DataFrame,
+    key_col: str = "event_type",
+    day_col: str = "day",
+    n_col: str = "n",
+    horizon: int = 7,
+) -> DataFrame:
+    """Exponentially-decayed activity baseline as EXACT scaled integers —
+    the trend-following complement to burst_flags' z-test: weights halve
+    per step back, so the H-term EWMA scaled by 2^(H-1) is
+    S = Σ_{k=0..H-1} c_{d-k} · 2^(H-1-k) — pure int64 arithmetic, no
+    float decay factor to drift across engines (the sketch-bound
+    lesson: keep libm out of the compare surface). Terms come from
+    ``lag(n, k, 0)`` over ACTIVE days, so gaps decay by position in the
+    active series (documented; a calendar-true decay would first
+    gap-fill with w9's spine).
+
+    ``momentum`` flags a day whose count more than DOUBLES the decayed
+    baseline of the preceding terms: c_d · (2^(H-1) − 1) > 2 · B where
+    B = S − c_d · 2^(H-1) and 2^(H-1) − 1 is B's total weight — an
+    integer cross-multiplication, no division. int64-exact while
+    c · 2^H < 2^62 (~10^14/day at H=7; pre-scale beyond).
+
+    Output: (key, day, n, ewma_s, momentum). ONE daily-count shuffle
+    upstream; this is a key-partitioned window over the tiny
+    (key, day) table — w21's metadata-scale shape."""
+    from pyspark.sql.window import Window
+
+    if horizon < 2:
+        raise ValueError(f"horizon must be >= 2, got {horizon}")
+    w = Window.partitionBy(key_col).orderBy(day_col)
+    top = 1 << (horizon - 1)
+    s = F.col(n_col).cast("long") * F.lit(top)
+    for k in range(1, horizon):
+        s = s + F.lag(F.col(n_col), k, 0).over(w).cast("long") * F.lit(
+            1 << (horizon - 1 - k)
+        )
+    out = daily.select(
+        key_col, day_col, F.col(n_col).cast("long").alias(n_col)
+    ).withColumn("ewma_s", s)
+    base = F.col("ewma_s") - F.col(n_col) * F.lit(top)
+    return out.withColumn(
+        "momentum", F.col(n_col) * F.lit(top - 1) > F.lit(2) * base
+    )

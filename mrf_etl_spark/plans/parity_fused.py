@@ -137,6 +137,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-7 session 3: burst detection (all-integer/boolean
         # surface, 0.01 s oracle)
         ("w21_burst_detection", []),
+        # round-8: integer-exact EWMA momentum (0.01 s oracle)
+        ("w22_ewma_momentum", []),
     ],
     "fx_topk_page": [
         ("k1_topk", ["price"]),
@@ -690,6 +692,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "pipe6_incremental_release": [
         "source", "final_status", "n_docs", "total_tokens",
     ],
+    "w22_ewma_momentum": ["event_type", "day", "n", "ewma_s", "momentum"],
     "sp21_token_stream_chunks": [
         "doc_id", "n_tok", "start_off", "first_chunk", "last_chunk",
         "n_chunks",

@@ -4595,3 +4595,57 @@ def w21_burst_detection(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     return burst_flags(dc, base_days=W21_BASE_DAYS, z=W21_Z)
+
+
+W22_HORIZON = 7  # EWMA terms (weights 2^6 .. 2^0 over active days)
+
+
+def _w22_lag_chain() -> str:
+    terms = [f"n * {1 << (W22_HORIZON - 1)}"] + [
+        f"lag(n, {k}, 0) OVER w * {1 << (W22_HORIZON - 1 - k)}"
+        for k in range(1, W22_HORIZON)
+    ]
+    return "(" * (len(terms) - 1) + terms[0] + "".join(
+        f" + {t})" for t in terms[1:]
+    )
+
+
+@register(
+    "w22_ewma_momentum",
+    # Scaled-integer EWMA: weights are powers of two, terms assemble in
+    # one fixed left-associative order on both engines — exact int64,
+    # no float decay anywhere. momentum is an integer cross-multiply.
+    f"""WITH dc AS (
+         SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS day,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       s AS (
+         SELECT event_type, day, n,
+                CAST({_w22_lag_chain()} AS BIGINT) AS ewma_s
+         FROM dc
+         WINDOW w AS (PARTITION BY event_type ORDER BY day))
+       SELECT event_type, day, n, ewma_s,
+              n * {(1 << (W22_HORIZON - 1)) - 1}
+                > 2 * (ewma_s - n * {1 << (W22_HORIZON - 1)}) AS momentum
+       FROM s""",
+    doc="w22: exponentially-decayed activity baseline (beyond-ref) — the "
+    "trend monitor beside w21's z-test burst flag: per (event_type, "
+    "day), the 7-term half-life-decayed count as an EXACT scaled "
+    "integer (weights are powers of two — no float decay factor on any "
+    "compare surface) plus a momentum flag when today more than "
+    "doubles the decayed baseline. Key-partitioned window over the "
+    "tiny daily table (operators/rolling.ewma_momentum).",
+)
+def w22_ewma_momentum(spark, sf_dir):
+    from mrf_etl_spark.operators.rolling import ewma_momentum
+
+    ev = t(spark, sf_dir, "events")
+    dc = (
+        ev.select(
+            "event_type",
+            F.expr(f"(ts_ns div 1000) div {_US_PER_DAY}").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    return ewma_momentum(dc, horizon=W22_HORIZON)

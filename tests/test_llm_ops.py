@@ -2187,6 +2187,39 @@ def test_burst_detection_hand_case(spark):
     assert out == {"flat": True, "noisy": False, "drop": False}
 
 
+def test_ewma_momentum_hand_case(spark):
+    """w22's integer EWMA replayed by hand: a constant series settles to
+    S = c·(2^H − 1) with no momentum; a spike day flags momentum; early
+    days (short history) use lag-default zeros."""
+    from mrf_etl_spark.operators.rolling import ewma_momentum
+
+    daily = spark.createDataFrame(
+        # type 'c': constant 10/day for 8 days; type 's': 10/day then 50
+        [("c", d, 10) for d in range(8)]
+        + [("s", d, 10) for d in range(7)]
+        + [("s", 7, 50)],
+        "event_type string, day long, n long",
+    )
+    out = {
+        (r.event_type, r.day): r
+        for r in ewma_momentum(daily, horizon=7).collect()
+    }
+    # day 0: only today's term → S = 10 * 64 = 640; momentum: baseline 0
+    # and 10*63 > 0 → True (documented cold-start behavior: any activity
+    # with an empty history is momentum)
+    assert out[("c", 0)].ewma_s == 640 and out[("c", 0)].momentum
+    # full history: S = 10 * (64+32+16+8+4+2+1) = 1270; baseline B = 630,
+    # momentum iff 10*63 > 2*630 → 630 > 1260 False
+    assert out[("c", 7)].ewma_s == 1270 and not out[("c", 7)].momentum
+    # spike day: S = 50*64 + 10*63 = 3830; 50*63=3150 > 2*630=1260 → True
+    assert out[("s", 7)].ewma_s == 3830 and out[("s", 7)].momentum
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ewma_momentum(daily, horizon=1)
+
+
 def test_countmin_merge_exact_and_never_undercounts(spark):
     """CMS invariants on real data: (a) sketches built on two disjoint
     halves MERGE to exactly the full-corpus sketch (cellwise addition is
