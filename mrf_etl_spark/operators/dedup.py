@@ -805,6 +805,56 @@ def keep_canonical(
     return df.join(losers, id_col, "left_anti")
 
 
+def canonical_pick(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    components: DataFrame | None = None,
+) -> DataFrame:
+    """Policy-based cluster representative — keep_canonical's quality
+    upgrade: instead of the min id, each dup cluster keeps the member
+    with the HIGHEST ``weight_col`` (ties → lowest id) — "keep the most
+    complete version" when near-dups are truncations/mutations of one
+    page. Weights must be non-null (token counts, quality scores).
+
+    Returns (doc_id, component_id, canonical_id, is_canonical) for EVERY
+    corpus row; singletons are their own canonical.
+
+    Plan: the argmax runs ONLY over the labeled members (bounded by the
+    pair graph, tiny next to the corpus) as a map-side-combinable
+    min(struct(-w, id)) — long negation is exact, so the struct min IS
+    `ORDER BY w DESC, id ASC`; singletons join out via ONE left-anti
+    against the label set (broadcast-sized). The corpus is never
+    shuffled — d11's discipline."""
+    comp = components if components is not None else connected_components(pairs)
+    w = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(weight_col).cast("long").alias("_cp_w"),
+    )
+    memb = w.join(comp, "doc_id")
+    best = memb.groupBy("component_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("_cp_w")).alias("nw"), F.col("doc_id").alias("cid")
+            )
+        ).alias("_b")
+    )
+    clustered = memb.join(best, "component_id").select(
+        "doc_id",
+        "component_id",
+        F.col("_b.cid").alias("canonical_id"),
+        (F.col("doc_id") == F.col("_b.cid")).alias("is_canonical"),
+    )
+    singles = w.join(comp.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("component_id"),
+        F.col("doc_id").alias("canonical_id"),
+        F.lit(True).alias("is_canonical"),
+    )
+    return clustered.unionByName(singles)
+
+
 def soft_dedup_weights(
     df: DataFrame,
     pairs: DataFrame,

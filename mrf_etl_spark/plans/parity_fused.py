@@ -229,6 +229,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("d10_ngram_containment", ["containment"]),
         ("d4b_simhash_hamming", []),
         ("d7_repeated_passages", []),
+        # round-8: policy-based canonical pick (d6's closure + argmax;
+        # all-integer/boolean surface)
+        ("d13_canonical_pick", []),
     ],
     # round-7: fx_dedup_quality (1.37 s, the heaviest probe oracle after
     # the r6 fix) and fx_release_flow (1.78 s) are dissolved — their
@@ -693,6 +696,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "source", "final_status", "n_docs", "total_tokens",
     ],
     "w22_ewma_momentum": ["event_type", "day", "n", "ewma_s", "momentum"],
+    "d13_canonical_pick": [
+        "doc_id", "component_id", "canonical_id", "is_canonical",
+    ],
     "sp21_token_stream_chunks": [
         "doc_id", "n_tok", "start_off", "first_chunk", "last_chunk",
         "n_chunks",

@@ -3959,6 +3959,63 @@ def d11_soft_dedup_weights(spark, sf_dir):
     return dd.soft_dedup_weights(corpus, pairs, "doc_id")
 
 
+@register(
+    "d13_canonical_pick",
+    # d6's pair/closure cascade + the policy argmax: longest member wins,
+    # ties break on id. Long negation is exact, so the Spark side's
+    # min(struct(-w, id)) replays `ORDER BY w DESC, id ASC` verbatim.
+    f"""WITH corpus AS {_NEAR_DUP_CORPUS_SQL},{_SHINGLE_CTES},
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         FROM sh a JOIN sh b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT doc_a, doc_b
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_common / (sa.sz + sb.sz - n_common) >= {JACCARD_T}),
+       {_closure_ctes()},
+       toks AS (
+         SELECT doc_id,
+                CAST(coalesce(len(regexp_split_to_array(trim(text), '\\s+')),
+                              0) AS BIGINT) AS w
+         FROM corpus),
+       memb AS (
+         SELECT l.doc_id, l.component_id, t2.w
+         FROM labels l JOIN toks t2 USING (doc_id)),
+       canon AS (
+         SELECT component_id, doc_id AS canonical_id FROM (
+           SELECT component_id, doc_id, row_number() OVER (
+               PARTITION BY component_id ORDER BY w DESC, doc_id ASC) AS rn
+           FROM memb) WHERE rn = 1)
+       SELECT m.doc_id, m.component_id, c.canonical_id,
+              m.doc_id = c.canonical_id AS is_canonical
+       FROM memb m JOIN canon c USING (component_id)
+       UNION ALL
+       SELECT t2.doc_id, t2.doc_id AS component_id,
+              t2.doc_id AS canonical_id, TRUE AS is_canonical
+       FROM toks t2 WHERE t2.doc_id NOT IN (SELECT doc_id FROM labels)""",
+    doc="d13: policy-based canonical representative (beyond-ref) — each "
+    "dup cluster keeps its LONGEST member (ws tokens DESC, id ASC ties) "
+    "instead of keep_canonical's min id: the 'keep the most complete "
+    "version' policy when near-dups are truncations of one page. The "
+    "argmax runs only over the pair-graph-bounded label set; singletons "
+    "join out via one left-anti — the corpus itself never shuffles "
+    "(operators/dedup.canonical_pick).",
+)
+def d13_canonical_pick(spark, sf_dir):
+    src = _docs_with_near_dups(spark, sf_dir)
+    corpus = src.select(
+        "doc_id", tx.token_count_ws("text").cast("long").alias("n_tok")
+    )
+    pairs = dd.ngram_jaccard_pairs(
+        src, "text", "doc_id", SHINGLE_K, JACCARD_T
+    ).select("doc_a", "doc_b")
+    return dd.canonical_pick(corpus, pairs, "n_tok")
+
+
 # ------------------------- round-7: release flow v2 (scrub->clf->split)
 
 # pipe5's input: the near-dup corpus (doc_id-shifted mutated copies) WITH

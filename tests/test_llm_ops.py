@@ -2220,6 +2220,27 @@ def test_ewma_momentum_hand_case(spark):
         ewma_momentum(daily, horizon=1)
 
 
+def test_canonical_pick_longest_wins_tie_by_id(spark):
+    """d13's policy on a hand graph: the longest cluster member is
+    canonical, equal lengths fall back to the lowest id, and docs
+    outside the pair graph are their own canonical."""
+    from mrf_etl_spark.operators.dedup import canonical_pick
+
+    corpus = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (7, 4)], "doc_id long, n_tok long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r for r in canonical_pick(corpus, pairs, "n_tok").collect()}
+    assert len(out) == 4
+    # cluster {1,2,3}: 2 and 3 tie at 9 tokens → lowest id 2 wins
+    for d in (1, 2, 3):
+        assert out[d].canonical_id == 2, out[d]
+        assert out[d].is_canonical == (d == 2)
+    assert out[7].canonical_id == 7 and out[7].is_canonical
+
+
 def test_countmin_merge_exact_and_never_undercounts(spark):
     """CMS invariants on real data: (a) sketches built on two disjoint
     halves MERGE to exactly the full-corpus sketch (cellwise addition is
