@@ -107,6 +107,8 @@ HEADLINE = [
     "st17_stream_pack_offsets",
     "t21_shingle_novelty",
     "pipe6_incremental_release",
+    "w22_ewma_momentum",
+    "d13_canonical_pick",
 ]
 
 

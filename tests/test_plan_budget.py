@@ -104,6 +104,12 @@ BUDGETS = {
     # incremental release: the diff's full-outer inputs + delta gate
     # rollups; the Bloom gate itself contributes ZERO (scan projection)
     "pipe6_incremental_release": 7,
+    # EWMA momentum: the daily-count agg pair + the key window over the
+    # tiny (type, day) table
+    "w22_ewma_momentum": 2,
+    # canonical pick: the d3 pair cascade's exchanges; the argmax agg and
+    # anti-join run over the pair-graph-bounded label set
+    "d13_canonical_pick": 6,
 }
 
 
