@@ -52,6 +52,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("s13_upsert_idempotent", ["total"]),
         ("s23_scd2_history", ["value"]),
         ("s24_point_in_time", ["value_asof"]),
+        # round-8: balanced-shard export round-trip (sp22's oracle
+        # verbatim — disk must equal plan)
+        ("s28_shard_export_roundtrip", []),
     ],
     "fx_latest_partitioned": [
         ("s14_latest_merge", ["sum_value"]),
@@ -699,6 +702,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "d13_canonical_pick": [
         "doc_id", "component_id", "canonical_id", "is_canonical",
     ],
+    "s28_shard_export_roundtrip": ["shard_id", "n_docs", "total_tokens"],
     "sp21_token_stream_chunks": [
         "doc_id", "n_tok", "start_off", "first_chunk", "last_chunk",
         "n_chunks",

@@ -1574,6 +1574,46 @@ def sp22_balanced_shards(spark, sf_dir):
     )
 
 
+def _register_s28():
+    from mrf_etl_spark.plans.parity import REGISTRY, _scratch
+
+    @register(
+        "s28_shard_export_roundtrip",
+        # Round-trip invariance: the manifest aggregated from the files
+        # ON DISK must equal sp22's in-plan manifest — the oracle is
+        # sp22's statement verbatim.
+        REGISTRY["sp22_balanced_shards"].oracle,
+        doc="s28: balanced-shard EXPORT round-trip (beyond-ref) — sp22's "
+        "assignment written hive-partitioned by shard_id (each training "
+        "shard is a directory a loader mounts independently), read back "
+        "from disk, and re-manifested: files on disk carry exactly the "
+        "planned docs and token totals. Partition-column typing is the "
+        "trap the entry pins: shard_id returns via partition-dir "
+        "inference and is cast back to long.",
+    )
+    def s28_shard_export_roundtrip(spark, sf_dir):
+        from mrf_etl_spark.operators import sampling as sp
+
+        d = t(spark, sf_dir, "documents").select(
+            "doc_id", tx.token_count_ws("text").cast("long").alias("n_tok")
+        )
+        out = sp.balanced_shards(d, "doc_id", "n_tok", N_SHARDS)
+        path = _scratch("s28_shards")
+        out.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+        back = spark.read.parquet(path)
+        return back.groupBy(
+            F.col("shard_id").cast("long").alias("shard_id")
+        ).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+
+    return s28_shard_export_roundtrip
+
+
+s28_shard_export_roundtrip = _register_s28()
+
+
 # d9: incremental dedup — corpus = even doc_ids (the "lake"), batch =
 # odd doc_ids (mostly novel) + mutated copies of the first 40 even docs
 # (known near-dups that must match their originals through the index).
