@@ -30,6 +30,7 @@ from __future__ import annotations
 import contextlib
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -67,11 +68,14 @@ def table_lock(
     Protocol: ``os.mkdir(path + ".lock")`` — atomic on POSIX — with an
     owner file (pid, timestamp) for diagnostics. Contenders poll until
     ``timeout``. Crash recovery: a lock whose mtime is older than
-    ``stale_after`` is broken by atomically RENAMING it aside (only one
+    ``stale_after`` AND whose recorded owner pid is no longer alive on
+    this host is broken by atomically RENAMING it aside (only one
     contender's rename succeeds, so two waiters can never both break in
-    and both enter). Holding a lock across a merge longer than
-    ``stale_after`` is therefore the operator's responsibility to avoid —
-    size it to ~10× the slowest expected merge.
+    and both enter). While held, a daemon keepalive thread re-touches
+    the lock dir every ``stale_after/4`` seconds, so a live-but-slow
+    merge never looks stale in the first place (r8 ADVICE: without the
+    refresh, a merge exceeding stale_after silently reintroduced the
+    two-writer lost-update race this lock exists to prevent).
 
     Scope: local/POSIX filesystems (this build's storage). On object
     stores, a table format's transaction log (Delta/Iceberg optimistic
@@ -81,6 +85,24 @@ def table_lock(
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
     deadline = time.monotonic() + timeout
+
+    def _owner_alive() -> bool:
+        # Same-host liveness: the owner file records the holder's pid.
+        # Unreadable/absent owner file → assume dead (the mtime gate
+        # already said stale). ESRCH → dead; EPERM → alive.
+        try:
+            with open(os.path.join(lock_dir, "owner")) as fh:
+                text = fh.read()
+            pid = int(text.split("pid=", 1)[1].splitlines()[0])
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+        except (OSError, ValueError, IndexError):
+            return False
+
     while True:
         try:
             os.mkdir(lock_dir)
@@ -89,8 +111,17 @@ def table_lock(
             try:
                 age = time.time() - os.path.getmtime(lock_dir)
             except OSError:
-                continue  # released between mkdir and stat — retry at once
-            if age > stale_after:
+                # released between mkdir and stat — but still honor the
+                # deadline and back off, so a persistent stat error (r8
+                # ADVICE) can't tight-spin forever
+                if time.monotonic() > deadline:
+                    raise TableLockTimeout(
+                        f"could not acquire {lock_dir} within {timeout}s "
+                        "(lock dir unstat-able)"
+                    ) from None
+                time.sleep(poll)
+                continue
+            if age > stale_after and not _owner_alive():
                 aside = f"{lock_dir}.stale-{uuid.uuid4().hex[:8]}"
                 try:
                     os.rename(lock_dir, aside)  # atomic: one breaker wins
@@ -104,11 +135,24 @@ def table_lock(
                     f"(held for {age:.0f}s; see its owner file)"
                 ) from None
             time.sleep(poll)
+    stop = threading.Event()
+
+    def _keepalive() -> None:
+        while not stop.wait(max(stale_after / 4.0, 0.05)):
+            try:
+                os.utime(lock_dir, None)
+            except OSError:
+                return  # lock dir gone (release raced) — thread exits
+
+    ka = threading.Thread(target=_keepalive, daemon=True)
     try:
         with open(os.path.join(lock_dir, "owner"), "w") as fh:
             fh.write(f"pid={os.getpid()}\nacquired={time.time()}\n")
+        ka.start()
         yield
     finally:
+        stop.set()
+        ka.join(timeout=1.0)
         shutil.rmtree(lock_dir, ignore_errors=True)
 
 

@@ -442,13 +442,23 @@ def balanced_shards(
     shards land within a fraction of a percent of each other.
 
     The global rank is NOT a one-task window: rows bucket by
-    (weight div Ww DESC, id div Wi ASC) — a key lexicographically
-    monotone in the rank order — per-bucket counts prefix-scan on the
-    ≤(n_weight_buckets × n_id_buckets)-row offset table, and the only
-    corpus-sized window runs per bucket (token_stream_chunks'
-    decomposition, two-level so that heavy WEIGHT-TIE blocks — the
-    realistic skew: thousands of docs sharing one length — split
-    across id sub-buckets instead of funneling into one task).
+    (EXACT weight DESC, id div Wi ASC) — a key lexicographically
+    monotone in the rank order BECAUSE the primary key is the exact
+    weight value, so id sub-buckets only ever subdivide TRUE weight
+    ties (the r8 bug: keying offsets on a COARSE weight bucket let an
+    id sub-bucket reorder two distinct weights sharing a coarse bucket
+    — weights 2047/2046 under bucket width >1 swapped shards vs the
+    (weight DESC, id ASC) spec). Per-bucket counts prefix-scan on the
+    offset table — one row per populated (exact weight, id-bucket)
+    pair, bounded by distinct-weight-count × n_id_buckets; for
+    token-count weights distinct values ≤ max doc length, so the table
+    is MBs, never corpus-sized, and its single-partition prefix window
+    is deliberate. The only corpus-sized window runs per (weight,
+    id-bucket) group (token_stream_chunks' decomposition), so heavy
+    weight-tie blocks — the realistic skew: thousands of docs sharing
+    one length — split across id sub-buckets instead of funneling into
+    one task. n_weight_buckets is retained for API compatibility and
+    ignored (exactness requires the ungrouped weight).
     Weights and ids must be non-negative; ids unique."""
     from pyspark.sql.window import Window
 
@@ -456,44 +466,39 @@ def balanced_shards(
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     base = df.withColumn("_bs_w", F.col(weight_col).cast("long"))
     widths = base.agg(
-        ((F.max("_bs_w") + F.lit(n_weight_buckets)) / F.lit(n_weight_buckets))
-        .cast("long")
-        .alias("_ww"),
         ((F.max(id_col) + F.lit(n_id_buckets)) / F.lit(n_id_buckets))
         .cast("long")
         .alias("_wi"),
     )
-    b = (
-        base.crossJoin(F.broadcast(widths))
-        .withColumn("_bs_wb", F.expr("_bs_w div _ww"))
-        .withColumn("_bs_ib", F.expr(f"{id_col} div _wi"))
+    b = base.crossJoin(F.broadcast(widths)).withColumn(
+        "_bs_ib", F.expr(f"{id_col} div _wi")
     )
-    # exclusive prefix in (wb DESC, ib ASC) order over the tiny pair table
-    counts = b.groupBy("_bs_wb", "_bs_ib").agg(F.count("*").alias("_c"))
+    # exclusive prefix in (exact w DESC, ib ASC) order over the pair table
+    counts = b.groupBy("_bs_w", "_bs_ib").agg(F.count("*").alias("_c"))
     offsets = counts.select(
-        "_bs_wb",
+        "_bs_w",
         "_bs_ib",
         F.coalesce(
             F.sum("_c").over(
                 Window.orderBy(
-                    F.col("_bs_wb").desc(), F.col("_bs_ib").asc()
+                    F.col("_bs_w").desc(), F.col("_bs_ib").asc()
                 ).rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
         ).alias("_off"),
     )
-    w_in = Window.partitionBy("_bs_wb", "_bs_ib").orderBy(
-        F.col("_bs_w").desc(), F.col(id_col).asc()
-    )
+    # within an exact weight + id sub-bucket, only id ASC remains of the
+    # global order
+    w_in = Window.partitionBy("_bs_w", "_bs_ib").orderBy(F.col(id_col).asc())
     ranked = (
-        b.join(F.broadcast(offsets), ["_bs_wb", "_bs_ib"])
+        b.join(F.broadcast(offsets), ["_bs_w", "_bs_ib"])
         .withColumn("_rk", F.row_number().over(w_in) + F.col("_off") - 1)
     )
     lap = F.expr(f"_rk div {int(n_shards)}")
     pos = F.col("_rk") % n_shards
     shard = F.when(lap % 2 == 0, pos).otherwise(n_shards - 1 - pos)
     return ranked.withColumn("shard_id", shard.cast("long")).drop(
-        "_bs_w", "_bs_wb", "_bs_ib", "_ww", "_wi", "_off", "_rk"
+        "_bs_w", "_bs_ib", "_wi", "_off", "_rk"
     )
 
 

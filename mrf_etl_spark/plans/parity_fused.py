@@ -902,6 +902,12 @@ DRIVER_WINDOW: list[str] = [
     "st14_stream_ann_ingest",
 ]
 
+# The RECORDED catalog size — bump this in the same commit that registers
+# a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
+# README/COVERAGE still said 251; this build-time canary makes the books
+# and the live registry disagree LOUDLY instead of drifting silently.
+CATALOG_COUNT = 252
+
 
 def ordered_registry() -> dict[str, ParityQuery]:
     """The registry re-keyed so DRIVER_WINDOW is the first 50 entries
@@ -934,6 +940,12 @@ def ordered_registry() -> dict[str, ParityQuery]:
         raise RuntimeError(
             f"catalog entries with no driver story (not in DRIVER_WINDOW, "
             f"not riding an in-window probe): {orphans}"
+        )
+    if len(REGISTRY) != CATALOG_COUNT:
+        raise RuntimeError(
+            f"registry holds {len(REGISTRY)} entries but CATALOG_COUNT "
+            f"records {CATALOG_COUNT} — bump the constant (and the "
+            "README/COVERAGE counts) in the commit that adds the entry"
         )
     ordered: dict[str, ParityQuery] = {}
     for n in DRIVER_WINDOW:

@@ -24,6 +24,19 @@ from mrf_etl_spark.streaming import sessionize_events, windowed_event_counts
 GAP_MIN = 30
 
 
+def _drain(q, timeout: float = 300.0) -> None:
+    """Await an availableNow drain and FAIL LOUDLY on timeout (r8
+    ADVICE: ignoring awaitTermination's boolean let a hung drain proceed
+    to serve PARTIAL lake/MV state as the parity result — a confusing
+    downstream hash mismatch instead of a clear error)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain did not finish within {timeout}s; "
+            "refusing to serve partial state"
+        )
+
+
 def _events_raw(spark, sf_dir):
     """Raw read schema + ts-normalizer for STREAMING reads of
     events.parquet, robust to both encodings the driver has shipped:
@@ -122,7 +135,7 @@ def st3_stream_upsert(spark, sf_dir):
         checkpoint_dir=_scratch("st3_ckpt"),
         transform=lambda df: df.withColumn("ts", ts_conv),
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(lake).agg(F.count("*").alias("n"))
 
 
@@ -167,7 +180,7 @@ def st4_stateful_totals(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
     return (
         spark.table(sink)
@@ -225,7 +238,7 @@ def st5_stream_dedup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return (
         spark.read.parquet(sink)
         .groupBy("event_type")
@@ -302,7 +315,7 @@ def st6_stream_interval_join(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(sink).select(
         "user_id",
         "click_id",
@@ -386,7 +399,7 @@ def st7_stream_dedup_ingest(spark, sf_dir):
         bands=4,
         threshold=0.5,
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(doc_lake).select("doc_id")
 
 
@@ -437,7 +450,7 @@ def st8_stream_static_enrich(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     from mrf_etl_spark.plans.parity import money_sum
 
     return (
@@ -501,7 +514,7 @@ def st9_stream_incremental_mv(spark, sf_dir):
             "cents": "sum(cast(round(value * 100) as bigint))",
         },
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(mv).select(
         "event_type",
         "n_events",
@@ -571,7 +584,7 @@ def st10_stream_scd2(spark, sf_dir):
         tiebreak=["event_id"],
         attrs=["value"],
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(hist).select(
         "user_id",
         "version",
@@ -672,7 +685,7 @@ def st11_stream_corpus_card(spark, sf_dir):
         agg_exprs={"n": "count(*)", "words_sum": "sum(_w)", "chars_sum": "sum(_c)"},
         transform=prep,
     )
-    q.awaitTermination(300)
+    _drain(q)
     return corpus_card_from_state(spark.read.parquet(state_mv)).select(
         "source", "lang", "n_docs", "words_total", "chars_avg",
         "p50_bucket", "p90_bucket",
@@ -739,7 +752,7 @@ def _register_st12():
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
         return spark.read.parquet(lake)
 
     return st12_stream_classifier_gate
@@ -825,7 +838,7 @@ def _register_st13():
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
         return spark.read.parquet(lake)
 
     return st13_stream_bloom_gate
@@ -896,7 +909,7 @@ def _register_st14():
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
         return sim.ivf_index_query(
             emb.filter(F.col("vec_id") < 10), path, nprobe=2, k=5
         )
@@ -966,7 +979,7 @@ def _register_st15():
                 "_us", F.unix_micros(ts_conv)
             ).withColumn("day", F.expr(f"_us div {_US_PER_DAY}")),
         )
-        q.awaitTermination(300)
+        _drain(q)
         daily = spark.read.parquet(mv).select(
             "event_type", "day", F.col("n").cast("long").alias("n")
         )
@@ -1037,7 +1050,7 @@ def _register_st16():
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
         est = sl.hll_lake_distinct(spark, lake, ["event_type"])
         exact = ev.groupBy("event_type").agg(
             F.countDistinct("user_id").alias("d_users")
@@ -1135,7 +1148,7 @@ def _register_st17():
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(q)
         return sp.token_stream_chunks_from_state(
             spark.read.parquet(lake),
             spark.read.parquet(mv),

@@ -43,7 +43,7 @@ def test_stream_upsert_idempotent(spark, events, tmp_path):
     q = stream_upsert_ingest(
         stream, lake, keys=["event_id"], checkpoint_dir=str(tmp_path / "ckpt1")
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     n1 = spark.read.parquet(lake).count()
     assert n1 == 600
 
@@ -55,7 +55,7 @@ def test_stream_upsert_idempotent(spark, events, tmp_path):
         read_event_stream(spark, drop_dir), lake, keys=["event_id"],
         checkpoint_dir=str(tmp_path / "ckpt2"),
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120)
     out = spark.read.parquet(lake)
     assert out.count() == 1000  # overlap inserted once
     assert out.select("event_id").distinct().count() == 1000
@@ -75,7 +75,7 @@ def test_windowed_counts_stream_matches_batch(spark, events, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     streamed = spark.read.parquet(out_dir)
 
     batch = windowed_event_counts(events)
@@ -139,7 +139,7 @@ def test_stateful_running_totals_across_batches(spark, events, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     mem = spark.table("t_st4")
     # >1 batch for at least one key => updates were emitted more than once
@@ -236,7 +236,7 @@ def test_stream_dedup_ingest_redelivery_inserts_nothing(spark, sf_dir, tmp_path)
     q = stream_dedup_ingest(
         stream, lake, str(tmp_path / "index"), str(tmp_path / "ckpt")
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     got = {r.doc_id for r in spark.read.parquet(lake).select("doc_id").collect()}
     # natural near-dups between odd/even docs may drop some batch docs,
     # but the redelivered batch contributes NOTHING new
@@ -283,7 +283,7 @@ def test_incremental_mv_batch_boundary_independent(spark, events, tmp_path):
             stream, mv, str(tmp_path / f"ckpt{n_files}"),
             keys=["event_type"], agg_exprs=agg_exprs,
         )
-        q.awaitTermination(300)
+        assert q.awaitTermination(300)
         out = spark.read.parquet(mv)
         assert set(out.columns) == {"event_type", "n_events", "cents"}
         return {r["event_type"]: (r["n_events"], r["cents"]) for r in out.collect()}
@@ -457,7 +457,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     dropped = sum(
         op.get("numRowsDroppedByWatermark", 0)
         for p in q.recentProgress
@@ -513,7 +513,7 @@ def test_stream_scd2_incremental_and_replay(spark, tmp_path):
             keys=["key"], order_col="ts", tiebreak=["uid"], attrs=["v"],
             n_buckets=4,
         )
-        q.awaitTermination(300)
+        assert q.awaitTermination(300)
 
     def snap():
         return sorted(
@@ -556,7 +556,7 @@ def test_stream_scd2_incremental_and_replay(spark, tmp_path):
         stream2, hist, str(tmp_path / "ckpt2"),
         keys=["key"], order_col="ts", tiebreak=["uid"], attrs=["v"], n_buckets=4,
     )
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300)
     after = bucket_dirs()
     k7_bucket = spark.sql(
         "SELECT concat('_bucket=', pmod(xxhash64(7L), 4)) AS b"
