@@ -87,6 +87,9 @@ HEADLINE = [
     "e4_product_quantization",
     "n5_ann_pq_adc",
     "n7_ann_ivf_pq",
+    # round-9: persisted IVF-PQ — create+append+query end-to-end (the
+    # honest parity-row cost; query-only latency is measured in SCALE.md)
+    "n8_ann_ivf_pq_persisted",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

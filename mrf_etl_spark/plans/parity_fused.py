@@ -389,6 +389,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-8: the composed IVF-PQ cascade — deterministic like both
         # parents, so the oracle replays it exactly (ANN cost band)
         ("n7_ann_ivf_pq", ["cosine"]),
+        # round-9: the persisted form — n7's oracle verbatim (persisted
+        # == in-plan); the probe stays the ANN cost-band exception
+        ("n8_ann_ivf_pq_persisted", ["cosine"]),
     ],
     # Each streaming entry runs its real availableNow drain and returns a
     # batch DataFrame of the drained result, so they fuse like any other
@@ -719,6 +722,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "e4_product_quantization": ["vec_id", "codes", "recon_cos"],
     "n5_ann_pq_adc": ["query_id", "neighbor_id", "cosine", "rank"],
     "n7_ann_ivf_pq": ["query_id", "neighbor_id", "cosine", "rank"],
+    "n8_ann_ivf_pq_persisted": ["query_id", "neighbor_id", "cosine", "rank"],
     # round-8 fused direct rows (fx_eval_suites / fx_streaming_lake)
     "sp20_leakage_safe_split": ["doc_id", "rep", "bucket", "split"],
     "st6_stream_interval_join": ["user_id", "click_id", "view_id", "dt_us"],
@@ -906,7 +910,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 252
+CATALOG_COUNT = 253
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

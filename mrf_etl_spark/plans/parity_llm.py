@@ -4636,6 +4636,56 @@ def n7_ann_ivf_pq(spark, sf_dir):
     )
 
 
+def _register_n8():
+    # n8's truth is n7's: the persisted index must answer exactly like
+    # the in-plan composed cascade over the same corpus + frozen
+    # codebooks, whatever the create/append batch history — so the
+    # oracle IS n7's, reused verbatim (n4's incremental==batch pattern).
+    from mrf_etl_spark.plans.parity import REGISTRY, _scratch
+
+    @register(
+        "n8_ann_ivf_pq_persisted",
+        REGISTRY["n7_ann_ivf_pq"].oracle,
+        doc="n8 (beyond-ref): PERSISTED IVF-PQ index (VERDICT r8 #2) — "
+        "n7's composed cascade served from the lake: PQ codes encoded "
+        "at INGEST against frozen codebooks and stored hive-partitioned "
+        "by coarse bucket beside the rerank floats "
+        "(operators/similarity.ivf_pq_index_create/append/query). A "
+        "query reads nprobe partitions of column-pruned code bytes, "
+        "ADC-scores against its 16×8 LUT, and touches floats only for "
+        "the |Q|×n_candidates rerank — the per-run corpus PQ encode "
+        "that dominated n7's scale slope moves to ingest, so query "
+        "time tracks probed-partition size, not corpus size. Driver "
+        "row creates from even vec_ids, appends the odds, and must "
+        "equal n7's one-shot answer exactly.",
+    )
+    def n8_ann_ivf_pq_persisted(spark, sf_dir):
+        emb = t(spark, sf_dir, "embeddings")
+        cent = emb.filter((F.col("vec_id") % 97) == 0).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+        seeds = emb.filter(F.col("vec_id") < 16)
+        path = _scratch("n8_ivfpq_index")
+        sim.ivf_pq_index_create(
+            emb.filter(F.col("vec_id") % 2 == 0), path, cent, seeds,
+            dim=DIM, n_blocks=_PQ_BLOCKS,
+        )
+        sim.ivf_pq_index_append(
+            emb.filter(F.col("vec_id") % 2 == 1), path,
+            dim=DIM, n_blocks=_PQ_BLOCKS,
+        )
+        return sim.ivf_pq_index_query(
+            emb.filter(F.col("vec_id") < 10), path,
+            dim=DIM, n_blocks=_PQ_BLOCKS, nprobe=2,
+            n_candidates=_N5_CANDIDATES, k=_N5_K,
+        )
+
+    return n8_ann_ivf_pq_persisted
+
+
+n8_ann_ivf_pq_persisted = _register_n8()
+
+
 W21_BASE_DAYS = 7
 W21_Z = 3  # burst threshold in baseline standard deviations
 

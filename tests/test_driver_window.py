@@ -68,6 +68,32 @@ def test_every_catalog_entry_has_a_driver_path_or_is_allowlisted():
     assert not uncovered, f"entries with no driver story: {uncovered}"
 
 
+def test_window_capacity_headroom_for_next_round():
+    """VERDICT r8 #5 — the 50-row window's growth policy, encoded:
+
+    1. a new granular entry rides an under-cap (<7 components) in-window
+       probe of its family — oracle cost guideline ~0.35 s/probe, the
+       ANN band's ≤~2.5 s being the accepted exception;
+    2. when every family probe is at cap, split-and-rebalance by
+       measured cost (the r7/r8 mechanism: scripts/measure_oracle.py,
+       archived as scripts/probe_costs_r{N}.txt);
+    3. direct-row slots are freed by fusing sub-0.1 s direct oracles
+       into family probes; ≥~0.5 s oracles stay direct (the cost floor).
+
+    The assertion: remaining probe headroom must cover at least a
+    typical round's additions (~10), so capacity exhaustion surfaces a
+    round EARLY instead of during an end-of-round snapshot."""
+    probe_headroom = sum(
+        7 - len(FUSE_SPECS[n])
+        for n in DRIVER_WINDOW
+        if n in FUSE_SPECS and len(FUSE_SPECS[n]) < 7
+    )
+    assert probe_headroom >= 10, (
+        f"only {probe_headroom} probe slots left — rebalance probes "
+        "(policy above) before adding more entries"
+    )
+
+
 def test_probe_blast_radius_at_most_seven_components():
     """Post-r5 discipline, made binding in r8 (VERDICT r7 #1): one
     environmental failure on a probe blanks every component riding it, so

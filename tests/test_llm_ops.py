@@ -1690,6 +1690,66 @@ def test_ivf_index_query_prunes_partitions_and_matches_onthefly(spark, tmp_path)
     assert got == expect
 
 
+def test_ivf_pq_index_persisted_equals_inplan(spark, tmp_path):
+    """n8 (VERDICT r8 #2): the persisted IVF-PQ index — codes encoded at
+    ingest against frozen codebooks, partitioned by coarse bucket — must
+    answer exactly like n7's in-plan ivf_pq_topk over the same corpus +
+    codebooks, regardless of create/append batch boundaries; appends are
+    pure (no rewrite of existing files); the query's codes read carries
+    the probed-ccid PartitionFilters and never scans the corpus floats
+    before rerank."""
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = emb.filter((F.col("vec_id") % 97) == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    seeds = emb.filter(F.col("vec_id") < 16)
+    path = str(tmp_path / "ivfpq")
+    sim.ivf_pq_index_create(
+        emb.filter(F.col("vec_id") % 2 == 0), path, cent, seeds, dim=DIM
+    )
+    files_before = {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(f"{path}/codes")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    sim.ivf_pq_index_append(emb.filter(F.col("vec_id") % 2 == 1), path, dim=DIM)
+    files_after = {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(f"{path}/codes")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert files_before < files_after  # pure append
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = sim.ivf_pq_index_query(
+        queries, path, dim=DIM, nprobe=2, n_candidates=50, k=5
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "ccid" in plan.split(
+        "PartitionFilters: ["
+    )[1][:80], plan[:2000]
+
+    expect = sorted(
+        (r.query_id, r.neighbor_id, round(r.cosine, 12), r.rank)
+        for r in sim.ivf_pq_topk(
+            emb, dim=DIM, centroid_mod=97, nprobe=2,
+            query_filter=F.col("vec_id") < 10, n_candidates=50, k=5,
+        ).collect()
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, round(r.cosine, 12), r.rank)
+        for r in out.collect()
+    )
+    assert got == expect
+    from mrf_etl_spark.operators.dedup import release_state
+
+    release_state(out)
+
+
 def test_leakage_safe_split_clusters_move_as_one_unit(spark):
     """The sp20 contract: (1) every duplicate cluster lands in exactly
     one split, (2) documents outside the pair graph get assignments

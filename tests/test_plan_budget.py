@@ -98,6 +98,13 @@ BUDGETS = {
     # candidate window, final rank window — probe list, LUT, offsets and
     # codebook all travel as broadcasts (not counted)
     "n7_ann_ivf_pq": 5,
+    # persisted IVF-PQ QUERY plan (the index build is ingest-time
+    # actions, not part of this plan): probe window, LUT long-form
+    # windows, ADC pivot agg, candidate + final rank windows — codes,
+    # probes, LUT and rerank queries all broadcast; one more than n7
+    # because the LUT derives from the persisted codebook scan instead
+    # of sharing n7's in-plan long form
+    "n8_ann_ivf_pq_persisted": 6,
     # novelty audit: shingle-df agg pair + join-back + doc rollup —
     # d3's posting-list shape without the pair emission
     "t21_shingle_novelty": 4,

@@ -640,3 +640,97 @@ def test_n6_recall_audit_linear_under_frozen_codebook(spark):
     print(f"\nn6 frozen codebook: sf0.1={t_01:.2f}s sf1={t_1_frozen:.2f}s "
           f"ratio={ratio:.1f}x for 10x data")
     assert ratio < 20, (t_01, t_1_frozen)
+
+
+@pytest.mark.slow
+def test_concurrent_writers_plus_compaction_on_zipf_under_cluster_confs(
+    spark, tmp_path
+):
+    """VERDICT r8 #6 — the production-ingest mix, rehearsed as one run:
+    TWO concurrent batch writers appending CMS sketch state for disjoint
+    halves of a SKEWED (zipf) event table while a THIRD thread compacts
+    the lake repeatedly, all under cluster_plan-derived session confs.
+    The skew rehearsal and the writer lock were each proven alone (r8);
+    this pins their composition: every append survives interleaved
+    compaction (the r9 read-inside-lock fix is load-bearing here — the
+    old compact_state read BEFORE locking and could erase an append that
+    landed during its lock wait), no lock times out, and the merged
+    sketch is BIT-IDENTICAL to the single-pass sketch over the union."""
+    import sys
+    import threading
+    import time as _time
+    from pathlib import Path
+
+    sys.path.insert(0, "/root/repo/scripts")
+    try:
+        from make_scale_sf import write_zipf_events
+    finally:
+        sys.path.pop(0)
+    from mrf_etl_spark.deploy import cluster_plan
+    from mrf_etl_spark.operators import sketchlake as sl
+    from mrf_etl_spark.operators.cms import countmin_table
+
+    write_zipf_events(Path("/root/testdata/sf0.01"), Path(str(tmp_path)), m=20)
+    ev = spark.read.parquet(str(tmp_path / "events.parquet"))
+
+    plan = cluster_plan(0.001, 8, 4)
+    runtime_settable = {
+        "spark.sql.shuffle.partitions",
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    }
+    saved = {k: spark.conf.get(k, None) for k in runtime_settable}
+    for k in runtime_settable:
+        spark.conf.set(k, plan[k])
+    path = str(tmp_path / "cms_lake")
+    n_batches, errors = 6, []
+
+    def writer(parity: int) -> None:
+        try:
+            for b in range(parity, n_batches, 2):
+                state = countmin_table(
+                    ev.filter(F.col("event_id") % n_batches == b), "user_id"
+                )
+                sl.append_state(state, path)
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    def compactor() -> None:
+        try:
+            for _ in range(3):
+                _time.sleep(0.7)
+                if Path(path).exists():
+                    sl.compact_state(spark, path, ["j", "pos"])
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    try:
+        threads = [
+            threading.Thread(target=writer, args=(0,)),
+            threading.Thread(target=writer, args=(1,)),
+            threading.Thread(target=compactor),
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+
+        def cells(d):
+            return {(r["j"], r["pos"]): r["c"] for r in d.collect()}
+
+        merged = cells(sl.cms_lake_merge(spark, path))
+        single = cells(countmin_table(ev, "user_id"))
+        assert merged == single  # no lost appends, no double-count
+        # a final compaction under the same confs still answers identically
+        sl.compact_state(spark, path, ["j", "pos"])
+        assert cells(sl.cms_lake_merge(spark, path)) == single
+        import os
+
+        assert not os.path.exists(path + ".lock")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
