@@ -307,16 +307,21 @@ class StarLake:
             agg_names = ["rate_count", "avg_rate", "min_rate", "max_rate"] + [
                 name for name in extras if name in mv.columns
             ]
-            out = mv.filter(
-                (F.col("state") == state) & (F.col("year_month") == year_month)
-            ).filter(value_pred(F.col(col)))
-            return (
-                out.select(*present, *agg_names)
-                .orderBy(
-                    F.col("rate_count").desc(),
-                    *[F.col(c).asc_nulls_last() for c in present],
-                )
-                .limit(limit)
+            return self._memo_plan(
+                ("search_rollup", search_type, value, state, year_month, limit),
+                lambda: (
+                    mv.filter(
+                        (F.col("state") == state)
+                        & (F.col("year_month") == year_month)
+                    )
+                    .filter(value_pred(F.col(col)))
+                    .select(*present, *agg_names)
+                    .orderBy(
+                        F.col("rate_count").desc(),
+                        *[F.col(c).asc_nulls_last() for c in present],
+                    )
+                    .limit(limit)
+                ),
             )
         idx = self.search_index().filter(
             (F.col("state") == state) & (F.col("year_month") == year_month)
@@ -359,6 +364,30 @@ class StarLake:
         "tin": "tin_value",
     }
 
+    def _memo_plan(self, key: tuple, build) -> DataFrame:
+        """Serving-tier plan reuse — the prepared-statement pattern. The
+        MV2 endpoints' EXECUTION runs at the engine job floor (~35-47 ms
+        measured), but constructing the request DataFrame costs 20-67 ms
+        of py4j + Catalyst analysis PER REQUEST — for the stats endpoint
+        that was 2/3 of the serving p50 (the r8→r9 drift VERDICT #4
+        flagged). DataFrames are immutable and lazy, so a constructed
+        endpoint plan is safe to reuse for repeated (endpoint, args)
+        requests; re-materializing an MV returns a NEW StarLake
+        (dataclasses.replace), which naturally drops this cache. Bounded
+        crudely (clear at 256 entries): serving scopes are few, and a
+        cold rebuild costs only the analysis being amortized."""
+        cache = getattr(self, "_plan_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_plan_cache", cache)
+        df = cache.get(key)
+        if df is None:
+            if len(cache) >= 256:
+                cache.clear()
+            df = build()
+            cache[key] = df
+        return df
+
     def category_rollup(
         self,
         state: str,
@@ -384,16 +413,20 @@ class StarLake:
             # order/limit. Drill-downs keep the live path — their grain
             # is (source value × target value), not materialized.
             mv = self.category_rollup_mvs[category]
-            return (
-                mv.filter(
-                    (F.col("state") == state) & (F.col("year_month") == year_month)
-                )
-                .select(
-                    "value", "record_count", "unique_providers",
-                    "unique_procedures", "avg_rate", "min_rate", "max_rate",
-                )
-                .orderBy(F.col("record_count").desc(), F.col("value").asc())
-                .limit(limit)
+            return self._memo_plan(
+                ("category_rollup", state, year_month, category, limit),
+                lambda: (
+                    mv.filter(
+                        (F.col("state") == state)
+                        & (F.col("year_month") == year_month)
+                    )
+                    .select(
+                        "value", "record_count", "unique_providers",
+                        "unique_procedures", "avg_rate", "min_rate", "max_rate",
+                    )
+                    .orderBy(F.col("record_count").desc(), F.col("value").asc())
+                    .limit(limit)
+                ),
             )
         idx = self.search_index().filter(
             (F.col("state") == state)
@@ -433,17 +466,32 @@ class StarLake:
         if self.category_stats_table is not None:
             mv = self.category_stats_table
             keep = [c for c in mv.columns if c not in ("state", "year_month")]
-            # re-aggregate the <=1-row pruned slice so an ABSENT scope
-            # still yields the live path's one-row-of-zeros shape (agg
-            # over empty input emits one NULL row; coalesce restores the
-            # zeros a caller indexing result[0] expects)
-            return mv.filter(
-                (F.col("state") == state) & (F.col("year_month") == year_month)
-            ).agg(
-                *[
-                    F.coalesce(F.sum(c), F.lit(0)).cast("long").alias(c)
-                    for c in keep
-                ]
+            # an ABSENT scope must still yield the live path's
+            # one-row-of-zeros shape (a point-read caller indexes
+            # result[0]). r8 served that via agg-over-the-slice, which
+            # turned the point read into a two-stage aggregate and
+            # doubled serving p50 (45.7→113.5 ms, reproduced interleaved
+            # r9); instead union a zeros sentinel UNDER the slice and
+            # TakeOrdered(1) — still a single job, no exchange, and the
+            # (state, year_month) partition filter still prunes the scan
+            def build() -> DataFrame:
+                sliced = mv.filter(
+                    (F.col("state") == state)
+                    & (F.col("year_month") == year_month)
+                ).select(*keep, F.lit(0).alias("_pri"))
+                zeros = mv.sparkSession.range(1).select(
+                    *[F.lit(0).cast("long").alias(c) for c in keep],
+                    F.lit(1).alias("_pri"),
+                )
+                return (
+                    sliced.unionByName(zeros)
+                    .orderBy("_pri")
+                    .limit(1)
+                    .select(*keep)
+                )
+
+            return self._memo_plan(
+                ("category_statistics", state, year_month), build
             )
         idx = self.search_index().filter(
             (F.col("state") == state) & (F.col("year_month") == year_month)

@@ -217,17 +217,29 @@ def main() -> None:
         ),
         # the dashboard page fetch: pruned partition -> top-100 by volume
         # (collecting the WHOLE state slice would bench Arrow transfer of
-        # the full rollup, not the serving path a dashboard request takes)
-        "market_rates_mv": lambda: spark.read.parquet(mr_path)
-        .filter(F.col("state") == "GA")
-        .orderBy(F.col("p50").desc(), F.col("code"))
-        .limit(100),
+        # the full rollup, not the serving path a dashboard request takes).
+        # Both plans are PREPARED once — the StarLake MV2 endpoints memoize
+        # constructed plans per (endpoint, args) (queries.py _memo_plan),
+        # so these raw-read families must measure the same serving shape:
+        # repeated requests pay execution, not per-request py4j+analysis.
+        "market_rates_mv": (
+            lambda df: (lambda: df)
+        )(
+            spark.read.parquet(mr_path)
+            .filter(F.col("state") == "GA")
+            .orderBy(F.col("p50").desc(), F.col("code"))
+            .limit(100)
+        ),
         # the same page served from the pre-ranked head: pruned read of
         # exactly k rows, latency tracks k not corpus size
-        "market_rates_mv2": lambda: spark.read.parquet(mr_head_path)
-        .filter(F.col("state") == "GA")
-        .orderBy(F.col("p50").desc(), F.col("code"))
-        .limit(100),
+        "market_rates_mv2": (
+            lambda df: (lambda: df)
+        )(
+            spark.read.parquet(mr_head_path)
+            .filter(F.col("state") == "GA")
+            .orderBy(F.col("p50").desc(), F.col("code"))
+            .limit(100)
+        ),
     }
     out = {"serving_ms": {}, "sf": float(sf), "reps": reps}
     for name, fn in families.items():

@@ -112,6 +112,80 @@ def test_multimodal_stub_contract():
     }
 
 
+def test_jpeg_stdlib_roundtrip_and_decode_media():
+    """VERDICT r8 #7: baseline JPEG decodes for REAL in every environment
+    via the pure-stdlib codec (operators/jpegs.py) — no Pillow needed.
+    A solid image round-trips exactly (all AC coefficients are zero and
+    the flat quant table is lossless on the DC), a gradient within ~2
+    levels, and decode_media's real image branch now accepts
+    image/jpeg in the no-Pillow container."""
+    from mrf_etl_spark.operators.jpegs import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    w, h = 24, 16
+    solid = [128] * (w * h)
+    jp = encode_jpeg_gray(solid, w, h)
+    assert jp[:3] == b"\xff\xd8\xff" and jp[-2:] == b"\xff\xd9"
+    ww, hh, px = decode_jpeg_gray(jp)
+    assert (ww, hh) == (w, h)
+    assert set(px) == {128.0}
+
+    grad = [min(255, x * 3 + y * 2) for y in range(h) for x in range(w)]
+    ww, hh, px = decode_jpeg_gray(encode_jpeg_gray(grad, w, h))
+    assert max(abs(a - b) for a, b in zip(grad, px)) <= 2.0
+
+    # odd (non-multiple-of-8) geometry: padded MCUs crop back exactly
+    ww, hh, px = decode_jpeg_gray(encode_jpeg_gray([200] * (13 * 9), 13, 9))
+    assert (ww, hh, len(px)) == (13, 9, 117) and set(px) == {200.0}
+
+    out = decode_media(jp, "image/jpeg", fake=False)
+    assert out["feat_mean"] == pytest.approx(128.0)
+    assert out["n_bytes"] == len(jp) and out["header_hex"] == "ffd8ffdb"
+
+
+def test_jpeg_restart_intervals_and_mode_rejections():
+    """The decoder's DRI/RSTn path (byte realign + DC predictor reset)
+    decodes a restart-marked stream identically to the unmarked one;
+    progressive / arithmetic / 12-bit modes raise NAMING the mode (the
+    explicit-failure contract), and gray_pixels routes JPEG through the
+    stdlib codec so the perceptual-hash tier works on JPEG here too."""
+    from mrf_etl_spark.operators.jpegs import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+    from mrf_etl_spark.operators.multimodal import ahash_halves, gray_pixels, resize_nearest
+
+    w, h = 40, 24
+    grad = [min(255, x * 3 + y * 2) for y in range(h) for x in range(w)]
+    base = decode_jpeg_gray(encode_jpeg_gray(grad, w, h))
+    for ri in (1, 2, 3):
+        assert decode_jpeg_gray(encode_jpeg_gray(grad, w, h, restart_interval=ri)) == base
+
+    # half-dark / half-light: the ahash bits split exactly at the seam
+    split = [0] * (16 * 8) + [255] * (16 * 8)
+    jp = encode_jpeg_gray(split, 16, 16)
+    ww, hh, px = gray_pixels(jp)
+    hi, lo = ahash_halves(resize_nearest(px, ww, hh))
+    assert (hi, lo) == (0xFFFFFFFF, 0x00000000)
+
+    solid = encode_jpeg_gray([90] * 64, 8, 8)
+    progressive = bytearray(solid)
+    i = progressive.find(b"\xff\xc0")
+    progressive[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_gray(bytes(progressive))
+    arith = bytearray(solid)
+    arith[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg_gray(bytes(arith))
+    twelve = bytearray(solid)
+    twelve[i + 4] = 12  # precision byte of SOF0
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg_gray(bytes(twelve))
+
+
 def test_multimodal_fake_mode_is_stub_even_with_real_decoder():
     """fake=True must use the byte stub UNCONDITIONALLY — even when PIL is
     importable — so fake-mode values are identical across environments and
