@@ -90,6 +90,9 @@ HEADLINE = [
     # round-9: persisted IVF-PQ — create+append+query end-to-end (the
     # honest parity-row cost; query-only latency is measured in SCALE.md)
     "n8_ann_ivf_pq_persisted",
+    "q9_release_lineage",
+    "n9_ann_filtered",
+    "st18_stream_category_stats",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",
@@ -103,6 +106,7 @@ HEADLINE = [
     "a26_persisted_cms",
     "a27_persisted_hll",
     "a28_persisted_quantile_grid",
+    "a29_persisted_category_stats",
     "st16_stream_hll_distinct",
     "sp21_token_stream_chunks",
     "sp22_balanced_shards",

@@ -176,10 +176,23 @@ def ivf_topk(
     nprobe: int = 2,
     query_filter: Column | None = None,
     k: int = 5,
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """IVF-bucketed ANN: deterministic seed centroids (vec_id % mod == 0 —
     a stand-in for k-means; the bucketing mechanics are identical), corpus
     assigned once, queries probe their nprobe nearest buckets only.
+
+    ``candidate_filter`` (n9): METADATA-FILTERED vector search — the
+    production ask every vector store fields ("nearest neighbors among
+    docs with license X"). Semantics are PRE-filter: the predicate
+    restricts the candidate set inside the probed buckets BEFORE
+    ranking, so the top-k is over matching vectors only (post-filtering
+    a top-k underfills whenever matches are sparse). The index is never
+    rebuilt per predicate — assignment stays corpus-wide; on the
+    persisted layout the predicate pushes down into the partition-pruned
+    scan. Recall caveat: a highly selective filter can underfill the
+    probed buckets below k — raise ``nprobe``, exactly as production
+    systems over-probe under filters.
 
     Returns (query_id, neighbor_id, cosine, rank) — approximate: recall
     measured against cosine_topk in tests."""
@@ -187,8 +200,9 @@ def ivf_topk(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
     assigned = assign_centroids(emb, cent, id_col, vec_col, dim)
+    cand = emb.filter(candidate_filter) if candidate_filter is not None else emb
     corpus = (
-        emb.join(assigned, id_col)
+        cand.join(assigned, id_col)
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cid")
         .withColumn("cn", norm_fold("cv"))
     )

