@@ -1131,6 +1131,86 @@ def ivf_pq_topk(
     )
 
 
+def embedding_outliers(
+    emb: DataFrame,
+    group_expr: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-QA outlier flags (e5) — per group (source/domain), flag
+    vectors whose cosine to the group centroid falls below 1/2: the
+    corpus-QA step that catches mis-embedded, corrupted, or mis-routed
+    documents before they poison dedup/ANN stages (completes the
+    e1-e4 embedding tier with a quality gate).
+
+    INTEGER-EXACT by construction (the sketch-bound doctrine — no libm
+    on the compare surface): vectors first quantize to int8 (e1's
+    bit-replayable recipe), the group centroid is the per-dimension
+    int64 SUM (not mean — cosine is scale-invariant, so the un-divided
+    sum avoids float division entirely), and the τ=1/2 threshold tests
+    as a squared rational inequality:
+
+        outlier ⟺ dot < 0 OR 4·dot² < |x|²·|s|²
+
+    Magnitudes bound comfortably inside int64 for dim≤64, |group|≤~500k
+    int8 vectors (dot ≤ 127²·N·64; 4·dot² needs N ≲ 6e5 — shard larger
+    groups or rescale before flagging at higher cardinality). Zero
+    vectors are never flagged (both sides 0). Output
+    (id, grp, dot_c, nx2, ns2, is_outlier) is all-integer/boolean —
+    the oracle replays it exactly.
+
+    Plan shape: quantization is a scan-local projection; the centroid
+    is ONE map-side-combinable agg (64 sums per group); the join back
+    broadcasts the |groups|-row centroid table; flags derive per row.
+    One corpus shuffle total (the centroid agg), nothing driver-side."""
+    zero = F.lit(0).cast("long")
+    q = quantize_int8(emb, vec_col, id_col).select(
+        F.col(id_col), F.col("qvec")
+    )
+    g = q.withColumn("grp", group_expr)
+    cent = g.groupBy("grp").agg(
+        *[
+            F.sum(F.element_at(F.col("qvec"), d + 1).cast("long")).alias(
+                f"_s{d}"
+            )
+            for d in range(dim)
+        ]
+    )
+    cent = cent.select(
+        "grp", F.array(*[F.col(f"_s{d}") for d in range(dim)]).alias("svec")
+    )
+    j = g.join(F.broadcast(cent), "grp")
+    dot = F.aggregate(
+        F.zip_with("qvec", "svec", lambda x, y: x.cast("long") * y),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    nx2 = F.aggregate(
+        F.transform("qvec", lambda x: x.cast("long") * x.cast("long")),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    ns2 = F.aggregate(
+        F.transform("svec", lambda s: s * s), zero, lambda acc, x: acc + x
+    )
+    out = j.select(
+        F.col(id_col),
+        "grp",
+        dot.alias("dot_c"),
+        nx2.alias("nx2"),
+        ns2.alias("ns2"),
+    )
+    return out.withColumn(
+        "is_outlier",
+        (F.col("dot_c") < 0)
+        | (
+            F.lit(4).cast("long") * F.col("dot_c") * F.col("dot_c")
+            < F.col("nx2") * F.col("ns2")
+        ),
+    )
+
+
 # -------------------------------------------- persisted IVF-PQ index
 
 def _pq_codes_wide(

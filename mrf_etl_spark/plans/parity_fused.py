@@ -392,6 +392,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("t7_repetition_signals", ["distinct_ratio", "top_word_frac", "top_bigram_frac"]),
         ("t9_top_ngrams", []),
         ("e1_quantize_int8", ["scale"]),
+        # round-9: the embedding-QA gate — all-integer/boolean surface,
+        # e1's quantization + one centroid agg (array-family probe)
+        ("e5_embedding_outliers", []),
         ("t14_encoding_sanity", ["non_ascii_ratio"]),
     ],
     "fx_ann": [
@@ -715,6 +718,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "supp_ok", "part_ok", "total_ok",
     ],
     "n9_ann_filtered": ["query_id", "neighbor_id", "cosine", "rank"],
+    "e5_embedding_outliers": [
+        "vec_id", "grp", "dot_c", "nx2", "ns2", "is_outlier",
+    ],
     "st18_stream_category_stats": [
         "event_type", "total_records", "d_users", "d_props",
         "users_ok", "props_ok", "total_ok",
@@ -935,7 +941,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 257
+CATALOG_COUNT = 258
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

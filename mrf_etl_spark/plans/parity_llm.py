@@ -1269,6 +1269,61 @@ def e1_quantize_int8(spark, sf_dir):
 
 
 @register(
+    "e5_embedding_outliers",
+    # e1's quantization replayed verbatim; centroid = per-dim int64 SUM
+    # per group (cosine is scale-invariant, so no mean/division);
+    # τ=1/2 tests as 4·dot² < |x|²·|s|² — ALL integer, fully exact.
+    # q and cent are each referenced twice → MATERIALIZED (map budget).
+    """WITH q AS MATERIALIZED (
+         SELECT vec_id, vec_id % 4 AS grp,
+                CASE WHEN list_aggregate(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE))), 'max') = 0
+                     THEN list_transform(embedding, x -> 0)
+                     ELSE list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) /
+                               (list_aggregate(list_transform(embedding,
+                                    x2 -> abs(CAST(x2 AS DOUBLE))), 'max')
+                                / 127.0)) AS INTEGER))
+                END AS qvec
+         FROM embeddings),
+       ux AS MATERIALIZED (
+         SELECT vec_id, grp, t.i,
+                CAST(qvec[CAST(t.i AS INT) + 1] AS BIGINT) AS qx
+         FROM q, range(64) t(i)),
+       cent AS MATERIALIZED (
+         SELECT grp, i, CAST(sum(qx) AS BIGINT) AS s
+         FROM ux GROUP BY grp, i),
+       ns AS MATERIALIZED (
+         SELECT grp, CAST(sum(s * s) AS BIGINT) AS ns2 FROM cent GROUP BY grp),
+       per AS (
+         SELECT u.vec_id, u.grp,
+                CAST(sum(u.qx * c.s) AS BIGINT) AS dot_c,
+                CAST(sum(u.qx * u.qx) AS BIGINT) AS nx2
+         FROM ux u JOIN cent c ON c.grp = u.grp AND c.i = u.i
+         GROUP BY u.vec_id, u.grp)
+       SELECT p.vec_id, p.grp, p.dot_c, p.nx2, ns.ns2,
+              (p.dot_c < 0 OR 4 * p.dot_c * p.dot_c < p.nx2 * ns.ns2)
+                AS is_outlier
+       FROM per p JOIN ns ON ns.grp = p.grp""",
+    doc="e5: embedding-QA outlier flags (beyond-ref) — per group, flag "
+    "vectors whose cosine to the group centroid is below 1/2: the "
+    "corpus-QA gate that catches mis-embedded/corrupted/mis-routed docs "
+    "before they poison dedup/ANN. INTEGER-EXACT end-to-end: int8 "
+    "quantization (e1's replayable recipe), centroid = per-dim int64 "
+    "SUM (cosine is scale-invariant — no division), τ=1/2 as the "
+    "squared rational inequality 4·dot² < |x|²·|s|² — no libm on the "
+    "compare surface, so the oracle replays every flag exactly. One "
+    "combinable centroid agg + a broadcast join back "
+    "(operators/similarity.embedding_outliers).",
+)
+def e5_embedding_outliers(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.embedding_outliers(
+        emb, F.col("vec_id") % 4, "vec_id", "embedding", DIM
+    )
+
+
+@register(
     "m3_media_exact_dup",
     # binary-domain d1: md5 over the payload BYTES (DuckDB md5(BLOB) ==
     # Spark md5(binary)); dup groups injected by doc_id shift like d1's

@@ -2719,3 +2719,31 @@ def test_filtered_ann_prefilter_semantics_and_recall(spark):
           if r.neighbor_id % 2 == 0}
     hits = sum(1 for r in out if (r.query_id, r.neighbor_id) in ex)
     assert hits / 50 >= 0.3, hits
+
+
+def test_embedding_outliers_hand_case(spark):
+    """e5 on a known group: aligned vectors pass, the anti-aligned one
+    flags via dot<0, an orthogonal one flags via the squared inequality
+    (cos=0 < 1/2), and a zero vector is never flagged (documented)."""
+    from mrf_etl_spark.operators.similarity import embedding_outliers
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (4, [1.0, 0.0, 0.0, 0.0]),
+        (8, [1.0, 0.0, 0.0, 0.0]),
+        (12, [-1.0, 0.0, 0.0, 0.0]),   # anti-aligned -> outlier
+        (16, [0.0, 1.0, 0.0, 0.0]),    # orthogonal -> outlier
+        (20, [0.0, 0.0, 0.0, 0.0]),    # zero vector -> never flagged
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: (r.dot_c, r.is_outlier)
+        for r in embedding_outliers(
+            emb, F.col("vec_id") % 4, dim=4
+        ).collect()
+    }
+    # centroid sum over ALL six (one group): s = [127*3-127, 127, 0, 0]
+    assert out[0] == (127 * 254, False)
+    assert out[12][0] < 0 and out[12][1] is True
+    assert out[16][1] is True   # dot = 127*127, cos vs s ~ 0.44 < 0.5
+    assert out[20] == (0, False)

@@ -65,6 +65,14 @@ NESTED_LOOP_OK = {
     # n7 composes n2's coarse-centroid broadcast with n5's PQ-codebook
     # broadcast — both bounded; the prune joins are keyed, not products
     "n7_ann_ivf_pq": "composes n2+n5's bounded broadcasts",
+    # n8 is n7 served from the lake: the query probes the PERSISTED
+    # coarse-centroid broadcast and the LUT crosses the persisted 16-row
+    # PQ codebook — the same bounded shapes, read from disk
+    "n8_ann_ivf_pq_persisted": "composes n2+n5's bounded broadcasts "
+    "(persisted codebooks)",
+    # n9 is n2's cascade with a candidate predicate — the product side
+    # is still only the bounded centroid broadcast
+    "n9_ann_filtered": "bounded broadcast centroid set (n2's cascade)",
     # bucket width derives from a ONE-ROW max-id (and max-weight)
     # aggregate crossJoined on (the t5 collect-free global-scalar shape)
     "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",

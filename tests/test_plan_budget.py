@@ -97,6 +97,12 @@ BUDGETS = {
     # release lineage: two independent q8 diffs (2 input exchanges each)
     # + the final labeled rollup pair riding the union
     "q9_release_lineage": 6,
+    # embedding outliers: ONE combinable centroid agg; the join back
+    # broadcasts; quantization and flags are scan-local projections
+    "e5_embedding_outliers": 1,
+    # stats sketch lake serve: state-sized union agg + the exact
+    # verification side's distinct agg (the only corpus shuffle)
+    "a29_persisted_category_stats": 3,
     # composed IVF-PQ: coarse-assign agg, codes window, ADC pivot agg,
     # candidate window, final rank window — probe list, LUT, offsets and
     # codebook all travel as broadcasts (not counted)
