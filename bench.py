@@ -87,8 +87,9 @@ HEADLINE = [
     "e4_product_quantization",
     "n5_ann_pq_adc",
     "n7_ann_ivf_pq",
-    # round-9: persisted IVF-PQ — create+append+query end-to-end (the
-    # honest parity-row cost; query-only latency is measured in SCALE.md)
+    # round-9: persisted IVF-PQ — the index builds once per process
+    # (ingest-time state; the cold sweep records build+query, warm
+    # sweeps the serving path — SCALE.md has the query-vs-corpus table)
     "n8_ann_ivf_pq_persisted",
     "q9_release_lineage",
     "n9_ann_filtered",
