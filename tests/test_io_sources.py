@@ -377,3 +377,35 @@ def test_table_lock_protocol_stale_break_and_timeout(tmp_path):
         with table_lock(path):
             raise RuntimeError("boom")
     assert not os.path.exists(f"{path}.lock")
+
+
+def test_table_lock_live_slow_holder_is_not_evicted(tmp_path):
+    """r8 ADVICE regression: a live-but-slow holder whose merge exceeds
+    stale_after used to be silently evicted (reintroducing the
+    two-writer lost-update). Now the keepalive thread re-touches the
+    lock every stale_after/4 AND the stale-break requires the recorded
+    owner pid to be dead — so a contender polling with an aggressive
+    stale_after must WAIT for the release, never break in mid-hold."""
+    import threading
+    import time
+
+    from mrf_etl_spark.io import table_lock
+
+    path = str(tmp_path / "t2")
+    order: list[str] = []
+    entered = threading.Event()
+
+    def slow_holder() -> None:
+        with table_lock(path, stale_after=0.4):
+            entered.set()
+            time.sleep(1.5)  # 3.75x stale_after — stale by mtime age alone
+            order.append("holder-exit")
+
+    th = threading.Thread(target=slow_holder)
+    th.start()
+    assert entered.wait(5.0)
+    time.sleep(0.6)  # ensure we contend AFTER the naive mtime looks stale
+    with table_lock(path, timeout=5.0, stale_after=0.4):
+        order.append("contender-enter")
+    th.join()
+    assert order == ["holder-exit", "contender-enter"]
