@@ -95,6 +95,7 @@ HEADLINE = [
     "n9_ann_filtered",
     "st18_stream_category_stats",
     "e5_embedding_outliers",
+    "st19_stream_ivfpq_ingest",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

@@ -58,6 +58,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-9: stats-MV sketch state round-trip (lake family: append
         # batch state, serve merged; all-int + boolean surface)
         ("a29_persisted_category_stats", []),
+        # round-9: streaming IVF-PQ appends ARE writer round-trips —
+        # n7's oracle verbatim (~0.85 s; fx_ann is at cap and already
+        # the heaviest probe)
+        ("st19_stream_ivfpq_ingest", ["cosine"]),
     ],
     "fx_latest_partitioned": [
         ("s14_latest_merge", ["sum_value"]),
@@ -186,6 +190,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("q1_quality_report", ["bad_rate"]),
     ],
     "fx_explode": [
+        # round-9: the embedding-QA gate — all-integer/boolean surface,
+        # e1's quantization + one centroid agg; rides the array-HOF
+        # family probe (fx_text_stats, e1's home, is at the 7-cap)
+        ("e5_embedding_outliers", []),
         ("x1_explode", []),
         ("x2_json_explode", []),
         ("x3_unpivot", []),
@@ -392,9 +400,6 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("t7_repetition_signals", ["distinct_ratio", "top_word_frac", "top_bigram_frac"]),
         ("t9_top_ngrams", []),
         ("e1_quantize_int8", ["scale"]),
-        # round-9: the embedding-QA gate — all-integer/boolean surface,
-        # e1's quantization + one centroid agg (array-family probe)
-        ("e5_embedding_outliers", []),
         ("t14_encoding_sanity", ["non_ascii_ratio"]),
     ],
     "fx_ann": [
@@ -725,6 +730,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "event_type", "total_records", "d_users", "d_props",
         "users_ok", "props_ok", "total_ok",
     ],
+    "st19_stream_ivfpq_ingest": [
+        "query_id", "neighbor_id", "cosine", "rank",
+    ],
     "sp22_balanced_shards": ["shard_id", "n_docs", "total_tokens"],
     "t21_shingle_novelty": [
         "doc_id", "n_shingles", "n_novel", "n_heavy", "novelty",
@@ -941,7 +949,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 258
+CATALOG_COUNT = 259
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -1260,3 +1260,85 @@ def _register_st18():
 
 
 st18_stream_category_stats = _register_st18()
+
+
+# ------------------------------ round-9: streaming IVF-PQ maintenance
+
+def _register_st19():
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    @register(
+        "st19_stream_ivfpq_ingest",
+        # stream == batch == one-shot for the persisted IVF-PQ index:
+        # n7's oracle verbatim (n8 proved persisted == in-plan; st19
+        # proves the appends can arrive as micro-batches)
+        oracle=REGISTRY["n7_ann_ivf_pq"].oracle,
+        doc="st19: streaming IVF-PQ index maintenance — n8's persisted "
+        "composed index kept current by a stream: each micro-batch "
+        "PQ-encodes and coarse-assigns against the frozen codebooks and "
+        "appends to its ccid partitions inside foreachBatch (O(batch × "
+        "codebooks), no rebuild, no file rewrite). After the drain, "
+        "queries must equal n7's one-shot cascade over the full corpus "
+        "— batch boundaries invisible. Completes the vector-lake ingest "
+        "story at the compressed tier: code bytes become searchable as "
+        "vectors land.",
+    )
+    def st19_stream_ivfpq_ingest(spark, sf_dir):
+        import os
+
+        from mrf_etl_spark.operators import similarity as sim
+        from mrf_etl_spark.plans.parity import _scratch
+        from mrf_etl_spark.plans.parity_llm import (
+            _N5_CANDIDATES,
+            _N5_K,
+            _PQ_BLOCKS,
+            DIM,
+        )
+
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        cent = emb.filter((F.col("vec_id") % 97) == 0).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+        seeds = emb.filter(F.col("vec_id") < 16)
+        path = _scratch("st19_ivfpq_index")
+        sim.ivf_pq_index_create(
+            emb.filter(F.col("vec_id") % 2 == 0), path, cent, seeds,
+            dim=DIM, n_blocks=_PQ_BLOCKS,
+        )
+        arriving = emb.filter(F.col("vec_id") % 2 == 1)
+        staging = _scratch("st19_staging")
+        os.makedirs(staging, exist_ok=True)
+        arriving.filter(F.col("vec_id") % 4 == 1).write.mode("overwrite").parquet(
+            f"{staging}/half=1"
+        )
+        arriving.filter(F.col("vec_id") % 4 == 3).write.mode("overwrite").parquet(
+            f"{staging}/half=2"
+        )
+        stream = (
+            spark.readStream.schema(arriving.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staging}/half=*")
+        )
+
+        def _sink(batch_df, _batch_id):
+            sim.ivf_pq_index_append(
+                batch_df, path, dim=DIM, n_blocks=_PQ_BLOCKS
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", _scratch("st19_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return sim.ivf_pq_index_query(
+            emb.filter(F.col("vec_id") < 10), path,
+            dim=DIM, n_blocks=_PQ_BLOCKS, nprobe=2,
+            n_candidates=_N5_CANDIDATES, k=_N5_K,
+        )
+
+    return st19_stream_ivfpq_ingest
+
+
+st19_stream_ivfpq_ingest = _register_st19()

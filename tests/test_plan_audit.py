@@ -73,6 +73,10 @@ NESTED_LOOP_OK = {
     # n9 is n2's cascade with a candidate predicate — the product side
     # is still only the bounded centroid broadcast
     "n9_ann_filtered": "bounded broadcast centroid set (n2's cascade)",
+    # st19 streams appends into n8's persisted layout and answers with
+    # n8's query cascade — the same bounded persisted-codebook shapes
+    "st19_stream_ivfpq_ingest": "composes n2+n5's bounded broadcasts "
+    "(persisted codebooks, streamed appends)",
     # bucket width derives from a ONE-ROW max-id (and max-weight)
     # aggregate crossJoined on (the t5 collect-free global-scalar shape)
     "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",
