@@ -96,6 +96,7 @@ HEADLINE = [
     "st18_stream_category_stats",
     "e5_embedding_outliers",
     "st19_stream_ivfpq_ingest",
+    "e6_kmeans_codebook",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

@@ -177,10 +177,16 @@ def ivf_topk(
     query_filter: Column | None = None,
     k: int = 5,
     candidate_filter: Column | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed ANN: deterministic seed centroids (vec_id % mod == 0 —
     a stand-in for k-means; the bucketing mechanics are identical), corpus
     assigned once, queries probe their nprobe nearest buckets only.
+
+    ``centroids`` (optional): a TRAINED codebook as (cid, cvec) — e.g.
+    ``kmeans_codebook``'s output re-assembled to arrays — replaces the
+    modulo seeds; cosine is scale-invariant, so int8 codebook vectors
+    work unchanged (every dot casts through double).
 
     ``candidate_filter`` (n9): METADATA-FILTERED vector search — the
     production ask every vector store fields ("nearest neighbors among
@@ -196,8 +202,12 @@ def ivf_topk(
 
     Returns (query_id, neighbor_id, cosine, rank) — approximate: recall
     measured against cosine_topk in tests."""
-    cent = emb.filter((F.col(id_col) % centroid_mod) == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    cent = (
+        centroids
+        if centroids is not None
+        else emb.filter((F.col(id_col) % centroid_mod) == 0).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
     )
     assigned = assign_centroids(emb, cent, id_col, vec_col, dim)
     cand = emb.filter(candidate_filter) if candidate_filter is not None else emb
@@ -1208,6 +1218,137 @@ def embedding_outliers(
             F.lit(4).cast("long") * F.col("dot_c") * F.col("dot_c")
             < F.col("nx2") * F.col("ns2")
         ),
+    )
+
+
+# ------------------------------------------ k-means codebook training
+
+
+def kmeans_codebook(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed_mod: int = 97,
+    iters: int = 2,
+) -> DataFrame:
+    """Distributed spherical k-means codebook trainer (e6) — Lloyd's
+    iterations over the corpus, producing the coarse-quantizer codebook
+    that n2/n7/n8's IVF cascades consume (their deterministic
+    ``vec_id % mod`` seeds are explicitly "a stand-in for k-means";
+    this is the training step that replaces the stand-in).
+
+    INTEGER-EXACT end-to-end so the oracle replays every assignment and
+    every trained centroid byte-for-byte (the e5 doctrine, extended to
+    an ITERATIVE algorithm):
+
+    - vectors quantize to int8 first (e1's bit-replayable recipe);
+    - assignment score = dot(x, c) / sqrt(|c|²) with dot and |c|² exact
+      int64s — the two scalar IEEE ops (sqrt, divide) are correctly
+      rounded and therefore deterministic across engines, and |x| is
+      dropped entirely (constant per vector, argmax-invariant). Ties
+      break to the lowest centroid id; a zero centroid scores NULL and
+      ranks last — identical on both engines;
+    - update = per-dimension int64 SUM of the members (cosine is
+      scale-invariant, so the un-divided sum IS the spherical mean
+      direction), then REQUANTIZED to int8 by e1's recipe. The
+      requantization is what makes the trainer scale-stable: every
+      dot/norm in every iteration stays ≤ 64·127², independent of
+      corpus size — no overflow cliff at any N, and the trained
+      codebook is already in the persisted index's int8 format;
+    - empty clusters keep their previous centroid (n_members = 0).
+
+    Plan shape per iteration: one broadcast of the k-row codebook onto
+    the corpus scan, one map-side-combinable argmax
+    (min(struct(rank, -score, cid))), one keyed join assignment→vectors,
+    one map-side-combinable 64-sum agg — two corpus shuffles per
+    iteration, nothing driver-side, k rows of state between iterations
+    (at production scale, persist each iteration's k×dim codebook —
+    it is KiB-sized — instead of re-deriving it lazily).
+
+    Returns the trained codebook EXPLODED as
+    (cid, n_members, i, cs): k·dim all-integer rows.
+    """
+    zero = F.lit(0).cast("long")
+    q = quantize_int8(emb, vec_col, id_col).select(
+        F.col(id_col).alias("vid"), "qvec"
+    )
+    cent = q.filter((F.col("vid") % seed_mod) == 0).select(
+        F.col("vid").alias("cid"), F.col("qvec").alias("cvec")
+    )
+    for _ in range(iters):
+        c = cent.withColumn(
+            "ns2",
+            F.aggregate(
+                F.transform("cvec", lambda s: s.cast("long") * s.cast("long")),
+                zero,
+                lambda acc, x: acc + x,
+            ),
+        )
+        dot = F.aggregate(
+            F.zip_with("qvec", "cvec", lambda x, y: x.cast("long") * y.cast("long")),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        scored = (
+            q.crossJoin(F.broadcast(c.select("cid", "cvec", "ns2")))
+            .withColumn(
+                "score",
+                F.when(
+                    F.col("ns2") > 0,
+                    dot.cast("double") / F.sqrt(F.col("ns2").cast("double")),
+                ),
+            )
+        )
+        rank = F.when(F.col("score").isNull(), F.lit(1)).otherwise(F.lit(0))
+        neg = F.when(rank == 0, -F.col("score")).otherwise(F.lit(0.0))
+        assigned = (
+            scored.groupBy("vid")
+            .agg(
+                F.min(
+                    F.struct(
+                        rank.alias("rk"), neg.alias("neg"), F.col("cid").alias("cid")
+                    )
+                ).alias("_b")
+            )
+            .select("vid", F.col("_b.cid").alias("cid"))
+        )
+        sums = (
+            q.join(assigned, "vid")
+            .groupBy("cid")
+            .agg(
+                *[
+                    F.sum(F.element_at("qvec", d + 1).cast("long")).alias(f"_s{d}")
+                    for d in range(dim)
+                ],
+                F.count("*").alias("n_members"),
+            )
+            .select(
+                "cid",
+                F.array(*[F.col(f"_s{d}") for d in range(dim)]).alias("svec"),
+                "n_members",
+            )
+        )
+        amax = F.array_max(
+            F.transform("svec", lambda s: F.abs(s.cast("double")))
+        )
+        cq = F.when(
+            amax == 0, F.transform("svec", lambda s: F.lit(0))
+        ).otherwise(
+            F.transform(
+                "svec",
+                lambda s: F.round(
+                    s.cast("double") / (amax / F.lit(127.0))
+                ).cast("int"),
+            )
+        )
+        new = sums.select("cid", cq.alias("cvec"), "n_members")
+        kept = cent.join(new.select("cid"), "cid", "left_anti").select(
+            "cid", "cvec", F.lit(0).cast("long").alias("n_members")
+        )
+        cent = new.unionByName(kept)
+    return cent.select(
+        "cid", "n_members", F.posexplode("cvec").alias("i", "cs")
     )
 
 

@@ -158,6 +158,11 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # metadata-predicated TOP-K (n2-band oracle, ~0.4 s; fx_ann is
         # at the 7-cap and already the heaviest probe)
         ("n9_ann_filtered", ["cosine"]),
+        # round-9: the k-means codebook trainer — k·dim all-integer rows
+        # (trained coarse-quantizer bytes + member counts); rides the
+        # family probe that already holds the ANN member (n9). ~0.1 s
+        # oracle: the corpus is 500 int8 vectors × 6 centroids.
+        ("e6_kmeans_codebook", []),
     ],
     "fx_serving": [
         ("k3_autocomplete", []),
@@ -723,6 +728,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "supp_ok", "part_ok", "total_ok",
     ],
     "n9_ann_filtered": ["query_id", "neighbor_id", "cosine", "rank"],
+    "e6_kmeans_codebook": ["cid", "n_members", "i", "cs"],
     "e5_embedding_outliers": [
         "vec_id", "grp", "dot_c", "nx2", "ns2", "is_outlier",
     ],
@@ -949,7 +955,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 259
+CATALOG_COUNT = 260
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

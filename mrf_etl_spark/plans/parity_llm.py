@@ -1323,6 +1323,101 @@ def e5_embedding_outliers(spark, sf_dir):
     )
 
 
+# e1's quantization expression, shared by the e6 oracle verbatim
+_E6_QVEC = """CASE WHEN list_aggregate(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), 'max') = 0
+             THEN list_transform(embedding, x -> 0)
+             ELSE list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) /
+                       (list_aggregate(list_transform(embedding,
+                            x2 -> abs(CAST(x2 AS DOUBLE))), 'max')
+                        / 127.0)) AS INTEGER))
+        END"""
+
+_E6_SEED_MOD = 97
+
+
+def _e6_iter_ctes(n: int, prev: int) -> str:
+    """One unrolled Lloyd iteration against codebook c{prev} → c{n}:
+    assign (argmax of dot/sqrt(|c|²), exact int64 dot, ties → lowest
+    cid, zero centroid NULLS LAST), per-dim int64 member sums, e1-style
+    requantize to int8, keep-previous for empty clusters. Every CTE is
+    referenced by the next iteration → MATERIALIZED (the map-budget
+    doctrine)."""
+    return f"""
+       n{prev} AS MATERIALIZED (
+         SELECT cid,
+                CAST(sum(CAST(cs AS BIGINT) * CAST(cs AS BIGINT)) AS BIGINT)
+                  AS ns2
+         FROM c{prev} GROUP BY cid),
+       d{n} AS MATERIALIZED (
+         SELECT u.vid, c.cid, CAST(sum(u.qx * c.cs) AS BIGINT) AS dot
+         FROM ux u JOIN c{prev} c ON c.i = u.i GROUP BY u.vid, c.cid),
+       a{n} AS MATERIALIZED (
+         SELECT vid, cid FROM (
+           SELECT d.vid, d.cid,
+                  row_number() OVER (PARTITION BY d.vid ORDER BY
+                    (CASE WHEN n.ns2 > 0
+                          THEN CAST(d.dot AS DOUBLE) / sqrt(CAST(n.ns2 AS DOUBLE))
+                     END) DESC NULLS LAST, d.cid ASC) AS rn
+           FROM d{n} d JOIN n{prev} n ON n.cid = d.cid)
+         WHERE rn = 1),
+       s{n} AS MATERIALIZED (
+         SELECT a.cid, u.i, CAST(sum(u.qx) AS BIGINT) AS s,
+                CAST(count(*) AS BIGINT) AS nm
+         FROM ux u JOIN a{n} a ON a.vid = u.vid GROUP BY a.cid, u.i),
+       m{n} AS MATERIALIZED (
+         SELECT cid, max(abs(CAST(s AS DOUBLE))) AS m FROM s{n} GROUP BY cid),
+       c{n} AS MATERIALIZED (
+         SELECT s.cid, s.i,
+                CASE WHEN m.m = 0 THEN 0
+                     ELSE CAST(round(CAST(s.s AS DOUBLE) / (m.m / 127.0))
+                          AS INTEGER) END AS cs,
+                s.nm
+         FROM s{n} s JOIN m{n} m ON m.cid = s.cid
+         UNION ALL
+         SELECT p.cid, p.i, p.cs, CAST(0 AS BIGINT) AS nm
+         FROM c{prev} p
+         WHERE p.cid NOT IN (SELECT cid FROM s{n}))"""
+
+
+@register(
+    "e6_kmeans_codebook",
+    # two unrolled Lloyd iterations — assignment doubles are
+    # dot/sqrt(ns2) from EXACT int64 inputs (two correctly-rounded IEEE
+    # ops → deterministic on both engines); sums/counts/codebook bytes
+    # are all-integer, so the trained codebook replays exactly
+    f"""WITH q AS MATERIALIZED (
+         SELECT vec_id AS vid, {_E6_QVEC} AS qvec
+         FROM embeddings),
+       ux AS MATERIALIZED (
+         SELECT vid, CAST(t.i AS INT) AS i,
+                CAST(qvec[CAST(t.i AS INT) + 1] AS BIGINT) AS qx
+         FROM q, range({DIM}) t(i)),
+       c0 AS MATERIALIZED (
+         SELECT vid AS cid, i, CAST(qx AS INTEGER) AS cs,
+                CAST(0 AS BIGINT) AS nm
+         FROM ux WHERE vid % {_E6_SEED_MOD} = 0),{_e6_iter_ctes(1, 0)},{_e6_iter_ctes(2, 1)}
+       SELECT cid, nm AS n_members, i, cs FROM c2""",
+    doc="e6: distributed spherical k-means codebook trainer (beyond-ref) "
+    "— Lloyd's iterations re-expressed as Spark aggregations: broadcast "
+    "the k-row codebook, map-side-combinable argmax assignment, "
+    "map-side-combinable per-dim int64 sums, e1-style int8 requantize "
+    "each round (keeps every product ≤ 64·127² at ANY corpus size — no "
+    "overflow cliff, and the output is already the persisted index's "
+    "int8 codebook format). INTEGER-EXACT iterative training: the "
+    "oracle unrolls both iterations and replays assignments and "
+    "codebook bytes exactly (operators/similarity.kmeans_codebook). "
+    "Trains the coarse quantizer that n2/n7/n8 seed by vec_id % mod "
+    "('a stand-in for k-means' per ivf_topk's own docstring).",
+)
+def e6_kmeans_codebook(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.kmeans_codebook(
+        emb, "vec_id", "embedding", DIM, seed_mod=_E6_SEED_MOD, iters=2
+    )
+
+
 @register(
     "m3_media_exact_dup",
     # binary-domain d1: md5 over the payload BYTES (DuckDB md5(BLOB) ==

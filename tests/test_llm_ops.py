@@ -2747,3 +2747,85 @@ def test_embedding_outliers_hand_case(spark):
     assert out[12][0] < 0 and out[12][1] is True
     assert out[16][1] is True   # dot = 127*127, cos vs s ~ 0.44 < 0.5
     assert out[20] == (0, False)
+
+
+def test_kmeans_codebook_hand_case_and_empty_cluster(spark):
+    """e6 on a hand-built 2-seed fixture: every vector points along +x,
+    so all of them assign to the lower seed id (ties -> lowest cid);
+    seed 97 goes empty and must KEEP its previous centroid with
+    n_members = 0; the trained centroid requantizes to max|cs| = 127."""
+    from mrf_etl_spark.operators.similarity import kmeans_codebook
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),
+        (2, [3.0, 0.0, 0.0, 0.0]),
+        (97, [1.0, 0.0, 0.0, 0.0]),  # identical direction -> ties to cid 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_codebook(emb, dim=4, seed_mod=97, iters=2).collect()
+    assert len(out) == 2 * 4
+    by = {(r.cid, r.i): (r.cs, r.n_members) for r in out}
+    # cid 0 holds all four members; centroid = [127, 0, 0, 0] after
+    # requantize (sum [508,0,0,0] -> max 508 -> round(508/(508/127)))
+    assert by[(0, 0)] == (127, 4)
+    assert by[(0, 1)] == (0, 4)
+    # cid 97 empty -> previous (seed) centroid kept, zero members
+    assert by[(97, 0)] == (127, 0)
+    assert by[(97, 3)] == (0, 0)
+
+
+def test_kmeans_codebook_partition_invariant(spark):
+    """The trainer's int64 sums and argmax are order-invariant: training
+    over a 1-partition layout and a 16-partition layout produces the
+    IDENTICAL codebook bytes (the exactness claim, tested)."""
+    from mrf_etl_spark.operators.similarity import kmeans_codebook
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = kmeans_codebook(emb.coalesce(1), iters=2).collect()
+    b = kmeans_codebook(emb.repartition(16, "vec_id"), iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 6 * 64  # 6 seeds at sf0.01 (ids 0,97,...,485)
+
+
+def test_kmeans_codebook_improves_ivf_recall(spark):
+    """Composability: feeding e6's trained codebook into ivf_topk
+    (centroids=) must not DEGRADE recall@5 vs the modulo stand-in seeds
+    at the same nprobe — on the sf0.01 fixture training strictly
+    improves it. Ground truth = brute-force cosine_topk."""
+    from mrf_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_codebook,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qf = F.col("vec_id") < 10
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, query_filter=qf, k=5).collect()
+    }
+
+    def recall(cent):
+        got = ivf_topk(
+            emb, dim=64, nprobe=2, query_filter=qf, k=5, centroids=cent
+        ).collect()
+        return sum(1 for r in got if (r.query_id, r.neighbor_id) in exact) / len(exact)
+
+    trained = (
+        kmeans_codebook(emb, iters=2)
+        .groupBy("cid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "cs"))
+            ).alias("_p")
+        )
+        .select(
+            "cid",
+            F.transform("_p", lambda s: s["cs"].cast("float")).alias("cvec"),
+        )
+    )
+    r_mod = recall(None)
+    r_trained = recall(trained)
+    assert r_trained >= r_mod, (r_trained, r_mod)
+    assert r_trained > 0.5, r_trained

@@ -77,6 +77,9 @@ NESTED_LOOP_OK = {
     # n8's query cascade — the same bounded persisted-codebook shapes
     "st19_stream_ivfpq_ingest": "composes n2+n5's bounded broadcasts "
     "(persisted codebooks, streamed appends)",
+    # e6's Lloyd assignments cross the corpus with the bounded k-row
+    # codebook broadcast — n2's shape, once per iteration
+    "e6_kmeans_codebook": "bounded broadcast codebook (k rows/iteration)",
     # bucket width derives from a ONE-ROW max-id (and max-weight)
     # aggregate crossJoined on (the t5 collect-free global-scalar shape)
     "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",
