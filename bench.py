@@ -97,6 +97,7 @@ HEADLINE = [
     "e5_embedding_outliers",
     "st19_stream_ivfpq_ingest",
     "e6_kmeans_codebook",
+    "t22_ngram_lm_bits",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

@@ -1087,3 +1087,85 @@ def shingle_novelty(
             / F.col("n_shingles").cast("double")
         ).alias("novelty"),
     )
+
+
+def ngram_lm_bits(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_eighths: int = 37,
+) -> DataFrame:
+    """Bigram language-model surprise scoring (t22) — the CCNet-style
+    perplexity filter, self-trained on the corpus in the SAME job: count
+    corpus-wide unigrams and bigrams (two map-side-combinable aggs),
+    then score every document by its total model surprise
+
+        bits(w1 w2) = floor_log2(c(w1)) - floor_log2(c(w1 w2))
+
+    an integer-bits proxy for -log2 p(w2|w1) under the MLE bigram model
+    (c(bigram) <= c(prefix unigram) always, so bits >= 0). Documents
+    whose average surprise exceeds ``tau_eighths``/8 bits/bigram flag
+    as out-of-distribution (the threshold is quantized to eighths of a
+    bit so the comparison stays integral at sub-bit resolution —
+    corpus-homogeneous fixtures cluster within ~0.6 bits/bigram) — the standard lever for dropping gibberish,
+    boilerplate-free rare-domain text, and wrong-language fragments
+    that per-doc heuristics (t2/t7) miss because they only see the doc
+    itself, never the corpus distribution.
+
+    INTEGER-EXACT by construction: floor_log2(x) = length(bin(x)) - 1
+    (bit-length of a positive int64 — Spark's ``bin`` and DuckDB's
+    ``bin`` both render minimal binary strings), sums/counts are int64,
+    and the flag is the integer comparison
+    8·total_bits > tau_eighths·n_bigrams — no libm, no division, the
+    oracle replays every value exactly.
+
+    Plan shape: tokenize+pair is scan-local (one HOF projection); the
+    two count tables shuffle once each on their n-gram key; scoring
+    joins the doc-pair table to both counts on those keys (sort-merge,
+    AQE-splittable — a hot token like 'the' is ONE key among millions,
+    and the join's build side is count rows, never documents); the
+    per-doc rollup is the final keyed agg. Nothing driver-side, no
+    vocabulary cap, no Python in the hot path.
+
+    Returns (doc_id, n_bigrams, total_bits, is_surprising) for EVERY
+    input document (docs with < 2 tokens score 0 and never flag).
+    """
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    uni = w.select(F.explode("_w").alias("w1"))
+    uc = uni.groupBy("w1").agg(F.count("*").alias("_cu"))
+    pairs = w.filter(F.size("_w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(_w, 1, size(_w) - 1),"
+                " (x, i) -> struct(x AS w1, element_at(_w, i + 2) AS w2))"
+            )
+        ).alias("_g"),
+    ).select("doc_id", F.col("_g.w1").alias("w1"), F.col("_g.w2").alias("w2"))
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("_cb"))
+    flog2 = lambda c: F.length(F.bin(F.col(c))) - F.lit(1)  # noqa: E731
+    scored = (
+        pairs.join(uc, "w1")
+        .join(bc, ["w1", "w2"])
+        .select("doc_id", (flog2("_cu") - flog2("_cb")).cast("long").alias("_bits"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("_bits").alias("total_bits")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce("total_bits", F.lit(0).cast("long")).alias("total_bits"),
+            F.coalesce(
+                F.lit(8).cast("long") * F.col("total_bits")
+                > F.lit(tau_eighths).cast("long") * F.col("n_bigrams"),
+                F.lit(False),
+            ).alias("is_surprising"),
+        )
+    )

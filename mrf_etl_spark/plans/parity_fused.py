@@ -326,6 +326,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("t4_fingerprint", []),
         ("t10_boilerplate_flags", ["boiler_frac"]),
         ("t11_rare_token_ratio", ["rare_ratio"]),
+        # round-9: bigram LM surprise — all-integer/boolean surface
+        # (floor-log2 bits), rides the quality-filter family probe
+        ("t22_ngram_lm_bits", []),
     ],
     "fx_text_quality_b": [
         ("t12_type_token_ratio", ["ttr"]),
@@ -729,6 +732,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "n9_ann_filtered": ["query_id", "neighbor_id", "cosine", "rank"],
     "e6_kmeans_codebook": ["cid", "n_members", "i", "cs"],
+    "t22_ngram_lm_bits": [
+        "doc_id", "n_bigrams", "total_bits", "is_surprising",
+    ],
     "e5_embedding_outliers": [
         "vec_id", "grp", "dot_c", "nx2", "ns2", "is_outlier",
     ],
@@ -955,7 +961,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 260
+CATALOG_COUNT = 261
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

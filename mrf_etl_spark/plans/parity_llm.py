@@ -4195,6 +4195,60 @@ def t21_shingle_novelty(spark, sf_dir):
     )
 
 
+T22_TAU_EIGHTHS = 37  # flag docs averaging > 37/8 = 4.625 bits/bigram
+
+
+@register(
+    "t22_ngram_lm_bits",
+    # t7's word/bigram recipe verbatim; floor_log2(x) = length(bin(x))-1
+    # renders identically on both engines (minimal binary strings), so
+    # the bits sums replay exactly — all-integer/boolean surface.
+    # uc/bc/pg are each referenced by the scoring join → MATERIALIZED.
+    f"""WITH w AS MATERIALIZED (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+         FROM documents),
+       uc AS MATERIALIZED (
+         SELECT wd AS w1, CAST(count(*) AS BIGINT) AS cu
+         FROM (SELECT unnest(ws) AS wd FROM w) GROUP BY wd),
+       pg AS MATERIALIZED (
+         SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+         FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+               FROM w WHERE len(ws) >= 2)),
+       bc AS MATERIALIZED (
+         SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+         FROM pg GROUP BY w1, w2),
+       agg AS MATERIALIZED (
+         SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum((length(bin(u.cu)) - 1)
+                         - (length(bin(b.cb)) - 1)) AS BIGINT) AS total_bits
+         FROM pg p
+         JOIN uc u ON u.w1 = p.w1
+         JOIN bc b ON b.w1 = p.w1 AND b.w2 = p.w2
+         GROUP BY p.doc_id)
+       SELECT d.doc_id,
+              coalesce(a.n_bigrams, 0) AS n_bigrams,
+              coalesce(a.total_bits, 0) AS total_bits,
+              coalesce(8 * a.total_bits > {T22_TAU_EIGHTHS} * a.n_bigrams,
+                       FALSE) AS is_surprising
+       FROM documents d LEFT JOIN agg a USING (doc_id)""",
+    doc="t22: bigram LM surprise scoring (beyond-ref) — the CCNet-style "
+    "perplexity filter self-trained on the corpus in the same job: "
+    "corpus-wide unigram+bigram counts (two map-side-combinable aggs), "
+    "every doc scored by total floor-log2 surprise bits, flagged when "
+    "averaging > 37/8 bits/bigram (eighth-bit quantized threshold). "
+    "INTEGER-EXACT: floor_log2 = "
+    "length(bin(x))-1 on both engines — no libm, no division on the "
+    "compare surface. Catches out-of-distribution docs that per-doc "
+    "heuristics (t2/t7) miss because they never see the corpus "
+    "distribution (operators/textops.ngram_lm_bits).",
+)
+def t22_ngram_lm_bits(spark, sf_dir):
+    return tx.ngram_lm_bits(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        tau_eighths=T22_TAU_EIGHTHS,
+    )
+
+
 # --------------------------- round-7: approximate sliding-window reach
 
 W20_RSD = 0.05  # HLL++ relative standard deviation

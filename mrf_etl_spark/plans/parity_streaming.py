@@ -1267,6 +1267,8 @@ st18_stream_category_stats = _register_st18()
 def _register_st19():
     from mrf_etl_spark.plans.parity import REGISTRY
 
+    built: dict[str, tuple[str, str]] = {}
+
     @register(
         "st19_stream_ivfpq_ingest",
         # stream == batch == one-shot for the persisted IVF-PQ index:
@@ -1285,6 +1287,7 @@ def _register_st19():
     )
     def st19_stream_ivfpq_ingest(spark, sf_dir):
         import os
+        import shutil
 
         from mrf_etl_spark.operators import similarity as sim
         from mrf_etl_spark.plans.parity import _scratch
@@ -1296,24 +1299,36 @@ def _register_st19():
         )
 
         emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        cent = emb.filter((F.col("vec_id") % 97) == 0).select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-        )
-        seeds = emb.filter(F.col("vec_id") < 16)
-        path = _scratch("st19_ivfpq_index")
-        sim.ivf_pq_index_create(
-            emb.filter(F.col("vec_id") % 2 == 0), path, cent, seeds,
-            dim=DIM, n_blocks=_PQ_BLOCKS,
-        )
+        # the base index (even ids) and the arriving-file staging are
+        # INGEST-TIME state, identical every call: build once per
+        # (process, corpus) — n8's memo pattern. What stays live per
+        # call is the entry's actual subject: the streamed micro-batch
+        # appends (into a fresh COPY of the base, fresh checkpoint) and
+        # the post-drain query.
+        if sf_dir not in built:
+            cent = emb.filter((F.col("vec_id") % 97) == 0).select(
+                F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+            )
+            seeds = emb.filter(F.col("vec_id") < 16)
+            base = _scratch("st19_ivfpq_base")
+            sim.ivf_pq_index_create(
+                emb.filter(F.col("vec_id") % 2 == 0), base, cent, seeds,
+                dim=DIM, n_blocks=_PQ_BLOCKS,
+            )
+            arriving = emb.filter(F.col("vec_id") % 2 == 1)
+            staging = _scratch("st19_staging")
+            os.makedirs(staging, exist_ok=True)
+            arriving.filter(F.col("vec_id") % 4 == 1).write.mode(
+                "overwrite"
+            ).parquet(f"{staging}/half=1")
+            arriving.filter(F.col("vec_id") % 4 == 3).write.mode(
+                "overwrite"
+            ).parquet(f"{staging}/half=2")
+            built[sf_dir] = (base, staging)
+        base, staging = built[sf_dir]
+        path = _scratch("st19_ivfpq_live")
+        shutil.copytree(base, path)
         arriving = emb.filter(F.col("vec_id") % 2 == 1)
-        staging = _scratch("st19_staging")
-        os.makedirs(staging, exist_ok=True)
-        arriving.filter(F.col("vec_id") % 4 == 1).write.mode("overwrite").parquet(
-            f"{staging}/half=1"
-        )
-        arriving.filter(F.col("vec_id") % 4 == 3).write.mode("overwrite").parquet(
-            f"{staging}/half=2"
-        )
         stream = (
             spark.readStream.schema(arriving.schema)
             .option("maxFilesPerTrigger", 1)

@@ -2829,3 +2829,31 @@ def test_kmeans_codebook_improves_ivf_recall(spark):
     r_trained = recall(trained)
     assert r_trained >= r_mod, (r_trained, r_mod)
     assert r_trained > 0.5, r_trained
+
+
+def test_ngram_lm_bits_hand_case(spark):
+    """t22 on a hand-built corpus with known counts: 'a b' occurs in all
+    three docs (cu(a)=4 incl. the 'a c' doc, cb(a b)=3 -> bits
+    flog2(4)-flog2(3) = 2-1 = 1), 'a c' once (bits 2-0 = 2); the
+    single-token doc scores 0 bigrams and never flags."""
+    from mrf_etl_spark.operators.textops import ngram_lm_bits
+
+    rows = [
+        (1, "a b"),
+        (2, "a b"),
+        (3, "a b a c"),
+        (4, "z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_lm_bits(docs, tau_eighths=8).collect()}
+    # doc 3 bigrams: (a,b)->1, (b,a)->flog2(cu(b)=3)-flog2(1)=1-0=1,
+    # (a,c)->flog2(4)-flog2(1)=2
+    assert (out[1].n_bigrams, out[1].total_bits) == (1, 1)
+    assert (out[3].n_bigrams, out[3].total_bits) == (3, 4)
+    assert (out[4].n_bigrams, out[4].total_bits, out[4].is_surprising) == (
+        0, 0, False,
+    )
+    # tau = 8/8 = 1 bit/bigram: doc 3 averages 4/3 > 1 -> flagged;
+    # doc 1 averages exactly 1 -> NOT flagged (strict inequality)
+    assert out[3].is_surprising is True
+    assert out[1].is_surprising is False

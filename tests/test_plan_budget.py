@@ -100,6 +100,9 @@ BUDGETS = {
     # embedding outliers: ONE combinable centroid agg; the join back
     # broadcasts; quantization and flags are scan-local projections
     "e5_embedding_outliers": 1,
+    # bigram LM surprise: two count aggs (unigram, bigram), the scoring
+    # joins on the n-gram keys, and the per-doc rollup + join back
+    "t22_ngram_lm_bits": 6,
     # stats sketch lake serve: state-sized union agg + the exact
     # verification side's distinct agg (the only corpus shuffle)
     "a29_persisted_category_stats": 3,
@@ -198,3 +201,24 @@ def test_scd2_build_single_window_shuffle(spark):
         re.findall(r"\bReusedExchange\b", plan)
     )
     assert n <= 1, plan
+
+
+def test_e6_kmeans_codebook_persists_iteration_state(spark):
+    """e6's per-iteration k-row codebook must be persisted: the next
+    iteration references it three times (scoring broadcast, keep-previous
+    anti-join, final select), and without the cache every reference
+    re-executes every earlier iteration's corpus aggs (measured 4x for
+    iters=2 at sf0.1). The raw Exchange count of the textual plan is
+    meaningless here — cached subtrees print their full lineage — so the
+    pin is the cache itself: the final plan must read iteration state
+    through InMemoryTableScan, more than once."""
+    from mrf_etl_spark.operators.similarity import kmeans_codebook
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    plan = (
+        kmeans_codebook(emb, iters=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
