@@ -98,6 +98,7 @@ HEADLINE = [
     "st19_stream_ivfpq_ingest",
     "e6_kmeans_codebook",
     "t22_ngram_lm_bits",
+    "e7_pq_codebook_train",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

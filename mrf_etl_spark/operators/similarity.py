@@ -418,6 +418,47 @@ def dequantize_expr(qvec_col: str, scale_col: str) -> Column:
     )
 
 
+def quantize_int8_global(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Corpus-GLOBAL symmetric int8 quantization: ONE scale
+    ``max|x| over the whole corpus / 127`` for every vector — unlike
+    :func:`quantize_int8`'s per-vector scale, a single uniform scaling
+    PRESERVES L2 GEOMETRY (relative distances across vectors survive up
+    to rounding), which is what distance-based training (e7's per-block
+    PQ k-means) requires; per-vector scaling only preserves direction,
+    which is all cosine-based consumers (e5/e6) need.
+
+    Deterministic cross-engine: max over doubles is order-invariant and
+    exact, the divide and the half-away-from-zero round are single
+    correctly-rounded IEEE ops. The global max arrives as a 1-row
+    broadcast crossJoin (the t5 collect-free global-scalar shape).
+    An all-zero corpus quantizes to zeros with scale 0.
+
+    Returns (id, gscale, qvec) — ``gscale`` is the same value on every
+    row (carry it out to dequantize trained artifacts back to float
+    space)."""
+    v = F.col(vec_col)
+    gmax = emb.agg(
+        F.max(
+            F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+        ).alias("_gmax")
+    )
+    j = emb.crossJoin(F.broadcast(gmax))
+    scale = (F.col("_gmax") / F.lit(127.0)).alias("gscale")
+    q = F.when(
+        F.col("_gmax") == 0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.round(
+                x.cast("double") / (F.col("_gmax") / F.lit(127.0))
+            ).cast("int"),
+        )
+    )
+    return j.select(F.col(id_col), scale, q.alias("qvec"))
+
+
 # ------------------------------------------------ sign-random-projection LSH
 
 SRP_SALT = "lshp"
@@ -1029,6 +1070,7 @@ def ivf_pq_topk(
     query_filter: Column | None = None,
     n_candidates: int = 50,
     k: int = 5,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN — the composed production shape (FAISS ``IVFx,PQy``):
     a coarse quantizer prunes the corpus to the query's ``nprobe``
@@ -1051,9 +1093,18 @@ def ivf_pq_topk(
     codes + query LUT (pq_adc_topk's sharing); the bucket prune joins
     the N×n_blocks codes against a broadcast (query, bucket) probe list
     BEFORE the ADC pivot, so the per-query ADC work is Σ|probed bucket|
-    instead of N; rerank joins ≤ |Q|×n_candidates winners to floats."""
-    cent = emb.filter((F.col(id_col) % centroid_mod) == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    instead of N; rerank joins ≤ |Q|×n_candidates winners to floats.
+
+    ``centroids``/``seeds``: trained codebooks replace the modulo /
+    first-16 stand-ins — e6's kmeans_codebook (as a (cid, cvec) frame)
+    for the coarse quantizer and e7's assemble_pq_seeds for the PQ
+    codebook; the fully-trained composition is recall-tested."""
+    cent = (
+        centroids
+        if centroids is not None
+        else emb.filter((F.col(id_col) % centroid_mod) == 0).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
     )
     assigned = assign_centroids(emb, cent, id_col, vec_col, dim).select(
         F.col(id_col).alias("neighbor_id"), F.col("cid").alias("ccid")
@@ -1358,6 +1409,160 @@ def kmeans_codebook(
         cent = new.unionByName(kept).persist()
     return cent.select(
         "cid", "n_members", F.posexplode("cvec").alias("i", "cs")
+    )
+
+
+def pq_codebook_train(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_blocks: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Distributed PQ sub-codebook trainer (e7) — per-block L2 k-means,
+    the ingest-time twin of :func:`kmeans_codebook` for the PRODUCT
+    quantizer: n5/n7/n8 encode against 16 seed vectors sliced per block
+    ("a trained k-means codebook drops in unchanged" per pq_adc_topk's
+    docstring — this trains it). All B blocks train in ONE pass: the
+    block id simply joins the Lloyd keys, so the plan is identical to
+    training one codebook, not B of them.
+
+    INTEGER-EXACT end-to-end, one notch SIMPLER than e6's cosine case:
+    vectors quantize to int8 on a corpus-GLOBAL scale
+    (:func:`quantize_int8_global` — one uniform scaling preserves the
+    L2 geometry distance-based training needs; e1's per-vector scale
+    would distort it, and DID: a per-vector-trained codebook
+    reconstructed at recon_cos ≈ 0), the per-block distance is the
+    exact int64 ``Σ (x_i − c_i)²`` — argmin needs no division, no
+    sqrt, no rational trick; ties break to the lowest code id — and
+    the update
+    is the per-dim ROUNDED MEAN ``round(Σx_i / n)`` (exact int64 sum,
+    one correctly-rounded IEEE divide + the e1 round — deterministic on
+    both engines), which keeps every centroid inside int8 range at any
+    corpus size. Empty codes keep their previous centroid.
+
+    Plan shape per iteration: the B·k-row codebook broadcasts onto the
+    block long form, argmin is a map-side-combinable min(struct(d,cid))
+    per (vec, block), the update is one (block, code)-keyed sum agg;
+    the KiB-sized codebook persists between iterations (e6's measured
+    4x-recompute lesson). Assembling ``groupBy(cid)`` over the output
+    in (b, i) order yields the (cid, cv) seeds frame the PQ paths take.
+
+    Returns the trained sub-codebooks EXPLODED as
+    (b, cid, n_members, i, cs): B·k·(dim/B) all-integer rows.
+    """
+    size = dim // n_blocks
+    q = quantize_int8_global(emb, vec_col, id_col).select(
+        F.col(id_col).alias("vid"), "qvec"
+    )
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.slice("qvec", b * size + 1, size).alias("bq"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    x = q.select("vid", F.explode(blocks).alias("_k")).select(
+        "vid", F.col("_k.b").alias("b"), F.col("_k.bq").alias("bq")
+    )
+    cent = x.filter(F.col("vid") < n_codes).select(
+        "b", F.col("vid").alias("cid"), F.col("bq").alias("cq")
+    ).persist()
+    zero = F.lit(0).cast("long")
+    for _ in range(iters):
+        d = F.aggregate(
+            F.zip_with(
+                "bq",
+                "cq",
+                lambda a, c: (a.cast("long") - c.cast("long"))
+                * (a.cast("long") - c.cast("long")),
+            ),
+            zero,
+            lambda acc, v: acc + v,
+        )
+        assigned = (
+            x.join(F.broadcast(cent), "b")
+            .withColumn("d", d)
+            .groupBy("vid", "b")
+            .agg(
+                F.min(F.struct(F.col("d"), F.col("cid").alias("cid"))).alias(
+                    "_m"
+                )
+            )
+            .select("vid", "b", F.col("_m.cid").alias("cid"))
+        )
+        sums = (
+            x.join(assigned, ["vid", "b"])
+            .groupBy("b", "cid")
+            .agg(
+                *[
+                    F.sum(F.element_at("bq", i + 1).cast("long")).alias(f"_s{i}")
+                    for i in range(size)
+                ],
+                F.count("*").alias("n_members"),
+            )
+        )
+        new = sums.select(
+            "b",
+            "cid",
+            F.array(
+                *[
+                    F.round(
+                        F.col(f"_s{i}").cast("double")
+                        / F.col("n_members").cast("double")
+                    ).cast("int")
+                    for i in range(size)
+                ]
+            ).alias("cq"),
+            "n_members",
+        )
+        kept = cent.join(new.select("b", "cid"), ["b", "cid"], "left_anti").select(
+            "b", "cid", "cq", F.lit(0).cast("long").alias("n_members")
+        )
+        cent = new.unionByName(kept).persist()
+    return cent.select(
+        "b", "cid", "n_members", F.posexplode("cq").alias("i", "cs")
+    )
+
+
+def assemble_pq_seeds(
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float | None = None,
+) -> DataFrame:
+    """Re-assemble :func:`pq_codebook_train`'s exploded output into the
+    seeds frame the PQ paths consume — ``_pq_rows`` reads seeds through
+    the CORPUS column names (id_col, vec_col), so the assembled frame
+    drops straight into ``pq_encode(seeds=...)`` / ``pq_adc_topk`` /
+    ``ivf_pq_index_create``. For each code id, the full-dim vector is
+    the concatenation of its per-block centroids in (b, i) order —
+    exactly how the default seed vectors are sliced back apart.
+
+    ``scale``: the corpus-global quantization scale (``gscale`` from
+    :func:`quantize_int8_global`) — multiplying the int8 centroid bytes
+    by it maps the codebook back into FLOAT corpus space, so the PQ
+    paths can encode raw floats against a trained codebook."""
+    elem = (
+        (lambda s: (s["cs"].cast("double") * F.lit(float(scale))).cast("float"))
+        if scale is not None
+        else (lambda s: s["cs"].cast("float"))
+    )
+    return (
+        codebook.groupBy("cid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("b", "i", "cs"))
+            ).alias("_p")
+        )
+        .select(
+            F.col("cid").alias(id_col),
+            F.transform("_p", elem).alias(vec_col),
+        )
     )
 
 

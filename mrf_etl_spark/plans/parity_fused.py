@@ -163,6 +163,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # family probe that already holds the ANN member (n9). ~0.1 s
         # oracle: the corpus is 500 int8 vectors × 6 centroids.
         ("e6_kmeans_codebook", []),
+        # round-9: PQ sub-codebook trainer — e6's sibling, same probe
+        # family, all-integer (b, cid, n_members, i, cs) surface, ~0.2 s
+        ("e7_pq_codebook_train", []),
     ],
     "fx_serving": [
         ("k3_autocomplete", []),
@@ -732,6 +735,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "n9_ann_filtered": ["query_id", "neighbor_id", "cosine", "rank"],
     "e6_kmeans_codebook": ["cid", "n_members", "i", "cs"],
+    "e7_pq_codebook_train": ["b", "cid", "n_members", "i", "cs"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -961,7 +965,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 261
+CATALOG_COUNT = 262
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

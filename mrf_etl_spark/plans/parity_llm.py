@@ -1418,6 +1418,100 @@ def e6_kmeans_codebook(spark, sf_dir):
     )
 
 
+_E7_BLOCKS = 8
+_E7_SIZE = DIM // _E7_BLOCKS
+_E7_CODES = 16
+
+
+def _e7_iter_ctes(n: int, prev: int) -> str:
+    """One unrolled per-block Lloyd iteration against codebook c{prev}
+    → c{n}: exact-int64 L2 argmin per (vector, block) (ties → lowest
+    code id — no division, no sqrt), per-dim int64 member sums, rounded
+    mean back to int8, keep-previous for empty codes. MATERIALIZED for
+    the map budget (each CTE is referenced by the next iteration)."""
+    return f"""
+       d{n} AS MATERIALIZED (
+         SELECT u.vid, u.b, c.cid,
+                CAST(sum((u.qx - CAST(c.cs AS BIGINT))
+                       * (u.qx - CAST(c.cs AS BIGINT))) AS BIGINT) AS d
+         FROM ux u JOIN c{prev} c ON c.b = u.b AND c.i = u.i
+         GROUP BY u.vid, u.b, c.cid),
+       a{n} AS MATERIALIZED (
+         SELECT vid, b, cid FROM (
+           SELECT vid, b, cid, row_number() OVER (
+               PARTITION BY vid, b ORDER BY d ASC, cid ASC) AS rn
+           FROM d{n}) WHERE rn = 1),
+       s{n} AS MATERIALIZED (
+         SELECT a.cid, u.b, u.i, CAST(sum(u.qx) AS BIGINT) AS s,
+                CAST(count(*) AS BIGINT) AS nm
+         FROM ux u JOIN a{n} a ON a.vid = u.vid AND a.b = u.b
+         GROUP BY a.cid, u.b, u.i),
+       c{n} AS MATERIALIZED (
+         SELECT b, cid, i,
+                CAST(round(CAST(s AS DOUBLE) / CAST(nm AS DOUBLE))
+                     AS INTEGER) AS cs, nm
+         FROM s{n}
+         UNION ALL
+         SELECT p.b, p.cid, p.i, p.cs, CAST(0 AS BIGINT) AS nm
+         FROM c{prev} p
+         WHERE NOT EXISTS (SELECT 1 FROM s{n} s
+                           WHERE s.b = p.b AND s.cid = p.cid))"""
+
+
+@register(
+    "e7_pq_codebook_train",
+    # two unrolled per-block Lloyd iterations — distances are exact
+    # int64 sums of squares (no division/sqrt anywhere in the argmin),
+    # the mean requantizes via one correctly-rounded divide + round.
+    # Quantization is corpus-GLOBAL scale (max is order-invariant and
+    # exact; one uniform scaling preserves the L2 geometry distance
+    # training needs — e1's per-vector scale would distort it)
+    f"""WITH g AS MATERIALIZED (
+         SELECT max(list_aggregate(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE))), 'max')) AS m
+         FROM embeddings),
+       q AS MATERIALIZED (
+         SELECT vec_id AS vid,
+                CASE WHEN g.m = 0
+                     THEN list_transform(embedding, x -> 0)
+                     ELSE list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE)
+                               / (g.m / 127.0)) AS INTEGER))
+                END AS qvec
+         FROM embeddings, g),
+       ux AS MATERIALIZED (
+         SELECT vid, CAST(blk.b AS INT) AS b, CAST(t.i AS INT) AS i,
+                CAST(qvec[CAST(blk.b AS INT) * {_E7_SIZE}
+                          + CAST(t.i AS INT) + 1] AS BIGINT) AS qx
+         FROM q, range({_E7_BLOCKS}) blk(b), range({_E7_SIZE}) t(i)),
+       c0 AS MATERIALIZED (
+         SELECT b, vid AS cid, i, CAST(qx AS INTEGER) AS cs,
+                CAST(0 AS BIGINT) AS nm
+         FROM ux WHERE vid < {_E7_CODES}),{_e7_iter_ctes(1, 0)},{_e7_iter_ctes(2, 1)}
+       SELECT b, cid, nm AS n_members, i, cs FROM c2""",
+    doc="e7: distributed PQ sub-codebook trainer (beyond-ref) — "
+    "per-block L2 k-means, the ingest-time twin of e6 for the product "
+    "quantizer n5/n7/n8 encode against ('a trained k-means codebook "
+    "drops in unchanged' per pq_adc_topk's own docstring — this trains "
+    "it). All 8 blocks train in ONE pass: the block id joins the Lloyd "
+    "keys, so the plan equals training one codebook, not eight. "
+    "INTEGER-EXACT and simpler than e6's cosine case: corpus-GLOBAL "
+    "int8 quantization (uniform scaling preserves L2 geometry — "
+    "per-vector scaling measurably destroys it), exact int64 Σ(x−c)² "
+    "argmin (no division/sqrt/rational trick), rounded-mean update "
+    "keeps centroids in int8 at any corpus size, empty codes keep "
+    "their previous centroid. assemble_pq_seeds(scale=gscale) maps the "
+    "trained bytes back to float space as the seeds frame the PQ "
+    "paths take (operators/similarity.pq_codebook_train).",
+)
+def e7_pq_codebook_train(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.pq_codebook_train(
+        emb, "vec_id", "embedding", DIM,
+        n_blocks=_E7_BLOCKS, n_codes=_E7_CODES, iters=2,
+    )
+
+
 @register(
     "m3_media_exact_dup",
     # binary-domain d1: md5 over the payload BYTES (DuckDB md5(BLOB) ==

@@ -2857,3 +2857,99 @@ def test_ngram_lm_bits_hand_case(spark):
     # doc 1 averages exactly 1 -> NOT flagged (strict inequality)
     assert out[3].is_surprising is True
     assert out[1].is_surprising is False
+
+
+def test_pq_codebook_train_partition_invariant_and_int8_bounded(spark):
+    """e7's int64 sums, exact-int argmin, and rounded-mean update are
+    order-invariant (1 vs 16 partitions bit-identical) and every trained
+    centroid byte stays inside int8 range at any corpus size."""
+    from mrf_etl_spark.operators.similarity import pq_codebook_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = pq_codebook_train(emb.coalesce(1)).collect()
+    b = pq_codebook_train(emb.repartition(16, "vec_id")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 8 * 16 * 8
+    assert all(-127 <= r.cs <= 127 for r in a)
+
+
+def test_pq_codebook_train_improves_reconstruction(spark):
+    """Composability: assemble_pq_seeds(e7 output) drops into pq_encode
+    as the seeds frame, and the TRAINED codebook must reconstruct the
+    corpus better than the default 16-seed-vector codebook (mean
+    recon_cos strictly higher on the fixture)."""
+    from mrf_etl_spark.operators.similarity import (
+        assemble_pq_seeds,
+        pq_codebook_train,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def mean_recon(seeds):
+        df = pq_encode(emb, dim=64, n_blocks=8, seeds=seeds)
+        return df.agg(F.avg("recon_cos")).collect()[0][0]
+
+    gmax = emb.agg(
+        F.max(
+            F.array_max(
+                F.transform("embedding", lambda x: F.abs(x.cast("double")))
+            )
+        )
+    ).collect()[0][0]
+    base = mean_recon(None)
+    trained = mean_recon(
+        assemble_pq_seeds(pq_codebook_train(emb), scale=gmax / 127.0)
+    )
+    assert trained > base, (trained, base)
+
+
+def test_fully_trained_ivf_pq_recall_not_worse(spark):
+    """The flagship composition: ivf_pq_topk with BOTH trained codebooks
+    (e6 coarse quantizer via centroids=, e7 PQ codebook via seeds=) must
+    not degrade recall@5 vs the modulo/first-16 stand-ins at the same
+    budgets. Ground truth = brute-force cosine_topk."""
+    from mrf_etl_spark.operators.similarity import (
+        assemble_pq_seeds,
+        cosine_topk,
+        ivf_pq_topk,
+        kmeans_codebook,
+        pq_codebook_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qf = F.col("vec_id") < 10
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, query_filter=qf, k=5).collect()
+    }
+
+    def recall(cent, seeds):
+        got = ivf_pq_topk(
+            emb, dim=64, nprobe=2, n_blocks=8, query_filter=qf,
+            n_candidates=50, k=5, centroids=cent, seeds=seeds,
+        ).collect()
+        return sum(
+            1 for r in got if (r.query_id, r.neighbor_id) in exact
+        ) / len(exact)
+
+    coarse = (
+        kmeans_codebook(emb, iters=2)
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cs"))).alias("_p"))
+        .select(
+            "cid",
+            F.transform("_p", lambda s: s["cs"].cast("float")).alias("cvec"),
+        )
+    )
+    gmax = emb.agg(
+        F.max(
+            F.array_max(
+                F.transform("embedding", lambda x: F.abs(x.cast("double")))
+            )
+        )
+    ).collect()[0][0]
+    pq = assemble_pq_seeds(pq_codebook_train(emb), scale=gmax / 127.0)
+    r_default = recall(None, None)
+    r_trained = recall(coarse, pq)
+    assert r_trained >= r_default, (r_trained, r_default)

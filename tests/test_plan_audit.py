@@ -80,6 +80,10 @@ NESTED_LOOP_OK = {
     # e6's Lloyd assignments cross the corpus with the bounded k-row
     # codebook broadcast — n2's shape, once per iteration
     "e6_kmeans_codebook": "bounded broadcast codebook (k rows/iteration)",
+    # e7's global quantization scale is a 1-row max-aggregate crossJoin
+    # (the t5 collect-free global-scalar shape); the codebook itself
+    # joins KEYED on the block id
+    "e7_pq_codebook_train": "1-row global-scale scalar broadcast",
     # bucket width derives from a ONE-ROW max-id (and max-weight)
     # aggregate crossJoined on (the t5 collect-free global-scalar shape)
     "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",

@@ -222,3 +222,19 @@ def test_e6_kmeans_codebook_persists_iteration_state(spark):
         .toString()
     )
     assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+
+def test_e7_pq_codebook_persists_iteration_state(spark):
+    """e7 inherits e6's iteration-state rule: the per-iteration B·k-row
+    codebook must be read back through InMemoryTableScan, not recomputed
+    per reference."""
+    from mrf_etl_spark.operators.similarity import pq_codebook_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    plan = (
+        pq_codebook_train(emb, iters=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
