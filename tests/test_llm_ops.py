@@ -2953,3 +2953,61 @@ def test_fully_trained_ivf_pq_recall_not_worse(spark):
     r_default = recall(None, None)
     r_trained = recall(coarse, pq)
     assert r_trained >= r_default, (r_trained, r_default)
+
+
+def test_trained_codebooks_drive_persisted_index_lifecycle(spark, tmp_path):
+    """End-to-end trained lifecycle: e6+e7 codebooks → ivf_pq_index_create
+    → persisted query EQUALS the in-plan ivf_pq_topk over the same trained
+    codebooks (n8's persisted==in-plan contract, now under TRAINED state
+    instead of the stand-in seeds)."""
+    from mrf_etl_spark.operators.similarity import (
+        assemble_pq_seeds,
+        ivf_pq_index_create,
+        ivf_pq_index_query,
+        ivf_pq_topk,
+        kmeans_codebook,
+        pq_codebook_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    coarse = (
+        kmeans_codebook(emb, iters=2)
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cs"))).alias("_p"))
+        .select(
+            "cid",
+            F.transform("_p", lambda s: s["cs"].cast("float")).alias("cvec"),
+        )
+    )
+    gmax = emb.agg(
+        F.max(
+            F.array_max(
+                F.transform("embedding", lambda x: F.abs(x.cast("double")))
+            )
+        )
+    ).collect()[0][0]
+    pq = assemble_pq_seeds(pq_codebook_train(emb), scale=gmax / 127.0)
+
+    path = str(tmp_path / "trained_idx")
+    ivf_pq_index_create(emb, path, coarse, pq, dim=64, n_blocks=8)
+    persisted = sorted(
+        map(
+            tuple,
+            ivf_pq_index_query(
+                emb.filter(F.col("vec_id") < 10), path,
+                dim=64, n_blocks=8, nprobe=2, n_candidates=50, k=5,
+            ).collect(),
+        )
+    )
+    in_plan = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb, dim=64, nprobe=2, n_blocks=8,
+                query_filter=F.col("vec_id") < 10,
+                n_candidates=50, k=5, centroids=coarse, seeds=pq,
+            ).collect(),
+        )
+    )
+    assert persisted == in_plan
+    assert len(persisted) == 50
