@@ -99,6 +99,7 @@ HEADLINE = [
     "e6_kmeans_codebook",
     "t22_ngram_lm_bits",
     "e7_pq_codebook_train",
+    "e8_codebook_drift",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

@@ -1529,6 +1529,123 @@ def pq_codebook_train(
     )
 
 
+def codebook_drift(
+    emb: DataFrame,
+    snapshot_expr: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed_mod: int = 97,
+    ratio_num: int = 2,
+    ratio_den: int = 1,
+) -> DataFrame:
+    """Codebook drift monitor (e8) — the "when to retrain the
+    quantizer" gate every production vector index needs: assign TWO
+    corpus snapshots (``snapshot_expr`` FALSE = base / TRUE = current)
+    against one FROZEN codebook in a single pass, and flag centroids
+    whose traffic share moved by more than ``ratio_num/ratio_den``
+    (2/1 = doubled-or-halved; 5/4 = a 25% shift) between snapshots. A
+    drifting share means the data distribution moved away from the
+    codebook's training set — buckets go hot (probe-latency skew) or
+    cold (wasted partitions) long before recall visibly degrades.
+
+    INTEGER-EXACT end-to-end: assignment replays e6's exact argmax
+    (int8 quantization, int64 dot / sqrt(ns2) — deterministic IEEE),
+    counts are int64, and the share comparison cross-multiplies the
+    rational threshold instead of dividing anything:
+
+        drifted ⟺ den·n_cur·N_base > num·n_base·N_cur
+                 OR num·n_cur·N_base < den·n_base·N_cur
+
+    (a centroid empty in exactly one snapshot always flags;
+    cross-multiplication makes 0-counts exact, no epsilon). Magnitudes
+    bound at num·n·N ≤ num·N² — safe to N ~ 10^9 per snapshot.
+
+    Plan shape: ONE broadcast of the codebook onto the tagged union
+    scan, one map-side-combinable argmax, one (cid)-keyed count agg
+    (the two snapshot counts ride conditional sums in the SAME agg),
+    and the two 1-row totals attach as a broadcast crossJoin (the t5
+    global-scalar shape). Two corpus-proportional exchanges total.
+
+    Returns (cid, n_base, n_cur, drifted) for every codebook row.
+    """
+    zero = F.lit(0).cast("long")
+    q = quantize_int8(emb, vec_col, id_col).select(
+        F.col(id_col).alias("vid"), "qvec"
+    )
+    snap = emb.select(
+        F.col(id_col).alias("vid"), snapshot_expr.alias("is_cur")
+    )
+    cent = q.filter((F.col("vid") % seed_mod) == 0).select(
+        F.col("vid").alias("cid"), F.col("qvec").alias("cvec")
+    )
+    c = cent.withColumn(
+        "ns2",
+        F.aggregate(
+            F.transform("cvec", lambda s: s.cast("long") * s.cast("long")),
+            zero,
+            lambda acc, x: acc + x,
+        ),
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda x, y: x.cast("long") * y.cast("long")),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    scored = q.crossJoin(F.broadcast(c)).withColumn(
+        "score",
+        F.when(
+            F.col("ns2") > 0,
+            dot.cast("double") / F.sqrt(F.col("ns2").cast("double")),
+        ),
+    )
+    rank = F.when(F.col("score").isNull(), F.lit(1)).otherwise(F.lit(0))
+    neg = F.when(rank == 0, -F.col("score")).otherwise(F.lit(0.0))
+    assigned = (
+        scored.groupBy("vid")
+        .agg(
+            F.min(
+                F.struct(rank.alias("rk"), neg.alias("neg"), F.col("cid").alias("cid"))
+            ).alias("_b")
+        )
+        .select("vid", F.col("_b.cid").alias("cid"))
+    )
+    counts = (
+        assigned.join(snap, "vid")
+        .groupBy("cid")
+        .agg(
+            F.sum(F.when(~F.col("is_cur"), 1).otherwise(0)).cast("long").alias("n_base"),
+            F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).cast("long").alias("n_cur"),
+        )
+    )
+    # every codebook row reports, even if nothing assigned to it
+    full = cent.select("cid").join(counts, "cid", "left").select(
+        "cid",
+        F.coalesce("n_base", zero).alias("n_base"),
+        F.coalesce("n_cur", zero).alias("n_cur"),
+    )
+    totals = full.agg(
+        F.sum("n_base").alias("_tb"), F.sum("n_cur").alias("_tc")
+    )
+    num = F.lit(ratio_num).cast("long")
+    den = F.lit(ratio_den).cast("long")
+    return (
+        full.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "drifted",
+            (
+                den * F.col("n_cur") * F.col("_tb")
+                > num * F.col("n_base") * F.col("_tc")
+            )
+            | (
+                num * F.col("n_cur") * F.col("_tb")
+                < den * F.col("n_base") * F.col("_tc")
+            ),
+        )
+        .select("cid", "n_base", "n_cur", "drifted")
+    )
+
+
 def assemble_pq_seeds(
     codebook: DataFrame,
     id_col: str = "vec_id",

@@ -258,6 +258,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-8: policy-based canonical pick (d6's closure + argmax;
         # all-integer/boolean surface)
         ("d13_canonical_pick", []),
+        # round-9: codebook drift monitor — embedding-space family
+        # (fx_topk_page took e6/e7 and is at the 7-cap); all-int/bool
+        # surface, e6's assignment chain + one count agg (~0.1 s)
+        ("e8_codebook_drift", []),
     ],
     # round-7: fx_dedup_quality (1.37 s, the heaviest probe oracle after
     # the r6 fix) and fx_release_flow (1.78 s) are dissolved — their
@@ -736,6 +740,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "n9_ann_filtered": ["query_id", "neighbor_id", "cosine", "rank"],
     "e6_kmeans_codebook": ["cid", "n_members", "i", "cs"],
     "e7_pq_codebook_train": ["b", "cid", "n_members", "i", "cs"],
+    "e8_codebook_drift": ["cid", "n_base", "n_cur", "drifted"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -965,7 +970,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 262
+CATALOG_COUNT = 263
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

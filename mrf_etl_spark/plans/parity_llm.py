@@ -1422,6 +1422,82 @@ _E7_BLOCKS = 8
 _E7_SIZE = DIM // _E7_BLOCKS
 _E7_CODES = 16
 
+# e8: drift threshold as a rational — flag when a centroid's traffic
+# share moves by more than 5/4 (25%) between snapshots
+_E8_NUM = 5
+_E8_DEN = 4
+
+
+@register(
+    "e8_codebook_drift",
+    # assignment replays e6's first-iteration argmax verbatim (same
+    # q/ux/c0/n0/d1/a1 chain); counts and the rational-threshold flags
+    # are pure integer arithmetic — cross-multiplied, no division
+    f"""WITH q AS MATERIALIZED (
+         SELECT vec_id AS vid, {_E6_QVEC} AS qvec
+         FROM embeddings),
+       ux AS MATERIALIZED (
+         SELECT vid, CAST(t.i AS INT) AS i,
+                CAST(qvec[CAST(t.i AS INT) + 1] AS BIGINT) AS qx
+         FROM q, range({DIM}) t(i)),
+       c0 AS MATERIALIZED (
+         SELECT vid AS cid, i, qx AS cs
+         FROM ux WHERE vid % {_E6_SEED_MOD} = 0),
+       n0 AS MATERIALIZED (
+         SELECT cid, CAST(sum(cs * cs) AS BIGINT) AS ns2
+         FROM c0 GROUP BY cid),
+       d1 AS MATERIALIZED (
+         SELECT u.vid, c.cid, CAST(sum(u.qx * c.cs) AS BIGINT) AS dot
+         FROM ux u JOIN c0 c ON c.i = u.i GROUP BY u.vid, c.cid),
+       a1 AS MATERIALIZED (
+         SELECT vid, cid FROM (
+           SELECT d.vid, d.cid,
+                  row_number() OVER (PARTITION BY d.vid ORDER BY
+                    (CASE WHEN n.ns2 > 0
+                          THEN CAST(d.dot AS DOUBLE) / sqrt(CAST(n.ns2 AS DOUBLE))
+                     END) DESC NULLS LAST, d.cid ASC) AS rn
+           FROM d1 d JOIN n0 n ON n.cid = d.cid)
+         WHERE rn = 1),
+       snap AS MATERIALIZED (
+         SELECT vec_id AS vid, (label = 0) AS is_cur FROM embeddings),
+       cnt AS MATERIALIZED (
+         SELECT a.cid,
+                CAST(sum(CASE WHEN NOT s.is_cur THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_base,
+                CAST(sum(CASE WHEN s.is_cur THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_cur
+         FROM a1 a JOIN snap s ON s.vid = a.vid GROUP BY a.cid),
+       fullc AS MATERIALIZED (
+         SELECT c.cid, coalesce(cnt.n_base, 0) AS n_base,
+                coalesce(cnt.n_cur, 0) AS n_cur
+         FROM (SELECT DISTINCT cid FROM c0) c
+         LEFT JOIN cnt ON cnt.cid = c.cid),
+       tot AS MATERIALIZED (
+         SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+                CAST(sum(n_cur) AS BIGINT) AS tc
+         FROM fullc)
+       SELECT cid, n_base, n_cur,
+              ({_E8_DEN} * n_cur * tb > {_E8_NUM} * n_base * tc
+               OR {_E8_NUM} * n_cur * tb < {_E8_DEN} * n_base * tc)
+                AS drifted
+       FROM fullc, tot""",
+    doc="e8: codebook drift monitor (beyond-ref) — the when-to-retrain "
+    "gate for every frozen-quantizer index (n2/n4/n7/n8/st14/st19): "
+    "assign base and current snapshots against the frozen codebook in "
+    "ONE pass, flag centroids whose traffic share moved by more than "
+    "5/4 between snapshots. INTEGER-EXACT: e6's replayable argmax, "
+    "int64 counts, and a cross-multiplied rational threshold — no "
+    "division, 0-counts exact. One codebook broadcast + one combinable "
+    "argmax + one count agg; totals attach as a 1-row broadcast "
+    "(operators/similarity.codebook_drift).",
+)
+def e8_codebook_drift(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.codebook_drift(
+        emb, F.col("label") == 0, "vec_id", "embedding", DIM,
+        seed_mod=_E6_SEED_MOD, ratio_num=_E8_NUM, ratio_den=_E8_DEN,
+    )
+
 
 def _e7_iter_ctes(n: int, prev: int) -> str:
     """One unrolled per-block Lloyd iteration against codebook c{prev}

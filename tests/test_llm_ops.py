@@ -3011,3 +3011,53 @@ def test_trained_codebooks_drive_persisted_index_lifecycle(spark, tmp_path):
     )
     assert persisted == in_plan
     assert len(persisted) == 50
+
+
+def test_codebook_drift_hand_case(spark):
+    """e8 on a hand-built fixture: two centroids along +x / +y; counting
+    the seeds themselves (0 is even -> base, 97 is odd -> current), base
+    traffic is 4:1 (+x heavy) and current is 1:4 (+y heavy) — both
+    centroids drift at the 2/1 threshold; a run with ratio 9/1 flags
+    nothing. Also pins the 0-count edge: a centroid with traffic in
+    exactly one snapshot always flags."""
+    from mrf_etl_spark.operators.similarity import codebook_drift
+
+    def vec(axis, mag=1.0):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[axis] = mag
+        return v
+
+    rows = (
+        # seeds (ids 0, 97): +x and +y
+        [(0, vec(0)), (97, vec(1))]
+        # base (even, not seeds): 3 more toward +x, 1 toward +y
+        + [(2, vec(0)), (4, vec(0)), (6, vec(0)), (8, vec(1))]
+        # current (odd): 1 toward +x, 3 toward +y
+        + [(1, vec(0)), (3, vec(1)), (5, vec(1)), (7, vec(1))]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cur = (F.col("vec_id") % 2) == 1
+
+    out = {
+        r.cid: r
+        for r in codebook_drift(emb, cur, dim=4, ratio_num=2, ratio_den=1).collect()
+    }
+    # +x: base 4/5 -> cur 1/5 (share quartered), +y: 1/5 -> 4/5
+    assert (out[0].n_base, out[0].n_cur, out[0].drifted) == (4, 1, True)
+    assert (out[97].n_base, out[97].n_cur, out[97].drifted) == (1, 4, True)
+
+    loose = {
+        r.cid: r.drifted
+        for r in codebook_drift(emb, cur, dim=4, ratio_num=9, ratio_den=1).collect()
+    }
+    assert loose == {0: False, 97: False}
+
+    # one-sided traffic always flags: drop current's only +x member
+    onesided = {
+        r.cid: r
+        for r in codebook_drift(
+            emb.filter(F.col("vec_id") != 1),
+            cur, dim=4, ratio_num=2, ratio_den=1,
+        ).collect()
+    }
+    assert onesided[0].n_cur == 0 and onesided[0].drifted is True

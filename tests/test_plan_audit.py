@@ -84,6 +84,9 @@ NESTED_LOOP_OK = {
     # (the t5 collect-free global-scalar shape); the codebook itself
     # joins KEYED on the block id
     "e7_pq_codebook_train": "1-row global-scale scalar broadcast",
+    # e8 assigns with e6's bounded codebook broadcast and attaches the
+    # two snapshot totals as a 1-row crossJoin (t5's global-scalar shape)
+    "e8_codebook_drift": "bounded codebook broadcast + 1-row totals",
     # bucket width derives from a ONE-ROW max-id (and max-weight)
     # aggregate crossJoined on (the t5 collect-free global-scalar shape)
     "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",
