@@ -1529,6 +1529,49 @@ def pq_codebook_train(
     )
 
 
+def assign_centroids_int8(q: DataFrame, cent: DataFrame) -> DataFrame:
+    """Exact-replay assignment of int8-quantized vectors (vid, qvec)
+    against an int8 codebook (cid, cvec): argmax of dot/sqrt(|c|²) from
+    exact int64s — e6/e8's shared kernel. Per-row work only plus one
+    codebook broadcast and one map-side-combinable argmax, so calling
+    it per micro-batch costs O(batch × codebook) (st20's sink).
+    Returns (vid, cid)."""
+    zero = F.lit(0).cast("long")
+    c = cent.withColumn(
+        "ns2",
+        F.aggregate(
+            F.transform("cvec", lambda s: s.cast("long") * s.cast("long")),
+            zero,
+            lambda acc, x: acc + x,
+        ),
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda x, y: x.cast("long") * y.cast("long")),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    scored = q.crossJoin(F.broadcast(c)).withColumn(
+        "score",
+        F.when(
+            F.col("ns2") > 0,
+            dot.cast("double") / F.sqrt(F.col("ns2").cast("double")),
+        ),
+    )
+    rank = F.when(F.col("score").isNull(), F.lit(1)).otherwise(F.lit(0))
+    neg = F.when(rank == 0, -F.col("score")).otherwise(F.lit(0.0))
+    return (
+        scored.groupBy("vid")
+        .agg(
+            F.min(
+                F.struct(
+                    rank.alias("rk"), neg.alias("neg"), F.col("cid").alias("cid")
+                )
+            ).alias("_b")
+        )
+        .select("vid", F.col("_b.cid").alias("cid"))
+    )
+
+
 def codebook_drift(
     emb: DataFrame,
     snapshot_expr: Column,
@@ -1579,37 +1622,7 @@ def codebook_drift(
     cent = q.filter((F.col("vid") % seed_mod) == 0).select(
         F.col("vid").alias("cid"), F.col("qvec").alias("cvec")
     )
-    c = cent.withColumn(
-        "ns2",
-        F.aggregate(
-            F.transform("cvec", lambda s: s.cast("long") * s.cast("long")),
-            zero,
-            lambda acc, x: acc + x,
-        ),
-    )
-    dot = F.aggregate(
-        F.zip_with("qvec", "cvec", lambda x, y: x.cast("long") * y.cast("long")),
-        zero,
-        lambda acc, x: acc + x,
-    )
-    scored = q.crossJoin(F.broadcast(c)).withColumn(
-        "score",
-        F.when(
-            F.col("ns2") > 0,
-            dot.cast("double") / F.sqrt(F.col("ns2").cast("double")),
-        ),
-    )
-    rank = F.when(F.col("score").isNull(), F.lit(1)).otherwise(F.lit(0))
-    neg = F.when(rank == 0, -F.col("score")).otherwise(F.lit(0.0))
-    assigned = (
-        scored.groupBy("vid")
-        .agg(
-            F.min(
-                F.struct(rank.alias("rk"), neg.alias("neg"), F.col("cid").alias("cid"))
-            ).alias("_b")
-        )
-        .select("vid", F.col("_b.cid").alias("cid"))
-    )
+    assigned = assign_centroids_int8(q, cent)
     counts = (
         assigned.join(snap, "vid")
         .groupBy("cid")

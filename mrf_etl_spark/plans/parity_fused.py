@@ -262,6 +262,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # (fx_topk_page took e6/e7 and is at the 7-cap); all-int/bool
         # surface, e6's assignment chain + one count agg (~0.1 s)
         ("e8_codebook_drift", []),
+        # round-9: e8's streaming twin — counts lake drained per batch,
+        # served result == e8's oracle verbatim (probe now at the 7-cap)
+        ("st20_stream_codebook_drift", []),
     ],
     # round-7: fx_dedup_quality (1.37 s, the heaviest probe oracle after
     # the r6 fix) and fx_release_flow (1.78 s) are dissolved — their
@@ -741,6 +744,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "e6_kmeans_codebook": ["cid", "n_members", "i", "cs"],
     "e7_pq_codebook_train": ["b", "cid", "n_members", "i", "cs"],
     "e8_codebook_drift": ["cid", "n_base", "n_cur", "drifted"],
+    "st20_stream_codebook_drift": ["cid", "n_base", "n_cur", "drifted"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -970,7 +974,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 263
+CATALOG_COUNT = 264
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -1357,3 +1357,140 @@ def _register_st19():
 
 
 st19_stream_ivfpq_ingest = _register_st19()
+
+
+# -------------------------- round-9: streaming codebook drift counters
+
+def _register_st20():
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    @register(
+        "st20_stream_codebook_drift",
+        # stream == batch for drift counters: per-centroid counts are
+        # ADDITIVE through the state lake, quantization and assignment
+        # are per-row functions of the frozen codebook — so the served
+        # drift table equals e8's one-shot result, oracle verbatim
+        oracle=REGISTRY["e8_codebook_drift"].oracle,
+        doc="st20: e8's drift counters maintained by STREAMING ingest — "
+        "the base snapshot's per-centroid counts are stored once (the "
+        "training-time artifact); CURRENT traffic arrives in "
+        "micro-batches, each batch assigns against the frozen codebook "
+        "(per-row int8 quantization + the e6/e8 exact argmax — both "
+        "pure per-row functions, so batch boundaries are invisible) "
+        "and appends one (cid, n) count row per touched centroid under "
+        "the table lock. Serving sums the count lake and applies the "
+        "cross-multiplied rational threshold: the result must equal "
+        "e8's one-shot batch answer exactly. The production shape: a "
+        "vector index's health dashboard stays fresh for O(batch) "
+        "work per trigger, never a corpus re-scan.",
+    )
+    def st20_stream_codebook_drift(spark, sf_dir):
+        import os
+
+        from mrf_etl_spark.operators import similarity as sim
+        from mrf_etl_spark.operators.sketchlake import append_state
+        from mrf_etl_spark.plans.parity import _scratch
+        from mrf_etl_spark.plans.parity_llm import (
+            _E6_SEED_MOD,
+            _E8_DEN,
+            _E8_NUM,
+            DIM,
+        )
+
+        emb = t(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        q_all = sim.quantize_int8(emb).select(
+            F.col("vec_id").alias("vid"), "qvec"
+        )
+        cent = q_all.filter((F.col("vid") % _E6_SEED_MOD) == 0).select(
+            F.col("vid").alias("cid"), F.col("qvec").alias("cvec")
+        ).persist()
+
+        # base counts: the stored training-time artifact (one pass)
+        base_ids = emb.filter(F.col("label") != 0).select(
+            F.col("vec_id").alias("vid")
+        )
+        base = (
+            sim.assign_centroids_int8(q_all.join(base_ids, "vid"), cent)
+            .groupBy("cid")
+            .agg(F.count("*").alias("n_base"))
+        )
+
+        # current traffic streams in two micro-batches
+        cur = emb.filter(F.col("label") == 0).select("vec_id", "embedding")
+        staging = _scratch("st20_staging")
+        os.makedirs(staging, exist_ok=True)
+        cur.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
+            f"{staging}/half=1"
+        )
+        cur.filter(F.col("vec_id") % 2 == 1).write.mode("overwrite").parquet(
+            f"{staging}/half=2"
+        )
+        lake = _scratch("st20_count_lake")
+
+        def fold(batch_df, _batch_id):
+            qb = sim.quantize_int8(batch_df).select(
+                F.col("vec_id").alias("vid"), "qvec"
+            )
+            counts = (
+                sim.assign_centroids_int8(qb, cent)
+                .groupBy("cid")
+                .agg(F.count("*").alias("n"))
+            )
+            append_state(counts, lake)
+
+        stream = (
+            spark.readStream.schema(cur.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staging}/half=*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", _scratch("st20_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+        cur_counts = (
+            spark.read.parquet(lake)
+            .groupBy("cid")
+            .agg(F.sum("n").alias("n_cur"))
+        )
+        zero = F.lit(0).cast("long")
+        full = (
+            cent.select("cid")
+            .join(base, "cid", "left")
+            .join(cur_counts, "cid", "left")
+            .select(
+                "cid",
+                F.coalesce("n_base", zero).cast("long").alias("n_base"),
+                F.coalesce("n_cur", zero).cast("long").alias("n_cur"),
+            )
+        )
+        totals = full.agg(
+            F.sum("n_base").alias("_tb"), F.sum("n_cur").alias("_tc")
+        )
+        num = F.lit(_E8_NUM).cast("long")
+        den = F.lit(_E8_DEN).cast("long")
+        return (
+            full.crossJoin(F.broadcast(totals))
+            .withColumn(
+                "drifted",
+                (
+                    den * F.col("n_cur") * F.col("_tb")
+                    > num * F.col("n_base") * F.col("_tc")
+                )
+                | (
+                    num * F.col("n_cur") * F.col("_tb")
+                    < den * F.col("n_base") * F.col("_tc")
+                ),
+            )
+            .select("cid", "n_base", "n_cur", "drifted")
+        )
+
+    return st20_stream_codebook_drift
+
+
+st20_stream_codebook_drift = _register_st20()
