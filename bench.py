@@ -101,6 +101,7 @@ HEADLINE = [
     "e7_pq_codebook_train",
     "e8_codebook_drift",
     "st20_stream_codebook_drift",
+    "t23_bpe_merges",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

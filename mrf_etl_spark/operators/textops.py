@@ -1169,3 +1169,131 @@ def ngram_lm_bits(
             ).alias("is_surprising"),
         )
     )
+
+
+def _bpe_merge_step(arr_col, left_col, right_col):
+    """Greedy left-to-right merge of one BPE pair inside a symbol array,
+    as a left-fold (the canonical 'replace all non-overlapping
+    occurrences' pass): the accumulator is the space-joined symbol
+    string; when it ends with the pair's LEFT symbol (at a symbol
+    boundary) and the next element IS the right symbol, the two fuse.
+    A fused symbol can immediately serve as the LEFT of the next merge
+    (matching the scan-ahead semantics of replace) but can never
+    re-split. Returns the merged space-joined string."""
+    def step(acc, x):
+        left, right = left_col, right_col
+        hit = (x == right) & (
+            (acc == left) | F.endswith(acc, F.concat(F.lit(" "), left))
+        )
+        fused = F.concat(
+            F.substring(acc, F.lit(1), F.length(acc) - F.length(left)),
+            left,
+            right,
+        )
+        return F.when(hit, fused).otherwise(
+            F.concat(acc, F.lit(" "), x)
+        )
+
+    return F.aggregate(
+        F.slice(arr_col, 2, F.greatest(F.size(arr_col) - 1, F.lit(0))),
+        F.element_at(arr_col, 1),
+        step,
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Distributed BPE tokenizer training (t23) — the first ``n_merges``
+    merge rules learned from the corpus, exactly the loop inside every
+    production tokenizer trainer: count adjacent symbol pairs weighted
+    by word frequency, fuse the most frequent pair everywhere, repeat.
+
+    Scale shape — the reason this distributes: ONE corpus-proportional
+    pass builds the (word, count) table (the same pre-count HF's
+    tokenizers do before training); every merge iteration after that is
+    VOCAB-sized — pair counting explodes distinct words' symbols (map-
+    side-combinable weighted agg), the winning pair is a 1-row argmax
+    attached back as a broadcast crossJoin (the t5 global-scalar shape,
+    no driver collect), and the merge itself is a per-row fold. A 100 TB
+    corpus trains at the cost of one word count + M vocab-sized passes.
+
+    DETERMINISTIC/EXACT end-to-end: counts are int64; the argmax
+    tie-breaks (count DESC, left ASC, right ASC) via min(struct); the
+    greedy merge is a left-fold with exact string semantics the oracle
+    replays via DuckDB's list_reduce. Words come from the shared
+    split(lower(trim)) recipe; initial symbols are single characters
+    (regexp '(.)' spacing — identical per-codepoint semantics on both
+    engines).
+
+    Returns the merge table: (step, left, right, pair_n), one row per
+    learned rule — the artifact a tokenizer ships.
+    """
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    sym = words.select(
+        "n",
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"),
+    )
+    out = []
+    for step_i in range(1, n_merges + 1):
+        arr = F.split(F.col("s"), " ")
+        pairs = sym.select(
+            "n",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(s, ' ')) < 2 THEN array() "
+                    "ELSE transform(slice(split(s, ' '), 1, "
+                    "size(split(s, ' ')) - 1), (x, i) -> "
+                    "struct(x AS l, element_at(split(s, ' '), i + 2) AS r)) "
+                    "END"
+                )
+            ).alias("_p"),
+        ).select("n", F.col("_p.l").alias("l"), F.col("_p.r").alias("r"))
+        cnt = pairs.groupBy("l", "r").agg(F.sum("n").alias("pair_n"))
+        # the 1-row winner is referenced TWICE (the output union and the
+        # next pass's merge broadcast) — persist it, like the e6/e7
+        # iteration codebooks, so each pass's pair count runs once
+        best = cnt.agg(
+            F.min(
+                F.struct(
+                    (-F.col("pair_n")).alias("neg"),
+                    F.col("l").alias("l"),
+                    F.col("r").alias("r"),
+                )
+            ).alias("_b")
+        ).select(
+            F.col("_b.l").alias("bl"),
+            F.col("_b.r").alias("br"),
+            (-F.col("_b.neg")).alias("pair_n"),
+        ).persist()
+        out.append(
+            best.select(
+                F.lit(step_i).alias("step"),
+                F.col("bl").alias("left"),
+                F.col("br").alias("right"),
+                F.col("pair_n"),
+            )
+        )
+        sym = (
+            sym.crossJoin(F.broadcast(best))
+            .select(
+                "n",
+                _bpe_merge_step(arr, F.col("bl"), F.col("br")).alias("s"),
+            )
+            .persist()
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

@@ -339,6 +339,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-9: bigram LM surprise — all-integer/boolean surface
         # (floor-log2 bits), rides the quality-filter family probe
         ("t22_ngram_lm_bits", []),
+        # round-9: BPE merge training — 3-row merge table, int/string
+        # surface, 0.04 s oracle (vocab-sized after the word count)
+        ("t23_bpe_merges", []),
     ],
     "fx_text_quality_b": [
         ("t12_type_token_ratio", ["ttr"]),
@@ -748,6 +751,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
+    "t23_bpe_merges": ["step", "left", "right", "pair_n"],
     "e5_embedding_outliers": [
         "vec_id", "grp", "dot_c", "nx2", "ns2", "is_outlier",
     ],
@@ -974,7 +978,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 264
+CATALOG_COUNT = 265
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

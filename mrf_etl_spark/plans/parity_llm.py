@@ -4419,6 +4419,70 @@ def t22_ngram_lm_bits(spark, sf_dir):
     )
 
 
+T23_MERGES = 3
+
+_T23_MERGE_LAMBDA = """list_reduce(string_split(t.s, ' '), (acc, x) -> CASE
+    WHEN x = b.r AND (acc = b.l OR ends_with(acc, ' ' || b.l))
+    THEN left(acc, length(acc) - length(b.l)) || b.l || b.r
+    ELSE acc || ' ' || x END)"""
+
+
+def _t23_iter_ctes(k: int, prev: int) -> str:
+    """One unrolled BPE pass: weighted adjacent-pair counts over the
+    vocab's symbol strings (t7's pair recipe), 1-row argmax (count DESC,
+    left ASC, right ASC), then the greedy left-fold merge via
+    list_reduce — the exact twin of the Spark-side F.aggregate fold."""
+    return f"""
+       p{k} AS MATERIALIZED (
+         SELECT l, r, CAST(sum(n) AS BIGINT) AS pair_n FROM (
+           SELECT n, arr[i] AS l, arr[i + 1] AS r
+           FROM (SELECT n, arr, unnest(range(1, len(arr))) AS i
+                 FROM (SELECT n, string_split(s, ' ') AS arr FROM s{prev})
+                 WHERE len(arr) >= 2))
+         GROUP BY l, r),
+       b{k} AS MATERIALIZED (
+         SELECT l, r, pair_n FROM p{k}
+         ORDER BY pair_n DESC, l ASC, r ASC LIMIT 1),
+       s{k} AS MATERIALIZED (
+         SELECT t.n, {_T23_MERGE_LAMBDA} AS s
+         FROM s{prev} t, b{k} b)"""
+
+
+@register(
+    "t23_bpe_merges",
+    # three unrolled BPE passes — int64 weighted pair counts, string
+    # argmax with deterministic ties, greedy left-fold merges replayed
+    # via list_reduce: the whole merge table compares exactly
+    f"""WITH wc AS MATERIALIZED (
+         SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+           FROM documents)
+         GROUP BY w),
+       s0 AS MATERIALIZED (
+         SELECT n, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s
+         FROM wc),{_t23_iter_ctes(1, 0)},{_t23_iter_ctes(2, 1)},{_t23_iter_ctes(3, 2)}
+       SELECT 1 AS step, l AS "left", r AS "right", pair_n FROM b1
+       UNION ALL
+       SELECT 2, l, r, pair_n FROM b2
+       UNION ALL
+       SELECT 3, l, r, pair_n FROM b3""",
+    doc="t23: distributed BPE tokenizer training (beyond-ref) — the "
+    "first 3 merge rules learned from the corpus, the loop inside every "
+    "production tokenizer trainer. ONE corpus-proportional word count "
+    "(the same pre-count HF tokenizers do), then every pass is "
+    "VOCAB-sized: map-side-combinable weighted pair counts, a 1-row "
+    "argmax broadcast back (no driver collect), and a per-row greedy "
+    "left-fold merge whose string semantics DuckDB's list_reduce "
+    "replays exactly. Deterministic ties (count DESC, left ASC, right "
+    "ASC); a fused symbol can chain as the next merge's LEFT within a "
+    "pass but never re-splits (operators/textops.bpe_merges).",
+)
+def t23_bpe_merges(spark, sf_dir):
+    return tx.bpe_merges(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n_merges=T23_MERGES
+    )
+
+
 # --------------------------- round-7: approximate sliding-window reach
 
 W20_RSD = 0.05  # HLL++ relative standard deviation

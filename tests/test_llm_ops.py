@@ -3061,3 +3061,28 @@ def test_codebook_drift_hand_case(spark):
         ).collect()
     }
     assert onesided[0].n_cur == 0 and onesided[0].drifted is True
+
+
+def test_bpe_merges_hand_case_and_greedy_semantics(spark):
+    """t23 on a known corpus: 'lo' wins pass 1 (5 weighted occurrences),
+    'low' pass 2, 'ew' pass 3 — and the greedy fold rules: 'a a a' with
+    pair (a,a) merges LEFT-TO-RIGHT non-overlapping ('aa a'), and a
+    fused symbol may chain as the LEFT of the next merge in-pass."""
+    from mrf_etl_spark.operators.textops import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    out = {r.step: (r.left, r.right, r.pair_n) for r in bpe_merges(docs).collect()}
+    assert out == {1: ("l", "o", 5), 2: ("lo", "w", 5), 3: ("e", "w", 4)}
+
+    # overlap: 'aaa' chars pair (a,a) appears 2x per word but merges once
+    # per non-overlapping site; the winner table still counts RAW pairs
+    docs2 = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    out2 = {r.step: (r.left, r.right, r.pair_n) for r in bpe_merges(docs2, n_merges=2).collect()}
+    # pass 1: raw ('a','a') weighted count = 2 sites x 1 distinct word x 2 -> ('a','a',4)... 
+    # distinct word 'aaa' n=2, pairs (a,a) twice -> pair_n=4; merge -> 'aa a'
+    assert out2[1] == ("a", "a", 4)
+    # pass 2: symbols 'aa a' -> pair ('aa','a') n=2
+    assert out2[2] == ("aa", "a", 2)

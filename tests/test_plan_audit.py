@@ -87,6 +87,9 @@ NESTED_LOOP_OK = {
     # e8 assigns with e6's bounded codebook broadcast and attaches the
     # two snapshot totals as a 1-row crossJoin (t5's global-scalar shape)
     "e8_codebook_drift": "bounded codebook broadcast + 1-row totals",
+    # t23's per-pass winning pair is a 1-row argmax crossJoined back
+    # onto the vocab (t5's global-scalar shape), once per merge pass
+    "t23_bpe_merges": "1-row winning-pair broadcast per merge pass",
     # bucket width derives from a ONE-ROW max-id (and max-weight)
     # aggregate crossJoined on (the t5 collect-free global-scalar shape)
     "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",
