@@ -102,6 +102,7 @@ HEADLINE = [
     "e8_codebook_drift",
     "st20_stream_codebook_drift",
     "t23_bpe_merges",
+    "t24_bpe_encode_fertility",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

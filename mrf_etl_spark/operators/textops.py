@@ -1297,3 +1297,111 @@ def bpe_merges(
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+def bpe_encode_fertility(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 3,
+) -> DataFrame:
+    """BPE encode + fertility report (t24) — the APPLY side of
+    :func:`bpe_merges`: learn the merge table from the corpus (same
+    plan), encode every document with it, and report per-document
+    fertility — characters, token count BEFORE merges (= chars) and
+    AFTER, all exact int64 (the tokens-per-word compression number
+    tokenizer evaluations quote).
+
+    Scale shape: encoding goes through the VOCAB, not the corpus — the
+    per-word token counts are computed once on the distinct-word table
+    (where the merges already ran) and JOIN back to the exploded doc
+    words; the join key is the word (AQE-splittable hot stopwords),
+    the rollup is one doc-keyed agg. The corpus is never re-folded.
+
+    Returns (doc_id, n_words, n_chars, n_tokens) — docs with no words
+    report zeros.
+    """
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    )
+    vocab = w.groupBy("w").agg(F.count("*").alias("n"))
+    sym = vocab.select(
+        "w",
+        "n",
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"),
+    )
+    merged = _apply_bpe_merges(sym, n_merges)
+    per_word = merged.select(
+        "w",
+        F.length("w").alias("_chars"),
+        F.size(F.split(F.col("s"), " ")).alias("_toks"),
+    )
+    agg = (
+        w.join(per_word, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.col("_chars").cast("long")).alias("n_chars"),
+            F.sum(F.col("_toks").cast("long")).alias("n_tokens"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", zero).alias("n_words"),
+            F.coalesce("n_chars", zero).alias("n_chars"),
+            F.coalesce("n_tokens", zero).alias("n_tokens"),
+        )
+    )
+
+
+def _apply_bpe_merges(sym: DataFrame, n_merges: int) -> DataFrame:
+    """Run :func:`bpe_merges`' training loop over a (w, n, s) vocab
+    frame and return it with the FINAL symbol strings — the shared
+    train-then-encode core (t23 reports the merge table, t24 the
+    encoded vocab)."""
+    for _ in range(n_merges):
+        arr = F.split(F.col("s"), " ")
+        pairs = sym.select(
+            "n",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(s, ' ')) < 2 THEN array() "
+                    "ELSE transform(slice(split(s, ' '), 1, "
+                    "size(split(s, ' ')) - 1), (x, i) -> "
+                    "struct(x AS l, element_at(split(s, ' '), i + 2) AS r)) "
+                    "END"
+                )
+            ).alias("_p"),
+        ).select("n", F.col("_p.l").alias("l"), F.col("_p.r").alias("r"))
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("n").alias("pair_n"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("pair_n")).alias("neg"),
+                        F.col("l").alias("l"),
+                        F.col("r").alias("r"),
+                    )
+                ).alias("_b")
+            )
+            .select(F.col("_b.l").alias("bl"), F.col("_b.r").alias("br"))
+            .persist()
+        )
+        sym = (
+            sym.crossJoin(F.broadcast(best))
+            .select(
+                "w",
+                "n",
+                _bpe_merge_step(arr, F.col("bl"), F.col("br")).alias("s"),
+            )
+            .persist()
+        )
+    return sym

@@ -342,6 +342,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-9: BPE merge training — 3-row merge table, int/string
         # surface, 0.04 s oracle (vocab-sized after the word count)
         ("t23_bpe_merges", []),
+        # round-9: the encode side — all-int64 fertility rollup (probe
+        # now at the 7-cap)
+        ("t24_bpe_encode_fertility", []),
     ],
     "fx_text_quality_b": [
         ("t12_type_token_ratio", ["ttr"]),
@@ -752,6 +755,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
     "t23_bpe_merges": ["step", "left", "right", "pair_n"],
+    "t24_bpe_encode_fertility": [
+        "doc_id", "n_words", "n_chars", "n_tokens",
+    ],
     "e5_embedding_outliers": [
         "vec_id", "grp", "dot_c", "nx2", "ns2", "is_outlier",
     ],
@@ -978,7 +984,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 265
+CATALOG_COUNT = 266
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

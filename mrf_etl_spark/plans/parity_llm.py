@@ -4483,6 +4483,70 @@ def t23_bpe_merges(spark, sf_dir):
     )
 
 
+def _t24_iter_ctes(k: int, prev: int) -> str:
+    """t23's unrolled BPE pass with the WORD carried through each
+    symbol table, so the final pass still maps word → encoded symbols
+    (t24 joins documents back through it)."""
+    return f"""
+       p{k} AS MATERIALIZED (
+         SELECT l, r, CAST(sum(n) AS BIGINT) AS pair_n FROM (
+           SELECT n, arr[i] AS l, arr[i + 1] AS r
+           FROM (SELECT n, arr, unnest(range(1, len(arr))) AS i
+                 FROM (SELECT n, string_split(s, ' ') AS arr FROM s{prev})
+                 WHERE len(arr) >= 2))
+         GROUP BY l, r),
+       b{k} AS MATERIALIZED (
+         SELECT l, r FROM p{k}
+         ORDER BY pair_n DESC, l ASC, r ASC LIMIT 1),
+       s{k} AS MATERIALIZED (
+         SELECT t.w, t.n, {_T23_MERGE_LAMBDA} AS s
+         FROM s{prev} t, b{k} b)"""
+
+
+@register(
+    "t24_bpe_encode_fertility",
+    # the train-then-encode composition: t23's unrolled passes (words
+    # carried through), then every document's words join the encoded
+    # vocab and roll up — all-int64 fertility surface
+    f"""WITH wc AS MATERIALIZED (
+         SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+           FROM documents)
+         GROUP BY w),
+       s0 AS MATERIALIZED (
+         SELECT w, n, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s
+         FROM wc),{_t24_iter_ctes(1, 0)},{_t24_iter_ctes(2, 1)},{_t24_iter_ctes(3, 2)},
+       dw AS MATERIALIZED (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         FROM documents),
+       agg AS MATERIALIZED (
+         SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(length(d.w)) AS BIGINT) AS n_chars,
+                CAST(sum(len(string_split(v.s, ' '))) AS BIGINT) AS n_tokens
+         FROM dw d JOIN s{T23_MERGES} v ON v.w = d.w
+         GROUP BY d.doc_id)
+       SELECT doc.doc_id,
+              coalesce(a.n_words, 0) AS n_words,
+              coalesce(a.n_chars, 0) AS n_chars,
+              coalesce(a.n_tokens, 0) AS n_tokens
+       FROM documents doc LEFT JOIN agg a USING (doc_id)""",
+    doc="t24: BPE encode + fertility report (beyond-ref) — the APPLY "
+    "side of t23: learn the merge table in the same plan, encode every "
+    "document, report per-doc characters / whitespace words / BPE "
+    "tokens (the tokens-per-word compression number tokenizer evals "
+    "quote). Encoding goes through the VOCAB, never re-folds the "
+    "corpus: per-word token counts computed once on the distinct-word "
+    "table, joined back to the exploded doc words (hot stopwords = the "
+    "AQE skew case), one doc-keyed rollup. All-int64 exact surface "
+    "(operators/textops.bpe_encode_fertility).",
+)
+def t24_bpe_encode_fertility(spark, sf_dir):
+    return tx.bpe_encode_fertility(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n_merges=T23_MERGES
+    )
+
+
 # --------------------------- round-7: approximate sliding-window reach
 
 W20_RSD = 0.05  # HLL++ relative standard deviation

@@ -3086,3 +3086,23 @@ def test_bpe_merges_hand_case_and_greedy_semantics(spark):
     assert out2[1] == ("a", "a", 4)
     # pass 2: symbols 'aa a' -> pair ('aa','a') n=2
     assert out2[2] == ("aa", "a", 2)
+
+
+def test_bpe_encode_fertility_hand_case(spark):
+    """t24 on the t23 hand corpus: after the 3 learned merges
+    (l+o, lo+w, e+w), 'low' encodes to 1 token [low], 'lower' to 3
+    [low, e, r], 'lowest' to 4 [low, e, s, t], 'new' to 2 [n, ew],
+    'newer' to 4 [n, ew, e, r], 'newest' to 5 [n, ew, e, s, t].
+    Counts are exact int64."""
+    from mrf_etl_spark.operators.textops import bpe_encode_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_words, r.n_chars, r.n_tokens)
+           for r in bpe_encode_fertility(docs).collect()}
+    # doc 1: low(1) lower(3: low,e,r) lowest(4: low,e,s,t) low(1) low(1)
+    assert out[1] == (5, 3 + 5 + 6 + 3 + 3, 1 + 3 + 4 + 1 + 1)
+    # doc 2: new(2) newer(4) newest(5) new(2)
+    assert out[2] == (4, 3 + 5 + 6 + 3, 2 + 4 + 5 + 2)

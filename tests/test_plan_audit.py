@@ -90,6 +90,8 @@ NESTED_LOOP_OK = {
     # t23's per-pass winning pair is a 1-row argmax crossJoined back
     # onto the vocab (t5's global-scalar shape), once per merge pass
     "t23_bpe_merges": "1-row winning-pair broadcast per merge pass",
+    "t24_bpe_encode_fertility": "1-row winning-pair broadcast per merge "
+    "pass (t23's trainer inside)",
     # bucket width derives from a ONE-ROW max-id (and max-weight)
     # aggregate crossJoined on (the t5 collect-free global-scalar shape)
     "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",
