@@ -238,3 +238,23 @@ def test_e7_pq_codebook_persists_iteration_state(spark):
         .toString()
     )
     assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+
+def test_bpe_plans_persist_pass_state(spark):
+    """t23/t24 persist per-pass state (the winning pair and the merged
+    vocab) — the e6/e7 iteration-state rule: unpersisted, every later
+    pass re-executes all earlier passes' pair counts per reference.
+    As with e6, raw Exchange counts are meaningless under cached-subtree
+    printouts, so the pin is the InMemoryTableScan reuse itself."""
+    from mrf_etl_spark.operators.textops import bpe_encode_fertility, bpe_merges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p1 = bpe_merges(docs)._jdf.queryExecution().executedPlan().toString()
+    assert p1.count("InMemoryTableScan") >= 2, p1[:2000]
+    p2 = (
+        bpe_encode_fertility(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p2.count("InMemoryTableScan") >= 2, p2[:2000]

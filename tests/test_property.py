@@ -495,3 +495,41 @@ def test_curriculum_order_contract(spark, rows):
     spec = sorted(rows, key=lambda t: (t[1], h(t[0]), t[0]))
     got = sorted(out, key=lambda r: r.curriculum_pos)
     assert [(r.doc_id, r.band) for r in got] == spec
+
+
+@given(
+    syms=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=2), min_size=1, max_size=8
+    ),
+    pair=st.tuples(
+        st.text(alphabet="abc", min_size=1, max_size=2),
+        st.text(alphabet="abc", min_size=1, max_size=2),
+    ),
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bpe_merge_fold_matches_greedy_reference(spark, syms, pair):
+    """_bpe_merge_step (the F.aggregate left-fold behind t23/t24, and
+    via list_reduce the oracle's twin) must equal the canonical greedy
+    left-to-right non-overlapping pair merge on arbitrary symbol
+    sequences — including re-merge chaining (a fused symbol serving as
+    the next LEFT) and (x, x) self-pairs."""
+    from pyspark.sql import functions as F
+
+    from mrf_etl_spark.operators.textops import _bpe_merge_step
+
+    left, right = pair
+
+    def ref(seq):
+        out = []
+        for x in seq:
+            if out and out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        return out
+
+    df = spark.createDataFrame([(syms,)], "arr array<string>")
+    got = df.select(
+        _bpe_merge_step(F.col("arr"), F.lit(left), F.lit(right)).alias("s")
+    ).collect()[0].s
+    assert got == " ".join(ref(syms)), (syms, pair, got)
