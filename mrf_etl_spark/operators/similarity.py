@@ -22,7 +22,7 @@ columns on each join side; only the dot is evaluated per pair.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1821,6 +1821,43 @@ def ivf_pq_index_append(
     _write_ivfpq_rows(
         new_emb, cent, seeds, path, "append", id_col, vec_col, dim, n_blocks
     )
+
+
+def ivf_pq_index_compact(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> int:
+    """Maintenance half of the streamed index lifecycle (st19 appends
+    one file set per micro-batch, so a long-running ingest accretes
+    small files in every ccid partition — at scale the probed
+    partitions' file-open/footer overhead comes to dominate query time
+    long before data volume does): compact each coarse-bucket partition
+    of the codes table PER PARTITION DIRECTORY (compact_parquet's
+    documented discipline for hive layouts — a hot bucket's rewrite
+    never touches cold ones), skipping buckets already at or under
+    ``min_files`` files. Queries before and after are IDENTICAL (the
+    rewrite is row-preserving and every query stage re-sorts) — pinned
+    by test. Returns the number of partitions compacted."""
+    import os
+
+    from mrf_etl_spark.io.writers import compact_parquet
+
+    codes = f"{path}/codes"
+    done = 0
+    for entry in sorted(os.listdir(codes)):
+        part = os.path.join(codes, entry)
+        if not (entry.startswith("ccid=") and os.path.isdir(part)):
+            continue
+        n_files = sum(
+            1 for f in os.listdir(part) if f.endswith(".parquet")
+        )
+        if n_files <= min_files:
+            continue
+        compact_parquet(spark, part, target_bytes=target_bytes)
+        done += 1
+    return done
 
 
 def ivf_pq_index_query(

@@ -3106,3 +3106,61 @@ def test_bpe_encode_fertility_hand_case(spark):
     assert out[1] == (5, 3 + 5 + 6 + 3 + 3, 1 + 3 + 4 + 1 + 1)
     # doc 2: new(2) newer(4) newest(5) new(2)
     assert out[2] == (4, 3 + 5 + 6 + 3, 2 + 4 + 5 + 2)
+
+
+def test_ivf_pq_index_compact_preserves_queries(spark, tmp_path):
+    """Index maintenance: after streamed-style appends accrete multiple
+    file sets per ccid partition, ivf_pq_index_compact rewrites each hot
+    partition to fewer files — and the post-compaction query equals the
+    pre-compaction answer EXACTLY (row-preserving rewrite; every query
+    stage re-sorts)."""
+    import os
+
+    from mrf_etl_spark.operators.similarity import (
+        ivf_pq_index_append,
+        ivf_pq_index_compact,
+        ivf_pq_index_create,
+        ivf_pq_index_query,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cent = emb.filter((F.col("vec_id") % 97) == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    seeds = emb.filter(F.col("vec_id") < 16)
+    path = str(tmp_path / "idx")
+    ivf_pq_index_create(
+        emb.filter(F.col("vec_id") % 4 == 0), path, cent, seeds,
+        dim=64, n_blocks=8,
+    )
+    for r in (1, 2, 3):
+        ivf_pq_index_append(
+            emb.filter(F.col("vec_id") % 4 == r), path, dim=64, n_blocks=8
+        )
+
+    def q():
+        return sorted(
+            map(
+                tuple,
+                ivf_pq_index_query(
+                    emb.filter(F.col("vec_id") < 10), path,
+                    dim=64, n_blocks=8, nprobe=2, n_candidates=50, k=5,
+                ).collect(),
+            )
+        )
+
+    def n_files():
+        return sum(
+            1
+            for dirpath, _, files in os.walk(f"{path}/codes")
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before, files_before = q(), n_files()
+    compacted = ivf_pq_index_compact(spark, path, min_files=1)
+    after, files_after = q(), n_files()
+    assert compacted > 0
+    assert files_after < files_before, (files_before, files_after)
+    assert after == before
+    assert len(after) == 50
