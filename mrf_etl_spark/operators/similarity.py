@@ -1631,12 +1631,15 @@ def codebook_drift(
             F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).cast("long").alias("n_cur"),
         )
     )
-    # every codebook row reports, even if nothing assigned to it
+    # every codebook row reports, even if nothing assigned to it.
+    # PERSIST the k-row result: it feeds BOTH the totals aggregate and
+    # the final crossJoin — unpersisted, the whole corpus assignment
+    # cascade executes twice (measured ~2x at sf1, the e6 lesson again)
     full = cent.select("cid").join(counts, "cid", "left").select(
         "cid",
         F.coalesce("n_base", zero).alias("n_base"),
         F.coalesce("n_cur", zero).alias("n_cur"),
-    )
+    ).persist()
     totals = full.agg(
         F.sum("n_base").alias("_tb"), F.sum("n_cur").alias("_tc")
     )

@@ -1459,6 +1459,8 @@ def _register_st20():
             .agg(F.sum("n").alias("n_cur"))
         )
         zero = F.lit(0).cast("long")
+        # persist the k-row table: it feeds both the totals agg and the
+        # final crossJoin (codebook_drift's documented 2x lesson)
         full = (
             cent.select("cid")
             .join(base, "cid", "left")
@@ -1468,6 +1470,7 @@ def _register_st20():
                 F.coalesce("n_base", zero).cast("long").alias("n_base"),
                 F.coalesce("n_cur", zero).cast("long").alias("n_cur"),
             )
+            .persist()
         )
         totals = full.agg(
             F.sum("n_base").alias("_tb"), F.sum("n_cur").alias("_tc")
