@@ -103,6 +103,7 @@ HEADLINE = [
     "st20_stream_codebook_drift",
     "t23_bpe_merges",
     "t24_bpe_encode_fertility",
+    "d14_semantic_decontam",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

@@ -1662,6 +1662,72 @@ def codebook_drift(
     )
 
 
+def semantic_decontam(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    tau: float = 0.9,
+) -> DataFrame:
+    """Semantic eval-set decontamination (d14) — the embedding-level
+    complement to d12's n-gram Bloom gate: flag corpus items whose
+    nearest eval-set embedding exceeds ``tau`` cosine. Catches the
+    contamination n-gram gates miss by construction — paraphrases,
+    translations, reformatted answers — which is why production
+    pipelines run BOTH gates before a release cut.
+
+    Scale shape: eval sets are small by nature (thousands of items at
+    any corpus size), so the production plan IS a bounded broadcast —
+    eval crosses the corpus scan once, the per-item argmax is one
+    map-side-combinable min(struct) keyed on the corpus id, and the
+    flag is a scalar compare. No shuffle ever carries the corpus with
+    vectors attached; nothing driver-side.
+
+    Determinism: cosines are left-associative fold doubles (the n1
+    doctrine — bit-identical to the oracle's unrolled chains); the
+    argmax tie-breaks (cosine DESC, eval_id ASC). Zero-norm vectors
+    (either side) score an EXPLICIT NULL — not engine-dependent 0/0
+    (Spark yields NULL there, DuckDB NaN) — rank last, and never flag;
+    e5's outlier gate is the QA stage that quarantines them.
+
+    Returns (id, eval_id, cosine, contaminated) for every corpus row.
+    """
+    ev = eval_set.select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev")
+    ).withColumn("_en", norm_fold("ev"))
+    c = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "_cn", norm_fold(vec_col)
+    )
+    scored = c.crossJoin(F.broadcast(ev)).withColumn(
+        "cos_e",
+        F.when(
+            F.col("_cn") * F.col("_en") > 0,
+            dot_fold(vec_col, "ev") / (F.col("_cn") * F.col("_en")),
+        ),
+    )
+    rank = F.when(F.col("cos_e").isNull(), F.lit(1)).otherwise(F.lit(0))
+    neg = F.when(rank == 0, -F.col("cos_e")).otherwise(F.lit(0.0))
+    best = scored.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                rank.alias("rk"),
+                neg.alias("neg"),
+                F.col("eval_id").alias("eval_id"),
+                F.col("cos_e").alias("cos_e"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("_b.eval_id").alias("eval_id"),
+        F.col("_b.cos_e").alias("cosine"),
+        F.coalesce(
+            F.col("_b.cos_e") >= F.lit(tau), F.lit(False)
+        ).alias("contaminated"),
+    )
+
+
 def assemble_pq_seeds(
     codebook: DataFrame,
     id_col: str = "vec_id",

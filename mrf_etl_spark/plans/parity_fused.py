@@ -76,6 +76,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
     "fx_anti_semi": [
         ("j10_anti_join", []),
         ("j11_semi_join", []),
+        # round-9: the semantic decontamination gate is the family's
+        # embedding member (exclude-matching-the-other-side semantics);
+        # cosine rides the v column, ~0.15 s oracle
+        ("d14_semantic_decontam", ["cosine"]),
     ],
     "fx_means": [
         ("a1_group_mean", ["avg_bal"]),
@@ -751,6 +755,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "e7_pq_codebook_train": ["b", "cid", "n_members", "i", "cs"],
     "e8_codebook_drift": ["cid", "n_base", "n_cur", "drifted"],
     "st20_stream_codebook_drift": ["cid", "n_base", "n_cur", "drifted"],
+    "d14_semantic_decontam": [
+        "vec_id", "eval_id", "cosine", "contaminated",
+    ],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -984,7 +991,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 266
+CATALOG_COUNT = 267
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

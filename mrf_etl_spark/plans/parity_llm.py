@@ -632,6 +632,23 @@ def _cos_sql(a: str, b: str) -> str:
     return f"(({dot}) / (sqrt({na}) * sqrt({nb})))"
 
 
+def _cos_sql_gated(a: str, b: str) -> str:
+    """:func:`_cos_sql` with the zero-norm case gated to NULL via
+    NULLIF on the denominator — matching the Spark side's explicit
+    when(norms > 0) gate (Spark's 0/0 yields NULL, DuckDB's yields NaN;
+    the gate makes both engines say NULL)."""
+    dot = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, DIM + 1)
+    )
+    na = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)" for i in range(1, DIM + 1)
+    )
+    nb = " + ".join(
+        f"CAST({b}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, DIM + 1)
+    )
+    return f"(({dot}) / NULLIF(sqrt({na}) * sqrt({nb}), 0))"
+
+
 @register(
     "n1_ann_cosine_topk",
     f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -1426,6 +1443,57 @@ _E7_CODES = 16
 # share moves by more than 5/4 (25%) between snapshots
 _E8_NUM = 5
 _E8_DEN = 4
+
+_D14_TAU = 0.9  # semantic-overlap flag threshold (max natural ~0.44)
+
+
+@register(
+    "d14_semantic_decontam",
+    # corpus = non-eval vectors ∪ verbatim eval copies at shifted ids
+    # (the d1 injection convention): copies score cosine 1.0 to their
+    # source and flag; the natural corpus tops out ~0.44 — both
+    # branches exercised. Cosines are the unrolled fold chains; argmax
+    # ties (cosine DESC, eval_id ASC) replay exactly.
+    f"""WITH ev AS MATERIALIZED (
+         SELECT vec_id AS eval_id, embedding AS ev
+         FROM embeddings WHERE vec_id % {EVAL_MOD} = 0),
+       corpus AS MATERIALIZED (
+         SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id % {EVAL_MOD} != 0
+         UNION ALL
+         SELECT vec_id + {ID_SHIFT} AS vec_id, embedding
+         FROM embeddings WHERE vec_id % {EVAL_MOD} = 0),
+       sc AS MATERIALIZED (
+         SELECT c.vec_id, e.eval_id,
+                {{COS}} AS cos_e
+         FROM corpus c, ev e)
+       SELECT vec_id, eval_id, cos_e AS cosine,
+              coalesce(cos_e >= CAST({_D14_TAU} AS DOUBLE), FALSE)
+                AS contaminated
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY cos_e DESC NULLS LAST, eval_id ASC) AS rn
+             FROM sc)
+       WHERE rn = 1""".replace("{COS}", _cos_sql_gated("c.embedding", "e.ev")),
+    doc="d14: semantic eval-set decontamination (beyond-ref) — the "
+    "embedding-level complement to d12's n-gram Bloom gate: flag "
+    "corpus items whose nearest eval embedding exceeds τ=0.9 cosine, "
+    "catching the paraphrase/translation/reformat contamination "
+    "n-gram gates miss by construction (production releases run BOTH "
+    "gates). Eval sets are small at any corpus size, so the plan is "
+    "ONE bounded eval broadcast over the corpus scan + a map-side-"
+    "combinable per-item argmax — the corpus never shuffles with "
+    "vectors attached (operators/similarity.semantic_decontam).",
+)
+def d14_semantic_decontam(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % EVAL_MOD == 0)
+    corpus = emb.filter(F.col("vec_id") % EVAL_MOD != 0).unionByName(
+        ev.withColumn("vec_id", F.col("vec_id") + ID_SHIFT)
+    )
+    return sim.semantic_decontam(
+        corpus, ev, "vec_id", "embedding", DIM, tau=_D14_TAU
+    )
 
 
 @register(

@@ -3164,3 +3164,35 @@ def test_ivf_pq_index_compact_preserves_queries(spark, tmp_path):
     assert files_after < files_before, (files_before, files_after)
     assert after == before
     assert len(after) == 50
+
+
+def test_semantic_decontam_hand_case(spark):
+    """d14 on a hand fixture: an exact eval copy flags (cos 1.0), an
+    anti-aligned vector never does, ties on equal cosine go to the
+    LOWEST eval id, and a zero vector scores an explicit NULL cosine
+    and never flags (Spark's 0/0 is NULL, DuckDB's is NaN — the gate
+    makes both say NULL; e5's outlier gate is the stage that
+    quarantines undefined directions)."""
+    from mrf_etl_spark.operators.similarity import semantic_decontam
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0, 0.0]),    # scaled copy of eval 100 -> cos 1
+            (2, [-1.0, 0.0, 0.0, 0.0]),   # anti-aligned -> cos -1 to best
+            (3, [1.0, 1.0, 0.0, 0.0]),    # equidistant -> tie -> eval 100
+            (4, [0.0, 0.0, 0.0, 0.0]),    # zero vector -> NaN -> flagged
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_decontam(corpus, ev, dim=4, tau=0.9).collect()
+    }
+    assert out[1].eval_id == 100 and out[1].contaminated is True
+    assert out[2].contaminated is False
+    assert out[3].eval_id == 100 and out[3].contaminated is False
+    assert out[4].cosine is None and out[4].contaminated is False

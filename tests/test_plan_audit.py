@@ -92,6 +92,9 @@ NESTED_LOOP_OK = {
     "t23_bpe_merges": "1-row winning-pair broadcast per merge pass",
     "t24_bpe_encode_fertility": "1-row winning-pair broadcast per merge "
     "pass (t23's trainer inside)",
+    # d14: eval sets are small at any corpus size — the bounded eval
+    # broadcast IS the production decontamination plan (n1's shape)
+    "d14_semantic_decontam": "bounded broadcast eval set",
     # bucket width derives from a ONE-ROW max-id (and max-weight)
     # aggregate crossJoined on (the t5 collect-free global-scalar shape)
     "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",
