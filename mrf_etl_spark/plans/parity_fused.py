@@ -80,6 +80,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # embedding member (exclude-matching-the-other-side semantics);
         # cosine rides the v column, ~0.15 s oracle
         ("d14_semantic_decontam", ["cosine"]),
+        # round-9: the gate applied AT INGEST — lake after the streamed
+        # drain == d14's clean subset, oracle derived from d14's
+        ("st21_stream_decontam_gate", ["cosine"]),
     ],
     "fx_means": [
         ("a1_group_mean", ["avg_bal"]),
@@ -758,6 +761,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "d14_semantic_decontam": [
         "vec_id", "eval_id", "cosine", "contaminated",
     ],
+    "st21_stream_decontam_gate": ["vec_id", "eval_id", "cosine"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -991,7 +995,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 267
+CATALOG_COUNT = 268
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

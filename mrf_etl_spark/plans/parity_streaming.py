@@ -1497,3 +1497,90 @@ def _register_st20():
 
 
 st20_stream_codebook_drift = _register_st20()
+
+
+# --------------------- round-9: streaming semantic decontamination gate
+
+def _register_st21():
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    # d14's oracle filtered to the rows the gate lets THROUGH: the lake
+    # after the drain must hold exactly the clean corpus with its audit
+    # columns — batch boundaries invisible (the gate is a per-row
+    # function of the batch row and the frozen eval broadcast)
+    _ORACLE = (
+        "SELECT vec_id, eval_id, cosine FROM ("
+        + REGISTRY["d14_semantic_decontam"].oracle
+        + ") WHERE NOT contaminated"
+    )
+
+    @register(
+        "st21_stream_decontam_gate",
+        oracle=_ORACLE,
+        doc="st21: d14's semantic decontamination applied AT INGEST — "
+        "the production placement: every micro-batch scores against "
+        "the frozen eval broadcast inside foreachBatch and only clean "
+        "rows land in the lake (with their nearest-eval audit "
+        "columns); contaminated rows never touch storage. Per-row "
+        "gate + bounded broadcast ⇒ batch boundaries invisible: the "
+        "drained lake equals d14's one-shot clean subset exactly. "
+        "Composes with pipe6's delta discipline — a daily refresh "
+        "gates only its delta.",
+    )
+    def st21_stream_decontam_gate(spark, sf_dir):
+        import os
+
+        from mrf_etl_spark.operators import similarity as sim
+        from mrf_etl_spark.operators.sketchlake import append_state
+        from mrf_etl_spark.plans.parity import _scratch
+        from mrf_etl_spark.plans.parity_llm import (
+            _D14_TAU,
+            EVAL_MOD,
+            ID_SHIFT,
+            DIM,
+        )
+
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        ev = emb.filter(F.col("vec_id") % EVAL_MOD == 0)
+        corpus = emb.filter(F.col("vec_id") % EVAL_MOD != 0).unionByName(
+            ev.withColumn("vec_id", F.col("vec_id") + ID_SHIFT)
+        )
+        staging = _scratch("st21_staging")
+        os.makedirs(staging, exist_ok=True)
+        corpus.filter(F.col("vec_id") % 2 == 0).write.mode(
+            "overwrite"
+        ).parquet(f"{staging}/half=1")
+        corpus.filter(F.col("vec_id") % 2 == 1).write.mode(
+            "overwrite"
+        ).parquet(f"{staging}/half=2")
+        lake = _scratch("st21_clean_lake")
+
+        def gate(batch_df, _batch_id):
+            scored = sim.semantic_decontam(
+                batch_df, ev, "vec_id", "embedding", DIM, tau=_D14_TAU
+            )
+            append_state(
+                scored.filter(~F.col("contaminated")).select(
+                    "vec_id", "eval_id", "cosine"
+                ),
+                lake,
+            )
+
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staging}/half=*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", _scratch("st21_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return spark.read.parquet(lake)
+
+    return st21_stream_decontam_gate
+
+
+st21_stream_decontam_gate = _register_st21()
