@@ -1662,6 +1662,100 @@ def codebook_drift(
     )
 
 
+def linear_probe(
+    emb: DataFrame,
+    label_expr: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 2,
+) -> DataFrame:
+    """Distributed linear-probe training (e9) — a batch perceptron over
+    int8-quantized embeddings: the training loop behind every
+    CCNet/fastText-style quality classifier, run ON the engine instead
+    of exporting features to a single box. ``label_expr`` is the
+    boolean target (TRUE → +1, FALSE → −1).
+
+    INTEGER-EXACT iterative training (the e6/e7 doctrine, third
+    instance): features are e1's per-vector int8 quantization
+    (direction-normalized — the standard feature scaling for a linear
+    probe), the margin test is the integer comparison
+    ``y·(w·x) ≤ 0``, and the BATCH update ``w += Σ_misclassified y·x``
+    is one map-side-combinable int64 64-sum — order-invariant, so the
+    oracle unrolls the iterations and replays every weight byte. From
+    w₀ = 0, iteration 1's update is the class-mean-difference
+    direction (every point is misclassified at zero margin) — the
+    classic perceptron warm start. |w_i| ≤ iters·N·127 keeps int64
+    safe beyond 10¹² rows per iteration.
+
+    Plan shape per iteration: the 1-row weight vector broadcasts onto
+    the corpus scan (t5's global-scalar shape), the misclassified
+    filter is scan-local, the update is ONE combinable agg; the KiB of
+    weight state persists between iterations (the measured e6 rule).
+
+    Returns (iter, i, w, n_mis): the weight vector AFTER each
+    iteration's update, with the update's misclassified count — k·dim
+    all-integer rows.
+    """
+    zero = F.lit(0).cast("long")
+    q = quantize_int8(emb, vec_col, id_col).select(
+        F.col(id_col).alias("vid"), "qvec"
+    )
+    y = emb.select(
+        F.col(id_col).alias("vid"),
+        F.when(label_expr, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
+    )
+    data = q.join(y, "vid")
+    w = data.sparkSession.range(1).select(
+        F.array_repeat(zero, dim).alias("warr")
+    )
+    outs = []
+    for k in range(1, iters + 1):
+        margin = F.col("y") * F.aggregate(
+            F.zip_with("qvec", "warr", lambda x, wv: x.cast("long") * wv),
+            zero,
+            lambda acc, v: acc + v,
+        )
+        mis = data.crossJoin(F.broadcast(w)).filter(margin <= 0)
+        upd = mis.agg(
+            *[
+                F.sum(F.col("y") * F.element_at("qvec", i + 1).cast("long")).alias(
+                    f"_u{i}"
+                )
+                for i in range(dim)
+            ],
+            F.count("*").alias("n_mis"),
+        )
+        w = (
+            w.crossJoin(F.broadcast(upd))
+            .select(
+                F.array(
+                    *[
+                        (
+                            F.element_at("warr", i + 1)
+                            + F.coalesce(F.col(f"_u{i}"), zero)
+                        ).alias(f"_w{i}")
+                        for i in range(dim)
+                    ]
+                ).alias("warr"),
+                F.col("n_mis"),
+            )
+            .persist()
+        )
+        outs.append(
+            w.select(
+                F.lit(k).alias("iter"),
+                F.posexplode("warr").alias("i", "w"),
+                F.col("n_mis"),
+            ).select("iter", "i", "w", "n_mis")
+        )
+        w = w.select("warr")
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def semantic_decontam(
     corpus: DataFrame,
     eval_set: DataFrame,

@@ -203,6 +203,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("f_json_extract", ["avg_k"]),
         ("f_array_normalize", []),
         ("q1_quality_report", ["bad_rate"]),
+        # round-9: the linear-probe trainer — all-int64 weight/count
+        # surface (~0.1 s oracle); the embedding probes are at the 7-cap
+        ("e9_linear_probe", []),
     ],
     "fx_explode": [
         # round-9: the embedding-QA gate — all-integer/boolean surface,
@@ -762,6 +765,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "vec_id", "eval_id", "cosine", "contaminated",
     ],
     "st21_stream_decontam_gate": ["vec_id", "eval_id", "cosine"],
+    "e9_linear_probe": ["iter", "i", "w", "n_mis"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -995,7 +999,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 268
+CATALOG_COUNT = 269
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

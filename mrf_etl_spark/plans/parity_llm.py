@@ -1447,6 +1447,65 @@ _E8_DEN = 4
 _D14_TAU = 0.9  # semantic-overlap flag threshold (max natural ~0.44)
 
 
+def _e9_iter_ctes(k: int, prev: int) -> str:
+    """One unrolled batch-perceptron iteration: exact int64 margins
+    against w{prev}, the misclassified set (y·dot ≤ 0), the per-dim
+    update sums, and the next weight vector + update count."""
+    return f"""
+       d{k} AS MATERIALIZED (
+         SELECT u.vid, u.y, CAST(sum(u.x * w.wv) AS BIGINT) AS dot
+         FROM ux u JOIN w{prev} w ON w.i = u.i GROUP BY u.vid, u.y),
+       m{k} AS MATERIALIZED (
+         SELECT vid, y FROM d{k} WHERE y * dot <= 0),
+       n{k} AS MATERIALIZED (
+         SELECT CAST(count(*) AS BIGINT) AS n_mis FROM m{k}),
+       w{k} AS MATERIALIZED (
+         SELECT w.i, w.wv + coalesce(s.d, 0) AS wv
+         FROM w{prev} w LEFT JOIN (
+           SELECT u.i, CAST(sum(m.y * u.x) AS BIGINT) AS d
+           FROM ux u JOIN m{k} m ON m.vid = u.vid GROUP BY u.i) s
+         ON s.i = w.i)"""
+
+
+@register(
+    "e9_linear_probe",
+    # two unrolled batch-perceptron iterations — margins, misclassified
+    # sets, update sums, and weights are ALL exact int64s, so the
+    # trained probe replays byte-for-byte
+    f"""WITH q AS MATERIALIZED (
+         SELECT vec_id AS vid,
+                CASE WHEN label < 5 THEN 1 ELSE -1 END AS y,
+                {_E6_QVEC} AS qvec
+         FROM embeddings),
+       ux AS MATERIALIZED (
+         SELECT vid, y, CAST(t.i AS INT) AS i,
+                CAST(qvec[CAST(t.i AS INT) + 1] AS BIGINT) AS x
+         FROM q, range({DIM}) t(i)),
+       w0 AS MATERIALIZED (
+         SELECT CAST(t.i AS INT) AS i, CAST(0 AS BIGINT) AS wv
+         FROM range({DIM}) t(i)),{_e9_iter_ctes(1, 0)},{_e9_iter_ctes(2, 1)}
+       SELECT 1 AS iter, w1.i, w1.wv AS w, n1.n_mis FROM w1, n1
+       UNION ALL
+       SELECT 2, w2.i, w2.wv, n2.n_mis FROM w2, n2""",
+    doc="e9: distributed linear-probe training (beyond-ref) — a batch "
+    "perceptron over int8 embeddings, the training loop behind "
+    "CCNet/fastText-style quality classifiers, run ON the engine: the "
+    "margin test y·(w·x) ≤ 0 is an integer comparison and the batch "
+    "update w += Σ_misclassified y·x is ONE map-side-combinable int64 "
+    "64-sum per iteration — order-invariant, so the oracle unrolls "
+    "both iterations and replays every weight byte. Per iteration: a "
+    "1-row weight broadcast on the corpus scan + one combinable agg; "
+    "KiB weight state persists between iterations. On the fixture the "
+    "probe is REAL: iteration-2 misclassifies 182/500 (the labels "
+    "carry linear structure) (operators/similarity.linear_probe).",
+)
+def e9_linear_probe(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.linear_probe(
+        emb, F.col("label") < 5, "vec_id", "embedding", DIM, iters=2
+    )
+
+
 @register(
     "d14_semantic_decontam",
     # corpus = non-eval vectors ∪ verbatim eval copies at shifted ids

@@ -3196,3 +3196,41 @@ def test_semantic_decontam_hand_case(spark):
     assert out[2].contaminated is False
     assert out[3].eval_id == 100 and out[3].contaminated is False
     assert out[4].cosine is None and out[4].contaminated is False
+
+
+def test_linear_probe_hand_case_and_partition_invariance(spark):
+    """e9 on a linearly separable hand fixture: iteration 1 (w0 = 0)
+    misclassifies everything and lands on the class-mean-difference
+    direction; iteration 2 misclassifies nothing and leaves w unchanged.
+    The batch update is order-invariant: 1 vs 8 partitions bit-identical."""
+    from mrf_etl_spark.operators.similarity import linear_probe
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 1),
+        (1, [2.0, 0.1, 0.0, 0.0], 1),
+        (2, [-1.0, 0.0, 0.0, 0.0], 0),
+        (3, [-2.0, -0.1, 0.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        (r.iter, r.i): (r.w, r.n_mis)
+        for r in linear_probe(emb, F.col("label") == 1, dim=4, iters=2).collect()
+    }
+    # iter 1: every row misclassified at zero margin; w = sum of y*qvec:
+    # qvecs quantize to [127,0,0,0],[127,6,0,0],[-127,0,0,0],[-127,-6,0,0]
+    # -> w = [508, 12, 0, 0]
+    assert out[(1, 0)] == (508, 4)
+    assert out[(1, 1)] == (12, 4)
+    # iter 2: separable -> converged, w unchanged, nothing misclassified
+    assert out[(2, 0)] == (508, 0)
+    assert out[(2, 3)] == (0, 0)
+
+    big = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = linear_probe(big.coalesce(1), F.col("label") < 5).collect()
+    b = linear_probe(big.repartition(8, "vec_id"), F.col("label") < 5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # the probe LEARNS on the fixture: iteration 2's update count drops
+    nm = {r.iter: r.n_mis for r in a}
+    assert nm[2] < nm[1]

@@ -95,6 +95,9 @@ NESTED_LOOP_OK = {
     # d14: eval sets are small at any corpus size — the bounded eval
     # broadcast IS the production decontamination plan (n1's shape)
     "d14_semantic_decontam": "bounded broadcast eval set",
+    # e9: the 1-row weight vector broadcasts onto the corpus scan per
+    # iteration (t5's global-scalar shape)
+    "e9_linear_probe": "1-row weight-vector broadcast per iteration",
     # bucket width derives from a ONE-ROW max-id (and max-weight)
     # aggregate crossJoined on (the t5 collect-free global-scalar shape)
     "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",
