@@ -1756,6 +1756,115 @@ def linear_probe(
     return res
 
 
+def linear_probe_eval(
+    emb: DataFrame,
+    label_expr: Column,
+    holdout_expr: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 2,
+) -> DataFrame:
+    """Train/eval loop for the linear probe (e10) — :func:`linear_probe`
+    trained on the NON-holdout rows, with each iteration's weights
+    scored on the HELD-OUT split: the generalization report
+    (tp/fp/tn/fn) every classifier sign-off needs, produced in the same
+    plan as training. Ties at zero margin predict NEGATIVE (the
+    perceptron's own misclassification rule for y=+1 at margin 0 —
+    consistent on both engines as an integer comparison).
+
+    Everything stays integer-exact: training is e9's batch perceptron
+    verbatim; evaluation is one conditional-sum agg over the holdout
+    per iteration against the broadcast weights.
+
+    Returns (iter, tp, fp, tn, fn, n_mis_train): iters all-int rows.
+    """
+    zero = F.lit(0).cast("long")
+    q = quantize_int8(emb, vec_col, id_col).select(
+        F.col(id_col).alias("vid"), "qvec"
+    )
+    y = emb.select(
+        F.col(id_col).alias("vid"),
+        F.when(label_expr, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
+        holdout_expr.alias("_ho"),
+    )
+    data = q.join(y, "vid")
+    train = data.filter(~F.col("_ho"))
+    hold = data.filter(F.col("_ho"))
+    w = data.sparkSession.range(1).select(
+        F.array_repeat(zero, dim).alias("warr")
+    )
+
+    def margin_col():
+        return F.col("y") * F.aggregate(
+            F.zip_with("qvec", "warr", lambda x, wv: x.cast("long") * wv),
+            zero,
+            lambda acc, v: acc + v,
+        )
+
+    outs = []
+    for k in range(1, iters + 1):
+        mis = train.crossJoin(F.broadcast(w)).filter(margin_col() <= 0)
+        upd = mis.agg(
+            *[
+                F.sum(F.col("y") * F.element_at("qvec", i + 1).cast("long")).alias(
+                    f"_u{i}"
+                )
+                for i in range(dim)
+            ],
+            F.count("*").alias("n_mis_train"),
+        )
+        w = (
+            w.crossJoin(F.broadcast(upd))
+            .select(
+                F.array(
+                    *[
+                        (
+                            F.element_at("warr", i + 1)
+                            + F.coalesce(F.col(f"_u{i}"), zero)
+                        ).alias(f"_w{i}")
+                        for i in range(dim)
+                    ]
+                ).alias("warr"),
+                F.col("n_mis_train"),
+            )
+            .persist()
+        )
+        dot = F.aggregate(
+            F.zip_with("qvec", "warr", lambda x, wv: x.cast("long") * wv),
+            zero,
+            lambda acc, v: acc + v,
+        )
+        pred_pos = dot > 0  # zero margin predicts negative
+        conf = (
+            hold.crossJoin(F.broadcast(w))
+            .agg(
+                F.sum(
+                    F.when((F.col("y") == 1) & pred_pos, 1).otherwise(0)
+                ).cast("long").alias("tp"),
+                F.sum(
+                    F.when((F.col("y") == -1) & pred_pos, 1).otherwise(0)
+                ).cast("long").alias("fp"),
+                F.sum(
+                    F.when((F.col("y") == -1) & ~pred_pos, 1).otherwise(0)
+                ).cast("long").alias("tn"),
+                F.sum(
+                    F.when((F.col("y") == 1) & ~pred_pos, 1).otherwise(0)
+                ).cast("long").alias("fn"),
+                F.max("n_mis_train").alias("n_mis_train"),
+            )
+            .select(
+                F.lit(k).alias("iter"), "tp", "fp", "tn", "fn", "n_mis_train"
+            )
+        )
+        outs.append(conf)
+        w = w.select("warr")
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def semantic_decontam(
     corpus: DataFrame,
     eval_set: DataFrame,

@@ -206,6 +206,8 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-9: the linear-probe trainer — all-int64 weight/count
         # surface (~0.1 s oracle); the embedding probes are at the 7-cap
         ("e9_linear_probe", []),
+        # round-9: the train/eval loop — 2 all-int confusion rows
+        ("e10_probe_eval", []),
     ],
     "fx_explode": [
         # round-9: the embedding-QA gate — all-integer/boolean surface,
@@ -766,6 +768,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "st21_stream_decontam_gate": ["vec_id", "eval_id", "cosine"],
     "e9_linear_probe": ["iter", "i", "w", "n_mis"],
+    "e10_probe_eval": ["iter", "tp", "fp", "tn", "fn", "n_mis_train"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -999,7 +1002,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 269
+CATALOG_COUNT = 270
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -98,6 +98,8 @@ NESTED_LOOP_OK = {
     # e9: the 1-row weight vector broadcasts onto the corpus scan per
     # iteration (t5's global-scalar shape)
     "e9_linear_probe": "1-row weight-vector broadcast per iteration",
+    "e10_probe_eval": "1-row weight-vector broadcast per iteration "
+    "(e9's trainer inside)",
     # bucket width derives from a ONE-ROW max-id (and max-weight)
     # aggregate crossJoined on (the t5 collect-free global-scalar shape)
     "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",
