@@ -3234,3 +3234,33 @@ def test_linear_probe_hand_case_and_partition_invariance(spark):
     # the probe LEARNS on the fixture: iteration 2's update count drops
     nm = {r.iter: r.n_mis for r in a}
     assert nm[2] < nm[1]
+
+
+def test_linear_probe_eval_hand_case(spark):
+    """e10 on a separable hand fixture with an explicit holdout: after
+    iteration 1's class-mean-difference step the held-out points (one
+    per class, same directions as train) classify perfectly — tp=1,
+    tn=1, no errors — and train misclassification is 4 (all, at w0=0)
+    then 0 (converged)."""
+    from mrf_etl_spark.operators.similarity import linear_probe_eval
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 1),
+        (1, [2.0, 0.1, 0.0, 0.0], 1),
+        (2, [-1.0, 0.0, 0.0, 0.0], 0),
+        (3, [-2.0, -0.1, 0.0, 0.0], 0),
+        (10, [3.0, 0.0, 0.0, 0.0], 1),   # holdout +
+        (11, [-3.0, 0.0, 0.0, 0.0], 0),  # holdout -
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r.iter: r
+        for r in linear_probe_eval(
+            emb, F.col("label") == 1, F.col("vec_id") >= 10, dim=4, iters=2
+        ).collect()
+    }
+    assert (out[1].tp, out[1].fp, out[1].tn, out[1].fn) == (1, 0, 1, 0)
+    assert out[1].n_mis_train == 4
+    assert (out[2].tp, out[2].tn, out[2].n_mis_train) == (1, 1, 0)
