@@ -107,6 +107,7 @@ HEADLINE = [
     "st21_stream_decontam_gate",
     "e9_linear_probe",
     "e10_probe_eval",
+    "e11_probe_inference",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

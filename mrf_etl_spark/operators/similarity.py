@@ -1865,6 +1865,92 @@ def linear_probe_eval(
     return res
 
 
+def linear_probe_apply(
+    emb: DataFrame,
+    label_expr: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 2,
+) -> DataFrame:
+    """Trained-probe corpus inference (e11) — the DEPLOY step of the
+    e9/e10 classifier lifecycle and the FineWeb-Edu production shape:
+    train the quality probe on the labeled slice, then score EVERY
+    document in the corpus with the final weights and emit the keep
+    decision the downstream pipeline filters on. e9 trains, e10 signs
+    off on the holdout, e11 is the full-corpus pass that actually
+    curates the dataset.
+
+    Training is :func:`linear_probe`'s batch perceptron verbatim
+    (INTEGER-EXACT: int8 features, integer margins, one combinable
+    int64 update agg per iteration); inference is a single projection —
+    the final KiB weight vector broadcasts onto the corpus scan, the
+    score is the exact int64 dot, and ``keep = score > 0`` (zero margin
+    predicts negative, the perceptron's own rule, an integer compare on
+    both engines). At 100 TB the scoring pass is embarrassingly
+    parallel: no shuffle after the bounded training aggs — the corpus
+    is read once and filtered in place.
+
+    Returns (id, score, keep) for every input row — all-int + boolean,
+    so the oracle replays every decision exactly.
+    """
+    zero = F.lit(0).cast("long")
+    q = quantize_int8(emb, vec_col, id_col).select(
+        F.col(id_col).alias("vid"), "qvec"
+    )
+    y = emb.select(
+        F.col(id_col).alias("vid"),
+        F.when(label_expr, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
+    )
+    data = q.join(y, "vid")
+    w = data.sparkSession.range(1).select(
+        F.array_repeat(zero, dim).alias("warr")
+    )
+    for _ in range(iters):
+        margin = F.col("y") * F.aggregate(
+            F.zip_with("qvec", "warr", lambda x, wv: x.cast("long") * wv),
+            zero,
+            lambda acc, v: acc + v,
+        )
+        mis = data.crossJoin(F.broadcast(w)).filter(margin <= 0)
+        upd = mis.agg(
+            *[
+                F.sum(F.col("y") * F.element_at("qvec", i + 1).cast("long")).alias(
+                    f"_u{i}"
+                )
+                for i in range(dim)
+            ]
+        )
+        w = (
+            w.crossJoin(F.broadcast(upd))
+            .select(
+                F.array(
+                    *[
+                        (
+                            F.element_at("warr", i + 1)
+                            + F.coalesce(F.col(f"_u{i}"), zero)
+                        ).alias(f"_w{i}")
+                        for i in range(dim)
+                    ]
+                ).alias("warr")
+            )
+            .persist()
+        )
+    score = F.aggregate(
+        F.zip_with("qvec", "warr", lambda x, wv: x.cast("long") * wv),
+        zero,
+        lambda acc, v: acc + v,
+    )
+    return (
+        q.crossJoin(F.broadcast(w))
+        .select(
+            F.col("vid").alias(id_col),
+            score.alias("score"),
+            (score > 0).alias("keep"),
+        )
+    )
+
+
 def semantic_decontam(
     corpus: DataFrame,
     eval_set: DataFrame,

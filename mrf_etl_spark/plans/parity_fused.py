@@ -208,6 +208,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("e9_linear_probe", []),
         # round-9: the train/eval loop — 2 all-int confusion rows
         ("e10_probe_eval", []),
+        # round-9 session 3: the deploy step — full-corpus scoring with
+        # the trained weights, 500 all-int/boolean rows (probe now at
+        # the 7-cap, completing the e9→e10→e11 lifecycle in one family)
+        ("e11_probe_inference", []),
     ],
     "fx_explode": [
         # round-9: the embedding-QA gate — all-integer/boolean surface,
@@ -769,6 +773,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "st21_stream_decontam_gate": ["vec_id", "eval_id", "cosine"],
     "e9_linear_probe": ["iter", "i", "w", "n_mis"],
     "e10_probe_eval": ["iter", "tp", "fp", "tn", "fn", "n_mis_train"],
+    "e11_probe_inference": ["vec_id", "score", "keep"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -1002,7 +1007,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 270
+CATALOG_COUNT = 271
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

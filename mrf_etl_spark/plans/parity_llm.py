@@ -1589,6 +1589,47 @@ def e10_probe_eval(spark, sf_dir):
 
 
 @register(
+    "e11_probe_inference",
+    # e9's two unrolled training iterations, then ONE scoring pass of
+    # the FULL corpus against the final weights — exact int64 dots, so
+    # every keep decision replays byte-for-byte
+    f"""WITH q AS MATERIALIZED (
+         SELECT vec_id AS vid,
+                CASE WHEN label < 5 THEN 1 ELSE -1 END AS y,
+                {_E6_QVEC} AS qvec
+         FROM embeddings),
+       ux AS MATERIALIZED (
+         SELECT vid, y, CAST(t.i AS INT) AS i,
+                CAST(qvec[CAST(t.i AS INT) + 1] AS BIGINT) AS x
+         FROM q, range({DIM}) t(i)),
+       w0 AS MATERIALIZED (
+         SELECT CAST(t.i AS INT) AS i, CAST(0 AS BIGINT) AS wv
+         FROM range({DIM}) t(i)),{_e9_iter_ctes(1, 0)},{_e9_iter_ctes(2, 1)}
+       SELECT u.vid AS vec_id,
+              CAST(sum(u.x * w.wv) AS BIGINT) AS score,
+              (CAST(sum(u.x * w.wv) AS BIGINT) > 0) AS keep
+       FROM ux u JOIN w2 w ON w.i = u.i
+       GROUP BY u.vid""",
+    doc="e11 (beyond-ref): trained-probe corpus inference — the DEPLOY "
+    "step of the e9/e10 classifier lifecycle and the FineWeb-Edu "
+    "production shape: train the quality probe (e9's batch perceptron "
+    "verbatim, integer-exact), then score EVERY document with the "
+    "final weights and emit the keep decision the pipeline filters on. "
+    "Inference is a single projection: the KiB weight vector "
+    "broadcasts onto the corpus scan, score = exact int64 dot, "
+    "keep = score > 0 (zero margin predicts negative). At 100 TB the "
+    "scoring pass is shuffle-free — the corpus is read once and "
+    "filtered in place. On the fixture 251/500 keep — both branches "
+    "exercised (operators/similarity.linear_probe_apply).",
+)
+def e11_probe_inference(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.linear_probe_apply(
+        emb, F.col("label") < 5, "vec_id", "embedding", DIM, iters=2
+    )
+
+
+@register(
     "d14_semantic_decontam",
     # corpus = non-eval vectors ∪ verbatim eval copies at shifted ids
     # (the d1 injection convention): copies score cosine 1.0 to their

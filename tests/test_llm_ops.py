@@ -3264,3 +3264,61 @@ def test_linear_probe_eval_hand_case(spark):
     assert (out[1].tp, out[1].fp, out[1].tn, out[1].fn) == (1, 0, 1, 0)
     assert out[1].n_mis_train == 4
     assert (out[2].tp, out[2].tn, out[2].n_mis_train) == (1, 1, 0)
+
+
+def test_linear_probe_apply_hand_case_and_agreement(spark):
+    """e11 on the separable hand fixture: after training (w = the
+    class-mean-difference direction, converged at iteration 2) every
+    row scores y·|dot| with the right sign — keep exactly the positive
+    class. Scores are the exact int64 dots against w = [508, 12, 0, 0].
+    On the sf0.01 corpus the keep set must agree with e9's final
+    weights applied by hand (the deploy pass changes no decisions)."""
+    from mrf_etl_spark.operators.similarity import (
+        linear_probe,
+        linear_probe_apply,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 1),
+        (1, [2.0, 0.1, 0.0, 0.0], 1),
+        (2, [-1.0, 0.0, 0.0, 0.0], 0),
+        (3, [-2.0, -0.1, 0.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r.vec_id: (r.score, r.keep)
+        for r in linear_probe_apply(
+            emb, F.col("label") == 1, dim=4, iters=2
+        ).collect()
+    }
+    # qvecs: [127,0,..],[127,6,..],[-127,0,..],[-127,-6,..]; w=[508,12,0,0]
+    assert out[0] == (127 * 508, True)
+    assert out[1] == (127 * 508 + 6 * 12, True)
+    assert out[2] == (-127 * 508, False)
+    assert out[3] == (-127 * 508 - 6 * 12, False)
+
+    big = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    scored = linear_probe_apply(big, F.col("label") < 5).collect()
+    assert len(scored) == big.count()
+    # decisions follow the trained weights exactly: recompute one row's
+    # score from e9's iteration-2 weight vector
+    w2 = {
+        r.i: r.w
+        for r in linear_probe(big, F.col("label") < 5).collect()
+        if r.iter == 2
+    }
+    from mrf_etl_spark.operators.similarity import quantize_int8
+
+    probe_row = min(scored, key=lambda r: r.vec_id)
+    qv = (
+        quantize_int8(big.filter(F.col("vec_id") == probe_row.vec_id))
+        .select("qvec")
+        .first()[0]
+    )
+    assert probe_row.score == sum(int(x) * w2[i] for i, x in enumerate(qv))
+    assert probe_row.keep is (probe_row.score > 0)
+    # both branches live on the fixture
+    keeps = sum(1 for r in scored if r.keep)
+    assert 0 < keeps < len(scored)

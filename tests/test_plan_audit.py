@@ -100,6 +100,8 @@ NESTED_LOOP_OK = {
     "e9_linear_probe": "1-row weight-vector broadcast per iteration",
     "e10_probe_eval": "1-row weight-vector broadcast per iteration "
     "(e9's trainer inside)",
+    "e11_probe_inference": "1-row weight-vector broadcast per iteration "
+    "(e9's trainer inside) + one final scoring broadcast",
     # bucket width derives from a ONE-ROW max-id (and max-weight)
     # aggregate crossJoined on (the t5 collect-free global-scalar shape)
     "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",
