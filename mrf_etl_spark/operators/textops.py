@@ -1405,3 +1405,78 @@ def _apply_bpe_merges(sym: DataFrame, n_merges: int) -> DataFrame:
             .persist()
         )
     return sym
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_expr,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget_n: int = 50,
+) -> DataFrame:
+    """DSIR-style importance-weighted data selection (d15) — pick the
+    ``budget_n`` pool documents whose unigram distribution looks most
+    like a TARGET slice (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling": score each candidate by the
+    log-likelihood ratio of a target LM vs the raw-corpus LM, keep the
+    highest). ``target_expr`` marks the target rows (the
+    Wikipedia/books-style exemplar slice); everything else is the
+    selection pool.
+
+    Integer-bits scoring (the t22 doctrine): with c_t(w)/c_c(w) the
+    target/corpus unigram counts and N_t/N_c their token totals, the
+    per-token log-ratio log2(p_t/p_c) = [log2 c_t − log2 c_c] +
+    [log2 N_c − log2 N_t] quantizes to floor_log2 on add-one counts —
+    floor_log2(x) = length(bin(x)) − 1 renders identically on both
+    engines, so every score and therefore the selected set replays
+    exactly. score(doc) = Σ_w [flog2(1+c_t(w)) − flog2(1+c_c(w))]
+    + n_tokens·[flog2(1+N_c) − flog2(1+N_t)].
+
+    Plan shape at 100 TB: one token explode feeding two map-side-
+    combinable count tables (target counts are a filtered second agg of
+    the SAME exploded scan), the scoring join is per-token on the word
+    key (hot stopwords = the AQE skew case; the count tables never
+    leave the executors), totals ride a 1-row broadcast, and the final
+    budget cut is a bounded TakeOrdered — never a corpus-wide window.
+    The rank column is minted over the ≤ budget_n survivors only.
+
+    Returns the top ``budget_n`` pool docs as (doc_id, n_tokens, score,
+    rank), rank 1 = most target-like; ties (score, then doc_id ASC)
+    are deterministic on both engines.
+    """
+    from pyspark.sql.window import Window
+
+    flog2 = lambda c: (F.length(F.bin(c)) - F.lit(1)).cast("long")  # noqa: E731
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_expr.alias("_tgt"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_ws"),
+    )
+    words = w.select("doc_id", "_tgt", F.explode("_ws").alias("wd"))
+    cc = words.groupBy("wd").agg(F.count("*").alias("_cc"))
+    ct = words.filter(F.col("_tgt")).groupBy("wd").agg(F.count("*").alias("_ct"))
+    tot = words.agg(
+        F.count("*").alias("_nc"),
+        F.sum(F.col("_tgt").cast("long")).alias("_nt"),
+    )
+    bits = flog2(F.lit(1) + F.coalesce(F.col("_ct"), F.lit(0))) - flog2(
+        F.lit(1) + F.col("_cc")
+    )
+    per_doc = (
+        words.filter(~F.col("_tgt"))
+        .join(cc, "wd")
+        .join(ct, "wd", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum(bits).alias("_sbits"))
+    )
+    norm = flog2(F.lit(1) + F.col("_nc")) - flog2(F.lit(1) + F.col("_nt"))
+    scored = per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_sbits") + F.col("n_tokens") * norm).cast("long").alias("score"),
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        budget_n
+    )
+    wr = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(wr).cast("long"))

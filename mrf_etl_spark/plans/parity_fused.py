@@ -83,6 +83,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-9: the gate applied AT INGEST — lake after the streamed
         # drain == d14's clean subset, oracle derived from d14's
         ("st21_stream_decontam_gate", ["cosine"]),
+        # round-9 session 3: DSIR importance selection — the family's
+        # CHOOSE gate beside the drop gates; all-int surface, tiny
+        # 50-row budget output (~0.1 s oracle)
+        ("d15_dsir_select", []),
     ],
     "fx_means": [
         ("a1_group_mean", ["avg_bal"]),
@@ -774,6 +778,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "e9_linear_probe": ["iter", "i", "w", "n_mis"],
     "e10_probe_eval": ["iter", "tp", "fp", "tn", "fn", "n_mis_train"],
     "e11_probe_inference": ["vec_id", "score", "keep"],
+    "d15_dsir_select": ["doc_id", "n_tokens", "score", "rank"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -1007,7 +1012,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 271
+CATALOG_COUNT = 272
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -1629,6 +1629,69 @@ def e11_probe_inference(spark, sf_dir):
     )
 
 
+_D15_TARGET_SRC = "src0"
+_D15_BUDGET = 50
+
+
+@register(
+    "d15_dsir_select",
+    # t22's tokenization verbatim; add-one floor_log2 bits on both the
+    # per-word ratio and the 1-row totals normalization — every score
+    # is an exact int64, so the selected set + ranks replay exactly.
+    # cc/ct/tot are each re-referenced by the scoring join → MATERIALIZED.
+    f"""WITH w AS MATERIALIZED (
+         SELECT doc_id, (source = '{_D15_TARGET_SRC}') AS tgt,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+         FROM documents),
+       wd AS MATERIALIZED (
+         SELECT doc_id, tgt, unnest(ws) AS wd FROM w),
+       cc AS MATERIALIZED (
+         SELECT wd, CAST(count(*) AS BIGINT) AS cc FROM wd GROUP BY wd),
+       ct AS MATERIALIZED (
+         SELECT wd, CAST(count(*) AS BIGINT) AS ct
+         FROM wd WHERE tgt GROUP BY wd),
+       tot AS MATERIALIZED (
+         SELECT CAST(count(*) AS BIGINT) AS nc,
+                CAST(count(*) FILTER (tgt) AS BIGINT) AS nt FROM wd),
+       sc AS MATERIALIZED (
+         SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum((length(bin(1 + coalesce(t.ct, 0))) - 1)
+                         - (length(bin(1 + c.cc)) - 1)) AS BIGINT) AS sbits
+         FROM wd d
+         JOIN cc c USING (wd)
+         LEFT JOIN ct t USING (wd)
+         WHERE NOT d.tgt GROUP BY d.doc_id)
+       SELECT doc_id, n_tokens, score,
+              CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS BIGINT) AS rank
+       FROM (SELECT s.doc_id, s.n_tokens,
+                    CAST(s.sbits + s.n_tokens *
+                         ((length(bin(1 + o.nc)) - 1)
+                          - (length(bin(1 + o.nt)) - 1)) AS BIGINT) AS score
+             FROM sc s, tot o)
+       ORDER BY score DESC, doc_id ASC LIMIT {_D15_BUDGET}""",
+    doc="d15 (beyond-ref): DSIR importance-weighted data selection (Xie "
+    "et al. 2023) — pick the budget_n pool docs whose unigram "
+    "distribution is most target-like, scored by the integer-bits "
+    "log-likelihood ratio of the target LM vs the corpus LM "
+    "(floor_log2 on add-one counts, the t22 doctrine — no libm, every "
+    "score exact). One token explode feeds two combinable count "
+    "tables; the scoring join is per-token on the word key (AQE skew "
+    "case); totals are a 1-row broadcast; the budget cut is a bounded "
+    "TakeOrdered, never a corpus window. The mixture-curation "
+    "counterpart to the d12/d14 exclusion gates: those drop rows, d15 "
+    "CHOOSES them (operators/textops.dsir_select).",
+)
+def d15_dsir_select(spark, sf_dir):
+    return tx.dsir_select(
+        t(spark, sf_dir, "documents"),
+        F.col("source") == _D15_TARGET_SRC,
+        "text",
+        "doc_id",
+        budget_n=_D15_BUDGET,
+    )
+
+
 @register(
     "d14_semantic_decontam",
     # corpus = non-eval vectors ∪ verbatim eval copies at shifted ids

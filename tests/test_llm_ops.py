@@ -3322,3 +3322,34 @@ def test_linear_probe_apply_hand_case_and_agreement(spark):
     # both branches live on the fixture
     keeps = sum(1 for r in scored if r.keep)
     assert 0 < keeps < len(scored)
+
+
+def test_dsir_select_hand_case(spark):
+    """d15 on a hand corpus with known counts: the target doc is 16×
+    'apple' (N_t=16, c_t(apple)=16); pool doc 1 repeats the target's
+    vocabulary, pool doc 2 is out-of-distribution. With c_c(apple)=18,
+    N_c=20: apple bits = flog2(17)−flog2(19) = 4−4 = 0, unseen-word
+    bits = flog2(1)−flog2(2) = −1, norm = flog2(21)−flog2(17) = 0 —
+    so doc 1 scores 0, doc 2 scores −2, and the budget cut keeps the
+    target-like doc first."""
+    from mrf_etl_spark.operators.textops import dsir_select
+
+    rows = [
+        (100, " ".join(["apple"] * 16), "tgt"),
+        (1, "apple apple", "pool"),
+        (2, "zork quux", "pool"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: (r.n_tokens, r.score, r.rank)
+        for r in dsir_select(
+            docs, F.col("source") == "tgt", "text", "doc_id", budget_n=2
+        ).collect()
+    }
+    assert out[1] == (2, 0, 1)
+    assert out[2] == (2, -2, 2)
+    # the budget is a hard cut: budget_n=1 keeps only the best doc
+    only = dsir_select(
+        docs, F.col("source") == "tgt", "text", "doc_id", budget_n=1
+    ).collect()
+    assert [(r.doc_id, r.rank) for r in only] == [(1, 1)]

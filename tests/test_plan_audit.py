@@ -102,6 +102,9 @@ NESTED_LOOP_OK = {
     "(e9's trainer inside)",
     "e11_probe_inference": "1-row weight-vector broadcast per iteration "
     "(e9's trainer inside) + one final scoring broadcast",
+    # d15: token totals (N_c, N_t) attach as a ONE-ROW broadcast
+    # crossJoin (t5's collect-free global-scalar shape)
+    "d15_dsir_select": "1-row token-totals scalar broadcast",
     # bucket width derives from a ONE-ROW max-id (and max-weight)
     # aggregate crossJoined on (the t5 collect-free global-scalar shape)
     "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",
