@@ -109,6 +109,7 @@ HEADLINE = [
     "e10_probe_eval",
     "e11_probe_inference",
     "d15_dsir_select",
+    "t25_perplexity_buckets",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

@@ -1480,3 +1480,87 @@ def dsir_select(
     )
     wr = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return top.withColumn("rank", F.row_number().over(wr).cast("long"))
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """CCNet-style per-domain perplexity bucketing (t25) — split every
+    domain's documents into head/middle/tail thirds by language-model
+    surprise (Wenzek et al. 2020: CCNet buckets each language by
+    perplexity percentiles and trains on the head). Absolute thresholds
+    misfire across domains — legal text is 'surprising' everywhere —
+    so the cut is RELATIVE: each domain gets its own tertile
+    thresholds.
+
+    Scoring is t22's corpus-trained bigram surprise, kept integral as
+    average eighth-bits per bigram (``(8·total_bits) div n_bigrams``;
+    docs with no bigram score 0). Thresholds come from the
+    HISTOGRAM-cumulative shape, not a per-row rank: per (domain, score)
+    counts — a table bounded by |domains| × |distinct scores| (scores
+    are small ints), MBs at any corpus size — cumulative-summed per
+    domain, then t1 = min score whose cum ≥ ceil(n_d/3) and t2 = min
+    score whose cum ≥ ceil(2·n_d/3). bucket = 'head' iff score ≤ t1,
+    'middle' iff score ≤ t2, else 'tail' — tie rows land in one
+    deterministic bucket with no per-row rank, so the corpus never
+    sorts; the only window runs over the tiny histogram. At 100 TB the
+    plan is t22's two count shuffles + one bounded-histogram broadcast
+    join back.
+
+    Returns (doc_id, domain, score_e, t1, t2, bucket) for every doc.
+    """
+    from pyspark.sql.window import Window
+
+    bits = ngram_lm_bits(docs, text_col, id_col)
+    sc = bits.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN n_bigrams > 0 THEN (8 * total_bits) div n_bigrams "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("score_e"),
+    ).join(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(domain_col).alias("domain")
+        ),
+        "doc_id",
+    )
+    hist = sc.groupBy("domain", "score_e").agg(F.count("*").alias("_c"))
+    wcum = (
+        Window.partitionBy("domain")
+        .orderBy(F.col("score_e").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(wcum))
+    nd = hist.groupBy("domain").agg(F.sum("_c").alias("_nd"))
+    thr = (
+        cum.join(nd, "domain")
+        .groupBy("domain")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.expr("(_nd + 2) div 3"),
+                    F.col("score_e"),
+                )
+            ).alias("t1"),
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.expr("(2 * _nd + 2) div 3"),
+                    F.col("score_e"),
+                )
+            ).alias("t2"),
+        )
+    )
+    return sc.join(F.broadcast(thr), "domain").select(
+        "doc_id",
+        "domain",
+        "score_e",
+        "t1",
+        "t2",
+        F.when(F.col("score_e") <= F.col("t1"), F.lit("head"))
+        .when(F.col("score_e") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -376,6 +376,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("t13_sentence_stats", ["mean_sentence_words"]),
         # round-8: novelty audit — exact counts + one int/int division
         ("t21_shingle_novelty", ["novelty"]),
+        # round-9 session 3: CCNet per-domain perplexity tertiles —
+        # all-int/string surface riding t22's scores (probe now at cap)
+        ("t25_perplexity_buckets", []),
     ],
     "fx_corpus_cards": [
         ("q2_corpus_card", ["words_p50", "words_p90", "chars_avg"]),
@@ -779,6 +782,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "e10_probe_eval": ["iter", "tp", "fp", "tn", "fn", "n_mis_train"],
     "e11_probe_inference": ["vec_id", "score", "keep"],
     "d15_dsir_select": ["doc_id", "n_tokens", "score", "rank"],
+    "t25_perplexity_buckets": ["doc_id", "domain", "score_e", "t1", "t2", "bucket"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -1012,7 +1016,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 272
+CATALOG_COUNT = 273
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

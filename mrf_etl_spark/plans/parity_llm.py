@@ -4732,6 +4732,66 @@ def t22_ngram_lm_bits(spark, sf_dir):
     )
 
 
+def _register_t25():
+    # t25's scores ARE t22's (the oracle nests t22's statement verbatim,
+    # so score parity is inherited); the bucketing adds only integer
+    # histogram math on top.
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    @register(
+        "t25_perplexity_buckets",
+        f"""WITH t22 AS MATERIALIZED ({REGISTRY['t22_ngram_lm_bits'].oracle}),
+       sc AS MATERIALIZED (
+         SELECT t.doc_id, d.source AS domain,
+                CASE WHEN t.n_bigrams > 0
+                     THEN (8 * t.total_bits) // t.n_bigrams
+                     ELSE CAST(0 AS BIGINT) END AS score_e
+         FROM t22 t JOIN documents d USING (doc_id)),
+       hist AS MATERIALIZED (
+         SELECT domain, score_e, CAST(count(*) AS BIGINT) AS c
+         FROM sc GROUP BY domain, score_e),
+       cum AS MATERIALIZED (
+         SELECT domain, score_e,
+                CAST(sum(c) OVER (PARTITION BY domain
+                                  ORDER BY score_e ASC) AS BIGINT) AS cum
+         FROM hist),
+       nd AS MATERIALIZED (
+         SELECT domain, CAST(sum(c) AS BIGINT) AS nd
+         FROM hist GROUP BY domain),
+       thr AS MATERIALIZED (
+         SELECT c.domain,
+                CAST(min(CASE WHEN c.cum >= (n.nd + 2) // 3
+                              THEN c.score_e END) AS BIGINT) AS t1,
+                CAST(min(CASE WHEN c.cum >= (2 * n.nd + 2) // 3
+                              THEN c.score_e END) AS BIGINT) AS t2
+         FROM cum c JOIN nd n USING (domain) GROUP BY c.domain)
+       SELECT s.doc_id, s.domain, s.score_e, t.t1, t.t2,
+              CASE WHEN s.score_e <= t.t1 THEN 'head'
+                   WHEN s.score_e <= t.t2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+       FROM sc s JOIN thr t USING (domain)""",
+        doc="t25 (beyond-ref): CCNet-style per-domain perplexity "
+        "bucketing (Wenzek et al. 2020) — each domain split into "
+        "head/middle/tail thirds by t22's corpus-trained bigram "
+        "surprise, with DOMAIN-RELATIVE tertile thresholds (absolute "
+        "cuts misfire across domains). Integer-exact: scores are "
+        "average eighth-bits per bigram (integer div), thresholds come "
+        "from a histogram-cumulative over the bounded (domain, score) "
+        "table — the corpus never sorts, tie rows land in one "
+        "deterministic bucket, and the only window runs over the tiny "
+        "histogram (operators/textops.perplexity_buckets).",
+    )
+    def t25_perplexity_buckets(spark, sf_dir):
+        return tx.perplexity_buckets(
+            t(spark, sf_dir, "documents"), "text", "doc_id", "source"
+        )
+
+    return t25_perplexity_buckets
+
+
+t25_perplexity_buckets = _register_t25()
+
+
 T23_MERGES = 3
 
 _T23_MERGE_LAMBDA = """list_reduce(string_split(t.s, ' '), (acc, x) -> CASE

@@ -3353,3 +3353,37 @@ def test_dsir_select_hand_case(spark):
         docs, F.col("source") == "tgt", "text", "doc_id", budget_n=1
     ).collect()
     assert [(r.doc_id, r.rank) for r in only] == [(1, 1)]
+
+
+def test_perplexity_buckets_hand_case(spark):
+    """t25 on a hand corpus with known bigram counts: c(a)=c(b)=4,
+    c(ab)=4, c(ba)=2, all other grams 1 — so doc1 ('a b a b a b')
+    scores 16//5=3 eighth-bits, doc2 ('a b c d') 16//3=5, doc3
+    ('p q r s') 0. Tertile thresholds over the 3-doc domain are t1=0,
+    t2=3: doc3 head, doc1 middle, doc2 tail."""
+    from mrf_etl_spark.operators.textops import perplexity_buckets
+
+    rows = [
+        (1, "a b a b a b", "X"),
+        (2, "a b c d", "X"),
+        (3, "p q r s", "X"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: (r.score_e, r.t1, r.t2, r.bucket)
+        for r in perplexity_buckets(docs).collect()
+    }
+    assert out[1] == (3, 0, 3, "middle")
+    assert out[2] == (5, 0, 3, "tail")
+    assert out[3] == (0, 0, 3, "head")
+
+    # on the real fixture every domain splits into near-thirds: no
+    # bucket may be empty corpus-wide and head counts per domain stay
+    # within [n/3 - ties, 2n/3] (tie blocks land whole)
+    big = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    res = perplexity_buckets(big).collect()
+    assert len(res) == big.count()
+    from collections import Counter
+
+    buckets = Counter(r.bucket for r in res)
+    assert set(buckets) == {"head", "middle", "tail"}
