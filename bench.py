@@ -110,6 +110,7 @@ HEADLINE = [
     "e11_probe_inference",
     "d15_dsir_select",
     "t25_perplexity_buckets",
+    "n10_hard_negatives",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

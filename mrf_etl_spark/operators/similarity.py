@@ -2367,3 +2367,86 @@ def ann_recall_report(
             ),
         )
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+    centroid_mod: int = 97,
+    nprobe: int = 2,
+    query_filter: Column | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training (n10) —
+    for each query, the top-k most-similar vectors that carry a
+    DIFFERENT label: the negatives that sit closest to the decision
+    boundary, which is what makes a contrastive batch informative
+    (random negatives are trivially separable and teach nothing).
+
+    This is n9's filtered ANN with a PER-QUERY relational predicate
+    instead of a global one: the exclusion depends on the query row
+    (``label(q) != label(n)``), so it joins through the probe rows
+    rather than pushing into the scan. Semantics stay PRE-filter —
+    same-label candidates are excluded inside the probed buckets
+    BEFORE ranking, so the top-k is k true negatives, never an
+    underfilled list (post-filtering drops ranks whenever a positive
+    lands in the top-k).
+
+    Scale shape is ivf_topk's: bounded centroid broadcast, nprobe
+    bucket-pruned candidate join, labels ride the same rows the
+    cascade already carries — no extra shuffle. Deterministic
+    end-to-end (seed centroids, cosine DESC / id ASC ties), so the
+    oracle replays the cascade exactly.
+
+    Returns (query_id, neighbor_id, cosine, rank), rank 1..k per query.
+    """
+    cent = emb.filter((F.col(id_col) % centroid_mod) == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    assigned = assign_centroids(emb, cent, id_col, vec_col, dim)
+    corpus = (
+        emb.join(assigned, id_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            F.col(label_col).alias("n_label"),
+            "cid",
+        )
+        .withColumn("cn", norm_fold("cv"))
+    )
+    q = emb.filter(query_filter) if query_filter is not None else emb
+    q = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("q_label"),
+    ).withColumn("qn", norm_fold("qv"))
+    qprobe = q.crossJoin(
+        F.broadcast(cent.withColumn("_cnorm", norm_fold("cvec")))
+    ).withColumn(
+        "cos_c", dot_fold("qv", "cvec") / (F.col("qn") * F.col("_cnorm"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    probes = (
+        qprobe.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "qn", "q_label", "cid")
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(F.col("q_label") != F.col("n_label"))
+        .withColumn("cosine", dot_fold("qv", "cv") / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

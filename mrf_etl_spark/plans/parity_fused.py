@@ -460,6 +460,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-9: the persisted form — n7's oracle verbatim (persisted
         # == in-plan); the probe stays the ANN cost-band exception
         ("n8_ann_ivf_pq_persisted", ["cosine"]),
+        # round-9 session 3: hard-negative mining — n2's cascade with a
+        # per-query label exclusion (probe now at the 7-cap)
+        ("n10_hard_negatives", ["cosine"]),
     ],
     # Each streaming entry runs its real availableNow drain and returns a
     # batch DataFrame of the drained result, so they fuse like any other
@@ -783,6 +786,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "e11_probe_inference": ["vec_id", "score", "keep"],
     "d15_dsir_select": ["doc_id", "n_tokens", "score", "rank"],
     "t25_perplexity_buckets": ["doc_id", "domain", "score_e", "t1", "t2", "bucket"],
+    "n10_hard_negatives": ["query_id", "neighbor_id", "cosine", "rank"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -1016,7 +1020,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 273
+CATALOG_COUNT = 274
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

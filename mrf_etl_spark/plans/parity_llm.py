@@ -887,6 +887,63 @@ def n9_ann_filtered(spark, sf_dir):
     )
 
 
+@register(
+    "n10_hard_negatives",
+    # n2's cascade with a PER-QUERY relational exclusion: the query's
+    # label joins through the probe rows and same-label candidates drop
+    # BEFORE ranking. Deterministic ties replay exactly.
+    f"""WITH cent AS MATERIALIZED (
+         SELECT vec_id AS cid, embedding AS cvec
+         FROM embeddings WHERE vec_id % 97 = 0),
+       cscored AS MATERIALIZED (
+         SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.cvec')} AS cs
+         FROM embeddings e CROSS JOIN cent c),
+       assigned AS MATERIALIZED (
+         SELECT vec_id, cid FROM (
+           SELECT vec_id, cid, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+           FROM cscored) WHERE rn = 1),
+       probes AS MATERIALIZED (
+         SELECT vec_id AS query_id, cid FROM (
+           SELECT vec_id, cid, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+           FROM cscored WHERE vec_id < 10) WHERE rn <= 2),
+       scored AS MATERIALIZED (
+         SELECT p.query_id, e.vec_id AS neighbor_id,
+                {_cos_sql('q.embedding', 'e.embedding')} AS cosine
+         FROM probes p
+         JOIN embeddings q ON q.vec_id = p.query_id
+         JOIN assigned a ON a.cid = p.cid
+         JOIN embeddings e ON e.vec_id = a.vec_id
+         WHERE p.query_id <> e.vec_id AND q.label <> e.label)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT *, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         FROM scored) WHERE rank <= 5""",
+    doc="n10 (beyond-ref): hard-negative mining for contrastive/embedding "
+    "training — per query, the top-k most-similar vectors carrying a "
+    "DIFFERENT label: the negatives nearest the decision boundary, "
+    "which is what makes a contrastive batch informative. n9's "
+    "filtered ANN with a PER-QUERY relational predicate (label(q) != "
+    "label(n) joins through the probe rows) instead of a global one; "
+    "PRE-filter semantics so the top-k is k true negatives, never an "
+    "underfilled list. Scale shape is ivf_topk's — labels ride rows "
+    "the cascade already carries, no extra shuffle "
+    "(operators/similarity.hard_negatives).",
+)
+def n10_hard_negatives(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.hard_negatives(
+        emb,
+        dim=DIM,
+        centroid_mod=97,
+        nprobe=2,
+        query_filter=F.col("vec_id") < 10,
+        k=5,
+    )
+
+
 # -------------------------------------------------------- multimodal op
 
 

@@ -3387,3 +3387,48 @@ def test_perplexity_buckets_hand_case(spark):
 
     buckets = Counter(r.bucket for r in res)
     assert set(buckets) == {"head", "middle", "tail"}
+
+
+def test_hard_negatives_excludes_positives_and_ranks(spark):
+    """n10: every mined negative carries a different label than its
+    query; ranks are contiguous 1..k; and the result equals ivf_topk
+    re-ranked after dropping same-label rows ONLY when no positive sat
+    inside the pre-filter top-k (pre-filter semantics: the list never
+    underfills). Also a hand case where the nearest vector is a
+    positive — it must be skipped, not rank-consumed."""
+    from mrf_etl_spark.operators.similarity import hard_negatives
+
+    rows = [
+        # query: label 0, along +x
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        # nearest is SAME label -> must not appear
+        (1, [0.99, 0.1, 0.0, 0.0], 0),
+        # hard negatives, decreasing similarity
+        (2, [0.9, 0.2, 0.0, 0.0], 1),
+        (3, [0.5, 0.5, 0.0, 0.0], 1),
+        (4, [0.0, 1.0, 0.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negatives(
+        emb,
+        dim=4,
+        centroid_mod=1,  # every vector is a centroid: probes cover all
+        nprobe=5,
+        query_filter=F.col("vec_id") == 0,
+        k=3,
+    ).collect()
+    got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert got == [(2, 1), (3, 2), (4, 3)]  # 1 skipped, ranks contiguous
+
+    big = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    labels = {r.vec_id: r.label for r in big.select("vec_id", "label").collect()}
+    mined = hard_negatives(
+        big, dim=64, centroid_mod=97, nprobe=2,
+        query_filter=F.col("vec_id") < 10, k=5,
+    ).collect()
+    assert len(mined) == 50
+    for r in mined:
+        assert labels[r.query_id] != labels[r.neighbor_id]
+        assert 1 <= r.rank <= 5

@@ -105,6 +105,8 @@ NESTED_LOOP_OK = {
     # d15: token totals (N_c, N_t) attach as a ONE-ROW broadcast
     # crossJoin (t5's collect-free global-scalar shape)
     "d15_dsir_select": "1-row token-totals scalar broadcast",
+    # n10: ivf_topk's cascade — centroid set fixed-size and broadcast
+    "n10_hard_negatives": "bounded broadcast centroid set",
     # bucket width derives from a ONE-ROW max-id (and max-weight)
     # aggregate crossJoined on (the t5 collect-free global-scalar shape)
     "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",
