@@ -2450,3 +2450,105 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cluster_map(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+    seed_mod: int = 97,
+    iters: int = 2,
+) -> DataFrame:
+    """Cluster corpus map (q10) — the curation audit behind
+    cluster-inspected dataset releases (Dolma / Nemotron-CC style):
+    train the coarse codebook on the corpus (e6's spherical k-means),
+    assign EVERY vector to its nearest trained centroid, and report
+    each cluster's size and dominant label — the table a curator reads
+    to find junk clusters (one label dominating a huge cluster),
+    mislabeled pockets, and topic balance before a release cut.
+
+    INTEGER-EXACT end-to-end: training is :func:`kmeans_codebook`
+    verbatim; the final assignment reuses its argmax recipe (exact
+    int64 dot / sqrt of exact |c|² — two correctly-rounded IEEE ops,
+    ties to the lowest cid, zero centroids rank last); the per-cluster
+    dominant label is the deterministic mode (count DESC, label ASC —
+    the a17 rule). Every row of the report replays exactly.
+
+    Plan shape: e6's two training iterations (two corpus shuffles
+    each), then ONE more broadcast-assign pass + a (cid, label) count
+    agg that collapses map-side — the report table is k rows. At
+    100 TB nothing new shuffles the corpus beyond what training
+    already does; the assignment output is the same (vid, cid) frame a
+    persisted index would store anyway.
+
+    Returns (cid, n_members, top_label, top_label_n): k all-integer
+    rows, n_members counted from the FINAL assignment (a third
+    assignment pass against the trained codebook — not the iteration-2
+    update counts e6 reports).
+    """
+    zero = F.lit(0).cast("long")
+    cb = kmeans_codebook(emb, id_col, vec_col, dim, seed_mod, iters)
+    cent = cb.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "cs"))), lambda s: s.cs
+        ).alias("cvec")
+    )
+    c = cent.withColumn(
+        "ns2",
+        F.aggregate(
+            F.transform("cvec", lambda s: s.cast("long") * s.cast("long")),
+            zero,
+            lambda acc, x: acc + x,
+        ),
+    )
+    q = quantize_int8(emb, vec_col, id_col).select(
+        F.col(id_col).alias("vid"), "qvec"
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda x, y: x.cast("long") * y.cast("long")),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    scored = q.crossJoin(F.broadcast(c.select("cid", "cvec", "ns2"))).withColumn(
+        "score",
+        F.when(
+            F.col("ns2") > 0,
+            dot.cast("double") / F.sqrt(F.col("ns2").cast("double")),
+        ),
+    )
+    rank = F.when(F.col("score").isNull(), F.lit(1)).otherwise(F.lit(0))
+    neg = F.when(rank == 0, -F.col("score")).otherwise(F.lit(0.0))
+    assigned = (
+        scored.groupBy("vid")
+        .agg(
+            F.min(
+                F.struct(
+                    rank.alias("rk"), neg.alias("neg"), F.col("cid").alias("cid")
+                )
+            ).alias("_b")
+        )
+        .select("vid", F.col("_b.cid").alias("cid"))
+    )
+    lab = emb.select(
+        F.col(id_col).alias("vid"), F.col(label_col).cast("long").alias("label")
+    )
+    counts = assigned.join(lab, "vid").groupBy("cid", "label").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        counts.groupBy("cid")
+        .agg(
+            F.sum("n").alias("n_members"),
+            F.min(
+                F.struct((-F.col("n")).alias("negn"), F.col("label").alias("lb"))
+            ).alias("_m"),
+        )
+        .select(
+            "cid",
+            "n_members",
+            F.col("_m.lb").alias("top_label"),
+            (-F.col("_m.negn")).cast("long").alias("top_label_n"),
+        )
+    )

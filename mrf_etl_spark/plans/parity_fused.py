@@ -177,6 +177,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-9: PQ sub-codebook trainer — e6's sibling, same probe
         # family, all-integer (b, cid, n_members, i, cs) surface, ~0.2 s
         ("e7_pq_codebook_train", []),
+        # round-9 session 3: the cluster corpus map — k all-int rows
+        # composing e6's trainer (probe now at the 7-cap)
+        ("q10_cluster_map", []),
     ],
     "fx_serving": [
         ("k3_autocomplete", []),
@@ -787,6 +790,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "d15_dsir_select": ["doc_id", "n_tokens", "score", "rank"],
     "t25_perplexity_buckets": ["doc_id", "domain", "score_e", "t1", "t2", "bucket"],
     "n10_hard_negatives": ["query_id", "neighbor_id", "cosine", "rank"],
+    "q10_cluster_map": ["cid", "n_members", "top_label", "top_label_n"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -1020,7 +1024,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 274
+CATALOG_COUNT = 275
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

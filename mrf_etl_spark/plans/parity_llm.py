@@ -1492,6 +1492,73 @@ def e6_kmeans_codebook(spark, sf_dir):
     )
 
 
+@register(
+    "q10_cluster_map",
+    # e6's two unrolled Lloyd iterations, a THIRD assignment pass
+    # against the trained codebook c2 (same argmax recipe), then the
+    # (cid, label) counts and the deterministic mode (a17's rule).
+    f"""WITH q AS MATERIALIZED (
+         SELECT vec_id AS vid, {_E6_QVEC} AS qvec
+         FROM embeddings),
+       ux AS MATERIALIZED (
+         SELECT vid, CAST(t.i AS INT) AS i,
+                CAST(qvec[CAST(t.i AS INT) + 1] AS BIGINT) AS qx
+         FROM q, range({DIM}) t(i)),
+       c0 AS MATERIALIZED (
+         SELECT vid AS cid, i, CAST(qx AS INTEGER) AS cs,
+                CAST(0 AS BIGINT) AS nm
+         FROM ux WHERE vid % {_E6_SEED_MOD} = 0),{_e6_iter_ctes(1, 0)},{_e6_iter_ctes(2, 1)},
+       nf AS MATERIALIZED (
+         SELECT cid,
+                CAST(sum(CAST(cs AS BIGINT) * CAST(cs AS BIGINT)) AS BIGINT)
+                  AS ns2
+         FROM c2 GROUP BY cid),
+       df AS MATERIALIZED (
+         SELECT u.vid, c.cid, CAST(sum(u.qx * c.cs) AS BIGINT) AS dot
+         FROM ux u JOIN c2 c ON c.i = u.i GROUP BY u.vid, c.cid),
+       af AS MATERIALIZED (
+         SELECT vid, cid FROM (
+           SELECT d.vid, d.cid,
+                  row_number() OVER (PARTITION BY d.vid ORDER BY
+                    (CASE WHEN n.ns2 > 0
+                          THEN CAST(d.dot AS DOUBLE) / sqrt(CAST(n.ns2 AS DOUBLE))
+                     END) DESC NULLS LAST, d.cid ASC) AS rn
+           FROM df d JOIN nf n ON n.cid = d.cid)
+         WHERE rn = 1),
+       lc AS MATERIALIZED (
+         SELECT a.cid, CAST(e.label AS BIGINT) AS label,
+                CAST(count(*) AS BIGINT) AS n
+         FROM af a JOIN embeddings e ON e.vec_id = a.vid
+         GROUP BY a.cid, e.label),
+       tot AS MATERIALIZED (
+         SELECT cid, CAST(sum(n) AS BIGINT) AS n_members
+         FROM lc GROUP BY cid),
+       best AS MATERIALIZED (
+         SELECT cid, label AS top_label, n AS top_label_n FROM (
+           SELECT *, row_number() OVER (
+               PARTITION BY cid ORDER BY n DESC, label ASC) AS rn
+           FROM lc) WHERE rn = 1)
+       SELECT t.cid, t.n_members, b.top_label, b.top_label_n
+       FROM tot t JOIN best b USING (cid)""",
+    doc="q10 (beyond-ref): cluster corpus map — the curation audit "
+    "behind cluster-inspected releases (Dolma/Nemotron-CC style): "
+    "train e6's codebook on the corpus, assign every vector to its "
+    "nearest trained centroid, report each cluster's size and "
+    "dominant label (deterministic mode: count DESC, label ASC). "
+    "INTEGER-EXACT: training replays e6 verbatim, the final "
+    "assignment reuses its argmax recipe, so the k-row report is "
+    "byte-replayable. One extra broadcast-assign pass + a map-side "
+    "(cid,label) count beyond training — nothing new shuffles the "
+    "corpus (operators/similarity.cluster_map).",
+)
+def q10_cluster_map(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.cluster_map(
+        emb, "vec_id", "embedding", "label", DIM,
+        seed_mod=_E6_SEED_MOD, iters=2,
+    )
+
+
 _E7_BLOCKS = 8
 _E7_SIZE = DIM // _E7_BLOCKS
 _E7_CODES = 16

@@ -3432,3 +3432,38 @@ def test_hard_negatives_excludes_positives_and_ranks(spark):
     for r in mined:
         assert labels[r.query_id] != labels[r.neighbor_id]
         assert 1 <= r.rank <= 5
+
+
+def test_cluster_map_hand_case(spark):
+    """q10 on two clean direction groups (+x with seeds at id 0, +y at
+    id 4 via seed_mod=4): the trained centroids stay in their groups,
+    every vector assigns home, and the dominant label is the
+    deterministic mode (count DESC, label ASC)."""
+    from mrf_etl_spark.operators.similarity import cluster_map
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [1.0, 0.05, 0.0, 0.0], 1),
+        (3, [0.95, 0.0, 0.0, 0.0], 0),
+        (4, [0.0, 1.0, 0.0, 0.0], 1),
+        (5, [0.1, 0.9, 0.0, 0.0], 1),
+        (6, [0.0, 0.95, 0.0, 0.0], 0),
+        (7, [0.05, 1.0, 0.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r.cid: (r.n_members, r.top_label, r.top_label_n)
+        for r in cluster_map(emb, dim=4, seed_mod=4, iters=2).collect()
+    }
+    assert out[0] == (4, 0, 3)
+    assert out[4] == (4, 1, 3)
+
+    # fixture: the map partitions the corpus (sizes sum to N) and the
+    # dominant label count never exceeds the cluster size
+    big = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    res = cluster_map(big).collect()
+    assert sum(r.n_members for r in res) == big.count()
+    assert all(0 < r.top_label_n <= r.n_members for r in res)

@@ -107,6 +107,9 @@ NESTED_LOOP_OK = {
     "d15_dsir_select": "1-row token-totals scalar broadcast",
     # n10: ivf_topk's cascade — centroid set fixed-size and broadcast
     "n10_hard_negatives": "bounded broadcast centroid set",
+    # q10 composes e6's trainer (same k-row codebook broadcast) plus
+    # one more bounded broadcast-assign pass
+    "q10_cluster_map": "bounded broadcast codebook (e6's trainer inside)",
     # bucket width derives from a ONE-ROW max-id (and max-weight)
     # aggregate crossJoined on (the t5 collect-free global-scalar shape)
     "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",
