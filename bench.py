@@ -112,6 +112,7 @@ HEADLINE = [
     "t25_perplexity_buckets",
     "n10_hard_negatives",
     "q10_cluster_map",
+    "sp23_mixture_solver",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

@@ -840,3 +840,62 @@ def leakage_safe_split(
     out = assign_split(out, "rep", weights, salt, out_col)
     out = out.withColumn("bucket", hash_bucket("rep", salt))
     return carry_state(out, cc)
+
+
+def mixture_solver(
+    docs: DataFrame,
+    targets: dict[str, int],
+    budget_tokens: int,
+    domain_col: str = "source",
+    text_col: str = "text",
+    default_bp: int = 0,
+) -> DataFrame:
+    """Mixture-rate solver (sp23) — compute the per-domain epoch rates
+    that realize a TARGET token mixture under a token budget: the
+    planning step every training-mix spec (The Pile / Dolma / RedPajama
+    weights tables) needs before :func:`mix_sources` can apply it.
+    ``targets`` maps domain → target share in basis points (1/10000);
+    domains not named get ``default_bp``.
+
+    All-integer arithmetic so the plan replays exactly and never
+    drifts from what mix_sources executes: per domain,
+
+        planned  = budget_tokens · target_bp div 10000
+        rate_bp  = planned · 10000 div tokens_d      (floor)
+        realized = tokens_d · rate_bp div 10000
+
+    rate_bp > 10000 means epochs (the domain repeats — mix_sources'
+    rate > 1 path); < 10000 downsamples. The floor keeps realized ≤
+    planned, so a mix never overshoots its budget.
+
+    Scale shape: ONE map-side-combinable token-count agg over the
+    corpus (whitespace tokens, t3's recipe), then pure projection on
+    the |domains|-row table — the solver itself is O(domains), the
+    corpus is read once. Returns (domain, tokens, target_bp, rate_bp,
+    planned_tokens) per domain.
+    """
+    from mrf_etl_spark.operators.textops import token_count_ws
+
+    tok = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(token_count_ws(text_col).cast("long")).alias("tokens")
+    )
+    tbp = None
+    for name, bp in targets.items():
+        cond = F.col("domain") == name
+        tbp = F.when(cond, int(bp)) if tbp is None else tbp.when(cond, int(bp))
+    tbp = (
+        F.lit(int(default_bp)) if tbp is None else tbp.otherwise(int(default_bp))
+    ).cast("long")
+    b = int(budget_tokens)
+    out = tok.withColumn("target_bp", tbp)
+    out = out.withColumn(
+        "rate_bp",
+        F.expr(
+            f"CASE WHEN tokens > 0 THEN "
+            f"((CAST({b} AS BIGINT) * target_bp) div 10000) * 10000 div tokens "
+            f"ELSE CAST(0 AS BIGINT) END"
+        ),
+    )
+    return out.withColumn(
+        "planned_tokens", F.expr("tokens * rate_bp div 10000")
+    ).select("domain", "tokens", "target_bp", "rate_bp", "planned_tokens")

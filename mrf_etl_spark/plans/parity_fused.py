@@ -72,6 +72,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("p567_predicates", ["avg_price"]),
         ("p8_substring_whitelist", []),
         ("p10_multi_filter", []),
+        # round-9 session 3: the mixture-rate solver — 20 all-int rows;
+        # cost-driven ride (every sampling-family probe is at the
+        # 7-cap; precedent: e5 on fx_explode, e6/e7 on fx_topk_page)
+        ("sp23_mixture_solver", []),
     ],
     "fx_anti_semi": [
         ("j10_anti_join", []),
@@ -791,6 +795,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "t25_perplexity_buckets": ["doc_id", "domain", "score_e", "t1", "t2", "bucket"],
     "n10_hard_negatives": ["query_id", "neighbor_id", "cosine", "rank"],
     "q10_cluster_map": ["cid", "n_members", "top_label", "top_label_n"],
+    "sp23_mixture_solver": ["domain", "tokens", "target_bp", "rate_bp", "planned_tokens"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -1024,7 +1029,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 275
+CATALOG_COUNT = 276
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -2631,6 +2631,62 @@ def sp7_source_mix(spark, sf_dir):
     ).select("doc_id", "source", "copy")
 
 
+# sp23: the solver that PRODUCES rate tables like sp7's MIX_RATES —
+# three targeted domains (40/40/20), budget 20k tokens, untargeted
+# domains get 0 bp: epochs (>10000 bp) and zero rates both exercised.
+SP23_TARGETS = {"src0": 4000, "src1": 4000, "src2": 2000}
+SP23_BUDGET = 20_000
+
+
+def _sp23_target_case() -> str:
+    whens = " ".join(f"WHEN '{s}' THEN {bp}" for s, bp in SP23_TARGETS.items())
+    return f"CASE domain {whens} ELSE 0 END"
+
+
+@register(
+    "sp23_mixture_solver",
+    f"""WITH tok AS MATERIALIZED (
+         SELECT source AS domain,
+                CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                     AS BIGINT) AS tokens
+         FROM documents GROUP BY source),
+       tb AS MATERIALIZED (
+         SELECT domain, tokens,
+                CAST({_sp23_target_case()} AS BIGINT) AS target_bp
+         FROM tok),
+       rt AS MATERIALIZED (
+         SELECT domain, tokens, target_bp,
+                CASE WHEN tokens > 0
+                     THEN ((CAST({SP23_BUDGET} AS BIGINT) * target_bp)
+                           // 10000) * 10000 // tokens
+                     ELSE CAST(0 AS BIGINT) END AS rate_bp
+         FROM tb)
+       SELECT domain, tokens, target_bp, rate_bp,
+              tokens * rate_bp // 10000 AS planned_tokens
+       FROM rt""",
+    doc="sp23 (beyond-ref): mixture-rate solver — compute the per-domain "
+    "epoch rates that realize a target token mixture under a budget "
+    "(the Pile/Dolma/RedPajama weights-table planning step), producing "
+    "exactly the rate table sp7's mix_sources consumes. All-integer: "
+    "planned = budget·target_bp div 10000, rate_bp = planned·10000 div "
+    "tokens (floor keeps realized ≤ planned — a mix never overshoots "
+    "its budget); rate_bp > 10000 = epochs. One combinable token-count "
+    "agg over the corpus, then O(domains) projection "
+    "(operators/sampling.mixture_solver).",
+)
+def sp23_mixture_solver(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    return sp.mixture_solver(
+        t(spark, sf_dir, "documents"),
+        SP23_TARGETS,
+        SP23_BUDGET,
+        "source",
+        "text",
+        default_bp=0,
+    )
+
+
 # sp8: deterministic global shuffle — distributed rank in md5 order
 @register(
     "sp8_global_shuffle",

@@ -3467,3 +3467,41 @@ def test_cluster_map_hand_case(spark):
     res = cluster_map(big).collect()
     assert sum(r.n_members for r in res) == big.count()
     assert all(0 < r.top_label_n <= r.n_members for r in res)
+
+
+def test_mixture_solver_hand_case_and_mix_sources_consistency(spark):
+    """sp23 with known token counts: domain A has 10 tokens, B has 40,
+    C has 50. Targets 50/50 bp split over a 100-token budget: A plans
+    50 tokens -> rate 5.0 epochs (50000 bp), B plans 50 -> 12500 bp,
+    C untargeted -> 0. Floor keeps realized <= planned; feeding the
+    solved rates into mix_sources yields copy counts consistent with
+    rate_bp (each doc emits floor(rate) or floor(rate)+1 copies)."""
+    from mrf_etl_spark.operators.sampling import mixture_solver, mix_sources
+
+    rows = [
+        (1, " ".join(["w"] * 10), "A"),
+        (2, " ".join(["w"] * 40), "B"),
+        (3, " ".join(["w"] * 50), "C"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.domain: (r.tokens, r.target_bp, r.rate_bp, r.planned_tokens)
+        for r in mixture_solver(
+            docs, {"A": 5000, "B": 5000}, 100, "source", "text"
+        ).collect()
+    }
+    assert out["A"] == (10, 5000, 50000, 50)
+    assert out["B"] == (40, 5000, 12500, 50)
+    assert out["C"] == (50, 0, 0, 0)
+
+    rates = {d: v[2] / 10000 for d, v in out.items()}
+    mixed = mix_sources(
+        docs.select("doc_id", "source"), "doc_id", "source", rates,
+        default_rate=0.0,
+    ).collect()
+    from collections import Counter
+
+    copies = Counter(r.doc_id for r in mixed)
+    assert copies[1] == 5                 # exactly 5 epochs
+    assert copies[2] in (1, 2)            # 1.25 epochs: 1 or 2 copies
+    assert 3 not in copies                # rate 0 drops the domain
