@@ -113,6 +113,7 @@ HEADLINE = [
     "n10_hard_negatives",
     "q10_cluster_map",
     "sp23_mixture_solver",
+    "st22_stream_fertility",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

@@ -66,6 +66,11 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
     "fx_latest_partitioned": [
         ("s14_latest_merge", ["sum_value"]),
         ("s15_partitioned_write", []),
+        # round-9 session 3: the streaming fertility monitor appends
+        # additive count state to a partition lake and serves the
+        # merged rollup — the family's lake-state member (every
+        # streaming-family probe is at the 7-cap); all-int surface
+        ("st22_stream_fertility", []),
     ],
     "fx_projection_filters": [
         ("p123_projection", ["rate", "ga_prof_mar"]),
@@ -796,6 +801,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "n10_hard_negatives": ["query_id", "neighbor_id", "cosine", "rank"],
     "q10_cluster_map": ["cid", "n_members", "top_label", "top_label_n"],
     "sp23_mixture_solver": ["domain", "tokens", "target_bp", "rate_bp", "planned_tokens"],
+    "st22_stream_fertility": ["source", "n_docs", "n_words", "n_chars", "n_tokens"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -1029,7 +1035,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 276
+CATALOG_COUNT = 277
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -1584,3 +1584,133 @@ def _register_st21():
 
 
 st21_stream_decontam_gate = _register_st21()
+
+
+# -------------------------- round-9: streaming BPE-fertility monitor
+
+def _register_st22():
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    # t24's per-doc oracle rolled up by source: the lake after the
+    # drain must sum to exactly the one-shot batch report (the frozen
+    # merge table is a per-word function; doc counts are additive, so
+    # micro-batch boundaries are invisible by construction)
+    _ORACLE = (
+        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(t.n_words) AS BIGINT) AS n_words, "
+        "CAST(sum(t.n_chars) AS BIGINT) AS n_chars, "
+        "CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens FROM ("
+        + REGISTRY["t24_bpe_encode_fertility"].oracle
+        + ") t JOIN documents d USING (doc_id) GROUP BY d.source"
+    )
+
+    @register(
+        "st22_stream_fertility",
+        oracle=_ORACLE,
+        doc="st22: streaming tokenizer-fertility monitor — t24's twin: "
+        "the BPE merge table trains ONCE on the corpus (the offline "
+        "tokenizer artifact, t23's loop frozen into a per-word token "
+        "table); documents then stream in micro-batches, each batch "
+        "encodes its words against the frozen vocab table and appends "
+        "ONE additive (source, n_docs, n_words, n_chars, n_tokens) "
+        "state row per source under the table lock; serving sums the "
+        "lake. Per-word function + additive counts ⇒ batch boundaries "
+        "invisible: the served report equals the one-shot t24 rollup "
+        "exactly (oracle derived from t24's verbatim). The tokenizer-"
+        "health dashboard (tokens-per-word by source) stays fresh for "
+        "O(batch) work per trigger at any corpus size.",
+    )
+    def st22_stream_fertility(spark, sf_dir):
+        import os
+
+        from mrf_etl_spark.operators import textops as tx
+        from mrf_etl_spark.operators.sketchlake import append_state
+        from mrf_etl_spark.plans.parity import _scratch
+        from mrf_etl_spark.plans.parity_llm import T23_MERGES
+
+        docs = t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        # train the merge table on the FULL corpus (offline artifact),
+        # frozen as a per-word (w, chars, tokens) lookup
+        w_all = docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        vocab = w_all.groupBy("w").agg(F.count("*").alias("n"))
+        sym = vocab.select(
+            "w",
+            "n",
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"),
+        )
+        per_word = tx._apply_bpe_merges(sym, T23_MERGES).select(
+            "w",
+            F.length("w").cast("long").alias("_chars"),
+            F.size(F.split(F.col("s"), " ")).cast("long").alias("_toks"),
+        ).persist()
+
+        staging = _scratch("st22_staging")
+        os.makedirs(staging, exist_ok=True)
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode(
+            "overwrite"
+        ).parquet(f"{staging}/half=1")
+        docs.filter(F.col("doc_id") % 2 == 1).write.mode(
+            "overwrite"
+        ).parquet(f"{staging}/half=2")
+        lake = _scratch("st22_fertility_lake")
+        zero = F.lit(0).cast("long")
+
+        def fold(batch_df, _batch_id):
+            bw = batch_df.select(
+                "source",
+                F.explode(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                ).alias("w"),
+            )
+            wc = (
+                bw.join(per_word, "w")
+                .groupBy("source")
+                .agg(
+                    F.count("*").alias("n_words"),
+                    F.sum("_chars").alias("n_chars"),
+                    F.sum("_toks").alias("n_tokens"),
+                )
+            )
+            dc = batch_df.groupBy("source").agg(F.count("*").alias("n_docs"))
+            counts = dc.join(wc, "source", "left").select(
+                "source",
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.coalesce("n_words", zero).alias("n_words"),
+                F.coalesce("n_chars", zero).alias("n_chars"),
+                F.coalesce("n_tokens", zero).alias("n_tokens"),
+            )
+            append_state(counts, lake)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staging}/half=*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", _scratch("st22_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return (
+            spark.read.parquet(lake)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_words").alias("n_words"),
+                F.sum("n_chars").alias("n_chars"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+        )
+
+    return st22_stream_fertility
+
+
+st22_stream_fertility = _register_st22()

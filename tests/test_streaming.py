@@ -675,3 +675,36 @@ def test_incremental_mv_sidless_writer_over_stamped_mv_still_guards(spark, tmp_p
     assert snap() == {k: v * 2 for k, v in after.items()}
     marker = open(os.path.join(mv, _BATCH_ID_SIDECAR)).read().splitlines()
     assert marker == ["ckpt-B", "4"]
+
+
+def test_st22_stream_fertility_equals_batch_rollup(spark):
+    """st22's drained lake must serve exactly the one-shot t24 rollup
+    by source — the frozen merge table is a per-word function and doc
+    counts are additive, so micro-batch boundaries are invisible."""
+    from pyspark.sql import functions as F
+
+    import mrf_etl_spark.plans.parity_streaming  # noqa: F401  (registers st22)
+    from mrf_etl_spark.operators.textops import bpe_encode_fertility
+    from mrf_etl_spark.plans.parity_llm import T23_MERGES
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    served = {
+        r.source: (r.n_docs, r.n_words, r.n_chars, r.n_tokens)
+        for r in REGISTRY["st22_stream_fertility"].spark_fn(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    batch = {
+        r.source: (r.n_docs, r.n_words, r.n_chars, r.n_tokens)
+        for r in bpe_encode_fertility(docs, "text", "doc_id", T23_MERGES)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .collect()
+    }
+    assert served == batch
