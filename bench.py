@@ -114,6 +114,7 @@ HEADLINE = [
     "q10_cluster_map",
     "sp23_mixture_solver",
     "st22_stream_fertility",
+    "q11_dual_gate_decontam",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

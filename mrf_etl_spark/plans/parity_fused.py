@@ -96,6 +96,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # CHOOSE gate beside the drop gates; all-int surface, tiny
         # 50-row budget output (~0.1 s oracle)
         ("d15_dsir_select", []),
+        # round-9 session 3: the dual-gate release audit — d12 + d14
+        # joined on id; max_eval_cos rides the v column
+        ("q11_dual_gate_decontam", ["max_eval_cos"]),
     ],
     "fx_means": [
         ("a1_group_mean", ["avg_bal"]),
@@ -802,6 +805,10 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "q10_cluster_map": ["cid", "n_members", "top_label", "top_label_n"],
     "sp23_mixture_solver": ["domain", "tokens", "target_bp", "rate_bp", "planned_tokens"],
     "st22_stream_fertility": ["source", "n_docs", "n_words", "n_chars", "n_tokens"],
+    "q11_dual_gate_decontam": [
+        "doc_id", "n_shingles", "n_bloom_hit", "ngram_hit",
+        "max_eval_cos", "semantic_hit", "released",
+    ],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -1035,7 +1042,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 277
+CATALOG_COUNT = 278
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -1225,6 +1225,96 @@ def d12_bloom_decontam(spark, sf_dir):
     )
 
 
+# q11: the dual-gate report's semantic threshold sits below the
+# fixture's natural p90 max-eval-cos (0.26) so both semantic branches
+# are driver-exercised without injection; production uses d14's 0.9.
+_Q11_TAU = 0.25
+
+
+def _register_q11():
+    @register(
+        "q11_dual_gate_decontam",
+        # d12's oracle verbatim (the n-gram gate) joined on id with the
+        # un-injected d14 cascade (the semantic gate) at the report tau
+        f"""WITH ng AS MATERIALIZED ({_D12_ORACLE_SQL}),
+       ev AS MATERIALIZED (
+         SELECT vec_id AS eval_id, embedding AS ev
+         FROM embeddings WHERE vec_id % {EVAL_MOD} = 0),
+       vcorpus AS MATERIALIZED (
+         SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id % {EVAL_MOD} != 0),
+       sc AS MATERIALIZED (
+         SELECT c.vec_id, e.eval_id,
+                {{COS}} AS cos_e
+         FROM vcorpus c, ev e),
+       sem AS MATERIALIZED (
+         SELECT vec_id, cos_e AS cosine,
+                coalesce(cos_e >= CAST({_Q11_TAU} AS DOUBLE), FALSE)
+                  AS contaminated
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY cos_e DESC NULLS LAST, eval_id ASC) AS rn
+               FROM sc)
+         WHERE rn = 1)
+       SELECT n.doc_id, n.n_shingles, n.n_bloom_hit,
+              NOT n.clean AS ngram_hit,
+              s.cosine AS max_eval_cos,
+              s.contaminated AS semantic_hit,
+              (n.clean AND NOT s.contaminated) AS released
+       FROM ng n JOIN sem s ON s.vec_id = n.doc_id""".replace(
+            "{COS}", _cos_sql_gated("c.embedding", "e.ev")
+        ),
+        doc="q11 (beyond-ref): dual-gate decontamination report — the "
+        "release audit materializing what d14's doc prescribes "
+        "('production releases run BOTH gates'): per corpus item, did "
+        "the n-gram Bloom gate (d12, verbatim-overlap) and/or the "
+        "embedding gate (d14's cascade, paraphrase-level) fire, and "
+        "the joint released decision. One row per item joining the "
+        "two gates on id; each gate keeps its own scale shape (scan-"
+        "speed bitset probe / bounded eval broadcast + combinable "
+        "argmax) — the report adds a single id-keyed join. The table "
+        "a release sign-off reads to see WHICH modality caught each "
+        "contaminated row.",
+    )
+    def q11_dual_gate_decontam(spark, sf_dir):
+        d = t(spark, sf_dir, "documents").select("doc_id", "text")
+        ng = tx.bloom_decontam_tagged(
+            d,
+            F.col("doc_id") % EVAL_MOD == 0,
+            "text",
+            "doc_id",
+            k=SHINGLE_K,
+            m_bits=BLOOM_M,
+            n_hashes=BLOOM_K,
+        )
+        emb = t(spark, sf_dir, "embeddings")
+        sem = sim.semantic_decontam(
+            emb.filter(F.col("vec_id") % EVAL_MOD != 0),
+            emb.filter(F.col("vec_id") % EVAL_MOD == 0),
+            "vec_id",
+            "embedding",
+            DIM,
+            tau=_Q11_TAU,
+        )
+        return (
+            ng.join(sem, ng.doc_id == sem.vec_id)
+            .select(
+                ng.doc_id,
+                "n_shingles",
+                "n_bloom_hit",
+                (~F.col("clean")).alias("ngram_hit"),
+                F.col("cosine").alias("max_eval_cos"),
+                F.col("contaminated").alias("semantic_hit"),
+                (F.col("clean") & ~F.col("contaminated")).alias("released"),
+            )
+        )
+
+    return q11_dual_gate_decontam
+
+
+q11_dual_gate_decontam = _register_q11()
+
+
 SP3_CUTOFF_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z
 SP3_GAP_US = 48 * 3600 * 1_000_000  # 48 h leakage buffer
 

@@ -3505,3 +3505,23 @@ def test_mixture_solver_hand_case_and_mix_sources_consistency(spark):
     assert copies[1] == 5                 # exactly 5 epochs
     assert copies[2] in (1, 2)            # 1.25 epochs: 1 or 2 copies
     assert 3 not in copies                # rate 0 drops the domain
+
+
+def test_dual_gate_decontam_report(spark):
+    """q11: the release decision is exactly (ngram-clean AND
+    semantic-clean) per row, eval items never appear, and on the
+    fixture both gates fire independently (rows caught by exactly one
+    modality exist in both directions — the reason releases run both)."""
+    from mrf_etl_spark.plans.parity import REGISTRY
+    import mrf_etl_spark.plans.parity_fused  # noqa: F401
+    from mrf_etl_spark.plans.parity_llm import EVAL_MOD
+
+    rows = REGISTRY["q11_dual_gate_decontam"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows and all(r.doc_id % EVAL_MOD != 0 for r in rows)
+    for r in rows:
+        assert r.released == ((not r.ngram_hit) and (not r.semantic_hit))
+    only_ngram = sum(1 for r in rows if r.ngram_hit and not r.semantic_hit)
+    only_sem = sum(1 for r in rows if r.semantic_hit and not r.ngram_hit)
+    assert only_ngram > 0 and only_sem > 0

@@ -110,6 +110,9 @@ NESTED_LOOP_OK = {
     # q10 composes e6's trainer (same k-row codebook broadcast) plus
     # one more bounded broadcast-assign pass
     "q10_cluster_map": "bounded broadcast codebook (e6's trainer inside)",
+    # q11 composes d14's bounded eval-set broadcast (the n-gram gate
+    # side is a zero-join bitset projection)
+    "q11_dual_gate_decontam": "bounded broadcast eval set (d14's gate inside)",
     # bucket width derives from a ONE-ROW max-id (and max-weight)
     # aggregate crossJoined on (the t5 collect-free global-scalar shape)
     "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",
