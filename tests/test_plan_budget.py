@@ -129,6 +129,25 @@ BUDGETS = {
     # canonical pick: the d3 pair cascade's exchanges; the argmax agg and
     # anti-join run over the pair-graph-bounded label set
     "d13_canonical_pick": 6,
+    # probe inference: e9's per-iteration update aggs + the final scoring
+    # join pair — the weight vector itself always broadcasts
+    "e11_probe_inference": 3,
+    # DSIR: two word-count aggs + the scoring join + doc rollup; totals
+    # broadcast, the budget cut is a bounded TakeOrdered (no shuffle)
+    "d15_dsir_select": 4,
+    # perplexity buckets: t22's six (scores) + doc-source join + the
+    # histogram/threshold stages — everything past the rollup runs over
+    # the bounded (domain, score) table; thresholds broadcast back
+    "t25_perplexity_buckets": 13,
+    # hard negatives: ivf_topk's shape — assignment agg, candidate join,
+    # rank window; centroids and probes broadcast
+    "n10_hard_negatives": 3,
+    # mixture solver: ONE combinable token-count agg; the rate math is a
+    # projection over the |domains|-row table
+    "sp23_mixture_solver": 1,
+    # dual-gate report: d12's doc rollup exchanges + the semantic argmax
+    # agg + the id-keyed gate join — eval sides broadcast
+    "q11_dual_gate_decontam": 7,
 }
 
 
