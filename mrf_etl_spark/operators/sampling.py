@@ -899,3 +899,71 @@ def mixture_solver(
     return out.withColumn(
         "planned_tokens", F.expr("tokens * rate_bp div 10000")
     ).select("domain", "tokens", "target_bp", "rate_bp", "planned_tokens")
+
+
+def training_order(
+    docs: DataFrame,
+    targets: dict[str, int],
+    budget_tokens: int,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "order",
+    max_epochs: int = 1 << 20,
+) -> DataFrame:
+    """End-to-end training-order manifest (pipe7) — the dataloader's
+    input, produced in ONE plan from a mixture spec: solve the
+    per-domain epoch rates from the target shares and token budget
+    (:func:`mixture_solver`), apply them as deterministic
+    epoch/downsample copies (:func:`mix_sources`' integer recipe, with
+    the rates JOINED from the solved table instead of a literal dict),
+    and rank every surviving (doc, copy) into a dense global shuffle
+    order (:func:`global_shuffle`'s distributed decomposition — never a
+    corpus-wide single-partition window).
+
+    The composite row id is ``doc_id · max_epochs + copy`` (distinct as
+    long as rate_bp < max_epochs·10000 — far beyond any real epoch
+    count), so the shuffle position is a pure function of (doc, copy,
+    salt): re-runs are identical, appending a NEW mixture spec is a new
+    salt, and any engine can replay the exact order.
+
+    Scale shape: one token-count agg (the solver), the |domains|-row
+    rate table broadcast onto the corpus scan, a stateless per-row
+    explode (≤ ceil(rate) copies), then global_shuffle's one data
+    shuffle + constant-size offset broadcast. The corpus is read once
+    and shuffled once.
+
+    Returns (doc_id, domain, copy, order_pos): one row per training
+    example, order_pos dense 0..n-1.
+    """
+    rates = mixture_solver(
+        docs, targets, budget_tokens, domain_col, text_col
+    )
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(domain_col).alias("domain")
+    ).join(F.broadcast(rates.select("domain", "rate_bp")), "domain")
+    b = shard_hash("doc_id", salt) % BUCKETS
+    expl = (
+        d.withColumn("_n", F.expr("rate_bp div 10000"))
+        .withColumn("_r", F.expr("rate_bp % 10000"))
+        .select(
+            "doc_id",
+            "domain",
+            "_n",
+            "_r",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("_n"))
+            ).alias("copy"),
+        )
+    )
+    kept = expl.filter(
+        (F.col("copy") < F.col("_n"))
+        | ((F.col("copy") == F.col("_n")) & (b < F.col("_r")))
+    ).drop("_n", "_r")
+    mixed = kept.withColumn(
+        "_mid", F.col("doc_id") * F.lit(int(max_epochs)) + F.col("copy")
+    )
+    ranked = global_shuffle(mixed, "_mid", salt=f"{salt}-pos", out_col="order_pos")
+    return ranked.select(
+        "doc_id", "domain", "copy", F.col("order_pos").cast("long").alias("order_pos")
+    )

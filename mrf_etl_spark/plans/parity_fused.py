@@ -81,6 +81,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # cost-driven ride (every sampling-family probe is at the
         # 7-cap; precedent: e5 on fx_explode, e6/e7 on fx_topk_page)
         ("sp23_mixture_solver", []),
+        # round-9 session 3: pipe7 composes sp23+sp7+sp8 into the
+        # dataloader manifest — all-int surface, same cost-driven slot
+        ("pipe7_training_order", []),
     ],
     "fx_anti_semi": [
         ("j10_anti_join", []),
@@ -809,6 +812,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "doc_id", "n_shingles", "n_bloom_hit", "ngram_hit",
         "max_eval_cos", "semantic_hit", "released",
     ],
+    "pipe7_training_order": ["doc_id", "domain", "copy", "order_pos"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -1042,7 +1046,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 278
+CATALOG_COUNT = 279
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

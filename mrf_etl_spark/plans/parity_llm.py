@@ -2777,6 +2777,71 @@ def sp23_mixture_solver(spark, sf_dir):
     )
 
 
+@register(
+    "pipe7_training_order",
+    # sp23's solver CTEs verbatim → rate table joined onto the corpus →
+    # sp7's integer copy explode ('order' salt) → sp8's rank spec over
+    # the composite (doc, copy) id ('order-pos' salt). The oracle uses
+    # the naive single-window rank as the SPEC; the Spark side computes
+    # the identical ranking distributed (global_shuffle's bucket
+    # decomposition).
+    f"""WITH tok AS MATERIALIZED (
+         SELECT source AS domain,
+                CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                     AS BIGINT) AS tokens
+         FROM documents GROUP BY source),
+       tb AS MATERIALIZED (
+         SELECT domain, tokens,
+                CAST({_sp23_target_case()} AS BIGINT) AS target_bp
+         FROM tok),
+       rt AS MATERIALIZED (
+         SELECT domain, tokens, target_bp,
+                CASE WHEN tokens > 0
+                     THEN ((CAST({SP23_BUDGET} AS BIGINT) * target_bp)
+                           // 10000) * 10000 // tokens
+                     ELSE CAST(0 AS BIGINT) END AS rate_bp
+         FROM tb),
+       m AS MATERIALIZED (
+         SELECT doc_id, domain, c AS copy
+         FROM (SELECT d.doc_id, r.domain, r.rate_bp,
+                      CAST('0x' || substring(md5('order' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) % 10000 AS b,
+                      unnest(range(0, r.rate_bp // 10000 + 1)) AS c
+               FROM documents d JOIN rt r ON r.domain = d.source)
+         WHERE c < rate_bp // 10000
+            OR (c = rate_bp // 10000 AND b < rate_bp % 10000))
+       SELECT doc_id, domain, copy,
+              CAST(row_number() OVER (
+                ORDER BY CAST('0x' || substring(md5('order-pos' ||
+                    CAST(doc_id * {1 << 20} + copy AS VARCHAR)), 1, 15)
+                    AS BIGINT),
+                  doc_id * {1 << 20} + copy) - 1 AS BIGINT) AS order_pos
+       FROM m""",
+    doc="pipe7 (beyond-ref): end-to-end training-order manifest — the "
+    "dataloader's input in ONE plan: solve per-domain epoch rates from "
+    "target shares + token budget (sp23), apply them as deterministic "
+    "integer epoch/downsample copies (sp7's recipe with the rates "
+    "JOINED from the solved table), rank every (doc, copy) into a "
+    "dense global shuffle order (sp8's distributed decomposition — "
+    "never a corpus-wide single-partition window). Position is a pure "
+    "function of (doc, copy, salt): re-runs identical, replayable on "
+    "any engine. Corpus read once, shuffled once "
+    "(operators/sampling.training_order).",
+)
+def pipe7_training_order(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    return sp.training_order(
+        t(spark, sf_dir, "documents"),
+        SP23_TARGETS,
+        SP23_BUDGET,
+        "source",
+        "text",
+        "doc_id",
+        salt="order",
+    )
+
+
 # sp8: deterministic global shuffle — distributed rank in md5 order
 @register(
     "sp8_global_shuffle",

@@ -3525,3 +3525,31 @@ def test_dual_gate_decontam_report(spark):
     only_ngram = sum(1 for r in rows if r.ngram_hit and not r.semantic_hit)
     only_sem = sum(1 for r in rows if r.semantic_hit and not r.ngram_hit)
     assert only_ngram > 0 and only_sem > 0
+
+
+def test_training_order_manifest(spark):
+    """pipe7: the manifest's positions are a dense 0..n-1 permutation;
+    per-doc copy counts follow the solved rates exactly (full copies
+    always, at most one fractional); domains with rate 0 never appear;
+    and re-running yields the identical order (pure function of salt)."""
+    from collections import Counter
+
+    from mrf_etl_spark.operators.sampling import mixture_solver, training_order
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    targets = {"src0": 4000, "src1": 4000, "src2": 2000}
+    out = training_order(docs, targets, 20_000).collect()
+    pos = sorted(r.order_pos for r in out)
+    assert pos == list(range(len(out)))
+    rates = {
+        r.domain: r.rate_bp
+        for r in mixture_solver(docs, targets, 20_000).collect()
+    }
+    copies = Counter(r.doc_id for r in out)
+    doms = {r.doc_id: r.domain for r in out}
+    for doc_id, n in copies.items():
+        rb = rates[doms[doc_id]]
+        assert n in (rb // 10000, rb // 10000 + 1)
+    assert all(rates[r.domain] > 0 for r in out)
+    again = training_order(docs, targets, 20_000).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

@@ -148,6 +148,10 @@ BUDGETS = {
     # dual-gate report: d12's doc rollup exchanges + the semantic argmax
     # agg + the id-keyed gate join — eval sides broadcast
     "q11_dual_gate_decontam": 7,
+    # training-order manifest: the solver's token-count agg + sp8's
+    # bucket-count agg pair feeding broadcast offsets + the ONE
+    # per-bucket data shuffle — rates and offsets broadcast
+    "pipe7_training_order": 5,
 }
 
 
