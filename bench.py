@@ -116,6 +116,7 @@ HEADLINE = [
     "st22_stream_fertility",
     "q11_dual_gate_decontam",
     "pipe7_training_order",
+    "n11_ann_matryoshka",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

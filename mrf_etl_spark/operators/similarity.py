@@ -2552,3 +2552,78 @@ def cluster_map(
             (-F.col("_m.negn")).cast("long").alias("top_label_n"),
         )
     )
+
+
+def matryoshka_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    dim_t: int = 16,
+    query_filter: Column | None = None,
+    n_candidates: int = 50,
+    k: int = 5,
+) -> DataFrame:
+    """Matryoshka / truncatable-embedding ANN (n11) — the MRL serving
+    pattern (Kusupati et al. 2022; the shape behind truncatable API
+    embeddings): shortlist candidates by cosine over only the FIRST
+    ``dim_t`` dimensions (a dim_t/dim-cost scan — MRL training packs
+    the signal into the prefix; e3's truncation-quality audit measures
+    exactly how much survives), then rerank the shortlist with the
+    exact full-dimension cosine. The index-free counterpart to IVF/PQ:
+    no codebook to train or drift (e8's monitor is moot), just a
+    cheaper scan — the right tool when embeddings are MRL-trained and
+    the corpus partition is already pruned by other predicates.
+
+    Determinism: both stages are fold cosines with (score DESC NULLS
+    LAST, id ASC) ties — the truncated stage gates zero-prefix vectors
+    to NULL explicitly (Spark 0/0=NULL vs DuckDB NaN), so the oracle
+    replays shortlist AND final ranks exactly.
+
+    Scale shape: bounded query broadcast onto the corpus scan (n1's
+    allowlisted shape) with a dim_t-term fold; the rerank touches only
+    |Q|×n_candidates rows. Returns (query_id, neighbor_id, cosine,
+    rank), rank 1..k — approximate vs n1, recall measured in tests.
+    """
+    corpus = (
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .withColumn("cvt", F.slice("cv", 1, dim_t))
+        .withColumn("cnt", norm_fold("cvt"))
+        .withColumn("cn", norm_fold("cv"))
+    )
+    q = emb.filter(query_filter) if query_filter is not None else emb
+    q = (
+        q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("qvt", F.slice("qv", 1, dim_t))
+        .withColumn("qnt", norm_fold("qvt"))
+        .withColumn("qn", norm_fold("qv"))
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_t",
+            F.when(
+                (F.col("qnt") > 0) & (F.col("cnt") > 0),
+                dot_fold("qvt", "cvt") / (F.col("qnt") * F.col("cnt")),
+            ),
+        )
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cos_t").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    short = (
+        scored.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= n_candidates)
+    )
+    rer = short.withColumn(
+        "cosine", dot_fold("qv", "cv") / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

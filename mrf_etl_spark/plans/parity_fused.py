@@ -456,6 +456,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # direct slot freed for n6 (j4's oracle is a 0.02 s dim-chain
         # join; the flagship entry() still runs it directly)
         ("j19_bloom_pruned_join", []),
+        # round-9 session 3: Matryoshka ANN — the cascade is two keyed
+        # joins + a rerank (cost-driven ride: both ANN-family probes
+        # are at the 7-cap); cosine rides the v column, ~0.5 s oracle
+        ("n11_ann_matryoshka", ["cosine"]),
         ("j4_join_chain", ["revenue"]),
     ],
     "fx_text_stats": [
@@ -813,6 +817,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "max_eval_cos", "semantic_hit", "released",
     ],
     "pipe7_training_order": ["doc_id", "domain", "copy", "order_pos"],
+    "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -1046,7 +1051,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 279
+CATALOG_COUNT = 280
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

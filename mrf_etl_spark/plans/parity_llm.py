@@ -887,6 +887,80 @@ def n9_ann_filtered(spark, sf_dir):
     )
 
 
+_N11_DIM_T = 16
+_N11_CANDIDATES = 50
+
+
+def _cos_sql_trunc_gated(a: str, b: str, d: int) -> str:
+    """First-``d``-dims unrolled cosine with the zero-prefix case gated
+    to NULL (NULLIF denominator) — mirrors the Spark side's
+    when(norms > 0) gate on sliced arrays."""
+    dot = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, d + 1)
+    )
+    na = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)"
+        for i in range(1, d + 1)
+    )
+    nb = " + ".join(
+        f"CAST({b}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, d + 1)
+    )
+    return f"(({dot}) / NULLIF(sqrt({na}) * sqrt({nb}), 0))"
+
+
+@register(
+    "n11_ann_matryoshka",
+    # shortlist by the 16-term truncated chain (NULLS LAST, id ties),
+    # exact 64-term rerank of the shortlist — both stages replay exactly
+    f"""WITH q AS MATERIALIZED (
+         SELECT vec_id AS query_id, embedding AS qv
+         FROM embeddings WHERE vec_id < 10),
+       sc AS MATERIALIZED (
+         SELECT q.query_id, e.vec_id AS neighbor_id,
+                {_cos_sql_trunc_gated('e.embedding', 'q.qv', _N11_DIM_T)}
+                  AS cos_t
+         FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       short AS MATERIALIZED (
+         SELECT query_id, neighbor_id FROM (
+           SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_t DESC NULLS LAST, neighbor_id ASC) AS rn
+           FROM sc) WHERE rn <= {_N11_CANDIDATES}),
+       rer AS MATERIALIZED (
+         SELECT s.query_id, s.neighbor_id,
+                {_cos_sql('qq.embedding', 'e.embedding')} AS cosine
+         FROM short s
+         JOIN embeddings qq ON qq.vec_id = s.query_id
+         JOIN embeddings e ON e.vec_id = s.neighbor_id)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT *, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         FROM rer) WHERE rank <= 5""",
+    doc="n11 (beyond-ref): Matryoshka / truncatable-embedding ANN "
+    "(Kusupati et al. 2022 — the serving shape behind truncatable API "
+    "embeddings): shortlist by cosine over the FIRST 16 dims (a "
+    "quarter-cost scan; e3's truncation audit measures the retained "
+    "signal), exact full-dim rerank of the |Q|×n_candidates "
+    "shortlist. The index-free ANN: no codebook to train or drift — "
+    "the complement to n2/n7/n8 when embeddings are MRL-trained. "
+    "Zero-prefix vectors gate to NULL on both engines "
+    "(operators/similarity.matryoshka_topk).",
+)
+def n11_ann_matryoshka(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.matryoshka_topk(
+        emb,
+        dim=DIM,
+        dim_t=_N11_DIM_T,
+        query_filter=F.col("vec_id") < 10,
+        n_candidates=_N11_CANDIDATES,
+        k=5,
+    )
+
+
 @register(
     "n10_hard_negatives",
     # n2's cascade with a PER-QUERY relational exclusion: the query's

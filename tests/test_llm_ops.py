@@ -3553,3 +3553,55 @@ def test_training_order_manifest(spark):
     assert all(rates[r.domain] > 0 for r in out)
     again = training_order(docs, targets, 20_000).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_matryoshka_topk_recall_and_hand_case(spark):
+    """n11: with dim_t == dim the cascade IS exact brute-force top-k
+    (shortlist order == final order); at dim_t=16 on the fixture the
+    shortlist recall vs n1's exact top-5 stays above a floor. Hand
+    case: a vector whose prefix is zero gates to NULL in the shortlist
+    score (ranks last) but can still be rescued by the full-dim rerank
+    if the shortlist is wide enough."""
+    from mrf_etl_spark.operators.similarity import cosine_topk, matryoshka_topk
+
+    big = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(big, query_filter=F.col("vec_id") < 10, k=5).collect()
+    }
+    # dim_t == dim: identical to exact (candidates >> k)
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in matryoshka_topk(
+            big, dim=64, dim_t=64,
+            query_filter=F.col("vec_id") < 10, n_candidates=50, k=5,
+        ).collect()
+    }
+    assert full == exact
+    # dim_t = 16: approximate, recall floor on the fixture
+    trunc = {
+        (r.query_id, r.neighbor_id)
+        for r in matryoshka_topk(
+            big, dim=64, dim_t=16,
+            query_filter=F.col("vec_id") < 10, n_candidates=50, k=5,
+        ).collect()
+    }
+    recall = len(trunc & exact) / len(exact)
+    assert recall >= 0.5, f"matryoshka recall {recall:.2f} below floor"
+
+    rows = [
+        (0, [0.0, 0.0, 1.0, 0.0], 0),   # query: zero PREFIX (dim_t=2)
+        (1, [0.0, 0.1, 1.0, 0.0], 0),   # true nearest (full-dim)
+        (2, [1.0, 0.0, 0.0, 0.1], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = matryoshka_topk(
+        emb, dim=4, dim_t=2,
+        query_filter=F.col("vec_id") == 0, n_candidates=2, k=1,
+    ).collect()
+    # the zero-prefix query scores NULL against everything in the
+    # shortlist stage (ties broken by id), but the full-dim rerank
+    # still surfaces the true neighbor from the 2-wide shortlist
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in out] == [(0, 1, 1)]

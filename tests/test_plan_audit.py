@@ -113,6 +113,9 @@ NESTED_LOOP_OK = {
     # q11 composes d14's bounded eval-set broadcast (the n-gram gate
     # side is a zero-join bitset projection)
     "q11_dual_gate_decontam": "bounded broadcast eval set (d14's gate inside)",
+    # n11: n1's shape — the bounded query set broadcasts onto the corpus
+    # scan (at quarter cost via the truncated fold); rerank is keyed
+    "n11_ann_matryoshka": "bounded broadcast query set (truncated-dim scan)",
     # bucket width derives from a ONE-ROW max-id (and max-weight)
     # aggregate crossJoined on (the t5 collect-free global-scalar shape)
     "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",

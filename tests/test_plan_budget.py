@@ -152,6 +152,9 @@ BUDGETS = {
     # bucket-count agg pair feeding broadcast offsets + the ONE
     # per-bucket data shuffle — rates and offsets broadcast
     "pipe7_training_order": 5,
+    # Matryoshka ANN: ONE window shuffle (shortlist rank; the rerank
+    # rides the same rows) — queries broadcast, no index, no codebook
+    "n11_ann_matryoshka": 1,
 }
 
 
