@@ -117,6 +117,7 @@ HEADLINE = [
     "q11_dual_gate_decontam",
     "pipe7_training_order",
     "n11_ann_matryoshka",
+    "m6_phash_near_dup",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

@@ -493,3 +493,79 @@ def media_near_dup(
     # caller frees via operators.dedup.release_state after materializing
     out._mrf_persisted = f
     return out
+
+
+def phash_near_dup(
+    mm: DataFrame,
+    fake: bool = True,
+    max_hamming: int = 8,
+    max_band_freq: int = 50,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Perceptual-hash banded near-dup pairs (m6) — the corpus-level
+    image dedup :func:`perceptual_hash`'s docstring promises: d4b's
+    pigeonhole recipe applied to the aHash signatures. Any pair within
+    Hamming ``max_hamming`` ≤ 15 of 64 bits agrees EXACTLY on at least
+    one of the 4×16-bit bands (pigeonhole), so candidates come from
+    band-equality joins — never an all-pairs product — and verify
+    exactly via ``bit_count(xor)`` on the two 32-bit halves.
+
+    ``max_band_freq`` caps degenerate bands (e.g. the all-zero band of
+    flat images) exactly like d3b/d4b's df cap: a band value shared by
+    more than this many images is dropped from CANDIDATE GENERATION
+    (its members still pair through their other bands — lossless for
+    any pair agreeing on a non-degenerate band, and the cap is the
+    reason Σ|bucket|² stays bounded at 100 TB).
+
+    Plan: map-side hashing (mapInPandas, no shuffle) → one band-keyed
+    shuffle + the pair join + the exact verify against the KiB-per-row
+    signature table. Returns (doc_a, doc_b, hamming), all-int.
+    """
+    sig = perceptual_hash(mm, fake=fake, partitions=partitions).select(
+        "doc_id", "ahash_hi", "ahash_lo"
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("b"), F.expr("ahash_lo & 65535").alias("bv")),
+                F.struct(
+                    F.lit(1).alias("b"),
+                    F.expr("(ahash_lo >> 16) & 65535").alias("bv"),
+                ),
+                F.struct(F.lit(2).alias("b"), F.expr("ahash_hi & 65535").alias("bv")),
+                F.struct(
+                    F.lit(3).alias("b"),
+                    F.expr("(ahash_hi >> 16) & 65535").alias("bv"),
+                ),
+            )
+        ).alias("_bb"),
+    ).select("doc_id", F.col("_bb.b").alias("b"), F.col("_bb.bv").alias("bv"))
+    freq = bands.groupBy("b", "bv").agg(F.count("*").alias("_df"))
+    kept = bands.join(freq, ["b", "bv"]).filter(F.col("_df") <= max_band_freq)
+    a = kept.select(F.col("doc_id").alias("doc_a"), "b", "bv")
+    c = kept.select(F.col("doc_id").alias("doc_b"), "b", "bv")
+    cand = (
+        a.join(c, ["b", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ahash_hi").alias("_ahi"),
+        F.col("ahash_lo").alias("_alo"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ahash_hi").alias("_bhi"),
+        F.col("ahash_lo").alias("_blo"),
+    )
+    ham = F.bit_count(F.expr("_ahi ^ _bhi")) + F.bit_count(F.expr("_alo ^ _blo"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

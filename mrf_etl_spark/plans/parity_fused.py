@@ -429,6 +429,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("m3_media_exact_dup", []),
         ("m4_media_near_dup", ["jaccard"]),
         ("m5_perceptual_hash", []),
+        # round-9 session 3: the banded-Hamming image dedup m5's hashes
+        # feed — all-int pair surface, ~0.1 s oracle
+        ("m6_phash_near_dup", []),
     ],
     # round-5 probes: close the driver-verification tail. fx_agg_shapes /
     # fx_ref_joins free five agg + three join direct slots; the freed
@@ -818,6 +821,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "pipe7_training_order": ["doc_id", "domain", "copy", "order_pos"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
+    "m6_phash_near_dup": ["doc_a", "doc_b", "hamming"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -1051,7 +1055,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 280
+CATALOG_COUNT = 281
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -4811,6 +4811,84 @@ def m5_perceptual_hash(spark, sf_dir):
     return perceptual_hash(mm, fake=True)
 
 
+M6_MAX_HAMMING = 10
+M6_BAND_CAP = 50
+
+
+@register(
+    "m6_phash_near_dup",
+    # m5's fake-hash recipe over the near-dup corpus, then d4b's
+    # pigeonhole: 4×16-bit bands → df-capped equality candidates →
+    # exact bit_count(xor) verify on the two 32-bit halves
+    f"""WITH corpus AS {_NEAR_DUP_CORPUS_SQL},
+       p AS (
+         SELECT doc_id, hex(encode(text)) AS hx,
+                octet_length(encode(text)) AS n
+         FROM corpus),
+       s AS MATERIALIZED (
+         SELECT doc_id, CAST(t.i AS INT) AS i,
+                CAST('0x' || substring(hx, 1 + 2 * CAST((t.i * n) // 64 AS INT), 2)
+                     AS BIGINT) AS byte
+         FROM p, range(64) t(i) WHERE n >= 1),
+       m AS (SELECT doc_id, sum(byte) / 64.0 AS mu FROM s GROUP BY doc_id),
+       sig AS MATERIALIZED (
+         SELECT s.doc_id,
+                CAST(sum(CASE WHEN s.i >= 32 AND s.byte >= m.mu
+                              THEN CAST(1 AS BIGINT) << (s.i - 32) ELSE 0 END)
+                     AS BIGINT) AS hi,
+                CAST(sum(CASE WHEN s.i < 32 AND s.byte >= m.mu
+                              THEN CAST(1 AS BIGINT) << s.i ELSE 0 END)
+                     AS BIGINT) AS lo
+         FROM s JOIN m USING (doc_id) GROUP BY 1),
+       bands AS (
+         SELECT doc_id, b,
+                CASE b WHEN 0 THEN lo & 65535
+                       WHEN 1 THEN (lo >> 16) & 65535
+                       WHEN 2 THEN hi & 65535
+                       ELSE (hi >> 16) & 65535 END AS bv
+         FROM sig, range(0, 4) rb(b)),
+       kept AS MATERIALIZED (
+         SELECT * FROM (
+           SELECT doc_id, b, bv, count(*) OVER (PARTITION BY b, bv) AS _df
+           FROM bands)
+         WHERE _df <= {M6_BAND_CAP}),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         FROM kept a JOIN kept c ON a.b = c.b AND a.bv = c.bv
+         WHERE a.doc_id < c.doc_id)
+       SELECT doc_a, doc_b,
+              CAST(bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo))
+                   AS BIGINT) AS hamming
+       FROM cand
+       JOIN sig sa ON sa.doc_id = doc_a
+       JOIN sig sb ON sb.doc_id = doc_b
+       WHERE bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo))
+             <= {M6_MAX_HAMMING}""",
+    doc="m6 (beyond-ref): corpus-level image dedup — the banded Hamming "
+    "join m5's docstring promises: d4b's pigeonhole recipe over the "
+    "aHash signatures (any pair within Hamming 10 of 64 bits agrees "
+    "exactly on ≥ 1 of the 4×16-bit bands), df-capped band-equality "
+    "candidates — never all-pairs — and an exact bit_count(xor) "
+    "verify. Catches re-encoded/re-scaled image copies whose exact "
+    "byte hash (m3) and frame fingerprints (m4) both miss. Map-side "
+    "hashing, one band-keyed shuffle, KiB signature rows "
+    "(operators/multimodal.phash_near_dup).",
+)
+def m6_phash_near_dup(spark, sf_dir):
+    from mrf_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        phash_near_dup,
+    )
+
+    mm = attach_binary_payload(
+        _docs_with_near_dups(spark, sf_dir), "text", "doc_id"
+    )
+    return phash_near_dup(
+        mm, fake=True, max_hamming=M6_MAX_HAMMING, max_band_freq=M6_BAND_CAP,
+        partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
 def _register_n4():
     # n4's truth is n2's: the persisted index must answer queries exactly
     # like the on-the-fly IVF cascade over the same corpus + codebook,

