@@ -71,6 +71,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # merged rollup — the family's lake-state member (every
         # streaming-family probe is at the 7-cap); all-int surface
         ("st22_stream_fertility", []),
+        # round-9 session 3: q10's streaming twin — additive (cid,
+        # label) count lake served as the corpus map (oracle = q10's)
+        ("st23_stream_cluster_map", []),
     ],
     "fx_projection_filters": [
         ("p123_projection", ["rate", "ga_prof_mar"]),
@@ -822,6 +825,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "pipe7_training_order": ["doc_id", "domain", "copy", "order_pos"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
     "m6_phash_near_dup": ["doc_a", "doc_b", "hamming"],
+    "st23_stream_cluster_map": ["cid", "n_members", "top_label", "top_label_n"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -1055,7 +1059,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 281
+CATALOG_COUNT = 282
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -1714,3 +1714,109 @@ def _register_st22():
 
 
 st22_stream_fertility = _register_st22()
+
+
+# ----------------------- round-9: streaming cluster-map maintenance
+
+def _register_st23():
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    @register(
+        "st23_stream_cluster_map",
+        oracle=REGISTRY["q10_cluster_map"].oracle,
+        doc="st23: q10's corpus map kept fresh by a stream — the trained "
+        "codebook is the offline artifact (e6's two Lloyd iterations, "
+        "frozen); embedding micro-batches assign against it inside "
+        "foreachBatch (per-row quantization + the exact shared argmax "
+        "kernel — batch boundaries invisible by construction) and "
+        "append additive (cid, label, n) count rows under the table "
+        "lock; serving sums the lake and takes the deterministic mode. "
+        "Served report == q10's one-shot answer exactly (oracle "
+        "verbatim). The curation dashboard stays current for O(batch × "
+        "codebook) work per trigger — the corpus is never re-assigned.",
+    )
+    def st23_stream_cluster_map(spark, sf_dir):
+        import os
+
+        from mrf_etl_spark.operators import similarity as sim
+        from mrf_etl_spark.operators.sketchlake import append_state
+        from mrf_etl_spark.plans.parity import _scratch
+        from mrf_etl_spark.plans.parity_llm import _E6_SEED_MOD, DIM
+
+        emb = t(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        )
+        cb = sim.kmeans_codebook(
+            emb, "vec_id", "embedding", DIM, seed_mod=_E6_SEED_MOD, iters=2
+        )
+        cent = cb.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cs"))),
+                lambda s: s.cs,
+            ).alias("cvec")
+        ).persist()
+
+        staging = _scratch("st23_staging")
+        os.makedirs(staging, exist_ok=True)
+        emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
+            f"{staging}/half=1"
+        )
+        emb.filter(F.col("vec_id") % 2 == 1).write.mode("overwrite").parquet(
+            f"{staging}/half=2"
+        )
+        lake = _scratch("st23_cluster_lake")
+
+        def fold(batch_df, _batch_id):
+            qb = sim.quantize_int8(batch_df).select(
+                F.col("vec_id").alias("vid"), "qvec"
+            )
+            asg = sim.assign_centroids_int8(qb, cent)
+            lab = batch_df.select(
+                F.col("vec_id").alias("vid"),
+                F.col("label").cast("long").alias("label"),
+            )
+            counts = asg.join(lab, "vid").groupBy("cid", "label").agg(
+                F.count("*").alias("n")
+            )
+            append_state(counts, lake)
+
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staging}/half=*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", _scratch("st23_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+        lc = (
+            spark.read.parquet(lake)
+            .groupBy("cid", "label")
+            .agg(F.sum("n").alias("n"))
+        )
+        return (
+            lc.groupBy("cid")
+            .agg(
+                F.sum("n").alias("n_members"),
+                F.min(
+                    F.struct(
+                        (-F.col("n")).alias("negn"), F.col("label").alias("lb")
+                    )
+                ).alias("_m"),
+            )
+            .select(
+                "cid",
+                "n_members",
+                F.col("_m.lb").alias("top_label"),
+                (-F.col("_m.negn")).cast("long").alias("top_label_n"),
+            )
+        )
+
+    return st23_stream_cluster_map
+
+
+st23_stream_cluster_map = _register_st23()

@@ -708,3 +708,23 @@ def test_st22_stream_fertility_equals_batch_rollup(spark):
         .collect()
     }
     assert served == batch
+
+
+def test_st23_stream_cluster_map_equals_batch_report(spark):
+    """st23's drained lake must serve exactly q10's one-shot report —
+    the frozen trained codebook makes per-row assignment a pure
+    function, and (cid, label) counts are additive."""
+    import mrf_etl_spark.plans.parity_streaming  # noqa: F401
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    served = sorted(
+        map(
+            tuple,
+            REGISTRY["st23_stream_cluster_map"].spark_fn(spark, sf).collect(),
+        )
+    )
+    batch = sorted(
+        map(tuple, REGISTRY["q10_cluster_map"].spark_fn(spark, sf).collect())
+    )
+    assert served == batch
