@@ -119,6 +119,7 @@ HEADLINE = [
     "n11_ann_matryoshka",
     "m6_phash_near_dup",
     "st23_stream_cluster_map",
+    "e12_power_iteration",
     # round-7 session 3: Bloom decontamination gate (scan-speed flag +
     # in-row exact verification) and the Bloom-pruned shuffle join
     "d12_bloom_decontam",

@@ -2627,3 +2627,84 @@ def matryoshka_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def power_iteration(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 2,
+) -> DataFrame:
+    """Dominant-direction extraction (e12) — power iteration on the
+    corpus's (uncentered) second-moment matrix Σ x·xᵀ: the direction
+    embedding collections are anisotropic along, which "All-but-the-Top"
+    (Mu & Viswanath 2018) removes to restore cosine contrast, and the
+    drift axis an embedding-QA dashboard watches. Run ON the engine —
+    the corpus never leaves Spark, only the dim-sized direction does.
+
+    INTEGER-EXACT iterative linear algebra (the e6/e9 doctrine, fourth
+    instance): features are e1's int8 quantization; each iteration is
+    v ← quantize(Σ_rows (x·v)·x) — the per-row projection x·v is an
+    exact int64, the update is ONE map-side-combinable 64-sum, and the
+    e1-style int8 requantize keeps every product bounded independent
+    of corpus size per iteration (per-row contribution ≤ 64·127²·127 ≈
+    1.3e8, int64-safe beyond 10¹⁰ rows — same headroom class as e9's
+    update). From v₀ = 1⃗ the sign is pinned, so the oracle unrolls the
+    iterations and replays every byte.
+
+    Plan shape per iteration: the dim-sized direction broadcasts onto
+    the corpus scan, the update is one combinable agg; KiB state
+    between iterations. Returns (iter, i, v): the int8 direction after
+    each iteration — iters·dim all-integer rows.
+    """
+    zero = F.lit(0).cast("long")
+    q = quantize_int8(emb, vec_col, id_col).select(
+        F.col(id_col).alias("vid"), "qvec"
+    )
+    v = q.sparkSession.range(1).select(
+        F.array_repeat(F.lit(1).cast("long"), dim).alias("varr")
+    )
+    outs = []
+    for k in range(1, iters + 1):
+        dot = F.aggregate(
+            F.zip_with("qvec", "varr", lambda x, vv: x.cast("long") * vv),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        upd = (
+            q.crossJoin(F.broadcast(v))
+            .withColumn("_d", dot)
+            .agg(
+                *[
+                    F.sum(
+                        F.col("_d") * F.element_at("qvec", i + 1).cast("long")
+                    ).alias(f"_s{i}")
+                    for i in range(dim)
+                ]
+            )
+            .select(
+                F.array(
+                    *[F.coalesce(F.col(f"_s{i}"), zero) for i in range(dim)]
+                ).alias("sarr")
+            )
+        )
+        amax = F.array_max(F.transform("sarr", lambda s: F.abs(s.cast("double"))))
+        vq = F.when(
+            amax == 0, F.transform("sarr", lambda s: zero)
+        ).otherwise(
+            F.transform(
+                "sarr",
+                lambda s: F.round(s.cast("double") / (amax / F.lit(127.0))).cast(
+                    "long"
+                ),
+            )
+        )
+        v = upd.select(vq.alias("varr")).persist()
+        outs.append(
+            v.select(F.lit(k).alias("iter"), F.posexplode("varr").alias("i", "v"))
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

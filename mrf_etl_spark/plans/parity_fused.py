@@ -222,6 +222,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("f_year_month", []),
         ("f_zip5_lpad", []),
         ("f_categorizer", []),
+        # round-9 session 3: the power-iteration direction — 128 all-int
+        # rows (cost-driven ride: fx_scalars_num and the embedding
+        # probes are all at the 7-cap; ~0.1 s oracle)
+        ("e12_power_iteration", []),
     ],
     "fx_scalars_num": [
         ("f_math_formula", ["calc_rate"]),
@@ -826,6 +830,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
     "m6_phash_near_dup": ["doc_a", "doc_b", "hamming"],
     "st23_stream_cluster_map": ["cid", "n_members", "top_label", "top_label_n"],
+    "e12_power_iteration": ["iter", "i", "v"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -1059,7 +1064,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 282
+CATALOG_COUNT = 283
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

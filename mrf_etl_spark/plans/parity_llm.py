@@ -1917,6 +1917,61 @@ def e11_probe_inference(spark, sf_dir):
     )
 
 
+def _e12_iter_ctes(k: int, prev: int) -> str:
+    """One unrolled power-iteration step: exact per-row projections
+    against v{prev}, the combinable 64-sum update, e1-style int8
+    requantize (zero-vector guard keeps the CASE total)."""
+    return f"""
+       d{k} AS MATERIALIZED (
+         SELECT u.vid, CAST(sum(u.x * v.vv) AS BIGINT) AS dot
+         FROM ux u JOIN v{prev} v ON v.i = u.i GROUP BY u.vid),
+       s{k} AS MATERIALIZED (
+         SELECT u.i, CAST(sum(d.dot * u.x) AS BIGINT) AS s
+         FROM ux u JOIN d{k} d ON d.vid = u.vid GROUP BY u.i),
+       m{k} AS (SELECT max(abs(CAST(s AS DOUBLE))) AS m FROM s{k}),
+       v{k} AS MATERIALIZED (
+         SELECT s.i,
+                CASE WHEN m.m = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(round(CAST(s.s AS DOUBLE) / (m.m / 127.0))
+                          AS BIGINT) END AS vv
+         FROM s{k} s, m{k} m)"""
+
+
+@register(
+    "e12_power_iteration",
+    # two unrolled power-iteration steps from the pinned all-ones seed —
+    # projections, update sums, and the requantized direction are exact,
+    # so every byte of the dominant direction replays
+    f"""WITH q AS MATERIALIZED (
+         SELECT vec_id AS vid, {_E6_QVEC} AS qvec
+         FROM embeddings),
+       ux AS MATERIALIZED (
+         SELECT vid, CAST(t.i AS INT) AS i,
+                CAST(qvec[CAST(t.i AS INT) + 1] AS BIGINT) AS x
+         FROM q, range({DIM}) t(i)),
+       v0 AS MATERIALIZED (
+         SELECT CAST(t.i AS INT) AS i, CAST(1 AS BIGINT) AS vv
+         FROM range({DIM}) t(i)),{_e12_iter_ctes(1, 0)},{_e12_iter_ctes(2, 1)}
+       SELECT 1 AS iter, i, vv AS v FROM v1
+       UNION ALL
+       SELECT 2, i, vv FROM v2""",
+    doc="e12 (beyond-ref): dominant-direction extraction — power "
+    "iteration on the corpus's second-moment matrix, the anisotropy "
+    "axis 'All-but-the-Top' (Mu & Viswanath 2018) removes to restore "
+    "cosine contrast and the drift axis an embedding-QA dashboard "
+    "watches. INTEGER-EXACT iterative linear algebra (the e6/e9 "
+    "doctrine, fourth instance): exact int64 per-row projections, ONE "
+    "combinable 64-sum per iteration, e1-style int8 requantize keeps "
+    "every product corpus-size-independent; v₀ = 1⃗ pins the sign, so "
+    "the oracle unrolls both iterations and replays every byte. "
+    "Per iteration: a dim-sized broadcast + one agg — KiB state "
+    "(operators/similarity.power_iteration).",
+)
+def e12_power_iteration(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.power_iteration(emb, "vec_id", "embedding", DIM, iters=2)
+
+
 _D15_TARGET_SRC = "src0"
 _D15_BUDGET = 50
 

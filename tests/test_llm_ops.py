@@ -3635,3 +3635,32 @@ def test_phash_near_dup_pigeonhole_and_real_decode(spark):
         for r in phash_near_dup(mm2, max_hamming=10, max_band_freq=50).collect()
     }
     assert pairs.get((1, 2)) == 0
+
+
+def test_power_iteration_hand_case_and_partition_invariance(spark):
+    """e12 on a corpus dominated by the ±x axis: one step from the
+    all-ones seed lands on the x direction exactly (u = [Σ(x·1)·x] =
+    [Σa², 0, 0, 0] → quantizes to [127, 0, 0, 0]) and stays there.
+    The update is order-invariant: 1 vs 8 partitions bit-identical."""
+    from mrf_etl_spark.operators.similarity import power_iteration
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [-2.0, 0.0, 0.0, 0.0]),
+        (2, [3.0, 0.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        (r.iter, r.i): r.v
+        for r in power_iteration(emb, dim=4, iters=2).collect()
+    }
+    assert out[(1, 0)] == 127 and out[(1, 1)] == 0
+    assert out[(2, 0)] == 127 and out[(2, 3)] == 0
+
+    big = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = power_iteration(big.coalesce(1)).collect()
+    b = power_iteration(big.repartition(8, "vec_id")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # the direction is normalized to int8 full scale each iteration
+    assert max(abs(r.v) for r in a) == 127

@@ -116,6 +116,9 @@ NESTED_LOOP_OK = {
     # n11: n1's shape — the bounded query set broadcasts onto the corpus
     # scan (at quarter cost via the truncated fold); rerank is keyed
     "n11_ann_matryoshka": "bounded broadcast query set (truncated-dim scan)",
+    # e12: the dim-sized direction broadcasts onto the corpus scan per
+    # iteration (e9's 1-row global-state shape)
+    "e12_power_iteration": "1-row direction broadcast per iteration",
     # bucket width derives from a ONE-ROW max-id (and max-weight)
     # aggregate crossJoined on (the t5 collect-free global-scalar shape)
     "sp21_token_stream_chunks": "1-row bucket-width scalar broadcast",

@@ -155,6 +155,9 @@ BUDGETS = {
     # Matryoshka ANN: ONE window shuffle (shortlist rank; the rerank
     # rides the same rows) — queries broadcast, no index, no codebook
     "n11_ann_matryoshka": 1,
+    # power iteration: one combinable update agg per iteration + the
+    # final explode — the direction itself always broadcasts
+    "e12_power_iteration": 3,
 }
 
 
