@@ -74,6 +74,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-9 session 3: q10's streaming twin — additive (cid,
         # label) count lake served as the corpus map (oracle = q10's)
         ("st23_stream_cluster_map", []),
+        # round-9 session 3: pipe7's disk half — the partitioned-write
+        # family IS this probe's subject; row-for-row manifest surface
+        ("s30_training_order_export", []),
     ],
     "fx_projection_filters": [
         ("p123_projection", ["rate", "ga_prof_mar"]),
@@ -831,6 +834,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "m6_phash_near_dup": ["doc_a", "doc_b", "hamming"],
     "st23_stream_cluster_map": ["cid", "n_members", "top_label", "top_label_n"],
     "e12_power_iteration": ["iter", "i", "v"],
+    "s30_training_order_export": ["doc_id", "domain", "copy", "order_pos", "shard_id"],
     "t22_ngram_lm_bits": [
         "doc_id", "n_bigrams", "total_bits", "is_surprising",
     ],
@@ -1064,7 +1068,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 283
+CATALOG_COUNT = 284
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

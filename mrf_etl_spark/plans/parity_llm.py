@@ -2971,6 +2971,62 @@ def pipe7_training_order(spark, sf_dir):
     )
 
 
+_S30_SHARD_ROWS = 64
+
+
+def _register_s30():
+    from mrf_etl_spark.plans.parity import REGISTRY, _scratch
+
+    @register(
+        "s30_training_order_export",
+        # Round-trip invariance: the manifest read back from the
+        # hive-partitioned files ON DISK must equal pipe7's in-plan
+        # manifest row-for-row — the oracle is pipe7's statement with
+        # the shard key derived the same way.
+        f"""SELECT doc_id, domain, copy, order_pos,
+              order_pos // {_S30_SHARD_ROWS} AS shard_id
+       FROM ({REGISTRY['pipe7_training_order'].oracle})""",
+        doc="s30 (beyond-ref): training-order EXPORT round-trip — pipe7's "
+        "manifest written hive-partitioned by shard_id = order_pos div "
+        f"{_S30_SHARD_ROWS} (consecutive positions land in the same "
+        "file, so a loader mounts shard directories and reads them in "
+        "order — the contiguous-read layout sequential training wants), "
+        "read back from disk and returned row-for-row: files on disk "
+        "carry exactly the planned examples at exactly the planned "
+        "positions. Partition-column typing pinned like s28 "
+        "(shard_id returns via partition-dir inference, cast to long).",
+    )
+    def s30_training_order_export(spark, sf_dir):
+        from mrf_etl_spark.operators import sampling as sp
+
+        out = sp.training_order(
+            t(spark, sf_dir, "documents"),
+            SP23_TARGETS,
+            SP23_BUDGET,
+            "source",
+            "text",
+            "doc_id",
+            salt="order",
+        ).withColumn(
+            "shard_id", F.expr(f"order_pos div {_S30_SHARD_ROWS}")
+        )
+        path = _scratch("s30_order_shards")
+        out.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+        back = spark.read.parquet(path)
+        return back.select(
+            "doc_id",
+            "domain",
+            "copy",
+            "order_pos",
+            F.col("shard_id").cast("long").alias("shard_id"),
+        )
+
+    return s30_training_order_export
+
+
+s30_training_order_export = _register_s30()
+
+
 # sp8: deterministic global shuffle — distributed rank in md5 order
 @register(
     "sp8_global_shuffle",

@@ -3664,3 +3664,23 @@ def test_power_iteration_hand_case_and_partition_invariance(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     # the direction is normalized to int8 full scale each iteration
     assert max(abs(r.v) for r in a) == 127
+
+
+def test_training_order_export_shards_are_contiguous(spark):
+    """s30: each shard directory holds exactly the contiguous position
+    range [shard_id*S, (shard_id+1)*S); concatenating shards in
+    shard_id order reproduces the full training order."""
+    from mrf_etl_spark.plans.parity import REGISTRY
+    import mrf_etl_spark.plans.parity_fused  # noqa: F401
+    from mrf_etl_spark.plans.parity_llm import _S30_SHARD_ROWS as S
+
+    rows = REGISTRY["s30_training_order_export"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.shard_id == r.order_pos // S
+    pos = sorted(r.order_pos for r in rows)
+    assert pos == list(range(len(rows)))
+    by_shard = sorted(rows, key=lambda r: (r.shard_id, r.order_pos))
+    assert [r.order_pos for r in by_shard] == pos
