@@ -495,6 +495,40 @@ def media_near_dup(
     return out
 
 
+def phash_band_spec(max_hamming: int) -> list[tuple[int, str, int, int]]:
+    """Band layout for pigeonhole-complete banded Hamming on a 64-bit
+    signature stored as two 32-bit halves (``ahash_hi``/``ahash_lo``).
+
+    Pigeonhole: splitting 64 bits into ``max_hamming + 1`` disjoint bands
+    guarantees any pair within Hamming ``max_hamming`` agrees EXACTLY on
+    at least one band (``d`` differing bits cannot touch ``d + 1`` bands).
+    Bands never straddle the hi/lo boundary, so both the Spark plan and
+    the DuckDB oracle extract each band with one shift + mask on a single
+    half. Returns ``[(band_idx, half, shift, width)]`` with ``half`` in
+    {"lo", "hi"}; band value = ``(half >> shift) & ((1 << width) - 1)``.
+    """
+    n = max_hamming + 1
+    if not 1 <= n <= 64:
+        raise ValueError(f"max_hamming={max_hamming} out of range [0, 63]")
+    lo_n = min(32, (n + 1) // 2)
+    hi_n = n - lo_n
+    if hi_n > 32:  # n > 64 is excluded above; n in (33..64] packs the rest into hi
+        lo_n, hi_n = n - 32, 32
+    spec: list[tuple[int, str, int, int]] = []
+    b = 0
+    for half, k in (("lo", lo_n), ("hi", hi_n)):
+        if k == 0:
+            continue
+        base, rem = divmod(32, k)
+        shift = 0
+        for i in range(k):
+            width = base + (1 if i < rem else 0)
+            spec.append((b, half, shift, width))
+            shift += width
+            b += 1
+    return spec
+
+
 def phash_near_dup(
     mm: DataFrame,
     fake: bool = True,
@@ -504,9 +538,12 @@ def phash_near_dup(
 ) -> DataFrame:
     """Perceptual-hash banded near-dup pairs (m6) — the corpus-level
     image dedup :func:`perceptual_hash`'s docstring promises: d4b's
-    pigeonhole recipe applied to the aHash signatures. Any pair within
-    Hamming ``max_hamming`` ≤ 15 of 64 bits agrees EXACTLY on at least
-    one of the 4×16-bit bands (pigeonhole), so candidates come from
+    pigeonhole recipe applied to the aHash signatures, with the band
+    count ADAPTIVE to the threshold: ``max_hamming + 1`` disjoint bands
+    (:func:`phash_band_spec`), so any pair within Hamming ``max_hamming``
+    agrees EXACTLY on at least one band — complete for every threshold,
+    unlike a fixed 4-band split (complete only to distance 3, the reason
+    d4b hard-rejects larger thresholds). Candidates come from
     band-equality joins — never an all-pairs product — and verify
     exactly via ``bit_count(xor)`` on the two 32-bit halves.
 
@@ -515,7 +552,12 @@ def phash_near_dup(
     more than this many images is dropped from CANDIDATE GENERATION
     (its members still pair through their other bands — lossless for
     any pair agreeing on a non-degenerate band, and the cap is the
-    reason Σ|bucket|² stays bounded at 100 TB).
+    reason Σ|bucket|² stays bounded at 100 TB). Scale trade-off: higher
+    thresholds mean narrower bands (64/(m+1) bits), whose value space
+    shrinks and whose buckets fill sooner — at corpus sizes where the
+    average bucket exceeds the cap, recall degrades honestly toward the
+    capped subset; a 100 TB image corpus wanting Hamming > ~10 should
+    widen the signature (256-bit pHash), not the bands.
 
     Plan: map-side hashing (mapInPandas, no shuffle) → one band-keyed
     shuffle + the pair join + the exact verify against the KiB-per-row
@@ -524,22 +566,17 @@ def phash_near_dup(
     sig = perceptual_hash(mm, fake=fake, partitions=partitions).select(
         "doc_id", "ahash_hi", "ahash_lo"
     )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.expr(
+                f"(ahash_{half} >> {shift}) & {(1 << width) - 1}"
+            ).alias("bv"),
+        )
+        for b, half, shift, width in phash_band_spec(max_hamming)
+    ]
     bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("b"), F.expr("ahash_lo & 65535").alias("bv")),
-                F.struct(
-                    F.lit(1).alias("b"),
-                    F.expr("(ahash_lo >> 16) & 65535").alias("bv"),
-                ),
-                F.struct(F.lit(2).alias("b"), F.expr("ahash_hi & 65535").alias("bv")),
-                F.struct(
-                    F.lit(3).alias("b"),
-                    F.expr("(ahash_hi >> 16) & 65535").alias("bv"),
-                ),
-            )
-        ).alias("_bb"),
+        "doc_id", F.explode(F.array(*band_structs)).alias("_bb")
     ).select("doc_id", F.col("_bb.b").alias("b"), F.col("_bb.bv").alias("bv"))
     freq = bands.groupBy("b", "bv").agg(F.count("*").alias("_df"))
     kept = bands.join(freq, ["b", "bv"]).filter(F.col("_df") <= max_band_freq)

@@ -4926,11 +4926,30 @@ M6_MAX_HAMMING = 10
 M6_BAND_CAP = 50
 
 
+def _m6_band_case() -> tuple[int, str]:
+    # one band layout for both engines: the oracle's CASE is rendered
+    # from the same phash_band_spec the Spark plan explodes, so the
+    # pigeonhole guarantee (max_hamming+1 bands ⇒ complete candidates
+    # at Hamming ≤ max_hamming) holds identically on both sides
+    from mrf_etl_spark.operators.multimodal import phash_band_spec
+
+    spec = phash_band_spec(M6_MAX_HAMMING)
+    whens = " ".join(
+        f"WHEN {b} THEN ({half} >> {shift}) & {(1 << width) - 1}"
+        for b, half, shift, width in spec
+    )
+    return len(spec), f"CASE b {whens} END"
+
+
+_M6_N_BANDS, _M6_BAND_CASE = _m6_band_case()
+
+
 @register(
     "m6_phash_near_dup",
     # m5's fake-hash recipe over the near-dup corpus, then d4b's
-    # pigeonhole: 4×16-bit bands → df-capped equality candidates →
-    # exact bit_count(xor) verify on the two 32-bit halves
+    # pigeonhole with adaptive band count: max_hamming+1 disjoint bands
+    # → df-capped equality candidates → exact bit_count(xor) verify on
+    # the two 32-bit halves
     f"""WITH corpus AS {_NEAR_DUP_CORPUS_SQL},
        p AS (
          SELECT doc_id, hex(encode(text)) AS hx,
@@ -4952,12 +4971,8 @@ M6_BAND_CAP = 50
                      AS BIGINT) AS lo
          FROM s JOIN m USING (doc_id) GROUP BY 1),
        bands AS (
-         SELECT doc_id, b,
-                CASE b WHEN 0 THEN lo & 65535
-                       WHEN 1 THEN (lo >> 16) & 65535
-                       WHEN 2 THEN hi & 65535
-                       ELSE (hi >> 16) & 65535 END AS bv
-         FROM sig, range(0, 4) rb(b)),
+         SELECT doc_id, b, {_M6_BAND_CASE} AS bv
+         FROM sig, range(0, {_M6_N_BANDS}) rb(b)),
        kept AS MATERIALIZED (
          SELECT * FROM (
            SELECT doc_id, b, bv, count(*) OVER (PARTITION BY b, bv) AS _df
@@ -4977,13 +4992,14 @@ M6_BAND_CAP = 50
              <= {M6_MAX_HAMMING}""",
     doc="m6 (beyond-ref): corpus-level image dedup — the banded Hamming "
     "join m5's docstring promises: d4b's pigeonhole recipe over the "
-    "aHash signatures (any pair within Hamming 10 of 64 bits agrees "
-    "exactly on ≥ 1 of the 4×16-bit bands), df-capped band-equality "
-    "candidates — never all-pairs — and an exact bit_count(xor) "
-    "verify. Catches re-encoded/re-scaled image copies whose exact "
-    "byte hash (m3) and frame fingerprints (m4) both miss. Map-side "
-    "hashing, one band-keyed shuffle, KiB signature rows "
-    "(operators/multimodal.phash_near_dup).",
+    "aHash signatures with max_hamming+1 = 11 disjoint bands (any pair "
+    "within Hamming 10 of 64 bits agrees exactly on ≥ 1 band — "
+    "pigeonhole-complete at this threshold, unlike a fixed 4-band "
+    "split), df-capped band-equality candidates — never all-pairs — "
+    "and an exact bit_count(xor) verify. Catches re-encoded/re-scaled "
+    "image copies whose exact byte hash (m3) and frame fingerprints "
+    "(m4) both miss. Map-side hashing, one band-keyed shuffle, KiB "
+    "signature rows (operators/multimodal.phash_near_dup).",
 )
 def m6_phash_near_dup(spark, sf_dir):
     from mrf_etl_spark.operators.multimodal import (

@@ -3607,12 +3607,51 @@ def test_matryoshka_topk_recall_and_hand_case(spark):
     assert [(r.query_id, r.neighbor_id, r.rank) for r in out] == [(0, 1, 1)]
 
 
+def test_phash_band_spec_pigeonhole_complete():
+    """The adaptive band layout is pigeonhole-complete: max_hamming+1
+    disjoint bands covering all 64 bits, none straddling the hi/lo
+    boundary — so ANY pair within the threshold shares a whole band.
+    Includes the adversarial case a fixed 4x16-bit split misses: 8
+    differing bits spread 2 per quarter (hamming 8 <= 10) touch all
+    four 16-bit quarters, but with 11 bands at least one is clean."""
+    from mrf_etl_spark.operators.multimodal import phash_band_spec
+
+    for m in (0, 3, 8, 10, 15, 31, 63):
+        spec = phash_band_spec(m)
+        assert len(spec) == m + 1
+        for half in ("lo", "hi"):
+            covered = sorted(
+                (s, s + w) for _, h, s, w in spec if h == half
+            )
+            # disjoint, contiguous, covering [0, 32) within each half
+            pos = 0
+            for s, e in covered:
+                assert s == pos and e > s
+                pos = e
+            assert pos == 32 or (half == "hi" and not covered)
+
+    # adversarial: bits {0,16,32,48, 7,23,39,55} differ — every 16-bit
+    # quarter dirty (old scheme: zero candidate bands), hamming 8
+    dirty = {0, 16, 32, 48, 7, 23, 39, 55}
+    spec = phash_band_spec(10)
+    clean = [
+        (b, h, s, w)
+        for b, h, s, w in spec
+        if not any(
+            (bit - (32 if h == "hi" else 0)) in range(s, s + w)
+            for bit in dirty
+            if (bit >= 32) == (h == "hi")
+        )
+    ]
+    assert clean, "11-band pigeonhole must leave a clean band for hamming 8"
+
+
 def test_phash_near_dup_pigeonhole_and_real_decode(spark):
     """m6: every reported pair is within the Hamming threshold; the
-    pigeonhole guarantee holds on a hand case (two signatures differing
-    in <= 15 bits share a band and pair; two differing everywhere
-    don't); and the REAL decode path (stdlib PNG) produces identical
-    pairs for identical images."""
+    pigeonhole guarantee holds on a hand case (with max_hamming+1
+    bands, two signatures within the threshold share a band and pair;
+    two differing everywhere don't); and the REAL decode path (stdlib
+    PNG) produces identical pairs for identical images."""
     from mrf_etl_spark.operators.multimodal import (
         attach_binary_payload,
         phash_near_dup,
