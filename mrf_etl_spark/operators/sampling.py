@@ -868,6 +868,12 @@ def mixture_solver(
     rate > 1 path); < 10000 downsamples. The floor keeps realized ≤
     planned, so a mix never overshoots its budget.
 
+    A domain NAMED in ``targets`` but absent from the corpus still gets
+    a row (tokens=0, rate_bp=0, planned_tokens=0): its planned share is
+    unrealizable and the mix under-fills the budget — the solver must
+    say so, not silently drop the row (the signal a mix reviewer needs
+    to re-weight the remaining domains).
+
     Scale shape: ONE map-side-combinable token-count agg over the
     corpus (whitespace tokens, t3's recipe), then pure projection on
     the |domains|-row table — the solver itself is O(domains), the
@@ -876,9 +882,21 @@ def mixture_solver(
     """
     from mrf_etl_spark.operators.textops import token_count_ws
 
-    tok = docs.groupBy(F.col(domain_col).alias("domain")).agg(
-        F.sum(token_count_ws(text_col).cast("long")).alias("tokens")
+    per_doc = docs.select(
+        F.col(domain_col).alias("domain"),
+        token_count_ws(text_col).cast("long").alias("_tk"),
     )
+    if targets:
+        # seed one zero-token row per TARGETED domain before the agg, so
+        # a domain named in targets but absent from the corpus still
+        # groups out (tokens=0 → rate_bp=0) instead of vanishing — a
+        # local-relation union, the single combinable agg stays the only
+        # exchange
+        seed = docs.sparkSession.createDataFrame(
+            [(str(k), 0) for k in targets], "domain string, _tk long"
+        )
+        per_doc = per_doc.unionByName(seed)
+    tok = per_doc.groupBy("domain").agg(F.sum("_tk").alias("tokens"))
     tbp = None
     for name, bp in targets.items():
         cond = F.col("domain") == name

@@ -2423,10 +2423,19 @@ def hard_negatives(
         F.col(vec_col).alias("qv"),
         F.col(label_col).alias("q_label"),
     ).withColumn("qn", norm_fold("qv"))
+    # zero-norm gate (the n11/d14 treatment): ungated 0/0 is NaN on
+    # Spark but NaN-vs-NULL sort order diverges across engines; the
+    # explicit when(norms > 0) makes both sides say NULL, which sorts
+    # LAST under DESC on both (Spark desc_nulls_last default, oracle
+    # DESC NULLS LAST)
     qprobe = q.crossJoin(
         F.broadcast(cent.withColumn("_cnorm", norm_fold("cvec")))
     ).withColumn(
-        "cos_c", dot_fold("qv", "cvec") / (F.col("qn") * F.col("_cnorm"))
+        "cos_c",
+        F.when(
+            (F.col("qn") > 0) & (F.col("_cnorm") > 0),
+            dot_fold("qv", "cvec") / (F.col("qn") * F.col("_cnorm")),
+        ),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("cos_c").desc(), F.col("cid").asc()
@@ -2440,7 +2449,13 @@ def hard_negatives(
         corpus.join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .filter(F.col("q_label") != F.col("n_label"))
-        .withColumn("cosine", dot_fold("qv", "cv") / (F.col("qn") * F.col("cn")))
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("qn") > 0) & (F.col("cn") > 0),
+                dot_fold("qv", "cv") / (F.col("qn") * F.col("cn")),
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -2488,49 +2503,19 @@ def cluster_map(
     assignment pass against the trained codebook — not the iteration-2
     update counts e6 reports).
     """
-    zero = F.lit(0).cast("long")
     cb = kmeans_codebook(emb, id_col, vec_col, dim, seed_mod, iters)
     cent = cb.groupBy("cid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("i", "cs"))), lambda s: s.cs
         ).alias("cvec")
     )
-    c = cent.withColumn(
-        "ns2",
-        F.aggregate(
-            F.transform("cvec", lambda s: s.cast("long") * s.cast("long")),
-            zero,
-            lambda acc, x: acc + x,
-        ),
-    )
     q = quantize_int8(emb, vec_col, id_col).select(
         F.col(id_col).alias("vid"), "qvec"
     )
-    dot = F.aggregate(
-        F.zip_with("qvec", "cvec", lambda x, y: x.cast("long") * y.cast("long")),
-        zero,
-        lambda acc, x: acc + x,
-    )
-    scored = q.crossJoin(F.broadcast(c.select("cid", "cvec", "ns2"))).withColumn(
-        "score",
-        F.when(
-            F.col("ns2") > 0,
-            dot.cast("double") / F.sqrt(F.col("ns2").cast("double")),
-        ),
-    )
-    rank = F.when(F.col("score").isNull(), F.lit(1)).otherwise(F.lit(0))
-    neg = F.when(rank == 0, -F.col("score")).otherwise(F.lit(0.0))
-    assigned = (
-        scored.groupBy("vid")
-        .agg(
-            F.min(
-                F.struct(
-                    rank.alias("rk"), neg.alias("neg"), F.col("cid").alias("cid")
-                )
-            ).alias("_b")
-        )
-        .select("vid", F.col("_b.cid").alias("cid"))
-    )
+    # ONE assignment kernel for the whole codebook family: the same
+    # shared argmax st20/st23 call, so batch and streaming assignments
+    # can never drift apart
+    assigned = assign_centroids_int8(q, cent.select("cid", "cvec"))
     lab = emb.select(
         F.col(id_col).alias("vid"), F.col(label_col).cast("long").alias("label")
     )

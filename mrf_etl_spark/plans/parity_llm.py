@@ -977,14 +977,19 @@ def n11_ann_matryoshka(spark, sf_dir):
            SELECT vec_id, cid, row_number() OVER (
                PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
            FROM cscored) WHERE rn = 1),
+       pscored AS MATERIALIZED (
+         SELECT e.vec_id, c.cid,
+                {_cos_sql_gated('e.embedding', 'c.cvec')} AS cs
+         FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10),
        probes AS MATERIALIZED (
          SELECT vec_id AS query_id, cid FROM (
            SELECT vec_id, cid, row_number() OVER (
-               PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
-           FROM cscored WHERE vec_id < 10) WHERE rn <= 2),
+               PARTITION BY vec_id
+               ORDER BY cs DESC NULLS LAST, cid ASC) AS rn
+           FROM pscored) WHERE rn <= 2),
        scored AS MATERIALIZED (
          SELECT p.query_id, e.vec_id AS neighbor_id,
-                {_cos_sql('q.embedding', 'e.embedding')} AS cosine
+                {_cos_sql_gated('q.embedding', 'e.embedding')} AS cosine
          FROM probes p
          JOIN embeddings q ON q.vec_id = p.query_id
          JOIN assigned a ON a.cid = p.cid
@@ -993,7 +998,7 @@ def n11_ann_matryoshka(spark, sf_dir):
        SELECT query_id, neighbor_id, cosine, rank FROM (
          SELECT *, row_number() OVER (
              PARTITION BY query_id
-             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+             ORDER BY cosine DESC NULLS LAST, neighbor_id ASC) AS rank
          FROM scored) WHERE rank <= 5""",
     doc="n10 (beyond-ref): hard-negative mining for contrastive/embedding "
     "training — per query, the top-k most-similar vectors carrying a "
@@ -2862,13 +2867,24 @@ def _sp23_target_case() -> str:
     return f"CASE domain {whens} ELSE 0 END"
 
 
+def _sp23_tok_cte() -> str:
+    # mirror of mixture_solver's seeded agg: one zero-token row per
+    # TARGETED domain unioned in before the group-by, so targeted-but-
+    # absent domains emit (tokens=0, rate_bp=0) instead of vanishing
+    seeds = ", ".join(f"('{s}', 0)" for s in SP23_TARGETS)
+    return f"""tok AS MATERIALIZED (
+         SELECT domain, CAST(sum(tk) AS BIGINT) AS tokens FROM (
+           SELECT source AS domain,
+                  len(regexp_split_to_array(trim(text), '\\s+')) AS tk
+           FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES {seeds}) s(domain, tk))
+         GROUP BY domain)"""
+
+
 @register(
     "sp23_mixture_solver",
-    f"""WITH tok AS MATERIALIZED (
-         SELECT source AS domain,
-                CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
-                     AS BIGINT) AS tokens
-         FROM documents GROUP BY source),
+    f"""WITH {_sp23_tok_cte()},
        tb AS MATERIALIZED (
          SELECT domain, tokens,
                 CAST({_sp23_target_case()} AS BIGINT) AS target_bp
@@ -2914,11 +2930,7 @@ def sp23_mixture_solver(spark, sf_dir):
     # the naive single-window rank as the SPEC; the Spark side computes
     # the identical ranking distributed (global_shuffle's bucket
     # decomposition).
-    f"""WITH tok AS MATERIALIZED (
-         SELECT source AS domain,
-                CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
-                     AS BIGINT) AS tokens
-         FROM documents GROUP BY source),
+    f"""WITH {_sp23_tok_cte()},
        tb AS MATERIALIZED (
          SELECT domain, tokens,
                 CAST({_sp23_target_case()} AS BIGINT) AS target_bp

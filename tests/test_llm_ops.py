@@ -3506,6 +3506,44 @@ def test_mixture_solver_hand_case_and_mix_sources_consistency(spark):
     assert copies[2] in (1, 2)            # 1.25 epochs: 1 or 2 copies
     assert 3 not in copies                # rate 0 drops the domain
 
+    # a domain NAMED in targets but absent from the corpus still gets a
+    # row (tokens=0, rate_bp=0) — its share is unrealizable and the mix
+    # under-fills; silently dropping it would hide that
+    out2 = {
+        r.domain: (r.tokens, r.target_bp, r.rate_bp, r.planned_tokens)
+        for r in mixture_solver(
+            docs, {"A": 5000, "GHOST": 5000}, 100, "source", "text"
+        ).collect()
+    }
+    assert out2["GHOST"] == (0, 5000, 0, 0)
+    assert out2["A"] == (10, 5000, 50000, 50)
+
+
+def test_hard_negatives_zero_norm_vectors_sort_last(spark):
+    """n10's zero-norm gate: a zero vector in the corpus scores NULL
+    cosine (not NaN) and therefore sorts LAST — it can never outrank a
+    real negative, and the result replays identically on the DuckDB
+    oracle (whose ungated 0/0 would be NaN, sorting FIRST under DESC)."""
+    from mrf_etl_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 1),
+        (2, [0.0, 0.0, 0.0, 0.0], 1),  # zero-norm negative
+        (3, [0.5, 0.5, 0.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negatives(
+        emb, dim=4, centroid_mod=1, nprobe=4,
+        query_filter=F.col("vec_id") == 0, k=3,
+    ).collect()
+    got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    # real negatives first by cosine; the zero vector trails at rank 3
+    assert got == [(1, 1), (3, 2), (2, 3)]
+    assert [r.cosine for r in sorted(out, key=lambda r: r.rank)][2] is None
+
 
 def test_dual_gate_decontam_report(spark):
     """q11: the release decision is exactly (ngram-clean AND
