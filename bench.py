@@ -96,6 +96,7 @@ HEADLINE = [
     "st18_stream_category_stats",
     "e5_embedding_outliers",
     "st19_stream_ivfpq_ingest",
+    "st19b_stream_index_serve",
     "e6_kmeans_codebook",
     "t22_ngram_lm_bits",
     "e7_pq_codebook_train",

@@ -484,20 +484,34 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("e1_quantize_int8", ["scale"]),
         ("t14_encoding_sanity", ["non_ascii_ratio"]),
     ],
+    # round-10: fx_ann split (VERDICT r9 #4) — the 7-cap probe carried
+    # every ANN entry and was the window's heaviest oracle statement.
+    # fx_ann keeps the CORE cascades (raw / coarse-only / incremental /
+    # PQ-only); fx_ann_trained takes the trained-structure lifecycle
+    # (composed IVF-PQ, its persisted and streamed twins, the label-
+    # filtered miner), restoring headroom on both.
     "fx_ann": [
         ("n1_ann_cosine_topk", ["cosine"]),
         ("n2_ann_ivf", ["cosine"]),
         ("n4_ann_index_incremental", ["cosine"]),
         ("n5_ann_pq_adc", ["cosine"]),
+    ],
+    "fx_ann_trained": [
         # round-8: the composed IVF-PQ cascade — deterministic like both
         # parents, so the oracle replays it exactly (ANN cost band)
         ("n7_ann_ivf_pq", ["cosine"]),
         # round-9: the persisted form — n7's oracle verbatim (persisted
-        # == in-plan); the probe stays the ANN cost-band exception
+        # == in-plan)
         ("n8_ann_ivf_pq_persisted", ["cosine"]),
         # round-9 session 3: hard-negative mining — n2's cascade with a
-        # per-query label exclusion (probe now at the 7-cap)
+        # per-query label exclusion
         ("n10_hard_negatives", ["cosine"]),
+        # round-10: formerly a direct window row (its slot now holds
+        # this probe) — the streamed coarse-IVF ingest, n2's oracle
+        ("st14_stream_ann_ingest", ["cosine"]),
+        # round-10: st19's post-drain query isolated as the SERVE row
+        # (VERDICT r9 #2) — n7's oracle verbatim
+        ("st19b_stream_index_serve", ["cosine"]),
     ],
     # Each streaming entry runs its real availableNow drain and returns a
     # batch DataFrame of the drained result, so they fuse like any other
@@ -852,6 +866,12 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "st19_stream_ivfpq_ingest": [
         "query_id", "neighbor_id", "cosine", "rank",
     ],
+    "st19b_stream_index_serve": [
+        "query_id", "neighbor_id", "cosine", "rank",
+    ],
+    "st14_stream_ann_ingest": [
+        "query_id", "neighbor_id", "cosine", "rank",
+    ],
     "sp22_balanced_shards": ["shard_id", "n_docs", "total_tokens"],
     "t21_shingle_novelty": [
         "doc_id", "n_shingles", "n_novel", "n_heavy", "novelty",
@@ -1057,18 +1077,16 @@ DRIVER_WINDOW: list[str] = [
     "n3_ann_lsh",
     "fx_streaming_batch",
     "fx_streaming_lake",
-    # round-7 session 3: streaming ANN index maintenance — n2's cascade
-    # oracle (0.44 s, the ANN band) on a direct row (slot freed by
-    # fusing pipe1's 0.06 s oracle into fx_llm_flagships; j7 stays a
-    # direct row — its 0.29 s oracle would have fattened fx_key_joins)
-    "st14_stream_ann_ingest",
+    # round-10: st14's direct slot now carries the trained-structure ANN
+    # probe (fx_ann split, VERDICT r9 #4); st14 rides it
+    "fx_ann_trained",
 ]
 
 # The RECORDED catalog size — bump this in the same commit that registers
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 284
+CATALOG_COUNT = 286
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -1269,42 +1269,20 @@ def _register_st19():
 
     built: dict[str, tuple[str, str]] = {}
 
-    @register(
-        "st19_stream_ivfpq_ingest",
-        # stream == batch == one-shot for the persisted IVF-PQ index:
-        # n7's oracle verbatim (n8 proved persisted == in-plan; st19
-        # proves the appends can arrive as micro-batches)
-        oracle=REGISTRY["n7_ann_ivf_pq"].oracle,
-        doc="st19: streaming IVF-PQ index maintenance — n8's persisted "
-        "composed index kept current by a stream: each micro-batch "
-        "PQ-encodes and coarse-assigns against the frozen codebooks and "
-        "appends to its ccid partitions inside foreachBatch (O(batch × "
-        "codebooks), no rebuild, no file rewrite). After the drain, "
-        "queries must equal n7's one-shot cascade over the full corpus "
-        "— batch boundaries invisible. Completes the vector-lake ingest "
-        "story at the compressed tier: code bytes become searchable as "
-        "vectors land.",
-    )
-    def st19_stream_ivfpq_ingest(spark, sf_dir):
+    def _stream_lifecycle(spark, sf_dir, tag):
+        """st19's full ingest lifecycle: copy the memoized base index,
+        stream the staged arrivals into it (availableNow drain), return
+        the live index path. Base + staging are INGEST-TIME state,
+        identical every call: built once per (process, corpus) — n8's
+        memo pattern."""
         import os
         import shutil
 
         from mrf_etl_spark.operators import similarity as sim
         from mrf_etl_spark.plans.parity import _scratch
-        from mrf_etl_spark.plans.parity_llm import (
-            _N5_CANDIDATES,
-            _N5_K,
-            _PQ_BLOCKS,
-            DIM,
-        )
+        from mrf_etl_spark.plans.parity_llm import _PQ_BLOCKS, DIM
 
         emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        # the base index (even ids) and the arriving-file staging are
-        # INGEST-TIME state, identical every call: build once per
-        # (process, corpus) — n8's memo pattern. What stays live per
-        # call is the entry's actual subject: the streamed micro-batch
-        # appends (into a fresh COPY of the base, fresh checkpoint) and
-        # the post-drain query.
         if sf_dir not in built:
             cent = emb.filter((F.col("vec_id") % 97) == 0).select(
                 F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
@@ -1326,11 +1304,10 @@ def _register_st19():
             ).parquet(f"{staging}/half=2")
             built[sf_dir] = (base, staging)
         base, staging = built[sf_dir]
-        path = _scratch("st19_ivfpq_live")
+        path = _scratch(f"{tag}_ivfpq_live")
         shutil.copytree(base, path)
-        arriving = emb.filter(F.col("vec_id") % 2 == 1)
         stream = (
-            spark.readStream.schema(arriving.schema)
+            spark.readStream.schema(emb.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{staging}/half=*")
         )
@@ -1342,13 +1319,85 @@ def _register_st19():
 
         q = (
             stream.writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", _scratch("st19_ckpt"))
+            .option("checkpointLocation", _scratch(f"{tag}_ckpt"))
             .trigger(availableNow=True)
             .start()
         )
         _drain(q)
+        return path
+
+    @register(
+        "st19_stream_ivfpq_ingest",
+        # stream == batch == one-shot for the persisted IVF-PQ index:
+        # n7's oracle verbatim (n8 proved persisted == in-plan; st19
+        # proves the appends can arrive as micro-batches)
+        oracle=REGISTRY["n7_ann_ivf_pq"].oracle,
+        doc="st19: streaming IVF-PQ index maintenance — n8's persisted "
+        "composed index kept current by a stream: each micro-batch "
+        "PQ-encodes and coarse-assigns against the frozen codebooks and "
+        "appends to its ccid partitions inside foreachBatch (O(batch × "
+        "codebooks), no rebuild, no file rewrite). After the drain, "
+        "queries must equal n7's one-shot cascade over the full corpus "
+        "— batch boundaries invisible. Completes the vector-lake ingest "
+        "story at the compressed tier: code bytes become searchable as "
+        "vectors land.",
+    )
+    def st19_stream_ivfpq_ingest(spark, sf_dir):
+        from mrf_etl_spark.operators import similarity as sim
+        from mrf_etl_spark.plans.parity_llm import (
+            _N5_CANDIDATES,
+            _N5_K,
+            _PQ_BLOCKS,
+            DIM,
+        )
+
+        # per-call subject: the streamed micro-batch appends (fresh copy
+        # of the base, fresh checkpoint) AND the post-drain query — the
+        # full ingest lifecycle, deliberately
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        path = _stream_lifecycle(spark, sf_dir, "st19")
         return sim.ivf_pq_index_query(
             emb.filter(F.col("vec_id") < 10), path,
+            dim=DIM, n_blocks=_PQ_BLOCKS, nprobe=2,
+            n_candidates=_N5_CANDIDATES, k=_N5_K,
+        )
+
+    served: dict[str, str] = {}
+
+    @register(
+        "st19b_stream_index_serve",
+        # identical truth: queries against the streamed-then-drained
+        # index equal n7's one-shot cascade (what st19 pins); st19b
+        # exists so the bench separates the SERVE cost (this row — the
+        # number the 100 TB serving story quotes) from st19's full
+        # ingest-lifecycle cost (copy base + streamed appends + drain)
+        oracle=REGISTRY["n7_ann_ivf_pq"].oracle,
+        doc="st19b: serving reads from the stream-maintained IVF-PQ "
+        "index — st19's post-drain query isolated from its ingest "
+        "lifecycle. The streamed index is the process-resident "
+        "artifact (built once, like any deployed index); each call is "
+        "only the bounded-probe ADC cascade over the persisted ccid "
+        "partitions. Benchmarks the steady-state query cost a resident "
+        "vector-serving tier pays, n8's class, while st19 keeps "
+        "benchmarking the ingest path.",
+    )
+    def st19b_stream_index_serve(spark, sf_dir):
+        from mrf_etl_spark.operators import similarity as sim
+        from mrf_etl_spark.plans.parity_llm import (
+            _N5_CANDIDATES,
+            _N5_K,
+            _PQ_BLOCKS,
+            DIM,
+        )
+
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        if sf_dir not in served:
+            # the streamed index is ingest-time state: run the lifecycle
+            # ONCE per (process, corpus) — the drained index directory
+            # is what a serving tier holds resident
+            served[sf_dir] = _stream_lifecycle(spark, sf_dir, "st19b")
+        return sim.ivf_pq_index_query(
+            emb.filter(F.col("vec_id") < 10), served[sf_dir],
             dim=DIM, n_blocks=_PQ_BLOCKS, nprobe=2,
             n_candidates=_N5_CANDIDATES, k=_N5_K,
         )

@@ -148,6 +148,7 @@ def test_closure_iteration_bound_is_a_fixpoint(sf_dir):
         "d5_embedding_near_dup",
         "q4_dedup_quality",
         "fx_ann",
+        "fx_ann_trained",
         # the heaviest surviving union probes / direct rows (r7 split
         # fx_release_flow and fx_dedup_quality into these direct rows)
         "pipe3_corpus_release",

@@ -77,6 +77,10 @@ NESTED_LOOP_OK = {
     # n8's query cascade — the same bounded persisted-codebook shapes
     "st19_stream_ivfpq_ingest": "composes n2+n5's bounded broadcasts "
     "(persisted codebooks, streamed appends)",
+    # st19b serves queries from the stream-maintained index — n8's
+    # bounded persisted-codebook shapes, ingest memoized per process
+    "st19b_stream_index_serve": "composes n2+n5's bounded broadcasts "
+    "(persisted codebooks, resident streamed index)",
     # e6's Lloyd assignments cross the corpus with the bounded k-row
     # codebook broadcast — n2's shape, once per iteration
     "e6_kmeans_codebook": "bounded broadcast codebook (k rows/iteration)",

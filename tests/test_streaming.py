@@ -728,3 +728,37 @@ def test_st23_stream_cluster_map_equals_batch_report(spark):
         map(tuple, REGISTRY["q10_cluster_map"].spark_fn(spark, sf).collect())
     )
     assert served == batch
+
+
+def test_st19b_serve_equals_ingest_lifecycle_and_n7(spark):
+    """st19b (serve-only reads from the resident streamed index) must
+    return exactly st19's post-drain query AND n7's one-shot cascade —
+    the stream/batch/persisted triple identity. Also pins the memo: a
+    second st19b call reuses the resident index (no new drain) and is
+    bit-identical."""
+    import mrf_etl_spark.plans.parity_streaming  # noqa: F401
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    serve = sorted(
+        map(
+            tuple,
+            REGISTRY["st19b_stream_index_serve"].spark_fn(spark, sf).collect(),
+        )
+    )
+    again = sorted(
+        map(
+            tuple,
+            REGISTRY["st19b_stream_index_serve"].spark_fn(spark, sf).collect(),
+        )
+    )
+    lifecycle = sorted(
+        map(
+            tuple,
+            REGISTRY["st19_stream_ivfpq_ingest"].spark_fn(spark, sf).collect(),
+        )
+    )
+    batch = sorted(
+        map(tuple, REGISTRY["n7_ann_ivf_pq"].spark_fn(spark, sf).collect())
+    )
+    assert serve == again == lifecycle == batch
