@@ -97,6 +97,7 @@ HEADLINE = [
     "e5_embedding_outliers",
     "st19_stream_ivfpq_ingest",
     "st19b_stream_index_serve",
+    "n12_ann_ivfpq_delete",
     "e6_kmeans_codebook",
     "t22_ngram_lm_bits",
     "e7_pq_codebook_train",

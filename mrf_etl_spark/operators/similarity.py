@@ -2181,6 +2181,62 @@ def ivf_pq_index_append(
     )
 
 
+def ivf_pq_index_delete(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Tombstone deletes for the persisted IVF-PQ index — the missing
+    third of the create/append/query lifecycle (a production 100 TB
+    index must unlearn vectors: takedowns, re-embeddings, TTL expiry)
+    WITHOUT rewriting code partitions on the delete path.
+
+    Writes ``(neighbor_id, ccid)`` tombstone rows to
+    ``{path}/tombstones``: each deleted id's coarse bucket is resolved
+    from the codes table once at delete time (a column-pruned 2-column
+    scan + broadcast semi-join — the reverse-id index a larger
+    deployment would maintain), so compaction later rewrites ONLY the
+    affected ccid partitions and queries could prune the anti-join by
+    probed bucket. Ids absent from the index resolve to no rows and are
+    silently no-ops (delete is idempotent: re-deleting appends duplicate
+    tombstones, which the query-side DISTINCT and compaction both
+    collapse).
+
+    Deleted vectors stop matching IMMEDIATELY at query time
+    (:func:`ivf_pq_index_query` anti-joins the tombstone set BEFORE
+    candidate generation, so a tombstoned row cannot consume a
+    candidate slot either); physical removal happens at the next
+    :func:`ivf_pq_index_compact`."""
+    spark = ids.sparkSession
+    doomed = ids.select(
+        F.col(id_col).cast("long").alias("neighbor_id")
+    ).distinct()
+    codes = (
+        spark.read.parquet(f"{path}/codes")
+        .withColumn("ccid", F.col("ccid").cast("long"))
+        .select("neighbor_id", "ccid")
+    )
+    codes.join(F.broadcast(doomed), "neighbor_id").distinct().write.mode(
+        "append"
+    ).parquet(f"{path}/tombstones")
+
+
+def _ivfpq_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The index's live tombstone set as (neighbor_id, ccid), or None if
+    nothing is tombstoned. Constant-small by construction (delete lists,
+    not corpus rows)."""
+    import os
+
+    tomb = f"{path}/tombstones"
+    if not os.path.isdir(tomb) or not any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(tomb)
+        for f in files
+    ):
+        return None
+    return spark.read.parquet(tomb).select("neighbor_id", "ccid").distinct()
+
+
 def ivf_pq_index_compact(
     spark: SparkSession,
     path: str,
@@ -2197,16 +2253,58 @@ def ivf_pq_index_compact(
     never touches cold ones), skipping buckets already at or under
     ``min_files`` files. Queries before and after are IDENTICAL (the
     rewrite is row-preserving and every query stage re-sorts) — pinned
-    by test. Returns the number of partitions compacted."""
-    import os
+    by test. Returns the number of partitions compacted.
 
-    from mrf_etl_spark.io.writers import compact_parquet
+    TOMBSTONE-AWARE: partitions holding tombstoned rows (recorded with
+    their ccid at delete time by :func:`ivf_pq_index_delete`) are
+    rewritten regardless of file count, dropping those rows physically;
+    the tombstone files are cleared only AFTER every affected partition
+    is rewritten. Crash between the two steps leaves tombstones whose
+    rows are already gone — harmless (the query-side anti-join of
+    absent ids is a no-op, and the next compaction clears them)."""
+    import os
+    import shutil
+
+    from mrf_etl_spark.io.writers import atomic_overwrite, compact_parquet
 
     codes = f"{path}/codes"
+    tomb = _ivfpq_tombstones(spark, path)
+    doomed_ccids: set[int] = set()
+    if tomb is not None:
+        doomed_ccids = {
+            r["ccid"] for r in tomb.select("ccid").distinct().collect()
+        }
     done = 0
     for entry in sorted(os.listdir(codes)):
         part = os.path.join(codes, entry)
         if not (entry.startswith("ccid=") and os.path.isdir(part)):
+            continue
+        ccid = int(entry.split("=", 1)[1])
+        if ccid in doomed_ccids:
+            # physical delete: rewrite the bucket minus its tombstoned
+            # rows (atomic swap, same discipline as compact_parquet)
+            total = sum(
+                os.path.getsize(os.path.join(dirpath, f))
+                for dirpath, _, files in os.walk(part)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            n_files = max(1, -(-total // target_bytes))
+            kept = (
+                spark.read.parquet(part)
+                .join(
+                    F.broadcast(
+                        tomb.filter(F.col("ccid") == ccid).select(
+                            "neighbor_id"
+                        )
+                    ),
+                    "neighbor_id",
+                    "left_anti",
+                )
+                .repartition(n_files)
+            )
+            atomic_overwrite(kept, part)
+            done += 1
             continue
         n_files = sum(
             1 for f in os.listdir(part) if f.endswith(".parquet")
@@ -2215,6 +2313,10 @@ def ivf_pq_index_compact(
             continue
         compact_parquet(spark, part, target_bytes=target_bytes)
         done += 1
+    if doomed_ccids:
+        # every affected partition rewritten: the tombstones are
+        # physically realized, clear them
+        shutil.rmtree(f"{path}/tombstones")
     return done
 
 
@@ -2273,6 +2375,14 @@ def ivf_pq_index_query(
         .withColumn("ccid", F.col("ccid").cast("long"))
         .filter(F.col("ccid").isin(probed_ccids))
     )
+    tomb = _ivfpq_tombstones(spark, path)
+    if tomb is not None:
+        # deletes take effect at query time, BEFORE candidate generation
+        # — a tombstoned row can neither match nor consume a candidate
+        # slot; the tombstone set is constant-small, broadcast anti-join
+        idx = idx.join(
+            F.broadcast(tomb.select("neighbor_id")), "neighbor_id", "left_anti"
+        )
     # the query's ADC lookup table: its block distance to every PQ
     # sub-centroid, the same (en2b + cn2b) - 2*dotb expansion the codes
     # were argmin'd under

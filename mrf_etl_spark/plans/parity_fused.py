@@ -512,6 +512,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-10: st19's post-drain query isolated as the SERVE row
         # (VERDICT r9 #2) — n7's oracle verbatim
         ("st19b_stream_index_serve", ["cosine"]),
+        # round-10: the delete/tombstone third of the lifecycle
+        # (VERDICT r9 #3) — n7's oracle minus the tombstoned ids
+        ("n12_ann_ivfpq_delete", ["cosine"]),
     ],
     # Each streaming entry runs its real availableNow drain and returns a
     # batch DataFrame of the drained result, so they fuse like any other
@@ -869,6 +872,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "st19b_stream_index_serve": [
         "query_id", "neighbor_id", "cosine", "rank",
     ],
+    "n12_ann_ivfpq_delete": [
+        "query_id", "neighbor_id", "cosine", "rank",
+    ],
     "st14_stream_ann_ingest": [
         "query_id", "neighbor_id", "cosine", "rank",
     ],
@@ -1086,7 +1092,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 286
+CATALOG_COUNT = 287
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

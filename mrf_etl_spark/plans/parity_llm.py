@@ -6191,13 +6191,17 @@ n6_ann_recall = _register_n6()
 # --------------------------------- round-8: composed IVF-PQ ANN (n7)
 
 
-def _n7_oracle() -> str:
+def _n7_oracle(neighbor_pred: str = "") -> str:
     # n2's coarse cascade (renamed g* to keep clear of the PQ CTEs) +
     # n5's codes/LUT, with the IVF prune joined in BEFORE the ADC pivot:
     # a (query, neighbor, block) row exists only when the neighbor's
     # coarse bucket is one the query probes. Same map-budget discipline
     # as both parents: every unrolled cosine is projected ONCE into a
     # MATERIALIZED stage; windows order by projected columns.
+    # ``neighbor_pred`` (n12): an extra predicate on the CORPUS side
+    # (codes + coarse assignment), e.g. "AND vec_id % 7 <> 3" — the
+    # oracle form of tombstoned ids vanishing from the index while the
+    # query set and frozen codebooks stay untouched.
     qd_maxes = ", ".join(
         f"max(CASE WHEN co.b = {b} THEN l.qd END) AS qd{b}"
         for b in range(_PQ_BLOCKS)
@@ -6216,7 +6220,7 @@ def _n7_oracle() -> str:
          SELECT vec_id AS neighbor_id, ccid FROM (
            SELECT vec_id, ccid, row_number() OVER (
                PARTITION BY vec_id ORDER BY cs DESC, ccid ASC) AS rn
-           FROM gscored) WHERE rn = 1),
+           FROM gscored) WHERE rn = 1 {neighbor_pred}),
        gprobes AS MATERIALIZED (
          SELECT vec_id AS query_id, ccid FROM (
            SELECT vec_id, ccid, row_number() OVER (
@@ -6226,7 +6230,7 @@ def _n7_oracle() -> str:
          SELECT vec_id AS neighbor_id, b, cid FROM (
            SELECT vec_id, b, cid, row_number() OVER (
                PARTITION BY vec_id, b ORDER BY d ASC, cid ASC) AS rn
-           FROM longf) WHERE rn = 1),
+           FROM longf) WHERE rn = 1 {neighbor_pred}),
        lut AS (
          SELECT vec_id AS query_id, b, cid, d AS qd
          FROM longf WHERE vec_id < 10),
@@ -6343,6 +6347,71 @@ def _register_n8():
 
 
 n8_ann_ivf_pq_persisted = _register_n8()
+
+
+N12_DELETE_MOD = 7  # tombstone every vec_id % 7 == 3 corpus row
+
+
+def _register_n12():
+    # n12's truth: after tombstoning a deterministic id set, the index
+    # answers exactly like n7's one-shot cascade over the corpus MINUS
+    # those ids (queries and frozen codebooks untouched) — the oracle is
+    # n7's with the corpus-side predicate injected into the coarse
+    # assignment and the codes CTEs.
+    from mrf_etl_spark.plans.parity import _scratch
+
+    built: dict[str, str] = {}
+
+    @register(
+        "n12_ann_ivfpq_delete",
+        _n7_oracle(
+            neighbor_pred=f"AND vec_id % {N12_DELETE_MOD} <> 3"
+        ),
+        doc="n12 (beyond-ref): IVF-PQ index deletes — the missing third "
+        "of the persisted lifecycle (takedowns, re-embeddings, TTL): "
+        "ivf_pq_index_delete writes (neighbor_id, ccid) tombstones — "
+        "the bucket resolved once at delete time so compaction targets "
+        "only affected partitions — and queries anti-join the "
+        "constant-small tombstone broadcast BEFORE candidate "
+        "generation, so a deleted row can neither match nor consume a "
+        "candidate slot. Physical removal is tombstone-aware "
+        "ivf_pq_index_compact (query-invisible, pinned by test). "
+        "Driver row: create evens + append odds (n8's lifecycle), "
+        "tombstone vec_id % 7 == 3, query — must equal n7's cascade "
+        "minus the deleted ids "
+        "(operators/similarity.ivf_pq_index_delete).",
+    )
+    def n12_ann_ivfpq_delete(spark, sf_dir):
+        emb = t(spark, sf_dir, "embeddings")
+        path = built.get(sf_dir)
+        if path is None:
+            cent = emb.filter((F.col("vec_id") % 97) == 0).select(
+                F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+            )
+            seeds = emb.filter(F.col("vec_id") < 16)
+            path = _scratch("n12_ivfpq_index")
+            sim.ivf_pq_index_create(
+                emb.filter(F.col("vec_id") % 2 == 0), path, cent, seeds,
+                dim=DIM, n_blocks=_PQ_BLOCKS,
+            )
+            sim.ivf_pq_index_append(
+                emb.filter(F.col("vec_id") % 2 == 1), path,
+                dim=DIM, n_blocks=_PQ_BLOCKS,
+            )
+            sim.ivf_pq_index_delete(
+                emb.filter(F.col("vec_id") % N12_DELETE_MOD == 3), path
+            )
+            built[sf_dir] = path
+        return sim.ivf_pq_index_query(
+            emb.filter(F.col("vec_id") < 10), path,
+            dim=DIM, n_blocks=_PQ_BLOCKS, nprobe=2,
+            n_candidates=_N5_CANDIDATES, k=_N5_K,
+        )
+
+    return n12_ann_ivfpq_delete
+
+
+n12_ann_ivfpq_delete = _register_n12()
 
 
 W21_BASE_DAYS = 7

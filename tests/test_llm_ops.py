@@ -3761,3 +3761,59 @@ def test_training_order_export_shards_are_contiguous(spark):
     assert pos == list(range(len(rows)))
     by_shard = sorted(rows, key=lambda r: (r.shard_id, r.order_pos))
     assert [r.order_pos for r in by_shard] == pos
+
+
+def test_ivfpq_delete_tombstones_and_compaction(spark, tmp_path):
+    """n12: tombstoned ids vanish from query results immediately (and
+    cannot consume candidate slots); deletes change the answer (the
+    doomed ids were previously ranked); tombstone-aware compaction is
+    query-invisible, physically drops the rows, and clears the
+    tombstone files; deleting an absent id is a no-op."""
+    import os
+
+    from mrf_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = emb.filter((F.col("vec_id") % 97) == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    seeds = emb.filter(F.col("vec_id") < 16)
+    path = str(tmp_path / "idx")
+    sim.ivf_pq_index_create(
+        emb.filter(F.col("vec_id") % 2 == 0), path, cent, seeds, dim=64
+    )
+    sim.ivf_pq_index_append(emb.filter(F.col("vec_id") % 2 == 1), path, dim=64)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def topk():
+        return sorted(
+            map(tuple, sim.ivf_pq_index_query(queries, path, dim=64).collect())
+        )
+
+    before = topk()
+    doomed = sorted({nid for _, nid, _, _ in before})[:3]
+    sim.ivf_pq_index_delete(
+        emb.filter(F.col("vec_id").isin(doomed)), path
+    )
+    after = topk()
+    assert after != before
+    assert not {nid for _, nid, _, _ in after} & set(doomed)
+    # every query still gets its full k (pre-filter semantics: deleted
+    # rows freed their slots to the next-best neighbors)
+    from collections import Counter
+
+    assert Counter(q for q, *_ in after) == Counter(q for q, *_ in before)
+
+    # compaction: physically drops the rows, clears tombstones, answers
+    # identically
+    n_before = spark.read.parquet(f"{path}/codes").count()
+    done = sim.ivf_pq_index_compact(spark, path, min_files=2)
+    assert done >= 1
+    assert not os.path.isdir(f"{path}/tombstones")
+    assert spark.read.parquet(f"{path}/codes").count() == n_before - len(doomed)
+    assert topk() == after
+
+    # deleting an id that is not in the index writes no tombstones
+    ghost = spark.createDataFrame([(10**9,)], "vec_id long")
+    sim.ivf_pq_index_delete(ghost, path)
+    assert sim.ivf_pq_index_query(queries, path, dim=64).count() == len(after)

@@ -81,6 +81,10 @@ NESTED_LOOP_OK = {
     # bounded persisted-codebook shapes, ingest memoized per process
     "st19b_stream_index_serve": "composes n2+n5's bounded broadcasts "
     "(persisted codebooks, resident streamed index)",
+    # n12 adds only a constant-small tombstone anti-join broadcast to
+    # n8's bounded persisted-codebook shapes
+    "n12_ann_ivfpq_delete": "composes n2+n5's bounded broadcasts "
+    "(persisted codebooks) + constant-small tombstone anti-join",
     # e6's Lloyd assignments cross the corpus with the bounded k-row
     # codebook broadcast — n2's shape, once per iteration
     "e6_kmeans_codebook": "bounded broadcast codebook (k rows/iteration)",
