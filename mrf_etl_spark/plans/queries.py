@@ -203,10 +203,40 @@ class StarLake:
                 "code", "proc_class", "proc_group", "reporting_entity_name", "tin_value",
             ] if c in df.columns
         ]
-        return df.withColumn(
+        df = df.withColumn(
             "full_search_text",
             F.lower(F.concat_ws(" ", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in search_parts])),
         )
+        # per-field precomputed lowercase (the reference's search_text
+        # pattern, optimized_queries.py:66-71, applied per ilike field):
+        # the single-field ILIKE endpoints then filter with a pure byte
+        # `contains` on a STORED column instead of lowercasing the source
+        # string per row per request — on the materialized index this is
+        # the difference between the non-MV payer search clearing the
+        # reference's 500 ms p95 target at sf1 and missing it
+        for c in sorted(self._ILIKE_FIELDS):
+            if c in df.columns:
+                df = df.withColumn(f"_lc_{c}", F.lower(F.col(c)))
+        return df
+
+    # every column any single-field endpoint filters with ILIKE — each
+    # gets a precomputed lowercase sibling in the search index
+    _ILIKE_FIELDS: ClassVar[frozenset] = frozenset(
+        {"organization_name", "primary_taxonomy_desc", "proc_class",
+         "reporting_entity_name"}
+    )
+
+    def _ilike_pred(self, df_cols, col: str, value: str) -> Column:
+        """Case-insensitive substring predicate for an endpoint field:
+        `contains` on the precomputed lowercase column when the index
+        carries it, else live ilike. Wildcard characters inside the user
+        value are treated LITERALLY on the fast path (the sane endpoint
+        semantics; the reference interpolates the raw value into ILIKE,
+        where a user '%' would act as a wildcard)."""
+        lc = f"_lc_{col}"
+        if lc in df_cols:
+            return F.col(lc).contains(value.lower())
+        return F.col(col).ilike(f"%{value}%")
 
     # -- endpoint vocabulary -------------------------------------------------
     def multi_field_search(self, pred: Column | None = None, free_text: str | None = None, limit: int = 1000) -> DataFrame:
@@ -220,7 +250,10 @@ class StarLake:
         if free_text:
             df = df.filter(F.col("full_search_text").contains(free_text.lower()))
         return (
-            df.drop("full_search_text")
+            df.drop(
+                "full_search_text",
+                *[c for c in df.columns if c.startswith("_lc_")],
+            )
             .distinct()
             .orderBy(F.col("negotiated_rate").desc())
             .limit(limit)
@@ -291,10 +324,11 @@ class StarLake:
         tie-nondeterministic under LIMIT — the identity columns join the
         sort as a total-order tie-break (the rate_detail fix)."""
         col, op, group_cols, extras = self.SEARCH_ROLLUPS[search_type]
-        value_pred = (
-            (lambda c: c == value) if op == "eq"
-            else (lambda c: c.ilike(f"%{value}%"))
-        )
+
+        def value_pred(df_cols):
+            if op == "eq":
+                return F.col(col) == value
+            return self._ilike_pred(df_cols, col, value)
         if self.search_rollup_mvs and search_type in self.search_rollup_mvs:
             # second-tier MV: the identity-grain rollup is PRE-AGGREGATED
             # per (state, year_month) and the value predicate filters
@@ -314,7 +348,7 @@ class StarLake:
                         (F.col("state") == state)
                         & (F.col("year_month") == year_month)
                     )
-                    .filter(value_pred(F.col(col)))
+                    .filter(value_pred(mv.columns))
                     .select(*present, *agg_names)
                     .orderBy(
                         F.col("rate_count").desc(),
@@ -323,15 +357,27 @@ class StarLake:
                     .limit(limit)
                 ),
             )
-        idx = self.search_index().filter(
-            (F.col("state") == state) & (F.col("year_month") == year_month)
+        # live (non-MV) path: the plan is memoized per (endpoint, args)
+        # exactly like the MV tiers — per-request py4j + Catalyst
+        # analysis (20-67 ms measured, PLANS.md r9 #4) is paid once per
+        # distinct request, which is what carries the non-MV payer
+        # search under the reference's 500 ms target at sf1
+        def build():
+            idx = self.search_index().filter(
+                (F.col("state") == state) & (F.col("year_month") == year_month)
+            )
+            idx = idx.filter(value_pred(idx.columns))
+            present = [c for c in group_cols if c in idx.columns]
+            out = idx.groupBy(*present).agg(*self._rollup_aggs(idx, extras))
+            return out.orderBy(
+                F.col("rate_count").desc(),
+                *[F.col(c).asc_nulls_last() for c in present],
+            ).limit(limit)
+
+        return self._memo_plan(
+            ("search_rollup_live", search_type, value, state, year_month, limit),
+            build,
         )
-        idx = idx.filter(value_pred(F.col(col)))
-        present = [c for c in group_cols if c in idx.columns]
-        out = idx.groupBy(*present).agg(*self._rollup_aggs(idx, extras))
-        return out.orderBy(
-            F.col("rate_count").desc(), *[F.col(c).asc_nulls_last() for c in present]
-        ).limit(limit)
 
     @staticmethod
     def _rollup_aggs(idx: DataFrame, extras: dict[str, str]) -> list[Column]:
@@ -428,21 +474,29 @@ class StarLake:
                     .limit(limit)
                 ),
             )
-        idx = self.search_index().filter(
-            (F.col("state") == state)
-            & (F.col("year_month") == year_month)
-            & F.col(field).isNotNull()
-            & (F.col(field) != "")
+        # live path: plan memoized per (endpoint, args) like every other
+        # serving tier (search_rollup's prepared-statement note)
+        def build() -> DataFrame:
+            idx = self.search_index().filter(
+                (F.col("state") == state)
+                & (F.col("year_month") == year_month)
+                & F.col(field).isNotNull()
+                & (F.col(field) != "")
+            )
+            if source is not None:
+                src_cat, src_val = source
+                idx = idx.filter(F.col(self.CATEGORY_FIELDS[src_cat]) == src_val)
+            out = idx.groupBy(F.col(field).alias("value")).agg(
+                *self._category_rollup_aggs()
+            )
+            return out.orderBy(
+                F.col("record_count").desc(), F.col("value").asc()
+            ).limit(limit)
+
+        return self._memo_plan(
+            ("category_rollup_live", state, year_month, category, source, limit),
+            build,
         )
-        if source is not None:
-            src_cat, src_val = source
-            idx = idx.filter(F.col(self.CATEGORY_FIELDS[src_cat]) == src_val)
-        out = idx.groupBy(F.col(field).alias("value")).agg(
-            *self._category_rollup_aggs()
-        )
-        return out.orderBy(
-            F.col("record_count").desc(), F.col("value").asc()
-        ).limit(limit)
 
     @staticmethod
     def _category_rollup_aggs() -> list[Column]:
@@ -493,15 +547,20 @@ class StarLake:
             return self._memo_plan(
                 ("category_statistics", state, year_month), build
             )
-        idx = self.search_index().filter(
-            (F.col("state") == state) & (F.col("year_month") == year_month)
+        def build_live() -> DataFrame:
+            idx = self.search_index().filter(
+                (F.col("state") == state) & (F.col("year_month") == year_month)
+            )
+            aggs = [
+                F.countDistinct(col).alias(f"unique_{cat}")
+                for cat, col in self.CATEGORY_FIELDS.items()
+                if col in idx.columns
+            ]
+            return idx.agg(*aggs, F.count("*").alias("total_records"))
+
+        return self._memo_plan(
+            ("category_statistics_live", state, year_month), build_live
         )
-        aggs = [
-            F.countDistinct(col).alias(f"unique_{cat}")
-            for cat, col in self.CATEGORY_FIELDS.items()
-            if col in idx.columns
-        ]
-        return idx.agg(*aggs, F.count("*").alias("total_records"))
 
     def rate_summary(self, pred: Column | None = None) -> DataFrame:
         """/api/rates/summary (backend/main.py:127-158, A4): one stats block
