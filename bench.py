@@ -98,6 +98,7 @@ HEADLINE = [
     "st19_stream_ivfpq_ingest",
     "st19b_stream_index_serve",
     "n12_ann_ivfpq_delete",
+    "pipe8_decontam_training_order",
     "e6_kmeans_codebook",
     "t22_ngram_lm_bits",
     "e7_pq_codebook_train",

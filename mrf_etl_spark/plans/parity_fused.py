@@ -77,6 +77,11 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-9 session 3: pipe7's disk half — the partitioned-write
         # family IS this probe's subject; row-for-row manifest surface
         ("s30_training_order_export", []),
+        # round-10: the decontaminated training order (q11's dual gate
+        # feeding pipe7's manifest) — all-int surface; cost-driven ride
+        # beside its sibling s30 (fx_projection_filters and fx_anti_semi
+        # hold the parents and sit at 6-7)
+        ("pipe8_decontam_training_order", []),
     ],
     "fx_projection_filters": [
         ("p123_projection", ["rate", "ga_prof_mar"]),
@@ -847,6 +852,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "max_eval_cos", "semantic_hit", "released",
     ],
     "pipe7_training_order": ["doc_id", "domain", "copy", "order_pos"],
+    "pipe8_decontam_training_order": ["doc_id", "domain", "copy", "order_pos"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
     "m6_phash_near_dup": ["doc_a", "doc_b", "hamming"],
     "st23_stream_cluster_map": ["cid", "n_members", "top_label", "top_label_n"],
@@ -1092,7 +1098,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 287
+CATALOG_COUNT = 288
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -2867,19 +2867,55 @@ def _sp23_target_case() -> str:
     return f"CASE domain {whens} ELSE 0 END"
 
 
-def _sp23_tok_cte() -> str:
+def _sp23_tok_cte(corpus: str = "documents") -> str:
     # mirror of mixture_solver's seeded agg: one zero-token row per
     # TARGETED domain unioned in before the group-by, so targeted-but-
-    # absent domains emit (tokens=0, rate_bp=0) instead of vanishing
+    # absent domains emit (tokens=0, rate_bp=0) instead of vanishing.
+    # ``corpus``: the relation the solver counts (pipe8 passes its
+    # released-subset CTE).
     seeds = ", ".join(f"('{s}', 0)" for s in SP23_TARGETS)
     return f"""tok AS MATERIALIZED (
          SELECT domain, CAST(sum(tk) AS BIGINT) AS tokens FROM (
            SELECT source AS domain,
                   len(regexp_split_to_array(trim(text), '\\s+')) AS tk
-           FROM documents
+           FROM {corpus}
            UNION ALL
            SELECT * FROM (VALUES {seeds}) s(domain, tk))
          GROUP BY domain)"""
+
+
+def _training_order_ctes(corpus: str = "documents") -> str:
+    # pipe7's full statement body (solver → integer copy explode →
+    # single-window rank SPEC), parametrized by the corpus relation so
+    # pipe8 can run the identical manifest over its released subset
+    return f"""{_sp23_tok_cte(corpus)},
+       tb AS MATERIALIZED (
+         SELECT domain, tokens,
+                CAST({_sp23_target_case()} AS BIGINT) AS target_bp
+         FROM tok),
+       rt AS MATERIALIZED (
+         SELECT domain, tokens, target_bp,
+                CASE WHEN tokens > 0
+                     THEN ((CAST({SP23_BUDGET} AS BIGINT) * target_bp)
+                           // 10000) * 10000 // tokens
+                     ELSE CAST(0 AS BIGINT) END AS rate_bp
+         FROM tb),
+       m AS MATERIALIZED (
+         SELECT doc_id, domain, c AS copy
+         FROM (SELECT d.doc_id, r.domain, r.rate_bp,
+                      CAST('0x' || substring(md5('order' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) % 10000 AS b,
+                      unnest(range(0, r.rate_bp // 10000 + 1)) AS c
+               FROM {corpus} d JOIN rt r ON r.domain = d.source)
+         WHERE c < rate_bp // 10000
+            OR (c = rate_bp // 10000 AND b < rate_bp % 10000))
+       SELECT doc_id, domain, copy,
+              CAST(row_number() OVER (
+                ORDER BY CAST('0x' || substring(md5('order-pos' ||
+                    CAST(doc_id * {1 << 20} + copy AS VARCHAR)), 1, 15)
+                    AS BIGINT),
+                  doc_id * {1 << 20} + copy) - 1 AS BIGINT) AS order_pos
+       FROM m"""
 
 
 @register(
@@ -2930,34 +2966,7 @@ def sp23_mixture_solver(spark, sf_dir):
     # the naive single-window rank as the SPEC; the Spark side computes
     # the identical ranking distributed (global_shuffle's bucket
     # decomposition).
-    f"""WITH {_sp23_tok_cte()},
-       tb AS MATERIALIZED (
-         SELECT domain, tokens,
-                CAST({_sp23_target_case()} AS BIGINT) AS target_bp
-         FROM tok),
-       rt AS MATERIALIZED (
-         SELECT domain, tokens, target_bp,
-                CASE WHEN tokens > 0
-                     THEN ((CAST({SP23_BUDGET} AS BIGINT) * target_bp)
-                           // 10000) * 10000 // tokens
-                     ELSE CAST(0 AS BIGINT) END AS rate_bp
-         FROM tb),
-       m AS MATERIALIZED (
-         SELECT doc_id, domain, c AS copy
-         FROM (SELECT d.doc_id, r.domain, r.rate_bp,
-                      CAST('0x' || substring(md5('order' || CAST(d.doc_id AS VARCHAR)), 1, 15)
-                           AS BIGINT) % 10000 AS b,
-                      unnest(range(0, r.rate_bp // 10000 + 1)) AS c
-               FROM documents d JOIN rt r ON r.domain = d.source)
-         WHERE c < rate_bp // 10000
-            OR (c = rate_bp // 10000 AND b < rate_bp % 10000))
-       SELECT doc_id, domain, copy,
-              CAST(row_number() OVER (
-                ORDER BY CAST('0x' || substring(md5('order-pos' ||
-                    CAST(doc_id * {1 << 20} + copy AS VARCHAR)), 1, 15)
-                    AS BIGINT),
-                  doc_id * {1 << 20} + copy) - 1 AS BIGINT) AS order_pos
-       FROM m""",
+    f"WITH {_training_order_ctes('documents')}",
     doc="pipe7 (beyond-ref): end-to-end training-order manifest — the "
     "dataloader's input in ONE plan: solve per-domain epoch rates from "
     "target shares + token budget (sp23), apply them as deterministic "
@@ -3037,6 +3046,68 @@ def _register_s30():
 
 
 s30_training_order_export = _register_s30()
+
+
+def _register_pipe8():
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    @register(
+        "pipe8_decontam_training_order",
+        # q11's dual-gate report gates the corpus (released = ngram-clean
+        # AND semantic-clean), and pipe7's manifest CTEs run verbatim
+        # over that released subset — production training orders are
+        # built from the RELEASED corpus, composed in ONE plan
+        f"""WITH q AS MATERIALIZED ({REGISTRY['q11_dual_gate_decontam'].oracle}),
+       rel AS MATERIALIZED (
+         SELECT d.doc_id, d.text, d.source
+         FROM documents d JOIN q ON q.doc_id = d.doc_id
+         WHERE q.released),
+       {_training_order_ctes('rel')}""",
+        doc="pipe8 (beyond-ref): decontaminated training order — q11's "
+        "dual release gate (n-gram Bloom + semantic, 'production "
+        "releases run BOTH gates') feeding pipe7's manifest in ONE "
+        "plan: solve per-domain epoch rates over the RELEASED corpus, "
+        "apply the integer epoch/downsample copies, rank into the "
+        "dense global shuffle order. The solver counts released tokens "
+        "only, so contaminated rows neither train NOR distort the "
+        "mixture rates. Gate shapes unchanged (scan-speed bitset, "
+        "bounded eval broadcast); the composition adds one id-keyed "
+        "join (operators/sampling.training_order over the gated set).",
+    )
+    def pipe8_decontam_training_order(spark, sf_dir):
+        from pyspark.storagelevel import StorageLevel
+
+        from mrf_etl_spark.operators import sampling as sp
+        from mrf_etl_spark.operators.dedup import carry_state
+
+        # the manifest plan reads its corpus multiple times (solver agg,
+        # copy explode, shuffle-rank passes) — persist the gated ID SET
+        # (one long per released doc, the cheapest sufficient state) so
+        # the dual-gate cascade runs ONCE, not once per pass
+        released = (
+            REGISTRY["q11_dual_gate_decontam"]
+            .spark_fn(spark, sf_dir)
+            .filter(F.col("released"))
+            .select("doc_id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        docs = t(spark, sf_dir, "documents").join(released, "doc_id")
+        out = sp.training_order(
+            docs,
+            SP23_TARGETS,
+            SP23_BUDGET,
+            "source",
+            "text",
+            "doc_id",
+            salt="order",
+        )
+        # caller frees via release_state after materializing
+        return carry_state(out, hold=(released,))
+
+    return pipe8_decontam_training_order
+
+
+pipe8_decontam_training_order = _register_pipe8()
 
 
 # sp8: deterministic global shuffle — distributed rank in md5 order

@@ -3817,3 +3817,39 @@ def test_ivfpq_delete_tombstones_and_compaction(spark, tmp_path):
     ghost = spark.createDataFrame([(10**9,)], "vec_id long")
     sim.ivf_pq_index_delete(ghost, path)
     assert sim.ivf_pq_index_query(queries, path, dim=64).count() == len(after)
+
+
+def test_pipe8_decontam_training_order_composition(spark):
+    """pipe8 == pipe7 over the q11-released corpus: no contaminated doc
+    ever appears in the manifest, and the manifest equals training_order
+    run over the manually gated corpus (same targets/budget/salt)."""
+    from mrf_etl_spark.operators.dedup import release_state
+    from mrf_etl_spark.operators.sampling import training_order
+    from mrf_etl_spark.plans.parity import REGISTRY
+    import mrf_etl_spark.plans.parity_fused  # noqa: F401
+    from mrf_etl_spark.plans.parity_llm import SP23_BUDGET, SP23_TARGETS
+
+    sf = "/root/testdata/sf0.001"
+    q11 = REGISTRY["q11_dual_gate_decontam"].spark_fn(spark, sf).collect()
+    released = {r.doc_id for r in q11 if r.released}
+    contaminated = {r.doc_id for r in q11 if not r.released}
+
+    df = REGISTRY["pipe8_decontam_training_order"].spark_fn(spark, sf)
+    got = sorted(map(tuple, df.collect()))
+    release_state(df)
+    ids = {t[0] for t in got}
+    assert ids and ids <= released
+    assert not ids & contaminated
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    gated = docs.filter(docs.doc_id.isin(list(released)))
+    want = sorted(
+        map(
+            tuple,
+            training_order(
+                gated, SP23_TARGETS, SP23_BUDGET, "source", "text",
+                "doc_id", salt="order",
+            ).collect(),
+        )
+    )
+    assert got == want

@@ -121,6 +121,10 @@ NESTED_LOOP_OK = {
     # q11 composes d14's bounded eval-set broadcast (the n-gram gate
     # side is a zero-join bitset projection)
     "q11_dual_gate_decontam": "bounded broadcast eval set (d14's gate inside)",
+    # pipe8 runs q11's gates once (persisted id set) before pipe7's
+    # manifest — the only products are q11's bounded eval broadcasts
+    "pipe8_decontam_training_order": "bounded broadcast eval set "
+    "(q11's dual gate inside, persisted released-id state)",
     # n11: n1's shape — the bounded query set broadcasts onto the corpus
     # scan (at quarter cost via the truncated fold); rerank is keyed
     "n11_ann_matryoshka": "bounded broadcast query set (truncated-dim scan)",

@@ -287,3 +287,19 @@ def test_bpe_plans_persist_pass_state(spark):
         .toString()
     )
     assert p2.count("InMemoryTableScan") >= 2, p2[:2000]
+
+
+def test_pipe8_gate_runs_once_through_cache(spark):
+    """pipe8's dual-gate cascade must execute ONCE: the released-id set
+    is persisted and every corpus pass of the manifest plan (solver agg,
+    copy explode, shuffle-rank) reads it back through InMemoryTableScan
+    — exchange counting is unreliable through InMemory printouts (the
+    cached subtree prints per scan but runs once), so the pin is the
+    reuse itself (the e6/persisted-state pattern)."""
+    from mrf_etl_spark.operators.dedup import release_state
+
+    df = _catalog()["pipe8_decontam_training_order"].spark_fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_state(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
