@@ -99,6 +99,8 @@ HEADLINE = [
     "st19b_stream_index_serve",
     "n12_ann_ivfpq_delete",
     "pipe8_decontam_training_order",
+    "d16_repeat_ladder",
+    "d17_longest_repeat",
     "e6_kmeans_codebook",
     "t22_ngram_lm_bits",
     "e7_pq_codebook_train",

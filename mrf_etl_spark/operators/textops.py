@@ -659,6 +659,195 @@ def repeated_passages(
     )
 
 
+def _span_level_exprs(max_log: int) -> list[str]:
+    """Prefix-doubling sparse table over a document's word stream, built
+    ENTIRELY map-side as array columns (no shuffle): level 0 is
+    ``md5(word[i])``; level j is ``md5(h[i] || h[i + 2^(j-1)])`` — the
+    hash of the 2^j-word span starting at i. Returns the SQL exprs for
+    levels 0..max_log (1-based array indexing, identical in DuckDB, so
+    the oracle replays the same bytes)."""
+    exprs = ["transform(_w, w -> md5(w))"]
+    for j in range(1, max_log + 1):
+        half = 1 << (j - 1)
+        exprs.append(
+            f"CASE WHEN size(_w) >= {1 << j} THEN "
+            f"transform(sequence(1, size(_w) - {(1 << j) - 1}), "
+            f"i -> md5(concat(element_at(_h{j - 1}, i), "
+            f"element_at(_h{j - 1}, i + {half})))) "
+            f"ELSE array() END"
+        )
+    return exprs
+
+
+def repeat_ladder(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 4,
+    max_len: int = 32,
+) -> DataFrame:
+    """Per-document maximal repeated-substring ladder (d16) — exact
+    substring dedup at ANY alignment: for every power-of-2 span length
+    in [min_len, max_len], every stride-1 window of each document's
+    lowercased word stream is hashed (the prefix-doubling sparse table,
+    :func:`_span_level_exprs`), and a span is REPEATED when it appears
+    verbatim in more than one document. Output per affected doc:
+    (doc_id, max_rep_len, n_rep_spans) — the longest power-of-2 length
+    any of the doc's spans shares cross-doc, and how many of its
+    distinct spans repeat at that length.
+
+    This closes the detection gap d7's strided fixed window leaves
+    open (Lee et al. ACL'22, the full any-alignment capability): d7 at
+    (win=10, stride=5) can NEVER see a 6-word verbatim block, nor a
+    10-word block straddling its stride grid; the ladder sees every
+    repeat of length ≥ min_len at every offset, with length resolved to
+    the floor power of 2 (a 2-approximation of the true maximal length
+    — :func:`longest_repeat` resolves the exact global maximum).
+
+    Scale shape: the sparse table is map-side array work (log(max_len)
+    transforms, no shuffle); per level one explode + the d1-style
+    single hash-keyed groupBy (per-doc-DISTINCT spans, so n_docs is a
+    plain count); the repeated-span set joins back hash-keyed. Total
+    work is log(max_len) × corpus words — the d2/d3 shingle family's
+    profile with a log factor, never quadratic."""
+    import math
+
+    from mrf_etl_spark.operators.dedup import widen_narrow_input
+
+    max_log = int(math.log2(max_len))
+    min_log = max(1, int(math.ceil(math.log2(min_len))))
+    words = widen_narrow_input(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    for j, e in enumerate(_span_level_exprs(max_log)):
+        words = words.withColumn(f"_h{j}", F.expr(e))
+    # one struct row per (level, distinct span hash) — a doc counts once
+    # per span per level (d7's DISTINCT-within-doc rule)
+    level_arrays = ", ".join(
+        f"transform(array_distinct(_h{j}), h -> struct({1 << j} AS len, h AS hash))"
+        for j in range(min_log, max_log + 1)
+    )
+    spans = words.select(
+        "doc_id",
+        F.explode(F.expr(f"flatten(array({level_arrays}))")).alias("_s"),
+    ).select("doc_id", F.col("_s.len").alias("len"), F.col("_s.hash").alias("hash"))
+    from pyspark.sql.window import Window
+
+    # per-(len, hash) doc frequency via a window COUNT (t10's pattern):
+    # ONE (len, hash)-keyed shuffle instead of a groupBy + join-back that
+    # would execute the explode subplan twice
+    dfc = F.count("*").over(Window.partitionBy("len", "hash"))
+    per = (
+        spans.withColumn("_dfc", dfc)
+        .filter(F.col("_dfc") > 1)
+        .groupBy("doc_id", "len")
+        .agg(F.count("*").alias("n"))
+    )
+    # lexicographic max(struct(len, n)) == the (unique) n at the max len
+    return per.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("len"), F.col("n"))).alias("_m")
+    ).select(
+        "doc_id",
+        F.col("_m.len").alias("max_rep_len"),
+        F.col("_m.n").alias("n_rep_spans"),
+    )
+
+
+def longest_repeat(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 4,
+    max_len: int = 32,
+) -> DataFrame:
+    """Exact longest cross-document repeated substring (d17) — the
+    headline Lee et al. ACL'22 statistic, suffix-array-free: any length
+    L in [min_len, max_len] hashes per position as the OVERLAPPING
+    two-block composition ``md5(h_k[i] || h_k[i + L - 2^k])`` with
+    k = floor(log2 L) over the map-side sparse table — equal substrings
+    compose equal hashes at every length, so "some L-span occurs in ≥ 2
+    docs" is one hash-keyed aggregate per probed length, and the
+    predicate is monotone in L (a substring of a repeat is a repeat).
+
+    The Spark side BINARY-SEARCHES L (log2(max_len) driver-coordinated
+    probes, e6's iterative-trainer discipline — each probe one explode +
+    one combinable agg over corpus positions); the oracle computes the
+    same answer non-iteratively (all lengths in one statement — fine at
+    fixture scale, log-probe is the 100 TB path). Returns the maximal
+    length's repeated spans: (rep_len, hash, n_docs, min_doc, max_doc);
+    empty when no cross-doc repeat of ≥ min_len exists.
+    """
+    import math
+
+    from mrf_etl_spark.operators.dedup import widen_narrow_input
+
+    max_log = int(math.log2(max_len))
+    words = widen_narrow_input(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    for j, e in enumerate(_span_level_exprs(max_log)):
+        words = words.withColumn(f"_h{j}", F.expr(e))
+    words = words.persist()
+
+    def span_hashes(ln: int):
+        k = int(math.log2(ln))
+        off = ln - (1 << k)
+        # valid starts: i in [1, n - L + 1]; both blocks live in _hk
+        return words.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(_w) >= {ln} THEN array_distinct("
+                    f"transform(sequence(1, size(_w) - {ln - 1}), "
+                    f"i -> md5(concat(element_at(_h{k}, i), "
+                    f"element_at(_h{k}, i + {off}))))) "
+                    f"ELSE array() END"
+                )
+            ).alias("hash"),
+        )
+
+    def has_repeat(ln: int) -> bool:
+        return (
+            span_hashes(ln)
+            .groupBy("hash")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    lo, hi, best = min_len, max_len, 0
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if has_repeat(mid):
+            best, lo = mid, mid + 1
+        else:
+            hi = mid - 1
+    # best == 0 → no repeat at min_len, so the min_len emission below is
+    # provably empty (the shape-stable empty result)
+    ln_out = best or min_len
+    out = (
+        span_hashes(ln_out)
+        .groupBy("hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            F.lit(ln_out).cast("long").alias("rep_len"),
+            "hash", "n_docs", "min_doc", "max_doc",
+        )
+    )
+    from mrf_etl_spark.operators.dedup import carry_state
+
+    return carry_state(out, hold=(words,))
+
+
 def boilerplate_flags(
     df: DataFrame,
     text_col: str,

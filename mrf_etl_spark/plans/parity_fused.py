@@ -46,6 +46,12 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
     "fx_geo_lookups": [
         ("s9_geocode_cached_lookup", ["lat", "lon"]),
         ("s10_hud_zip_cbsa", []),
+        # round-10: the exact-substring pair (all-int surfaces, ~0.2 s
+        # oracles) — cost-driven rides on the window's lightest probe
+        # (every dedup/text-family probe is at the 7-cap; precedent:
+        # sp23 on fx_projection_filters)
+        ("d16_repeat_ladder", []),
+        ("d17_longest_repeat", []),
     ],
     "fx_writer_roundtrips": [
         ("s12_append_unique_roundtrip", []),
@@ -781,6 +787,8 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "d3_ngram_jaccard": ["doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard"],
     "d5_embedding_near_dup": ["doc_a", "doc_b", "cosine"],
     "d7_repeated_passages": ["passage_hash", "n_docs", "min_doc", "max_doc"],
+    "d16_repeat_ladder": ["doc_id", "max_rep_len", "n_rep_spans"],
+    "d17_longest_repeat": ["rep_len", "hash", "n_docs", "min_doc", "max_doc"],
     "d8_semantic_dedup": ["keep_id", "n_members", "max_doc"],
     "d10_ngram_containment": [
         "doc_a", "doc_b", "n_common", "size_a", "size_b", "containment",
@@ -1098,7 +1106,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 288
+CATALOG_COUNT = 290
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

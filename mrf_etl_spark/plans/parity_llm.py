@@ -2313,6 +2313,120 @@ def d7_repeated_passages(spark, sf_dir):
     )
 
 
+def _span_level_ctes(max_log: int = 5) -> str:
+    # the prefix-doubling sparse table as row-wise CTEs: p0 = per-word
+    # md5; p_j = md5(p_{j-1}[i] || p_{j-1}[i + 2^(j-1)]) — the oracle
+    # mirror of operators/textops._span_level_exprs (same 1-based
+    # positions, same concat bytes)
+    parts = [
+        """p0 AS MATERIALIZED (
+         SELECT doc_id, i, md5(ws[i]) AS h
+         FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+               FROM (SELECT doc_id,
+                            regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+                     FROM documents)))"""
+    ]
+    for j in range(1, max_log + 1):
+        off = 1 << (j - 1)
+        parts.append(
+            f"""p{j} AS MATERIALIZED (
+         SELECT a.doc_id, a.i, md5(a.h || b.h) AS h
+         FROM p{j - 1} a JOIN p{j - 1} b
+           ON b.doc_id = a.doc_id AND b.i = a.i + {off})"""
+        )
+    return ",\n       ".join(parts)
+
+
+@register(
+    "d16_repeat_ladder",
+    # per-level DISTINCT-within-doc span hashes over the doubling table,
+    # cross-doc repeated when >1 doc shares the hash; per doc the max
+    # repeated level and its span count
+    f"""WITH {_span_level_ctes(5)},
+       s AS MATERIALIZED (
+         SELECT DISTINCT doc_id, 4 AS len, h FROM p2
+         UNION ALL SELECT DISTINCT doc_id, 8 AS len, h FROM p3
+         UNION ALL SELECT DISTINCT doc_id, 16 AS len, h FROM p4
+         UNION ALL SELECT DISTINCT doc_id, 32 AS len, h FROM p5),
+       rep AS MATERIALIZED (
+         SELECT len, h FROM s GROUP BY len, h HAVING count(*) > 1),
+       per AS (
+         SELECT doc_id, len, count(*) AS n
+         FROM s JOIN rep USING (len, h) GROUP BY 1, 2)
+       SELECT doc_id, CAST(len AS INT) AS max_rep_len,
+              CAST(n AS BIGINT) AS n_rep_spans
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY len DESC) AS rn FROM per)
+       WHERE rn = 1""",
+    doc="d16 (beyond-ref): per-document maximal repeated-substring LADDER "
+    "— the any-alignment exact-substring capability d7's strided window "
+    "provably lacks (a 6-word verbatim block, or a 10-word block off "
+    "d7's stride grid, is invisible to win=10/stride=5): every stride-1 "
+    "window at each power-of-2 length in [4, 32] hashes through a "
+    "map-side prefix-doubling sparse table (log(max_len) array "
+    "transforms, NO shuffle to build), one hash-keyed groupBy per "
+    "ladder, and each affected doc reports its longest cross-doc "
+    "repeated length (2-approximation; d17 resolves the exact global "
+    "max). Work is log(max_len) x corpus words — the shingle-family "
+    "profile, never quadratic (operators/textops.repeat_ladder).",
+)
+def d16_repeat_ladder(spark, sf_dir):
+    return tx.repeat_ladder(
+        t(spark, sf_dir, "documents"), "text", "doc_id", min_len=4, max_len=32
+    )
+
+
+def _register_d17():
+    # all candidate lengths in one statement: length L composes as
+    # md5(p_k[i] || p_k[i + L - 2^k]), k = floor(log2 L) — the
+    # overlapping-block trick, so the oracle needs no iteration (the
+    # Spark side binary-searches the same monotone predicate)
+    bands = []
+    for k, lo, hi in ((2, 4, 7), (3, 8, 15), (4, 16, 31), (5, 32, 32)):
+        bands.append(
+            f"""SELECT DISTINCT la.doc_id, la.L, md5(la.h || b.h) AS h
+         FROM (SELECT l.L, a.doc_id, a.i, a.h, a.i + l.L - {1 << k} AS j
+               FROM (SELECT unnest(range({lo}, {hi} + 1)) AS L) l, p{k} a) la
+         JOIN p{k} b ON b.doc_id = la.doc_id AND b.i = la.j"""
+        )
+    allspans = "\n         UNION ALL\n         ".join(bands)
+
+    @register(
+        "d17_longest_repeat",
+        f"""WITH {_span_level_ctes(5)},
+       allspans AS MATERIALIZED (
+         {allspans}),
+       rep AS MATERIALIZED (
+         SELECT L, h, count(*) AS n_docs,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM allspans GROUP BY L, h HAVING count(*) > 1),
+       best AS (SELECT max(L) AS bl FROM rep)
+       SELECT CAST(rep.L AS BIGINT) AS rep_len, h AS hash,
+              n_docs, min_doc, max_doc
+       FROM rep JOIN best ON rep.L = best.bl""",
+        doc="d17 (beyond-ref): exact longest cross-document repeated "
+        "substring — the headline Lee et al. ACL'22 statistic, "
+        "suffix-array-free: any length L hashes per position as the "
+        "overlapping two-block composition md5(h_k[i] || h_k[i+L-2^k]) "
+        "over the map-side doubling table, and 'some L-span is shared "
+        "by >1 doc' is monotone in L, so the Spark side BINARY-SEARCHES "
+        "L in log2(max_len) driver-coordinated probes (one combinable "
+        "agg each — e6's iterative discipline); the oracle computes all "
+        "lengths in one statement. Returns the maximal length's "
+        "repeated spans (operators/textops.longest_repeat).",
+    )
+    def d17_longest_repeat(spark, sf_dir):
+        return tx.longest_repeat(
+            t(spark, sf_dir, "documents"), "text", "doc_id",
+            min_len=4, max_len=32,
+        )
+
+    return d17_longest_repeat
+
+
+d17_longest_repeat = _register_d17()
+
+
 @register(
     "d8_semantic_dedup",
     # SemDeDup-style composition (Abbas et al. 2023, public literature):

@@ -3853,3 +3853,46 @@ def test_pipe8_decontam_training_order_composition(spark):
         )
     )
     assert got == want
+
+
+def test_repeat_ladder_catches_what_d7_misses(spark):
+    """d16/d17 vs d7 on a planted repeat: docs 1 and 2 share a verbatim
+    6-word block at different, stride-misaligned offsets. d7 (win=10,
+    stride=5) PROVABLY finds nothing — no 10-word window matches and a
+    6-word repeat is below its granularity. The ladder reports the
+    floor-power-of-2 length (4, with 3 repeated windows inside the
+    block); longest_repeat resolves the exact length 6."""
+    from mrf_etl_spark.operators.dedup import release_state
+    from mrf_etl_spark.operators.textops import (
+        longest_repeat,
+        repeat_ladder,
+        repeated_passages,
+    )
+
+    blk = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, "one two three " + blk + " tail1 tail2 tail3 tail4"),
+        (2, "x1 " + blk + " y1 y2 y3 y4 y5 y6 y7"),
+        (3, "totally different words only here nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert repeated_passages(docs, win=10, stride=5).count() == 0
+    lad = sorted(
+        (r.doc_id, r.max_rep_len, r.n_rep_spans)
+        for r in repeat_ladder(docs).collect()
+    )
+    assert lad == [(1, 4, 3), (2, 4, 3)]
+    lr = longest_repeat(docs)
+    got = [(r.rep_len, r.n_docs, r.min_doc, r.max_doc) for r in lr.collect()]
+    release_state(lr)
+    assert got == [(6, 2, 1, 2)]
+
+    # no cross-doc repeat at all -> shape-stable empty result
+    solo = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    lr2 = longest_repeat(solo)
+    assert lr2.count() == 0
+    release_state(lr2)
+    assert repeat_ladder(solo).count() == 0

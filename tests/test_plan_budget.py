@@ -158,6 +158,10 @@ BUDGETS = {
     # power iteration: one combinable update agg per iteration + the
     # final explode — the direction itself always broadcasts
     "e12_power_iteration": 3,
+    # repeat ladder: widen repartition + (len,hash) window shuffle +
+    # (doc,len) agg + per-doc agg — 4 real, printed twice through the
+    # AdaptiveSparkPlan initial-plan section
+    "d16_repeat_ladder": 8,
 }
 
 
