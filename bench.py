@@ -101,6 +101,7 @@ HEADLINE = [
     "pipe8_decontam_training_order",
     "d16_repeat_ladder",
     "d17_longest_repeat",
+    "sp24_bpe_sequence_pack",
     "e6_kmeans_codebook",
     "t22_ngram_lm_bits",
     "e7_pq_codebook_train",

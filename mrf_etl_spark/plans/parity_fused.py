@@ -52,6 +52,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # sp23 on fx_projection_filters)
         ("d16_repeat_ladder", []),
         ("d17_longest_repeat", []),
+        # round-10: tokenizer-aware packing (t24 ∘ sp6) — all-int
+        # manifest surface, same cost-driven slot
+        ("sp24_bpe_sequence_pack", []),
     ],
     "fx_writer_roundtrips": [
         ("s12_append_unique_roundtrip", []),
@@ -788,6 +791,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "d5_embedding_near_dup": ["doc_a", "doc_b", "cosine"],
     "d7_repeated_passages": ["passage_hash", "n_docs", "min_doc", "max_doc"],
     "d16_repeat_ladder": ["doc_id", "max_rep_len", "n_rep_spans"],
+    "sp24_bpe_sequence_pack": ["shard_id", "seq_id", "n_docs", "total_tokens"],
     "d17_longest_repeat": ["rep_len", "hash", "n_docs", "min_doc", "max_doc"],
     "d8_semantic_dedup": ["keep_id", "n_members", "max_doc"],
     "d10_ngram_containment": [
@@ -1106,7 +1110,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 290
+CATALOG_COUNT = 291
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -5731,6 +5731,72 @@ def t24_bpe_encode_fertility(spark, sf_dir):
     )
 
 
+@register(
+    "sp24_bpe_sequence_pack",
+    # t24's train-then-encode CTEs produce per-doc BPE token counts
+    # (LEFT JOIN + coalesce 0, t24's empty-doc rule), which feed sp6's
+    # pack CTEs verbatim in place of the whitespace counts
+    f"""WITH wc AS MATERIALIZED (
+         SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+           FROM documents)
+         GROUP BY w),
+       s0 AS MATERIALIZED (
+         SELECT w, n, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s
+         FROM wc),{_t24_iter_ctes(1, 0)},{_t24_iter_ctes(2, 1)},{_t24_iter_ctes(3, 2)},
+       dw AS MATERIALIZED (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         FROM documents),
+       agg AS MATERIALIZED (
+         SELECT d.doc_id,
+                CAST(sum(len(string_split(v.s, ' '))) AS BIGINT) AS n_tokens
+         FROM dw d JOIN s{T23_MERGES} v ON v.w = d.w
+         GROUP BY d.doc_id),
+       tok AS (
+         SELECT doc.doc_id,
+                CAST('0x' || substring(md5(CAST(doc.doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % {N_SHARDS} AS shard_id,
+                CAST('0x' || substring(md5(CAST(doc.doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 10000 AS b,
+                coalesce(a.n_tokens, 0) AS n_tok
+         FROM documents doc LEFT JOIN agg a USING (doc_id)),
+       seq AS (
+         SELECT shard_id, doc_id, n_tok,
+                coalesce(sum(n_tok) OVER (
+                    PARTITION BY shard_id ORDER BY b, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // {SEQ_BUDGET} AS seq_id
+         FROM tok)
+       SELECT shard_id, seq_id,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens
+       FROM seq GROUP BY 1, 2""",
+    doc="sp24 (beyond-ref): tokenizer-aware sequence packing — sp6's "
+    "fixed-budget streaming fill driven by t24's BPE token counts "
+    "instead of whitespace counts, in ONE joined plan: a 2000-token "
+    "training window is a TOKENIZER-token budget, and whitespace "
+    "counting misbins every sequence by each doc's fertility ratio. "
+    "Train the merge table, encode through the distinct-word vocab, "
+    "join the per-doc token counts onto the shard/pack chain — the "
+    "packing shuffle is unchanged, the token source is now the real "
+    "one (operators/textops.bpe_encode_fertility feeding "
+    "operators/sampling.pack_sequences).",
+)
+def sp24_bpe_sequence_pack(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    docs = t(spark, sf_dir, "documents")
+    fert = tx.bpe_encode_fertility(docs, "text", "doc_id", n_merges=T23_MERGES)
+    tokd = fert.select("doc_id", F.col("n_tokens").alias("n_tok"))
+    sharded = sp.pack_shards(tokd, "doc_id", N_SHARDS)
+    packed = sp.pack_sequences(sharded, "doc_id", "n_tok", SEQ_BUDGET)
+    return packed.groupBy("shard_id", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+
+
 # --------------------------- round-7: approximate sliding-window reach
 
 W20_RSD = 0.05  # HLL++ relative standard deviation

@@ -3896,3 +3896,30 @@ def test_repeat_ladder_catches_what_d7_misses(spark):
     assert lr2.count() == 0
     release_state(lr2)
     assert repeat_ladder(solo).count() == 0
+
+
+def test_sp24_tokenizer_aware_packing(spark):
+    """sp24 packs by BPE tokens, not whitespace words: per-sequence
+    total_tokens equals the BPE fertility counts rolled through sp6's
+    exact packing recipe, and the grand total equals the corpus BPE
+    token count (every doc packed exactly once)."""
+    from mrf_etl_spark.operators.textops import bpe_encode_fertility
+    from mrf_etl_spark.plans.parity import REGISTRY
+    import mrf_etl_spark.plans.parity_fused  # noqa: F401
+    from mrf_etl_spark.plans.parity_llm import T23_MERGES
+
+    sf = "/root/testdata/sf0.001"
+    packed = REGISTRY["sp24_bpe_sequence_pack"].spark_fn(spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    fert = bpe_encode_fertility(docs, "text", "doc_id", n_merges=T23_MERGES)
+    total_bpe = fert.groupBy().sum("n_tokens").collect()[0][0]
+    assert sum(r.total_tokens for r in packed) == total_bpe
+    assert sum(r.n_docs for r in packed) == docs.count()
+    # sequences within a shard are contiguous 0..k
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in packed:
+        by_shard[r.shard_id].append(r.seq_id)
+    for sid, seqs in by_shard.items():
+        assert sorted(seqs) == list(range(len(seqs)))

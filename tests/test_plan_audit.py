@@ -100,6 +100,8 @@ NESTED_LOOP_OK = {
     "t23_bpe_merges": "1-row winning-pair broadcast per merge pass",
     "t24_bpe_encode_fertility": "1-row winning-pair broadcast per merge "
     "pass (t23's trainer inside)",
+    "sp24_bpe_sequence_pack": "1-row winning-pair broadcast per merge "
+    "pass (t24's encoder feeding sp6's pack chain)",
     # d14: eval sets are small at any corpus size — the bounded eval
     # broadcast IS the production decontamination plan (n1's shape)
     "d14_semantic_decontam": "bounded broadcast eval set",
