@@ -102,6 +102,7 @@ HEADLINE = [
     "d16_repeat_ladder",
     "d17_longest_repeat",
     "sp24_bpe_sequence_pack",
+    "sp25_dedup_aware_mixture",
     "e6_kmeans_codebook",
     "t22_ngram_lm_bits",
     "e7_pq_codebook_train",

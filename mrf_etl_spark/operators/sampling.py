@@ -919,6 +919,91 @@ def mixture_solver(
     ).select("domain", "tokens", "target_bp", "rate_bp", "planned_tokens")
 
 
+def weighted_mixture_solver(
+    docs: DataFrame,
+    weights: DataFrame,
+    targets: dict[str, int],
+    budget_tokens: int,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    default_bp: int = 0,
+) -> DataFrame:
+    """Dedup-aware mixture solver (sp25) — :func:`mixture_solver` with
+    each document's token mass discounted by its soft-dedup weight
+    (d11's 1/cluster_size: a passage duplicated N times contributes one
+    document's training mass), so the solved epoch rates realize the
+    target mixture over EFFECTIVE tokens, not raw ones. Without the
+    discount, a domain whose volume is mostly near-duplicate boilerplate
+    gets under-repeated: the solver sees inflated supply and assigns too
+    low a rate for the unique content actually there.
+
+    INTEGER-EXACT despite the fractional weights: per doc,
+    ``eff_bp = tokens · 10000 div cluster_size`` (token basis points) —
+    an integer, so the per-domain sum is order-invariant and both
+    engines replay it bit-for-bit; the solver then runs in the scaled
+    basis: ``rate_bp = planned · 10^8 div eff_tokens_bp`` and
+    ``planned_tokens = eff_tokens_bp · rate_bp div 10^8``. Valid domain:
+    ``planned · 10^8 < 2^63`` (budgets to ~9e10 tokens; pre-scale to
+    kilotokens beyond — the w21 discipline).
+
+    ``weights`` carries (id, cluster_size) — docs absent from it are
+    singletons (size 1). Targeted-but-absent domains still emit a row
+    (mixture_solver's seeded-agg rule). Scale shape: the weight join is
+    id-keyed, the count agg is map-side combinable, the solver is
+    O(domains). Returns (domain, eff_tokens_bp, target_bp, rate_bp,
+    planned_tokens)."""
+    from mrf_etl_spark.operators.textops import token_count_ws
+
+    w = weights.select(
+        F.col(id_col).alias("_wm_id"),
+        F.col("cluster_size").cast("long").alias("_wm_size"),
+    )
+    per_doc = (
+        docs.select(
+            F.col(id_col),
+            F.col(domain_col).alias("domain"),
+            token_count_ws(text_col).cast("long").alias("_tk"),
+        )
+        .join(w, F.col(id_col) == F.col("_wm_id"), "left")
+        .select(
+            "domain",
+            F.expr(
+                "_tk * 10000 div coalesce(_wm_size, CAST(1 AS BIGINT))"
+            ).alias("_eff"),
+        )
+    )
+    if targets:
+        seed = docs.sparkSession.createDataFrame(
+            [(str(k), 0) for k in targets], "domain string, _eff long"
+        )
+        per_doc = per_doc.unionByName(seed)
+    tok = per_doc.groupBy("domain").agg(F.sum("_eff").alias("eff_tokens_bp"))
+    tbp = None
+    for name, bp in targets.items():
+        cond = F.col("domain") == name
+        tbp = F.when(cond, int(bp)) if tbp is None else tbp.when(cond, int(bp))
+    tbp = (
+        F.lit(int(default_bp)) if tbp is None else tbp.otherwise(int(default_bp))
+    ).cast("long")
+    b = int(budget_tokens)
+    out = tok.withColumn("target_bp", tbp)
+    out = out.withColumn(
+        "rate_bp",
+        F.expr(
+            f"CASE WHEN eff_tokens_bp > 0 THEN "
+            f"((CAST({b} AS BIGINT) * target_bp) div 10000) "
+            f"* 100000000 div eff_tokens_bp "
+            f"ELSE CAST(0 AS BIGINT) END"
+        ),
+    )
+    return out.withColumn(
+        "planned_tokens", F.expr("eff_tokens_bp * rate_bp div 100000000")
+    ).select(
+        "domain", "eff_tokens_bp", "target_bp", "rate_bp", "planned_tokens"
+    )
+
+
 def training_order(
     docs: DataFrame,
     targets: dict[str, int],

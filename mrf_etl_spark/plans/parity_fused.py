@@ -122,6 +122,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-9 session 3: the dual-gate release audit — d12 + d14
         # joined on id; max_eval_cos rides the v column
         ("q11_dual_gate_decontam", ["max_eval_cos"]),
+        # round-10: dedup-aware mixture solver (d11's weights feeding
+        # sp23's arithmetic) — all-int surface; family-adjacent ride
+        # (d14/d15/q11 live here), probe now at the 7-cap
+        ("sp25_dedup_aware_mixture", []),
     ],
     "fx_means": [
         ("a1_group_mean", ["avg_bal"]),
@@ -792,6 +796,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "d7_repeated_passages": ["passage_hash", "n_docs", "min_doc", "max_doc"],
     "d16_repeat_ladder": ["doc_id", "max_rep_len", "n_rep_spans"],
     "sp24_bpe_sequence_pack": ["shard_id", "seq_id", "n_docs", "total_tokens"],
+    "sp25_dedup_aware_mixture": ["domain", "eff_tokens_bp", "target_bp", "rate_bp", "planned_tokens"],
     "d17_longest_repeat": ["rep_len", "hash", "n_docs", "min_doc", "max_doc"],
     "d8_semantic_dedup": ["keep_id", "n_members", "max_doc"],
     "d10_ngram_containment": [
@@ -1110,7 +1115,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 291
+CATALOG_COUNT = 292
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

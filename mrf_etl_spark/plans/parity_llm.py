@@ -5900,6 +5900,89 @@ def d11_soft_dedup_weights(spark, sf_dir):
 
 
 @register(
+    "sp25_dedup_aware_mixture",
+    # d11's weight CTEs verbatim (near-dup pairs → closure → 1/size),
+    # joined onto the base documents; per-doc effective tokens in basis
+    # points (integer), then sp23's solver arithmetic in the scaled basis
+    f"""WITH corpus AS {_NEAR_DUP_CORPUS_SQL},{_SHINGLE_CTES},
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         FROM sh a JOIN sh b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT doc_a, doc_b
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE n_common / (sa.sz + sb.sz - n_common) >= {JACCARD_T}),
+       {_closure_ctes()},
+       csizes AS (
+         SELECT component_id, count(*) AS cluster_size
+         FROM labels GROUP BY component_id),
+       lbl AS MATERIALIZED (
+         SELECT l.doc_id, s.cluster_size
+         FROM labels l JOIN csizes s USING (component_id)),
+       eff AS MATERIALIZED (
+         SELECT d.source AS domain,
+                CAST(len(regexp_split_to_array(trim(d.text), '\\s+'))
+                     AS BIGINT) * 10000
+                  // CAST(coalesce(l.cluster_size, 1) AS BIGINT) AS e
+         FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id),
+       tok AS MATERIALIZED (
+         SELECT domain, CAST(sum(e) AS BIGINT) AS eff_tokens_bp FROM (
+           SELECT domain, e FROM eff
+           UNION ALL
+           SELECT * FROM (VALUES {", ".join(f"('{s}', 0)" for s in SP23_TARGETS)})
+             s(domain, e))
+         GROUP BY domain),
+       tb AS (
+         SELECT domain, eff_tokens_bp,
+                CAST({_sp23_target_case()} AS BIGINT) AS target_bp
+         FROM tok),
+       rt AS (
+         SELECT domain, eff_tokens_bp, target_bp,
+                CASE WHEN eff_tokens_bp > 0
+                     THEN ((CAST({SP23_BUDGET} AS BIGINT) * target_bp)
+                           // 10000) * 100000000 // eff_tokens_bp
+                     ELSE CAST(0 AS BIGINT) END AS rate_bp
+         FROM tb)
+       SELECT domain, eff_tokens_bp, target_bp, rate_bp,
+              eff_tokens_bp * rate_bp // 100000000 AS planned_tokens
+       FROM rt""",
+    doc="sp25 (beyond-ref): dedup-aware mixture solver — sp23's epoch-"
+    "rate solver over EFFECTIVE tokens: each document's mass is "
+    "discounted by d11's soft-dedup weight (1/|near-dup cluster|), so "
+    "a domain whose volume is mostly duplicated boilerplate is not "
+    "treated as abundant supply and its unique content gets the "
+    "repetition the target share actually implies. Integer-exact via "
+    "token basis points (tokens·10000 div cluster_size — order-"
+    "invariant integer sums, both engines bit-replay); the weight join "
+    "is id-keyed, labels are bounded by the pair graph, the solver is "
+    "O(domains) (operators/sampling.weighted_mixture_solver).",
+)
+def sp25_dedup_aware_mixture(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(
+        corpus, "text", "doc_id", SHINGLE_K, JACCARD_T
+    ).select("doc_a", "doc_b")
+    weights = dd.soft_dedup_weights(corpus.select("doc_id"), pairs, "doc_id")
+    out = sp.weighted_mixture_solver(
+        t(spark, sf_dir, "documents"),
+        weights,
+        SP23_TARGETS,
+        SP23_BUDGET,
+        "source",
+        "text",
+        "doc_id",
+        default_bp=0,
+    )
+    return dd.carry_state(out, weights)
+
+
+@register(
     "d13_canonical_pick",
     # d6's pair/closure cascade + the policy argmax: longest member wins,
     # ties break on id. Long negation is exact, so the Spark side's

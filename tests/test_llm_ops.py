@@ -3923,3 +3923,58 @@ def test_sp24_tokenizer_aware_packing(spark):
         by_shard[r.shard_id].append(r.seq_id)
     for sid, seqs in by_shard.items():
         assert sorted(seqs) == list(range(len(seqs)))
+
+
+def test_sp25_dedup_aware_mixture_discounts_duplicates(spark):
+    """sp25 hand case: domain A is one doc duplicated as a near-dup pair
+    (cluster size 2 -> each contributes half mass), domain B a unique
+    doc. With equal targets, A's effective tokens are HALF its raw
+    tokens, so its rate_bp is double what the raw solver would assign —
+    the unique content gets the repetition the share implies."""
+    from mrf_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_state,
+        soft_dedup_weights,
+    )
+    from mrf_etl_spark.operators.sampling import weighted_mixture_solver
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (1, base, "A"),
+        (2, base + " tail", "A"),  # near-dup of doc 1
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", "B"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.5).select(
+        "doc_a", "doc_b"
+    )
+    w = soft_dedup_weights(docs.select("doc_id"), pairs, "doc_id")
+    out = {
+        r.domain: (r.eff_tokens_bp, r.target_bp, r.rate_bp, r.planned_tokens)
+        for r in weighted_mixture_solver(
+            docs, w, {"A": 5000, "B": 5000}, 100, "source", "text", "doc_id"
+        ).collect()
+    }
+    release_state(w)
+    # A: 10 + 11 raw tokens, each at 1/2 -> (10*10000 + 11*10000) div 2
+    assert out["A"][0] == (10 * 10000) // 2 + (11 * 10000) // 2
+    # B: 10 tokens, singleton weight 1
+    assert out["B"][0] == 10 * 10000
+    # planned = 50 tokens each; rate in the 1e8 basis
+    assert out["A"][2] == 50 * 100000000 // out["A"][0]
+    assert out["B"][2] == 50 * 100000000 // out["B"][0]
+    # the discount doubles A's rate relative to the RAW solver (which
+    # sees 21 tokens of supply where only ~10.5 are unique)
+    from mrf_etl_spark.operators.sampling import mixture_solver
+
+    raw = {
+        r.domain: r.rate_bp
+        for r in mixture_solver(
+            docs, {"A": 5000, "B": 5000}, 100, "source", "text"
+        ).collect()
+    }
+    # both rates are in basis points (sp25's 1e8 scaling cancels the
+    # eff_tokens_bp 1e4 scaling): 47619 vs 23809 bp
+    assert 1.9 < out["A"][2] / raw["A"] < 2.2
+    # floor keeps realized <= planned in token units (planned = 50)
+    assert out["A"][3] <= 50 * 10000 and out["B"][3] <= 50 * 10000
