@@ -103,6 +103,7 @@ HEADLINE = [
     "d17_longest_repeat",
     "sp24_bpe_sequence_pack",
     "sp25_dedup_aware_mixture",
+    "m7_audio_near_dup",
     "e6_kmeans_codebook",
     "t22_ngram_lm_bits",
     "e7_pq_codebook_train",

@@ -566,6 +566,29 @@ def phash_near_dup(
     sig = perceptual_hash(mm, fake=fake, partitions=partitions).select(
         "doc_id", "ahash_hi", "ahash_lo"
     )
+    return banded_hamming_pairs(sig, max_hamming, max_band_freq)
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    max_hamming: int,
+    max_band_freq: int = 50,
+    hi_col: str = "ahash_hi",
+    lo_col: str = "ahash_lo",
+) -> DataFrame:
+    """THE banded-Hamming kernel for 64-bit signatures stored as two
+    32-bit halves — shared by m6 (image aHash) and m7 (audio energy
+    envelope) so the pigeonhole recipe can never drift between media
+    tiers (the cluster_map/assign_centroids_int8 single-kernel rule).
+    Adaptive ``max_hamming + 1`` disjoint bands (:func:`phash_band_spec`,
+    complete at any threshold), df-capped band-equality candidates,
+    exact bit_count(xor) verify. Input: (doc_id, hi, lo); output
+    (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    sig = sig.select(
+        "doc_id",
+        F.col(hi_col).alias("ahash_hi"),
+        F.col(lo_col).alias("ahash_lo"),
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("b"),
@@ -605,4 +628,112 @@ def phash_near_dup(
         .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+AUDIO_FP_SCHEMA = "doc_id long, fp_hi long, fp_lo long"
+
+
+def audio_energy_bits(samples: list[int], n_frames: int = 64) -> tuple[int, int]:
+    """Energy-envelope fingerprint over integer samples: sample ``pos``
+    lands in frame ``pos * n_frames // n`` (the same integer formula the
+    oracle replays), frame energy is the exact integer Σ|sample|, and
+    bit i is set iff ``n_frames * e_i >= Σe`` (the mean compare with NO
+    division — all int64, engine-identical). Frames with no samples
+    keep energy 0. Returns (hi, lo) 32-bit halves."""
+    n = len(samples)
+    e = [0] * n_frames
+    for pos, s in enumerate(samples):
+        e[pos * n_frames // n] += abs(s)
+    total = sum(e)
+    lo = sum(1 << i for i in range(32) if n_frames * e[i] >= total)
+    hi = sum(1 << (i - 32) for i in range(32, 64) if n_frames * e[i] >= total)
+    return hi, lo
+
+
+def audio_fingerprint(
+    mm: DataFrame,
+    fake: bool = True,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Audio fingerprinting (m7's map side) — the Chromaprint-shaped
+    energy-envelope signature, integer-exact: decode the payload to
+    integer samples, bucket them into 64 equal frames, and set bit i
+    when frame i's |sample| energy reaches the mean
+    (:func:`audio_energy_bits` — the compare is ``64·e_i ≥ Σe``, no
+    float ever). Re-encoded/re-leveled copies of a clip keep their
+    energy SHAPE, so envelopes collide where byte hashes (m3) differ.
+
+    ``fake=True`` (the parity path) treats the payload bytes as
+    unsigned 8-bit PCM (|b − 128|) — fully replayable from the bytes by
+    the DuckDB oracle; the REAL path decodes RIFF/WAVE via the stdlib
+    ``wave`` module (8/16/32-bit PCM, any rate/channels — the m5
+    real-decoder contract: compressed codecs raise NotImplementedError
+    naming the missing dependency). Empty payloads are dropped (m5's
+    policy, mirrored by the oracle's ``WHERE n >= 1``).
+
+    Map-side only (mapInPandas, Arrow-batched, no shuffle); one KiB row
+    per clip. Returns (doc_id, fp_hi, fp_lo)."""
+    import struct
+    import wave
+
+    def _samples(payload: bytes) -> list[int]:
+        if fake:
+            return [b - 128 for b in payload]
+        import io
+
+        if payload[:4] != b"RIFF":
+            raise NotImplementedError(
+                "only RIFF/WAVE decodes via the stdlib path; compressed "
+                "audio needs torchaudio/ffmpeg or fake=True"
+            )
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            width = w.getsampwidth()
+            n = w.getnframes() * w.getnchannels()
+            raw = w.readframes(w.getnframes())
+        if width == 1:
+            return [b - 128 for b in raw]
+        if width == 2:
+            return list(struct.unpack(f"<{n}h", raw))
+        if width == 4:
+            return list(struct.unpack(f"<{n}i", raw))
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if not payload:
+                    continue
+                s = _samples(payload)
+                if not s:
+                    continue
+                hi, lo = audio_energy_bits(s)
+                rows.append((doc_id, hi, lo))
+            yield pd.DataFrame(rows, columns=["doc_id", "fp_hi", "fp_lo"])
+
+    if partitions:
+        mm = mm.repartition(partitions, "doc_id")
+    return mm.select("doc_id", "payload").mapInPandas(
+        _batches, schema=AUDIO_FP_SCHEMA
+    )
+
+
+def audio_near_dup(
+    mm: DataFrame,
+    fake: bool = True,
+    max_hamming: int = 10,
+    max_band_freq: int = 50,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Audio near-duplicate pairs (m7): :func:`audio_fingerprint`'s
+    energy envelopes through the SHARED :func:`banded_hamming_pairs`
+    kernel — re-encoded/trimmed/re-leveled audio copies pair by
+    envelope shape where m3's byte hash and m4's frame fingerprints
+    both miss. Same plan shape as m6: map-side fingerprinting, one
+    band-keyed shuffle, df-capped candidates, exact verify."""
+    sig = audio_fingerprint(mm, fake=fake, partitions=partitions)
+    return banded_hamming_pairs(
+        sig, max_hamming, max_band_freq, hi_col="fp_hi", lo_col="fp_lo"
     )

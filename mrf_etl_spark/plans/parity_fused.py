@@ -460,6 +460,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-9 session 3: the banded-Hamming image dedup m5's hashes
         # feed — all-int pair surface, ~0.1 s oracle
         ("m6_phash_near_dup", []),
+        # round-10: the audio tier — energy-envelope fingerprints through
+        # the same banded-Hamming kernel; all-int pair surface
+        ("m7_audio_near_dup", []),
     ],
     # round-5 probes: close the driver-verification tail. fx_agg_shapes /
     # fx_ref_joins free five agg + three join direct slots; the freed
@@ -872,6 +875,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "pipe8_decontam_training_order": ["doc_id", "domain", "copy", "order_pos"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
     "m6_phash_near_dup": ["doc_a", "doc_b", "hamming"],
+    "m7_audio_near_dup": ["doc_a", "doc_b", "hamming"],
     "st23_stream_cluster_map": ["cid", "n_members", "top_label", "top_label_n"],
     "e12_power_iteration": ["iter", "i", "v"],
     "s30_training_order_export": ["doc_id", "domain", "copy", "order_pos", "shard_id"],
@@ -1115,7 +1119,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 292
+CATALOG_COUNT = 293
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

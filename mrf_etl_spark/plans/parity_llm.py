@@ -5141,6 +5141,121 @@ def _m6_band_case() -> tuple[int, str]:
 _M6_N_BANDS, _M6_BAND_CASE = _m6_band_case()
 
 
+_M7_CORPUS_SQL = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {ID_SHIFT} AS doc_id,
+         substring(text, 1, length(text) - 8) || 'XXXXXXXX' AS text
+  FROM documents WHERE doc_id < {NEAR_DUP_IDS} AND length(text) >= 64)"""
+
+
+def _docs_with_audio_twins(spark, sf_dir):
+    # the m7 fixture: length-PRESERVING perturbation (overwrite the last
+    # 8 bytes) — a re-encode corrupts samples locally but keeps the
+    # clip's length and envelope shape, unlike the text-family tail
+    # append, whose length change shifts every frame boundary and
+    # randomizes the envelope (twins measured hamming 19-41 under the
+    # tail; 0-4 under this)
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.filter(
+        (F.col("doc_id") < NEAR_DUP_IDS) & (F.length("text") >= 64)
+    ).select(
+        (F.col("doc_id") + ID_SHIFT).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 1, length(text) - 8)"), F.lit("XXXXXXXX")
+        ).alias("text"),
+    )
+    return d.unionByName(near)
+
+
+@register(
+    "m7_audio_near_dup",
+    # fake-PCM energy envelope over the audio-twin corpus (bytes as
+    # unsigned 8-bit samples, |b-128| energies, integer mean compare
+    # 64·e_i >= Σe), then the SAME adaptive banding as m6 (the shared
+    # banded_hamming_pairs kernel; _M6_BAND_CASE is built for threshold
+    # 10, which m7 shares)
+    f"""WITH corpus AS {_M7_CORPUS_SQL},
+       p AS (
+         SELECT doc_id, hex(encode(text)) AS hx,
+                octet_length(encode(text)) AS n
+         FROM corpus),
+       smp AS MATERIALIZED (
+         SELECT doc_id, (pos * 64) // n AS f,
+                abs(CAST('0x' || substring(hx, 1 + 2 * pos, 2) AS BIGINT)
+                    - 128) AS e
+         FROM (SELECT doc_id, hx, n, unnest(range(0, n)) AS pos
+               FROM p WHERE n >= 1)),
+       fe AS MATERIALIZED (
+         SELECT doc_id, f, CAST(sum(e) AS BIGINT) AS fe
+         FROM smp GROUP BY 1, 2),
+       tot AS (SELECT doc_id, CAST(sum(fe) AS BIGINT) AS te
+               FROM fe GROUP BY 1),
+       allf AS (SELECT doc_id, unnest(range(0, 64)) AS f
+                FROM p WHERE n >= 1),
+       bits AS (
+         SELECT a.doc_id, a.f,
+                CASE WHEN 64 * coalesce(fe.fe, 0) >= tot.te
+                     THEN 1 ELSE 0 END AS bit
+         FROM allf a
+         JOIN tot ON tot.doc_id = a.doc_id
+         LEFT JOIN fe ON fe.doc_id = a.doc_id AND fe.f = a.f),
+       sig AS MATERIALIZED (
+         SELECT doc_id,
+                CAST(sum(CASE WHEN f >= 32 AND bit = 1
+                              THEN CAST(1 AS BIGINT) << (f - 32)
+                              ELSE 0 END) AS BIGINT) AS hi,
+                CAST(sum(CASE WHEN f < 32 AND bit = 1
+                              THEN CAST(1 AS BIGINT) << f
+                              ELSE 0 END) AS BIGINT) AS lo
+         FROM bits GROUP BY 1),
+       bands AS (
+         SELECT doc_id, b, {_M6_BAND_CASE} AS bv
+         FROM sig, range(0, {_M6_N_BANDS}) rb(b)),
+       kept AS MATERIALIZED (
+         SELECT * FROM (
+           SELECT doc_id, b, bv, count(*) OVER (PARTITION BY b, bv) AS _df
+           FROM bands)
+         WHERE _df <= {M6_BAND_CAP}),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         FROM kept a JOIN kept c ON a.b = c.b AND a.bv = c.bv
+         WHERE a.doc_id < c.doc_id)
+       SELECT doc_a, doc_b,
+              CAST(bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo))
+                   AS BIGINT) AS hamming
+       FROM cand
+       JOIN sig sa ON sa.doc_id = doc_a
+       JOIN sig sb ON sb.doc_id = doc_b
+       WHERE bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo))
+             <= {M6_MAX_HAMMING}""",
+    doc="m7 (beyond-ref): audio near-duplicate pairs — the Chromaprint-"
+    "shaped energy-envelope fingerprint, integer-exact (64 equal "
+    "frames, exact |sample| energy sums, bit = frame reaches the mean "
+    "via 64·e_i ≥ Σe — no division, no float), through the SAME "
+    "banded-Hamming kernel as m6 (banded_hamming_pairs — one kernel "
+    "for every 64-bit media signature). Re-encoded/re-leveled/trimmed "
+    "audio copies keep their envelope shape where m3's byte hash "
+    "misses. Real path decodes RIFF/WAVE via stdlib (8/16/32-bit PCM, "
+    "pytest-exercised); the parity path fingerprints the raw bytes as "
+    "8-bit PCM so the oracle replays from the payload hex "
+    "(operators/multimodal.audio_near_dup).",
+)
+def m7_audio_near_dup(spark, sf_dir):
+    from mrf_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        audio_near_dup,
+    )
+
+    mm = attach_binary_payload(
+        _docs_with_audio_twins(spark, sf_dir), "text", "doc_id"
+    )
+    return audio_near_dup(
+        mm, fake=True, max_hamming=M6_MAX_HAMMING, max_band_freq=M6_BAND_CAP,
+        partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
 @register(
     "m6_phash_near_dup",
     # m5's fake-hash recipe over the near-dup corpus, then d4b's

@@ -3978,3 +3978,70 @@ def test_sp25_dedup_aware_mixture_discounts_duplicates(spark):
     assert 1.9 < out["A"][2] / raw["A"] < 2.2
     # floor keeps realized <= planned in token units (planned = 50)
     assert out["A"][3] <= 50 * 10000 and out["B"][3] <= 50 * 10000
+
+
+def test_audio_near_dup_real_wav_and_fake_paths(spark, tmp_path):
+    """m7: the REAL path decodes stdlib WAVs — two clips with the same
+    energy envelope at different amplitudes pair at hamming 0 (level
+    invariance of the mean compare), a different-envelope clip doesn't;
+    the fake path pairs a byte-identical copy at hamming 0 and a
+    localized corruption within the threshold."""
+    import math
+    import io
+    import wave
+
+    from mrf_etl_spark.operators.multimodal import (
+        audio_energy_bits,
+        audio_near_dup,
+    )
+
+    def wav_bytes(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            import struct
+
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    n = 6400
+    # envelope: loud first half, quiet second half
+    loud = [
+        int(10000 * math.sin(i / 5.0)) if i < n // 2 else int(500 * math.sin(i / 5.0))
+        for i in range(n)
+    ]
+    relevel = [s // 2 for s in loud]  # same shape, half amplitude
+    other = [
+        int(500 * math.sin(i / 5.0)) if i < n // 2 else int(10000 * math.sin(i / 5.0))
+        for i in range(n)
+    ]
+    rows = [(1, wav_bytes(loud)), (2, wav_bytes(relevel)), (3, wav_bytes(other))]
+    mm = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in audio_near_dup(mm, fake=False, max_hamming=10).collect()
+    }
+    assert pairs.get((1, 2)) == 0      # re-leveled copy: identical envelope
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # integer kernel sanity: level scaling cannot flip a strict bit
+    hi1, lo1 = audio_energy_bits(loud)
+    hi2, lo2 = audio_energy_bits(relevel)
+    assert (hi1, lo1) == (hi2, lo2)
+
+    # fake path: byte-identical copy at hamming 0
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh" * 32), (2, "abcdefgh" * 32)],
+        "doc_id long, text string",
+    )
+    from mrf_etl_spark.operators.multimodal import attach_binary_payload
+
+    out = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in audio_near_dup(
+            attach_binary_payload(docs, "text", "doc_id"), fake=True
+        ).collect()
+    }
+    assert out.get((1, 2)) == 0
