@@ -536,6 +536,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-10: the delete/tombstone third of the lifecycle
         # (VERDICT r9 #3) — n7's oracle minus the tombstoned ids
         ("n12_ann_ivfpq_delete", ["cosine"]),
+        # round-10: re-embed (delete→compact→append) — n7's oracle over
+        # the corpus with the new vectors (probe now at the 7-cap)
+        ("n13_ann_ivfpq_reembed", ["cosine"]),
     ],
     # Each streaming entry runs its real availableNow drain and returns a
     # batch DataFrame of the drained result, so they fuse like any other
@@ -902,6 +905,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "n12_ann_ivfpq_delete": [
         "query_id", "neighbor_id", "cosine", "rank",
     ],
+    "n13_ann_ivfpq_reembed": [
+        "query_id", "neighbor_id", "cosine", "rank",
+    ],
     "st14_stream_ann_ingest": [
         "query_id", "neighbor_id", "cosine", "rank",
     ],
@@ -1119,7 +1125,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 293
+CATALOG_COUNT = 294
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -6423,7 +6423,7 @@ def _pq_chain(expr_fmt: str, b: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _pq_longf_ctes(materialized: bool = False) -> str:
+def _pq_longf_ctes(materialized: bool = False, corpus: str = "embeddings") -> str:
     """Shared CTE prefix for e4 (encode) and n5 (ADC search): the PQ
     long form ``longf(vec_id, en2, cid, b, d, dot, cn2)`` — the oracle
     mirror of operators.similarity._pq_rows. Per-block norms live where
@@ -6459,7 +6459,7 @@ def _pq_longf_ctes(materialized: bool = False) -> str:
          FROM embeddings WHERE vec_id < {_PQ_SEEDS}),
        e AS (
          SELECT vec_id, embedding AS ev, ({en2}) AS en2, {vec_en2b}
-         FROM embeddings),
+         FROM {corpus}),
        pairsq AS (
          SELECT e.vec_id, e.en2, s.cid, {dot_cols},
                 {", ".join(f"e.en2_{b}" for b in range(_PQ_BLOCKS))},
@@ -6640,13 +6640,20 @@ n6_ann_recall = _register_n6()
 # --------------------------------- round-8: composed IVF-PQ ANN (n7)
 
 
-def _n7_oracle(neighbor_pred: str = "") -> str:
+def _n7_oracle(
+    neighbor_pred: str = "", corpus: str = "embeddings", prefix: str = ""
+) -> str:
     # n2's coarse cascade (renamed g* to keep clear of the PQ CTEs) +
     # n5's codes/LUT, with the IVF prune joined in BEFORE the ADC pivot:
     # a (query, neighbor, block) row exists only when the neighbor's
     # coarse bucket is one the query probes. Same map-budget discipline
     # as both parents: every unrolled cosine is projected ONCE into a
     # MATERIALIZED stage; windows order by projected columns.
+    # ``corpus``/``prefix`` (n13): substitute the corpus relation the
+    # index rows come from (codes, coarse assignment, rerank floats) —
+    # the frozen codebooks (seeds, gcent) ALWAYS read the original
+    # embeddings, matching the Spark lifecycle where re-embedding never
+    # retrains; ``prefix`` injects the substitute CTE after WITH.
     # ``neighbor_pred`` (n12): an extra predicate on the CORPUS side
     # (codes + coarse assignment), e.g. "AND vec_id % 7 <> 3" — the
     # oracle form of tombstoned ids vanishing from the index while the
@@ -6658,13 +6665,13 @@ def _n7_oracle(neighbor_pred: str = "") -> str:
     adc_chain = "(" * (_PQ_BLOCKS - 1) + "qd0" + "".join(
         f" + qd{b})" for b in range(1, _PQ_BLOCKS)
     )
-    return f"""WITH {_pq_longf_ctes(materialized=True)},
+    return f"""WITH {prefix}{_pq_longf_ctes(materialized=True, corpus=corpus)},
        gcent AS MATERIALIZED (
          SELECT vec_id AS ccid, embedding AS cvec
          FROM embeddings WHERE vec_id % 97 = 0),
        gscored AS MATERIALIZED (
          SELECT em.vec_id, c.ccid, {_cos_sql('em.embedding', 'c.cvec')} AS cs
-         FROM embeddings em CROSS JOIN gcent c),
+         FROM {corpus} em CROSS JOIN gcent c),
        gassigned AS MATERIALIZED (
          SELECT vec_id AS neighbor_id, ccid FROM (
            SELECT vec_id, ccid, row_number() OVER (
@@ -6703,7 +6710,7 @@ def _n7_oracle(neighbor_pred: str = "") -> str:
                 {_cos_sql('q.embedding', 'n.embedding')} AS cosine
          FROM cand c
          JOIN embeddings q ON q.vec_id = c.query_id
-         JOIN embeddings n ON n.vec_id = c.neighbor_id)
+         JOIN {corpus} n ON n.vec_id = c.neighbor_id)
        SELECT query_id, neighbor_id, cosine, rank FROM (
          SELECT *, row_number() OVER (
              PARTITION BY query_id
@@ -6861,6 +6868,88 @@ def _register_n12():
 
 
 n12_ann_ivfpq_delete = _register_n12()
+
+
+N13_REEMBED_MOD = 31  # re-embed every vec_id % 31 == 17 (never a query id
+# — the set starts at 17 > the <10 query window — and at fixture scale
+# never a coarse centroid or PQ seed)
+
+
+def _register_n13():
+    from mrf_etl_spark.plans.parity import _scratch
+
+    built: dict[str, str] = {}
+
+    @register(
+        "n13_ann_ivfpq_reembed",
+        # n7's cascade over the corpus with the re-embedded ids carrying
+        # their NEW vectors (list_reverse — deterministic on both
+        # engines); codebooks stay frozen on the ORIGINAL embeddings,
+        # exactly like the persisted lifecycle
+        _n7_oracle(
+            corpus="recorpus",
+            prefix=f"""recorpus AS MATERIALIZED (
+         SELECT vec_id,
+                CASE WHEN vec_id % {N13_REEMBED_MOD} = 17
+                     THEN list_reverse(embedding) ELSE embedding END
+                  AS embedding
+         FROM embeddings),
+       """,
+        ),
+        doc="n13 (beyond-ref): IVF-PQ re-embed (UPDATE) — the model-"
+        "refresh operation a production vector lake runs when documents "
+        "re-encode: delete the stale vectors (n12's tombstones), "
+        "COMPACT (physically realizes the deletes and clears the "
+        "id-keyed tombstones — mandatory before re-inserting the same "
+        "ids, or the anti-join would kill the new rows too; the "
+        "composition encodes that ordering), then append the new "
+        "vectors against the frozen codebooks. Queries must equal n7's "
+        "one-shot cascade over the corpus with the new vectors in "
+        "place — create/append/query/delete/compact/update, the full "
+        "CRUD story (operators/similarity.ivf_pq_index_delete/"
+        "_compact/_append composed).",
+    )
+    def n13_ann_ivfpq_reembed(spark, sf_dir):
+        emb = t(spark, sf_dir, "embeddings")
+        path = built.get(sf_dir)
+        if path is None:
+            cent = emb.filter((F.col("vec_id") % 97) == 0).select(
+                F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+            )
+            seeds = emb.filter(F.col("vec_id") < 16)
+            path = _scratch("n13_ivfpq_index")
+            sim.ivf_pq_index_create(
+                emb.filter(F.col("vec_id") % 2 == 0), path, cent, seeds,
+                dim=DIM, n_blocks=_PQ_BLOCKS,
+            )
+            sim.ivf_pq_index_append(
+                emb.filter(F.col("vec_id") % 2 == 1), path,
+                dim=DIM, n_blocks=_PQ_BLOCKS,
+            )
+            stale = emb.filter(F.col("vec_id") % N13_REEMBED_MOD == 17)
+            sim.ivf_pq_index_delete(stale, path)
+            # compact BEFORE re-appending the same ids: tombstones are
+            # id-keyed, so the new rows must land after the old ones are
+            # physically gone
+            sim.ivf_pq_index_compact(spark, path, min_files=2)
+            sim.ivf_pq_index_append(
+                stale.select(
+                    "vec_id", F.reverse("embedding").alias("embedding")
+                ),
+                path,
+                dim=DIM, n_blocks=_PQ_BLOCKS,
+            )
+            built[sf_dir] = path
+        return sim.ivf_pq_index_query(
+            emb.filter(F.col("vec_id") < 10), path,
+            dim=DIM, n_blocks=_PQ_BLOCKS, nprobe=2,
+            n_candidates=_N5_CANDIDATES, k=_N5_K,
+        )
+
+    return n13_ann_ivfpq_reembed
+
+
+n13_ann_ivfpq_reembed = _register_n13()
 
 
 W21_BASE_DAYS = 7

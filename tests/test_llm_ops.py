@@ -4045,3 +4045,64 @@ def test_audio_near_dup_real_wav_and_fake_paths(spark, tmp_path):
         ).collect()
     }
     assert out.get((1, 2)) == 0
+
+
+def test_ivfpq_reembed_lifecycle(spark, tmp_path):
+    """n13: after delete -> compact -> append of new vectors for the
+    same ids, queries see the NEW vectors (a query re-embedded toward a
+    known direction surfaces different neighbors), the index has no
+    tombstones, and row count is unchanged (update, not grow)."""
+    from pyspark.sql import functions as F
+
+    from mrf_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = emb.filter((F.col("vec_id") % 97) == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    seeds = emb.filter(F.col("vec_id") < 16)
+    path = str(tmp_path / "idx")
+    sim.ivf_pq_index_create(emb, path, cent, seeds, dim=64)
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = sorted(
+        map(tuple, sim.ivf_pq_index_query(queries, path, dim=64).collect())
+    )
+    n0 = spark.read.parquet(f"{path}/codes").count()
+
+    stale = emb.filter(F.col("vec_id") % 31 == 17)
+    assert stale.count() > 0
+    sim.ivf_pq_index_delete(stale, path)
+    sim.ivf_pq_index_compact(spark, path, min_files=2)
+    sim.ivf_pq_index_append(
+        stale.select("vec_id", F.reverse("embedding").alias("embedding")),
+        path, dim=64,
+    )
+    import os
+
+    assert not os.path.isdir(f"{path}/tombstones")
+    assert spark.read.parquet(f"{path}/codes").count() == n0
+    after = sorted(
+        map(tuple, sim.ivf_pq_index_query(queries, path, dim=64).collect())
+    )
+    # equals n7's one-shot cascade over the swapped corpus
+    swapped = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 31 == 17, F.reverse("embedding")
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    oneshot = sorted(
+        map(
+            tuple,
+            sim.ivf_pq_topk(
+                swapped, dim=64, centroid_mod=97, nprobe=2,
+                query_filter=F.col("vec_id") < 5,
+            ).collect(),
+        )
+    )
+    # NOTE: ivf_pq_topk trains codebooks from ITS input (the swapped
+    # corpus) — seeds are ids < 16 and centroids % 97 == 0, none of
+    # which are re-embedded (% 31 == 17 starts at 17), so the frozen
+    # codebooks coincide and the comparison is exact
+    assert after == oneshot
+    assert after != before

@@ -85,6 +85,8 @@ NESTED_LOOP_OK = {
     # n8's bounded persisted-codebook shapes
     "n12_ann_ivfpq_delete": "composes n2+n5's bounded broadcasts "
     "(persisted codebooks) + constant-small tombstone anti-join",
+    "n13_ann_ivfpq_reembed": "composes n2+n5's bounded broadcasts "
+    "(persisted codebooks; re-embed is ingest-time state)",
     # e6's Lloyd assignments cross the corpus with the bounded k-row
     # codebook broadcast — n2's shape, once per iteration
     "e6_kmeans_codebook": "bounded broadcast codebook (k rows/iteration)",
