@@ -554,7 +554,9 @@ def test_bpe_merge_fold_matches_greedy_reference(spark, syms, pair):
 def test_mixture_solver_never_overshoots(spark, docs, ta, tb, budget):
     """sp23's contract: for every domain, realized (planned_tokens) <=
     budget*target_bp/10000 (the floor discipline), tokens are the exact
-    whitespace counts, and untargeted domains solve to rate 0."""
+    whitespace counts, untargeted domains solve to rate 0, and a domain
+    NAMED in targets but absent from the corpus still emits a
+    (tokens=0, rate_bp=0) row instead of vanishing."""
     from mrf_etl_spark.operators.sampling import mixture_solver
 
     rows = [(i, " ".join(["w"] * n), d) for i, n, d in docs]
@@ -563,8 +565,10 @@ def test_mixture_solver_never_overshoots(spark, docs, ta, tb, budget):
     want_tokens = {}
     for _, n, d in docs:
         want_tokens[d] = want_tokens.get(d, 0) + n
+    # every targeted domain has a row even when absent from the corpus
+    assert {"A", "B"} <= {r.domain for r in out}
     for r in out:
-        assert r.tokens == want_tokens[r.domain]
+        assert r.tokens == want_tokens.get(r.domain, 0)
         target = {"A": ta, "B": tb}.get(r.domain, 0)
         assert r.target_bp == target
         assert r.planned_tokens <= budget * target // 10000
