@@ -105,6 +105,7 @@ HEADLINE = [
     "sp25_dedup_aware_mixture",
     "m7_audio_near_dup",
     "n13_ann_ivfpq_reembed",
+    "e13_deflated_directions",
     "e6_kmeans_codebook",
     "t22_ngram_lm_bits",
     "e7_pq_codebook_train",

@@ -2724,6 +2724,120 @@ def matryoshka_topk(
     )
 
 
+def deflated_directions(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 2,
+    n_components: int = 2,
+) -> DataFrame:
+    """Top-k principal directions via DEFLATED power iteration (e13) —
+    e12's dominant-direction extraction extended to the next components:
+    after converging v₁, every row is orthogonalized against it and the
+    iteration reruns on the deflated corpus — the "All-but-the-Top"
+    D-component removal (Mu & Viswanath 2018) and the axes an
+    embedding-whitening / drift dashboard tracks, computed ON the
+    engine (only dim-sized directions ever leave an executor).
+
+    INTEGER-EXACT deflation (the e6/e9/e12 doctrine): with n₁ = Σv₁²
+    (int64), each row deflates as ``x' = x·n₁ − (x·v₁)·v₁`` — exact
+    int64 products (|x·n₁| ≤ 127·64·127² ≈ 1.3e8, |(x·v₁)·v₁| same
+    class), and EXACTLY orthogonal to v₁ in that arithmetic
+    (x'·v₁ = (x·v₁)n₁ − (x·v₁)n₁ = 0); the per-row e1-style int8
+    requantize then bounds the next component's products independent of
+    corpus size (it costs exact orthogonality a rounding ulp but keeps
+    every byte deterministic — what the oracle replay needs).
+
+    Plan shape per component: iters × (dim-sized broadcast + one
+    combinable 64-sum agg), plus ONE map-side deflation projection
+    between components; KiB driver state throughout. Returns
+    (comp, i, v): the FINAL int8 direction per component,
+    n_components·dim all-integer rows."""
+    zero = F.lit(0).cast("long")
+    q = quantize_int8(emb, vec_col, id_col).select(
+        F.col(id_col).alias("vid"), "qvec"
+    )
+
+    def _requant(arr):
+        amax = F.array_max(F.transform(arr, lambda s: F.abs(s.cast("double"))))
+        return F.when(
+            amax == 0, F.transform(arr, lambda s: zero)
+        ).otherwise(
+            F.transform(
+                arr,
+                lambda s: F.round(
+                    s.cast("double") / (amax / F.lit(127.0))
+                ).cast("long"),
+            )
+        )
+
+    def _iterate(corpus):
+        v = corpus.sparkSession.range(1).select(
+            F.array_repeat(F.lit(1).cast("long"), dim).alias("varr")
+        )
+        for _ in range(iters):
+            dot = F.aggregate(
+                F.zip_with("qvec", "varr", lambda x, vv: x.cast("long") * vv),
+                zero,
+                lambda acc, x: acc + x,
+            )
+            upd = (
+                corpus.crossJoin(F.broadcast(v))
+                .withColumn("_d", dot)
+                .agg(
+                    *[
+                        F.sum(
+                            F.col("_d")
+                            * F.element_at("qvec", i + 1).cast("long")
+                        ).alias(f"_s{i}")
+                        for i in range(dim)
+                    ]
+                )
+                .select(
+                    F.array(
+                        *[F.coalesce(F.col(f"_s{i}"), zero) for i in range(dim)]
+                    ).alias("sarr")
+                )
+            )
+            v = upd.select(_requant(F.col("sarr")).alias("varr")).persist()
+        return v
+
+    outs = []
+    corpus = q
+    for comp in range(1, n_components + 1):
+        v = _iterate(corpus)
+        outs.append(
+            v.select(
+                F.lit(comp).alias("comp"), F.posexplode("varr").alias("i", "v")
+            )
+        )
+        if comp < n_components:
+            # integer deflation against the component just found
+            n1 = F.aggregate(
+                F.transform("varr", lambda s: s * s), zero, lambda a, x: a + x
+            )
+            dotv = F.aggregate(
+                F.zip_with("qvec", "varr", lambda x, vv: x.cast("long") * vv),
+                zero,
+                lambda acc, x: acc + x,
+            )
+            defl = F.zip_with(
+                "qvec",
+                "varr",
+                lambda x, vv: x.cast("long") * F.col("_n1") - F.col("_dv") * vv,
+            )
+            corpus = (
+                corpus.crossJoin(F.broadcast(v.select("varr", n1.alias("_n1"))))
+                .withColumn("_dv", dotv)
+                .select("vid", _requant(defl).alias("qvec"))
+            )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def power_iteration(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -516,6 +516,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("n2_ann_ivf", ["cosine"]),
         ("n4_ann_index_incremental", ["cosine"]),
         ("n5_ann_pq_adc", ["cosine"]),
+        # round-10: deflated top-k directions — embedding-family,
+        # all-int (comp, i, v) surface (~0.3 s oracle)
+        ("e13_deflated_directions", []),
     ],
     "fx_ann_trained": [
         # round-8: the composed IVF-PQ cascade — deterministic like both
@@ -908,6 +911,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "n13_ann_ivfpq_reembed": [
         "query_id", "neighbor_id", "cosine", "rank",
     ],
+    "e13_deflated_directions": ["comp", "i", "v"],
     "st14_stream_ann_ingest": [
         "query_id", "neighbor_id", "cosine", "rank",
     ],
@@ -1125,7 +1129,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 294
+CATALOG_COUNT = 295
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -1977,6 +1977,98 @@ def e12_power_iteration(spark, sf_dir):
     return sim.power_iteration(emb, "vec_id", "embedding", DIM, iters=2)
 
 
+def _e13_iter_ctes(ux: str, pfx: str, k: int, prev: int) -> str:
+    """e12's unrolled power-iteration step, parametrized by the corpus
+    long-form relation and a name prefix so the deflated second
+    component can rerun the same CTE chain in one statement."""
+    return f"""
+       {pfx}d{k} AS MATERIALIZED (
+         SELECT u.vid, CAST(sum(u.x * v.vv) AS BIGINT) AS dot
+         FROM {ux} u JOIN {pfx}v{prev} v ON v.i = u.i GROUP BY u.vid),
+       {pfx}s{k} AS MATERIALIZED (
+         SELECT u.i, CAST(sum(d.dot * u.x) AS BIGINT) AS s
+         FROM {ux} u JOIN {pfx}d{k} d ON d.vid = u.vid GROUP BY u.i),
+       {pfx}m{k} AS (SELECT max(abs(CAST(s AS DOUBLE))) AS m FROM {pfx}s{k}),
+       {pfx}v{k} AS MATERIALIZED (
+         SELECT s.i,
+                CASE WHEN m.m = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(round(CAST(s.s AS DOUBLE) / (m.m / 127.0))
+                          AS BIGINT) END AS vv
+         FROM {pfx}s{k} s, {pfx}m{k} m)"""
+
+
+def _e13_oracle() -> str:
+    tpl = """WITH q AS MATERIALIZED (
+         SELECT vec_id AS vid, {_E6_QVEC} AS qvec
+         FROM embeddings),
+       ux AS MATERIALIZED (
+         SELECT vid, CAST(t.i AS INT) AS i,
+                CAST(qvec[CAST(t.i AS INT) + 1] AS BIGINT) AS x
+         FROM q, range({DIM}) t(i)),
+       av0 AS MATERIALIZED (
+         SELECT CAST(t.i AS INT) AS i, CAST(1 AS BIGINT) AS vv
+         FROM range({DIM}) t(i)),{IT_A1},{IT_A2},
+       n1 AS (SELECT CAST(sum(vv * vv) AS BIGINT) AS n FROM av2),
+       dv AS MATERIALIZED (
+         SELECT u.vid, CAST(sum(u.x * v.vv) AS BIGINT) AS dv
+         FROM ux u JOIN av2 v ON v.i = u.i GROUP BY u.vid),
+       xp AS MATERIALIZED (
+         SELECT u.vid, u.i,
+                u.x * n1.n - dv.dv * v.vv AS xp
+         FROM ux u
+         JOIN av2 v ON v.i = u.i
+         JOIN dv ON dv.vid = u.vid, n1),
+       rm AS MATERIALIZED (
+         SELECT vid, max(abs(CAST(xp AS DOUBLE))) AS m
+         FROM xp GROUP BY vid),
+       ux2 AS MATERIALIZED (
+         SELECT xp.vid, xp.i,
+                CASE WHEN rm.m = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(round(CAST(xp.xp AS DOUBLE) / (rm.m / 127.0))
+                          AS BIGINT) END AS x
+         FROM xp JOIN rm ON rm.vid = xp.vid),
+       bv0 AS MATERIALIZED (
+         SELECT CAST(t.i AS INT) AS i, CAST(1 AS BIGINT) AS vv
+         FROM range({DIM}) t(i)),{IT_B1},{IT_B2}
+       SELECT 1 AS comp, i, vv AS v FROM av2
+       UNION ALL
+       SELECT 2, i, vv FROM bv2"""
+    return tpl.format(
+        _E6_QVEC=_E6_QVEC,
+        DIM=DIM,
+        IT_A1=_e13_iter_ctes("ux", "a", 1, 0),
+        IT_A2=_e13_iter_ctes("ux", "a", 2, 1),
+        IT_B1=_e13_iter_ctes("ux2", "b", 1, 0),
+        IT_B2=_e13_iter_ctes("ux2", "b", 2, 1),
+    )
+
+
+@register(
+    "e13_deflated_directions",
+    # component 1 = e12's two unrolled steps; integer deflation
+    # x' = x*n1 - (x*v1)*v1 (exactly orthogonal to v1 in int64),
+    # per-row e1-style requantize, then the SAME two steps on the
+    # deflated long form
+    _e13_oracle(),
+    doc="e13 (beyond-ref): top-k principal directions via DEFLATED power "
+    "iteration — e12 extended to the next component: converge v1, "
+    "orthogonalize every row as x' = x·n1 − (x·v1)·v1 (exact int64, "
+    "exactly ⊥ v1 before the bounded per-row requantize), rerun the "
+    "iteration on the deflated corpus. The 'All-but-the-Top' "
+    "D-component removal and the axes an embedding-whitening/drift "
+    "dashboard tracks, computed on the engine — only dim-sized "
+    "directions leave an executor; per component iters × (KiB "
+    "broadcast + one combinable 64-sum), plus ONE map-side deflation "
+    "projection between components "
+    "(operators/similarity.deflated_directions).",
+)
+def e13_deflated_directions(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.deflated_directions(
+        emb, "vec_id", "embedding", DIM, iters=2, n_components=2
+    )
+
+
 _D15_TARGET_SRC = "src0"
 _D15_BUDGET = 50
 

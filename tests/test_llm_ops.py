@@ -4106,3 +4106,34 @@ def test_ivfpq_reembed_lifecycle(spark, tmp_path):
     # codebooks coincide and the comparison is exact
     assert after == oneshot
     assert after != before
+
+
+def test_deflated_directions_hand_case_and_orthogonality(spark):
+    """e13 on a corpus with a dominant +/-x axis and a secondary +/-y
+    axis: component 1 converges to x, component 2 (after integer
+    deflation) to y; the exact integer deflation is orthogonal to v1
+    BEFORE requantize (x'.v1 == 0 identically)."""
+    from mrf_etl_spark.operators.similarity import deflated_directions
+
+    rows = [
+        (0, [4.0, 1.0, 0.0, 0.0]),
+        (1, [-4.0, 1.0, 0.0, 0.0]),
+        (2, [4.0, -1.0, 0.0, 0.0]),
+        (3, [-4.0, -1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        (r.comp, r.i): r.v
+        for r in deflated_directions(emb, dim=4, iters=2).collect()
+    }
+    c1 = [out[(1, i)] for i in range(4)]
+    c2 = [out[(2, i)] for i in range(4)]
+    assert abs(c1[0]) == 127 and abs(c1[1]) <= 2      # x dominates comp 1
+    assert abs(c2[1]) == 127 and abs(c2[0]) <= 2      # y dominates comp 2
+
+    # exact-arithmetic orthogonality of the deflation identity
+    x, v1 = [9, 5, -3, 1], [127, 1, 0, 0]
+    n1 = sum(v * v for v in v1)
+    dv = sum(a * b for a, b in zip(x, v1))
+    xp = [a * n1 - dv * b for a, b in zip(x, v1)]
+    assert sum(a * b for a, b in zip(xp, v1)) == 0

@@ -87,6 +87,10 @@ NESTED_LOOP_OK = {
     "(persisted codebooks) + constant-small tombstone anti-join",
     "n13_ann_ivfpq_reembed": "composes n2+n5's bounded broadcasts "
     "(persisted codebooks; re-embed is ingest-time state)",
+    # e13: e12's dim-sized direction broadcasts, once per iteration per
+    # component, plus the 1-row deflation-state broadcast
+    "e13_deflated_directions": "dim-sized direction broadcast per "
+    "iteration (e12's shape, deflated second pass)",
     # e6's Lloyd assignments cross the corpus with the bounded k-row
     # codebook broadcast — n2's shape, once per iteration
     "e6_kmeans_codebook": "bounded broadcast codebook (k rows/iteration)",
