@@ -106,6 +106,7 @@ HEADLINE = [
     "m7_audio_near_dup",
     "n13_ann_ivfpq_reembed",
     "e13_deflated_directions",
+    "sp26_perplexity_curriculum",
     "e6_kmeans_codebook",
     "t22_ngram_lm_bits",
     "e7_pq_codebook_train",

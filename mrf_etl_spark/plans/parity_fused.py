@@ -55,6 +55,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-10: tokenizer-aware packing (t24 ∘ sp6) — all-int
         # manifest surface, same cost-driven slot
         ("sp24_bpe_sequence_pack", []),
+        # round-10: perplexity-bucketed curriculum (t25 ∘ sp14) —
+        # all-int surface, same cost-driven slot (probe now 6/7)
+        ("sp26_perplexity_curriculum", []),
     ],
     "fx_writer_roundtrips": [
         ("s12_append_unique_roundtrip", []),
@@ -912,6 +915,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "query_id", "neighbor_id", "cosine", "rank",
     ],
     "e13_deflated_directions": ["comp", "i", "v"],
+    "sp26_perplexity_curriculum": ["doc_id", "band", "curriculum_pos"],
     "st14_stream_ann_ingest": [
         "query_id", "neighbor_id", "cosine", "rank",
     ],
@@ -1129,7 +1133,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 295
+CATALOG_COUNT = 296
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

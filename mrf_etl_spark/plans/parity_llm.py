@@ -5810,6 +5810,66 @@ def _register_t25():
 t25_perplexity_buckets = _register_t25()
 
 
+def _register_sp26():
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    @register(
+        "sp26_perplexity_curriculum",
+        # t25's statement verbatim → bucket→band (head 0, middle 1,
+        # tail 2) → sp14's spec window (ORDER BY band, salted hash, id);
+        # the Spark side computes the identical rank distributed
+        f"""WITH t25 AS MATERIALIZED (
+           {REGISTRY['t25_perplexity_buckets'].oracle}),
+       b AS (
+         SELECT doc_id,
+                CASE bucket WHEN 'head' THEN CAST(0 AS BIGINT)
+                            WHEN 'middle' THEN CAST(1 AS BIGINT)
+                            ELSE CAST(2 AS BIGINT) END AS band
+         FROM t25),
+       h AS (
+         SELECT doc_id, band,
+                CAST('0x' || substring(md5('ccnet' || CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) AS hh
+         FROM b)
+       SELECT doc_id, band,
+              CAST(row_number() OVER (ORDER BY band, hh, doc_id) - 1 AS BIGINT)
+                AS curriculum_pos
+       FROM h""",
+        doc="sp26 (beyond-ref): perplexity-bucketed curriculum — the "
+        "order CCNet-filtered corpora are actually consumed in: head "
+        "(most in-distribution) first, tail last, t25's DOMAIN-RELATIVE "
+        "tertiles driving sp14's deterministic curriculum rank "
+        "(hash-shuffled within each band, distributed via per-(band, "
+        "bucket) prefix offsets — no corpus-wide single-partition "
+        "window). One joined plan: the LM self-trains, buckets, and "
+        "orders in a single lazy composition "
+        "(operators/textops.perplexity_buckets feeding "
+        "operators/sampling.curriculum_order).",
+    )
+    def sp26_perplexity_curriculum(spark, sf_dir):
+        from mrf_etl_spark.operators import sampling as sp
+
+        b = tx.perplexity_buckets(
+            t(spark, sf_dir, "documents"), "text", "doc_id", "source"
+        )
+        banded = b.select(
+            "doc_id",
+            F.when(F.col("bucket") == "head", 0)
+            .when(F.col("bucket") == "middle", 1)
+            .otherwise(2)
+            .cast("long")
+            .alias("band"),
+        )
+        return sp.curriculum_order(
+            banded, "doc_id", "band", salt="ccnet"
+        ).select("doc_id", "band", "curriculum_pos")
+
+    return sp26_perplexity_curriculum
+
+
+sp26_perplexity_curriculum = _register_sp26()
+
+
 T23_MERGES = 3
 
 _T23_MERGE_LAMBDA = """list_reduce(string_split(t.s, ' '), (acc, x) -> CASE

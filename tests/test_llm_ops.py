@@ -4137,3 +4137,27 @@ def test_deflated_directions_hand_case_and_orthogonality(spark):
     dv = sum(a * b for a, b in zip(x, v1))
     xp = [a * n1 - dv * b for a, b in zip(x, v1)]
     assert sum(a * b for a, b in zip(xp, v1)) == 0
+
+
+def test_sp26_perplexity_curriculum_band_monotone(spark):
+    """sp26: curriculum positions are a dense 0..n-1 permutation, bands
+    are block-monotone (every head doc precedes every middle doc
+    precedes every tail doc), and the band assignment matches t25's
+    buckets exactly."""
+    from mrf_etl_spark.plans.parity import REGISTRY
+    import mrf_etl_spark.plans.parity_fused  # noqa: F401
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["sp26_perplexity_curriculum"].spark_fn(spark, sf).collect()
+    n = len(rows)
+    assert sorted(r.curriculum_pos for r in rows) == list(range(n))
+    by_pos = sorted(rows, key=lambda r: r.curriculum_pos)
+    bands = [r.band for r in by_pos]
+    assert bands == sorted(bands)  # block-monotone easy -> hard
+    buckets = {
+        r.doc_id: r.bucket
+        for r in REGISTRY["t25_perplexity_buckets"].spark_fn(spark, sf).collect()
+    }
+    want = {"head": 0, "middle": 1, "tail": 2}
+    for r in rows:
+        assert r.band == want[buckets[r.doc_id]]
