@@ -849,6 +849,7 @@ def mixture_solver(
     domain_col: str = "source",
     text_col: str = "text",
     default_bp: int = 0,
+    token_col: str | None = None,
 ) -> DataFrame:
     """Mixture-rate solver (sp23) — compute the per-domain epoch rates
     that realize a TARGET token mixture under a token budget: the
@@ -882,10 +883,14 @@ def mixture_solver(
     """
     from mrf_etl_spark.operators.textops import token_count_ws
 
-    per_doc = docs.select(
-        F.col(domain_col).alias("domain"),
-        token_count_ws(text_col).cast("long").alias("_tk"),
+    # token_col: a PRE-COMPUTED per-doc token count (pipe8 persists a
+    # slim gated frame and tokenizes once instead of once per pass)
+    tk = (
+        F.col(token_col).cast("long")
+        if token_col is not None
+        else token_count_ws(text_col).cast("long")
     )
+    per_doc = docs.select(F.col(domain_col).alias("domain"), tk.alias("_tk"))
     if targets:
         # seed one zero-token row per TARGETED domain before the agg, so
         # a domain named in targets but absent from the corpus still
@@ -1013,6 +1018,7 @@ def training_order(
     id_col: str = "doc_id",
     salt: str = "order",
     max_epochs: int = 1 << 20,
+    token_col: str | None = None,
 ) -> DataFrame:
     """End-to-end training-order manifest (pipe7) — the dataloader's
     input, produced in ONE plan from a mixture spec: solve the
@@ -1040,7 +1046,8 @@ def training_order(
     example, order_pos dense 0..n-1.
     """
     rates = mixture_solver(
-        docs, targets, budget_tokens, domain_col, text_col
+        docs, targets, budget_tokens, domain_col, text_col,
+        token_col=token_col,
     )
     d = docs.select(
         F.col(id_col).alias("doc_id"), F.col(domain_col).alias("domain")

@@ -3285,30 +3285,45 @@ def _register_pipe8():
 
         from mrf_etl_spark.operators import sampling as sp
         from mrf_etl_spark.operators.dedup import carry_state
+        from mrf_etl_spark.operators.textops import token_count_ws
 
         # the manifest plan reads its corpus multiple times (solver agg,
-        # copy explode, shuffle-rank passes) — persist the gated ID SET
-        # (one long per released doc, the cheapest sufficient state) so
-        # the dual-gate cascade runs ONCE, not once per pass
+        # copy explode, shuffle-rank passes) — persist ONE slim gated
+        # frame (doc_id, domain, n_tok): the dual-gate cascade, the
+        # documents join AND the tokenization all run once, and every
+        # manifest pass reads three cached columns. (Wall-clock at
+        # fixture scale is gate-dominated either way — ~3.8 s with the
+        # cascade re-run per sweep — but at 100 TB the pass count
+        # multiplies whatever is NOT cached, so the slim frame is the
+        # scale shape: text bytes are never read twice.)
         released = (
             REGISTRY["q11_dual_gate_decontam"]
             .spark_fn(spark, sf_dir)
             .filter(F.col("released"))
             .select("doc_id")
+        )
+        gated = (
+            t(spark, sf_dir, "documents")
+            .join(released, "doc_id")
+            .select(
+                "doc_id",
+                F.col("source"),
+                token_count_ws("text").cast("long").alias("n_tok"),
+            )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        docs = t(spark, sf_dir, "documents").join(released, "doc_id")
         out = sp.training_order(
-            docs,
+            gated,
             SP23_TARGETS,
             SP23_BUDGET,
             "source",
             "text",
             "doc_id",
             salt="order",
+            token_col="n_tok",
         )
         # caller frees via release_state after materializing
-        return carry_state(out, hold=(released,))
+        return carry_state(out, hold=(gated,))
 
     return pipe8_decontam_training_order
 
