@@ -107,6 +107,7 @@ HEADLINE = [
     "n13_ann_ivfpq_reembed",
     "e13_deflated_directions",
     "sp26_perplexity_curriculum",
+    "d18_exact_repeat_lengths",
     "e6_kmeans_codebook",
     "t22_ngram_lm_bits",
     "e7_pq_codebook_train",

@@ -754,6 +754,82 @@ def repeat_ladder(
     )
 
 
+def exact_repeat_lengths(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 4,
+    max_len: int = 32,
+) -> DataFrame:
+    """Per-document EXACT maximal repeated-substring length (d18) —
+    closes the substring-dedup triple: d16's ladder is the scale path
+    (2-approximation, log(max_len) work), d17 resolves the GLOBAL exact
+    maximum, d18 resolves it PER DOCUMENT by hashing every length in
+    [min_len, max_len] at every position through the overlapping
+    two-block composition (d17's trick: h(i, L) = md5(h_k[i] ||
+    h_k[i + L - 2^k]) over the map-side doubling table), one
+    (len, hash)-keyed window COUNT, and a per-doc rollup.
+
+    This is the per-doc statistic Lee et al. ACL'22 gate on (drop or
+    trim documents whose longest cross-corpus repeat exceeds a
+    threshold) at exact granularity. Honest cost: the explode carries
+    (max_len − min_len + 1) × corpus-words rows through ONE shuffle —
+    linear in the corpus with the length-range constant; pick the range
+    deliberately (the ladder screens cheaply first, this runs exact on
+    what matters). Returns (doc_id, max_rep_len, n_rep_spans) for docs
+    with any cross-doc repeat ≥ min_len."""
+    import math
+
+    from mrf_etl_spark.operators.dedup import widen_narrow_input
+    from pyspark.sql.window import Window
+
+    max_log = int(math.log2(max_len))
+    words = widen_narrow_input(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    for j, e in enumerate(_span_level_exprs(max_log)):
+        words = words.withColumn(f"_h{j}", F.expr(e))
+    # spans travel as 60-bit ints (first 15 hex chars of the composed
+    # md5, the engine-neutral shard_hash recipe): the (len, hash)
+    # shuffle carries 8-byte longs instead of 32-char strings — at the
+    # 29x fan-out this is the difference between the shuffle fitting
+    # and spilling
+    per_len = []
+    for ln in range(min_len, max_len + 1):
+        k = int(math.log2(ln))
+        off = ln - (1 << k)
+        per_len.append(
+            f"CASE WHEN size(_w) >= {ln} THEN "
+            f"transform(array_distinct(transform("
+            f"sequence(1, size(_w) - {ln - 1}), "
+            f"i -> cast(conv(substring(md5(concat(element_at(_h{k}, i), "
+            f"element_at(_h{k}, i + {off}))), 1, 15), 16, 10) as bigint))), "
+            f"h -> struct({ln} AS len, h AS hash)) "
+            f"ELSE array() END"
+        )
+    spans = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"flatten(array({', '.join(per_len)}))")
+        ).alias("_s"),
+    ).select("doc_id", F.col("_s.len").alias("len"), F.col("_s.hash").alias("hash"))
+    dfc = F.count("*").over(Window.partitionBy("len", "hash"))
+    per = (
+        spans.withColumn("_dfc", dfc)
+        .filter(F.col("_dfc") > 1)
+        .groupBy("doc_id", "len")
+        .agg(F.count("*").alias("n"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("len"), F.col("n"))).alias("_m")
+    ).select(
+        "doc_id",
+        F.col("_m.len").alias("max_rep_len"),
+        F.col("_m.n").alias("n_rep_spans"),
+    )
+
+
 def longest_repeat(
     df: DataFrame,
     text_col: str = "text",

@@ -56,8 +56,11 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # manifest surface, same cost-driven slot
         ("sp24_bpe_sequence_pack", []),
         # round-10: perplexity-bucketed curriculum (t25 ∘ sp14) —
-        # all-int surface, same cost-driven slot (probe now 6/7)
+        # all-int surface, same cost-driven slot
         ("sp26_perplexity_curriculum", []),
+        # round-10: per-doc exact max repeat length — the substring
+        # triple's third member (probe now at the 7-cap)
+        ("d18_exact_repeat_lengths", []),
     ],
     "fx_writer_roundtrips": [
         ("s12_append_unique_roundtrip", []),
@@ -916,6 +919,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "e13_deflated_directions": ["comp", "i", "v"],
     "sp26_perplexity_curriculum": ["doc_id", "band", "curriculum_pos"],
+    "d18_exact_repeat_lengths": ["doc_id", "max_rep_len", "n_rep_spans"],
     "st14_stream_ann_ingest": [
         "query_id", "neighbor_id", "cosine", "rank",
     ],
@@ -1133,7 +1137,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 296
+CATALOG_COUNT = 297
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

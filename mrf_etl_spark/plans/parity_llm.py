@@ -2519,6 +2519,59 @@ def _register_d17():
 d17_longest_repeat = _register_d17()
 
 
+def _register_d18():
+    # d17's all-lengths span composition + d16's per-doc rollup: one
+    # window COUNT over (L, hash), per-doc max
+    bands = []
+    for k, lo, hi in ((2, 4, 7), (3, 8, 15), (4, 16, 31), (5, 32, 32)):
+        bands.append(
+            f"""SELECT DISTINCT la.doc_id, la.L,
+                CAST('0x' || substring(md5(la.h || b.h), 1, 15) AS BIGINT) AS h
+         FROM (SELECT l.L, a.doc_id, a.i, a.h, a.i + l.L - {1 << k} AS j
+               FROM (SELECT unnest(range({lo}, {hi} + 1)) AS L) l, p{k} a) la
+         JOIN p{k} b ON b.doc_id = la.doc_id AND b.i = la.j"""
+        )
+    allspans = "\n         UNION ALL\n         ".join(bands)
+
+    @register(
+        "d18_exact_repeat_lengths",
+        f"""WITH {_span_level_ctes(5)},
+       allspans AS MATERIALIZED (
+         {allspans}),
+       rep AS MATERIALIZED (
+         SELECT L, h FROM allspans GROUP BY L, h HAVING count(*) > 1),
+       per AS (
+         SELECT doc_id, L, count(*) AS n
+         FROM allspans JOIN rep USING (L, h) GROUP BY 1, 2)
+       SELECT doc_id, CAST(L AS INT) AS max_rep_len,
+              CAST(n AS BIGINT) AS n_rep_spans
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY L DESC) AS rn FROM per)
+       WHERE rn = 1""",
+        doc="d18 (beyond-ref): per-document EXACT maximal repeated-"
+        "substring length — the statistic Lee et al. ACL'22 gate on "
+        "(drop/trim docs whose longest cross-corpus repeat exceeds a "
+        "threshold), closing the substring triple: d16 screens at "
+        "2-approx ladder cost, d17 resolves the global max, d18 the "
+        "per-doc max. Every length in [4, 32] hashes at every position "
+        "through the overlapping two-block composition over the "
+        "map-side doubling table; ONE (len, hash)-keyed window shuffle "
+        "carries (range × corpus-words) rows — linear with a "
+        "deliberate length-range constant, never quadratic "
+        "(operators/textops.exact_repeat_lengths).",
+    )
+    def d18_exact_repeat_lengths(spark, sf_dir):
+        return tx.exact_repeat_lengths(
+            t(spark, sf_dir, "documents"), "text", "doc_id",
+            min_len=4, max_len=32,
+        )
+
+    return d18_exact_repeat_lengths
+
+
+d18_exact_repeat_lengths = _register_d18()
+
+
 @register(
     "d8_semantic_dedup",
     # SemDeDup-style composition (Abbas et al. 2023, public literature):

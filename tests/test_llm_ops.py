@@ -4161,3 +4161,35 @@ def test_sp26_perplexity_curriculum_band_monotone(spark):
     want = {"head": 0, "middle": 1, "tail": 2}
     for r in rows:
         assert r.band == want[buckets[r.doc_id]]
+
+
+def test_exact_repeat_lengths_pins_planted_six(spark):
+    """d18 closes the planted case exactly: the shared 6-word block
+    reports max_rep_len 6 PER DOC (d16's ladder said 4, d17's global
+    said 6), with exactly one repeated 6-span each; its internal
+    consistency: for every doc, d18's exact length is >= d16's ladder
+    floor and < 2x the ladder floor (the 2-approx guarantee)."""
+    from mrf_etl_spark.operators.textops import (
+        exact_repeat_lengths,
+        repeat_ladder,
+    )
+
+    blk = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, "one two three " + blk + " tail1 tail2 tail3 tail4"),
+        (2, "x1 " + blk + " y1 y2 y3 y4 y5 y6 y7"),
+        (3, "totally different words only here nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.max_rep_len, r.n_rep_spans)
+        for r in exact_repeat_lengths(docs).collect()
+    )
+    assert got == [(1, 6, 1), (2, 6, 1)]
+
+    big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {r.doc_id: r.max_rep_len for r in exact_repeat_lengths(big).collect()}
+    ladder = {r.doc_id: r.max_rep_len for r in repeat_ladder(big).collect()}
+    assert set(exact) == set(ladder)
+    for d, lf in ladder.items():
+        assert lf <= exact[d] < 2 * lf
