@@ -640,7 +640,15 @@ def audio_energy_bits(samples: list[int], n_frames: int = 64) -> tuple[int, int]
     oracle replays), frame energy is the exact integer Σ|sample|, and
     bit i is set iff ``n_frames * e_i >= Σe`` (the mean compare with NO
     division — all int64, engine-identical). Frames with no samples
-    keep energy 0. Returns (hi, lo) 32-bit halves."""
+    keep energy 0. Returns (hi, lo) 32-bit halves — the two-half output
+    shape hard-requires exactly 64 frames, so ``n_frames`` is validated
+    rather than silently truncating (>64) or raising IndexError (<64);
+    it stays a named parameter only so call sites read as 64-frame."""
+    if n_frames != 64:
+        raise ValueError(
+            f"audio_energy_bits packs exactly 64 frames into (hi, lo) "
+            f"32-bit halves; got n_frames={n_frames}"
+        )
     n = len(samples)
     e = [0] * n_frames
     for pos, s in enumerate(samples):

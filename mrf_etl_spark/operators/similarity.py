@@ -2102,6 +2102,8 @@ def _write_ivfpq_rows(
     files as the codes: parquet column pruning makes the ADC scan read
     code bytes only, while the rerank reads floats of the same probed
     partitions — one table, two access shapes."""
+    from mrf_etl_spark.io.writers import table_lock
+
     assigned = assign_centroids(emb, centroids, id_col, vec_col, dim).select(
         F.col(id_col).alias("neighbor_id"), F.col("cid").alias("ccid")
     )
@@ -2109,18 +2111,23 @@ def _write_ivfpq_rows(
         F.col("vec_id").alias("neighbor_id"),
         *[f"c{b}" for b in range(n_blocks)],
     )
-    (
-        emb.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cv"),
-            norm_fold(vec_col).alias("cn"),
+    # held for the write so an ivf_pq_index_compact cannot read-and-swap
+    # a partition while this write is landing files in it (ADVICE r10:
+    # the compact's atomic_overwrite would silently erase them);
+    # compact holds the same codes-table lock for its whole sweep
+    with table_lock(f"{path}/codes"):
+        (
+            emb.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                norm_fold(vec_col).alias("cn"),
+            )
+            .join(codes, "neighbor_id")
+            .join(assigned, "neighbor_id")
+            .write.mode(mode)
+            .partitionBy("ccid")
+            .parquet(f"{path}/codes")
         )
-        .join(codes, "neighbor_id")
-        .join(assigned, "neighbor_id")
-        .write.mode(mode)
-        .partitionBy("ccid")
-        .parquet(f"{path}/codes")
-    )
 
 
 def ivf_pq_index_create(
@@ -2265,7 +2272,11 @@ def ivf_pq_index_compact(
     import os
     import shutil
 
-    from mrf_etl_spark.io.writers import atomic_overwrite, compact_parquet
+    from mrf_etl_spark.io.writers import (
+        atomic_overwrite,
+        compact_parquet,
+        table_lock,
+    )
 
     codes = f"{path}/codes"
     tomb = _ivfpq_tombstones(spark, path)
@@ -2275,48 +2286,62 @@ def ivf_pq_index_compact(
             r["ccid"] for r in tomb.select("ccid").distinct().collect()
         }
     done = 0
-    for entry in sorted(os.listdir(codes)):
-        part = os.path.join(codes, entry)
-        if not (entry.startswith("ccid=") and os.path.isdir(part)):
-            continue
-        ccid = int(entry.split("=", 1)[1])
-        if ccid in doomed_ccids:
-            # physical delete: rewrite the bucket minus its tombstoned
-            # rows (atomic swap, same discipline as compact_parquet)
-            total = sum(
-                os.path.getsize(os.path.join(dirpath, f))
-                for dirpath, _, files in os.walk(part)
-                for f in files
-                if f.endswith(".parquet")
-            )
-            n_files = max(1, -(-total // target_bytes))
-            kept = (
-                spark.read.parquet(part)
-                .join(
-                    F.broadcast(
-                        tomb.filter(F.col("ccid") == ccid).select(
-                            "neighbor_id"
-                        )
-                    ),
-                    "neighbor_id",
-                    "left_anti",
+    # the WHOLE scan-rewrite-clear sequence holds the codes-table
+    # lock (ADVICE r10): an ivf_pq_index_append landing a file in a
+    # partition between our read and the atomic swap would otherwise
+    # be silently erased when the pre-append bytes swap back in.
+    # _write_ivfpq_rows takes the SAME lock, so append and compact
+    # are mutually excluded; compact_parquet's own per-partition
+    # lock nests under this one (different lock dirs, no deadlock).
+    with table_lock(codes):
+        for entry in sorted(os.listdir(codes)):
+            part = os.path.join(codes, entry)
+            # skip non-partition dirs, incl. a stale `ccid=N.lock` left
+            # by a crashed compact_parquet (its int() parse would throw)
+            if not (
+                entry.startswith("ccid=")
+                and os.path.isdir(part)
+                and not entry.endswith(".lock")
+            ):
+                continue
+            ccid = int(entry.split("=", 1)[1])
+            if ccid in doomed_ccids:
+                # physical delete: rewrite the bucket minus its tombstoned
+                # rows (atomic swap, same discipline as compact_parquet)
+                total = sum(
+                    os.path.getsize(os.path.join(dirpath, f))
+                    for dirpath, _, files in os.walk(part)
+                    for f in files
+                    if f.endswith(".parquet")
                 )
-                .repartition(n_files)
+                n_files = max(1, -(-total // target_bytes))
+                kept = (
+                    spark.read.parquet(part)
+                    .join(
+                        F.broadcast(
+                            tomb.filter(F.col("ccid") == ccid).select(
+                                "neighbor_id"
+                            )
+                        ),
+                        "neighbor_id",
+                        "left_anti",
+                    )
+                    .repartition(n_files)
+                )
+                atomic_overwrite(kept, part)
+                done += 1
+                continue
+            n_files = sum(
+                1 for f in os.listdir(part) if f.endswith(".parquet")
             )
-            atomic_overwrite(kept, part)
+            if n_files <= min_files:
+                continue
+            compact_parquet(spark, part, target_bytes=target_bytes)
             done += 1
-            continue
-        n_files = sum(
-            1 for f in os.listdir(part) if f.endswith(".parquet")
-        )
-        if n_files <= min_files:
-            continue
-        compact_parquet(spark, part, target_bytes=target_bytes)
-        done += 1
-    if doomed_ccids:
-        # every affected partition rewritten: the tombstones are
-        # physically realized, clear them
-        shutil.rmtree(f"{path}/tombstones")
+        if doomed_ccids:
+            # every affected partition rewritten: the tombstones are
+            # physically realized, clear them
+            shutil.rmtree(f"{path}/tombstones")
     return done
 
 

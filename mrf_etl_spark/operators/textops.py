@@ -777,7 +777,17 @@ def exact_repeat_lengths(
     linear in the corpus with the length-range constant; pick the range
     deliberately (the ladder screens cheaply first, this runs exact on
     what matters). Returns (doc_id, max_rep_len, n_rep_spans) for docs
-    with any cross-doc repeat ≥ min_len."""
+    with any cross-doc repeat ≥ min_len.
+
+    .. note:: "exact" holds up to 60-bit span-hash collisions (w21's
+       pre-scale caveat applies): a birthday collision between two
+       DIFFERENT spans of the same length manufactures a false repeat,
+       expected once the corpus carries ~2^30 spans per length and
+       near-certain at the ~2^40 spans of a 100 TB corpus. The oracle
+       truncates identically so parity is unaffected; past the
+       collision-safe span count, trade shuffle bytes back for the full
+       128-bit md5 string (d16/d17 already keep it) or verify flagged
+       spans exactly with a second pass."""
     import math
 
     from mrf_etl_spark.operators.dedup import widen_narrow_input

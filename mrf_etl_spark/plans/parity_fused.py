@@ -110,6 +110,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-9 session 3: pipe7 composes sp23+sp7+sp8 into the
         # dataloader manifest — all-int surface, same cost-driven slot
         ("pipe7_training_order", []),
+        # round-11: pipe0 IS the composition of this probe's projection/
+        # filter family (P1-P8, P10 all live in enrich_pipeline.py) —
+        # its direct window slot freed for the fx_media split
+        ("pipe0_enrich", ["rate_sum"]),
     ],
     "fx_anti_semi": [
         ("j10_anti_join", []),
@@ -457,12 +461,20 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # result-invisible), ~0.02 s, so the probe stays light
         ("j13_salted_skew_join", ["total"]),
     ],
-    "fx_media": [
+    # round-11: fx_media (m1–m7, at the 7-cap) split into the per-doc
+    # feature/frame/hash surfaces vs the near-dup PAIR surfaces (VERDICT
+    # r10 #4) — restores ride headroom in the media family before new
+    # entries compete for slots; the window slot the second probe needs
+    # comes from pipe0_enrich riding fx_projection_filters (its own
+    # component family).
+    "fx_media_features": [
         ("m1_multimodal_features", []),
         ("m2_frame_sample", []),
         ("m3_media_exact_dup", []),
-        ("m4_media_near_dup", ["jaccard"]),
         ("m5_perceptual_hash", []),
+    ],
+    "fx_media_pairs": [
+        ("m4_media_near_dup", ["jaccard"]),
         # round-9 session 3: the banded-Hamming image dedup m5's hashes
         # feed — all-int pair surface, ~0.1 s oracle
         ("m6_phash_near_dup", []),
@@ -885,6 +897,10 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "pipe7_training_order": ["doc_id", "domain", "copy", "order_pos"],
     "pipe8_decontam_training_order": ["doc_id", "domain", "copy", "order_pos"],
+    "pipe0_enrich": [
+        "state", "procedure_set", "procedure_class", "n", "rate_sum",
+        "n_ga", "n_npi",
+    ],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
     "m6_phash_near_dup": ["doc_a", "doc_b", "hamming"],
     "m7_audio_near_dup": ["doc_a", "doc_b", "hamming"],
@@ -1100,7 +1116,9 @@ DRIVER_WINDOW: list[str] = [
     "fx_scalars_num",
     "fx_explode",
     "fx_lake_ops",
-    "pipe0_enrich",
+    # round-11: pipe0_enrich's direct slot rides fx_projection_filters
+    # (its own component family); the freed slot carries the second half
+    # of the fx_media split
     "fx_llm_flagships",
     "d2_minhash_lsh",
     "d3b_ngram_jaccard_capped",
@@ -1120,7 +1138,8 @@ DRIVER_WINDOW: list[str] = [
     "fx_splits_a",
     "fx_splits_b",
     "fx_eval_suites",
-    "fx_media",
+    "fx_media_features",
+    "fx_media_pairs",
     "fx_text_quality_a",
     "fx_text_quality_b",
     "fx_corpus_cards",
@@ -1137,7 +1156,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 297
+CATALOG_COUNT = 298
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -28,6 +28,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+def like_literal(value: str) -> str:
+    """Escape LIKE/ILIKE wildcards (`%`, `_`, and the `\\` escape char
+    itself) so a user-supplied value matches LITERALLY when interpolated
+    into a ``%...%`` pattern.
+
+    This is the ONE deliberate divergence from the reference: its
+    endpoints interpolate the raw request value into ILIKE
+    (optimized_queries.py:265-540), so a user '%' acts as a wildcard.
+    We define every substring endpoint as literal-substring instead —
+    the fast path (`contains` on stored ``_lc_`` columns) can only be
+    literal, so the ilike fallback escapes to match it. Both serving
+    tiers therefore implement identical semantics regardless of which
+    one answers the request.
+    """
+    return value.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+
+
 def build_filter(
     eq: dict[str, object] | None = None,
     isin: dict[str, Iterable[object]] | None = None,
@@ -229,14 +246,13 @@ class StarLake:
     def _ilike_pred(self, df_cols, col: str, value: str) -> Column:
         """Case-insensitive substring predicate for an endpoint field:
         `contains` on the precomputed lowercase column when the index
-        carries it, else live ilike. Wildcard characters inside the user
-        value are treated LITERALLY on the fast path (the sane endpoint
-        semantics; the reference interpolates the raw value into ILIKE,
-        where a user '%' would act as a wildcard)."""
+        carries it, else live ilike with wildcards escaped — BOTH tiers
+        treat the user value literally (see `like_literal` for the
+        documented divergence from the reference's raw interpolation)."""
         lc = f"_lc_{col}"
         if lc in df_cols:
             return F.col(lc).contains(value.lower())
-        return F.col(col).ilike(f"%{value}%")
+        return F.col(col).ilike(f"%{like_literal(value)}%")
 
     # -- endpoint vocabulary -------------------------------------------------
     def multi_field_search(self, pred: Column | None = None, free_text: str | None = None, limit: int = 1000) -> DataFrame:
@@ -621,7 +637,7 @@ class StarLake:
             (F.col("state") == state) & (F.col("year_month") == year_month)
         )
         if payer:
-            df = df.filter(F.col("reporting_entity_name").ilike(f"%{payer}%"))
+            df = df.filter(F.col("reporting_entity_name").ilike(f"%{like_literal(payer)}%"))
         if code:
             df = df.filter(F.col("code") == code)
         if billing_class:
@@ -666,7 +682,7 @@ class StarLake:
         ordered by (organization_name, last_name, first_name) with npi as
         the deterministic tie-break, capped."""
         assert self.dim_npi is not None, "provider_search needs dim_npi"
-        pat = f"%{q}%"
+        pat = f"%{like_literal(q)}%"
         return (
             self.dim_npi.filter(
                 F.col("organization_name").ilike(pat)
@@ -750,7 +766,7 @@ class StarLake:
         """/api/autocomplete (backend/main.py:791-906): case-insensitive
         prefix/substring match on a dimension column, most-common first."""
         return (
-            self.fact.filter(F.col(field).ilike(f"%{prefix}%"))
+            self.fact.filter(F.col(field).ilike(f"%{like_literal(prefix)}%"))
             .groupBy(F.col(field).alias("value"))
             .agg(F.count("*").alias("n"))
             .orderBy(F.col("n").desc(), F.col("value"))
