@@ -108,6 +108,8 @@ HEADLINE = [
     "e13_deflated_directions",
     "sp26_perplexity_curriculum",
     "d18_exact_repeat_lengths",
+    "d19_screened_repeat_lengths",
+    "d20_trim_repeats",
     "e6_kmeans_codebook",
     "t22_ngram_lm_bits",
     "e7_pq_codebook_train",

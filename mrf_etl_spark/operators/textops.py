@@ -840,6 +840,202 @@ def exact_repeat_lengths(
     )
 
 
+def screened_repeat_lengths(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 4,
+    max_len: int = 32,
+) -> DataFrame:
+    """Screened per-doc exact maximal repeat (d19) — the substring-dedup
+    DISCIPLINE that previously lived only in d18's docstring ("the
+    ladder screens cheaply first, this runs exact on what matters"),
+    composed into ONE lazy plan: d16's ladder screens the FULL corpus
+    at log(max_len)-shuffle cost, then d18's exact
+    (max_len − min_len + 1)× span fan-out runs ONLY on the flagged docs.
+
+    Screen completeness (why the result is EXACT, not approximate): any
+    cross-doc repeat of length L ≥ min_len contains, as its prefix, a
+    repeat of length ``2^floor(log2(min_len)) ≤ min_len ≤ L`` shared by
+    the same carrier docs — so the ladder run with levels from that
+    floor power of 2 flags EVERY carrier of every qualifying repeat (a
+    superset: ladder-only repeats shorter than min_len cost work, never
+    correctness). Within the flagged subset each qualifying span keeps
+    its full-corpus doc-frequency (all its carriers are flagged), so
+    the output equals :func:`exact_repeat_lengths` on the full corpus
+    row for row. The screen is result-invisible — the oracle is d18's
+    VERBATIM (the j13-salting / j19-Bloom precedent).
+
+    Scale shape: screen = log(max_len) × corpus words through d16's
+    shuffles; exact pass = 29× fan-out over the FLAGGED docs only. At
+    real corpus scale the flagged fraction is small (Lee et al. ACL'22
+    report single-digit percent of docs carrying long verbatim
+    repeats), so the fan-out shuffle — d18's entire superlinear ladder
+    cell — shrinks by that fraction. The 60-bit span-hash collision
+    caveat on d18 applies to the exact pass here identically."""
+    import math
+
+    from mrf_etl_spark.operators.dedup import widen_narrow_input
+
+    screen_len = 1 << int(math.log2(min_len))
+    flagged = (
+        repeat_ladder(
+            df, text_col, id_col, min_len=screen_len, max_len=max_len
+        )
+        .select(F.col("doc_id").alias(id_col))
+    )
+    sub = widen_narrow_input(df).join(flagged, id_col, "left_semi")
+    return exact_repeat_lengths(
+        sub, text_col, id_col, min_len=min_len, max_len=max_len
+    )
+
+
+def trim_repeats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 4,
+    max_len: int = 32,
+) -> DataFrame:
+    """Repeated-span REMOVAL (d20) — the Lee et al. ACL'22 production
+    step d16–d18 only diagnose: REWRITE documents by dropping
+    cross-corpus repeated spans, keeping ONE canonical occurrence per
+    span group, with per-doc token-loss accounting.
+
+    Deterministic, set-based semantics (chosen so a SQL oracle replays
+    the rewrite bit-for-bit — no greedy left-to-right scan, whose
+    sequential state doesn't decompose):
+
+    * a *span group* is a (len, hash) pair with len ∈ [min_len,
+      max_len] carried verbatim by ≥ 2 docs (d18's exact span family,
+      same 60-bit hash recipe and collision caveat);
+    * each group's *canonical carrier* is its min doc_id — that doc
+      keeps ALL its occurrences of the span;
+    * word position p of doc d is REMOVED iff some group's span covers
+      p in d and d is not that group's canonical carrier. A position
+      in one group's canonical doc can still be removed via a
+      DIFFERENT overlapping group whose canonical lies elsewhere —
+      position-coverage semantics, documented rather than hidden.
+
+    Nested spans are consistent by construction: any repeat of length
+    L > min_len contains length-(L−1) repeats with the same carrier
+    set, hence the same canonical — coverage grows monotonically with
+    the repeat, never flickers.
+
+    Output: one row per input doc — (doc_id, clean_text, n_tokens,
+    n_removed). clean_text is the KEPT original-case words joined by
+    single spaces (whitespace normalized — the tokenization d16/d18
+    already commit to); untouched docs round-trip with n_removed = 0,
+    fully-repeated docs keep clean_text = ''.
+
+    Scale shape: the corpus first passes d16's ladder screen (log
+    shuffles), and the position-keeping 29× fan-out — this operator's
+    whole cost — runs ONLY on flagged docs (result-invisible by d19's
+    completeness argument: every removed position lies under a
+    cross-doc repeat ≥ min_len whose carriers are all flagged; group
+    doc-frequencies and min-carriers are computed over the SAME
+    carrier sets either way). Group detection is one combinable
+    (len, hash) agg; coverage explodes only MATCHED span occurrences
+    (bounded by repeated material, not the corpus); the rewrite is a
+    per-doc sort-merge of kept positions."""
+    import math
+
+    from mrf_etl_spark.operators.dedup import widen_narrow_input
+    from pyspark.sql.window import Window  # noqa: F401 (doc parity w/ d18)
+
+    screen_len = 1 << int(math.log2(min_len))
+    flagged = (
+        repeat_ladder(df, text_col, id_col, min_len=screen_len, max_len=max_len)
+        .select(F.col("doc_id").alias(id_col))
+    )
+    wide = widen_narrow_input(df)
+    base = wide.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_ow"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    sub = (
+        wide.join(flagged, id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+        )
+    )
+    max_log = int(math.log2(max_len))
+    for j, e in enumerate(_span_level_exprs(max_log)):
+        sub = sub.withColumn(f"_h{j}", F.expr(e))
+    # spans WITH positions (no per-doc distinct — the rewrite needs every
+    # occurrence); same 60-bit composed-hash recipe as d18
+    per_len = []
+    for ln in range(min_len, max_len + 1):
+        k = int(math.log2(ln))
+        off = ln - (1 << k)
+        per_len.append(
+            f"CASE WHEN size(_w) >= {ln} THEN "
+            f"transform(sequence(1, size(_w) - {ln - 1}), "
+            f"i -> struct({ln} AS len, i AS pos, "
+            f"cast(conv(substring(md5(concat(element_at(_h{k}, i), "
+            f"element_at(_h{k}, i + {off}))), 1, 15), 16, 10) as bigint)"
+            f" AS hash)) ELSE array() END"
+        )
+    spans = sub.select(
+        "doc_id",
+        F.explode(F.expr(f"flatten(array({', '.join(per_len)}))")).alias("_s"),
+    ).select(
+        "doc_id",
+        F.col("_s.len").alias("len"),
+        F.col("_s.pos").alias("pos"),
+        F.col("_s.hash").alias("hash"),
+    )
+    grp = (
+        spans.groupBy("len", "hash")
+        .agg(
+            F.countDistinct("doc_id").alias("_nd"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("_nd") > 1)
+        .select("len", "hash", "keep_doc")
+    )
+    removed = (
+        spans.join(grp, ["len", "hash"])
+        .filter(F.col("doc_id") != F.col("keep_doc"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("sequence(pos, pos + len - 1)")
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    kept_agg = (
+        base.select(
+            "doc_id", F.posexplode("_ow").alias("_p0", "w")
+        )
+        .withColumn("p", F.col("_p0") + 1)
+        .join(removed, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(p, w))), s -> s.w), ' ')"
+            ).alias("clean_text"),
+            F.count("*").alias("_n_kept"),
+        )
+    )
+    return (
+        base.select("doc_id", F.size("_ow").alias("n_tokens"))
+        .join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def longest_repeat(
     df: DataFrame,
     text_col: str = "text",

@@ -197,6 +197,11 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
     "fx_tolerant_lookups": [
         ("s4_tolerant_scan", []),
         ("s8_nppes_cached_lookup", []),
+        # round-11: d20 trim_repeats (the repeated-span REMOVAL rewrite)
+        # — all-int + string surface; cost-driven ride on the window's
+        # emptiest probe (the substring family's fx_geo_lookups is at
+        # the 7-cap; precedent: sp23 on fx_projection_filters)
+        ("d20_trim_repeats", []),
     ],
     "fx_event_windows": [
         ("w4_asof_join", ["click_value", "view_value"]),
@@ -481,6 +486,11 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-10: the audio tier — energy-envelope fingerprints through
         # the same banded-Hamming kernel; all-int pair surface
         ("m7_audio_near_dup", []),
+        # round-11: d19 (the d16-screen → d18-exact composition) —
+        # all-int surface; cost-driven ride on the window's lightest
+        # probe (its family probe fx_geo_lookups is at the 7-cap;
+        # precedent: sp23 on fx_projection_filters)
+        ("d19_screened_repeat_lengths", []),
     ],
     # round-5 probes: close the driver-verification tail. fx_agg_shapes /
     # fx_ref_joins free five agg + three join direct slots; the freed
@@ -901,6 +911,8 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "state", "procedure_set", "procedure_class", "n", "rate_sum",
         "n_ga", "n_npi",
     ],
+    "d19_screened_repeat_lengths": ["doc_id", "max_rep_len", "n_rep_spans"],
+    "d20_trim_repeats": ["doc_id", "clean_text", "n_tokens", "n_removed"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
     "m6_phash_near_dup": ["doc_a", "doc_b", "hamming"],
     "m7_audio_near_dup": ["doc_a", "doc_b", "hamming"],
@@ -1156,7 +1168,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 298
+CATALOG_COUNT = 300
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

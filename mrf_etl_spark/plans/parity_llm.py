@@ -439,8 +439,12 @@ def _t2_base_cte(src: str = "documents", name: str = "base") -> str:
 
 _T2_BASE_CTE = _t2_base_cte()
 
-_T2_SQL = f"""
-  WITH {_T2_BASE_CTE}
+
+def _t2_sql(src: str = "documents") -> str:
+    # the t2 composite parameterized by source relation (pipe9 scores
+    # TRIMMED text; everything else scores raw documents)
+    return f"""
+  WITH {_t2_base_cte(src)}
   SELECT doc_id, n_ws, punct_ratio, stopword_ratio,
          (CASE WHEN n_ws >= 20 AND n_ws <= 1000 THEN CAST(1.0 AS DOUBLE)
                WHEN n_ws >= 5 THEN CAST(0.5 AS DOUBLE)
@@ -450,6 +454,9 @@ _T2_SQL = f"""
          + (CASE WHEN stopword_ratio >= CAST(0.01 AS DOUBLE) THEN CAST(1.0 AS DOUBLE)
                  ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.25 AS DOUBLE) AS quality
   FROM base"""
+
+
+_T2_SQL = _t2_sql()
 
 
 @register(
@@ -2570,6 +2577,143 @@ def _register_d18():
 
 
 d18_exact_repeat_lengths = _register_d18()
+
+
+_REPEAT_BAND_RANGES = ((2, 4, 7), (3, 8, 15), (4, 16, 31), (5, 32, 32))
+
+
+def _repeat_bands(min_len: int, positional: bool = False) -> str:
+    """d18's composed-hash span bands, parameterized by the low length
+    bound (and optionally keeping start positions for the d20 rewrite).
+    The length grid is fixed to the doubling table's [4, 32] envelope —
+    min_len picks where the entry's qualifying range starts."""
+    bands = []
+    for k, lo, hi in _REPEAT_BAND_RANGES:
+        if hi < min_len:
+            continue
+        lo = max(lo, min_len)
+        head = (
+            "SELECT la.doc_id, la.i, la.L,"
+            if positional
+            else "SELECT DISTINCT la.doc_id, la.L,"
+        )
+        bands.append(
+            f"""{head}
+                CAST('0x' || substring(md5(la.h || b.h), 1, 15) AS BIGINT) AS h
+         FROM (SELECT l.L, a.doc_id, a.i, a.h, a.i + l.L - {1 << k} AS j
+               FROM (SELECT unnest(range({lo}, {hi} + 1)) AS L) l, p{k} a) la
+         JOIN p{k} b ON b.doc_id = la.doc_id AND b.i = la.j"""
+        )
+    return "\n         UNION ALL\n         ".join(bands)
+
+
+def _register_d19():
+    @register(
+        "d19_screened_repeat_lengths",
+        # d18's exact-repeat oracle restricted to the [8, 32] range the
+        # entry runs at: the screen is provably result-invisible (every
+        # carrier of a qualifying repeat is flagged —
+        # textops.screened_repeat_lengths docstring), so the oracle is
+        # the UNSCREENED computation (j13/j19 precedent).
+        f"""WITH {_span_level_ctes(5)},
+       allspans AS MATERIALIZED (
+         {_repeat_bands(8)}),
+       rep AS MATERIALIZED (
+         SELECT L, h FROM allspans GROUP BY L, h HAVING count(*) > 1),
+       per AS (
+         SELECT doc_id, L, count(*) AS n
+         FROM allspans JOIN rep USING (L, h) GROUP BY 1, 2)
+       SELECT doc_id, CAST(L AS INT) AS max_rep_len,
+              CAST(n AS BIGINT) AS n_rep_spans
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY L DESC) AS rn FROM per)
+       WHERE rn = 1""",
+        doc="d19 (beyond-ref): the substring-dedup discipline composed "
+        "into one lazy plan (VERDICT r10 #2) — d16's ladder screens the "
+        "full corpus at log(max_len)-shuffle cost, d18's exact span "
+        "fan-out runs ONLY on ladder-flagged docs; output equals the "
+        "unscreened exact pass row for row because every carrier of a "
+        "cross-doc repeat >= min_len is flagged at the floor power of 2 "
+        "(operators/textops.screened_repeat_lengths). Runs at "
+        "min_len=8, the Lee-style long-repeat regime where ~10%% of "
+        "fixture docs flag — at min_len=4 the small-vocab synthetic "
+        "corpus saturates (99%% of docs share some 4-gram by chance; "
+        "SCALE.md round-11), which is a fixture property, not a screen "
+        "defect.",
+    )
+    def d19_screened_repeat_lengths(spark, sf_dir):
+        return tx.screened_repeat_lengths(
+            t(spark, sf_dir, "documents"), "text", "doc_id",
+            min_len=8, max_len=32,
+        )
+
+    return d19_screened_repeat_lengths
+
+
+d19_screened_repeat_lengths = _register_d19()
+
+
+def _register_d20():
+    @register(
+        "d20_trim_repeats",
+        # full replay of the set-based rewrite: positional span bands
+        # (no per-doc DISTINCT — the rewrite needs every occurrence) →
+        # repeated groups with min-doc canonical → covered positions in
+        # non-canonical docs → original-case words minus coverage,
+        # space-joined in order
+        f"""WITH {_span_level_ctes(5)},
+       allpos AS MATERIALIZED (
+         {_repeat_bands(8, positional=True)}),
+       grp AS MATERIALIZED (
+         SELECT L, h, min(doc_id) AS keep_doc
+         FROM (SELECT DISTINCT doc_id, L, h FROM allpos)
+         GROUP BY L, h HAVING count(*) > 1),
+       cov AS MATERIALIZED (
+         SELECT DISTINCT s.doc_id, s.i + d.d AS p
+         FROM allpos s
+         JOIN grp g ON g.L = s.L AND g.h = s.h AND g.keep_doc <> s.doc_id
+         JOIN (SELECT unnest(range(0, 32)) AS d) d ON d.d < s.L),
+       words AS MATERIALIZED (
+         SELECT doc_id, i, ws[i] AS w
+         FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+               FROM (SELECT doc_id,
+                            regexp_split_to_array(trim(text), '\\s+') AS ws
+                     FROM documents))),
+       kept AS (
+         SELECT w.doc_id, string_agg(w.w, ' ' ORDER BY w.i) AS clean_text,
+                count(*) AS n_kept
+         FROM words w LEFT JOIN cov c ON c.doc_id = w.doc_id AND c.p = w.i
+         WHERE c.p IS NULL GROUP BY 1)
+       SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+              CAST(d.n_tokens AS BIGINT) AS n_tokens,
+              CAST(d.n_tokens - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+       FROM (SELECT doc_id,
+                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+             FROM documents) d
+       LEFT JOIN kept k USING (doc_id)""",
+        doc="d20 (beyond-ref): repeated-span REMOVAL — the Lee et al. "
+        "ACL'22 production step d16-d18 only diagnose (VERDICT r10 #3): "
+        "rewrite docs by dropping cross-corpus repeated spans >= "
+        "min_len, keeping ONE canonical occurrence per span group (min "
+        "doc_id carrier keeps all its occurrences), with per-doc "
+        "tokens-removed accounting. Set-based position-coverage "
+        "semantics so this SQL replays the rewrite bit-for-bit; the "
+        "Spark side ladder-screens first so the positional fan-out "
+        "runs only on flagged docs "
+        "(operators/textops.trim_repeats). Runs at min_len=8 — the "
+        "long-repeat regime where trimming is surgical (~10%% of docs "
+        "touched) rather than shredding every chance 4-gram.",
+    )
+    def d20_trim_repeats(spark, sf_dir):
+        return tx.trim_repeats(
+            t(spark, sf_dir, "documents"), "text", "doc_id",
+            min_len=8, max_len=32,
+        )
+
+    return d20_trim_repeats
+
+
+d20_trim_repeats = _register_d20()
 
 
 @register(

@@ -4193,3 +4193,93 @@ def test_exact_repeat_lengths_pins_planted_six(spark):
     assert set(exact) == set(ladder)
     for d, lf in ladder.items():
         assert lf <= exact[d] < 2 * lf
+
+
+def test_screened_repeat_lengths_equals_full_exact(spark):
+    """d19's screen is result-invisible: on the planted case it returns
+    d18's rows exactly (doc 3 never enters the exact fan-out — the
+    point of the screen), and on real corpus data the screened and
+    full outputs are row-for-row identical including span counts."""
+    from mrf_etl_spark.operators.textops import (
+        exact_repeat_lengths,
+        screened_repeat_lengths,
+    )
+
+    blk = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, "one two three " + blk + " tail1 tail2 tail3 tail4"),
+        (2, "x1 " + blk + " y1 y2 y3 y4 y5 y6 y7"),
+        (3, "totally different words only here nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.max_rep_len, r.n_rep_spans)
+        for r in screened_repeat_lengths(docs).collect()
+    )
+    assert got == [(1, 6, 1), (2, 6, 1)]
+
+    big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = sorted(
+        (r.doc_id, r.max_rep_len, r.n_rep_spans)
+        for r in exact_repeat_lengths(big).collect()
+    )
+    screened = sorted(
+        (r.doc_id, r.max_rep_len, r.n_rep_spans)
+        for r in screened_repeat_lengths(big).collect()
+    )
+    assert screened == full
+
+
+def test_trim_repeats_planted_block_hand_computable(spark):
+    """d20's rewrite on a hand-computable planted case: docs 1 and 2
+    share a 6-word block (case-insensitively); doc 1 (min doc_id) is
+    the canonical carrier and keeps everything, doc 2 loses exactly
+    the 6 covered positions with its original-case neighbors intact,
+    doc 3 round-trips untouched."""
+    from mrf_etl_spark.operators.textops import trim_repeats
+
+    blk = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, "one two three " + blk + " tail1 tail2 tail3 tail4"),
+        (2, "X1 " + blk.upper() + " y1 y2 y3 y4 y5 y6 y7"),
+        (3, "totally different words only here nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in trim_repeats(docs, min_len=4).collect()
+    }
+    assert got[1] == ("one two three " + blk + " tail1 tail2 tail3 tail4", 13, 0)
+    assert got[2] == ("X1 y1 y2 y3 y4 y5 y6 y7", 14, 6)
+    assert got[3] == (rows[2][1], 9, 0)
+
+
+def test_trim_repeats_accounting_and_screen_consistency(spark):
+    """On real corpus data: token accounting is exact
+    (n_tokens == kept words + n_removed, clean_text word count ==
+    n_tokens - n_removed), every doc rows through, and docs the ladder
+    never flags are byte-identical to their whitespace-normalized
+    input."""
+    from pyspark.sql import functions as F
+
+    from mrf_etl_spark.operators.textops import trim_repeats
+
+    big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = trim_repeats(big, min_len=8).cache()
+    assert out.count() == big.count()
+    bad = out.filter(
+        F.size(F.split(F.col("clean_text"), r"\s+"))
+        - F.when(F.col("clean_text") == "", 1).otherwise(0)
+        != F.col("n_tokens") - F.col("n_removed")
+    )
+    assert bad.count() == 0
+    untouched = (
+        out.filter(F.col("n_removed") == 0)
+        .join(big, "doc_id")
+        .filter(
+            F.col("clean_text")
+            != F.array_join(F.split(F.trim(F.col("text")), r"\s+"), " ")
+        )
+    )
+    assert untouched.count() == 0
+    out.unpersist()

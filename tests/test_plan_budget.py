@@ -162,6 +162,18 @@ BUDGETS = {
     # (doc,len) agg + per-doc agg — 4 real, printed twice through the
     # AdaptiveSparkPlan initial-plan section
     "d16_repeat_ladder": 8,
+    # screened exact repeat (d16 → semi-join gate → d18): the ladder's
+    # 4 real exchanges + the gate join input + the exact pass's
+    # (len,hash) window and per-doc aggs — measured 7 at sf0.001; an
+    # 8th would mean the gate stopped semi-joining or the exact pass
+    # gained a shuffle
+    "d19_screened_repeat_lengths": 7,
+    # trim rewrite: the ladder screen's 4 + gate join input + positional
+    # span agg pair + coverage distinct + kept-words rollup + the final
+    # accounting join — the only full-corpus-proportional exchanges are
+    # the screen's and the word rollup's; span/coverage traffic is
+    # flagged-docs-only
+    "d20_trim_repeats": 14,
 }
 
 
