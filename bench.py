@@ -110,6 +110,7 @@ HEADLINE = [
     "d18_exact_repeat_lengths",
     "d19_screened_repeat_lengths",
     "d20_trim_repeats",
+    "pipe9_trimmed_prep",
     "e6_kmeans_codebook",
     "t22_ngram_lm_bits",
     "e7_pq_codebook_train",
@@ -157,6 +158,23 @@ HEADLINE = [
     "pipe6_incremental_release",
     "w22_ewma_momentum",
     "d13_canonical_pick",
+]
+
+
+# Environment-control panel (VERDICT r10 #7): five cheap queries of
+# deliberately different plan shapes — scan-local hash projection, hash
+# groupBy dedup, TakeOrdered top-k, one-window latest-per-key, grid
+# broadcast join. Each full bench times the panel once per sweep (samples
+# land minutes apart), and the same-code spread ships in the output JSON:
+# the r9/r10 drift adjudication (is a cross-round delta a regression or a
+# CPU-steal wave?) becomes a number the bench itself records instead of a
+# by-hand interleaved-control experiment each round.
+CONTROL_SET = [
+    "f_hash_uid",
+    "d1_exact_dup",
+    "k1_topk",
+    "w1_latest_per_key",
+    "j18_grid_spatial_join",
 ]
 
 
@@ -271,7 +289,27 @@ def main() -> None:
     # query's samples at once (observed: f_hash_uid, a sub-second
     # projection, recorded 2.7 s because its three consecutive runs all
     # sat in one wave).
+    # the control panel's own samples (kept out of all_runs — control
+    # executions are environment probes, not headline measurements)
+    control_runs: dict[str, list[float]] = {name: [] for name in CONTROL_SET}
+
+    def time_control() -> None:
+        for cname in CONTROL_SET:
+            fn = reg_queries.get(cname)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            try:
+                cdf = fn(spark, sf_dir)
+                cdf.toPandas()
+            except Exception:  # noqa: BLE001 — a control error is not a bench error
+                continue
+            control_runs[cname].append(time.perf_counter() - t0)
+            release_state(cdf)
+
     for sweep in range(3):
+        if not subset:
+            time_control()
         for name in HEADLINE:
             if name in errors:
                 continue
@@ -320,6 +358,29 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
+    # control panel: same-code spread measured INSIDE this run. Sweep 1's
+    # control samples pay JIT exactly like sweep-1 headline samples, so
+    # the spread is computed over sweeps 2+ (the steady-state pair) —
+    # max/min per control query, summarized by median and max. Reading
+    # rule (PLANS.md r9/r10 drift sections, now computed not asserted):
+    # median steady-state spread ≲ 1.08 = quiet machine, trust deltas;
+    # spikes beyond ~1.25 = CPU-steal wave during this run — read
+    # cross-round per-query deltas against control_spread first.
+    spreads = {
+        name: round(max(runs[1:]) / min(runs[1:]), 3)
+        for name, runs in control_runs.items()
+        if len(runs) >= 3 and min(runs[1:]) > 0
+    }
+    if spreads:
+        svals = sorted(spreads.values())
+        detail["control_panel"] = {
+            "samples": {
+                n: [round(x, 3) for x in r] for n, r in control_runs.items()
+            },
+            "spread": spreads,
+            "control_spread": svals[len(svals) // 2],
+            "max_spread": svals[-1],
+        }
     # carry the serving-latency section (scripts/bench_serving.py writes
     # BENCH_SERVING.json) so a fresh ETL bench doesn't drop it from the
     # committed detail

@@ -1601,7 +1601,14 @@ def ngram_lm_bits(
     Returns (doc_id, n_bigrams, total_bits, is_surprising) for EVERY
     input document (docs with < 2 tokens score 0 and never flag).
     """
-    w = docs.select(
+    from mrf_etl_spark.operators.dedup import widen_narrow_input
+
+    # the tokenize + pair explode + count aggs are map-side CPU-bound:
+    # a corpus arriving as 1-2 parquet splits would pin them on 1-2
+    # cores (measured: the whole t22 chain at 2/32 tasks was the real
+    # slope behind t25/sp26's super-linear sf1 ladders, not the hot-key
+    # join) — no-op at real scale where the scan is already wide
+    w = widen_narrow_input(docs).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
     )
@@ -1618,11 +1625,17 @@ def ngram_lm_bits(
     ).select("doc_id", F.col("_g.w1").alias("w1"), F.col("_g.w2").alias("w2"))
     bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("_cb"))
     flog2 = lambda c: F.length(F.bin(F.col(c))) - F.lit(1)  # noqa: E731
-    scored = (
-        pairs.join(uc, "w1")
-        .join(bc, ["w1", "w2"])
-        .select("doc_id", (flog2("_cu") - flog2("_cb")).cast("long").alias("_bits"))
+    # skew discipline (VERDICT r10 #6): resolve per-DISTINCT-bigram bits
+    # by joining the two COUNT tables on w1 first (hot stopwords fan out
+    # over distinct-bigram rows, never over document traffic), then join
+    # the doc-pair stream on the FULL (w1, w2) key — 'the' is one key on
+    # a w1-keyed join but thousands of (the, X) keys here, so the heavy
+    # join's partitions stay balanced by construction instead of leaning
+    # on AQE's skew splitter
+    bits = bc.join(uc, "w1").select(
+        "w1", "w2", (flog2("_cu") - flog2("_cb")).cast("long").alias("_bits")
     )
+    scored = pairs.join(bits, ["w1", "w2"]).select("doc_id", "_bits")
     agg = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"), F.sum("_bits").alias("total_bits")
     )

@@ -477,6 +477,12 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("m2_frame_sample", []),
         ("m3_media_exact_dup", []),
         ("m5_perceptual_hash", []),
+        # round-11: pipe9 (trim-first corpus prep) — all-int + string
+        # manifest surface; cost-driven ride on a post-split probe with
+        # headroom (the pipeline family's probes are at the 7-cap, and
+        # its trim stage's relatives on fx_tolerant_lookups /
+        # fx_media_pairs already carry the d20/d19 oracles)
+        ("pipe9_trimmed_prep", []),
     ],
     "fx_media_pairs": [
         ("m4_media_near_dup", ["jaccard"]),
@@ -913,6 +919,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "d19_screened_repeat_lengths": ["doc_id", "max_rep_len", "n_rep_spans"],
     "d20_trim_repeats": ["doc_id", "clean_text", "n_tokens", "n_removed"],
+    "pipe9_trimmed_prep": ["doc_id", "split", "content_hash", "n_removed"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
     "m6_phash_near_dup": ["doc_a", "doc_b", "hamming"],
     "m7_audio_near_dup": ["doc_a", "doc_b", "hamming"],
@@ -1168,7 +1175,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 300
+CATALOG_COUNT = 301
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -2716,6 +2716,108 @@ def _register_d20():
 d20_trim_repeats = _register_d20()
 
 
+def _register_pipe9():
+    @register(
+        "pipe9_trimmed_prep",
+        # pipe1's prep flow with d20's rewrite as stage 0: trim chain
+        # (d20's CTEs verbatim) → t2 quality over the TRIMMED text →
+        # exact dedup keeping min doc_id per content hash → PII scrub →
+        # deterministic split; n_removed rides through as the per-doc
+        # token-loss accounting.
+        f"""WITH {_span_level_ctes(5)},
+       allpos AS MATERIALIZED (
+         {_repeat_bands(8, positional=True)}),
+       grp AS MATERIALIZED (
+         SELECT L, h, min(doc_id) AS keep_doc
+         FROM (SELECT DISTINCT doc_id, L, h FROM allpos)
+         GROUP BY L, h HAVING count(*) > 1),
+       cov AS MATERIALIZED (
+         SELECT DISTINCT s.doc_id, s.i + d.d AS p
+         FROM allpos s
+         JOIN grp g ON g.L = s.L AND g.h = s.h AND g.keep_doc <> s.doc_id
+         JOIN (SELECT unnest(range(0, 32)) AS d) d ON d.d < s.L),
+       owords AS MATERIALIZED (
+         SELECT doc_id, i, ws[i] AS w
+         FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+               FROM (SELECT doc_id,
+                            regexp_split_to_array(trim(text), '\\s+') AS ws
+                     FROM documents))),
+       keptw AS (
+         SELECT w.doc_id, string_agg(w.w, ' ' ORDER BY w.i) AS clean_text,
+                count(*) AS n_kept
+         FROM owords w LEFT JOIN cov c ON c.doc_id = w.doc_id AND c.p = w.i
+         WHERE c.p IS NULL GROUP BY 1),
+       trimmed AS MATERIALIZED (
+         SELECT d.doc_id, coalesce(k.clean_text, '') AS text,
+                CAST(d.n_tokens - coalesce(k.n_kept, 0) AS BIGINT)
+                  AS n_removed
+         FROM (SELECT doc_id,
+                      len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS n_tokens
+               FROM documents) d
+         LEFT JOIN keptw k USING (doc_id)),
+       q AS (SELECT doc_id, quality FROM ({_t2_sql('trimmed')}) tq),
+       gated AS (
+         SELECT tr.doc_id, tr.text, tr.n_removed
+         FROM trimmed tr JOIN q USING (doc_id)
+         WHERE q.quality >= 0.75),
+       dedup AS (
+         SELECT doc_id, text, n_removed FROM (
+           SELECT doc_id, text, n_removed,
+                  row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+           FROM gated) WHERE rn = 1)
+       SELECT doc_id,
+              CASE WHEN bucket < 9000 THEN 'train'
+                   WHEN bucket < 9500 THEN 'val'
+                   ELSE 'test' END AS split,
+              md5({_t6_scrub_sql('text')}) AS content_hash,
+              n_removed
+       FROM (SELECT doc_id, text, n_removed,
+                    {_BUCKET_SQL.format(id='doc_id')} AS bucket
+             FROM dedup)""",
+        doc="pipe9 (beyond-ref, VERDICT r10 #3): pipe1's corpus-prep flow "
+        "with d20's repeated-span rewrite as stage 0 — trim cross-corpus "
+        "repeats (canonical occurrence kept), THEN quality-gate the "
+        "cleaned text, exact-dedup (trimming converges boilerplate-"
+        "differing docs onto the same hash — the rewrite makes the dedup "
+        "stronger), PII-scrub, split; per-doc tokens-removed accounting "
+        "rides through to the manifest. One lazy plan; the trim chain's "
+        "fan-out is ladder-screened as in d20.",
+    )
+    def pipe9_trimmed_prep(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        from mrf_etl_spark.operators import sampling as sp
+
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        trimmed = tx.trim_repeats(
+            docs, "text", "doc_id", min_len=8, max_len=32
+        ).select(
+            "doc_id", F.col("clean_text").alias("text"), "n_removed"
+        )
+        gated = trimmed.filter(tx.quality_score("text") >= 0.75)
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        dedup = (
+            gated.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        return sp.assign_split(
+            dedup, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).select(
+            "doc_id",
+            "split",
+            F.md5(tx.pii_scrub("text")).alias("content_hash"),
+            "n_removed",
+        )
+
+    return pipe9_trimmed_prep
+
+
+pipe9_trimmed_prep = _register_pipe9()
+
+
 @register(
     "d8_semantic_dedup",
     # SemDeDup-style composition (Abbas et al. 2023, public literature):

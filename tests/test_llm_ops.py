@@ -4283,3 +4283,52 @@ def test_trim_repeats_accounting_and_screen_consistency(spark):
     )
     assert untouched.count() == 0
     out.unpersist()
+
+
+def test_pipe9_equals_manual_stage_composition(spark):
+    """pipe9 is exactly trim → t2 gate → min-id exact dedup → scrub →
+    split composed lazily: rebuild it stage by stage from the public
+    operators on corpus data and require row-for-row equality,
+    including the n_removed accounting."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mrf_etl_spark.operators import sampling as sp
+    from mrf_etl_spark.operators import textops as tx
+    from mrf_etl_spark.plans.parity import REGISTRY
+    import mrf_etl_spark.plans.parity_llm  # noqa: F401
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.doc_id, r.split, r.content_hash, r.n_removed)
+        for r in REGISTRY["pipe9_trimmed_prep"]
+        .spark_fn(spark, sf)
+        .collect()
+    )
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    trimmed = tx.trim_repeats(docs, min_len=8).select(
+        "doc_id", F.col("clean_text").alias("text"), "n_removed"
+    )
+    gated = trimmed.filter(tx.quality_score("text") >= 0.75)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    want = sorted(
+        (r.doc_id, r.split, r.content_hash, r.n_removed)
+        for r in sp.assign_split(
+            dedup, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.md5(tx.pii_scrub("text")).alias("content_hash"),
+            "n_removed",
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0

@@ -100,8 +100,12 @@ BUDGETS = {
     # embedding outliers: ONE combinable centroid agg; the join back
     # broadcasts; quantization and flags are scan-local projections
     "e5_embedding_outliers": 1,
-    # bigram LM surprise: two count aggs (unigram, bigram), the scoring
-    # joins on the n-gram keys, and the per-doc rollup + join back
+    # bigram LM surprise: two count aggs (unigram, bigram), the
+    # count-table bits join on w1, the doc-pair scoring join on the
+    # FULL (w1, w2) key (skew-spread by key widening — r11), per-doc
+    # rollup + join back, plus the widen_narrow_input round-robins
+    # (no-ops at real scale; at fixture scale they put the tokenize
+    # explode on all cores — the r11 sf1 fix)
     "t22_ngram_lm_bits": 6,
     # stats sketch lake serve: state-sized union agg + the exact
     # verification side's distinct agg (the only corpus shuffle)
@@ -137,8 +141,10 @@ BUDGETS = {
     "d15_dsir_select": 4,
     # perplexity buckets: t22's six (scores) + doc-source join + the
     # histogram/threshold stages — everything past the rollup runs over
-    # the bounded (domain, score) table; thresholds broadcast back
-    "t25_perplexity_buckets": 13,
+    # the bounded (domain, score) table; thresholds broadcast back.
+    # r11: +9 from the widen round-robins appearing per-subtree in the
+    # pre-AQE string (runtime reuses them; the sf1 win is 7.2 -> 5.2 s)
+    "t25_perplexity_buckets": 22,
     # hard negatives: ivf_topk's shape — assignment agg, candidate join,
     # rank window; centroids and probes broadcast
     "n10_hard_negatives": 3,
@@ -174,6 +180,10 @@ BUDGETS = {
     # the screen's and the word rollup's; span/coverage traffic is
     # flagged-docs-only
     "d20_trim_repeats": 14,
+    # trim-first prep: d20's rewrite chain (14) + the content-hash dedup
+    # window — quality gate, scrub and split are scan-local projections
+    # over the rewrite's output
+    "pipe9_trimmed_prep": 15,
 }
 
 
@@ -197,6 +207,19 @@ def test_exchange_budget(spark, name):
         f"{name}: {n} exchanges > budget {BUDGETS[name]} — the plan gained "
         f"a shuffle; inspect df.explain('formatted')"
     )
+
+
+def test_t22_pair_join_keyed_by_full_bigram(spark):
+    """The doc-pair scoring join must shuffle on the FULL (w1, w2) key —
+    keying the heavy side by w1 alone concentrates hot stopwords
+    ('the') into single partitions (the skew behind sp26's r10 3.1x
+    ladder); the fix is key widening, pinned here so it can't silently
+    regress to a w1-keyed pair join (w1-only exchanges are fine for the
+    small count-table join)."""
+    reg = _catalog()
+    df = reg["t22_ngram_lm_bits"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(w1#\d+, w2#\d+", plan), plan
 
 
 def test_keyset_predicate_reaches_the_scan(spark):
