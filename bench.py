@@ -87,6 +87,7 @@ HEADLINE = [
     "e4_product_quantization",
     "n5_ann_pq_adc",
     "n7_ann_ivf_pq",
+    "n14_ann_ivfpq_residual",
     # round-9: persisted IVF-PQ — the index builds once per process
     # (ingest-time state; the cold sweep records build+query, warm
     # sweeps the serving path — SCALE.md has the query-vs-corpus table)

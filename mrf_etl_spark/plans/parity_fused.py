@@ -553,6 +553,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-10: deflated top-k directions — embedding-family,
         # all-int (comp, i, v) surface (~0.3 s oracle)
         ("e13_deflated_directions", []),
+        # round-11: residual IVF-PQ (Jégou IVFADC at identical code
+        # bytes) — n7's output shape; ANN-family ride
+        ("n14_ann_ivfpq_residual", ["cosine"]),
     ],
     "fx_ann_trained": [
         # round-8: the composed IVF-PQ cascade — deterministic like both
@@ -920,6 +923,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "d19_screened_repeat_lengths": ["doc_id", "max_rep_len", "n_rep_spans"],
     "d20_trim_repeats": ["doc_id", "clean_text", "n_tokens", "n_removed"],
     "pipe9_trimmed_prep": ["doc_id", "split", "content_hash", "n_removed"],
+    "n14_ann_ivfpq_residual": ["query_id", "neighbor_id", "cosine", "rank"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
     "m6_phash_near_dup": ["doc_a", "doc_b", "hamming"],
     "m7_audio_near_dup": ["doc_a", "doc_b", "hamming"],
@@ -1175,7 +1179,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 301
+CATALOG_COUNT = 302
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

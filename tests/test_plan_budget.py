@@ -184,6 +184,10 @@ BUDGETS = {
     # window — quality gate, scrub and split are scan-local projections
     # over the rewrite's output
     "pipe9_trimmed_prep": 15,
+    # residual IVF-PQ: coarse-assign agg + the residual join's inputs +
+    # codes argmin agg + candidate/final rank windows — centroids,
+    # seeds, probe list and the per-(query, bucket) LUT all broadcast
+    "n14_ann_ivfpq_residual": 6,
 }
 
 
