@@ -438,6 +438,13 @@ def quantize_int8_global(
     Returns (id, gscale, qvec) — ``gscale`` is the same value on every
     row (carry it out to dequantize trained artifacts back to float
     space)."""
+    from mrf_etl_spark.operators.dedup import widen_narrow_input
+
+    # every int8 trainer/assigner (e5/e6/e7 Lloyd crossJoins, st20/st23
+    # batch assignment) inherits its task width from THIS frame — a
+    # 1-2-split embeddings parquet would pin their whole fan-out on 1-2
+    # cores (the r11 sf10 straggler; no-op at real scale)
+    emb = widen_narrow_input(emb)
     v = F.col(vec_col)
     gmax = emb.agg(
         F.max(
@@ -2187,12 +2194,17 @@ def semantic_decontam(
 
     Returns (id, eval_id, cosine, contaminated) for every corpus row.
     """
+    from mrf_etl_spark.operators.dedup import widen_narrow_input
+
     ev = eval_set.select(
         F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev")
     ).withColumn("_en", norm_fold("ev"))
-    c = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "_cn", norm_fold(vec_col)
-    )
+    # the corpus×eval fold fan-out is map-side CPU: a narrow embeddings
+    # scan pinned it on 1-2 cores at sf10 (the q11 straggler) — no-op at
+    # real scale where the scan is wide
+    c = widen_narrow_input(
+        corpus.select(F.col(id_col), F.col(vec_col))
+    ).withColumn("_cn", norm_fold(vec_col))
     scored = c.crossJoin(F.broadcast(ev)).withColumn(
         "cos_e",
         F.when(

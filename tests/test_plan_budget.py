@@ -152,8 +152,10 @@ BUDGETS = {
     # projection over the |domains|-row table
     "sp23_mixture_solver": 1,
     # dual-gate report: d12's doc rollup exchanges + the semantic argmax
-    # agg + the id-keyed gate join — eval sides broadcast
-    "q11_dual_gate_decontam": 7,
+    # agg + the id-keyed gate join — eval sides broadcast; +1 in r11 for
+    # semantic_decontam's widen round-robin (the sf10 straggler fix,
+    # no-op at real scale)
+    "q11_dual_gate_decontam": 8,
     # training-order manifest: the solver's token-count agg + sp8's
     # bucket-count agg pair feeding broadcast offsets + the ONE
     # per-bucket data shuffle — rates and offsets broadcast
