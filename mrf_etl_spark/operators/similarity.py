@@ -134,9 +134,14 @@ def assign_centroids(
     was MEASURED 3x slower on this crossJoin (the generated method blows
     past the JIT's method-size limits and runs as interpreted bytecode —
     exactly what dot_fold's docstring warns)."""
+    from mrf_etl_spark.operators.dedup import widen_narrow_input
+
     c = centroids.select(F.col("cid"), F.col("cvec")).withColumn("_cnorm", norm_fold("cvec"))
+    # the corpus×centroid fold fan-out is map-side CPU: widen a narrow
+    # scan so it doesn't run on 1-2 cores (r11 sf10 straggler class;
+    # no-op at real scale or on already-derived inputs)
     scored = (
-        emb.select(F.col(id_col), F.col(vec_col))
+        widen_narrow_input(emb.select(F.col(id_col), F.col(vec_col)))
         .withColumn("_vnorm", norm_fold(vec_col))
         .crossJoin(F.broadcast(c))
         .withColumn(
@@ -840,7 +845,11 @@ def _pq_rows(
             for b in range(n_blocks)
         ],
     )
-    e = emb.select(
+    from mrf_etl_spark.operators.dedup import widen_narrow_input
+
+    # the 16-seed × n_blocks PQ long form is the encode stage's whole
+    # CPU — widen a narrow corpus scan (r11; no-op at real scale)
+    e = widen_narrow_input(emb).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("ev"),
         _pq_fold2(F.col(vec_col), F.col(vec_col), lambda x, y: x * y).alias("en2"),

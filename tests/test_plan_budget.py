@@ -113,14 +113,14 @@ BUDGETS = {
     # composed IVF-PQ: coarse-assign agg, codes window, ADC pivot agg,
     # candidate window, final rank window — probe list, LUT, offsets and
     # codebook all travel as broadcasts (not counted)
-    "n7_ann_ivf_pq": 5,
+    "n7_ann_ivf_pq": 8,  # +3 r11: widen round-robins (assign + PQ long form)
     # persisted IVF-PQ QUERY plan (the index build is ingest-time
     # actions, not part of this plan): probe window, LUT long-form
     # windows, ADC pivot agg, candidate + final rank windows — codes,
     # probes, LUT and rerank queries all broadcast; one more than n7
     # because the LUT derives from the persisted codebook scan instead
     # of sharing n7's in-plan long form
-    "n8_ann_ivf_pq_persisted": 6,
+    "n8_ann_ivf_pq_persisted": 7,  # +1 r11 widen
     # novelty audit: shingle-df agg pair + join-back + doc rollup —
     # d3's posting-list shape without the pair emission
     "t21_shingle_novelty": 4,
@@ -147,7 +147,7 @@ BUDGETS = {
     "t25_perplexity_buckets": 22,
     # hard negatives: ivf_topk's shape — assignment agg, candidate join,
     # rank window; centroids and probes broadcast
-    "n10_hard_negatives": 3,
+    "n10_hard_negatives": 4,  # +1 r11 widen
     # mixture solver: ONE combinable token-count agg; the rate math is a
     # projection over the |domains|-row table
     "sp23_mixture_solver": 1,
@@ -189,7 +189,7 @@ BUDGETS = {
     # residual IVF-PQ: coarse-assign agg + the residual join's inputs +
     # codes argmin agg + candidate/final rank windows — centroids,
     # seeds, probe list and the per-(query, bucket) LUT all broadcast
-    "n14_ann_ivfpq_residual": 6,
+    "n14_ann_ivfpq_residual": 9,  # +3 r11 widen (assign + residual frame inputs)
 }
 
 
