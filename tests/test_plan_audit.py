@@ -65,6 +65,10 @@ NESTED_LOOP_OK = {
     # n7 composes n2's coarse-centroid broadcast with n5's PQ-codebook
     # broadcast — both bounded; the prune joins are keyed, not products
     "n7_ann_ivf_pq": "composes n2+n5's bounded broadcasts",
+    # n14 quantizes coarse RESIDUALS: corpus × 16-seed broadcast for
+    # codes, query × centroid broadcast for probes, query-residual ×
+    # seed broadcast for the per-bucket LUT — all bounded sides
+    "n14_ann_ivfpq_residual": "residual IVF-PQ: bounded centroid/seed/LUT broadcasts (the n7 pattern)",
     # n8 is n7 served from the lake: the query probes the PERSISTED
     # coarse-centroid broadcast and the LUT crosses the persisted 16-row
     # PQ codebook — the same bounded shapes, read from disk
