@@ -380,3 +380,56 @@ def test_second_tier_rollup_mvs_serve_identically_and_prune(api, tmp_path):
         "GA", "2025-01", "procedure", source=("payer", "Aetna Inc")
     )
     assert norm(mv_dd.collect()) == norm(live_dd.collect())
+
+
+def test_ilike_wildcards_are_literal_on_both_tiers(spark, tmp_path):
+    """ADVICE r10: a user '%'/'_' in a search value must match LITERALLY
+    on BOTH serving tiers — the fast path (contains on stored _lc_
+    columns) can only be literal, and the MV rollup tier's ilike
+    fallback now escapes (plans/queries.like_literal), so the same
+    endpoint returns the same rows whichever tier answers. Probes: a
+    payer name containing both wildcard characters matches itself and
+    ONLY itself; a wildcard-shaped probe ('Ae%na') matches nothing."""
+    from mrf_etl_spark.plans.queries import like_literal
+
+    assert like_literal("100% a_b\\c") == "100\\% a\\_b\\\\c"
+
+    fact = spark.createDataFrame(
+        [
+            ("f1", "GA", "2025-01", "pct", "professional", "CPT", "99213",
+             "pg1", 100.0, "100% Health_Plan Inc"),
+            ("f2", "GA", "2025-01", "aetna", "professional", "CPT", "99213",
+             "pg1", 200.0, "Aetna Inc"),
+            ("f3", "GA", "2025-01", "xhp", "professional", "CPT", "99213",
+             "pg1", 300.0, "100X HealthYPlan Inc"),
+        ],
+        "fact_uid string, state string, year_month string, payer_slug string, "
+        "billing_class string, code_type string, code string, pg_uid string, "
+        "negotiated_rate double, reporting_entity_name string",
+    ).select(
+        "*",
+        F.lit("negotiated").alias("negotiated_type"),
+        F.lit("ffs").alias("negotiation_arrangement"),
+        F.lit("9999-12-31").alias("expiration_date"),
+    )
+    lake = StarLake(fact=fact)
+
+    def payers(lk, value):
+        return sorted(
+            r.reporting_entity_name
+            for r in lk.search_rollup("payer", value, "GA", "2025-01")
+            .select("reporting_entity_name")
+            .collect()
+        )
+
+    mv2 = lake.materialize_search_index(
+        str(tmp_path / "idx")
+    ).materialize_search_rollups(str(tmp_path / "mv2"), ["payer"])
+    for lk in (lake, mv2):
+        # literal value with % and _ matches exactly its own row — were
+        # the wildcards live, '100% Health_Plan' would ALSO match
+        # '100X HealthYPlan' ('%'→any run, '_'→any char)
+        assert payers(lk, "100% Health_Plan") == ["100% Health_Plan Inc"]
+        # a wildcard-shaped probe matches nothing (no literal substring)
+        assert payers(lk, "Ae%na") == []
+        assert payers(lk, "Aetna") == ["Aetna Inc"]
