@@ -845,7 +845,7 @@ def leakage_safe_split(
 def mixture_solver(
     docs: DataFrame,
     targets: dict[str, int],
-    budget_tokens: int,
+    budget_tokens: int | None,
     domain_col: str = "source",
     text_col: str = "text",
     default_bp: int = 0,
@@ -856,7 +856,10 @@ def mixture_solver(
     planning step every training-mix spec (The Pile / Dolma / RedPajama
     weights tables) needs before :func:`mix_sources` can apply it.
     ``targets`` maps domain → target share in basis points (1/10000);
-    domains not named get ``default_bp``.
+    domains not named get ``default_bp``. ``budget_tokens=None`` means
+    CORPUS-PROPORTIONAL: the budget is the corpus's total token count
+    (one epoch-equivalent), so the plan scales with the data instead of
+    flooring every rate to 0 once the corpus outgrows a fixed literal.
 
     All-integer arithmetic so the plan replays exactly and never
     drifts from what mix_sources executes: per domain,
@@ -909,16 +912,28 @@ def mixture_solver(
     tbp = (
         F.lit(int(default_bp)) if tbp is None else tbp.otherwise(int(default_bp))
     ).cast("long")
-    b = int(budget_tokens)
     out = tok.withColumn("target_bp", tbp)
+    if budget_tokens is None:
+        # corpus-proportional budget: total corpus tokens (ONE
+        # epoch-equivalent), so the solver stays meaningful at any
+        # scale — a FIXED literal budget shrinks toward rate 0 as the
+        # corpus grows (at 100× fixture scale every domain's integer
+        # rate floored to 0 and the manifest emptied, SCALE.md r11).
+        # The total rides a 1-row broadcast crossJoin (the t5
+        # collect-free global-scalar shape), derived from the same agg.
+        total = tok.agg(F.sum("tokens").alias("_budget"))
+        out = out.crossJoin(F.broadcast(total))
+        budget_sql = "CAST(_budget AS BIGINT)"
+    else:
+        budget_sql = f"CAST({int(budget_tokens)} AS BIGINT)"
     out = out.withColumn(
         "rate_bp",
         F.expr(
             f"CASE WHEN tokens > 0 THEN "
-            f"((CAST({b} AS BIGINT) * target_bp) div 10000) * 10000 div tokens "
+            f"(({budget_sql} * target_bp) div 10000) * 10000 div tokens "
             f"ELSE CAST(0 AS BIGINT) END"
         ),
-    )
+    ).drop("_budget")
     return out.withColumn(
         "planned_tokens", F.expr("tokens * rate_bp div 10000")
     ).select("domain", "tokens", "target_bp", "rate_bp", "planned_tokens")
@@ -928,7 +943,7 @@ def weighted_mixture_solver(
     docs: DataFrame,
     weights: DataFrame,
     targets: dict[str, int],
-    budget_tokens: int,
+    budget_tokens: int | None,
     domain_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -991,17 +1006,26 @@ def weighted_mixture_solver(
     tbp = (
         F.lit(int(default_bp)) if tbp is None else tbp.otherwise(int(default_bp))
     ).cast("long")
-    b = int(budget_tokens)
     out = tok.withColumn("target_bp", tbp)
+    if budget_tokens is None:
+        # corpus-proportional: one EFFECTIVE-epoch equivalent (total
+        # effective tokens), same rationale as mixture_solver's None
+        # mode — a fixed literal budget floors every rate to 0 once the
+        # corpus outgrows it
+        total = tok.agg(F.sum("eff_tokens_bp").alias("_budget_bp"))
+        out = out.crossJoin(F.broadcast(total))
+        budget_sql = "(CAST(_budget_bp AS BIGINT) div 10000)"
+    else:
+        budget_sql = f"CAST({int(budget_tokens)} AS BIGINT)"
     out = out.withColumn(
         "rate_bp",
         F.expr(
             f"CASE WHEN eff_tokens_bp > 0 THEN "
-            f"((CAST({b} AS BIGINT) * target_bp) div 10000) "
+            f"(({budget_sql} * target_bp) div 10000) "
             f"* 100000000 div eff_tokens_bp "
             f"ELSE CAST(0 AS BIGINT) END"
         ),
-    )
+    ).drop("_budget_bp")
     return out.withColumn(
         "planned_tokens", F.expr("eff_tokens_bp * rate_bp div 100000000")
     ).select(
@@ -1012,7 +1036,7 @@ def weighted_mixture_solver(
 def training_order(
     docs: DataFrame,
     targets: dict[str, int],
-    budget_tokens: int,
+    budget_tokens: int | None,
     domain_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",

@@ -3401,7 +3401,7 @@ def _training_order_ctes(corpus: str = "documents") -> str:
        rt AS MATERIALIZED (
          SELECT domain, tokens, target_bp,
                 CASE WHEN tokens > 0
-                     THEN ((CAST({SP23_BUDGET} AS BIGINT) * target_bp)
+                     THEN ((CAST((SELECT sum(tokens) FROM tok) AS BIGINT) * target_bp)
                            // 10000) * 10000 // tokens
                      ELSE CAST(0 AS BIGINT) END AS rate_bp
          FROM tb),
@@ -3433,7 +3433,7 @@ def _training_order_ctes(corpus: str = "documents") -> str:
        rt AS MATERIALIZED (
          SELECT domain, tokens, target_bp,
                 CASE WHEN tokens > 0
-                     THEN ((CAST({SP23_BUDGET} AS BIGINT) * target_bp)
+                     THEN ((CAST((SELECT sum(tokens) FROM tok) AS BIGINT) * target_bp)
                            // 10000) * 10000 // tokens
                      ELSE CAST(0 AS BIGINT) END AS rate_bp
          FROM tb)
@@ -3456,7 +3456,7 @@ def sp23_mixture_solver(spark, sf_dir):
     return sp.mixture_solver(
         t(spark, sf_dir, "documents"),
         SP23_TARGETS,
-        SP23_BUDGET,
+        None,  # corpus-proportional budget (one epoch-equivalent)
         "source",
         "text",
         default_bp=0,
@@ -3489,7 +3489,7 @@ def pipe7_training_order(spark, sf_dir):
     return sp.training_order(
         t(spark, sf_dir, "documents"),
         SP23_TARGETS,
-        SP23_BUDGET,
+        None,  # corpus-proportional budget (one epoch-equivalent)
         "source",
         "text",
         "doc_id",
@@ -3528,7 +3528,7 @@ def _register_s30():
         out = sp.training_order(
             t(spark, sf_dir, "documents"),
             SP23_TARGETS,
-            SP23_BUDGET,
+            None,  # corpus-proportional budget (one epoch-equivalent)
             "source",
             "text",
             "doc_id",
@@ -3614,7 +3614,7 @@ def _register_pipe8():
         out = sp.training_order(
             gated,
             SP23_TARGETS,
-            SP23_BUDGET,
+            None,  # corpus-proportional budget (one epoch-equivalent)
             "source",
             "text",
             "doc_id",
@@ -6524,7 +6524,7 @@ def d11_soft_dedup_weights(spark, sf_dir):
        rt AS (
          SELECT domain, eff_tokens_bp, target_bp,
                 CASE WHEN eff_tokens_bp > 0
-                     THEN ((CAST({SP23_BUDGET} AS BIGINT) * target_bp)
+                     THEN (((CAST((SELECT sum(eff_tokens_bp) FROM tok) AS BIGINT) // 10000) * target_bp)
                            // 10000) * 100000000 // eff_tokens_bp
                      ELSE CAST(0 AS BIGINT) END AS rate_bp
          FROM tb)
@@ -6554,7 +6554,7 @@ def sp25_dedup_aware_mixture(spark, sf_dir):
         t(spark, sf_dir, "documents"),
         weights,
         SP23_TARGETS,
-        SP23_BUDGET,
+        None,  # corpus-proportional budget (one epoch-equivalent)
         "source",
         "text",
         "doc_id",

@@ -3871,7 +3871,7 @@ def test_pipe8_decontam_training_order_composition(spark):
     from mrf_etl_spark.operators.sampling import training_order
     from mrf_etl_spark.plans.parity import REGISTRY
     import mrf_etl_spark.plans.parity_fused  # noqa: F401
-    from mrf_etl_spark.plans.parity_llm import SP23_BUDGET, SP23_TARGETS
+    from mrf_etl_spark.plans.parity_llm import SP23_TARGETS
 
     sf = "/root/testdata/sf0.001"
     q11 = REGISTRY["q11_dual_gate_decontam"].spark_fn(spark, sf).collect()
@@ -3891,7 +3891,7 @@ def test_pipe8_decontam_training_order_composition(spark):
         map(
             tuple,
             training_order(
-                gated, SP23_TARGETS, SP23_BUDGET, "source", "text",
+                gated, SP23_TARGETS, None, "source", "text",
                 "doc_id", salt="order",
             ).collect(),
         )

@@ -69,6 +69,14 @@ NESTED_LOOP_OK = {
     # codes, query × centroid broadcast for probes, query-residual ×
     # seed broadcast for the per-bucket LUT — all bounded sides
     "n14_ann_ivfpq_residual": "residual IVF-PQ: bounded centroid/seed/LUT broadcasts (the n7 pattern)",
+    # r11 corpus-proportional budgets: the solver's total-token budget
+    # rides a 1-ROW broadcast crossJoin onto the |domains|-row rate
+    # table (the t5 collect-free global-scalar shape)
+    "sp23_mixture_solver": "1-row corpus-total budget broadcast onto the domains table",
+    "pipe7_training_order": "sp23's 1-row budget broadcast (solver stage)",
+    "s30_training_order_export": "sp23's 1-row budget broadcast (solver stage)",
+    "pipe8_decontam_training_order": "sp23's 1-row budget broadcast (solver stage)",
+    "sp25_dedup_aware_mixture": "1-row effective-token budget broadcast onto the domains table",
     # n8 is n7 served from the lake: the query probes the PERSISTED
     # coarse-centroid broadcast and the LUT crosses the persisted 16-row
     # PQ codebook — the same bounded shapes, read from disk

@@ -148,18 +148,21 @@ BUDGETS = {
     # hard negatives: ivf_topk's shape — assignment agg, candidate join,
     # rank window; centroids and probes broadcast
     "n10_hard_negatives": 4,  # +1 r11 widen
-    # mixture solver: ONE combinable token-count agg; the rate math is a
-    # projection over the |domains|-row table
-    "sp23_mixture_solver": 1,
+    # mixture solver: ONE combinable token-count agg + the
+    # corpus-proportional budget's total agg (r11: budget = one
+    # epoch-equivalent, a 1-row broadcast derived from the same slim
+    # (domain, tokens) table) — the rate math stays a projection
+    "sp23_mixture_solver": 3,
     # dual-gate report: d12's doc rollup exchanges + the semantic argmax
     # agg + the id-keyed gate join — eval sides broadcast; +1 in r11 for
     # semantic_decontam's widen round-robin (the sf10 straggler fix,
     # no-op at real scale)
     "q11_dual_gate_decontam": 8,
-    # training-order manifest: the solver's token-count agg + sp8's
-    # bucket-count agg pair feeding broadcast offsets + the ONE
-    # per-bucket data shuffle — rates and offsets broadcast
-    "pipe7_training_order": 5,
+    # training-order manifest: the solver's token-count agg + the r11
+    # corpus-proportional budget's total agg (slim-table exchanges,
+    # printed per-subtree pre-AQE) + sp8's bucket-count agg pair feeding
+    # broadcast offsets + the ONE per-bucket data shuffle
+    "pipe7_training_order": 9,
     # Matryoshka ANN: ONE window shuffle (shortlist rank; the rerank
     # rides the same rows) — queries broadcast, no index, no codebook
     "n11_ann_matryoshka": 1,
