@@ -126,6 +126,8 @@ HEADLINE = [
     "e11_probe_inference",
     "d15_dsir_select",
     "t25_perplexity_buckets",
+    "t26_zipf_fit",
+    "t27_vocab_growth",
     "n10_hard_negatives",
     "q10_cluster_map",
     "sp23_mixture_solver",

@@ -2048,3 +2048,231 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    tol_quarters: int = 1,
+) -> DataFrame:
+    """Zipf rank-frequency fit per domain (t26) — the corpus-statistics
+    sanity check every large-scale text pipeline runs before training:
+    natural language's word frequencies follow f(r) ~ r^s with s ≈ -1
+    (Zipf 1949); machine-generated spam, template farms, and tokenizer
+    accidents bend the rank-frequency line away from -1, so the fitted
+    slope is a cheap corpus-level quality gate that per-document
+    heuristics (t2/t7) cannot see.
+
+    The textbook recipe — rank all words by frequency, regress
+    log(freq) on log(rank) — needs a GLOBAL sort of the vocabulary
+    (a single-partition window at corpus scale). This computes the
+    identical regression without ranking a single word:
+
+      1. word counts per (domain, word) — one vocab-bounded shuffle;
+      2. collapse to the (domain, freq) -> type-count table ``fc`` —
+         a few hundred rows per domain at any corpus size (distinct
+         frequency VALUES, not words);
+      3. words sharing frequency f occupy one contiguous rank block
+         [r0, r0+c): r0 = 1 + sum of counts of strictly-higher
+         frequencies, an exclusive cumsum over the tiny ``fc`` table
+         (the only ordered window in the plan);
+      4. the regression runs on floor-log2 coordinates (x = flog2(rank),
+         y = flog2(freq), the t22 integer-bits doctrine:
+         flog2(v) = length(bin(v)) - 1 renders identically on Spark and
+         DuckDB), so the rank block's contribution decomposes by BIT
+         CLASS: for k in 0..61, cnt_k = |[r0, r0+c) ∩ [2^k, 2^(k+1))|
+         words contribute x = k — closed-form interval overlap on the
+         tiny table (62-way explode of ``fc``, still tiny), no
+         per-word work at all.
+
+    The five regression sums (n, Σx, Σx², Σy, Σxy) are EXACT int64
+    (bounded by 62²·n_types — safe to ~2^50 types/domain; ranks are
+    capped at 2^62 by the k range). Only the final slope
+    (n·Σxy - Σx·Σy)/(n·Σx² - (Σx)²) leaves integers, via per-operand
+    double casts whose products/quotient are correctly-rounded IEEE on
+    both engines — bit-identical replay, no libm. Degenerate domains
+    (all ranks in one bit class → zero variance) yield NULL slope and
+    FALSE flag rather than a divide-by-zero artifact.
+
+    Returns one row per domain: (domain, n_types, n_tokens, zipf_slope,
+    is_zipfian) where is_zipfian = |slope + 1| <= tol_quarters/4.
+
+    Beyond-reference depth (no mrf-etl anchor); the scale shape is
+    a1-style keyed counts + tiny-table math, nothing corpus-ordered.
+    """
+    from pyspark.sql.window import Window
+
+    from mrf_etl_spark.operators.dedup import widen_narrow_input
+
+    w = widen_narrow_input(docs).select(
+        F.col(domain_col).alias("domain"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("wd"),
+    )
+    wc = w.groupBy("domain", "wd").agg(F.count("*").alias("f"))
+    fc = wc.groupBy("domain", "f").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("domain")
+        .orderBy(F.col("f").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fr = fc.withColumn(
+        "r0", F.lit(1).cast("long") + F.coalesce(F.sum("c").over(wcum), F.lit(0))
+    )
+    kx = fr.select(
+        "domain",
+        "f",
+        "c",
+        "r0",
+        F.explode(F.sequence(F.lit(0), F.lit(61))).alias("k"),
+    ).select(
+        "domain",
+        "f",
+        "k",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.col("r0") + F.col("c"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), k + 1)"),
+            )
+            - F.greatest(F.col("r0"), F.expr("shiftleft(CAST(1 AS BIGINT), k)")),
+        ).alias("cnt"),
+    )
+    y = F.length(F.bin(F.col("f"))) - F.lit(1)
+    sums = kx.groupBy("domain").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("f") * F.col("cnt")).alias("ntok"),
+        F.sum(F.col("k") * F.col("cnt")).alias("sx"),
+        F.sum(F.col("k") * F.col("k") * F.col("cnt")).alias("sxx"),
+        F.sum(y * F.col("cnt")).alias("sy"),
+        F.sum(F.col("k") * y * F.col("cnt")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = d("n") * d("sxx") - d("sx") * d("sx")
+    slope = F.when(den != F.lit(0.0), num / den)
+    return sums.select(
+        "domain",
+        F.col("n").alias("n_types"),
+        F.col("ntok").alias("n_tokens"),
+        slope.alias("zipf_slope"),
+        F.coalesce(
+            F.when(
+                den != F.lit(0.0),
+                F.abs(num / den + F.lit(1.0)) <= F.lit(tol_quarters / 4.0),
+            ),
+            F.lit(False),
+        ).alias("is_zipfian"),
+    )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve (t27) — distinct vocabulary
+    size after the first 2^j tokens of the corpus in canonical document
+    order, for every power-of-two checkpoint up to the corpus size.
+    Natural text grows vocabulary as V(T) ~ T^b with b ≈ 0.4-0.6
+    (Heaps 1978); a curve that flattens early signals a
+    duplicate-saturated crawl, one that stays near-linear signals
+    noise/UUID-like token churn — the corpus-level companion to t26's
+    Zipf slope and a direct "is more data still adding signal" probe
+    for training-set curation.
+
+    The naive form needs a running COUNT(DISTINCT) over a global token
+    order — quadratic or single-partition. This computes the identical
+    curve with one insight: vocab at checkpoint T is the number of
+    words whose FIRST occurrence position is <= T, so only
+    (word -> first_pos) is needed, then a 64-row histogram:
+
+      1. global token positions in (doc_id, token-index) order via the
+         sp8 two-level prefix-sum decomposition — per-doc token counts,
+         monotone range buckets on the id (width from a broadcast
+         1-row min/max attach, never a collect), exclusive bucket
+         offsets over the ~``n_buckets``-row table, per-bucket
+         cumulative window — the only corpus-wide shuffles are that
+         bucket window and the min-per-word agg;
+      2. first_pos = min(position) per word — vocab-bounded agg;
+      3. bucket words by g = flog2(first_pos - 1) (t22's integer-bits
+         idiom; first_pos <= 2^j  <=>  g <= j-1), giving a <= 62-row
+         class-count table; each checkpoint's vocab is a sum over it.
+
+    All-integer surface, exact at any scale (positions < 2^62).
+    Returns one row per checkpoint j = 1..ceil_log2(n_tokens):
+    (j, t_tokens = 2^j, vocab_size).
+
+    Beyond-reference depth (no mrf-etl anchor); the scale shape is
+    global_shuffle's rank decomposition (operators/sampling.py:580)
+    applied to token offsets instead of row ranks.
+    """
+    from pyspark.sql.window import Window
+
+    from mrf_etl_spark.operators.dedup import widen_narrow_input
+
+    w = widen_narrow_input(docs).select(
+        F.col(id_col).alias("did"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("ws"),
+    )
+    dt = w.select("did", F.size("ws").cast("long").alias("nt"))
+    stats = dt.agg(
+        F.min("did").alias("lo"),
+        F.max("did").alias("hi"),
+        F.sum("nt").alias("total"),
+    )
+    # monotone range buckets: width >= 1, bucket count <= n_buckets + 1;
+    # the 1-row stats attach is a broadcast scalar, not a collect
+    dtb = dt.join(F.broadcast(stats)).select(
+        "did",
+        "nt",
+        F.expr(f"(did - lo) div (((hi - lo) div {n_buckets}) + 1)").alias("b"),
+    )
+    bcnt = dtb.groupBy("b").agg(F.sum("nt").alias("bn"))
+    boff = bcnt.select(
+        "b",
+        F.coalesce(
+            F.sum("bn").over(
+                Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("boff"),
+    )
+    wdoc = (
+        Window.partitionBy("b")
+        .orderBy("did")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    doff = (
+        dtb.join(F.broadcast(boff), "b")
+        .withColumn("off", F.col("boff") + F.coalesce(F.sum("nt").over(wdoc), F.lit(0)))
+        .select("did", "off")
+    )
+    tok = (
+        w.join(doff, "did")
+        .select("off", F.posexplode("ws").alias("p", "wd"))
+        .select(F.col("wd"), (F.col("off") + F.col("p") + 1).alias("gpos"))
+    )
+    fp = tok.groupBy("wd").agg(F.min("gpos").alias("fp"))
+    cc = fp.groupBy(
+        (F.length(F.bin(F.col("fp") - 1)) - F.lit(1)).alias("g")
+    ).agg(F.count("*").alias("c"))
+    js = stats.select(
+        F.explode(
+            F.sequence(F.lit(1), (F.length(F.bin(F.col("total") - 1))).cast("int"))
+        ).alias("j")
+    )
+    return (
+        js.join(F.broadcast(cc), F.col("g") < F.col("j"), "left")
+        .groupBy("j")
+        .agg(F.sum("c").alias("vocab_size"))
+        .select(
+            "j",
+            F.expr("shiftleft(CAST(1 AS BIGINT), j)").alias("t_tokens"),
+            F.coalesce("vocab_size", F.lit(0).cast("long")).alias("vocab_size"),
+        )
+    )

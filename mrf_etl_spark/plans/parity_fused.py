@@ -202,6 +202,12 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # emptiest probe (the substring family's fx_geo_lookups is at
         # the 7-cap; precedent: sp23 on fx_projection_filters)
         ("d20_trim_repeats", []),
+        # round-11 (cont.): the corpus-statistics pair — t26's only
+        # double column (zipf_slope) rides v bit-exact (correctly-
+        # rounded IEEE from identical int64 sums on both engines);
+        # t27 is all-int. Same cost-driven slot rationale as d20.
+        ("t26_zipf_fit", ["zipf_slope"]),
+        ("t27_vocab_growth", []),
     ],
     "fx_event_windows": [
         ("w4_asof_join", ["click_value", "view_value"]),
@@ -922,6 +928,8 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "d19_screened_repeat_lengths": ["doc_id", "max_rep_len", "n_rep_spans"],
     "d20_trim_repeats": ["doc_id", "clean_text", "n_tokens", "n_removed"],
+    "t26_zipf_fit": ["domain", "n_types", "n_tokens", "zipf_slope", "is_zipfian"],
+    "t27_vocab_growth": ["j", "t_tokens", "vocab_size"],
     "pipe9_trimmed_prep": ["doc_id", "split", "content_hash", "n_removed"],
     "n14_ann_ivfpq_residual": ["query_id", "neighbor_id", "cosine", "rank"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
@@ -1179,7 +1187,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 302
+CATALOG_COUNT = 304
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

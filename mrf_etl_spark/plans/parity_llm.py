@@ -6124,6 +6124,130 @@ def _register_t25():
 t25_perplexity_buckets = _register_t25()
 
 
+@register(
+    "t26_zipf_fit",
+    # Regression over the tiny (domain, freq) table by bit-class interval
+    # overlap — no word is ever ranked. flog2 = length(bin(x)) - 1 renders
+    # identically on both engines (t22 doctrine); the five regression sums
+    # are exact int64; only the final slope leaves integers, via
+    # per-operand double casts whose products/quotient are correctly-
+    # rounded IEEE on both engines — bit-identical replay, no libm.
+    r"""WITH w AS MATERIALIZED (
+         SELECT source AS domain,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS wd
+         FROM documents),
+       wc AS MATERIALIZED (
+         SELECT domain, wd, CAST(count(*) AS BIGINT) AS f
+         FROM w GROUP BY domain, wd),
+       fc AS MATERIALIZED (
+         SELECT domain, f, CAST(count(*) AS BIGINT) AS c
+         FROM wc GROUP BY domain, f),
+       fr AS MATERIALIZED (
+         SELECT domain, f, c,
+                1 + coalesce(CAST(sum(c) OVER (
+                      PARTITION BY domain ORDER BY f DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS r0
+         FROM fc),
+       kx AS MATERIALIZED (
+         SELECT domain, f, k,
+                greatest(CAST(0 AS BIGINT),
+                         least(r0 + c, CAST(1 AS BIGINT) << (k + 1))
+                         - greatest(r0, CAST(1 AS BIGINT) << k)) AS cnt
+         FROM (SELECT domain, f, c, r0, unnest(range(0, 62)) AS k FROM fr)),
+       sums AS MATERIALIZED (
+         SELECT domain,
+                CAST(sum(cnt) AS BIGINT) AS n,
+                CAST(sum(f * cnt) AS BIGINT) AS ntok,
+                CAST(sum(k * cnt) AS BIGINT) AS sx,
+                CAST(sum(k * k * cnt) AS BIGINT) AS sxx,
+                CAST(sum((length(bin(f)) - 1) * cnt) AS BIGINT) AS sy,
+                CAST(sum(k * (length(bin(f)) - 1) * cnt) AS BIGINT) AS sxy
+         FROM kx GROUP BY domain)
+       SELECT domain, n AS n_types, ntok AS n_tokens,
+              CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+                   THEN NULL
+                   ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              END AS zipf_slope,
+              coalesce(
+                CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+                     THEN NULL
+                     ELSE abs((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              + 1.0) <= 0.25
+                END, FALSE) AS is_zipfian
+       FROM sums""",
+    doc="t26 (beyond-ref): Zipf rank-frequency slope per domain — the "
+    "corpus-statistics quality gate (natural text: slope ~ -1; spam/"
+    "template/tokenizer accidents bend it). The textbook global "
+    "vocabulary rank NEVER happens: words sharing a frequency occupy "
+    "one contiguous rank block, so the floor-log2 regression "
+    "decomposes by bit class over the tiny (domain, freq) table — "
+    "closed-form interval overlap, one vocab-bounded shuffle, the "
+    "only ordered window runs over distinct frequency VALUES. "
+    "Integer-exact sums; the final slope is correctly-rounded IEEE "
+    "on both engines (operators/textops.zipf_fit).",
+)
+def t26_zipf_fit(spark, sf_dir):
+    return tx.zipf_fit(t(spark, sf_dir, "documents"), "text", "doc_id", "source")
+
+
+@register(
+    "t27_vocab_growth",
+    # vocab at checkpoint T = # words whose FIRST occurrence position
+    # <= T, so only (word -> first_pos) is needed; first_pos <= 2^j
+    # <=> flog2(first_pos - 1) <= j - 1 (bin(0) = '0' on both engines
+    # folds first_pos = 1 into class g = 0). The oracle's plain-window
+    # offsets replay the Spark side's two-level prefix-sum values
+    # exactly — the decomposition changes the plan, never the numbers.
+    r"""WITH w AS MATERIALIZED (
+         SELECT doc_id AS did,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+         FROM documents),
+       dt AS MATERIALIZED (SELECT did, CAST(len(ws) AS BIGINT) AS nt FROM w),
+       woff AS MATERIALIZED (
+         SELECT did, coalesce(CAST(sum(nt) OVER (ORDER BY did
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS BIGINT), 0) AS "off"
+         FROM dt),
+       tok AS MATERIALIZED (
+         SELECT o."off" + x.i AS gpos, x.ws[x.i] AS wd
+         FROM (SELECT did, ws, unnest(range(1, len(ws) + 1)) AS i FROM w) x
+         JOIN woff o USING (did)),
+       fp AS MATERIALIZED (
+         SELECT wd, CAST(min(gpos) AS BIGINT) AS fp FROM tok GROUP BY wd),
+       cc AS MATERIALIZED (
+         SELECT length(bin(fp - 1)) - 1 AS g, CAST(count(*) AS BIGINT) AS c
+         FROM fp GROUP BY 1),
+       tot AS MATERIALIZED (SELECT CAST(sum(nt) AS BIGINT) AS total FROM dt),
+       js AS MATERIALIZED (
+         SELECT unnest(range(1, length(bin(total - 1)) + 1)) AS j FROM tot)
+       SELECT js.j, CAST(1 AS BIGINT) << js.j AS t_tokens,
+              coalesce(CAST(sum(cc.c) AS BIGINT), 0) AS vocab_size
+       FROM js LEFT JOIN cc ON cc.g < js.j
+       GROUP BY js.j""",
+    doc="t27 (beyond-ref): Heaps-law vocabulary growth — distinct "
+    "vocabulary after the first 2^j tokens in canonical document "
+    "order, the 'is more data still adding signal' corpus probe "
+    "(early flattening = duplicate-saturated crawl; near-linear = "
+    "UUID-like token churn). The running COUNT(DISTINCT) never "
+    "happens: vocab(T) = # words with first-occurrence position <= T, "
+    "computed from global token positions (sp8's two-level prefix-sum "
+    "decomposition — no single-partition window), a vocab-bounded "
+    "min agg, and a <= 62-row floor-log2 class histogram. All-integer "
+    "surface (operators/textops.vocab_growth).",
+)
+def t27_vocab_growth(spark, sf_dir):
+    return tx.vocab_growth(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 def _register_sp26():
     from mrf_etl_spark.plans.parity import REGISTRY
 

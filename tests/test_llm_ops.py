@@ -4376,3 +4376,52 @@ def test_pipe9_equals_manual_stage_composition(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_zipf_fit_hand_case(spark):
+    """t26 on a hand corpus with frequencies 8/4/2/1 (one word each):
+    ranks 1..4 -> x = flog2(rank) = 0,1,1,2; y = flog2(f) = 3,2,1,0;
+    n=4 sx=4 sxx=6 sy=6 sxy=3 -> slope = (4*3-4*6)/(4*6-16) = -1.5.
+    A one-word domain has zero x-variance -> NULL slope, FALSE flag."""
+    from mrf_etl_spark.operators.textops import zipf_fit
+
+    rows = [
+        (1, "a a a a a a a a b b b b c c d", "d1"),
+        (2, "x", "d2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.domain: r for r in zipf_fit(docs).collect()}
+    r1 = out["d1"]
+    assert (r1.n_types, r1.n_tokens) == (4, 15)
+    assert r1.zipf_slope == -1.5
+    assert r1.is_zipfian is False  # |-1.5 + 1| = 0.5 > 1/4
+    r2 = out["d2"]
+    assert (r2.n_types, r2.n_tokens, r2.zipf_slope, r2.is_zipfian) == (
+        1, 1, None, False,
+    )
+    # widened tolerance flips the verdict for the same corpus
+    out2 = {r.domain: r for r in zipf_fit(docs, tol_quarters=2).collect()}
+    assert out2["d1"].is_zipfian is True
+
+
+def test_vocab_growth_hand_case_and_partition_invariance(spark):
+    """t27 on a hand corpus: token stream in doc_id order is
+    'a b a c | b d | e' (7 tokens) -> vocab after 2 tokens = 2, after
+    4 = 3, after 8 = 5 (everything). Non-contiguous doc ids exercise
+    the monotone range-bucket offsets; 1 vs 8 input partitions must be
+    bit-identical (the two-level prefix sum is order-independent)."""
+    from mrf_etl_spark.operators.textops import vocab_growth
+
+    rows = [(10, "a b a c"), (500, "b d"), (501, "e")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = [(1, 2, 2), (2, 4, 3), (3, 8, 5)]
+    got = [
+        (r.j, r.t_tokens, r.vocab_size)
+        for r in vocab_growth(docs).orderBy("j").collect()
+    ]
+    assert got == want
+    got8 = [
+        (r.j, r.t_tokens, r.vocab_size)
+        for r in vocab_growth(docs.repartition(8)).orderBy("j").collect()
+    ]
+    assert got8 == want
