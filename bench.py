@@ -128,6 +128,7 @@ HEADLINE = [
     "t25_perplexity_buckets",
     "t26_zipf_fit",
     "t27_vocab_growth",
+    "n15_ann_pq_dimperm",
     "n10_hard_negatives",
     "q10_cluster_map",
     "sp23_mixture_solver",

@@ -562,6 +562,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-11: residual IVF-PQ (Jégou IVFADC at identical code
         # bytes) — n7's output shape; ANN-family ride
         ("n14_ann_ivfpq_residual", ["cosine"]),
+        # round-11 (cont.): variance-balanced dimension permutation
+        # (OPQ's free-form init, permutation core) — n5's cascade in
+        # permuted coordinates; ANN-family ride (probe now at the 7-cap)
+        ("n15_ann_pq_dimperm", ["cosine"]),
     ],
     "fx_ann_trained": [
         # round-8: the composed IVF-PQ cascade — deterministic like both
@@ -930,6 +934,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "d20_trim_repeats": ["doc_id", "clean_text", "n_tokens", "n_removed"],
     "t26_zipf_fit": ["domain", "n_types", "n_tokens", "zipf_slope", "is_zipfian"],
     "t27_vocab_growth": ["j", "t_tokens", "vocab_size"],
+    "n15_ann_pq_dimperm": ["query_id", "neighbor_id", "cosine", "rank"],
     "pipe9_trimmed_prep": ["doc_id", "split", "content_hash", "n_removed"],
     "n14_ann_ivfpq_residual": ["query_id", "neighbor_id", "cosine", "rank"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
@@ -1187,7 +1192,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 304
+CATALOG_COUNT = 305
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

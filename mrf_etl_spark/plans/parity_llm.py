@@ -7013,7 +7013,11 @@ def _pq_chain(expr_fmt: str, b: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _pq_longf_ctes(materialized: bool = False, corpus: str = "embeddings") -> str:
+def _pq_longf_ctes(
+    materialized: bool = False,
+    corpus: str = "embeddings",
+    seeds_corpus: str = "embeddings",
+) -> str:
     """Shared CTE prefix for e4 (encode) and n5 (ADC search): the PQ
     long form ``longf(vec_id, en2, cid, b, d, dot, cn2)`` — the oracle
     mirror of operators.similarity._pq_rows. Per-block norms live where
@@ -7046,7 +7050,7 @@ def _pq_longf_ctes(materialized: bool = False, corpus: str = "embeddings") -> st
     )
     return f"""seeds AS (
          SELECT vec_id AS cid, embedding AS cv, {seed_cn2}
-         FROM embeddings WHERE vec_id < {_PQ_SEEDS}),
+         FROM {seeds_corpus} WHERE vec_id < {_PQ_SEEDS}),
        e AS (
          SELECT vec_id, embedding AS ev, ({en2}) AS en2, {vec_en2b}
          FROM {corpus}),
@@ -7117,7 +7121,11 @@ _N5_CANDIDATES = 50
 _N5_K = 5
 
 
-def _n5_oracle() -> str:
+def _n5_oracle(corpus: str = "embeddings", prefix: str = "") -> str:
+    # corpus/prefix generalize the statement for n15: prefix injects the
+    # dimension-permutation CTEs and corpus points every stage (seeds,
+    # long form, exact rerank) at the permuted frame, so the whole
+    # cascade — fold orders included — replays in permuted coordinates.
     qd_maxes = ", ".join(
         f"max(CASE WHEN b = {b} THEN qd END) AS qd{b}"
         for b in range(_PQ_BLOCKS)
@@ -7125,7 +7133,7 @@ def _n5_oracle() -> str:
     adc_chain = "(" * (_PQ_BLOCKS - 1) + "qd0" + "".join(
         f" + qd{b})" for b in range(1, _PQ_BLOCKS)
     )
-    return f"""WITH {_pq_longf_ctes(materialized=True)},
+    return f"""WITH {prefix}{_pq_longf_ctes(materialized=True, corpus=corpus, seeds_corpus=corpus)},
        codes AS (
          SELECT vec_id AS neighbor_id, b, cid FROM (
            SELECT vec_id, b, cid, row_number() OVER (
@@ -7149,8 +7157,8 @@ def _n5_oracle() -> str:
          SELECT c.query_id, c.neighbor_id,
                 {_cos_sql('q.embedding', 'n.embedding')} AS cosine
          FROM cand c
-         JOIN embeddings q ON q.vec_id = c.query_id
-         JOIN embeddings n ON n.vec_id = c.neighbor_id)
+         JOIN {corpus} q ON q.vec_id = c.query_id
+         JOIN {corpus} n ON n.vec_id = c.neighbor_id)
        SELECT query_id, neighbor_id, cosine, rank FROM (
          SELECT *, row_number() OVER (
              PARTITION BY query_id
@@ -7678,6 +7686,87 @@ def _register_n14():
 
 
 n14_ann_ivfpq_residual = _register_n14()
+
+
+def _n15_perm_ctes() -> str:
+    """Dimension-permutation CTE prefix for n15: e7's corpus-global int8
+    quantize recipe verbatim (g/q0), per-dim integer variance widened to
+    HUGEINT (Spark mirrors with decimal(38,0) — ORDER-only, never
+    output), serpentine allocation in closed form, and the permuted
+    corpus relation the n5 cascade then reads. Every CTE referenced
+    more than once is MATERIALIZED (map-budget rule)."""
+    b = _PQ_BLOCKS
+    return f"""g AS MATERIALIZED (
+         SELECT max(list_aggregate(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE))), 'max')) AS m
+         FROM embeddings),
+       q0 AS MATERIALIZED (
+         SELECT vec_id,
+                CASE WHEN g.m = 0
+                     THEN list_transform(embedding, x -> 0)
+                     ELSE list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE)
+                               / (g.m / 127.0)) AS INTEGER))
+                END AS qvec
+         FROM embeddings, g),
+       vs AS MATERIALIZED (
+         SELECT i, CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(qx) AS HUGEINT) AS s,
+                CAST(sum(qx * qx) AS HUGEINT) AS s2
+         FROM (SELECT CAST(t.i AS INT) AS i,
+                      CAST(qvec[CAST(t.i AS INT) + 1] AS BIGINT) AS qx
+               FROM q0, range({DIM}) t(i))
+         GROUP BY i),
+       rk AS MATERIALIZED (
+         SELECT i, row_number() OVER (
+             ORDER BY n * s2 - s * s DESC, i ASC) - 1 AS r
+         FROM vs),
+       pm AS MATERIALIZED (
+         SELECT (CASE WHEN (r // {b}) % 2 = 0 THEN r % {b}
+                      ELSE {b - 1} - r % {b} END) * {DIM // b}
+                + r // {b} AS j,
+                i AS o
+         FROM rk),
+       pl AS MATERIALIZED (SELECT list(o + 1 ORDER BY j) AS pl FROM pm),
+       permuted AS MATERIALIZED (
+         SELECT vec_id, list_transform(pl, o -> embedding[o]) AS embedding
+         FROM embeddings, pl),
+       """
+
+
+@register(
+    "n15_ann_pq_dimperm",
+    _n5_oracle(corpus="permuted", prefix=_n15_perm_ctes()),
+    doc="n15 (beyond-ref): PQ-ADC search under a variance-balanced "
+    "dimension permutation — the free-form OPQ initialization of Ge "
+    "et al. CVPR'13 reduced to its permutation core (no rotation): "
+    "per-dim INTEGER variance of the int8-quantized corpus, dims "
+    "ranked and dealt to blocks serpentine-style so no sub-quantizer "
+    "hoards the corpus energy, then n5's entire deterministic cascade "
+    "(codes, LUT, ADC pivot, exact rerank) runs verbatim in permuted "
+    "coordinates — the oracle replays the WHOLE pipeline including "
+    "the permutation, not a recall envelope. The allocation is "
+    "closed-form (rank arithmetic, no sequential greedy, no driver "
+    "loop); on this suite's near-isotropic synthetic embeddings the "
+    "permutation is recall-neutral by construction (variances are "
+    "~equal, measured and pinned two-sided in pytest alongside a "
+    "variance-skewed corpus where balanced allocation beats a "
+    "block-hoarding one) — the lever pays exactly when dims are "
+    "anisotropic, which real embedding models are "
+    "(operators/similarity.dim_permutation, permute_embedding).",
+)
+def n15_ann_pq_dimperm(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    perm = sim.dim_permutation(emb, "vec_id", "embedding", DIM, _PQ_BLOCKS)
+    embp = sim.permute_embedding(emb, perm, "vec_id", "embedding")
+    return sim.pq_adc_topk(
+        embp,
+        dim=DIM,
+        n_blocks=_PQ_BLOCKS,
+        query_filter=F.col("vec_id") < 10,
+        n_candidates=_N5_CANDIDATES,
+        k=_N5_K,
+    )
 
 
 W21_BASE_DAYS = 7

@@ -4425,3 +4425,120 @@ def test_vocab_growth_hand_case_and_partition_invariance(spark):
         for r in vocab_growth(docs.repartition(8)).orderBy("j").collect()
     ]
     assert got8 == want
+
+
+def test_dim_permutation_hand_case(spark):
+    """n15 prep on a 4-dim / 2-block corpus with variance ranks
+    d3 > d1 > d2 > d0: serpentine deals rank 0 -> block0, rank 1 ->
+    block1, then reverses (rank 2 -> block1, rank 3 -> block0), so
+    block0 = {d3, d0} (richest + poorest) and block1 = {d1, d2} —
+    the balanced allocation. permute_embedding applies (j, orig)
+    literally: output position j holds input dim orig."""
+    from mrf_etl_spark.operators.similarity import (
+        dim_permutation,
+        permute_embedding,
+    )
+
+    rows = [
+        (0, [1.0, 4.0, 2.0, 8.0]),
+        (1, [-1.0, -4.0, -2.0, -8.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    perm = dim_permutation(emb, dim=4, n_blocks=2)
+    got = sorted((r.j, r.orig) for r in perm.collect())
+    assert got == [(0, 3), (1, 0), (2, 1), (3, 2)]
+    out = {
+        r.vec_id: r.embedding
+        for r in permute_embedding(emb, perm).collect()
+    }
+    assert out[0] == [8.0, 1.0, 4.0, 2.0]
+
+
+def test_n15_dimperm_recall_two_sided(spark):
+    """The honest n15 geometry finding, pinned from both sides (the n14
+    discipline): on a variance-SKEWED corpus (8 hot dims that the
+    unpermuted layout packs into one sub-quantizer) the balanced
+    permutation spreads them one per block and recall@5 improves
+    decisively (measured 0.92 -> 1.00); on the suite's near-isotropic
+    fixture the permutation is recall-neutral-to-slightly-below
+    (measured 0.64 vs n5's 0.72) because ~equal variances make the
+    allocation arbitrary — the lever pays exactly when dimensions are
+    anisotropic, which real embedding models are and uniform synthetic
+    fixtures are not."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    from mrf_etl_spark.operators.similarity import (
+        dim_permutation,
+        dot_fold,
+        norm_fold,
+        permute_embedding,
+        pq_adc_topk,
+    )
+
+    def exact_top5(e):
+        q = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        c = e.select(
+            F.col("vec_id").alias("nid"), F.col("embedding").alias("cv")
+        )
+        d = (
+            q.crossJoin(c)
+            .filter(F.col("qid") != F.col("nid"))
+            .withColumn(
+                "cos", dot_fold("qv", "cv") / (norm_fold("qv") * norm_fold("cv"))
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cos").desc(), F.col("nid").asc()
+        )
+        return {
+            (r.qid, r.nid)
+            for r in d.withColumn("rk", F.row_number().over(w))
+            .filter("rk <= 5")
+            .collect()
+        }
+
+    def recall(e):
+        gt = exact_top5(e)
+        plain = {
+            (r.query_id, r.neighbor_id)
+            for r in pq_adc_topk(
+                e, dim=64, n_blocks=8,
+                query_filter=F.col("vec_id") < 10, n_candidates=50, k=5,
+            ).collect()
+        }
+        permuted = permute_embedding(e, dim_permutation(e))
+        balanced = {
+            (r.query_id, r.neighbor_id)
+            for r in pq_adc_topk(
+                permuted, dim=64, n_blocks=8,
+                query_filter=F.col("vec_id") < 10, n_candidates=50, k=5,
+            ).collect()
+        }
+        return len(plain & gt) / len(gt), len(balanced & gt) / len(gt)
+
+    # skewed corpus: dims 0-7 carry ~100x the per-dim sigma
+    rng = np.random.RandomState(7)
+    X = rng.randn(400, 64) * 0.1
+    X[:, :8] += rng.randn(400, 8) * 10.0
+    skew = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    r_plain, r_bal = recall(skew)
+    assert r_bal > r_plain, (r_plain, r_bal)
+    assert r_bal >= 0.98 and r_plain <= 0.94, (r_plain, r_bal)
+    # hot dims land one per block under the serpentine deal
+    pm = {
+        r.orig: r.j for r in dim_permutation(skew).collect()
+    }
+    assert sorted(pm[i] // 8 for i in range(8)) == list(range(8))
+
+    # isotropic fixture: neutral-to-slightly-below, never a collapse
+    fix = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    f_plain, f_bal = recall(fix)
+    assert f_bal <= f_plain, (f_plain, f_bal)
+    assert f_bal >= 0.5, (f_plain, f_bal)
