@@ -129,6 +129,7 @@ HEADLINE = [
     "t26_zipf_fit",
     "t27_vocab_growth",
     "n15_ann_pq_dimperm",
+    "sp27_repetition_schedule",
     "n10_hard_negatives",
     "q10_cluster_map",
     "sp23_mixture_solver",

@@ -1101,3 +1101,133 @@ def training_order(
     return ranked.select(
         "doc_id", "domain", "copy", F.col("order_pos").cast("long").alias("order_pos")
     )
+
+
+def repetition_schedule(
+    docs: DataFrame,
+    targets: dict[str, int],
+    budget_tokens: int | None = None,
+    budget_x_milli: int = 3000,
+    max_epochs: int = 4,
+    domain_col: str = "source",
+    text_col: str = "text",
+    n_rounds: int = 3,
+    default_bp: int = 0,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Data-constrained repetition schedule (sp27) — allocate a training
+    token budget across domains when the budget EXCEEDS some domains'
+    supply: the Muennighoff et al. NeurIPS'23 regime ("Scaling
+    Data-Constrained Language Models": repeating data holds value for
+    ~4 epochs, then returns collapse), which every over-trained model's
+    data plan now hits. :func:`mixture_solver` (sp23) plans a mixture
+    UNDER supply; this plans one BEYOND it:
+
+      1. per-domain supply (one combinable token-count agg, sp23's
+         seeded recipe — targeted-but-absent domains keep their row);
+      2. initial ask per domain = budget · target_bp div 10000;
+      3. asks above the repetition ceiling ``cap = supply · max_epochs``
+         are clamped and the excess WATER-FILLS back onto domains with
+         headroom, proportional to their target shares — ``n_rounds``
+         clamp-redistribute rounds unrolled (each round resolves one
+         cascade of newly-capped domains; budget left after the last
+         round is REPORTED, never silently dropped);
+      4. final allocations clamp to the ceiling once more, so no row
+         ever claims more than ``max_epochs`` epochs.
+
+    All-integer (floor divisions, positive operands — Spark ``div`` and
+    DuckDB ``//`` agree), so the schedule replays exactly. The budget is
+    a literal ``budget_tokens``, or corpus-proportional when None:
+    ``total_supply · budget_x_milli div 1000`` (default 3x — one
+    over-trained pass), riding the same 1-row broadcast scalar as sp23.
+
+    Scale shape: the corpus is read ONCE (the token agg, persisted as a
+    KiB |domains|-row table); every round is pure projection + two
+    scalar aggregates over that tiny table. Returns one row per domain:
+    (domain, tokens, target_bp, alloc_tokens, epochs_milli, capped,
+    unalloc_tokens) — ``epochs_milli`` = allocated epochs x1000 (<=
+    max_epochs·1000 by construction), ``unalloc_tokens`` the budget the
+    cap structure made unspendable (same value on every row: the
+    re-weighting signal a mix reviewer acts on).
+    """
+    from mrf_etl_spark.operators.textops import token_count_ws
+
+    tk = (
+        F.col(token_col).cast("long")
+        if token_col is not None
+        else token_count_ws(text_col).cast("long")
+    )
+    per_doc = docs.select(F.col(domain_col).alias("domain"), tk.alias("_tk"))
+    if targets:
+        seed = docs.sparkSession.createDataFrame(
+            [(str(k), 0) for k in targets], "domain string, _tk long"
+        )
+        per_doc = per_doc.unionByName(seed)
+    tok = per_doc.groupBy("domain").agg(F.sum("_tk").alias("tokens")).persist()
+    tbp = None
+    for name, bp in targets.items():
+        cond = F.col("domain") == name
+        tbp = F.when(cond, int(bp)) if tbp is None else tbp.when(cond, int(bp))
+    tbp = (
+        F.lit(int(default_bp)) if tbp is None else tbp.otherwise(int(default_bp))
+    ).cast("long")
+    st = tok.withColumn("target_bp", tbp).withColumn(
+        "cap", F.col("tokens") * F.lit(int(max_epochs)).cast("long")
+    )
+    if budget_tokens is None:
+        total = tok.agg(
+            F.expr(f"CAST(sum(tokens) * {int(budget_x_milli)} div 1000 AS BIGINT)").alias(
+                "_budget"
+            )
+        )
+        st = st.crossJoin(F.broadcast(total))
+    else:
+        st = st.withColumn(
+            "_budget", F.lit(int(budget_tokens)).cast("long")
+        )
+    st = st.withColumn(
+        "alloc", F.expr("_budget * target_bp div 10000")
+    )
+    for _ in range(n_rounds):
+        st = st.withColumn("fixed", F.least("alloc", "cap")).withColumn(
+            "over", F.col("alloc") - F.least("alloc", "cap")
+        )
+        sc = st.agg(
+            F.sum("over").alias("_excess"),
+            F.sum(
+                F.when(F.col("fixed") < F.col("cap"), F.col("target_bp")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("_hb"),
+        )
+        st = (
+            st.crossJoin(F.broadcast(sc))
+            .withColumn(
+                "alloc",
+                F.expr(
+                    "fixed + CASE WHEN _hb > 0 AND fixed < cap "
+                    "THEN _excess * target_bp div _hb "
+                    "ELSE CAST(0 AS BIGINT) END"
+                ),
+            )
+            .drop("fixed", "over", "_excess", "_hb")
+        )
+    st = st.withColumn("alloc_tokens", F.least("alloc", "cap"))
+    spent = st.agg(F.sum("alloc_tokens").alias("_spent"))
+    return (
+        st.crossJoin(F.broadcast(spent))
+        .select(
+            "domain",
+            "tokens",
+            "target_bp",
+            "alloc_tokens",
+            F.expr(
+                "CASE WHEN tokens > 0 THEN alloc_tokens * 1000 div tokens "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("epochs_milli"),
+            (
+                (F.col("tokens") > 0) & (F.col("alloc_tokens") == F.col("cap"))
+            ).alias("capped"),
+            F.expr("_budget - _spent").alias("unalloc_tokens"),
+        )
+    )

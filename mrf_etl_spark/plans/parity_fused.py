@@ -208,6 +208,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # t27 is all-int. Same cost-driven slot rationale as d20.
         ("t26_zipf_fit", ["zipf_slope"]),
         ("t27_vocab_growth", []),
+        # round-11 (cont.): data-constrained repetition schedule —
+        # solver-family all-int + boolean surface, O(domains) output
+        ("sp27_repetition_schedule", []),
     ],
     "fx_event_windows": [
         ("w4_asof_join", ["click_value", "view_value"]),
@@ -935,6 +938,10 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "t26_zipf_fit": ["domain", "n_types", "n_tokens", "zipf_slope", "is_zipfian"],
     "t27_vocab_growth": ["j", "t_tokens", "vocab_size"],
     "n15_ann_pq_dimperm": ["query_id", "neighbor_id", "cosine", "rank"],
+    "sp27_repetition_schedule": [
+        "domain", "tokens", "target_bp", "alloc_tokens",
+        "epochs_milli", "capped", "unalloc_tokens",
+    ],
     "pipe9_trimmed_prep": ["doc_id", "split", "content_hash", "n_removed"],
     "n14_ann_ivfpq_residual": ["query_id", "neighbor_id", "cosine", "rank"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
@@ -1192,7 +1199,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 305
+CATALOG_COUNT = 306
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -6308,6 +6308,104 @@ def _register_sp26():
 sp26_perplexity_curriculum = _register_sp26()
 
 
+SP27_TARGETS = {"src0": 5000}
+SP27_DEFAULT_BP = 263
+SP27_BUDGET_X_MILLI = 3000  # 3x the corpus: the over-trained regime
+SP27_MAX_EPOCHS = 4
+SP27_ROUNDS = 3
+
+
+def _sp27_oracle() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {bp}" for s, bp in SP27_TARGETS.items()
+    )
+    case = f"CASE domain {whens} ELSE {SP27_DEFAULT_BP} END"
+    seeds = ", ".join(f"('{s}', 0)" for s in SP27_TARGETS)
+    hb = (
+        "(SELECT CAST(sum(CASE WHEN fixed < cap THEN target_bp ELSE 0 END)"
+        " AS BIGINT) FROM f{n})"
+    )
+    ex = "(SELECT CAST(sum(over_) AS BIGINT) FROM f{n})"
+    rounds = "".join(
+        f""",
+       f{n} AS MATERIALIZED (
+         SELECT domain, tokens, target_bp, cap,
+                least(alloc, cap) AS fixed,
+                alloc - least(alloc, cap) AS over_
+         FROM r{n - 1}),
+       r{n} AS MATERIALIZED (
+         SELECT domain, tokens, target_bp, cap,
+                fixed + CASE WHEN {hb.format(n=n)} > 0 AND fixed < cap
+                             THEN {ex.format(n=n)} * target_bp
+                                  // {hb.format(n=n)}
+                             ELSE CAST(0 AS BIGINT) END AS alloc
+         FROM f{n})"""
+        for n in range(1, SP27_ROUNDS + 1)
+    )
+    return f"""WITH tok AS MATERIALIZED (
+         SELECT domain, CAST(sum(tk) AS BIGINT) AS tokens FROM (
+           SELECT source AS domain,
+                  len(regexp_split_to_array(trim(text), '\\s+')) AS tk
+           FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES {seeds}) s(domain, tk))
+         GROUP BY domain),
+       bd AS MATERIALIZED (
+         SELECT CAST(sum(tokens) * {SP27_BUDGET_X_MILLI} // 1000 AS BIGINT)
+                AS b
+         FROM tok),
+       r0 AS MATERIALIZED (
+         SELECT domain, tokens, CAST({case} AS BIGINT) AS target_bp,
+                tokens * {SP27_MAX_EPOCHS} AS cap,
+                (SELECT b FROM bd) * CAST({case} AS BIGINT) // 10000 AS alloc
+         FROM tok){rounds},
+       fin AS MATERIALIZED (
+         SELECT domain, tokens, target_bp, cap,
+                least(alloc, cap) AS alloc_tokens
+         FROM r{SP27_ROUNDS})
+       SELECT domain, tokens, target_bp,
+              CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+              CAST(CASE WHEN tokens > 0
+                        THEN alloc_tokens * 1000 // tokens
+                        ELSE 0 END AS BIGINT) AS epochs_milli,
+              (tokens > 0 AND alloc_tokens = cap) AS capped,
+              CAST((SELECT b FROM bd)
+                   - (SELECT sum(alloc_tokens) FROM fin)
+                AS BIGINT) AS unalloc_tokens
+       FROM fin"""
+
+
+@register(
+    "sp27_repetition_schedule",
+    _sp27_oracle(),
+    doc="sp27 (beyond-ref): data-constrained repetition schedule — "
+    "allocate a training budget that EXCEEDS some domains' supply "
+    "(Muennighoff et al. NeurIPS'23: repeated data holds value for "
+    "~4 epochs, then returns collapse). sp23 plans a mixture under "
+    "supply; this plans one beyond it: asks above the cap = "
+    "supply x max_epochs clamp, the excess water-fills back onto "
+    "headroom domains proportional to target shares across 3 unrolled "
+    "clamp-redistribute rounds, and budget the cap structure makes "
+    "unspendable is REPORTED per row, never silently dropped. "
+    "All-integer floor arithmetic (positive operands — Spark div and "
+    "DuckDB // agree); corpus read ONCE (the seeded token agg, "
+    "persisted KiB table), every round pure projection + two scalar "
+    "aggregates over it (operators/sampling.repetition_schedule).",
+)
+def sp27_repetition_schedule(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    return sp.repetition_schedule(
+        t(spark, sf_dir, "documents"),
+        SP27_TARGETS,
+        None,
+        budget_x_milli=SP27_BUDGET_X_MILLI,
+        max_epochs=SP27_MAX_EPOCHS,
+        n_rounds=SP27_ROUNDS,
+        default_bp=SP27_DEFAULT_BP,
+    )
+
+
 T23_MERGES = 3
 
 _T23_MERGE_LAMBDA = """list_reduce(string_split(t.s, ' '), (acc, x) -> CASE

@@ -4542,3 +4542,45 @@ def test_n15_dimperm_recall_two_sided(spark):
     f_plain, f_bal = recall(fix)
     assert f_bal <= f_plain, (f_plain, f_bal)
     assert f_bal >= 0.5, (f_plain, f_bal)
+
+
+def test_repetition_schedule_hand_cases(spark):
+    """sp27 on hand supplies A=100, B=100, C=1000 (targets 40/40/20%):
+
+    budget 2000: asks 800/800/400; A and B clamp at cap 4x100=400, the
+    1600 excess water-fills entirely onto C (the only headroom domain)
+    -> final 400/400/1200, epochs 4.0/4.0/1.2, nothing unallocated.
+
+    budget 10000: asks 4000/4000/2000; round 1 clamps A and B and fills
+    C to 9200, round 2 clamps C at its own cap 4000 with NO headroom
+    left -> 5200 tokens reported unallocated, never silently spent.
+    """
+    from mrf_etl_spark.operators.sampling import repetition_schedule
+
+    rows = [
+        (1, " ".join(["w"] * 100), "A"),
+        (2, " ".join(["w"] * 100), "B"),
+        (3, " ".join(["w"] * 1000), "C"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    targets = {"A": 4000, "B": 4000, "C": 2000}
+
+    out = {
+        r.domain: r
+        for r in repetition_schedule(docs, targets, budget_tokens=2000).collect()
+    }
+    assert (out["A"].alloc_tokens, out["A"].epochs_milli, out["A"].capped) == (
+        400, 4000, True,
+    )
+    assert (out["C"].alloc_tokens, out["C"].epochs_milli, out["C"].capped) == (
+        1200, 1200, False,
+    )
+    assert out["A"].unalloc_tokens == 0
+
+    out = {
+        r.domain: r
+        for r in repetition_schedule(docs, targets, budget_tokens=10000).collect()
+    }
+    assert out["A"].alloc_tokens == 400 and out["B"].alloc_tokens == 400
+    assert (out["C"].alloc_tokens, out["C"].capped) == (4000, True)
+    assert out["C"].unalloc_tokens == 5200
