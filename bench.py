@@ -130,6 +130,7 @@ HEADLINE = [
     "t27_vocab_growth",
     "n15_ann_pq_dimperm",
     "sp27_repetition_schedule",
+    "pipe10_capped_training_order",
     "n10_hard_negatives",
     "q10_cluster_map",
     "sp23_mixture_solver",

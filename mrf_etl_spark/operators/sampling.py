@@ -1073,6 +1073,20 @@ def training_order(
         docs, targets, budget_tokens, domain_col, text_col,
         token_col=token_col,
     )
+    return _rates_to_order(docs, rates, domain_col, id_col, salt, max_epochs)
+
+
+def _rates_to_order(
+    docs: DataFrame,
+    rates: DataFrame,
+    domain_col: str,
+    id_col: str,
+    salt: str,
+    max_epochs: int,
+) -> DataFrame:
+    """Shared tail of pipe7/pipe10: apply a solved (domain, rate_bp)
+    table as deterministic integer epoch/downsample copies and rank
+    every surviving (doc, copy) with global_shuffle's decomposition."""
     d = docs.select(
         F.col(id_col).alias("doc_id"), F.col(domain_col).alias("domain")
     ).join(F.broadcast(rates.select("domain", "rate_bp")), "domain")
@@ -1101,6 +1115,51 @@ def training_order(
     return ranked.select(
         "doc_id", "domain", "copy", F.col("order_pos").cast("long").alias("order_pos")
     )
+
+
+def capped_training_order(
+    docs: DataFrame,
+    targets: dict[str, int],
+    budget_tokens: int | None = None,
+    budget_x_milli: int = 3000,
+    max_data_epochs: int = 4,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "capped-order",
+    n_rounds: int = 3,
+    default_bp: int = 0,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Data-constrained training-order manifest (pipe10) — pipe7's
+    dataloader manifest with the epoch rates solved by
+    :func:`repetition_schedule` instead of :func:`mixture_solver`: the
+    budget may exceed supply, domains repeat at most
+    ``max_data_epochs`` epochs, and the excess water-fills across
+    domains before a single copy is emitted — the manifest a
+    data-constrained run (Muennighoff et al. NeurIPS'23) actually
+    trains on. The realized rate per domain is
+    ``alloc_tokens · 10000 div tokens`` (ceiling-clamped by
+    construction, so no domain's copy explode exceeds
+    ``max_data_epochs + 1`` rows per doc), applied through the exact
+    pipe7 tail: deterministic integer copies, then the distributed
+    global-shuffle rank — corpus read once (the solver's persisted
+    token agg) plus once for the copy explode, shuffled once.
+
+    Returns (doc_id, domain, copy, order_pos), order_pos dense 0..n-1.
+    """
+    sched = repetition_schedule(
+        docs, targets, budget_tokens, budget_x_milli, max_data_epochs,
+        domain_col, text_col, n_rounds, default_bp, token_col,
+    )
+    rates = sched.select(
+        "domain",
+        F.expr(
+            "CASE WHEN tokens > 0 THEN alloc_tokens * 10000 div tokens "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("rate_bp"),
+    )
+    return _rates_to_order(docs, rates, domain_col, id_col, salt, 1 << 20)
 
 
 def repetition_schedule(

@@ -97,6 +97,11 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # beside its sibling s30 (fx_projection_filters and fx_anti_semi
         # hold the parents and sit at 6-7)
         ("pipe8_decontam_training_order", []),
+        # round-11 (cont.): the data-constrained manifest (sp27's
+        # capped schedule feeding pipe7's tail) — all-int surface;
+        # same manifest-family slot rationale as pipe8 (probe now at
+        # the 7-cap)
+        ("pipe10_capped_training_order", []),
     ],
     "fx_projection_filters": [
         ("p123_projection", ["rate", "ga_prof_mar"]),
@@ -554,21 +559,26 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
     # PQ-only); fx_ann_trained takes the trained-structure lifecycle
     # (composed IVF-PQ, its persisted and streamed twins, the label-
     # filtered miner), restoring headroom on both.
+    # round-11 (cont.): fx_ann split again for probe headroom (the
+    # round-10 fx_media mechanism): core search cascades stay here;
+    # the PQ-variant family moves to fx_ann_variants, whose window slot
+    # comes from n3's direct row (n3 rides it — same family)
     "fx_ann": [
         ("n1_ann_cosine_topk", ["cosine"]),
         ("n2_ann_ivf", ["cosine"]),
         ("n4_ann_index_incremental", ["cosine"]),
         ("n5_ann_pq_adc", ["cosine"]),
-        # round-10: deflated top-k directions — embedding-family,
-        # all-int (comp, i, v) surface (~0.3 s oracle)
+    ],
+    "fx_ann_variants": [
+        # deflated top-k directions — embedding-family, all-int
+        # (comp, i, v) surface (~0.3 s oracle)
         ("e13_deflated_directions", []),
-        # round-11: residual IVF-PQ (Jégou IVFADC at identical code
-        # bytes) — n7's output shape; ANN-family ride
+        # residual IVF-PQ (Jégou IVFADC at identical code bytes)
         ("n14_ann_ivfpq_residual", ["cosine"]),
-        # round-11 (cont.): variance-balanced dimension permutation
-        # (OPQ's free-form init, permutation core) — n5's cascade in
-        # permuted coordinates; ANN-family ride (probe now at the 7-cap)
+        # variance-balanced dimension permutation (OPQ free-form init)
         ("n15_ann_pq_dimperm", ["cosine"]),
+        # the displaced direct row: banded-LSH ANN, same output shape
+        ("n3_ann_lsh", ["cosine"]),
     ],
     "fx_ann_trained": [
         # round-8: the composed IVF-PQ cascade — deterministic like both
@@ -942,6 +952,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "domain", "tokens", "target_bp", "alloc_tokens",
         "epochs_milli", "capped", "unalloc_tokens",
     ],
+    "pipe10_capped_training_order": ["doc_id", "domain", "copy", "order_pos"],
     "pipe9_trimmed_prep": ["doc_id", "split", "content_hash", "n_removed"],
     "n14_ann_ivfpq_residual": ["query_id", "neighbor_id", "cosine", "rank"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
@@ -1187,7 +1198,9 @@ DRIVER_WINDOW: list[str] = [
     "fx_text_quality_b",
     "fx_corpus_cards",
     "pipe3_corpus_release",
-    "n3_ann_lsh",
+    # round-11 (cont.): n3's direct slot carries the PQ-variant ANN
+    # probe (fx_ann split for headroom); n3 rides it
+    "fx_ann_variants",
     "fx_streaming_batch",
     "fx_streaming_lake",
     # round-10: st14's direct slot now carries the trained-structure ANN
@@ -1199,7 +1212,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 306
+CATALOG_COUNT = 308  # +1: the fx_ann_variants probe entry itself
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

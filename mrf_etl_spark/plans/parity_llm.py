@@ -6315,7 +6315,10 @@ SP27_MAX_EPOCHS = 4
 SP27_ROUNDS = 3
 
 
-def _sp27_oracle() -> str:
+def _sp27_ctes() -> str:
+    # the water-filling solver as a reusable CTE chain ending in
+    # ``fin(domain, tokens, target_bp, cap, alloc_tokens)`` — sp27
+    # SELECTs its report off it; pipe10 derives rate_bp from it
     whens = " ".join(
         f"WHEN '{s}' THEN {bp}" for s, bp in SP27_TARGETS.items()
     )
@@ -6342,7 +6345,7 @@ def _sp27_oracle() -> str:
          FROM f{n})"""
         for n in range(1, SP27_ROUNDS + 1)
     )
-    return f"""WITH tok AS MATERIALIZED (
+    return f"""tok AS MATERIALIZED (
          SELECT domain, CAST(sum(tk) AS BIGINT) AS tokens FROM (
            SELECT source AS domain,
                   len(regexp_split_to_array(trim(text), '\\s+')) AS tk
@@ -6362,7 +6365,11 @@ def _sp27_oracle() -> str:
        fin AS MATERIALIZED (
          SELECT domain, tokens, target_bp, cap,
                 least(alloc, cap) AS alloc_tokens
-         FROM r{SP27_ROUNDS})
+         FROM r{SP27_ROUNDS})"""
+
+
+def _sp27_oracle() -> str:
+    return f"""WITH {_sp27_ctes()}
        SELECT domain, tokens, target_bp,
               CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
               CAST(CASE WHEN tokens > 0
@@ -6401,6 +6408,60 @@ def sp27_repetition_schedule(spark, sf_dir):
         None,
         budget_x_milli=SP27_BUDGET_X_MILLI,
         max_epochs=SP27_MAX_EPOCHS,
+        n_rounds=SP27_ROUNDS,
+        default_bp=SP27_DEFAULT_BP,
+    )
+
+
+@register(
+    "pipe10_capped_training_order",
+    # sp27's solver CTEs verbatim → rate_bp derived from the CAPPED
+    # allocation → pipe7's copy explode + single-window rank SPEC with
+    # the 'capped-order' salt (the Spark side computes the identical
+    # ranking via global_shuffle's distributed decomposition)
+    f"""WITH {_sp27_ctes()},
+       rt AS MATERIALIZED (
+         SELECT domain,
+                CASE WHEN tokens > 0
+                     THEN alloc_tokens * 10000 // tokens
+                     ELSE CAST(0 AS BIGINT) END AS rate_bp
+         FROM fin),
+       m AS MATERIALIZED (
+         SELECT doc_id, domain, c AS copy
+         FROM (SELECT d.doc_id, r.domain, r.rate_bp,
+                      CAST('0x' || substring(md5('capped-order' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) % 10000 AS b,
+                      unnest(range(0, r.rate_bp // 10000 + 1)) AS c
+               FROM documents d JOIN rt r ON r.domain = d.source)
+         WHERE c < rate_bp // 10000
+            OR (c = rate_bp // 10000 AND b < rate_bp % 10000))
+       SELECT doc_id, domain, copy,
+              CAST(row_number() OVER (
+                ORDER BY CAST('0x' || substring(md5('capped-order-pos' ||
+                    CAST(doc_id * {1 << 20} + copy AS VARCHAR)), 1, 15)
+                    AS BIGINT),
+                  doc_id * {1 << 20} + copy) - 1 AS BIGINT) AS order_pos
+       FROM m""",
+    doc="pipe10 (beyond-ref): data-constrained training-order manifest "
+    "— pipe7's dataloader manifest with the epoch rates solved by "
+    "sp27's water-filling schedule instead of sp23's uncapped solver: "
+    "the budget may exceed supply, no domain repeats beyond 4 epochs, "
+    "excess re-allocates before a single copy is emitted. The realized "
+    "rate is alloc_tokens·10000 div tokens (ceiling-clamped by "
+    "construction), applied through the exact pipe7 tail: "
+    "deterministic integer copies, distributed global-shuffle rank. "
+    "Corpus read twice (solver agg persisted KiB; copy explode), "
+    "shuffled once (operators/sampling.capped_training_order).",
+)
+def pipe10_capped_training_order(spark, sf_dir):
+    from mrf_etl_spark.operators import sampling as sp
+
+    return sp.capped_training_order(
+        t(spark, sf_dir, "documents"),
+        SP27_TARGETS,
+        None,
+        budget_x_milli=SP27_BUDGET_X_MILLI,
+        max_data_epochs=SP27_MAX_EPOCHS,
         n_rounds=SP27_ROUNDS,
         default_bp=SP27_DEFAULT_BP,
     )

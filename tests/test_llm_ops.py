@@ -4584,3 +4584,43 @@ def test_repetition_schedule_hand_cases(spark):
     assert out["A"].alloc_tokens == 400 and out["B"].alloc_tokens == 400
     assert (out["C"].alloc_tokens, out["C"].capped) == (4000, True)
     assert out["C"].unalloc_tokens == 5200
+
+
+def test_pipe10_equals_manual_stage_composition(spark):
+    """pipe10 is exactly sp27's schedule rendered as rates and fed
+    through pipe7's tail: composing repetition_schedule -> rate_bp ->
+    _rates_to_order by hand must reproduce the registered plan
+    row-for-row, and no doc may appear more than max_data_epochs + 1
+    times (the ceiling clamp reaches the copy explode)."""
+    from mrf_etl_spark.operators.sampling import (
+        _rates_to_order,
+        capped_training_order,
+        repetition_schedule,
+    )
+    from mrf_etl_spark.plans.parity import t as _t
+
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents")
+    targets = {"src0": 5000}
+    got = (
+        capped_training_order(docs, targets, None, default_bp=263)
+        .orderBy("order_pos")
+        .collect()
+    )
+    sched = repetition_schedule(docs, targets, None, default_bp=263)
+    rates = sched.selectExpr(
+        "domain",
+        "CASE WHEN tokens > 0 THEN alloc_tokens * 10000 div tokens "
+        "ELSE CAST(0 AS BIGINT) END AS rate_bp",
+    )
+    want = (
+        _rates_to_order(docs, rates, "source", "doc_id", "capped-order", 1 << 20)
+        .orderBy("order_pos")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
+    from collections import Counter
+
+    copies = Counter(r.doc_id for r in got)
+    assert max(copies.values()) <= 5  # 4 data epochs + the partial copy
