@@ -131,6 +131,7 @@ HEADLINE = [
     "n15_ann_pq_dimperm",
     "sp27_repetition_schedule",
     "pipe10_capped_training_order",
+    "st24_stream_zipf_monitor",
     "n10_hard_negatives",
     "q10_cluster_map",
     "sp23_mixture_solver",

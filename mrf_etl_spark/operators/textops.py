@@ -2051,11 +2051,12 @@ def perplexity_buckets(
 
 
 def zipf_fit(
-    docs: DataFrame,
+    docs: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     domain_col: str = "source",
     tol_quarters: int = 1,
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Zipf rank-frequency fit per domain (t26) — the corpus-statistics
     sanity check every large-scale text pipeline runs before training:
@@ -2106,13 +2107,19 @@ def zipf_fit(
 
     from mrf_etl_spark.operators.dedup import widen_narrow_input
 
-    w = widen_narrow_input(docs).select(
-        F.col(domain_col).alias("domain"),
-        F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        ).alias("wd"),
-    )
-    wc = w.groupBy("domain", "wd").agg(F.count("*").alias("f"))
+    if word_counts is not None:
+        # st24's serving path: a pre-merged (domain, wd, f) table (the
+        # streamed count lake) replaces the tokenize — everything below
+        # the first agg is identical, so streamed == one-shot exactly
+        wc = word_counts.select("domain", "wd", F.col("f").cast("long"))
+    else:
+        w = widen_narrow_input(docs).select(
+            F.col(domain_col).alias("domain"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("wd"),
+        )
+        wc = w.groupBy("domain", "wd").agg(F.count("*").alias("f"))
     fc = wc.groupBy("domain", "f").agg(F.count("*").alias("c"))
     wcum = (
         Window.partitionBy("domain")

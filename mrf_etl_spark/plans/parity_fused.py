@@ -216,6 +216,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # round-11 (cont.): data-constrained repetition schedule —
         # solver-family all-int + boolean surface, O(domains) output
         ("sp27_repetition_schedule", []),
+        # round-11 (cont.): streaming Zipf monitor — t26's twin (same
+        # output shape; ~0.3 s oracle = t26's verbatim); cost-driven
+        # ride, probe now at the 7-cap
+        ("st24_stream_zipf_monitor", ["zipf_slope"]),
     ],
     "fx_event_windows": [
         ("w4_asof_join", ["click_value", "view_value"]),
@@ -953,6 +957,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "epochs_milli", "capped", "unalloc_tokens",
     ],
     "pipe10_capped_training_order": ["doc_id", "domain", "copy", "order_pos"],
+    "st24_stream_zipf_monitor": [
+        "domain", "n_types", "n_tokens", "zipf_slope", "is_zipfian",
+    ],
     "pipe9_trimmed_prep": ["doc_id", "split", "content_hash", "n_removed"],
     "n14_ann_ivfpq_residual": ["query_id", "neighbor_id", "cosine", "rank"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
@@ -1212,7 +1219,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 308  # +1: the fx_ann_variants probe entry itself
+CATALOG_COUNT = 309  # incl. the fx_ann_variants probe entry itself
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -1869,3 +1869,86 @@ def _register_st23():
 
 
 st23_stream_cluster_map = _register_st23()
+
+
+def _register_st24():
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    # the count lake is additive per (domain, word): micro-batch
+    # boundaries are invisible by construction, so the served Zipf
+    # report equals the one-shot t26 exactly — t26's oracle verbatim
+    _ORACLE = REGISTRY["t26_zipf_fit"].oracle
+
+    @register(
+        "st24_stream_zipf_monitor",
+        oracle=_ORACLE,
+        doc="st24: streaming Zipf-slope monitor — t26's twin: documents "
+        "stream in micro-batches, each batch appends its own (domain, "
+        "word, n) count rows to a partition lake under the table lock "
+        "(vocab-bounded additive state, the st22 lake discipline); "
+        "serving merges the lake by sum and runs t26's bit-class "
+        "regression over the merged counts — the corpus-statistics "
+        "quality gate (rank-frequency slope per domain) stays fresh "
+        "for O(batch vocab) work per trigger, and the served slope "
+        "equals the one-shot t26 bit for bit (same IEEE expression "
+        "tree over identical integer sums; oracle = t26's verbatim). "
+        "The drift read a crawl operator wants — 'did this batch bend "
+        "the rank-frequency line' — is one lake read away at any "
+        "corpus size.",
+    )
+    def st24_stream_zipf_monitor(spark, sf_dir):
+        import os
+
+        from mrf_etl_spark.operators import textops as tx
+        from mrf_etl_spark.operators.sketchlake import append_state
+        from mrf_etl_spark.plans.parity import _scratch
+
+        docs = t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        staging = _scratch("st24_staging")
+        os.makedirs(staging, exist_ok=True)
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode(
+            "overwrite"
+        ).parquet(f"{staging}/half=1")
+        docs.filter(F.col("doc_id") % 2 == 1).write.mode(
+            "overwrite"
+        ).parquet(f"{staging}/half=2")
+        lake = _scratch("st24_zipf_lake")
+
+        def fold(batch_df, _batch_id):
+            wc = (
+                batch_df.select(
+                    F.col("source").alias("domain"),
+                    F.explode(
+                        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                    ).alias("wd"),
+                )
+                .groupBy("domain", "wd")
+                .agg(F.count("*").cast("long").alias("n"))
+            )
+            append_state(wc, lake)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staging}/half=*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", _scratch("st24_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        merged = (
+            spark.read.parquet(lake)
+            .groupBy("domain", "wd")
+            .agg(F.sum("n").alias("f"))
+        )
+        return tx.zipf_fit(None, word_counts=merged)
+
+    return st24_stream_zipf_monitor
+
+
+st24_stream_zipf_monitor = _register_st24()

@@ -762,3 +762,26 @@ def test_st19b_serve_equals_ingest_lifecycle_and_n7(spark):
         map(tuple, REGISTRY["n7_ann_ivf_pq"].spark_fn(spark, sf).collect())
     )
     assert serve == again == lifecycle == batch
+
+
+def test_st24_streamed_zipf_equals_one_shot(spark):
+    """st24's served report must equal the one-shot t26 bit for bit:
+    the (domain, word) count lake is additive, so micro-batch
+    boundaries are invisible and the merged counts feed the identical
+    bit-class regression (same IEEE expression tree over the same
+    integer sums)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    import mrf_etl_spark.plans.parity_fused  # noqa: F401 (registers st24)
+    from mrf_etl_spark.operators import textops as tx
+    from mrf_etl_spark.plans.parity import REGISTRY, t as _t
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["st24_stream_zipf_monitor"].spark_fn(spark, sf).collect()
+    )
+    want = sorted(
+        tuple(r) for r in tx.zipf_fit(_t(spark, sf, "documents")).collect()
+    )
+    assert got == want and len(got) > 0
