@@ -132,6 +132,7 @@ HEADLINE = [
     "sp27_repetition_schedule",
     "pipe10_capped_training_order",
     "st24_stream_zipf_monitor",
+    "n16_ann_rp_topk",
     "n10_hard_negatives",
     "q10_cluster_map",
     "sp23_mixture_solver",

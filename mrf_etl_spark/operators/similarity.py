@@ -3264,3 +3264,157 @@ def permute_embedding(
             "_pl", lambda o: F.element_at(F.col(vec_col), o.cast("int") + 1)
         ).alias(vec_col),
     )
+
+
+def rp_sign_matrix(
+    spark,
+    dim: int = 64,
+    k: int = 16,
+    salt: str = "rp",
+):
+    """Deterministic ±1 random-projection matrix as a k-row DataFrame
+    (j, svec: array<int> of length dim) — the Achlioptas'03 sign
+    variant of the Johnson-Lindenstrauss transform, with every sign a
+    pure function of (salt, j, i) via md5 parity, so ANY engine
+    regenerates the identical matrix from three literals (no stored
+    artifact, no RNG state). Built in-plan from a range cross — the
+    k x dim sign table is KiB at any configuration."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    cells = (
+        spark.range(k)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(spark.range(dim).select(F.col("id").cast("int").alias("i")))
+        .select(
+            "j",
+            "i",
+            F.expr(
+                f"CASE WHEN CAST(conv(substring(md5(concat('{salt}|', "
+                "CAST(j AS STRING), '|', CAST(i AS STRING))), 1, 1), 16, 10) "
+                "AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+            ).alias("s"),
+        )
+    )
+    return cells.groupBy("j").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s"))),
+            lambda x: x["s"],
+        ).alias("svec")
+    )
+
+
+def ann_rp_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k_proj: int = 16,
+    salt: str = "rp",
+    query_filter: Column | None = None,
+    n_candidates: int = 50,
+    k: int = 5,
+) -> DataFrame:
+    """ANN via a signed random-projection prefilter + exact rerank
+    (n16) — the Johnson-Lindenstrauss route to candidate generation:
+    every vector collapses to ``k_proj`` integer components (the ±1
+    sign projection of its corpus-globally int8-quantized form), the
+    candidate scan ranks by PROJECTED cosine over those few ints
+    (reading ~k_proj/dim of the bytes a float scan touches — the same
+    economics as PQ codes, with zero training), and only the top
+    ``n_candidates`` rerank against the original floats.
+
+    Deterministic end-to-end, so the oracle replays the WHOLE cascade:
+    the sign matrix is an md5-parity function of (salt, j, i)
+    (:func:`rp_sign_matrix`); projections are EXACT int64 sums of
+    ±int8 values (order-free — no float fold anywhere before the
+    ranking scalar); the candidate ordering is dotP/sqrt(|vP|²), one
+    correctly-rounded IEEE divide+sqrt from exact integers (the
+    :func:`assign_centroids_int8` scalar shape), ties to the lower id;
+    the rerank is n1's exact-cosine ordering.
+
+    Plan shape: quantize (one global-max agg) → a k_proj-row broadcast
+    sign matrix zipped per vector (k_proj-way fan-out, map-side) →
+    the candidate join is projected-queries (tiny broadcast) x corpus
+    projections → per-query top-C window → rerank joins ≤ |Q|·C rows
+    back to the corpus floats. No training, no codebook state — the
+    zero-prep baseline the trained tiers (n5/n7/n15) justify their
+    artifacts against.
+
+    Returns (query_id, neighbor_id, cosine, rank) — n1's shape.
+    """
+    from pyspark.sql.window import Window
+
+    spark = emb.sparkSession
+    q8 = quantize_int8_global(emb, vec_col, id_col).select(
+        F.col(id_col).alias("vid"), "qvec"
+    )
+    signs = rp_sign_matrix(spark, dim, k_proj, salt)
+    zero = F.lit(0).cast("long")
+    pj = F.aggregate(
+        F.zip_with(
+            "qvec", "svec", lambda x, s: x.cast("long") * s.cast("long")
+        ),
+        zero,
+        lambda acc, v: acc + v,
+    )
+    proj = (
+        q8.crossJoin(F.broadcast(signs))
+        .select("vid", "j", pj.alias("p"))
+        .groupBy("vid")
+        .agg(
+            F.sum(F.col("p") * F.col("p")).alias("pn2"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "p"))),
+                lambda x: x["p"],
+            ).alias("pv"),
+        )
+    )
+    qf = query_filter if query_filter is not None else (F.col(id_col) < 10)
+    qids = emb.filter(qf).select(F.col(id_col).alias("query_id"))
+    qp = proj.join(
+        F.broadcast(qids), proj["vid"] == qids["query_id"]
+    ).select("query_id", F.col("pv").alias("qpv"))
+    dotp = F.aggregate(
+        F.zip_with("qpv", "pv", lambda a, b: a * b), zero, lambda acc, v: acc + v
+    )
+    scored = (
+        proj.crossJoin(F.broadcast(qp))
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.when(
+                F.col("pn2") > 0,
+                dotp.cast("double") / F.sqrt(F.col("pn2").cast("double")),
+            ).otherwise(F.lit(float("-inf"))).alias("ps"),
+        )
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("ps").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(w_c))
+        .filter(F.col("crank") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+    q = (
+        emb.filter(qf)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("qn", norm_fold("qv"))
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", norm_fold("cv"))
+    rer = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", dot_fold("qv", "cv") / (F.col("qn") * F.col("cn")))
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -572,6 +572,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("n2_ann_ivf", ["cosine"]),
         ("n4_ann_index_incremental", ["cosine"]),
         ("n5_ann_pq_adc", ["cosine"]),
+        # round-11 (cont.): JL sign-projection prefilter + exact rerank
+        # — the zero-prep candidate tier; core-cascade family
+        ("n16_ann_rp_topk", ["cosine"]),
     ],
     "fx_ann_variants": [
         # deflated top-k directions — embedding-family, all-int
@@ -960,6 +963,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "st24_stream_zipf_monitor": [
         "domain", "n_types", "n_tokens", "zipf_slope", "is_zipfian",
     ],
+    "n16_ann_rp_topk": ["query_id", "neighbor_id", "cosine", "rank"],
     "pipe9_trimmed_prep": ["doc_id", "split", "content_hash", "n_removed"],
     "n14_ann_ivfpq_residual": ["query_id", "neighbor_id", "cosine", "rank"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
@@ -1219,7 +1223,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 309  # incl. the fx_ann_variants probe entry itself
+CATALOG_COUNT = 310  # incl. the fx_ann_variants probe entry itself
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -7928,6 +7928,101 @@ def n15_ann_pq_dimperm(spark, sf_dir):
     )
 
 
+_N16_KPROJ = 16
+
+
+@register(
+    "n16_ann_rp_topk",
+    # the sign matrix is an md5-parity FUNCTION of (salt, j, i) — both
+    # engines regenerate it from literals; projections are exact int64
+    # sums of ±int8 (order-free), the candidate scalar is one IEEE
+    # divide+sqrt from exact ints, the rerank is n1's exact cosine.
+    f"""WITH g AS MATERIALIZED (
+         SELECT max(list_aggregate(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE))), 'max')) AS m
+         FROM embeddings),
+       q0 AS MATERIALIZED (
+         SELECT vec_id,
+                CASE WHEN g.m = 0
+                     THEN list_transform(embedding, x -> 0)
+                     ELSE list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE)
+                               / (g.m / 127.0)) AS INTEGER))
+                END AS qvec
+         FROM embeddings, g),
+       sg AS MATERIALIZED (
+         SELECT j.j, i.i,
+                CASE WHEN CAST('0x' || substring(md5(
+                         'rp|' || j.j || '|' || i.i), 1, 1) AS BIGINT)
+                     % 2 = 0 THEN 1 ELSE -1 END AS s
+         FROM (SELECT unnest(range({_N16_KPROJ})) AS j) j,
+              (SELECT unnest(range({DIM})) AS i) i),
+       pr AS MATERIALIZED (
+         SELECT u.vid, sg.j, CAST(sum(u.qx * sg.s) AS BIGINT) AS p
+         FROM (SELECT vec_id AS vid, CAST(t.i AS INT) AS i,
+                      CAST(qvec[CAST(t.i AS INT) + 1] AS BIGINT) AS qx
+               FROM q0, range({DIM}) t(i)) u
+         JOIN sg ON sg.i = u.i
+         GROUP BY u.vid, sg.j),
+       pn AS MATERIALIZED (
+         SELECT vid, CAST(sum(p * p) AS BIGINT) AS pn2
+         FROM pr GROUP BY vid),
+       dt AS MATERIALIZED (
+         SELECT qa.vid AS query_id, pb.vid AS neighbor_id,
+                CAST(sum(qa.p * pb.p) AS BIGINT) AS dp
+         FROM pr qa JOIN pr pb USING (j)
+         WHERE qa.vid < 10 AND qa.vid <> pb.vid
+         GROUP BY 1, 2),
+       sc AS MATERIALIZED (
+         SELECT d.query_id, d.neighbor_id,
+                CASE WHEN v.pn2 > 0
+                     THEN CAST(d.dp AS DOUBLE) / sqrt(CAST(v.pn2 AS DOUBLE))
+                     ELSE CAST('-infinity' AS DOUBLE) END AS ps
+         FROM dt d JOIN pn v ON v.vid = d.neighbor_id),
+       cand AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ps DESC, neighbor_id ASC) AS crank
+           FROM sc) WHERE crank <= {_N5_CANDIDATES}),
+       rer AS (
+         SELECT c.query_id, c.neighbor_id,
+                {{cos}} AS cosine
+         FROM cand c
+         JOIN embeddings q ON q.vec_id = c.query_id
+         JOIN embeddings n ON n.vec_id = c.neighbor_id)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT *, row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         FROM rer) WHERE rank <= {_N5_K}""".replace(
+        "{cos}", _cos_sql("q.embedding", "n.embedding")
+    ),
+    doc="n16 (beyond-ref): ANN via a signed random-projection prefilter "
+    "+ exact rerank — the Johnson-Lindenstrauss route (Achlioptas'03 "
+    "sign variant): every vector collapses to 16 integer components "
+    "(±1 md5-parity matrix applied to the int8-quantized form — no "
+    "training, no stored artifact, any engine regenerates the matrix "
+    "from literals), candidates rank by projected cosine over those "
+    "few ints (~k/dim of a float scan's bytes, PQ economics at zero "
+    "prep), top-50 rerank exactly. Projections are exact order-free "
+    "int64 sums; the one float scalar per pair is a correctly-rounded "
+    "IEEE divide+sqrt, so the oracle replays the whole cascade. The "
+    "zero-prep baseline the trained tiers (n5/n7/n15) justify their "
+    "codebook artifacts against "
+    "(operators/similarity.ann_rp_topk, rp_sign_matrix).",
+)
+def n16_ann_rp_topk(spark, sf_dir):
+    return sim.ann_rp_topk(
+        t(spark, sf_dir, "embeddings"),
+        dim=DIM,
+        k_proj=_N16_KPROJ,
+        query_filter=F.col("vec_id") < 10,
+        n_candidates=_N5_CANDIDATES,
+        k=_N5_K,
+    )
+
+
 W21_BASE_DAYS = 7
 W21_Z = 3  # burst threshold in baseline standard deviations
 

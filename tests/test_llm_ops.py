@@ -4624,3 +4624,71 @@ def test_pipe10_equals_manual_stage_composition(spark):
 
     copies = Counter(r.doc_id for r in got)
     assert max(copies.values()) <= 5  # 4 data epochs + the partial copy
+
+
+def test_rp_sign_matrix_is_md5_parity_function(spark):
+    """n16's projection matrix must be the pure md5-parity function of
+    (salt, j, i) the oracle regenerates — cross-check a handful of
+    cells against hashlib directly."""
+    import hashlib
+
+    from mrf_etl_spark.operators.similarity import rp_sign_matrix
+
+    got = {
+        r.j: list(r.svec) for r in rp_sign_matrix(spark, dim=8, k=3).collect()
+    }
+    for j in range(3):
+        for i in range(8):
+            h = hashlib.md5(f"rp|{j}|{i}".encode()).hexdigest()
+            want = 1 if int(h[0], 16) % 2 == 0 else -1
+            assert got[j][i] == want, (j, i)
+
+
+def test_n16_rp_recall_band_and_monotone_width(spark):
+    """The honest n16 finding on the near-isotropic fixture (JL's worst
+    case: random vectors, tiny cosine gaps): recall@5 at a 10%
+    candidate budget lands ~0.44 with 16 sign components — BELOW the
+    trained PQ tier's 0.72 (that is the zero-prep trade) — and rises
+    monotonically with sketch width (measured 0.44 / 0.50 / 0.64 at
+    16/32/48), exactly as the JL lemma predicts. Pinned as a band plus
+    the monotonicity, not a point."""
+    from pyspark.sql.window import Window
+
+    from mrf_etl_spark.operators.similarity import (
+        ann_rp_topk,
+        dot_fold,
+        norm_fold,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cv"))
+    d = (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn(
+            "cos", dot_fold("qv", "cv") / (norm_fold("qv") * norm_fold("cv"))
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    gt = {
+        (r.qid, r.nid)
+        for r in d.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 5")
+        .collect()
+    }
+
+    def recall(kp):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_rp_topk(
+                emb, k_proj=kp, query_filter=F.col("vec_id") < 10
+            ).collect()
+        }
+        return len(got & gt) / len(gt)
+
+    r16, r48 = recall(16), recall(48)
+    assert 0.3 <= r16 <= 0.6, r16
+    assert r48 >= r16, (r16, r48)
