@@ -166,6 +166,27 @@ BUDGETS = {
     # Matryoshka ANN: ONE window shuffle (shortlist rank; the rerank
     # rides the same rows) — queries broadcast, no index, no codebook
     "n11_ann_matryoshka": 1,
+    # Zipf fit: ONE vocab-bounded count shuffle + the tiny
+    # distinct-frequency collapse/window/bit-class stages
+    "t26_zipf_fit": 4,
+    # Heaps growth: doc-count + bucket-offset agg pair, the per-bucket
+    # prefix window, the min-per-word agg, the 64-row class histogram
+    "t27_vocab_growth": 14,
+    # water-filling schedule: ONE corpus token agg (persisted — every
+    # further reference is an InMemoryTableScan whose cached subtree the
+    # pre-AQE string reprints per reference, the t25 printing artifact;
+    # see test_sp27_solver_rounds_run_through_cache for the runtime pin)
+    "sp27_repetition_schedule": 63,
+    # sp27's solver string (cached-subtree reprints) + pipe7's explode
+    # and global-shuffle tail
+    "pipe10_capped_training_order": 129,
+    # permuted PQ-ADC: n5's cascade + the per-dim variance agg and the
+    # 64-row rank window; permutation and stats attach as broadcasts
+    "n15_ann_pq_dimperm": 39,
+    # JL prefilter: quantize max agg, the k-way projection agg, the
+    # candidate/final rank windows — sign matrix and query sketches
+    # broadcast
+    "n16_ann_rp_topk": 11,
     # power iteration: one combinable update agg per iteration + the
     # final explode — the direction itself always broadcasts
     "e12_power_iteration": 3,
@@ -350,6 +371,22 @@ def test_pipe8_gate_runs_once_through_cache(spark):
     from mrf_etl_spark.operators.dedup import release_state
 
     df = _catalog()["pipe8_decontam_training_order"].spark_fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_state(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+
+def test_sp27_solver_rounds_run_through_cache(spark):
+    """sp27's corpus token agg must execute ONCE: the (domain, tokens)
+    table is persisted and every water-filling round's scalar attaches
+    read it back through InMemoryTableScan — exchange counting is
+    unreliable through InMemory printouts (the cached subtree prints
+    per reference but runs once: 32 reprints at the fixture, one real
+    scan), so the pin is the reuse itself (the pipe8 pattern)."""
+    from mrf_etl_spark.operators.dedup import release_state
+
+    df = _catalog()["sp27_repetition_schedule"].spark_fn(spark, SF_DIR)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     release_state(df)
