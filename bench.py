@@ -133,6 +133,7 @@ HEADLINE = [
     "pipe10_capped_training_order",
     "st24_stream_zipf_monitor",
     "n16_ann_rp_topk",
+    "m8_shot_boundaries",
     "n10_hard_negatives",
     "q10_cluster_map",
     "sp23_mixture_solver",

@@ -745,3 +745,69 @@ def audio_near_dup(
     return banded_hamming_pairs(
         sig, max_hamming, max_band_freq, hi_col="fp_hi", lo_col="fp_lo"
     )
+
+
+def shot_boundaries(
+    mm: DataFrame,
+    frame_size: int = 64,
+    tau: int = 128,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Shot-boundary detection over an opaque video payload (m8) — the
+    frame-delta segmentation every video-curation pipeline runs before
+    sampling training clips: consecutive frames whose signature jumps
+    past a threshold start a new shot (hard-cut detection; the
+    classical luminance-histogram-difference method reduced to its
+    per-frame scalar).
+
+    The decode is the m2 deterministic stand-in (payload = concatenated
+    ``frame_size``-byte pseudo-frames; a real decoder changes only the
+    slicing): the per-frame signature is the EXACT integer byte sum (a
+    luminance-total proxy), produced by the Arrow-batched mapInPandas
+    the media tier is allowed (SURVEY §2.9), and everything after the
+    decode is native: one per-doc lag window over the bounded frame
+    rows (≤ payload/frame_size per doc), one rollup. A frame starts a
+    new shot when |sum_t − sum_{t−1}| > ``tau``.
+
+    Returns (doc_id, n_frames, n_shots, max_delta) per document —
+    all-integer, exact, replayable (the oracle recomputes byte sums
+    from the hex form m2's oracle established). Empty payloads count
+    one empty frame (sum 0, one shot).
+    """
+    from pyspark.sql.window import Window
+
+    def _sums(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in it:
+            rows: list[tuple[int, int, int]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                n_frames = max(1, math.ceil(len(payload) / frame_size))
+                for i in range(n_frames):
+                    sl = payload[i * frame_size : (i + 1) * frame_size]
+                    rows.append((doc_id, i, sum(sl)))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "fsum"])
+
+    src = mm.select("doc_id", "payload")
+    if partitions:
+        src = src.repartition(partitions)
+    frames = src.mapInPandas(
+        _sums, "doc_id long, frame_idx long, fsum long"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = frames.withColumn(
+        "delta", F.abs(F.col("fsum") - F.lag("fsum").over(w))
+    )
+    return d.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        (
+            F.lit(1).cast("long")
+            + F.sum(
+                F.when(F.col("delta") > tau, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        ).alias("n_shots"),
+        F.max(F.coalesce("delta", F.lit(0).cast("long"))).alias("max_delta"),
+    )

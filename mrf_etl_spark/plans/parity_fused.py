@@ -501,6 +501,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # its trim stage's relatives on fx_tolerant_lookups /
         # fx_media_pairs already carry the d20/d19 oracles)
         ("pipe9_trimmed_prep", []),
+        # round-11 (cont.): shot-boundary detection — media-features
+        # family (m2's slicing doctrine, all-int surface)
+        ("m8_shot_boundaries", []),
     ],
     "fx_media_pairs": [
         ("m4_media_near_dup", ["jaccard"]),
@@ -964,6 +967,7 @@ _COMPONENT_COLS: dict[str, list[str]] = {
         "domain", "n_types", "n_tokens", "zipf_slope", "is_zipfian",
     ],
     "n16_ann_rp_topk": ["query_id", "neighbor_id", "cosine", "rank"],
+    "m8_shot_boundaries": ["doc_id", "n_frames", "n_shots", "max_delta"],
     "pipe9_trimmed_prep": ["doc_id", "split", "content_hash", "n_removed"],
     "n14_ann_ivfpq_residual": ["query_id", "neighbor_id", "cosine", "rank"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
@@ -1223,7 +1227,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 310  # incl. the fx_ann_variants probe entry itself
+CATALOG_COUNT = 311  # incl. the fx_ann_variants probe entry itself
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -5662,6 +5662,70 @@ def m7_audio_near_dup(spark, sf_dir):
     )
 
 
+_M8_FRAME = 64
+_M8_TAU = 128
+
+
+@register(
+    "m8_shot_boundaries",
+    # per-frame byte sums from the hex form (m2's slicing doctrine),
+    # as a per-row list_aggregate scalar (no unnest — an empty frame
+    # keeps its row with sum 0, matching the Spark side's one-empty-
+    # frame contract), then the lag delta + rollup
+    f"""WITH p AS (
+         SELECT doc_id, lower(hex(encode(text))) AS hx,
+                octet_length(encode(text)) AS nb
+         FROM documents),
+       fr AS (
+         SELECT doc_id,
+                CAST(t.i AS BIGINT) AS frame_idx,
+                substring(hx, CAST(t.i AS INT) * {2 * _M8_FRAME} + 1,
+                          {2 * _M8_FRAME}) AS fhx
+         FROM (SELECT doc_id, hx,
+                      unnest(range(0, greatest(1,
+                          CAST(ceil(nb / {_M8_FRAME}.0) AS BIGINT)))) AS i
+               FROM p) t(doc_id, hx, i)),
+       bs AS MATERIALIZED (
+         SELECT doc_id, frame_idx,
+                CAST(coalesce(list_aggregate(list_transform(
+                      range(0, length(fhx) // 2),
+                      b -> CAST('0x' || substring(fhx, CAST(b AS INT) * 2 + 1, 2)
+                               AS BIGINT)), 'sum'), 0) AS BIGINT) AS fsum
+         FROM fr),
+       dl AS (
+         SELECT doc_id, fsum,
+                abs(fsum - lag(fsum) OVER (
+                    PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+         FROM bs)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+              CAST(1 + sum(CASE WHEN delta > {_M8_TAU}
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_shots,
+              CAST(max(coalesce(delta, 0)) AS BIGINT) AS max_delta
+       FROM dl GROUP BY doc_id""",
+    doc="m8 (beyond-ref): shot-boundary detection over video payloads — "
+    "the frame-delta segmentation (classical luminance-histogram-"
+    "difference hard-cut detector reduced to its per-frame scalar) a "
+    "video-curation pipeline runs before sampling training clips. "
+    "Decode is m2's deterministic stand-in (64-byte pseudo-frames; a "
+    "real decoder changes only the slicing): the per-frame signature "
+    "is the EXACT integer byte sum from the allowed Arrow-batched "
+    "mapInPandas tier, everything after is native — one per-doc lag "
+    "window over bounded frame rows, one rollup. All-integer surface "
+    "(operators/multimodal.shot_boundaries).",
+)
+def m8_shot_boundaries(spark, sf_dir):
+    from mrf_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        shot_boundaries,
+    )
+
+    mm = attach_binary_payload(t(spark, sf_dir, "documents"), "text", "doc_id")
+    return shot_boundaries(
+        mm, frame_size=_M8_FRAME, tau=_M8_TAU,
+        partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
 @register(
     "m6_phash_near_dup",
     # m5's fake-hash recipe over the near-dup corpus, then d4b's

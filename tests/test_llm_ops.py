@@ -4692,3 +4692,29 @@ def test_n16_rp_recall_band_and_monotone_width(spark):
     r16, r48 = recall(16), recall(48)
     assert 0.3 <= r16 <= 0.6, r16
     assert r48 >= r16, (r16, r48)
+
+
+def test_shot_boundaries_hand_case(spark):
+    """m8 on hand payloads: 64 'a' bytes then 64 'z' bytes = two
+    pseudo-frames with byte sums 64*97=6208 and 64*122=7808 -> delta
+    1600 > tau 128 -> 2 shots. A homogeneous 128-byte doc keeps one
+    shot; a short (< frame) doc is one frame, one shot, delta 0."""
+    from mrf_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        shot_boundaries,
+    )
+
+    rows = [
+        (1, "a" * 64 + "z" * 64),
+        (2, "m" * 128),
+        (3, "hi"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    mm = attach_binary_payload(docs, "text", "doc_id")
+    out = {
+        r.doc_id: r
+        for r in shot_boundaries(mm, frame_size=64, tau=128).collect()
+    }
+    assert (out[1].n_frames, out[1].n_shots, out[1].max_delta) == (2, 2, 1600)
+    assert (out[2].n_frames, out[2].n_shots, out[2].max_delta) == (2, 1, 0)
+    assert (out[3].n_frames, out[3].n_shots, out[3].max_delta) == (1, 1, 0)

@@ -69,6 +69,29 @@ NESTED_LOOP_OK = {
     # codes, query × centroid broadcast for probes, query-residual ×
     # seed broadcast for the per-bucket LUT — all bounded sides
     "n14_ann_ivfpq_residual": "residual IVF-PQ: bounded centroid/seed/LUT broadcasts (the n7 pattern)",
+    # n15 is n5's cascade in permuted coordinates: the same bounded
+    # 16-seed codebook + 1-row query-table broadcasts, plus the 1-ROW
+    # permutation-array attach and the 1-row quantization-scale scalar
+    "n15_ann_pq_dimperm": "n5's bounded broadcasts + 1-row permutation "
+    "and scale attaches",
+    # n16: the k_proj-row sign-matrix broadcast crosses the corpus once
+    # (map-side projection), the |Q|-row query-sketch broadcast crosses
+    # the projected corpus (n1's bounded-query shape on 4x fewer bytes)
+    "n16_ann_rp_topk": "bounded sign-matrix (k_proj rows) and "
+    "query-sketch broadcasts",
+    # sp27/pipe10: the corpus-proportional budget and each
+    # water-filling round's excess/headroom scalars are 1-ROW broadcast
+    # crossJoins onto the persisted |domains|-row table (the t5
+    # collect-free global-scalar shape, n_rounds + 1 times)
+    "sp27_repetition_schedule": "1-row budget + per-round scalar "
+    "broadcasts over the bounded domains table",
+    "pipe10_capped_training_order": "sp27's 1-row budget/round scalar "
+    "broadcasts (solver stage)",
+    # t27: the 1-row (lo, hi, total) stats attach (bucket width +
+    # checkpoint count) and the <= 62-row class-histogram inequality
+    # join — both constant-size broadcast sides
+    "t27_vocab_growth": "1-row stats attach + <= 62-row class-histogram "
+    "inequality join",
     # r11 corpus-proportional budgets: the solver's total-token budget
     # rides a 1-ROW broadcast crossJoin onto the |domains|-row rate
     # table (the t5 collect-free global-scalar shape)
