@@ -134,6 +134,7 @@ HEADLINE = [
     "st24_stream_zipf_monitor",
     "n16_ann_rp_topk",
     "m8_shot_boundaries",
+    "d21_eval_span_excision",
     "n10_hard_negatives",
     "q10_cluster_map",
     "sp23_mixture_solver",

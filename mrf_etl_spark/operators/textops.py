@@ -2283,3 +2283,142 @@ def vocab_growth(
             F.coalesce("vocab_size", F.lit(0).cast("long")).alias("vocab_size"),
         )
     )
+
+
+def eval_span_excision(
+    df: DataFrame,
+    eval_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Surgical eval-span excision (d21) — the REMOVAL step the
+    decontamination family stops short of: d12/d14/q11 GATE whole
+    documents out when they overlap the held-out benchmark; this keeps
+    the document and cuts only the matching material (the
+    canary/benchmark-scrubbing discipline: a 10k-token document with
+    one leaked eval sentence loses ~k words, not 10k).
+
+    Set-based semantics (the d20 doctrine — no greedy scan, so the SQL
+    oracle replays the rewrite exactly):
+
+    * the eval universe is the DISTINCT 60-bit hash set of the eval
+      split's ``k``-gram windows (t8's shingle recipe; sub-k eval docs
+      contribute their whole text) — the bounded broadcast side, KBs
+      per benchmark at any corpus size;
+    * every corpus window whose hash is in the universe is a hit; word
+      position p is REMOVED iff some hit window covers it (sub-k
+      corpus docs match only as their whole text, covering every
+      position);
+    * output per CORPUS doc: (doc_id, clean_text, n_tokens, n_removed,
+      n_hits) — clean_text is the kept original-case words joined by
+      single spaces (d20's normalization); untouched docs round-trip
+      with n_removed = 0.
+
+    Scale shape: corpus windows stream through ONE broadcast semi-ish
+    join against the eval universe; the position explode and the
+    rewrite's posexplode run ONLY on docs with at least one hit (clean
+    docs take a projection-only passthrough) — the whole per-position
+    cost is bounded by contaminated material, not the corpus.
+    """
+    from mrf_etl_spark.operators.dedup import widen_narrow_input
+
+    wide = widen_narrow_input(df)
+    corpus = wide.filter(~eval_pred).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_ow"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    ew = wide.filter(eval_pred).select(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("ws")
+    )
+    h60 = lambda s: (  # noqa: E731 — the shared 60-bit md5 hash domain
+        f"cast(conv(substring(md5({s}), 1, 15), 16, 10) as bigint)"
+    )
+    euniv = (
+        ew.filter(F.size("ws") >= k)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {k - 1}), "
+                    f"i -> {h60(f'array_join(slice(ws, i, {k}), chr(32))')})"
+                )
+            ).alias("h")
+        )
+        .unionByName(
+            ew.filter(F.size("ws") < k).select(
+                F.expr(h60("array_join(ws, chr(32))")).alias("h")
+            )
+        )
+        .distinct()
+    )
+    win = (
+        corpus.filter(F.size("_w") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_w) - {k - 1}), "
+                    f"i -> struct(i AS pos, CAST({k} AS BIGINT) AS cover, "
+                    f"{h60(f'array_join(slice(_w, i, {k}), chr(32))')} AS h))"
+                )
+            ).alias("_s"),
+        )
+        .select("doc_id", "_s.pos", "_s.cover", "_s.h")
+        .unionByName(
+            corpus.filter(F.size("_w") < k).select(
+                "doc_id",
+                F.lit(1).alias("pos"),
+                F.size("_w").cast("long").alias("cover"),
+                F.expr(h60("array_join(_w, chr(32))")).alias("h"),
+            )
+        )
+    )
+    mt = win.join(F.broadcast(euniv), "h")
+    hits = mt.groupBy("doc_id").agg(F.count("*").alias("n_hits"))
+    removed = (
+        mt.select(
+            "doc_id",
+            F.explode(F.expr("sequence(pos, pos + cast(cover as int) - 1)")).alias(
+                "p"
+            ),
+        ).distinct()
+    )
+    kept = (
+        corpus.join(hits, "doc_id", "left_semi")
+        .select("doc_id", F.posexplode("_ow").alias("_p0", "w"))
+        .withColumn("p", F.col("_p0") + 1)
+        .join(removed, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(p, w))), s -> s.w), ' ')"
+            ).alias("_kept_text"),
+            F.count("*").alias("_n_kept"),
+        )
+    )
+    return (
+        corpus.select(
+            "doc_id",
+            F.size("_ow").cast("long").alias("n_tokens"),
+            F.array_join("_ow", " ").alias("_orig_text"),
+        )
+        .join(hits, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n_hits").isNull(), F.col("_orig_text"))
+            .otherwise(F.coalesce("_kept_text", F.lit("")))
+            .alias("clean_text"),
+            "n_tokens",
+            F.when(F.col("n_hits").isNull(), F.lit(0).cast("long"))
+            .otherwise(
+                F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0).cast("long"))
+            )
+            .alias("n_removed"),
+            F.coalesce(F.col("n_hits").cast("long"), F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+        )
+    )

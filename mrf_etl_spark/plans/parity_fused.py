@@ -518,6 +518,11 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # probe (its family probe fx_geo_lookups is at the 7-cap;
         # precedent: sp23 on fx_projection_filters)
         ("d19_screened_repeat_lengths", []),
+        # round-11 (cont.): d21 eval-span excision — the decontam
+        # family's REMOVAL member; same cost-driven slot rationale as
+        # d19 (all decontam/dedup probes at the 7-cap); all-int +
+        # string surface
+        ("d21_eval_span_excision", []),
     ],
     # round-5 probes: close the driver-verification tail. fx_agg_shapes /
     # fx_ref_joins free five agg + three join direct slots; the freed
@@ -968,6 +973,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     ],
     "n16_ann_rp_topk": ["query_id", "neighbor_id", "cosine", "rank"],
     "m8_shot_boundaries": ["doc_id", "n_frames", "n_shots", "max_delta"],
+    "d21_eval_span_excision": [
+        "doc_id", "clean_text", "n_tokens", "n_removed", "n_hits",
+    ],
     "pipe9_trimmed_prep": ["doc_id", "split", "content_hash", "n_removed"],
     "n14_ann_ivfpq_residual": ["query_id", "neighbor_id", "cosine", "rank"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
@@ -1227,7 +1235,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 311  # incl. the fx_ann_variants probe entry itself
+CATALOG_COUNT = 312  # incl. the fx_ann_variants probe entry itself
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -1229,6 +1229,88 @@ def t8_contamination(spark, sf_dir):
     )
 
 
+@register(
+    "d21_eval_span_excision",
+    # t8's shingle recipe (same 60-bit md5 domain, same space-joined
+    # windows) driving a POSITION-SET rewrite: any corpus window in the
+    # eval universe covers its k positions; kept original-case words
+    # rejoin by single spaces (d20's normalization). Clean docs take
+    # the projection passthrough on both sides.
+    f"""WITH corpus AS MATERIALIZED (
+         SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} <> 0),
+       ev AS (SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} = 0),
+       cw AS MATERIALIZED (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+         FROM corpus),
+       ew AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM ev),
+       euniv AS MATERIALIZED (
+         SELECT DISTINCT CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h
+         FROM (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+               FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i
+                     FROM ew WHERE len(ws) >= 3)
+               UNION ALL
+               SELECT array_to_string(ws, ' ') AS sh FROM ew WHERE len(ws) < 3)),
+       cwin AS (
+         SELECT doc_id, i AS pos, CAST(3 AS BIGINT) AS cover,
+                CAST('0x' || substring(md5(ws[i] || ' ' || ws[i+1] || ' '
+                     || ws[i+2]), 1, 15) AS BIGINT) AS h
+         FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+               FROM cw WHERE len(ws) >= 3)
+         UNION ALL
+         SELECT doc_id, 1 AS pos, CAST(len(ws) AS BIGINT) AS cover,
+                CAST('0x' || substring(md5(array_to_string(ws, ' ')), 1, 15)
+                  AS BIGINT) AS h
+         FROM cw WHERE len(ws) < 3),
+       mt AS MATERIALIZED (
+         SELECT w.doc_id, w.pos, w.cover FROM cwin w JOIN euniv USING (h)),
+       hits AS MATERIALIZED (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM mt GROUP BY doc_id),
+       rm AS MATERIALIZED (
+         SELECT DISTINCT doc_id, pos + x AS p
+         FROM (SELECT doc_id, pos, unnest(range(0, cover)) AS x FROM mt)),
+       ow AS MATERIALIZED (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ows
+         FROM corpus),
+       kept AS MATERIALIZED (
+         SELECT t.doc_id,
+                array_to_string(list(t.w ORDER BY t.p), ' ') AS kept_text,
+                CAST(count(*) AS BIGINT) AS n_kept
+         FROM (SELECT o.doc_id, CAST(u.i AS BIGINT) AS p, o.ows[u.i] AS w
+               FROM ow o, unnest(range(1, len(o.ows) + 1)) u(i)
+               WHERE o.doc_id IN (SELECT doc_id FROM hits)) t
+         LEFT JOIN rm ON rm.doc_id = t.doc_id AND rm.p = t.p
+         WHERE rm.p IS NULL
+         GROUP BY t.doc_id)
+       SELECT o.doc_id,
+              CASE WHEN h.n_hits IS NULL THEN array_to_string(o.ows, ' ')
+                   ELSE coalesce(k.kept_text, '') END AS clean_text,
+              CAST(len(o.ows) AS BIGINT) AS n_tokens,
+              CASE WHEN h.n_hits IS NULL THEN CAST(0 AS BIGINT)
+                   ELSE len(o.ows) - coalesce(k.n_kept, 0) END AS n_removed,
+              coalesce(h.n_hits, 0) AS n_hits
+       FROM ow o
+       LEFT JOIN hits h USING (doc_id)
+       LEFT JOIN kept k USING (doc_id)""",
+    doc="d21 (beyond-ref): surgical eval-span excision — the REMOVAL "
+    "step the decontamination family stops short of: d12/d14/q11 gate "
+    "whole documents out on benchmark overlap; this keeps the document "
+    "and cuts only the matching k-gram spans (canary-scrubbing "
+    "discipline: one leaked eval sentence costs ~k words, not the "
+    "doc). Set-based position-coverage semantics (the d20 doctrine, "
+    "no greedy scan), t8's shingle recipe for the bounded broadcast "
+    "eval universe; the position explode and rewrite run ONLY on docs "
+    "with a hit — clean docs take a projection passthrough "
+    "(operators/textops.eval_span_excision).",
+)
+def d21_eval_span_excision(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.eval_span_excision(
+        d, F.col("doc_id") % EVAL_MOD == 0, "text", "doc_id", k=SHINGLE_K
+    )
+
+
 BLOOM_M = 1 << 17  # Bloom bitset bits (16 KiB of int64 words)
 BLOOM_K = 3  # hash functions (double hashing off the shared 60-bit md5 h)
 

@@ -4718,3 +4718,33 @@ def test_shot_boundaries_hand_case(spark):
     assert (out[1].n_frames, out[1].n_shots, out[1].max_delta) == (2, 2, 1600)
     assert (out[2].n_frames, out[2].n_shots, out[2].max_delta) == (2, 1, 0)
     assert (out[3].n_frames, out[3].n_shots, out[3].max_delta) == (1, 1, 0)
+
+
+def test_eval_span_excision_hand_case(spark):
+    """d21 on planted contamination: eval docs (id % 101 == 0) hold
+    'x y z' and the sub-k doc 'q'. A corpus doc carrying the leaked
+    trigram loses exactly those three positions (case-insensitive
+    match, original case kept); a whole-doc sub-k match empties the
+    doc; clean docs round-trip untouched with n_removed = 0."""
+    from mrf_etl_spark.operators.textops import eval_span_excision
+
+    rows = [
+        (0, "x y z"),           # eval
+        (202, "q"),             # eval (sub-k)
+        (1, "a b X Y Z c"),     # corpus: hit at positions 3-5
+        (2, "p q r"),           # corpus: clean ('q' alone is sub-k only)
+        (3, "x y"),             # corpus: sub-k, whole text not in universe
+        (4, "q"),               # corpus: whole-doc sub-k hit
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in eval_span_excision(
+            docs, F.col("doc_id") % 101 == 0, "text", "doc_id", k=3
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1].clean_text, out[1].n_removed, out[1].n_hits) == ("a b c", 3, 1)
+    assert (out[2].clean_text, out[2].n_removed, out[2].n_hits) == ("p q r", 0, 0)
+    assert (out[3].clean_text, out[3].n_removed) == ("x y", 0)
+    assert (out[4].clean_text, out[4].n_tokens, out[4].n_removed) == ("", 1, 1)
