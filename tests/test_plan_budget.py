@@ -187,6 +187,11 @@ BUDGETS = {
     # candidate/final rank windows — sign matrix and query sketches
     # broadcast
     "n16_ann_rp_topk": 11,
+    # eval-span excision: the eval-universe distinct, the hit agg, the
+    # removed-position distinct, the rewrite's kept agg + joins — the
+    # eval side broadcasts, the rewrite runs only on hit docs; the
+    # count includes widen round-robins reprinted per subtree pre-AQE
+    "d21_eval_span_excision": 21,
     # power iteration: one combinable update agg per iteration + the
     # final explode — the direction itself always broadcasts
     "e12_power_iteration": 3,
