@@ -135,6 +135,7 @@ HEADLINE = [
     "n16_ann_rp_topk",
     "m8_shot_boundaries",
     "d21_eval_span_excision",
+    "pipe11_excised_prep",
     "n10_hard_negatives",
     "q10_cluster_map",
     "sp23_mixture_solver",

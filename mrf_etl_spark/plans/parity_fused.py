@@ -523,6 +523,10 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # d19 (all decontam/dedup probes at the 7-cap); all-int +
         # string surface
         ("d21_eval_span_excision", []),
+        # round-11 (cont.): pipe11 (excision-first prep) — d21's
+        # pipeline composition, same slot rationale; all-int + string
+        # manifest surface
+        ("pipe11_excised_prep", []),
     ],
     # round-5 probes: close the driver-verification tail. fx_agg_shapes /
     # fx_ref_joins free five agg + three join direct slots; the freed
@@ -976,6 +980,9 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "d21_eval_span_excision": [
         "doc_id", "clean_text", "n_tokens", "n_removed", "n_hits",
     ],
+    "pipe11_excised_prep": [
+        "doc_id", "split", "content_hash", "n_removed", "n_hits",
+    ],
     "pipe9_trimmed_prep": ["doc_id", "split", "content_hash", "n_removed"],
     "n14_ann_ivfpq_residual": ["query_id", "neighbor_id", "cosine", "rank"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
@@ -1235,7 +1242,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 312  # incl. the fx_ann_variants probe entry itself
+CATALOG_COUNT = 313  # incl. the fx_ann_variants probe entry itself
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -2900,6 +2900,88 @@ def _register_pipe9():
 pipe9_trimmed_prep = _register_pipe9()
 
 
+def _register_pipe11():
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    @register(
+        "pipe11_excised_prep",
+        # pipe9's prep flow with d21's eval-span excision as stage 0:
+        # d21's statement verbatim (the excised corpus, eval split
+        # already excluded) → t2 quality over the CLEANED text → exact
+        # dedup keeping min doc_id per content hash → PII scrub →
+        # deterministic split; n_removed/n_hits ride through as the
+        # per-doc decontamination accounting.
+        f"""WITH ex AS MATERIALIZED (
+           {REGISTRY['d21_eval_span_excision'].oracle}),
+       exd AS MATERIALIZED (
+         SELECT doc_id, clean_text AS text, n_removed, n_hits FROM ex),
+       q AS (SELECT doc_id, quality FROM ({_t2_sql('exd')}) tq),
+       gated AS (
+         SELECT e.doc_id, e.text, e.n_removed, e.n_hits
+         FROM exd e JOIN q USING (doc_id)
+         WHERE q.quality >= 0.75),
+       dedup AS (
+         SELECT doc_id, text, n_removed, n_hits FROM (
+           SELECT doc_id, text, n_removed, n_hits,
+                  row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+           FROM gated) WHERE rn = 1)
+       SELECT doc_id,
+              CASE WHEN bucket < 9000 THEN 'train'
+                   WHEN bucket < 9500 THEN 'val'
+                   ELSE 'test' END AS split,
+              md5({_t6_scrub_sql('text')}) AS content_hash,
+              n_removed, n_hits
+       FROM (SELECT doc_id, text, n_removed, n_hits,
+                    {_BUCKET_SQL.format(id='doc_id')} AS bucket
+             FROM dedup)""",
+        doc="pipe11 (beyond-ref): pipe1's corpus-prep flow with d21's "
+        "surgical eval-span excision as stage 0 — scrub leaked "
+        "benchmark spans FIRST (documents survive, only contaminated "
+        "material goes), THEN quality-gate the cleaned text, "
+        "exact-dedup, PII-scrub, split; per-doc tokens-removed and "
+        "hit counts ride through to the manifest. The release-grade "
+        "alternative to the q11 whole-doc gate: a corpus that would "
+        "lose whole documents to one leaked sentence keeps them, "
+        "decontaminated. One lazy plan; the excision explode runs "
+        "only on hit docs (d21's passthrough discipline).",
+    )
+    def pipe11_excised_prep(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        from mrf_etl_spark.operators import sampling as sp
+
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        ex = tx.eval_span_excision(
+            docs, F.col("doc_id") % EVAL_MOD == 0, "text", "doc_id",
+            k=SHINGLE_K,
+        ).select(
+            "doc_id", F.col("clean_text").alias("text"),
+            "n_removed", "n_hits",
+        )
+        gated = ex.filter(tx.quality_score("text") >= 0.75)
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        dedup = (
+            gated.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        return sp.assign_split(
+            dedup, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).select(
+            "doc_id",
+            "split",
+            F.md5(tx.pii_scrub("text")).alias("content_hash"),
+            "n_removed",
+            "n_hits",
+        )
+
+    return pipe11_excised_prep
+
+
+pipe11_excised_prep = _register_pipe11()
+
+
 @register(
     "d8_semantic_dedup",
     # SemDeDup-style composition (Abbas et al. 2023, public literature):

@@ -4748,3 +4748,46 @@ def test_eval_span_excision_hand_case(spark):
     assert (out[2].clean_text, out[2].n_removed, out[2].n_hits) == ("p q r", 0, 0)
     assert (out[3].clean_text, out[3].n_removed) == ("x y", 0)
     assert (out[4].clean_text, out[4].n_tokens, out[4].n_removed) == ("", 1, 1)
+
+
+def test_pipe11_equals_manual_stage_composition(spark):
+    """pipe11 is exactly d21's excision fed through pipe9's prep tail:
+    composing eval_span_excision -> quality gate -> md5-window dedup ->
+    split by hand must reproduce the registered plan row-for-row."""
+    from pyspark.sql.window import Window
+
+    from mrf_etl_spark.operators import sampling as sp
+    from mrf_etl_spark.operators import textops as tx
+    from mrf_etl_spark.plans.parity import REGISTRY, t as _t
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["pipe11_excised_prep"].spark_fn(spark, sf).collect()
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    ex = tx.eval_span_excision(
+        docs, F.col("doc_id") % 101 == 0, "text", "doc_id", k=3
+    ).select(
+        "doc_id", F.col("clean_text").alias("text"), "n_removed", "n_hits"
+    )
+    gated = ex.filter(tx.quality_score("text") >= 0.75)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    want = sorted(
+        tuple(r)
+        for r in sp.assign_split(
+            dedup, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+        )
+        .select(
+            "doc_id", "split",
+            F.md5(tx.pii_scrub("text")).alias("content_hash"),
+            "n_removed", "n_hits",
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
