@@ -4791,3 +4791,30 @@ def test_pipe11_equals_manual_stage_composition(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_new_solver_outputs_partition_invariant(spark):
+    """t26's regression and sp27's water-filling are exact integer
+    pipelines — their outputs must be bit-identical under any input
+    partitioning/arrival order (1 vs 16 shuffled partitions)."""
+    from mrf_etl_spark.operators.sampling import repetition_schedule
+    from mrf_etl_spark.operators.textops import zipf_fit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.coalesce(1)
+    b = docs.repartition(16)
+
+    za = sorted(tuple(r) for r in zipf_fit(a).collect())
+    zb = sorted(tuple(r) for r in zipf_fit(b).collect())
+    assert za == zb and len(za) > 0
+
+    targets = {"src0": 5000}
+    ra = sorted(
+        tuple(r)
+        for r in repetition_schedule(a, targets, None, default_bp=263).collect()
+    )
+    rb = sorted(
+        tuple(r)
+        for r in repetition_schedule(b, targets, None, default_bp=263).collect()
+    )
+    assert ra == rb and len(ra) > 0

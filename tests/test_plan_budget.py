@@ -192,6 +192,10 @@ BUDGETS = {
     # eval side broadcasts, the rewrite runs only on hit docs; the
     # count includes widen round-robins reprinted per subtree pre-AQE
     "d21_eval_span_excision": 21,
+    # excision-first prep: d21's chain + the quality gate (projection),
+    # the md5-dedup window, and the split projection — one more than
+    # d21 for the dedup window's key shuffle
+    "pipe11_excised_prep": 22,
     # power iteration: one combinable update agg per iteration + the
     # final explode — the direction itself always broadcasts
     "e12_power_iteration": 3,
