@@ -654,3 +654,84 @@ def test_perplexity_buckets_partition_each_domain(spark, docs):
             assert r.t1 < r.score_e <= r.t2
         else:
             assert r.score_e > r.t2
+
+
+@given(
+    supplies=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=1, max_size=6
+    ),
+    bps=st.lists(
+        st.integers(min_value=0, max_value=5000), min_size=1, max_size=6
+    ),
+    budget=st.integers(min_value=0, max_value=20_000),
+)
+@settings(**SETTINGS)
+def test_repetition_schedule_respects_caps_and_budget(
+    spark, supplies, bps, budget
+):
+    """sp27's CONTRACT for any supplies/targets/budget: no domain ever
+    exceeds max_epochs x its supply, the total allocation never exceeds
+    the budget, and unalloc_tokens is exactly the unspent remainder."""
+    from mrf_etl_spark.operators.sampling import repetition_schedule
+
+    n = min(len(supplies), len(bps))
+    supplies, bps = supplies[:n], bps[:n]
+    rows = [
+        (i, " ".join(["w"] * s) if s else "", f"d{i}")
+        for i, s in enumerate(supplies)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    targets = {f"d{i}": bp for i, bp in enumerate(bps)}
+    out = repetition_schedule(
+        docs, targets, budget_tokens=budget, max_epochs=4
+    ).collect()
+    assert len(out) == n
+    total_alloc = 0
+    for r in out:
+        # empty text still splits to one '' token — use the REPORTED
+        # supply as the cap base (the operator's own token recipe)
+        assert r.alloc_tokens <= 4 * r.tokens, r
+        assert r.alloc_tokens >= 0
+        total_alloc += r.alloc_tokens
+        assert r.unalloc_tokens == budget - sum(
+            x.alloc_tokens for x in out
+        ), r
+    assert total_alloc <= budget
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(list("abcdefg")), min_size=1, max_size=12
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_eval_span_excision_accounting_is_consistent(spark, texts):
+    """d21's CONTRACT for any corpus/eval mix: every corpus doc comes
+    back exactly once, 0 <= n_removed <= n_tokens, the kept word count
+    equals n_tokens - n_removed, docs with no hit round-trip their
+    (whitespace-normalized) text, and n_hits = 0 iff n_removed = 0
+    for k-or-longer docs."""
+    from mrf_etl_spark.operators.textops import eval_span_excision
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # doc 0 is the eval split; everything else is corpus
+    out = {
+        r.doc_id: r
+        for r in eval_span_excision(
+            docs, F.col("doc_id") == 0, "text", "doc_id", k=3
+        ).collect()
+    }
+    assert set(out) == set(range(1, len(texts)))
+    for i in range(1, len(texts)):
+        r = out[i]
+        assert 0 <= r.n_removed <= r.n_tokens
+        kept = len(r.clean_text.split()) if r.clean_text else 0
+        assert kept == r.n_tokens - r.n_removed
+        if r.n_hits == 0:
+            assert r.n_removed == 0
+            assert r.clean_text == " ".join(texts[i].split())
