@@ -136,6 +136,7 @@ HEADLINE = [
     "m8_shot_boundaries",
     "d21_eval_span_excision",
     "pipe11_excised_prep",
+    "st25_stream_excision",
     "n10_hard_negatives",
     "q10_cluster_map",
     "sp23_mixture_solver",

@@ -2324,34 +2324,63 @@ def eval_span_excision(
     from mrf_etl_spark.operators.dedup import widen_narrow_input
 
     wide = widen_narrow_input(df)
-    corpus = wide.filter(~eval_pred).select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("_ow"),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    euniv = eval_ngram_universe(wide.filter(eval_pred), text_col, k)
+    return excise_with_universe(
+        wide.filter(~eval_pred), euniv, text_col, id_col, k
     )
-    ew = wide.filter(eval_pred).select(
+
+
+def _h60(s: str) -> str:
+    # the shared 60-bit md5 hash domain (t8/d2/d3's recipe)
+    return f"cast(conv(substring(md5({s}), 1, 15), 16, 10) as bigint)"
+
+
+def eval_ngram_universe(
+    ev: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """The distinct 60-bit hash set of an eval split's ``k``-gram
+    windows (sub-k docs contribute their whole text) — d21's bounded
+    broadcast side, factored out so st25 can freeze it ONCE as the
+    at-ingest artifact. Returns a single-column (h) frame."""
+    ew = ev.select(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("ws")
     )
-    h60 = lambda s: (  # noqa: E731 — the shared 60-bit md5 hash domain
-        f"cast(conv(substring(md5({s}), 1, 15), 16, 10) as bigint)"
-    )
-    euniv = (
+    return (
         ew.filter(F.size("ws") >= k)
         .select(
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(ws) - {k - 1}), "
-                    f"i -> {h60(f'array_join(slice(ws, i, {k}), chr(32))')})"
+                    f"i -> {_h60(f'array_join(slice(ws, i, {k}), chr(32))')})"
                 )
             ).alias("h")
         )
         .unionByName(
             ew.filter(F.size("ws") < k).select(
-                F.expr(h60("array_join(ws, chr(32))")).alias("h")
+                F.expr(_h60("array_join(ws, chr(32))")).alias("h")
             )
         )
         .distinct()
     )
+
+
+def excise_with_universe(
+    docs: DataFrame,
+    euniv: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Apply d21's position-coverage excision to ``docs`` against a
+    prebuilt eval universe — a pure per-document function of (text,
+    universe), which is what makes st25's micro-batch application equal
+    the one-shot batch run row for row."""
+    corpus = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_ow"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    h60 = lambda s: _h60(s)  # noqa: E731
     win = (
         corpus.filter(F.size("_w") >= k)
         .select(

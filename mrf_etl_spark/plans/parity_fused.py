@@ -349,21 +349,32 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         ("d12_bloom_decontam", []),
         ("pipe1_llm_prep", []),
     ],
+    # round-11 (cont.): fx_dedup_pairs split for probe headroom (the
+    # window-policy split mechanism): the n-gram/simhash PAIR family
+    # stays here; the cluster/state members move to fx_dedup_state,
+    # whose window slot comes from d6's direct row (d6 rides it —
+    # d13's canonical pick is literally d6's closure + argmax, so the
+    # new probe is the coherent cluster-state family)
     "fx_dedup_pairs": [
         ("d3_ngram_jaccard", ["jaccard"]),
         ("d10_ngram_containment", ["containment"]),
         ("d4b_simhash_hamming", []),
         ("d7_repeated_passages", []),
-        # round-8: policy-based canonical pick (d6's closure + argmax;
-        # all-integer/boolean surface)
+    ],
+    "fx_dedup_state": [
+        # policy-based canonical pick (d6's closure + argmax)
         ("d13_canonical_pick", []),
-        # round-9: codebook drift monitor — embedding-space family
-        # (fx_topk_page took e6/e7 and is at the 7-cap); all-int/bool
-        # surface, e6's assignment chain + one count agg (~0.1 s)
+        # codebook drift monitor — all-int/bool surface (~0.1 s)
         ("e8_codebook_drift", []),
-        # round-9: e8's streaming twin — counts lake drained per batch,
-        # served result == e8's oracle verbatim (probe now at the 7-cap)
+        # e8's streaming twin — served result == e8's oracle verbatim
         ("st20_stream_codebook_drift", []),
+        # the displaced direct row: star-contraction dup clusters
+        # (0.20 s oracle — below the direct-row cost floor)
+        ("d6_dup_clusters", []),
+        # round-11 (cont.): d21's at-ingest streaming twin — per-batch
+        # excision against the frozen eval universe; decontam-state
+        # family
+        ("st25_stream_excision", []),
     ],
     # round-7: fx_dedup_quality (1.37 s, the heaviest probe oracle after
     # the r6 fix) and fx_release_flow (1.78 s) are dissolved — their
@@ -983,6 +994,10 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "pipe11_excised_prep": [
         "doc_id", "split", "content_hash", "n_removed", "n_hits",
     ],
+    "d6_dup_clusters": ["doc_id", "component_id"],
+    "st25_stream_excision": [
+        "doc_id", "clean_text", "n_tokens", "n_removed", "n_hits",
+    ],
     "pipe9_trimmed_prep": ["doc_id", "split", "content_hash", "n_removed"],
     "n14_ann_ivfpq_residual": ["query_id", "neighbor_id", "cosine", "rank"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
@@ -1206,7 +1221,9 @@ DRIVER_WINDOW: list[str] = [
     "fx_llm_flagships",
     "d2_minhash_lsh",
     "d3b_ngram_jaccard_capped",
-    "d6_dup_clusters",
+    # round-11 (cont.): d6's direct slot carries the cluster-state
+    # probe (fx_dedup_pairs split for headroom); d6 rides it
+    "fx_dedup_state",
     "fx_dedup_pairs",
     "d5_embedding_near_dup",
     "q4_dedup_quality",
@@ -1242,7 +1259,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 313  # incl. the fx_ann_variants probe entry itself
+CATALOG_COUNT = 315  # incl. the fx_ann_variants / fx_dedup_state probes
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -1952,3 +1952,81 @@ def _register_st24():
 
 
 st24_stream_zipf_monitor = _register_st24()
+
+
+def _register_st25():
+    from mrf_etl_spark.plans.parity import REGISTRY
+
+    # the excision is a pure per-document function of (text, frozen
+    # eval universe), so micro-batch boundaries are invisible and the
+    # drained lake equals the one-shot batch run — d21's oracle verbatim
+    _ORACLE = REGISTRY["d21_eval_span_excision"].oracle
+
+    @register(
+        "st25_stream_excision",
+        oracle=_ORACLE,
+        doc="st25: d21's at-ingest twin — the eval k-gram universe "
+        "freezes ONCE (the benchmark-scrub artifact, KBs broadcast), "
+        "then documents stream in micro-batches and each batch is "
+        "surgically excised on arrival (position-coverage rewrite, "
+        "hit-bounded explode) with the cleaned rows + accounting "
+        "appended to a lake under the table lock. Completes the "
+        "streaming decontamination set: st13/st21 GATE documents at "
+        "ingest, st25 SCRUBS them — contaminated material never "
+        "reaches the lake at all, at O(batch) cost per trigger. "
+        "Pure per-doc function + frozen universe => the drained lake "
+        "equals the one-shot d21 run row for row (oracle verbatim).",
+    )
+    def st25_stream_excision(spark, sf_dir):
+        import os
+
+        from mrf_etl_spark.operators.sketchlake import append_state
+        from mrf_etl_spark.operators.textops import (
+            eval_ngram_universe,
+            excise_with_universe,
+        )
+        from mrf_etl_spark.plans.parity import _scratch
+        from mrf_etl_spark.plans.parity_llm import EVAL_MOD, SHINGLE_K
+
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        euniv = eval_ngram_universe(
+            docs.filter(F.col("doc_id") % EVAL_MOD == 0), "text", SHINGLE_K
+        ).persist()
+        corpus = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+
+        staging = _scratch("st25_staging")
+        os.makedirs(staging, exist_ok=True)
+        corpus.filter(F.col("doc_id") % 2 == 0).write.mode(
+            "overwrite"
+        ).parquet(f"{staging}/half=1")
+        corpus.filter(F.col("doc_id") % 2 == 1).write.mode(
+            "overwrite"
+        ).parquet(f"{staging}/half=2")
+        lake = _scratch("st25_excised_lake")
+
+        def fold(batch_df, _batch_id):
+            out = excise_with_universe(
+                batch_df, euniv, "text", "doc_id", SHINGLE_K
+            )
+            append_state(out, lake)
+
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{staging}/half=*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", _scratch("st25_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        return spark.read.parquet(lake).select(
+            "doc_id", "clean_text", "n_tokens", "n_removed", "n_hits"
+        )
+
+    return st25_stream_excision
+
+
+st25_stream_excision = _register_st25()

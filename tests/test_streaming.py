@@ -785,3 +785,28 @@ def test_st24_streamed_zipf_equals_one_shot(spark):
         tuple(r) for r in tx.zipf_fit(_t(spark, sf, "documents")).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_st25_streamed_excision_equals_one_shot(spark):
+    """st25's drained lake must equal the one-shot d21 run row for row:
+    the excision is a pure per-document function of (text, frozen eval
+    universe), so micro-batch boundaries are invisible."""
+    import mrf_etl_spark.plans.parity_fused  # noqa: F401 (registers st25)
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from mrf_etl_spark.operators import textops as tx
+    from mrf_etl_spark.plans.parity import REGISTRY, t as _t
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["st25_stream_excision"].spark_fn(spark, sf).collect()
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    want = sorted(
+        tuple(r)
+        for r in tx.eval_span_excision(
+            docs, F.col("doc_id") % 101 == 0, "text", "doc_id", k=3
+        ).collect()
+    )
+    assert got == want and len(got) > 0
