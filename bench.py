@@ -137,6 +137,7 @@ HEADLINE = [
     "d21_eval_span_excision",
     "pipe11_excised_prep",
     "st25_stream_excision",
+    "t28_vocab_burstiness",
     "n10_hard_negatives",
     "q10_cluster_map",
     "sp23_mixture_solver",

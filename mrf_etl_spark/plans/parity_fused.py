@@ -375,6 +375,9 @@ FUSE_SPECS: dict[str, list[tuple[str, list[str]]]] = {
         # excision against the frozen eval universe; decontam-state
         # family
         ("st25_stream_excision", []),
+        # round-11 (cont.): corpus-stats trio's third member — all-int
+        # domain rollup (~0.2 s oracle); cost-driven ride
+        ("t28_vocab_burstiness", []),
     ],
     # round-7: fx_dedup_quality (1.37 s, the heaviest probe oracle after
     # the r6 fix) and fx_release_flow (1.78 s) are dissolved — their
@@ -998,6 +1001,10 @@ _COMPONENT_COLS: dict[str, list[str]] = {
     "st25_stream_excision": [
         "doc_id", "clean_text", "n_tokens", "n_removed", "n_hits",
     ],
+    "t28_vocab_burstiness": [
+        "domain", "n_types", "n_bursty_types", "n_tokens",
+        "bursty_token_milli",
+    ],
     "pipe9_trimmed_prep": ["doc_id", "split", "content_hash", "n_removed"],
     "n14_ann_ivfpq_residual": ["query_id", "neighbor_id", "cosine", "rank"],
     "n11_ann_matryoshka": ["query_id", "neighbor_id", "cosine", "rank"],
@@ -1259,7 +1266,7 @@ DRIVER_WINDOW: list[str] = [
 # a new entry. VERDICT r8 #1: s28 landed in a snapshot commit while
 # README/COVERAGE still said 251; this build-time canary makes the books
 # and the live registry disagree LOUDLY instead of drifting silently.
-CATALOG_COUNT = 315  # incl. the fx_ann_variants / fx_dedup_state probes
+CATALOG_COUNT = 316  # incl. the fx_ann_variants / fx_dedup_state probes
 
 
 def ordered_registry() -> dict[str, ParityQuery]:

@@ -6476,6 +6476,52 @@ def t27_vocab_growth(spark, sf_dir):
     return tx.vocab_growth(t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+@register(
+    "t28_vocab_burstiness",
+    # integer cross-multiplication burst test (cf >= 2·df AND df >= 2),
+    # all-integer domain rollup over the vocab-bounded (domain, word,
+    # cf, df) table — exact replay, no division on the compare surface
+    r"""WITH w AS MATERIALIZED (
+         SELECT source AS domain, doc_id AS did,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS wd
+         FROM documents),
+       cf AS MATERIALIZED (
+         SELECT domain, wd, CAST(count(*) AS BIGINT) AS cf
+         FROM w GROUP BY domain, wd),
+       dfx AS MATERIALIZED (
+         SELECT domain, wd, CAST(count(*) AS BIGINT) AS df
+         FROM (SELECT DISTINCT domain, wd, did FROM w) GROUP BY domain, wd),
+       wc AS MATERIALIZED (
+         SELECT c.domain, c.wd, c.cf, d.df,
+                (c.cf >= 2 * d.df AND d.df >= 2) AS bursty
+         FROM cf c JOIN dfx d ON d.domain = c.domain AND d.wd = c.wd)
+       SELECT domain,
+              CAST(count(*) AS BIGINT) AS n_types,
+              CAST(sum(CASE WHEN bursty THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_bursty_types,
+              CAST(sum(cf) AS BIGINT) AS n_tokens,
+              CAST(CASE WHEN sum(cf) > 0
+                   THEN sum(CASE WHEN bursty THEN cf ELSE 0 END) * 1000
+                        // sum(cf)
+                   ELSE 0 END AS BIGINT) AS bursty_token_milli
+       FROM wc GROUP BY domain""",
+    doc="t28 (beyond-ref): vocabulary burstiness per domain — Church & "
+    "Gale 1995 made operational: content words are bursty (cf/df "
+    "high), so a domain whose token mass concentrates in high-burst "
+    "types is keyword-stuffed/templated in a way per-doc repetition "
+    "scores (t7) miss — each doc looks normal, the burst only shows "
+    "across the corpus. Integer-exact: the burst test is cross-"
+    "multiplication (cf >= 2·df, df >= 2), the rollup pure integer "
+    "arithmetic over the vocab-bounded count table; two combinable "
+    "shuffles, nothing corpus-ordered "
+    "(operators/textops.vocab_burstiness).",
+)
+def t28_vocab_burstiness(spark, sf_dir):
+    return tx.vocab_burstiness(
+        t(spark, sf_dir, "documents"), "text", "doc_id", "source"
+    )
+
+
 def _register_sp26():
     from mrf_etl_spark.plans.parity import REGISTRY
 

@@ -4818,3 +4818,24 @@ def test_new_solver_outputs_partition_invariant(spark):
         for r in repetition_schedule(b, targets, None, default_bp=263).collect()
     )
     assert ra == rb and len(ra) > 0
+
+
+def test_vocab_burstiness_hand_case(spark):
+    """t28 on a hand corpus: word 'b' appears 3 times per containing
+    doc across 2 docs (cf=6, df=2 -> cf >= 2*df, bursty); 'a' appears
+    once per doc across 3 docs (cf=3, df=3 -> not bursty); 'z' appears
+    4 times in ONE doc (df=1 < min_df -> not bursty, corpus-rare)."""
+    from mrf_etl_spark.operators.textops import vocab_burstiness
+
+    rows = [
+        (1, "a b b b", "d"),
+        (2, "a b b b", "d"),
+        (3, "a z z z z", "d"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = vocab_burstiness(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    # types: a, b, z; tokens: 3 + 6 + 4 = 13; bursty: only b (cf 6)
+    assert (r.n_types, r.n_bursty_types, r.n_tokens) == (3, 1, 13)
+    assert r.bursty_token_milli == 6 * 1000 // 13
