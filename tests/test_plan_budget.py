@@ -196,6 +196,10 @@ BUDGETS = {
     # the md5-dedup window, and the split projection — one more than
     # d21 for the dedup window's key shuffle
     "pipe11_excised_prep": 22,
+    # burstiness: the cf agg, the (domain, wd, did) pre-distinct + df
+    # agg, the cf⋈df join inputs, the domain rollup — all vocab-bounded
+    # after the tokenize, plus the widen round-robin
+    "t28_vocab_burstiness": 6,
     # power iteration: one combinable update agg per iteration + the
     # final explode — the direction itself always broadcasts
     "e12_power_iteration": 3,
