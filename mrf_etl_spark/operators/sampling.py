@@ -1184,7 +1184,11 @@ def repetition_schedule(
 
       1. per-domain supply (one combinable token-count agg, sp23's
          seeded recipe — targeted-but-absent domains keep their row);
-      2. initial ask per domain = budget · target_bp div 10000;
+      2. initial ask per domain = budget · target_bp div share_base,
+         where share_base = greatest(10000, Σ effective target_bp) — the
+         plain 10000-bp division for any valid share spec, scaled down
+         proportionally when the effective shares over-specify the base
+         (so Σ asks ≤ budget holds for ANY input, not just Σbp ≤ 10000);
       3. asks above the repetition ceiling ``cap = supply · max_epochs``
          are clamped and the excess WATER-FILLS back onto domains with
          headroom, proportional to their target shares — ``n_rounds``
@@ -1230,23 +1234,35 @@ def repetition_schedule(
     tbp = (
         F.lit(int(default_bp)) if tbp is None else tbp.otherwise(int(default_bp))
     ).cast("long")
-    st = tok.withColumn("target_bp", tbp).withColumn(
+    base = tok.withColumn("target_bp", tbp).withColumn(
         "cap", F.col("tokens") * F.lit(int(max_epochs)).cast("long")
     )
+    # Initial asks divide the budget by target SHARES. The share base is
+    # 10000 bp; when the caller's effective shares sum beyond it (possible
+    # with many defaulted domains, or over-specified targets), dividing by
+    # the literal 10000 would hand out more than the budget in aggregate —
+    # the sum of floor(budget·bp/10000) is only bounded by budget when
+    # Σbp ≤ 10000. Use greatest(10000, Σbp) so valid share specs are
+    # untouched (the division is bit-identical) and over-specified ones
+    # scale down proportionally, keeping Σalloc ≤ budget for ANY input
+    # (each water-fill round then conserves: Σ floor(excess·bp/hb) ≤
+    # excess, and the final clamp only reduces). Computed in the SAME
+    # scalar agg as the corpus-proportional budget so the broadcast rides
+    # the one crossJoin the solver already pays (one more nesting level
+    # would double the cached-subtree reprints test_plan_budget counts).
+    aggs = [
+        F.greatest(F.sum("target_bp"), F.lit(10000).cast("long")).alias("_sbp")
+    ]
     if budget_tokens is None:
-        total = tok.agg(
-            F.expr(f"CAST(sum(tokens) * {int(budget_x_milli)} div 1000 AS BIGINT)").alias(
-                "_budget"
-            )
+        aggs.append(
+            F.expr(
+                f"CAST(sum(tokens) * {int(budget_x_milli)} div 1000 AS BIGINT)"
+            ).alias("_budget")
         )
-        st = st.crossJoin(F.broadcast(total))
-    else:
-        st = st.withColumn(
-            "_budget", F.lit(int(budget_tokens)).cast("long")
-        )
-    st = st.withColumn(
-        "alloc", F.expr("_budget * target_bp div 10000")
-    )
+    st = base.crossJoin(F.broadcast(base.agg(*aggs)))
+    if budget_tokens is not None:
+        st = st.withColumn("_budget", F.lit(int(budget_tokens)).cast("long"))
+    st = st.withColumn("alloc", F.expr("_budget * target_bp div _sbp"))
     for _ in range(n_rounds):
         st = st.withColumn("fixed", F.least("alloc", "cap")).withColumn(
             "over", F.col("alloc") - F.least("alloc", "cap")
