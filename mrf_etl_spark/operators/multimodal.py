@@ -562,11 +562,24 @@ def phash_near_dup(
     Plan: map-side hashing (mapInPandas, no shuffle) → one band-keyed
     shuffle + the pair join + the exact verify against the KiB-per-row
     signature table. Returns (doc_a, doc_b, hamming), all-int.
+
+    The signature frame is PERSISTED before the pair kernel (m7's r11
+    discipline): the kernel references its input six times, and an
+    un-cached sig re-runs the Arrow-batched image decode per reference
+    — 3 longs per image vs re-decoding pixels. Callers free it with
+    ``release_state`` after materializing.
     """
-    sig = perceptual_hash(mm, fake=fake, partitions=partitions).select(
-        "doc_id", "ahash_hi", "ahash_lo"
+    from pyspark.storagelevel import StorageLevel
+
+    from mrf_etl_spark.operators.dedup import carry_state
+
+    sig = (
+        perceptual_hash(mm, fake=fake, partitions=partitions)
+        .select("doc_id", "ahash_hi", "ahash_lo")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return banded_hamming_pairs(sig, max_hamming, max_band_freq)
+    out = banded_hamming_pairs(sig, max_hamming, max_band_freq)
+    return carry_state(out, hold=(sig,))
 
 
 def banded_hamming_pairs(
@@ -659,6 +672,29 @@ def audio_energy_bits(samples: list[int], n_frames: int = 64) -> tuple[int, int]
     return hi, lo
 
 
+def audio_energy_bits_np(s) -> tuple[int, int]:
+    """Vectorized twin of :func:`audio_energy_bits` (guide §4.2: hand the
+    batch work to native vectorized code instead of per-sample Python
+    loops — the whole-payload Python loop was the clip-decode hot spot).
+    All int64: the frame index is the same ``pos*64//n`` integer formula,
+    frame energies are exact ``|sample|`` sums (``np.add.at``, integer
+    accumulation — no float ever), and the bit compare is ``64·e_i ≥ Σe``
+    with no division — bit-identical to the scalar form (pinned by test
+    over random/edge inputs). Takes an int64 ndarray; returns (hi, lo)."""
+    import numpy as np
+
+    n = len(s)
+    idx = (np.arange(n, dtype=np.int64) * 64) // n
+    e = np.zeros(64, dtype=np.int64)
+    np.add.at(e, idx, np.abs(s))
+    total = e.sum()
+    bits = (64 * e) >= total
+    w32 = np.int64(1) << np.arange(32, dtype=np.int64)
+    lo = int((w32 * bits[:32]).sum())
+    hi = int((w32 * bits[32:]).sum())
+    return hi, lo
+
+
 def audio_fingerprint(
     mm: DataFrame,
     fake: bool = True,
@@ -682,12 +718,13 @@ def audio_fingerprint(
 
     Map-side only (mapInPandas, Arrow-batched, no shuffle); one KiB row
     per clip. Returns (doc_id, fp_hi, fp_lo)."""
-    import struct
     import wave
 
-    def _samples(payload: bytes) -> list[int]:
+    import numpy as np
+
+    def _samples(payload: bytes) -> "np.ndarray":
         if fake:
-            return [b - 128 for b in payload]
+            return np.frombuffer(payload, dtype=np.uint8).astype(np.int64) - 128
         import io
 
         if payload[:4] != b"RIFF":
@@ -697,14 +734,13 @@ def audio_fingerprint(
             )
         with wave.open(io.BytesIO(payload), "rb") as w:
             width = w.getsampwidth()
-            n = w.getnframes() * w.getnchannels()
             raw = w.readframes(w.getnframes())
         if width == 1:
-            return [b - 128 for b in raw]
+            return np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
         if width == 2:
-            return list(struct.unpack(f"<{n}h", raw))
+            return np.frombuffer(raw, dtype="<i2").astype(np.int64)
         if width == 4:
-            return list(struct.unpack(f"<{n}i", raw))
+            return np.frombuffer(raw, dtype="<i4").astype(np.int64)
         raise NotImplementedError(f"unsupported WAV sample width {width}")
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -715,9 +751,9 @@ def audio_fingerprint(
                 if not payload:
                     continue
                 s = _samples(payload)
-                if not s:
+                if not len(s):
                     continue
-                hi, lo = audio_energy_bits(s)
+                hi, lo = audio_energy_bits_np(s)
                 rows.append((doc_id, hi, lo))
             yield pd.DataFrame(rows, columns=["doc_id", "fp_hi", "fp_lo"])
 
@@ -740,11 +776,28 @@ def audio_near_dup(
     kernel — re-encoded/trimmed/re-leveled audio copies pair by
     envelope shape where m3's byte hash and m4's frame fingerprints
     both miss. Same plan shape as m6: map-side fingerprinting, one
-    band-keyed shuffle, df-capped candidates, exact verify."""
-    sig = audio_fingerprint(mm, fake=fake, partitions=partitions)
-    return banded_hamming_pairs(
+    band-keyed shuffle, df-capped candidates, exact verify.
+
+    The signature frame is PERSISTED before the pair kernel: the kernel
+    references its input six times (bands→freq, bands→kept, kept as
+    both candidate sides, and the two exact-verify join-backs), and an
+    un-cached sig re-runs the Arrow-batched audio decode for each
+    reference — measured 6× MapInPandas nodes in the plan, the whole
+    query cost at bench scale, pure waste at any scale (3 longs per
+    clip vs re-decoding payload bytes). Callers free it with
+    ``release_state`` after materializing (the m-tier twin of d2's
+    signature-table discipline)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from mrf_etl_spark.operators.dedup import carry_state
+
+    sig = audio_fingerprint(mm, fake=fake, partitions=partitions).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out = banded_hamming_pairs(
         sig, max_hamming, max_band_freq, hi_col="fp_hi", lo_col="fp_lo"
     )
+    return carry_state(out, hold=(sig,))
 
 
 def shot_boundaries(

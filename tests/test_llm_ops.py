@@ -4839,3 +4839,39 @@ def test_vocab_burstiness_hand_case(spark):
     # types: a, b, z; tokens: 3 + 6 + 4 = 13; bursty: only b (cf 6)
     assert (r.n_types, r.n_bursty_types, r.n_tokens) == (3, 1, 13)
     assert r.bursty_token_milli == 6 * 1000 // 13
+
+
+def test_audio_energy_bits_np_matches_scalar():
+    """m7 r11 optimization pin: the vectorized NumPy energy-bits kernel
+    must be bit-identical to the scalar audio_energy_bits on random and
+    edge inputs (short clips n<64, exact-64, long, all-zero, constant,
+    alternating sign, single sample) — the fingerprint, and hence every
+    m7 pair, depends on exact integer frame sums and tie behavior."""
+    import random
+
+    import numpy as np
+
+    from mrf_etl_spark.operators.multimodal import (
+        audio_energy_bits,
+        audio_energy_bits_np,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        [0],
+        [5],
+        [-5],
+        [0] * 64,
+        [1] * 64,
+        [100, -100] * 32,
+        [rng.randint(-32768, 32767) for _ in range(3)],
+        [rng.randint(-32768, 32767) for _ in range(63)],
+        [rng.randint(-32768, 32767) for _ in range(64)],
+        [rng.randint(-32768, 32767) for _ in range(65)],
+        [rng.randint(-32768, 32767) for _ in range(1000)],
+        [rng.randint(-128, 127) for _ in range(6400)],
+    ]
+    for s in cases:
+        expect = audio_energy_bits(s)
+        got = audio_energy_bits_np(np.asarray(s, dtype=np.int64))
+        assert got == expect, (len(s), got, expect)
