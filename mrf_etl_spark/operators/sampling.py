@@ -1202,11 +1202,14 @@ def repetition_schedule(
     DuckDB ``//`` agree), so the schedule replays exactly. The budget is
     a literal ``budget_tokens``, or corpus-proportional when None:
     ``total_supply · budget_x_milli div 1000`` (default 3x — one
-    over-trained pass), riding the same 1-row broadcast scalar as sp23.
+    over-trained pass), computed as a ``sum OVER ()`` window scalar.
 
-    Scale shape: the corpus is read ONCE (the token agg, persisted as a
-    KiB |domains|-row table); every round is pure projection + two
-    scalar aggregates over that tiny table. Returns one row per domain:
+    Scale shape: the corpus is read ONCE (the token agg); every round is
+    pure projection + two ``OVER ()`` window scalars over the KiB
+    |domains|-row table, all riding ONE single-partition exchange — the
+    plan is linear in ``n_rounds`` (the r11 fix: the previous
+    crossJoin-per-scalar shape doubled the plan every round and driver
+    planning dominated the query). Returns one row per domain:
     (domain, tokens, target_bp, alloc_tokens, epochs_milli, capped,
     unalloc_tokens) — ``epochs_milli`` = allocated epochs x1000 (<=
     max_epochs·1000 by construction), ``unalloc_tokens`` the budget the
@@ -1226,7 +1229,7 @@ def repetition_schedule(
             [(str(k), 0) for k in targets], "domain string, _tk long"
         )
         per_doc = per_doc.unionByName(seed)
-    tok = per_doc.groupBy("domain").agg(F.sum("_tk").alias("tokens")).persist()
+    tok = per_doc.groupBy("domain").agg(F.sum("_tk").alias("tokens"))
     tbp = None
     for name, bp in targets.items():
         cond = F.col("domain") == name
@@ -1246,37 +1249,46 @@ def repetition_schedule(
     # untouched (the division is bit-identical) and over-specified ones
     # scale down proportionally, keeping Σalloc ≤ budget for ANY input
     # (each water-fill round then conserves: Σ floor(excess·bp/hb) ≤
-    # excess, and the final clamp only reduces). Computed in the SAME
-    # scalar agg as the corpus-proportional budget so the broadcast rides
-    # the one crossJoin the solver already pays (one more nesting level
-    # would double the cached-subtree reprints test_plan_budget counts).
-    aggs = [
-        F.greatest(F.sum("target_bp"), F.lit(10000).cast("long")).alias("_sbp")
-    ]
+    # excess, and the final clamp only reduces).
+    #
+    # Every solver scalar (_sbp, the corpus-proportional budget, each
+    # round's excess/headroom, the final spent) is a ``sum(...) OVER ()``
+    # window over the |domains|-row table — single-partition BY DESIGN on
+    # a KiB frame (the sp21 precedent). The previous shape attached each
+    # scalar via crossJoin(broadcast(st.agg(...))), referencing the
+    # whole solver subtree TWICE per round: plan size grew 2^rounds
+    # (sp27's pre-AQE string printed 95 Exchanges, pipe10's 195) and
+    # driver planning time dominated the query (guide §7.3). The window
+    # chain is linear in rounds and establishes the single-partition
+    # exchange ONCE; values are identical (same long sums over the same
+    # rows), so the unchanged oracle replays exactly.
+    st = base.withColumn(
+        "_sbp",
+        F.expr("greatest(CAST(10000 AS BIGINT), sum(target_bp) OVER ())"),
+    )
     if budget_tokens is None:
-        aggs.append(
+        st = st.withColumn(
+            "_budget",
             F.expr(
-                f"CAST(sum(tokens) * {int(budget_x_milli)} div 1000 AS BIGINT)"
-            ).alias("_budget")
+                f"CAST(sum(tokens) OVER () * {int(budget_x_milli)} "
+                "div 1000 AS BIGINT)"
+            ),
         )
-    st = base.crossJoin(F.broadcast(base.agg(*aggs)))
-    if budget_tokens is not None:
+    else:
         st = st.withColumn("_budget", F.lit(int(budget_tokens)).cast("long"))
     st = st.withColumn("alloc", F.expr("_budget * target_bp div _sbp"))
     for _ in range(n_rounds):
-        st = st.withColumn("fixed", F.least("alloc", "cap")).withColumn(
-            "over", F.col("alloc") - F.least("alloc", "cap")
-        )
-        sc = st.agg(
-            F.sum("over").alias("_excess"),
-            F.sum(
-                F.when(F.col("fixed") < F.col("cap"), F.col("target_bp")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            ).alias("_hb"),
-        )
         st = (
-            st.crossJoin(F.broadcast(sc))
+            st.withColumn("fixed", F.least("alloc", "cap"))
+            .withColumn("over", F.col("alloc") - F.least("alloc", "cap"))
+            .withColumn("_excess", F.expr("sum(over) OVER ()"))
+            .withColumn(
+                "_hb",
+                F.expr(
+                    "sum(CASE WHEN fixed < cap THEN target_bp "
+                    "ELSE CAST(0 AS BIGINT) END) OVER ()"
+                ),
+            )
             .withColumn(
                 "alloc",
                 F.expr(
@@ -1288,9 +1300,8 @@ def repetition_schedule(
             .drop("fixed", "over", "_excess", "_hb")
         )
     st = st.withColumn("alloc_tokens", F.least("alloc", "cap"))
-    spent = st.agg(F.sum("alloc_tokens").alias("_spent"))
     return (
-        st.crossJoin(F.broadcast(spent))
+        st.withColumn("_spent", F.expr("sum(alloc_tokens) OVER ()"))
         .select(
             "domain",
             "tokens",

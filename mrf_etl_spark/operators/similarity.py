@@ -114,6 +114,65 @@ def cosine_topk(
     )
 
 
+def _with_centroid(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach each vector's nearest-centroid id (cosine, ties → lowest
+    cid) as a ``cid`` column — a pure MAP-SIDE per-row array-fold argmin
+    against a 1-row broadcast of the codebook (r11, guide §2.4): zero
+    corpus shuffles, and consumers that previously joined
+    :func:`assign_centroids`' (id, cid) output back onto the corpus by
+    id read the column directly instead (join eliminated).
+
+    The argmin replicates the old agg's `ORDER BY cos DESC, cid ASC`
+    ordering exactly, including the NULL/NaN priority rank (NaN(0) <
+    real(1) < NULL(2)) — `array_min` and `min(struct)` share the same
+    total struct order, and every cosine is the same dot_fold tree over
+    the same operands, so assignments are bit-identical. Empty codebook
+    degenerates to no output rows (the old agg-over-empty-crossJoin
+    result). Keeps every column of ``emb`` and adds ``cid``."""
+    from mrf_etl_spark.operators.dedup import widen_narrow_input
+
+    c = centroids.select(F.col("cid"), F.col("cvec")).withColumn(
+        "_cnorm", norm_fold("cvec")
+    )
+    arr = c.agg(F.collect_list(F.struct("cid", "cvec", "_cnorm")).alias("_cents"))
+    # the corpus×centroid fold fan-out is map-side CPU: widen a narrow
+    # scan so it doesn't run on 1-2 cores (r11 sf10 straggler class;
+    # no-op at real scale or on already-derived inputs)
+    rows = widen_narrow_input(emb).withColumn(
+        "_vnorm", norm_fold(vec_col)
+    ).crossJoin(F.broadcast(arr))
+    scored = F.transform(
+        F.col("_cents"),
+        lambda cc: F.struct(
+            (
+                _fold_dot(F.col(vec_col), cc["cvec"])
+                / (F.col("_vnorm") * cc["_cnorm"])
+            ).alias("cos"),
+            cc["cid"].alias("cid"),
+        ),
+    )
+
+    def _key(s: Column) -> Column:
+        rk = (
+            F.when(s["cos"].isNull(), F.lit(2))
+            .when(F.isnan(s["cos"]), F.lit(0))
+            .otherwise(F.lit(1))
+        )
+        neg = F.when(rk == F.lit(1), -s["cos"]).otherwise(F.lit(0.0))
+        return F.struct(rk.alias("rk"), neg.alias("neg"), s["cid"].alias("cid"))
+
+    return _pushdown_barrier(
+        rows.filter(F.size(F.col("_cents")) > 0)
+        .withColumn("cid", F.array_min(F.transform(scored, _key))["cid"])
+        .drop("_vnorm", "_cents")
+    )
+
+
 def assign_centroids(
     emb: DataFrame,
     centroids: DataFrame,
@@ -125,51 +184,16 @@ def assign_centroids(
     centroid id). Output (vec_id, centroid_id) — at scale, write the corpus
     bucketed by centroid_id so probes prune partitions.
 
-    Aggregation-based argmax, not a window: min(struct(-cos, cid)) is the
-    lexicographic minimum, i.e. exactly `ORDER BY cos DESC, cid ASC`
-    (IEEE negation is exact — the assign_topn_centroids doctrine), and it
-    combines MAP-SIDE, so the shuffle carries N tiny structs instead of
-    the old row_number window's N x |centroids| scored rows WITH both
-    embedded vectors. The dot stays dot_fold: the 64-term unrolled form
-    was MEASURED 3x slower on this crossJoin (the generated method blows
-    past the JIT's method-size limits and runs as interpreted bytecode —
-    exactly what dot_fold's docstring warns)."""
-    from mrf_etl_spark.operators.dedup import widen_narrow_input
-
-    c = centroids.select(F.col("cid"), F.col("cvec")).withColumn("_cnorm", norm_fold("cvec"))
-    # the corpus×centroid fold fan-out is map-side CPU: widen a narrow
-    # scan so it doesn't run on 1-2 cores (r11 sf10 straggler class;
-    # no-op at real scale or on already-derived inputs)
-    scored = (
-        widen_narrow_input(emb.select(F.col(id_col), F.col(vec_col)))
-        .withColumn("_vnorm", norm_fold(vec_col))
-        .crossJoin(F.broadcast(c))
-        .withColumn(
-            "cos_c",
-            dot_fold(vec_col, "cvec") / (F.col("_vnorm") * F.col("_cnorm")),
-        )
-    )
-    # The struct key must replicate `ORDER BY cos_c DESC, cid ASC` under
-    # BOTH engines' edge ordering, where plain min(struct(-cos, cid))
-    # would not: NULL cosines (a NULL embedding element) sort FIRST in
-    # struct comparison but LAST under DESC on both engines, and NaN
-    # cosines (a zero-norm vector) sort LAST under min but FIRST under
-    # DESC (NaN > all doubles in both engines' sort order). A rank field
-    # restores the window's priority: NaN(0) < real(1) < NULL(2).
-    rank = (
-        F.when(F.col("cos_c").isNull(), F.lit(2))
-        .when(F.isnan(F.col("cos_c")), F.lit(0))
-        .otherwise(F.lit(1))
-    )
-    neg = F.when(rank == 1, -F.col("cos_c")).otherwise(F.lit(0.0))
-    best = scored.groupBy(id_col).agg(
-        F.min(
-            F.struct(
-                rank.alias("rk"), neg.alias("neg"), F.col("cid").alias("cid")
-            )
-        ).alias("_b")
-    )
-    return best.select(F.col(id_col), F.col("_b.cid").alias("cid"))
+    Since r11 this is :func:`_with_centroid`'s map-side per-row argmin
+    projected to (id, cid) — ZERO shuffles (the previous
+    aggregation-based argmax paid one corpus exchange of N structs; the
+    per-row fold pays none, and a downstream groupBy("cid") now
+    map-side-combines to |codebook| rows per task). The dot stays
+    dot_fold — the 64-term unrolled form was MEASURED 3x slower (JIT
+    method-size limits, see dot_fold's docstring)."""
+    return _with_centroid(
+        emb.select(F.col(id_col), F.col(vec_col)), centroids, id_col, vec_col
+    ).select(F.col(id_col), "cid")
 
 
 def ivf_topk(
@@ -214,10 +238,13 @@ def ivf_topk(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
         )
     )
-    assigned = assign_centroids(emb, cent, id_col, vec_col, dim)
     cand = emb.filter(candidate_filter) if candidate_filter is not None else emb
+    # cid attaches map-side (r11): the former assign_centroids output was
+    # joined back onto the corpus by id — same values, one exchange and
+    # one join fewer
     corpus = (
-        cand.join(assigned, id_col)
+        _with_centroid(cand.select(F.col(id_col), F.col(vec_col)), cent,
+                       id_col, vec_col)
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cid")
         .withColumn("cn", norm_fold("cv"))
     )
@@ -262,33 +289,53 @@ def assign_topn_centroids(
     (ordered by cosine DESC, cid ASC). Output (vec_id, cid), ≤ n rows per
     vector.
 
-    Aggregation-based top-n, not a window: after the bounded corpus×k
-    fan-out, each vector's k scores sit in one input partition, so the
-    collect_list+sort+slice completes MAP-SIDE and the shuffle carries
-    N×n assignments — a row_number window would shuffle all N×k scored
-    rows first. Sort key is (-cosine, cid): IEEE negation is exact, so
-    the order matches `ORDER BY cosine DESC, cid ASC` replayed in SQL."""
+    Per-row array top-n (r11, guide §2.4): the codebook collapses to a
+    1-row broadcast of arrays and each vector sorts/slices its own
+    score array MAP-SIDE — ZERO shuffles (the previous agg shape paid
+    one corpus exchange of N×n structs). Sort key is (-cosine, cid):
+    IEEE negation is exact, so the order matches `ORDER BY cosine DESC,
+    cid ASC` replayed in SQL, and `array_sort` orders structs exactly
+    as the former array_sort(collect_list(...)) did."""
+    return _with_topn_centroids(
+        emb.select(F.col(id_col), F.col(vec_col)), centroids,
+        id_col, vec_col, n,
+    ).select(F.col(id_col), "cid")
+
+
+def _with_topn_centroids(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n: int,
+) -> DataFrame:
+    """:func:`assign_topn_centroids`'s map-side kernel, keeping every
+    ``emb`` column: each input row explodes to ≤ n rows carrying its
+    top-n centroid ids as ``cid`` — consumers that joined the (id, cid)
+    output back onto the corpus read the column directly instead."""
     c = centroids.select("cid", "cvec").withColumn("_cnorm", norm_fold("cvec"))
-    scored = (
-        emb.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_vnorm", norm_fold(vec_col))
-        .crossJoin(F.broadcast(c))
-        .withColumn(
-            "cos_c", dot_fold(vec_col, "cvec") / (F.col("_vnorm") * F.col("_cnorm"))
-        )
+    arr = c.agg(F.collect_list(F.struct("cid", "cvec", "_cnorm")).alias("_cents"))
+    rows = emb.withColumn("_vnorm", norm_fold(vec_col)).crossJoin(
+        F.broadcast(arr)
     )
-    top = scored.groupBy(id_col).agg(
-        F.slice(
-            F.array_sort(
-                F.collect_list(
-                    F.struct((-F.col("cos_c")).alias("neg"), F.col("cid").alias("cid"))
+    scored = F.transform(
+        F.col("_cents"),
+        lambda cc: F.struct(
+            (
+                -(
+                    _fold_dot(F.col(vec_col), cc["cvec"])
+                    / (F.col("_vnorm") * cc["_cnorm"])
                 )
-            ),
-            1,
-            n,
-        ).alias("_top")
+            ).alias("neg"),
+            cc["cid"].alias("cid"),
+        ),
     )
-    return top.select(F.col(id_col), F.explode("_top.cid").alias("cid"))
+    top = F.slice(F.array_sort(scored), 1, n)
+    return _pushdown_barrier(
+        rows.filter(F.size(F.col("_cents")) > 0)
+        .withColumn("cid", F.explode(top.getField("cid")))
+        .drop("_vnorm", "_cents")
+    )
 
 
 def embedding_near_dup_bucketed(
@@ -325,13 +372,16 @@ def embedding_near_dup_bucketed(
     cent = emb.filter((F.col(id_col) % centroid_mod) == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
-    assigned = assign_topn_centroids(emb, cent, id_col, vec_col, n=nassign)
-    # persisted: the a/b self-join below consumes this twice, and without
-    # the persist each side re-runs the whole assign cascade (measured
-    # 5.5 s → 1.9 s at sf0.1). State is docs × (vec + cid + norm).
+    # cid attaches map-side via the top-n kernel (r11 — the former
+    # assign_topn output joined back by id). persisted: the a/b
+    # self-join below consumes this twice, and without the persist each
+    # side re-runs the whole assign cascade (measured 5.5 s → 1.9 s at
+    # sf0.1). State is docs × (vec + cid + norm).
     bucketed = (
-        emb.select(F.col(id_col), F.col(vec_col))
-        .join(assigned, id_col)
+        _with_topn_centroids(
+            emb.select(F.col(id_col), F.col(vec_col)), cent,
+            id_col, vec_col, nassign,
+        )
         .select(F.col(id_col), F.col(vec_col), "cid")
         .withColumn("_n", norm_fold(vec_col))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -698,15 +748,21 @@ def _write_index_rows(
     partitioned by cid. create and append both write through here, so
     the two paths can never produce incompatible partitions under the
     same index root."""
-    assigned = assign_centroids(emb, centroids, id_col, vec_col, dim)
     (
-        emb.join(assigned, id_col)
+        # cid computes map-side (r11) and the payload moves ONCE, keyed
+        # by its final bucket layout (guide §8) — the former shape paid
+        # the assignment agg exchange plus an id-keyed join
+        _with_centroid(
+            emb.select(F.col(id_col), F.col(vec_col)), centroids,
+            id_col, vec_col,
+        )
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
             norm_fold(vec_col).alias("cn"),
             "cid",
         )
+        .repartition("cid")
         .write.mode(mode)
         .partitionBy("cid")
         .parquet(f"{path}/index")
@@ -1122,10 +1178,6 @@ def ivf_pq_topk(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
         )
     )
-    assigned = assign_centroids(emb, cent, id_col, vec_col, dim).select(
-        F.col(id_col).alias("neighbor_id"), F.col("cid").alias("ccid")
-    )
-
     qf = query_filter if query_filter is not None else (F.col(id_col) < 10)
     q = emb.filter(qf).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -1144,27 +1196,33 @@ def ivf_pq_topk(
         .select("query_id", F.col("cid").alias("ccid"))
     )
 
-    rows = _pq_rows(emb, id_col, vec_col, dim, n_blocks, seeds, seed_filter)
-    w_code = Window.partitionBy("vec_id", "b").orderBy(
-        F.col("d").asc(), F.col("cid").asc()
+    if seeds is None:
+        sf_ = seed_filter if seed_filter is not None else (F.col(id_col) < 16)
+        seeds = emb.filter(sf_)
+    # the ADC lookup table derives from the FILTERED queries (r11): the
+    # former shape ran the corpus-wide PQ long form and dropped all but
+    # the query rows through a broadcast join — same (query, b, cid, d)
+    # tuples, |queries|×16×B rows computed instead of corpus×16×B
+    lut = _pq_rows(
+        emb.filter(qf), id_col, vec_col, dim, n_blocks, seeds, seed_filter
+    ).select(
+        F.col("vec_id").alias("query_id"), "b", "cid", F.col("d").alias("qd")
     )
-    codes = (
-        rows.withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select(F.col("vec_id").alias("neighbor_id"), "b", "cid")
-    )
-    qids = q.select("query_id")
-    lut = rows.join(
-        F.broadcast(qids), rows["vec_id"] == qids["query_id"]
-    ).select("query_id", "b", "cid", F.col("d").alias("qd"))
 
-    # The IVF prune: codes gain their coarse bucket (vec-keyed, colocated
-    # with the code window's shuffle), then meet the broadcast probe list —
-    # rows for unprobed buckets never reach the ADC pivot. At scale this
-    # join is a partition prune on a ccid-partitioned codes table.
-    pruned = codes.join(assigned, "neighbor_id").join(
-        F.broadcast(probes), "ccid"
+    # The IVF prune (r11 shape): codes AND the coarse bucket compute
+    # per-row in the shared map-side projection (guide §2.4 — the former
+    # code-argmin window exchange and the assigned join are gone),
+    # posexplode to the ADC long form, then meet the broadcast probe
+    # list — rows for unprobed buckets never reach the ADC pivot. At
+    # scale this join is a partition prune on a ccid-partitioned codes
+    # table.
+    proj = _ivfpq_row_projection(
+        emb, cent, seeds, id_col, vec_col, dim, n_blocks
     )
+    code_arr = F.array(*[F.col(f"c{b}") for b in range(n_blocks)])
+    pruned = proj.select(
+        "neighbor_id", "ccid", F.posexplode(code_arr).alias("b", "cid")
+    ).join(F.broadcast(probes), "ccid")
     adc = (
         pruned.join(F.broadcast(lut), ["query_id", "b", "cid"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1257,13 +1315,18 @@ def ivf_pq_residual_topk(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
         )
     )
-    assigned = assign_centroids(emb, cent, id_col, vec_col, dim).select(
-        F.col(id_col).alias("neighbor_id"), F.col("cid").alias("ccid")
-    )
-    # corpus residuals: one broadcast join on the assigned bucket
+    # corpus residuals: the coarse bucket attaches map-side (r11 — the
+    # former assign_centroids output joined back by id), then one
+    # broadcast join fetches the assigned centroid's vector
     rcorp = (
-        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev"))
-        .join(assigned, "neighbor_id")
+        _with_centroid(
+            emb.select(F.col(id_col), F.col(vec_col)), cent, id_col, vec_col
+        )
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("ev"),
+            F.col("cid").alias("ccid"),
+        )
         .join(
             F.broadcast(cent.select(F.col("cid").alias("ccid"), "cvec")),
             "ccid",
@@ -1753,10 +1816,14 @@ def pq_codebook_train(
 def assign_centroids_int8(q: DataFrame, cent: DataFrame) -> DataFrame:
     """Exact-replay assignment of int8-quantized vectors (vid, qvec)
     against an int8 codebook (cid, cvec): argmax of dot/sqrt(|c|²) from
-    exact int64s — e6/e8's shared kernel. Per-row work only plus one
-    codebook broadcast and one map-side-combinable argmax, so calling
-    it per micro-batch costs O(batch × codebook) (st20's sink).
-    Returns (vid, cid)."""
+    exact int64s — e6/e8's shared kernel. Since r11 the argmax is a
+    per-row array-fold over a 1-row broadcast of the codebook (guide
+    §2.4): ZERO shuffles (the previous agg shape paid one corpus
+    exchange of N structs), so calling it per micro-batch costs
+    O(batch × codebook) map-side work only, and the groupBy("cid") the
+    st20/st23 sinks run next map-side-combines to |codebook| rows.
+    Scores are bit-identical (same int64 folds, same NULL-rank
+    ordering; `array_min` ≡ `min(struct)`). Returns (vid, cid)."""
     zero = F.lit(0).cast("long")
     c = cent.withColumn(
         "ns2",
@@ -1766,30 +1833,38 @@ def assign_centroids_int8(q: DataFrame, cent: DataFrame) -> DataFrame:
             lambda acc, x: acc + x,
         ),
     )
-    dot = F.aggregate(
-        F.zip_with("qvec", "cvec", lambda x, y: x.cast("long") * y.cast("long")),
-        zero,
-        lambda acc, x: acc + x,
-    )
-    scored = q.crossJoin(F.broadcast(c)).withColumn(
-        "score",
-        F.when(
-            F.col("ns2") > 0,
-            dot.cast("double") / F.sqrt(F.col("ns2").cast("double")),
+    arr = c.agg(F.collect_list(F.struct("cid", "cvec", "ns2")).alias("_cents"))
+    rows = q.crossJoin(F.broadcast(arr))
+    scored = F.transform(
+        F.col("_cents"),
+        lambda cc: F.struct(
+            F.when(
+                cc["ns2"] > 0,
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qvec"),
+                        cc["cvec"],
+                        lambda x, y: x.cast("long") * y.cast("long"),
+                    ),
+                    zero,
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.sqrt(cc["ns2"].cast("double")),
+            ).alias("score"),
+            cc["cid"].alias("cid"),
         ),
     )
-    rank = F.when(F.col("score").isNull(), F.lit(1)).otherwise(F.lit(0))
-    neg = F.when(rank == 0, -F.col("score")).otherwise(F.lit(0.0))
+
+    def _key(s: Column) -> Column:
+        rk = F.when(s["score"].isNull(), F.lit(1)).otherwise(F.lit(0))
+        neg = F.when(rk == F.lit(0), -s["score"]).otherwise(F.lit(0.0))
+        return F.struct(rk.alias("rk"), neg.alias("neg"), s["cid"].alias("cid"))
+
     return (
-        scored.groupBy("vid")
-        .agg(
-            F.min(
-                F.struct(
-                    rank.alias("rk"), neg.alias("neg"), F.col("cid").alias("cid")
-                )
-            ).alias("_b")
+        rows.filter(F.size(F.col("_cents")) > 0)
+        .select(
+            "vid", F.array_min(F.transform(scored, _key))["cid"].alias("cid")
         )
-        .select("vid", F.col("_b.cid").alias("cid"))
     )
 
 
@@ -2309,6 +2384,176 @@ def _pq_codes_wide(
     )
 
 
+def _fold_dot(a: Column, b: Column) -> Column:
+    """:func:`dot_fold` over column EXPRESSIONS (struct fields, slices)
+    instead of column names — the identical left-associative zip_with +
+    aggregate tree, so scalars computed through either spelling are
+    bit-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pushdown_barrier(df: DataFrame) -> DataFrame:
+    """Stop the optimizer from pushing predicates BELOW this point —
+    guide §4.4's duplication problem, higher-order-function edition.
+
+    Joining a map-side argmin column (cid/ccid) against a codebook that
+    was DERIVED BY A FILTER (e.g. ``vec_id % 97 == 0``) lets
+    InferFiltersFromConstraints synthesize the codebook's predicate on
+    the computed column and push it under the projection, re-deriving
+    the whole argmin expression per reference — n7's plan carried the
+    coarse argmin THREE times per corpus row (twice in a
+    BroadcastNestedLoopJoin condition, once in the projection; measured
+    +26%). An always-TRUE nondeterministic filter is a wall predicates
+    cannot cross, while column pruning still passes through (the filter
+    references no columns). Task retries are safe: the predicate holds
+    for every value, so the row set is deterministic. The expression
+    must be one whose value range Spark can NOT fold — rand()/randn()
+    comparisons are simplified away by the 4.x optimizer;
+    monotonically_increasing_id is opaque and costs only a per-row
+    counter read."""
+    return df.filter(F.monotonically_increasing_id() >= F.lit(-1))
+
+
+def _ivfpq_row_projection(
+    emb: DataFrame,
+    centroids: DataFrame,
+    seeds: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_blocks: int,
+) -> DataFrame:
+    """Coarse assignment + PQ codes as ONE map-side projection against
+    the frozen codebooks (r11, guide §2.4): both codebooks collapse to a
+    single 1-row broadcast of arrays, and each vector's ccid / c0..c{B-1}
+    are per-row array-fold argmins — zero corpus shuffles, zero joins,
+    one corpus scan. The previous shape paid 2 corpus exchanges
+    (assign_centroids' agg + the codes window/groupBy pair) plus 2
+    id-keyed joins PER CALL — per MICRO-BATCH on the st19 ingest path.
+
+    Value-equivalence with the old cascade is exact, not approximate:
+    every cosine / block distance is the same dot_fold expression over
+    the same operands (IEEE-deterministic), and the argmins replicate the
+    window/agg orderings including NULL/NaN priority — coarse uses
+    assign_centroids' rank trick (NaN(0) < real(1) < NULL(2), then -cos,
+    then cid), codes use the `ORDER BY d ASC NULLS FIRST, cid ASC` rank
+    (NULL(0) < real(1) < NaN(2)); `array_min` and `min(struct)` share
+    the same total struct order. Degenerate empty codebooks produce NULL
+    argmins, filtered to match the old inner joins' empty result."""
+    size = dim // n_blocks
+    mul = lambda x, y: x * y  # noqa: E731
+    sd = seeds.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        F.array(
+            *[
+                _pq_fold2(
+                    _pq_block(vec_col, b, size), _pq_block(vec_col, b, size), mul
+                )
+                for b in range(n_blocks)
+            ]
+        ).alias("cn2"),
+    )
+    ca = centroids.select(
+        F.col("cid"), F.col("cvec"), norm_fold("cvec").alias("cn")
+    )
+    aux = ca.agg(
+        F.collect_list(F.struct("cid", "cvec", "cn")).alias("_cents")
+    ).crossJoin(
+        sd.agg(F.collect_list(F.struct("cid", "cv", "cn2")).alias("_seeds"))
+    )
+    from mrf_etl_spark.operators.dedup import widen_narrow_input
+
+    # the per-row |centroids| + 16×n_blocks fold fan-out is map-side CPU:
+    # widen a narrow scan so it doesn't run on 1-2 cores (no-op at real
+    # scale or on non-file inputs like foreachBatch micro-batches)
+    e = widen_narrow_input(emb.select(id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_fold(vec_col).alias("cn"),
+        *[
+            _pq_fold2(
+                _pq_block(vec_col, b, size), _pq_block(vec_col, b, size), mul
+            ).alias(f"_en2_{b}")
+            for b in range(n_blocks)
+        ],
+    )
+    rows = e.crossJoin(F.broadcast(aux))
+
+    # coarse bucket: assign_centroids' `ORDER BY cos DESC, cid ASC` with
+    # its exact NULL/NaN priority, as an array argmin
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (_fold_dot(F.col("cv"), c["cvec"]) / (F.col("cn") * c["cn"])).alias(
+                "cos"
+            ),
+            c["cid"].alias("cid"),
+        ),
+    )
+
+    def _coarse_key(s: Column) -> Column:
+        rk = (
+            F.when(s["cos"].isNull(), F.lit(2))
+            .when(F.isnan(s["cos"]), F.lit(0))
+            .otherwise(F.lit(1))
+        )
+        neg = F.when(rk == F.lit(1), -s["cos"]).otherwise(F.lit(0.0))
+        return F.struct(rk.alias("rk"), neg.alias("neg"), s["cid"].alias("cid"))
+
+    ccid = F.array_min(F.transform(scored, _coarse_key))["cid"]
+
+    # PQ code per block: the codes window's `ORDER BY d ASC NULLS FIRST,
+    # cid ASC` (NaN sorts last ascending), as an array argmin; d is the
+    # same (en2b + cn2b) - 2*dotb expansion over the same folds
+    def _code(b: int) -> Column:
+        dscored = F.transform(
+            F.col("_seeds"),
+            lambda s: F.struct(
+                (
+                    (F.col(f"_en2_{b}") + s["cn2"].getItem(b))
+                    - F.lit(2.0)
+                    * _fold_dot(
+                        F.slice(F.col("cv"), b * size + 1, size),
+                        F.slice(s["cv"], b * size + 1, size),
+                    )
+                ).alias("d"),
+                s["cid"].alias("cid"),
+            ),
+        )
+
+        def _key(s: Column) -> Column:
+            rk = (
+                F.when(s["d"].isNull(), F.lit(0))
+                .when(F.isnan(s["d"]), F.lit(2))
+                .otherwise(F.lit(1))
+            )
+            dv = F.when(rk == F.lit(1), s["d"]).otherwise(F.lit(0.0))
+            return F.struct(rk.alias("rk"), dv.alias("d"), s["cid"].alias("cid"))
+
+        return F.array_min(F.transform(dscored, _key))["cid"]
+
+    return _pushdown_barrier(
+        # empty-codebook degenerate: the old inner joins produced no
+        # rows; gate on the ARRAY sizes (argmin(empty) is NULL) — a
+        # filter on the computed ccid/c0 columns would push below the
+        # projection and evaluate the argmin expressions twice
+        rows.filter(
+            (F.size(F.col("_cents")) > 0) & (F.size(F.col("_seeds")) > 0)
+        ).select(
+            "neighbor_id",
+            "cv",
+            "cn",
+            *[_code(b).alias(f"c{b}") for b in range(n_blocks)],
+            ccid.alias("ccid"),
+        )
+    )
+
+
 def _write_ivfpq_rows(
     emb: DataFrame,
     centroids: DataFrame,
@@ -2327,29 +2572,25 @@ def _write_ivfpq_rows(
     regardless of batch boundaries. Floats (cv, cn) ride in the SAME
     files as the codes: parquet column pruning makes the ADC scan read
     code bytes only, while the rerank reads floats of the same probed
-    partitions — one table, two access shapes."""
+    partitions — one table, two access shapes. The rows come from
+    :func:`_ivfpq_row_projection` — one corpus scan, no shuffles."""
     from mrf_etl_spark.io.writers import table_lock
 
-    assigned = assign_centroids(emb, centroids, id_col, vec_col, dim).select(
-        F.col(id_col).alias("neighbor_id"), F.col("cid").alias("ccid")
-    )
-    codes = _pq_codes_wide(emb, seeds, id_col, vec_col, dim, n_blocks).select(
-        F.col("vec_id").alias("neighbor_id"),
-        *[f"c{b}" for b in range(n_blocks)],
-    )
     # held for the write so an ivf_pq_index_compact cannot read-and-swap
     # a partition while this write is landing files in it (ADVICE r10:
     # the compact's atomic_overwrite would silently erase them);
     # compact holds the same codes-table lock for its whole sweep
     with table_lock(f"{path}/codes"):
         (
-            emb.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("cv"),
-                norm_fold(vec_col).alias("cn"),
+            _ivfpq_row_projection(
+                emb, centroids, seeds, id_col, vec_col, dim, n_blocks
             )
-            .join(codes, "neighbor_id")
-            .join(assigned, "neighbor_id")
+            # one payload shuffle, keyed by the FINAL layout (guide §8):
+            # the projection computes wide (map-side CPU), the exchange
+            # moves each row once into its ccid bucket, and the write
+            # lands ≤|ccids| files per call instead of tasks×|ccids|
+            # (the probe-time file count is what every query pays)
+            .repartition("ccid")
             .write.mode(mode)
             .partitionBy("ccid")
             .parquet(f"{path}/codes")
@@ -2767,9 +3008,13 @@ def hard_negatives(
     cent = emb.filter((F.col(id_col) % centroid_mod) == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
-    assigned = assign_centroids(emb, cent, id_col, vec_col, dim)
+    # cid attaches map-side, labels ride the same rows (r11 — the former
+    # assign_centroids output joined back by id)
     corpus = (
-        emb.join(assigned, id_col)
+        _with_centroid(
+            emb.select(F.col(id_col), F.col(vec_col), F.col(label_col)),
+            cent, id_col, vec_col,
+        )
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),

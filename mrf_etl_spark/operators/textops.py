@@ -987,51 +987,47 @@ def trim_repeats(
         F.col("_s.pos").alias("pos"),
         F.col("_s.hash").alias("hash"),
     )
-    grp = (
-        spans.groupBy("len", "hash")
-        .agg(
-            F.countDistinct("doc_id").alias("_nd"),
-            F.min("doc_id").alias("keep_doc"),
-        )
-        .filter(F.col("_nd") > 1)
-        .select("len", "hash", "keep_doc")
-    )
+    # group stats via window functions over ONE (len, hash) shuffle
+    # (r11, guide §2.4): ``countDistinct(doc_id) > 1  ⟺  min(doc_id) ≠
+    # max(doc_id)`` and keep_doc IS the min — the previous groupBy +
+    # join-back consumed the span-fan-out subtree (ladder screen
+    # included) TWICE; the window form consumes it once and ships no
+    # doc-id sets
+    from pyspark.sql.window import Window as _W
+
+    wgrp = _W.partitionBy("len", "hash")
     removed = (
-        spans.join(grp, ["len", "hash"])
-        .filter(F.col("doc_id") != F.col("keep_doc"))
+        spans.withColumn("_mn", F.min("doc_id").over(wgrp))
+        .withColumn("_mx", F.max("doc_id").over(wgrp))
+        .filter(
+            (F.col("_mn") != F.col("_mx")) & (F.col("doc_id") != F.col("_mn"))
+        )
         .select(
             "doc_id",
-            F.explode(
-                F.expr("sequence(pos, pos + len - 1)")
-            ).alias("p"),
+            F.explode(F.expr("sequence(pos, pos + len - 1)")).alias("p"),
         )
-        .distinct()
     )
-    kept_agg = (
-        base.select(
-            "doc_id", F.posexplode("_ow").alias("_p0", "w")
-        )
-        .withColumn("p", F.col("_p0") + 1)
-        .join(removed, ["doc_id", "p"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list("
-                "struct(p, w))), s -> s.w), ' ')"
-            ).alias("clean_text"),
-            F.count("*").alias("_n_kept"),
-        )
+    # per-doc removed-position ARRAYS (bounded by repeated material, not
+    # the corpus), then a map-side index-filter rebuild: the previous
+    # shape exploded EVERY doc of the corpus to (doc_id, p, w) rows and
+    # shuffled them through a position-keyed anti-join; untouched docs
+    # now pass through scan-side with zero explode
+    rm = removed.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("p")).alias("_rm")
+    )
+    kept = F.when(
+        F.col("_rm").isNull(), F.col("_ow")
+    ).otherwise(
+        F.filter("_ow", lambda w, i: ~F.array_contains("_rm", i + F.lit(1)))
     )
     return (
-        base.select("doc_id", F.size("_ow").alias("n_tokens"))
-        .join(kept_agg, "doc_id", "left")
+        base.join(rm, "doc_id", "left")
+        .withColumn("_kept", kept)
         .select(
             "doc_id",
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            (
-                F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))
-            ).cast("long").alias("n_removed"),
+            F.array_join("_kept", " ").alias("clean_text"),
+            F.size("_ow").cast("long").alias("n_tokens"),
+            (F.size("_ow") - F.size("_kept")).cast("long").alias("n_removed"),
         )
     )
 

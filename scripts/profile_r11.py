@@ -99,7 +99,9 @@ def main() -> None:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             t_build = time.perf_counter() - t0
-            plan = df._jdf.queryExecution().explainString("formatted")
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
             (outdir / f"{name}_{tag}.txt").write_text(plan)
             n_exch = len(re.findall(r"\bExchange\b", plan))
             joins = sorted(

@@ -172,14 +172,14 @@ BUDGETS = {
     # Heaps growth: doc-count + bucket-offset agg pair, the per-bucket
     # prefix window, the min-per-word agg, the 64-row class histogram
     "t27_vocab_growth": 14,
-    # water-filling schedule: ONE corpus token agg (persisted — every
-    # further reference is an InMemoryTableScan whose cached subtree the
-    # pre-AQE string reprints per reference, the t25 printing artifact;
-    # see test_sp27_solver_rounds_run_through_cache for the runtime pin)
-    "sp27_repetition_schedule": 63,
-    # sp27's solver string (cached-subtree reprints) + pipe7's explode
-    # and global-shuffle tail
-    "pipe10_capped_training_order": 129,
+    # water-filling schedule: ONE corpus token agg + ONE single-partition
+    # exchange carrying every solver scalar as `sum(...) OVER ()` windows
+    # (r11: the crossJoin-per-scalar shape doubled the plan every round —
+    # 63 printed exchanges; the window chain is linear in rounds)
+    "sp27_repetition_schedule": 5,
+    # sp27's window-chain solver + pipe7's explode and global-shuffle
+    # tail (r11: was 129 via the solver's cached-subtree reprints)
+    "pipe10_capped_training_order": 16,
     # permuted PQ-ADC: n5's cascade + the per-dim variance agg and the
     # 64-row rank window; permutation and stats attach as broadcasts
     "n15_ann_pq_dimperm": 39,
@@ -226,10 +226,16 @@ BUDGETS = {
     # window — quality gate, scrub and split are scan-local projections
     # over the rewrite's output
     "pipe9_trimmed_prep": 15,
-    # residual IVF-PQ: coarse-assign agg + the residual join's inputs +
-    # codes argmin agg + candidate/final rank windows — centroids,
-    # seeds, probe list and the per-(query, bucket) LUT all broadcast
-    "n14_ann_ivfpq_residual": 9,  # +3 r11 widen (assign + residual frame inputs)
+    # residual IVF-PQ: codes argmin agg + candidate/final rank windows —
+    # centroids, seeds, probe list and the per-(query, bucket) LUT all
+    # broadcast. r11: the coarse-assign agg exchange (corpus-sized,
+    # previously reused 3x) is GONE — cid attaches map-side via
+    # _with_centroid — but each of the three rcorp consumers now prints
+    # its own copy of the KiB codebook collect (SinglePartition) and the
+    # fixture widen (RoundRobin) instead of a ReusedExchange: more nodes,
+    # strictly fewer corpus bytes moved (measured 3.7 -> 2.5 s noop at
+    # sf0.1, plans/r11/n14_ann_ivfpq_residual_{before,after}.txt)
+    "n14_ann_ivfpq_residual": 11,
 }
 
 
@@ -391,16 +397,22 @@ def test_pipe8_gate_runs_once_through_cache(spark):
 
 
 def test_sp27_solver_rounds_run_through_cache(spark):
-    """sp27's corpus token agg must execute ONCE: the (domain, tokens)
-    table is persisted and every water-filling round's scalar attaches
-    read it back through InMemoryTableScan — exchange counting is
-    unreliable through InMemory printouts (the cached subtree prints
-    per reference but runs once: 32 reprints at the fixture, one real
-    scan), so the pin is the reuse itself (the pipe8 pattern)."""
-    from mrf_etl_spark.operators.dedup import release_state
-
+    """sp27's corpus token agg must execute ONCE. Since the r11 window
+    rewrite the solver's scalars (_sbp, budget, each round's
+    excess/headroom, spent) are ``sum(...) OVER ()`` windows on the
+    |domains|-row table instead of crossJoin(broadcast(agg)) attaches —
+    the plan references the corpus subtree exactly once (no cache
+    needed; the old persist + InMemoryTableScan pin is obsolete), and
+    the plan stays LINEAR in n_rounds instead of doubling per round.
+    Pins: one corpus parquet scan, and no broadcast-nested-loop scalar
+    attaches anywhere in the solver."""
     df = _catalog()["sp27_repetition_schedule"].spark_fn(spark, SF_DIR)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    release_state(df)
-    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    # the AQE string repeats the tree in its "Initial Plan" section —
+    # count the final plan only
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Scan parquet|FileScan parquet", final)) == 1, (
+        final[:2000]
+    )
+    assert "BroadcastNestedLoopJoin" not in final, final[:2000]
