@@ -439,7 +439,10 @@ def embedding_near_dup_pairs(
 
 
 def quantize_int8(
-    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-vector symmetric int8 quantization: ``scale = max|x| / 127``,
     ``q_i = round(x_i / scale)`` ∈ [-127, 127] — 4× smaller embedding
@@ -452,7 +455,9 @@ def quantize_int8(
     half-away-from-zero on both Spark and DuckDB — the oracle replays
     bit-for-bit. Zero vectors quantize to zeros with scale 0.
 
-    Returns (id, scale, qvec). ``dequantize_expr`` reconstructs
+    Returns (id, scale, qvec, *keep). ``keep`` names extra input columns
+    to carry through unchanged (r11: per-row passthrough beats joining
+    them back by id downstream). ``dequantize_expr`` reconstructs
     ``q_i * scale`` for downstream cosine at reduced precision.
     """
     v = F.col(vec_col)
@@ -463,7 +468,9 @@ def quantize_int8(
             v, lambda x: F.round(x.cast("double") / (amax / F.lit(127.0))).cast("int")
         )
     )
-    return emb.select(F.col(id_col), scale, q.alias("qvec"))
+    return emb.select(
+        F.col(id_col), scale, q.alias("qvec"), *[F.col(c) for c in keep]
+    )
 
 
 def dequantize_expr(qvec_col: str, scale_col: str) -> Column:
@@ -1593,18 +1600,22 @@ def kmeans_codebook(
       codebook is already in the persisted index's int8 format;
     - empty clusters keep their previous centroid (n_members = 0).
 
-    Plan shape per iteration: one broadcast of the k-row codebook onto
-    the corpus scan, one map-side-combinable argmax
-    (min(struct(rank, -score, cid))), one keyed join assignment→vectors,
-    one map-side-combinable 64-sum agg — two corpus shuffles per
-    iteration, nothing driver-side, k rows of state between iterations
-    (at production scale, persist each iteration's k×dim codebook —
-    it is KiB-sized — instead of re-deriving it lazily).
+    Plan shape per iteration (r11): one broadcast of the k-row codebook
+    onto the corpus scan, the argmax as a PER-ROW array fold
+    (:func:`_with_centroid_int8` — the previous shape paid a corpus
+    argmax exchange plus a vid-keyed join of the assignment back onto
+    the vectors), then one map-side-combinable 64-sum agg — the only
+    corpus exchange per iteration now carries k partial-sum rows per
+    task. Inter-iteration state is the k×dim int codebook, lazily
+    persisted (KiB): an EAGER localCheckpoint per iteration was
+    MEASURED 3x SLOWER end-to-end (e6 1.7 -> 5.3 s/run at sf0.1) —
+    each materialization is its own job and the per-job fixed cost
+    dwarfs the planning it saves; the lazy persist runs everything in
+    ONE job and the duplicated plan references read the cache.
 
     Returns the trained codebook EXPLODED as
     (cid, n_members, i, cs): k·dim all-integer rows.
     """
-    zero = F.lit(0).cast("long")
     q = quantize_int8(emb, vec_col, id_col).select(
         F.col(id_col).alias("vid"), "qvec"
     )
@@ -1612,44 +1623,9 @@ def kmeans_codebook(
         F.col("vid").alias("cid"), F.col("qvec").alias("cvec")
     ).persist()
     for _ in range(iters):
-        c = cent.withColumn(
-            "ns2",
-            F.aggregate(
-                F.transform("cvec", lambda s: s.cast("long") * s.cast("long")),
-                zero,
-                lambda acc, x: acc + x,
-            ),
-        )
-        dot = F.aggregate(
-            F.zip_with("qvec", "cvec", lambda x, y: x.cast("long") * y.cast("long")),
-            zero,
-            lambda acc, x: acc + x,
-        )
-        scored = (
-            q.crossJoin(F.broadcast(c.select("cid", "cvec", "ns2")))
-            .withColumn(
-                "score",
-                F.when(
-                    F.col("ns2") > 0,
-                    dot.cast("double") / F.sqrt(F.col("ns2").cast("double")),
-                ),
-            )
-        )
-        rank = F.when(F.col("score").isNull(), F.lit(1)).otherwise(F.lit(0))
-        neg = F.when(rank == 0, -F.col("score")).otherwise(F.lit(0.0))
-        assigned = (
-            scored.groupBy("vid")
-            .agg(
-                F.min(
-                    F.struct(
-                        rank.alias("rk"), neg.alias("neg"), F.col("cid").alias("cid")
-                    )
-                ).alias("_b")
-            )
-            .select("vid", F.col("_b.cid").alias("cid"))
-        )
+        assigned = _with_centroid_int8(q, cent)
         sums = (
-            q.join(assigned, "vid")
+            assigned
             .groupBy("cid")
             .agg(
                 *[
@@ -1677,20 +1653,31 @@ def kmeans_codebook(
                 ).cast("int"),
             )
         )
-        new = sums.select("cid", cq.alias("cvec"), "n_members")
-        kept = cent.join(new.select("cid"), "cid", "left_anti").select(
-            "cid", "cvec", F.lit(0).cast("long").alias("n_members")
-        )
+        new = sums.select("cid", cq.alias("_ncv"), "n_members")
+        # keep-previous via ONE left join + coalesce (r11): the former
+        # unionByName(new, cent.anti_join(new)) referenced cent AND new
+        # twice each — 3 references to the prior iteration per round,
+        # 3^iters plan growth (q10's executed string printed 165
+        # exchanges and driver planning dominated, guide §7.3). The
+        # left-join form references cent twice and new once (2^iters);
+        # rows are identical: every assigned cid is one of cent's, so
+        # {new} ∪ {cent ∖ new} == cent LEFT JOIN new with coalesce.
         # persist the k-row codebook between iterations: the next round
-        # references it three times (scoring broadcast, keep-previous
-        # anti-join, final select) — unpersisted, every reference
-        # re-executes every earlier iteration's corpus aggs (measured
-        # 4x for iters=2 at sf0.1; persisted, warm time halves). An
-        # additional eager count() per iteration was MEASURED SLOWER
-        # (1.9 -> 2.9 s warm: one extra job per round buys nothing the
-        # lazy cache doesn't already give). KiB-sized state — exactly
-        # what the docstring tells production to persist.
-        cent = new.unionByName(kept).persist()
+        # references it through both the scoring broadcast and this
+        # join — unpersisted, every reference re-executes every earlier
+        # iteration's corpus aggs (measured 4x for iters=2 at sf0.1).
+        cent = (
+            cent.select("cid", "cvec")
+            .join(new, "cid", "left")
+            .select(
+                "cid",
+                F.coalesce("_ncv", "cvec").alias("cvec"),
+                F.coalesce("n_members", F.lit(0).cast("long")).alias(
+                    "n_members"
+                ),
+            )
+            .persist()
+        )
     return cent.select(
         "cid", "n_members", F.posexplode("cvec").alias("i", "cs")
     )
@@ -1727,12 +1714,18 @@ def pq_codebook_train(
     both engines), which keeps every centroid inside int8 range at any
     corpus size. Empty codes keep their previous centroid.
 
-    Plan shape per iteration: the B·k-row codebook broadcasts onto the
-    block long form, argmin is a map-side-combinable min(struct(d,cid))
-    per (vec, block), the update is one (block, code)-keyed sum agg;
-    the KiB-sized codebook persists between iterations (e6's measured
-    4x-recompute lesson). Assembling ``groupBy(cid)`` over the output
-    in (b, i) order yields the (cid, cv) seeds frame the PQ paths take.
+    Plan shape per iteration (r11): the B·k-row codebook collapses to a
+    1-row broadcast of structs, the argmin is a PER-ROW array fold over
+    the row's own block's codes — the previous shape paid a corpus×B
+    argmin exchange (groupBy(vid, b)) plus a (vid, b)-keyed join of the
+    assignment back onto the long form; both are gone — then the update
+    is one (block, code)-keyed sum agg whose exchange carries B·k
+    partial rows per task. Inter-iteration state persists lazily (KiB)
+    and the keep-previous step is a left join + coalesce — 2 plan
+    references per round instead of 3 (the kmeans_codebook lesson; an
+    eager checkpoint was measured slower, one job per round).
+    Assembling ``groupBy(cid)`` over the output in (b, i) order yields
+    the (cid, cv) seeds frame the PQ paths take.
 
     Returns the trained sub-codebooks EXPLODED as
     (b, cid, n_members, i, cs): B·k·(dim/B) all-integer rows.
@@ -1758,29 +1751,37 @@ def pq_codebook_train(
     ).persist()
     zero = F.lit(0).cast("long")
     for _ in range(iters):
-        d = F.aggregate(
-            F.zip_with(
-                "bq",
-                "cq",
-                lambda a, c: (a.cast("long") - c.cast("long"))
-                * (a.cast("long") - c.cast("long")),
-            ),
-            zero,
-            lambda acc, v: acc + v,
+        arr = cent.agg(
+            F.collect_list(F.struct("b", "cid", "cq")).alias("_cb")
         )
+        mine = F.filter(
+            F.col("_cb"), lambda c: c["b"] == F.col("b")
+        )
+        scored = F.transform(
+            mine,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("bq"),
+                        c["cq"],
+                        lambda a, cc: (a.cast("long") - cc.cast("long"))
+                        * (a.cast("long") - cc.cast("long")),
+                    ),
+                    zero,
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        # same total struct order as the old min(struct(d, cid)) agg —
+        # d is an exact int64, never NULL/NaN, so no rank field needed
         assigned = (
-            x.join(F.broadcast(cent), "b")
-            .withColumn("d", d)
-            .groupBy("vid", "b")
-            .agg(
-                F.min(F.struct(F.col("d"), F.col("cid").alias("cid"))).alias(
-                    "_m"
-                )
-            )
-            .select("vid", "b", F.col("_m.cid").alias("cid"))
+            x.crossJoin(F.broadcast(arr))
+            .filter(F.size(mine) > 0)
+            .withColumn("cid", F.array_min(scored)["cid"])
         )
         sums = (
-            x.join(assigned, ["vid", "b"])
+            assigned
             .groupBy("b", "cid")
             .agg(
                 *[
@@ -1801,29 +1802,38 @@ def pq_codebook_train(
                     ).cast("int")
                     for i in range(size)
                 ]
-            ).alias("cq"),
+            ).alias("_ncq"),
             "n_members",
         )
-        kept = cent.join(new.select("b", "cid"), ["b", "cid"], "left_anti").select(
-            "b", "cid", "cq", F.lit(0).cast("long").alias("n_members")
+        # keep-previous via ONE left join + coalesce (2 plan references
+        # per round, not 3 — see kmeans_codebook); rows identical to
+        # unionByName(new, cent.anti_join(new)): every assigned (b, cid)
+        # is one of cent's. Lazy persist: one job, duplicated references
+        # read the cache.
+        cent = (
+            cent.select("b", "cid", "cq")
+            .join(new, ["b", "cid"], "left")
+            .select(
+                "b",
+                "cid",
+                F.coalesce("_ncq", "cq").alias("cq"),
+                F.coalesce("n_members", F.lit(0).cast("long")).alias(
+                    "n_members"
+                ),
+            )
+            .persist()
         )
-        cent = new.unionByName(kept).persist()
     return cent.select(
         "b", "cid", "n_members", F.posexplode("cq").alias("i", "cs")
     )
 
 
-def assign_centroids_int8(q: DataFrame, cent: DataFrame) -> DataFrame:
-    """Exact-replay assignment of int8-quantized vectors (vid, qvec)
-    against an int8 codebook (cid, cvec): argmax of dot/sqrt(|c|²) from
-    exact int64s — e6/e8's shared kernel. Since r11 the argmax is a
-    per-row array-fold over a 1-row broadcast of the codebook (guide
-    §2.4): ZERO shuffles (the previous agg shape paid one corpus
-    exchange of N structs), so calling it per micro-batch costs
-    O(batch × codebook) map-side work only, and the groupBy("cid") the
-    st20/st23 sinks run next map-side-combines to |codebook| rows.
-    Scores are bit-identical (same int64 folds, same NULL-rank
-    ordering; `array_min` ≡ `min(struct)`). Returns (vid, cid)."""
+def _with_centroid_int8(q: DataFrame, cent: DataFrame) -> DataFrame:
+    """:func:`assign_centroids_int8`'s kernel keeping EVERY input column
+    (r11, guide §2.4): consumers that previously joined the (vid, cid)
+    output back onto their row set by vid (labels, snapshot flags, the
+    k-means update's qvec) read their columns directly instead — the
+    join and its corpus exchange disappear. Adds ``cid``."""
     zero = F.lit(0).cast("long")
     c = cent.withColumn(
         "ns2",
@@ -1862,10 +1872,23 @@ def assign_centroids_int8(q: DataFrame, cent: DataFrame) -> DataFrame:
 
     return (
         rows.filter(F.size(F.col("_cents")) > 0)
-        .select(
-            "vid", F.array_min(F.transform(scored, _key))["cid"].alias("cid")
-        )
+        .withColumn("cid", F.array_min(F.transform(scored, _key))["cid"])
+        .drop("_cents")
     )
+
+
+def assign_centroids_int8(q: DataFrame, cent: DataFrame) -> DataFrame:
+    """Exact-replay assignment of int8-quantized vectors (vid, qvec)
+    against an int8 codebook (cid, cvec): argmax of dot/sqrt(|c|²) from
+    exact int64s — e6/e8's shared kernel. Since r11 the argmax is a
+    per-row array-fold over a 1-row broadcast of the codebook (guide
+    §2.4): ZERO shuffles (the previous agg shape paid one corpus
+    exchange of N structs), so calling it per micro-batch costs
+    O(batch × codebook) map-side work only, and the groupBy("cid") the
+    st20/st23 sinks run next map-side-combines to |codebook| rows.
+    Scores are bit-identical (same int64 folds, same NULL-rank
+    ordering; `array_min` ≡ `min(struct)`). Returns (vid, cid)."""
+    return _with_centroid_int8(q, cent).select("vid", "cid")
 
 
 def codebook_drift(
@@ -1900,27 +1923,26 @@ def codebook_drift(
     cross-multiplication makes 0-counts exact, no epsilon). Magnitudes
     bound at num·n·N ≤ num·N² — safe to N ~ 10^9 per snapshot.
 
-    Plan shape: ONE broadcast of the codebook onto the tagged union
-    scan, one map-side-combinable argmax, one (cid)-keyed count agg
-    (the two snapshot counts ride conditional sums in the SAME agg),
-    and the two 1-row totals attach as a broadcast crossJoin (the t5
-    global-scalar shape). Two corpus-proportional exchanges total.
+    Plan shape (r11): ONE broadcast of the codebook onto the tagged
+    scan, the argmax per-row (``is_cur`` rides the same rows —
+    the former shape joined the snapshot flag back onto the assignment
+    by vid, a corpus exchange pair), one (cid)-keyed count agg (the two
+    snapshot counts ride conditional sums in the SAME agg), and the two
+    1-row totals attach as a broadcast crossJoin (the t5 global-scalar
+    shape). One corpus-proportional exchange total.
 
     Returns (cid, n_base, n_cur, drifted) for every codebook row.
     """
     zero = F.lit(0).cast("long")
-    q = quantize_int8(emb, vec_col, id_col).select(
-        F.col(id_col).alias("vid"), "qvec"
-    )
-    snap = emb.select(
-        F.col(id_col).alias("vid"), snapshot_expr.alias("is_cur")
-    )
+    q = quantize_int8(
+        emb.withColumn("_is_cur", snapshot_expr), vec_col, id_col,
+        keep=("_is_cur",),
+    ).select(F.col(id_col).alias("vid"), "qvec", F.col("_is_cur").alias("is_cur"))
     cent = q.filter((F.col("vid") % seed_mod) == 0).select(
         F.col("vid").alias("cid"), F.col("qvec").alias("cvec")
     )
-    assigned = assign_centroids_int8(q, cent)
     counts = (
-        assigned.join(snap, "vid")
+        _with_centroid_int8(q, cent)
         .groupBy("cid")
         .agg(
             F.sum(F.when(~F.col("is_cur"), 1).otherwise(0)).cast("long").alias("n_base"),
@@ -1956,6 +1978,31 @@ def codebook_drift(
         )
         .select("cid", "n_base", "n_cur", "drifted")
     )
+
+
+def _probe_rows(
+    emb: DataFrame,
+    label_expr: Column,
+    vec_col: str,
+    id_col: str,
+    holdout_expr: Column | None = None,
+) -> DataFrame:
+    """(vid, qvec, y[, _ho]) for the e9/e10/e11 probe family: the ±1
+    label (and optional holdout flag) rides the quantized rows (r11,
+    guide §2.4 — the former (vid, y) frame was joined back onto the
+    quantized corpus by id: a corpus exchange pair spent on a per-row
+    tag)."""
+    src = emb.withColumn(
+        "_y", F.when(label_expr, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    )
+    keep = ("_y",)
+    if holdout_expr is not None:
+        src = src.withColumn("_ho", holdout_expr)
+        keep = ("_y", "_ho")
+    cols = [F.col(id_col).alias("vid"), F.col("qvec"), F.col("_y").alias("y")]
+    if holdout_expr is not None:
+        cols.append(F.col("_ho"))
+    return quantize_int8(src, vec_col, id_col, keep=keep).select(*cols)
 
 
 def linear_probe(
@@ -1994,14 +2041,7 @@ def linear_probe(
     all-integer rows.
     """
     zero = F.lit(0).cast("long")
-    q = quantize_int8(emb, vec_col, id_col).select(
-        F.col(id_col).alias("vid"), "qvec"
-    )
-    y = emb.select(
-        F.col(id_col).alias("vid"),
-        F.when(label_expr, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
-    )
-    data = q.join(y, "vid")
+    data = _probe_rows(emb, label_expr, vec_col, id_col)
     w = data.sparkSession.range(1).select(
         F.array_repeat(zero, dim).alias("warr")
     )
@@ -2076,15 +2116,7 @@ def linear_probe_eval(
     Returns (iter, tp, fp, tn, fn, n_mis_train): iters all-int rows.
     """
     zero = F.lit(0).cast("long")
-    q = quantize_int8(emb, vec_col, id_col).select(
-        F.col(id_col).alias("vid"), "qvec"
-    )
-    y = emb.select(
-        F.col(id_col).alias("vid"),
-        F.when(label_expr, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
-        holdout_expr.alias("_ho"),
-    )
-    data = q.join(y, "vid")
+    data = _probe_rows(emb, label_expr, vec_col, id_col, holdout_expr)
     train = data.filter(~F.col("_ho"))
     hold = data.filter(F.col("_ho"))
     w = data.sparkSession.range(1).select(
@@ -2191,14 +2223,7 @@ def linear_probe_apply(
     so the oracle replays every decision exactly.
     """
     zero = F.lit(0).cast("long")
-    q = quantize_int8(emb, vec_col, id_col).select(
-        F.col(id_col).alias("vid"), "qvec"
-    )
-    y = emb.select(
-        F.col(id_col).alias("vid"),
-        F.when(label_expr, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
-    )
-    data = q.join(y, "vid")
+    data = _probe_rows(emb, label_expr, vec_col, id_col)
     w = data.sparkSession.range(1).select(
         F.array_repeat(zero, dim).alias("warr")
     )
@@ -2238,7 +2263,7 @@ def linear_probe_apply(
         lambda acc, v: acc + v,
     )
     return (
-        q.crossJoin(F.broadcast(w))
+        data.crossJoin(F.broadcast(w))
         .select(
             F.col("vid").alias(id_col),
             score.alias("score"),
@@ -3115,18 +3140,21 @@ def cluster_map(
             F.array_sort(F.collect_list(F.struct("i", "cs"))), lambda s: s.cs
         ).alias("cvec")
     )
-    q = quantize_int8(emb, vec_col, id_col).select(
-        F.col(id_col).alias("vid"), "qvec"
-    )
     # ONE assignment kernel for the whole codebook family: the same
     # shared argmax st20/st23 call, so batch and streaming assignments
-    # can never drift apart
-    assigned = assign_centroids_int8(q, cent.select("cid", "cvec"))
-    lab = emb.select(
-        F.col(id_col).alias("vid"), F.col(label_col).cast("long").alias("label")
-    )
-    counts = assigned.join(lab, "vid").groupBy("cid", "label").agg(
-        F.count("*").alias("n")
+    # can never drift apart. The label rides the quantized rows (r11 —
+    # the former (vid, label) frame was joined back on by id, a corpus
+    # exchange pair for a per-row tag).
+    q = quantize_int8(
+        emb.withColumn("_lab", F.col(label_col).cast("long")),
+        vec_col,
+        id_col,
+        keep=("_lab",),
+    ).select(F.col(id_col).alias("vid"), "qvec", F.col("_lab").alias("label"))
+    counts = (
+        _with_centroid_int8(q, cent.select("cid", "cvec"))
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("n"))
     )
     return (
         counts.groupBy("cid")

@@ -1456,12 +1456,18 @@ def _register_st20():
             F.col("vid").alias("cid"), F.col("qvec").alias("cvec")
         ).persist()
 
-        # base counts: the stored training-time artifact (one pass)
-        base_ids = emb.filter(F.col("label") != 0).select(
-            F.col("vec_id").alias("vid")
-        )
+        # base counts: the stored training-time artifact (one pass).
+        # Quantization is per-row, so quantize the FILTERED base rows
+        # directly (r11 — the former shape quantized the whole corpus
+        # and joined the base ids back on by vid: a corpus exchange
+        # pair for a filter)
         base = (
-            sim.assign_centroids_int8(q_all.join(base_ids, "vid"), cent)
+            sim.assign_centroids_int8(
+                sim.quantize_int8(emb.filter(F.col("label") != 0)).select(
+                    F.col("vec_id").alias("vid"), "qvec"
+                ),
+                cent,
+            )
             .groupBy("cid")
             .agg(F.count("*").alias("n_base"))
         )
@@ -1816,16 +1822,16 @@ def _register_st23():
         lake = _scratch("st23_cluster_lake")
 
         def fold(batch_df, _batch_id):
-            qb = sim.quantize_int8(batch_df).select(
-                F.col("vec_id").alias("vid"), "qvec"
-            )
-            asg = sim.assign_centroids_int8(qb, cent)
-            lab = batch_df.select(
-                F.col("vec_id").alias("vid"),
-                F.col("label").cast("long").alias("label"),
-            )
-            counts = asg.join(lab, "vid").groupBy("cid", "label").agg(
-                F.count("*").alias("n")
+            # the label rides the quantized batch rows (r11 — the former
+            # per-batch (vid, label) join-back is gone)
+            qb = sim.quantize_int8(
+                batch_df.withColumn("_lab", F.col("label").cast("long")),
+                keep=("_lab",),
+            ).select(F.col("vec_id").alias("vid"), "qvec", F.col("_lab").alias("label"))
+            counts = (
+                sim._with_centroid_int8(qb, cent)
+                .groupBy("cid", "label")
+                .agg(F.count("*").alias("n"))
             )
             append_state(counts, lake)
 
