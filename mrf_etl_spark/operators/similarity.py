@@ -3523,6 +3523,11 @@ def permute_embedding(
     regardless of ``perm``'s partitioning) and attaches as a broadcast
     scalar, so the rewrite is a map-side ``transform`` — no shuffle, no
     collect, schema preserved (id + permuted ``vec_col``)."""
+    # the 1-row permutation PERSISTS (r11): a downstream cascade that
+    # reads the permuted corpus k times (n15 feeds n5's cascade — ~6
+    # references) would otherwise re-run perm's whole derivation per
+    # reference (quantize-global max agg + per-dim variance agg: two
+    # corpus passes EACH). Handle attached as _mrf_persisted.
     pl = perm.agg(
         F.transform(
             F.array_sort(
@@ -3530,13 +3535,15 @@ def permute_embedding(
             ),
             lambda x: x["orig"],
         ).alias("_pl")
-    )
-    return emb.join(F.broadcast(pl)).select(
+    ).persist()
+    out = emb.join(F.broadcast(pl)).select(
         F.col(id_col),
         F.transform(
             "_pl", lambda o: F.element_at(F.col(vec_col), o.cast("int") + 1)
         ).alias(vec_col),
     )
+    out._mrf_persisted = pl
+    return out
 
 
 def rp_sign_matrix(

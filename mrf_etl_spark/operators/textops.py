@@ -1995,6 +1995,12 @@ def perplexity_buckets(
     from pyspark.sql.window import Window
 
     bits = ngram_lm_bits(docs, text_col, id_col)
+    # persist the slim (doc_id, score_e, domain) frame: the histogram
+    # AND the final bucket join both consume it, and unpersisted each
+    # reference re-runs the whole t22 bigram cascade (two pair-stream
+    # shuffles) — measured 2x at sf0.1; sp26 stacked another 2x on top
+    # through curriculum_order's two references (r11, the e6 lesson).
+    # State is 3 narrow columns per doc; released via _mrf_persisted.
     sc = bits.select(
         "doc_id",
         F.expr(
@@ -2006,7 +2012,7 @@ def perplexity_buckets(
             F.col(id_col).alias("doc_id"), F.col(domain_col).alias("domain")
         ),
         "doc_id",
-    )
+    ).persist()
     hist = sc.groupBy("domain", "score_e").agg(F.count("*").alias("_c"))
     wcum = (
         Window.partitionBy("domain")
@@ -2033,7 +2039,7 @@ def perplexity_buckets(
             ).alias("t2"),
         )
     )
-    return sc.join(F.broadcast(thr), "domain").select(
+    out = sc.join(F.broadcast(thr), "domain").select(
         "doc_id",
         "domain",
         "score_e",
@@ -2044,6 +2050,8 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+    out._mrf_persisted = sc
+    return out
 
 
 def zipf_fit(

@@ -3765,6 +3765,15 @@ def _register_pipe8():
             .filter(F.col("released"))
             .select("doc_id")
         )
+        # localCheckpoint, not persist (r11): the manifest references
+        # this frame 5+ times, and a lazy persist reprints — and the
+        # optimizer re-walks — the whole dual-gate cascade per reference
+        # (74 printed exchanges; plan build alone cost 3.8 s of the
+        # query's 6.8). The eager cut runs the cascade ONCE as its own
+        # job and every manifest pass starts from the KiB in-memory
+        # leaf. (Unlike the per-iteration trainer case where eager
+        # materialization lost, this cuts a 16-exchange cascade ×5
+        # replanning, not a 1-stage agg.)
         gated = (
             t(spark, sf_dir, "documents")
             .join(released, "doc_id")
@@ -3773,7 +3782,7 @@ def _register_pipe8():
                 F.col("source"),
                 token_count_ws("text").cast("long").alias("n_tok"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         out = sp.training_order(
             gated,
@@ -6560,6 +6569,7 @@ def _register_sp26():
     )
     def sp26_perplexity_curriculum(spark, sf_dir):
         from mrf_etl_spark.operators import sampling as sp
+        from mrf_etl_spark.operators.dedup import carry_state
 
         b = tx.perplexity_buckets(
             t(spark, sf_dir, "documents"), "text", "doc_id", "source"
@@ -6572,9 +6582,13 @@ def _register_sp26():
             .cast("long")
             .alias("band"),
         )
-        return sp.curriculum_order(
+        out = sp.curriculum_order(
             banded, "doc_id", "band", salt="ccnet"
         ).select("doc_id", "band", "curriculum_pos")
+        # t25's persisted score frame must survive until the caller
+        # materializes (curriculum_order reads banded twice); the bench
+        # frees it via release_state
+        return carry_state(out, b)
 
     return sp26_perplexity_curriculum
 
@@ -8189,10 +8203,12 @@ def _n15_perm_ctes() -> str:
     "(operators/similarity.dim_permutation, permute_embedding).",
 )
 def n15_ann_pq_dimperm(spark, sf_dir):
+    from mrf_etl_spark.operators.dedup import carry_state
+
     emb = t(spark, sf_dir, "embeddings")
     perm = sim.dim_permutation(emb, "vec_id", "embedding", DIM, _PQ_BLOCKS)
     embp = sim.permute_embedding(emb, perm, "vec_id", "embedding")
-    return sim.pq_adc_topk(
+    out = sim.pq_adc_topk(
         embp,
         dim=DIM,
         n_blocks=_PQ_BLOCKS,
@@ -8200,6 +8216,9 @@ def n15_ann_pq_dimperm(spark, sf_dir):
         n_candidates=_N5_CANDIDATES,
         k=_N5_K,
     )
+    # permute_embedding's persisted 1-row permutation rides through the
+    # cascade; the bench frees it via release_state
+    return carry_state(out, embp)
 
 
 _N16_KPROJ = 16

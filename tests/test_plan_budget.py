@@ -181,8 +181,13 @@ BUDGETS = {
     # tail (r11: was 129 via the solver's cached-subtree reprints)
     "pipe10_capped_training_order": 16,
     # permuted PQ-ADC: n5's cascade + the per-dim variance agg and the
-    # 64-row rank window; permutation and stats attach as broadcasts
-    "n15_ann_pq_dimperm": 39,
+    # 64-row rank window; permutation and stats attach as broadcasts.
+    # r11: the 1-row permutation persists (each of the cascade's ~6
+    # corpus references re-ran the variance + global-max aggs before —
+    # measured noop 4.6 -> 2.5 s at sf0.1); the persist trades one
+    # ReusedExchange print for an InMemory leaf, hence 39 -> 40 counted
+    # KiB exchanges while corpus passes drop from ~18 to ~7
+    "n15_ann_pq_dimperm": 40,
     # JL prefilter: quantize max agg, the k-way projection agg, the
     # candidate/final rank windows — sign matrix and query sketches
     # broadcast
@@ -381,19 +386,22 @@ def test_bpe_plans_persist_pass_state(spark):
 
 
 def test_pipe8_gate_runs_once_through_cache(spark):
-    """pipe8's dual-gate cascade must execute ONCE: the released-id set
-    is persisted and every corpus pass of the manifest plan (solver agg,
-    copy explode, shuffle-rank) reads it back through InMemoryTableScan
-    — exchange counting is unreliable through InMemory printouts (the
-    cached subtree prints per scan but runs once), so the pin is the
-    reuse itself (the e6/persisted-state pattern)."""
+    """pipe8's dual-gate cascade must execute ONCE: the slim gated
+    frame is localCheckpointed (r11 — the previous lazy persist reran
+    the OPTIMIZER over the cascade per manifest reference: 74 printed
+    exchanges, plan build dominated), so every corpus pass of the
+    manifest plan (solver agg, copy explode, shuffle-rank) reads an
+    in-memory RDD leaf and the executed plan contains NO trace of the
+    gate cascade (no parquet scan of eval_queries, no Bloom agg) —
+    the gate ran before the plan was even built."""
     from mrf_etl_spark.operators.dedup import release_state
 
     df = _catalog()["pipe8_decontam_training_order"].spark_fn(spark, SF_DIR)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     release_state(df)
-    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    assert plan.count("Scan ExistingRDD") >= 2, plan[:2000]
+    assert "eval_queries" not in plan, plan[:2000]
 
 
 def test_sp27_solver_rounds_run_through_cache(spark):
