@@ -2408,46 +2408,42 @@ def excise_with_universe(
         )
     )
     mt = win.join(F.broadcast(euniv), "h")
-    hits = mt.groupBy("doc_id").agg(F.count("*").alias("n_hits"))
-    removed = (
-        mt.select(
-            "doc_id",
-            F.explode(F.expr("sequence(pos, pos + cast(cover as int) - 1)")).alias(
-                "p"
-            ),
-        ).distinct()
+    # per-doc hit count AND removed-position ARRAY in ONE agg (r11, the
+    # d20 rebuild doctrine): hit windows' position ranges stay arrays
+    # end-to-end (sequence → flatten → distinct → sort — bounded by
+    # contaminated material), replacing the former position explode +
+    # (doc_id, p)-keyed anti-join + collect_list rebuild, which
+    # posexploded every HIT doc in full and paid two extra exchanges
+    cov = mt.groupBy("doc_id").agg(
+        F.count("*").alias("n_hits"),
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.expr("sequence(pos, pos + cast(cover as int) - 1)")
+                    )
+                )
+            )
+        ).alias("_rm"),
     )
-    kept = (
-        corpus.join(hits, "doc_id", "left_semi")
-        .select("doc_id", F.posexplode("_ow").alias("_p0", "w"))
-        .withColumn("p", F.col("_p0") + 1)
-        .join(removed, ["doc_id", "p"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list("
-                "struct(p, w))), s -> s.w), ' ')"
-            ).alias("_kept_text"),
-            F.count("*").alias("_n_kept"),
-        )
+    # map-side index-filter rebuild: untouched docs never explode
+    kept_arr = F.filter(
+        "_ow", lambda w, i: ~F.array_contains("_rm", i + F.lit(1))
     )
     return (
-        corpus.select(
-            "doc_id",
-            F.size("_ow").cast("long").alias("n_tokens"),
-            F.array_join("_ow", " ").alias("_orig_text"),
-        )
-        .join(hits, "doc_id", "left")
-        .join(kept, "doc_id", "left")
+        corpus.select("doc_id", "_ow")
+        .join(cov, "doc_id", "left")
         .select(
             "doc_id",
-            F.when(F.col("n_hits").isNull(), F.col("_orig_text"))
-            .otherwise(F.coalesce("_kept_text", F.lit("")))
+            F.when(
+                F.col("n_hits").isNull(), F.array_join("_ow", " ")
+            )
+            .otherwise(F.array_join(kept_arr, " "))
             .alias("clean_text"),
-            "n_tokens",
+            F.size("_ow").cast("long").alias("n_tokens"),
             F.when(F.col("n_hits").isNull(), F.lit(0).cast("long"))
             .otherwise(
-                F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0).cast("long"))
+                (F.size("_ow") - F.size(kept_arr)).cast("long")
             )
             .alias("n_removed"),
             F.coalesce(F.col("n_hits").cast("long"), F.lit(0).cast("long")).alias(

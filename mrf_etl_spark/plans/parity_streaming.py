@@ -37,6 +37,29 @@ def _drain(q, timeout: float = 300.0) -> None:
         )
 
 
+def _stage_halves(df, staging: str, first_expr) -> None:
+    """Write the two micro-batch staging halves in ONE source pass
+    (r11, guide §6): the previous shape ran two filtered writes, each
+    re-scanning the source — every staged streaming query paid a third
+    corpus read purely for fixture scaffolding. partitionBy("half")
+    lands the identical half=1/half=2 directory layout; the
+    repartition by half keeps it at one file per half so
+    maxFilesPerTrigger=1 still yields exactly two micro-batches. Rows
+    where ``first_expr`` holds land in half=1, the rest in half=2 —
+    row-for-row the two filtered writes (the streamed queries are
+    batch-boundary- and order-invariant by design, which the unchanged
+    oracles re-prove)."""
+    (
+        df.withColumn(
+            "half", F.when(first_expr, F.lit(1)).otherwise(F.lit(2))
+        )
+        .repartition(F.col("half"))
+        .write.mode("overwrite")
+        .partitionBy("half")
+        .parquet(staging)
+    )
+
+
 def _events_raw(spark, sf_dir):
     """Raw read schema + ts-normalizer for STREAMING reads of
     events.parquet, robust to both encodings the driver has shipped:
@@ -492,12 +515,7 @@ def st9_stream_incremental_mv(spark, sf_dir):
     staging = _scratch("st9_staging")
     os.makedirs(staging, exist_ok=True)
     ev = spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet")
-    ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
-        f"{staging}/half=1"
-    )
-    ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
-        f"{staging}/half=2"
-    )
+    _stage_halves(ev, staging, F.col("event_id") % 2 == 0)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
@@ -557,12 +575,7 @@ def st10_stream_scd2(spark, sf_dir):
     staging = _scratch("st10_staging")
     os.makedirs(staging, exist_ok=True)
     ev = spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet")
-    ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
-        f"{staging}/half=1"
-    )
-    ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
-        f"{staging}/half=2"
-    )
+    _stage_halves(ev, staging, F.col("event_id") % 2 == 0)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
@@ -658,12 +671,7 @@ def st11_stream_corpus_card(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     staging = _scratch("st11_staging")
     os.makedirs(staging, exist_ok=True)
-    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
-        f"{staging}/half=1"
-    )
-    docs.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
-        f"{staging}/half=2"
-    )
+    _stage_halves(docs, staging, F.col("doc_id") % 2 == 0)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -724,12 +732,7 @@ def _register_st12():
         docs = t(spark, sf_dir, "documents").select("doc_id", "text")
         staging = _scratch("st12_staging")
         os.makedirs(staging, exist_ok=True)
-        docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
-            f"{staging}/half=1"
-        )
-        docs.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
-            f"{staging}/half=2"
-        )
+        _stage_halves(docs, staging, F.col("doc_id") % 2 == 0)
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
@@ -808,12 +811,7 @@ def _register_st13():
         corpus = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
         staging = _scratch("st13_staging")
         os.makedirs(staging, exist_ok=True)
-        corpus.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
-            f"{staging}/half=1"
-        )
-        corpus.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
-            f"{staging}/half=2"
-        )
+        _stage_halves(corpus, staging, F.col("doc_id") % 2 == 0)
         stream = (
             spark.readStream.schema(corpus.schema)
             .option("maxFilesPerTrigger", 1)
@@ -886,12 +884,7 @@ def _register_st14():
         arriving = emb.filter(F.col("vec_id") % 2 == 1)
         staging = _scratch("st14_staging")
         os.makedirs(staging, exist_ok=True)
-        arriving.filter(F.col("vec_id") % 4 == 1).write.mode("overwrite").parquet(
-            f"{staging}/half=1"
-        )
-        arriving.filter(F.col("vec_id") % 4 == 3).write.mode("overwrite").parquet(
-            f"{staging}/half=2"
-        )
+        _stage_halves(arriving, staging, F.col("vec_id") % 4 == 1)
         stream = (
             spark.readStream.schema(arriving.schema)
             .option("maxFilesPerTrigger", 1)
@@ -955,12 +948,7 @@ def _register_st15():
         staging = _scratch("st15_staging")
         os.makedirs(staging, exist_ok=True)
         ev = spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet")
-        ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
-            f"{staging}/half=1"
-        )
-        ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
-            f"{staging}/half=2"
-        )
+        _stage_halves(ev, staging, F.col("event_id") % 2 == 0)
         stream = (
             spark.readStream.schema(raw_schema)
             .option("maxFilesPerTrigger", 1)
@@ -1026,12 +1014,7 @@ def _register_st16():
         )
         staging = _scratch("st16_staging")
         os.makedirs(staging, exist_ok=True)
-        ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
-            f"{staging}/half=1"
-        )
-        ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
-            f"{staging}/half=2"
-        )
+        _stage_halves(ev, staging, F.col("event_id") % 2 == 0)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1113,12 +1096,7 @@ def _register_st17():
         # halves staged by id PARITY, deliberately interleaved — the
         # order-invariance claim is only tested if batches do NOT arrive
         # in id order
-        docs.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
-            f"{staging}/half=1"
-        )
-        docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
-            f"{staging}/half=2"
-        )
+        _stage_halves(docs, staging, F.col("doc_id") % 2 == 1)
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1202,12 +1180,7 @@ def _register_st18():
         )
         staging = _scratch("st18_staging")
         os.makedirs(staging, exist_ok=True)
-        ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
-            f"{staging}/half=1"
-        )
-        ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
-            f"{staging}/half=2"
-        )
+        _stage_halves(ev, staging, F.col("event_id") % 2 == 0)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1296,12 +1269,7 @@ def _register_st19():
             arriving = emb.filter(F.col("vec_id") % 2 == 1)
             staging = _scratch("st19_staging")
             os.makedirs(staging, exist_ok=True)
-            arriving.filter(F.col("vec_id") % 4 == 1).write.mode(
-                "overwrite"
-            ).parquet(f"{staging}/half=1")
-            arriving.filter(F.col("vec_id") % 4 == 3).write.mode(
-                "overwrite"
-            ).parquet(f"{staging}/half=2")
+            _stage_halves(arriving, staging, F.col("vec_id") % 4 == 1)
             built[sf_dir] = (base, staging)
         base, staging = built[sf_dir]
         path = _scratch(f"{tag}_ivfpq_live")
@@ -1476,12 +1444,7 @@ def _register_st20():
         cur = emb.filter(F.col("label") == 0).select("vec_id", "embedding")
         staging = _scratch("st20_staging")
         os.makedirs(staging, exist_ok=True)
-        cur.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
-            f"{staging}/half=1"
-        )
-        cur.filter(F.col("vec_id") % 2 == 1).write.mode("overwrite").parquet(
-            f"{staging}/half=2"
-        )
+        _stage_halves(cur, staging, F.col("vec_id") % 2 == 0)
         lake = _scratch("st20_count_lake")
 
         def fold(batch_df, _batch_id):
@@ -1602,12 +1565,7 @@ def _register_st21():
         )
         staging = _scratch("st21_staging")
         os.makedirs(staging, exist_ok=True)
-        corpus.filter(F.col("vec_id") % 2 == 0).write.mode(
-            "overwrite"
-        ).parquet(f"{staging}/half=1")
-        corpus.filter(F.col("vec_id") % 2 == 1).write.mode(
-            "overwrite"
-        ).parquet(f"{staging}/half=2")
+        _stage_halves(corpus, staging, F.col("vec_id") % 2 == 0)
         lake = _scratch("st21_clean_lake")
 
         def gate(batch_df, _batch_id):
@@ -1707,12 +1665,7 @@ def _register_st22():
 
         staging = _scratch("st22_staging")
         os.makedirs(staging, exist_ok=True)
-        docs.filter(F.col("doc_id") % 2 == 0).write.mode(
-            "overwrite"
-        ).parquet(f"{staging}/half=1")
-        docs.filter(F.col("doc_id") % 2 == 1).write.mode(
-            "overwrite"
-        ).parquet(f"{staging}/half=2")
+        _stage_halves(docs, staging, F.col("doc_id") % 2 == 0)
         lake = _scratch("st22_fertility_lake")
         zero = F.lit(0).cast("long")
 
@@ -1813,12 +1766,7 @@ def _register_st23():
 
         staging = _scratch("st23_staging")
         os.makedirs(staging, exist_ok=True)
-        emb.filter(F.col("vec_id") % 2 == 0).write.mode("overwrite").parquet(
-            f"{staging}/half=1"
-        )
-        emb.filter(F.col("vec_id") % 2 == 1).write.mode("overwrite").parquet(
-            f"{staging}/half=2"
-        )
+        _stage_halves(emb, staging, F.col("vec_id") % 2 == 0)
         lake = _scratch("st23_cluster_lake")
 
         def fold(batch_df, _batch_id):
@@ -1914,12 +1862,7 @@ def _register_st24():
         )
         staging = _scratch("st24_staging")
         os.makedirs(staging, exist_ok=True)
-        docs.filter(F.col("doc_id") % 2 == 0).write.mode(
-            "overwrite"
-        ).parquet(f"{staging}/half=1")
-        docs.filter(F.col("doc_id") % 2 == 1).write.mode(
-            "overwrite"
-        ).parquet(f"{staging}/half=2")
+        _stage_halves(docs, staging, F.col("doc_id") % 2 == 0)
         lake = _scratch("st24_zipf_lake")
 
         def fold(batch_df, _batch_id):
@@ -2002,12 +1945,7 @@ def _register_st25():
 
         staging = _scratch("st25_staging")
         os.makedirs(staging, exist_ok=True)
-        corpus.filter(F.col("doc_id") % 2 == 0).write.mode(
-            "overwrite"
-        ).parquet(f"{staging}/half=1")
-        corpus.filter(F.col("doc_id") % 2 == 1).write.mode(
-            "overwrite"
-        ).parquet(f"{staging}/half=2")
+        _stage_halves(corpus, staging, F.col("doc_id") % 2 == 0)
         lake = _scratch("st25_excised_lake")
 
         def fold(batch_df, _batch_id):
