@@ -323,17 +323,35 @@ def ngram_jaccard_pairs(
     :func:`ngram_jaccard_pairs_capped` (df-pruned candidates, exact
     verification).
 
-    Plan: explode → self-join on shingle (a<b) → count intersections →
-    join sizes → jaccard = i / (|A| + |B| - i). All shuffles are on
-    shingle / doc keys; no cross product. Returns
-    (doc_a, doc_b, n_common, size_a, size_b, jaccard)."""
+    Plan (r11): explode → ONE groupBy-shingle shuffle builds the
+    per-shingle posting list, ordered pairs are emitted MAP-SIDE from
+    the sorted list (the d3b posting-list kernel, minus the df cap —
+    the previous shingle-equi-self-join shuffled the exploded table
+    twice more and paid a corpus-explode × corpus-explode hash join to
+    produce the same pair rows) → count intersections → join sizes →
+    jaccard = i / (|A| + |B| - i). Pair sets are identical: a sorted
+    posting list's i<j pairs ARE the (a.doc_id < b.doc_id) join matches
+    per shingle. Returns (doc_a, doc_b, n_common, size_a, size_b,
+    jaccard)."""
     sh = doc_shingles(df, text_col, id_col, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    posts = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    # spread the df²/2-per-row pair explode over the cluster (the d3b
+    # lesson: AQE coalesces the tiny posting table to a few partitions
+    # and the generate stage runs on those few cores)
+    posts = posts.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    pair_arr = F.expr(
+        "flatten(transform(slice(docs, 1, size(docs) - 1), (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        posts.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
