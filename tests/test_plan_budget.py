@@ -254,6 +254,11 @@ def _catalog():
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_exchange_budget(spark, name):
+    # the pin measures THIS query's plan, not whatever cache entries
+    # earlier tests leaked: a foreign persist of a shared subtree makes
+    # CacheManager substitute (or refuse) InMemoryRelations and the
+    # printed Exchange/ReusedExchange census shifts order-dependently
+    spark.catalog.clearCache()
     df = _catalog()[name].spark_fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # count Exchange operators; ReusedExchange references don't add work
