@@ -1066,49 +1066,39 @@ def pq_adc_topk(
     oracle replays the whole cascade exactly rather than settling for a
     recall envelope.
 
-    Plan shape: the block-distance long form is computed ONCE and serves
-    both sides — argmin rows become corpus codes, query rows become the
-    LUT; the ADC join is codes ⋈ broadcast(LUT) on (block, code) followed
-    by one (query, neighbor)-keyed pivot-aggregate; rerank joins the
-    ≤ |Q| x n_candidates winners back to the corpus floats.
+    Plan shape (r11): corpus codes compute as ONE map-side projection
+    against the broadcast codebook (:func:`_ivfpq_row_projection`'s
+    codes-only form — the former per-(vec, block) argmin window paid a
+    corpus×16×B exchange); the query LUT derives from the FILTERED
+    queries only and broadcasts as one map per query
+    (:func:`_adc_lut_map`), so the ADC distance attaches map-side — the
+    former codes ⋈ LUT join fan-out and (query, neighbor) pivot
+    exchange are gone; rerank joins the ≤ |Q| x n_candidates winners
+    back to the corpus floats.
     """
-    rows = _pq_rows(emb, id_col, vec_col, dim, n_blocks, seeds, seed_filter)
     # query_filter is written against emb's own columns; _pq_rows renames
     # the id to vec_id, so the query side routes through an explicit id
     # set rather than re-applying the filter to the renamed frame (which
     # would break for any id_col != "vec_id")
+    if seeds is None:
+        sf_ = seed_filter if seed_filter is not None else (F.col(id_col) < 16)
+        seeds = emb.filter(sf_)
     qf = query_filter if query_filter is not None else (F.col(id_col) < 10)
-    qids = emb.filter(qf).select(F.col(id_col).alias("query_id"))
-    w_code = Window.partitionBy("vec_id", "b").orderBy(
-        F.col("d").asc(), F.col("cid").asc()
+    proj = _ivfpq_row_projection(
+        emb, None, seeds, id_col, vec_col, dim, n_blocks
     )
-    codes = (
-        rows.withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select(F.col("vec_id").alias("neighbor_id"), "b", "cid")
-    )
-    lut = rows.join(
-        F.broadcast(qids), rows["vec_id"] == qids["query_id"]
-    ).select("query_id", "b", "cid", F.col("d").alias("qd"))
-    adc = (
-        codes.join(F.broadcast(lut), ["b", "cid"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("b") == b, F.col("qd"))).alias(f"qd{b}")
-                for b in range(n_blocks)
-            ]
-        )
-    )
-    dist = F.col("qd0")
-    for b in range(1, n_blocks):
-        dist = dist + F.col(f"qd{b}")
+    lut = _pq_rows(
+        emb.filter(qf), id_col, vec_col, dim, n_blocks, seeds, None
+    ).select(F.col("vec_id").alias("query_id"), "b", "cid", F.col("d").alias("qd"))
+    lutm = _adc_lut_map(lut)
     w_cand = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()
     )
     cand = (
-        adc.select("query_id", "neighbor_id", dist.alias("adc"))
+        proj.select("neighbor_id", *[f"c{b}" for b in range(n_blocks)])
+        .crossJoin(F.broadcast(lutm))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _adc_dist(n_blocks).alias("adc"))
         .withColumn("crank", F.row_number().over(w_cand))
         .filter(F.col("crank") <= n_candidates)
         .select("query_id", "neighbor_id")
@@ -1218,37 +1208,25 @@ def ivf_pq_topk(
 
     # The IVF prune (r11 shape): codes AND the coarse bucket compute
     # per-row in the shared map-side projection (guide §2.4 — the former
-    # code-argmin window exchange and the assigned join are gone),
-    # posexplode to the ADC long form, then meet the broadcast probe
-    # list — rows for unprobed buckets never reach the ADC pivot. At
-    # scale this join is a partition prune on a ccid-partitioned codes
-    # table.
+    # code-argmin window exchange and the assigned join are gone), then
+    # meet the broadcast probe list — rows for unprobed buckets never
+    # reach the ADC stage. At scale this join is a partition prune on a
+    # ccid-partitioned codes table. The ADC distance attaches map-side
+    # from the broadcast per-query LUT map (the former posexplode long
+    # form + (query, neighbor) pivot exchange are gone).
     proj = _ivfpq_row_projection(
         emb, cent, seeds, id_col, vec_col, dim, n_blocks
     )
-    code_arr = F.array(*[F.col(f"c{b}") for b in range(n_blocks)])
-    pruned = proj.select(
-        "neighbor_id", "ccid", F.posexplode(code_arr).alias("b", "cid")
-    ).join(F.broadcast(probes), "ccid")
-    adc = (
-        pruned.join(F.broadcast(lut), ["query_id", "b", "cid"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("b") == b, F.col("qd"))).alias(f"qd{b}")
-                for b in range(n_blocks)
-            ]
-        )
-    )
-    dist = F.col("qd0")
-    for b in range(1, n_blocks):
-        dist = dist + F.col(f"qd{b}")
+    lutm = _adc_lut_map(lut)
     w_cand = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()
     )
     cand = (
-        adc.select("query_id", "neighbor_id", dist.alias("adc"))
+        proj.select("neighbor_id", "ccid", *[f"c{b}" for b in range(n_blocks)])
+        .join(F.broadcast(probes), "ccid")
+        .join(F.broadcast(lutm), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _adc_dist(n_blocks).alias("adc"))
         .withColumn("crank", F.row_number().over(w_cand))
         .filter(F.col("crank") <= n_candidates)
         .select("query_id", "neighbor_id")
@@ -1364,29 +1342,62 @@ def ivf_pq_residual_topk(
             lambda acc, v: acc + v,
         )
 
-    blocks = F.array(
+    # residual codes per block as a MAP-SIDE array argmin against the
+    # 1-row broadcast of residual seeds (r11, guide §2.4): the former
+    # long form paid a corpus×16×B explode + a (neighbor, ccid, b)
+    # groupBy exchange; the argmin key replicates min(struct(d, cid))'s
+    # total order exactly — NULL(0) < real(1) < NaN(2), then d, then cid
+    # — and every d is the same squared-difference fold over the same
+    # operands, so codes are bit-identical
+    raux = rseeds.agg(F.collect_list(F.struct("cid", "sv")).alias("_seeds"))
+
+    def _key(s: Column) -> Column:
+        rk = (
+            F.when(s["d"].isNull(), F.lit(0))
+            .when(F.isnan(s["d"]), F.lit(2))
+            .otherwise(F.lit(1))
+        )
+        dv = F.when(rk == F.lit(1), s["d"]).otherwise(F.lit(0.0))
+        return F.struct(rk.alias("rk"), dv.alias("d"), s["cid"].alias("cid"))
+
+    # all blocks in ONE nested lambda over the block index (the
+    # unrolled-per-block form costs ~B× the Catalyst tree and ~1 s of
+    # driver analysis per call — the _ivfpq_row_projection lesson);
+    # d materializes once per seed in the inner transform's struct
+    rcodes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda b: F.array_min(
+            F.transform(
+                F.transform(
+                    F.col("_seeds"),
+                    lambda s: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(F.col("rv"), b * size + 1, size),
+                                F.slice(s["sv"], b * size + 1, size),
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        ).alias("d"),
+                        s["cid"].alias("cid"),
+                    ),
+                ),
+                _key,
+            )
+        )["cid"],
+    )
+    codes = _pushdown_barrier(
+        rcorp.crossJoin(F.broadcast(raux))
+        .filter(F.size(F.col("_seeds")) > 0)
+        .select("neighbor_id", "ccid", rcodes.alias("_codes"))
+    ).select(
+        "neighbor_id",
+        "ccid",
         *[
-            F.struct(F.lit(b).alias("b"), _block_d("rv", "sv", b).alias("d"))
+            F.element_at(F.col("_codes"), b + 1).alias(f"c{b}")
             for b in range(n_blocks)
-        ]
-    )
-    rlongf = (
-        rcorp.crossJoin(F.broadcast(rseeds))
-        .select(
-            "neighbor_id", "ccid", "cid", F.explode(blocks).alias("_k")
-        )
-        .select(
-            "neighbor_id",
-            "ccid",
-            "cid",
-            F.col("_k.b").alias("b"),
-            F.col("_k.d").alias("d"),
-        )
-    )
-    codes = (
-        rlongf.groupBy("neighbor_id", "ccid", "b")
-        .agg(F.min(F.struct(F.col("d"), F.col("cid").alias("cid"))).alias("_m"))
-        .select("neighbor_id", "ccid", "b", F.col("_m.cid").alias("cid"))
+        ],
     )
 
     qf = query_filter if query_filter is not None else (F.col(id_col) < 10)
@@ -1437,28 +1448,23 @@ def ivf_pq_residual_topk(
             F.col("_k.qd").alias("qd"),
         )
     )
-    pruned = codes.join(
-        F.broadcast(probes.select("query_id", "ccid")), "ccid"
-    )
-    adc = (
-        pruned.join(F.broadcast(lut), ["query_id", "ccid", "b", "cid"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("b") == b, F.col("qd"))).alias(f"qd{b}")
-                for b in range(n_blocks)
-            ]
-        )
-    )
-    dist = F.col("qd0")
-    for b in range(1, n_blocks):
-        dist = dist + F.col(f"qd{b}")
+    # ADC map-side from the (ccid, b, cid)-keyed broadcast LUT map —
+    # the residual LUT is per (query, PROBED bucket), so the map key
+    # carries the bucket; pair rows only exist for probed (query, ccid),
+    # where the LUT grid is complete
+    lutm = _adc_lut_map(lut, key_cols=("ccid", "b", "cid"))
     w_cand = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()
     )
     cand = (
-        adc.select("query_id", "neighbor_id", dist.alias("adc"))
+        codes.join(F.broadcast(probes.select("query_id", "ccid")), "ccid")
+        .join(F.broadcast(lutm), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_dist(n_blocks, prefix=F.col("ccid")).alias("adc"),
+        )
         .withColumn("crank", F.row_number().over(w_cand))
         .filter(F.col("crank") <= n_candidates)
         .select("query_id", "neighbor_id")
@@ -2382,31 +2388,55 @@ def assemble_pq_seeds(
 
 # -------------------------------------------- persisted IVF-PQ index
 
-def _pq_codes_wide(
-    emb: DataFrame,
-    seeds: DataFrame,
-    id_col: str,
-    vec_col: str,
-    dim: int,
-    n_blocks: int,
-) -> DataFrame:
-    """Per-vector PQ codes in WIDE form (vec_id, c0..c{B-1}) against a
-    frozen codebook — pq_encode's argmin stage without the recon-quality
-    column, shared by index create and append so both write identical
-    codes for the same vector."""
-    rows = _pq_rows(emb, id_col, vec_col, dim, n_blocks, seeds, None)
-    w = Window.partitionBy("vec_id", "b").orderBy(
-        F.col("d").asc(), F.col("cid").asc()
+
+def _adc_lut_map(lut: DataFrame, key_cols: tuple[str, ...] = ("b", "cid")) -> DataFrame:
+    """Pivot a per-query ADC lookup table (query_id, *key_cols, qd) into
+    ONE map column per query (r11, guide §2.3/§2.4): the ADC stage used
+    to posexplode every candidate's code array to (b, cid) rows, meet
+    the broadcast LUT in a join, and re-assemble pairs with a
+    (query, neighbor)-keyed pivot aggregate — an n_blocks× row fan-out
+    plus a full pair exchange spent re-attaching values that are a
+    per-row function of the code columns. With the LUT as a broadcast
+    map, the per-block distances attach map-side via ``element_at`` and
+    the pair exchange disappears.
+
+    Keys are '_'-joined strings (``concat_ws`` of the integer key
+    columns) — engine-neutral, collision-free for any id domain, and a
+    128-entry map probe is noise next to the removed shuffle. Entry
+    order is irrelevant: keys are unique per query, and map lookup
+    doesn't depend on insertion order, so ``collect_list`` feeding
+    ``map_from_entries`` is deterministic in effect."""
+    return lut.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.concat_ws("_", *[F.col(c) for c in key_cols]).alias("key"),
+                    F.col("qd").alias("value"),
+                )
+            )
+        ).alias("_lut")
     )
-    chosen = rows.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
-    )
-    return chosen.groupBy("vec_id").agg(
-        *[
-            F.max(F.when(F.col("b") == b, F.col("cid"))).alias(f"c{b}")
-            for b in range(n_blocks)
+
+
+def _adc_dist(n_blocks: int, prefix: Column | None = None) -> Column:
+    """The ADC distance over wide code columns c0..c{B-1} against the
+    broadcast ``_lut`` map: Σ_b lut['b_c{b}'] in FIXED ascending block
+    order — the same left-to-right double sum the pivot form assembled
+    (qd0 + qd1 + ...), so the result is bit-identical. A missing map key
+    yields NULL and poisons the sum to NULL, exactly as the old pivot's
+    unmatched-block NULL did; callers keep the LUT complete (the full
+    codebook grid per query) so neither form ever takes that branch.
+    ``prefix`` prepends extra key columns (the residual path keys its
+    LUT by probed bucket too)."""
+    dist: Column | None = None
+    for b in range(n_blocks):
+        parts = ([prefix] if prefix is not None else []) + [
+            F.lit(b),
+            F.col(f"c{b}"),
         ]
-    )
+        term = F.element_at(F.col("_lut"), F.concat_ws("_", *parts))
+        dist = term if dist is None else dist + term
+    return dist
 
 
 def _fold_dot(a: Column, b: Column) -> Column:
@@ -2445,7 +2475,7 @@ def _pushdown_barrier(df: DataFrame) -> DataFrame:
 
 def _ivfpq_row_projection(
     emb: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     seeds: DataFrame,
     id_col: str,
     vec_col: str,
@@ -2468,29 +2498,48 @@ def _ivfpq_row_projection(
     then cid), codes use the `ORDER BY d ASC NULLS FIRST, cid ASC` rank
     (NULL(0) < real(1) < NaN(2)); `array_min` and `min(struct)` share
     the same total struct order. Degenerate empty codebooks produce NULL
-    argmins, filtered to match the old inner joins' empty result."""
+    argmins, filtered to match the old inner joins' empty result.
+
+    ``centroids=None`` yields the CODES-ONLY form (no ccid column, no
+    coarse codebook in the broadcast) — pq_adc_topk's flat-ADC corpus
+    side, sharing every argmin expression with the IVF-PQ tier.
+
+    Plan-size note (r11): all per-block work is expressed as ONE nested
+    lambda over the block index (``transform(sequence(0, B-1), ...)``),
+    not B unrolled copies — the unrolled form made the Catalyst tree
+    ~B× larger and driver analysis cost ~1 s PER CALL at B=8 (measured
+    on n5: build 2.0 s vs 1.0 s), which the st19 ingest path pays per
+    micro-batch. Same element expressions, same values; ``F.slice``
+    with a lambda-bound start is the same 1-based block slice."""
     size = dim // n_blocks
     mul = lambda x, y: x * y  # noqa: E731
+
+    def _blocks_self_fold(vcol: Column) -> Column:
+        # per-block self-dot array: [fold(block_b · block_b)] for b in
+        # 0..B-1 — the unrolled _pq_fold2(_pq_block(b)) columns as one
+        # transform; identical element trees, identical doubles
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+            lambda b: _pq_fold2(
+                F.slice(vcol, b * size + 1, size),
+                F.slice(vcol, b * size + 1, size),
+                mul,
+            ),
+        )
+
     sd = seeds.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cv"),
-        F.array(
-            *[
-                _pq_fold2(
-                    _pq_block(vec_col, b, size), _pq_block(vec_col, b, size), mul
-                )
-                for b in range(n_blocks)
-            ]
-        ).alias("cn2"),
+        _blocks_self_fold(F.col(vec_col)).alias("cn2"),
     )
-    ca = centroids.select(
-        F.col("cid"), F.col("cvec"), norm_fold("cvec").alias("cn")
-    )
-    aux = ca.agg(
-        F.collect_list(F.struct("cid", "cvec", "cn")).alias("_cents")
-    ).crossJoin(
-        sd.agg(F.collect_list(F.struct("cid", "cv", "cn2")).alias("_seeds"))
-    )
+    aux = sd.agg(F.collect_list(F.struct("cid", "cv", "cn2")).alias("_seeds"))
+    if centroids is not None:
+        ca = centroids.select(
+            F.col("cid"), F.col("cvec"), norm_fold("cvec").alias("cn")
+        )
+        aux = ca.agg(
+            F.collect_list(F.struct("cid", "cvec", "cn")).alias("_cents")
+        ).crossJoin(aux)
     from mrf_etl_spark.operators.dedup import widen_narrow_input
 
     # the per-row |centroids| + 16×n_blocks fold fan-out is map-side CPU:
@@ -2500,82 +2549,103 @@ def _ivfpq_row_projection(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm_fold(vec_col).alias("cn"),
-        *[
-            _pq_fold2(
-                _pq_block(vec_col, b, size), _pq_block(vec_col, b, size), mul
-            ).alias(f"_en2_{b}")
-            for b in range(n_blocks)
-        ],
+        _blocks_self_fold(F.col(vec_col)).alias("_en2"),
     )
     rows = e.crossJoin(F.broadcast(aux))
 
     # coarse bucket: assign_centroids' `ORDER BY cos DESC, cid ASC` with
     # its exact NULL/NaN priority, as an array argmin
-    scored = F.transform(
-        F.col("_cents"),
-        lambda c: F.struct(
-            (_fold_dot(F.col("cv"), c["cvec"]) / (F.col("cn") * c["cn"])).alias(
-                "cos"
-            ),
-            c["cid"].alias("cid"),
-        ),
-    )
-
-    def _coarse_key(s: Column) -> Column:
-        rk = (
-            F.when(s["cos"].isNull(), F.lit(2))
-            .when(F.isnan(s["cos"]), F.lit(0))
-            .otherwise(F.lit(1))
-        )
-        neg = F.when(rk == F.lit(1), -s["cos"]).otherwise(F.lit(0.0))
-        return F.struct(rk.alias("rk"), neg.alias("neg"), s["cid"].alias("cid"))
-
-    ccid = F.array_min(F.transform(scored, _coarse_key))["cid"]
-
-    # PQ code per block: the codes window's `ORDER BY d ASC NULLS FIRST,
-    # cid ASC` (NaN sorts last ascending), as an array argmin; d is the
-    # same (en2b + cn2b) - 2*dotb expansion over the same folds
-    def _code(b: int) -> Column:
-        dscored = F.transform(
-            F.col("_seeds"),
-            lambda s: F.struct(
+    if centroids is not None:
+        scored = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
                 (
-                    (F.col(f"_en2_{b}") + s["cn2"].getItem(b))
-                    - F.lit(2.0)
-                    * _fold_dot(
-                        F.slice(F.col("cv"), b * size + 1, size),
-                        F.slice(s["cv"], b * size + 1, size),
-                    )
-                ).alias("d"),
-                s["cid"].alias("cid"),
+                    _fold_dot(F.col("cv"), c["cvec"]) / (F.col("cn") * c["cn"])
+                ).alias("cos"),
+                c["cid"].alias("cid"),
             ),
         )
 
-        def _key(s: Column) -> Column:
+        def _coarse_key(s: Column) -> Column:
             rk = (
-                F.when(s["d"].isNull(), F.lit(0))
-                .when(F.isnan(s["d"]), F.lit(2))
+                F.when(s["cos"].isNull(), F.lit(2))
+                .when(F.isnan(s["cos"]), F.lit(0))
                 .otherwise(F.lit(1))
             )
-            dv = F.when(rk == F.lit(1), s["d"]).otherwise(F.lit(0.0))
-            return F.struct(rk.alias("rk"), dv.alias("d"), s["cid"].alias("cid"))
+            neg = F.when(rk == F.lit(1), -s["cos"]).otherwise(F.lit(0.0))
+            return F.struct(
+                rk.alias("rk"), neg.alias("neg"), s["cid"].alias("cid")
+            )
 
-        return F.array_min(F.transform(dscored, _key))["cid"]
+        ccid = F.array_min(F.transform(scored, _coarse_key))["cid"]
 
-    return _pushdown_barrier(
-        # empty-codebook degenerate: the old inner joins produced no
-        # rows; gate on the ARRAY sizes (argmin(empty) is NULL) — a
-        # filter on the computed ccid/c0 columns would push below the
-        # projection and evaluate the argmin expressions twice
-        rows.filter(
-            (F.size(F.col("_cents")) > 0) & (F.size(F.col("_seeds")) > 0)
-        ).select(
-            "neighbor_id",
-            "cv",
-            "cn",
-            *[_code(b).alias(f"c{b}") for b in range(n_blocks)],
-            ccid.alias("ccid"),
+    # PQ codes for ALL blocks as one nested lambda: the codes window's
+    # `ORDER BY d ASC NULLS FIRST, cid ASC` (NaN sorts last ascending)
+    # as an array argmin per block index; d is the same
+    # (en2b + cn2b) - 2*dotb expansion over the same folds, materialized
+    # ONCE per seed in the inner transform's struct (the key transform
+    # reads the struct field, never re-derives d)
+    def _key(s: Column) -> Column:
+        rk = (
+            F.when(s["d"].isNull(), F.lit(0))
+            .when(F.isnan(s["d"]), F.lit(2))
+            .otherwise(F.lit(1))
         )
+        dv = F.when(rk == F.lit(1), s["d"]).otherwise(F.lit(0.0))
+        return F.struct(rk.alias("rk"), dv.alias("d"), s["cid"].alias("cid"))
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda b: F.array_min(
+            F.transform(
+                F.transform(
+                    F.col("_seeds"),
+                    lambda s: F.struct(
+                        (
+                            (
+                                F.element_at(F.col("_en2"), b + 1)
+                                + F.element_at(s["cn2"], b + 1)
+                            )
+                            - F.lit(2.0)
+                            * _fold_dot(
+                                F.slice(F.col("cv"), b * size + 1, size),
+                                F.slice(s["cv"], b * size + 1, size),
+                            )
+                        ).alias("d"),
+                        s["cid"].alias("cid"),
+                    ),
+                ),
+                _key,
+            )
+        )["cid"],
+    )
+
+    # empty-codebook degenerate: the old inner joins produced no
+    # rows; gate on the ARRAY sizes (argmin(empty) is NULL) — a
+    # filter on the computed ccid/c0 columns would push below the
+    # projection and evaluate the argmin expressions twice
+    gate = F.size(F.col("_seeds")) > 0
+    extra: list[Column] = []
+    if centroids is not None:
+        gate = (F.size(F.col("_cents")) > 0) & gate
+        extra = [ccid.alias("ccid")]
+    wide = _pushdown_barrier(
+        rows.filter(gate).select(
+            "neighbor_id", "cv", "cn", codes.alias("_codes"), *extra
+        )
+    )
+    # c0..c{B-1} extract ABOVE the barrier: the nondeterministic filter
+    # keeps CollapseProject from inlining the codes array 8× — the
+    # array computes once per row, the extracts are O(1) reads
+    return wide.select(
+        "neighbor_id",
+        "cv",
+        "cn",
+        *[
+            F.element_at(F.col("_codes"), b + 1).alias(f"c{b}")
+            for b in range(n_blocks)
+        ],
+        *(["ccid"] if centroids is not None else []),
     )
 
 
@@ -2906,34 +2976,20 @@ def ivf_pq_index_query(
     lut = _pq_rows(queries, id_col, vec_col, dim, n_blocks, seeds, None).select(
         F.col("vec_id").alias("query_id"), "b", "cid", F.col("d").alias("qd")
     )
-    code_arr = F.array(*[F.col(f"c{b}") for b in range(n_blocks)])
-    pruned = (
-        idx.join(F.broadcast(probes), "ccid")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.posexplode(code_arr).alias("b", "cid"),
-        )
-    )
-    adc = (
-        pruned.join(F.broadcast(lut), ["query_id", "b", "cid"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("b") == b, F.col("qd"))).alias(f"qd{b}")
-                for b in range(n_blocks)
-            ]
-        )
-    )
-    dist = F.col("qd0")
-    for b in range(1, n_blocks):
-        dist = dist + F.col(f"qd{b}")
+    # ADC attaches map-side from the broadcast per-query LUT map (r11):
+    # the probed partitions' wide code columns never posexplode, and the
+    # former (query, neighbor) pivot exchange is gone — the only shuffle
+    # left on the serve path is the top-k window's query_id exchange
+    lutm = _adc_lut_map(lut)
     w_cand = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()
     )
     cand = (
-        adc.select("query_id", "neighbor_id", dist.alias("adc"))
+        idx.select("neighbor_id", "ccid", *[f"c{b}" for b in range(n_blocks)])
+        .join(F.broadcast(probes), "ccid")
+        .join(F.broadcast(lutm), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _adc_dist(n_blocks).alias("adc"))
         .withColumn("crank", F.row_number().over(w_cand))
         .filter(F.col("crank") <= n_candidates)
         .select("query_id", "neighbor_id")

@@ -60,6 +60,27 @@ def _stage_halves(df, staging: str, first_expr) -> None:
     )
 
 
+_STAGED: dict[str, str] = {}
+
+
+def _staged_halves(df, key: str, first_expr) -> str:
+    """Memoized :func:`_stage_halves` (r11): the staged arrival files
+    are INGEST-TIME fixture state — identical bytes on every call
+    (deterministic filters of the deterministic corpus) — so they are
+    written once per (process, query, corpus) and reused, exactly
+    st19's ``built`` doctrine extended to the whole staged family. The
+    per-call measurement subjects are untouched: every invocation still
+    gets a fresh checkpoint, a fresh lake/MV, the full micro-batch
+    drain, and the serve query; only the fabrication of the arrival
+    files (scaffolding a batch testbed needs and production does not —
+    arrivals exist there) stops repeating."""
+    if key not in _STAGED:
+        staging = _scratch(key.split("/")[0] + "_staging")
+        _stage_halves(df, staging, first_expr)
+        _STAGED[key] = staging
+    return _STAGED[key]
+
+
 def _events_raw(spark, sf_dir):
     """Raw read schema + ts-normalizer for STREAMING reads of
     events.parquet, robust to both encodings the driver has shipped:
@@ -507,15 +528,12 @@ def st8_stream_static_enrich(spark, sf_dir):
 def st9_stream_incremental_mv(spark, sf_dir):
     """Stages the events table as two disjoint halves consumed one per
     micro-batch, so the MV is genuinely built by two delta merges."""
-    import os
 
     from mrf_etl_spark.streaming import stream_incremental_rollup
 
     raw_schema, ts_conv = _events_raw(spark, sf_dir)
-    staging = _scratch("st9_staging")
-    os.makedirs(staging, exist_ok=True)
     ev = spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet")
-    _stage_halves(ev, staging, F.col("event_id") % 2 == 0)
+    staging = _staged_halves(ev, f"st9/{sf_dir}", F.col("event_id") % 2 == 0)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
@@ -567,15 +585,12 @@ def st10_stream_scd2(spark, sf_dir):
     """Stages events as two disjoint halves consumed one per micro-batch,
     so the final history is genuinely built by two incremental
     bucket-rebuild merges, then compares against the one-shot SCD2."""
-    import os
 
     from mrf_etl_spark.streaming import stream_scd2_ingest
 
     raw_schema, ts_conv = _events_raw(spark, sf_dir)
-    staging = _scratch("st10_staging")
-    os.makedirs(staging, exist_ok=True)
     ev = spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet")
-    _stage_halves(ev, staging, F.col("event_id") % 2 == 0)
+    staging = _staged_halves(ev, f"st10/{sf_dir}", F.col("event_id") % 2 == 0)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
@@ -660,7 +675,6 @@ def st11_stream_corpus_card(spark, sf_dir):
     """Stages documents as two disjoint halves consumed one per
     micro-batch, so the final state is genuinely built by two additive
     merges, then derives the card from state only."""
-    import os
 
     from mrf_etl_spark.operators.cardsketch import (
         card_rows,
@@ -669,9 +683,7 @@ def st11_stream_corpus_card(spark, sf_dir):
     from mrf_etl_spark.streaming import stream_incremental_rollup
 
     docs = t(spark, sf_dir, "documents")
-    staging = _scratch("st11_staging")
-    os.makedirs(staging, exist_ok=True)
-    _stage_halves(docs, staging, F.col("doc_id") % 2 == 0)
+    staging = _staged_halves(docs, f"st11/{sf_dir}", F.col("doc_id") % 2 == 0)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -725,14 +737,11 @@ def _register_st12():
         """Stages documents as two disjoint halves consumed one per
         micro-batch; each batch is scored and gated independently and
         the kept (doc_id, logit) rows appended to the lake."""
-        import os
 
         from mrf_etl_spark.operators.textops import quality_classifier
 
         docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-        staging = _scratch("st12_staging")
-        os.makedirs(staging, exist_ok=True)
-        _stage_halves(docs, staging, F.col("doc_id") % 2 == 0)
+        staging = _staged_halves(docs, f"st12/{sf_dir}", F.col("doc_id") % 2 == 0)
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
@@ -789,7 +798,6 @@ def _register_st13():
         stages the non-eval corpus as two disjoint halves consumed one
         per micro-batch, gates each batch with the literal bitset, and
         appends clean (doc_id, n_shingles) rows to the lake."""
-        import os
 
         from mrf_etl_spark.operators.dedup import doc_shingles, shingle_hash_expr
         from mrf_etl_spark.operators.textops import (
@@ -809,9 +817,7 @@ def _register_st13():
         words = bloom_bitset_words(ev, BLOOM_M, BLOOM_K)
 
         corpus = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
-        staging = _scratch("st13_staging")
-        os.makedirs(staging, exist_ok=True)
-        _stage_halves(corpus, staging, F.col("doc_id") % 2 == 0)
+        staging = _staged_halves(corpus, f"st13/{sf_dir}", F.col("doc_id") % 2 == 0)
         stream = (
             spark.readStream.schema(corpus.schema)
             .option("maxFilesPerTrigger", 1)
@@ -865,7 +871,6 @@ def _register_st14():
         "reindex.",
     )
     def st14_stream_ann_ingest(spark, sf_dir):
-        import os
 
         from mrf_etl_spark.operators import similarity as sim
         from mrf_etl_spark.plans.parity import _scratch
@@ -882,9 +887,7 @@ def _register_st14():
         )
         # ...then the odd half ARRIVES as two micro-batches
         arriving = emb.filter(F.col("vec_id") % 2 == 1)
-        staging = _scratch("st14_staging")
-        os.makedirs(staging, exist_ok=True)
-        _stage_halves(arriving, staging, F.col("vec_id") % 4 == 1)
+        staging = _staged_halves(arriving, f"st14/{sf_dir}", F.col("vec_id") % 4 == 1)
         stream = (
             spark.readStream.schema(arriving.schema)
             .option("maxFilesPerTrigger", 1)
@@ -934,7 +937,6 @@ def _register_st15():
         "boundaries invisible.",
     )
     def st15_stream_burst_monitor(spark, sf_dir):
-        import os
 
         from mrf_etl_spark.operators.rolling import burst_flags
         from mrf_etl_spark.plans.parity_llm import (
@@ -945,10 +947,8 @@ def _register_st15():
         from mrf_etl_spark.streaming import stream_incremental_rollup
 
         raw_schema, ts_conv = _events_raw(spark, sf_dir)
-        staging = _scratch("st15_staging")
-        os.makedirs(staging, exist_ok=True)
         ev = spark.read.schema(raw_schema).parquet(f"{sf_dir}/events.parquet")
-        _stage_halves(ev, staging, F.col("event_id") % 2 == 0)
+        staging = _staged_halves(ev, f"st15/{sf_dir}", F.col("event_id") % 2 == 0)
         stream = (
             spark.readStream.schema(raw_schema)
             .option("maxFilesPerTrigger", 1)
@@ -1002,7 +1002,6 @@ def _register_st16():
         "shape; no per-user state, no rebuild, batches fold in forever.",
     )
     def st16_stream_hll_distinct(spark, sf_dir):
-        import os
 
         from mrf_etl_spark.operators import sketchlake as sl
 
@@ -1012,9 +1011,7 @@ def _register_st16():
             .parquet(f"{sf_dir}/events.parquet")
             .select("event_id", "user_id", "event_type")
         )
-        staging = _scratch("st16_staging")
-        os.makedirs(staging, exist_ok=True)
-        _stage_halves(ev, staging, F.col("event_id") % 2 == 0)
+        staging = _staged_halves(ev, f"st16/{sf_dir}", F.col("event_id") % 2 == 0)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1080,7 +1077,6 @@ def _register_st17():
         "exactly (operators/sampling.token_stream_chunks_from_state).",
     )
     def st17_stream_pack_offsets(spark, sf_dir):
-        import os
 
         from mrf_etl_spark.operators import sampling as sp
         from mrf_etl_spark.operators import textops as tx
@@ -1091,12 +1087,10 @@ def _register_st17():
         )
 
         docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-        staging = _scratch("st17_staging")
-        os.makedirs(staging, exist_ok=True)
         # halves staged by id PARITY, deliberately interleaved — the
         # order-invariance claim is only tested if batches do NOT arrive
         # in id order
-        _stage_halves(docs, staging, F.col("doc_id") % 2 == 1)
+        staging = _staged_halves(docs, f"st17/{sf_dir}", F.col("doc_id") % 2 == 1)
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1168,7 +1162,6 @@ def _register_st18():
         "work per trigger — never an index re-aggregation.",
     )
     def st18_stream_category_stats(spark, sf_dir):
-        import os
 
         from mrf_etl_spark.operators import sketchlake as sl
 
@@ -1178,9 +1171,7 @@ def _register_st18():
             .parquet(f"{sf_dir}/events.parquet")
             .select("event_id", "user_id", "props", "event_type")
         )
-        staging = _scratch("st18_staging")
-        os.makedirs(staging, exist_ok=True)
-        _stage_halves(ev, staging, F.col("event_id") % 2 == 0)
+        staging = _staged_halves(ev, f"st18/{sf_dir}", F.col("event_id") % 2 == 0)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1248,7 +1239,6 @@ def _register_st19():
         the live index path. Base + staging are INGEST-TIME state,
         identical every call: built once per (process, corpus) — n8's
         memo pattern."""
-        import os
         import shutil
 
         from mrf_etl_spark.operators import similarity as sim
@@ -1267,9 +1257,7 @@ def _register_st19():
                 dim=DIM, n_blocks=_PQ_BLOCKS,
             )
             arriving = emb.filter(F.col("vec_id") % 2 == 1)
-            staging = _scratch("st19_staging")
-            os.makedirs(staging, exist_ok=True)
-            _stage_halves(arriving, staging, F.col("vec_id") % 4 == 1)
+            staging = _staged_halves(arriving, f"st19/{sf_dir}", F.col("vec_id") % 4 == 1)
             built[sf_dir] = (base, staging)
         base, staging = built[sf_dir]
         path = _scratch(f"{tag}_ivfpq_live")
@@ -1402,7 +1390,6 @@ def _register_st20():
         "work per trigger, never a corpus re-scan.",
     )
     def st20_stream_codebook_drift(spark, sf_dir):
-        import os
 
         from mrf_etl_spark.operators import similarity as sim
         from mrf_etl_spark.operators.sketchlake import append_state
@@ -1442,9 +1429,7 @@ def _register_st20():
 
         # current traffic streams in two micro-batches
         cur = emb.filter(F.col("label") == 0).select("vec_id", "embedding")
-        staging = _scratch("st20_staging")
-        os.makedirs(staging, exist_ok=True)
-        _stage_halves(cur, staging, F.col("vec_id") % 2 == 0)
+        staging = _staged_halves(cur, f"st20/{sf_dir}", F.col("vec_id") % 2 == 0)
         lake = _scratch("st20_count_lake")
 
         def fold(batch_df, _batch_id):
@@ -1546,7 +1531,6 @@ def _register_st21():
         "gates only its delta.",
     )
     def st21_stream_decontam_gate(spark, sf_dir):
-        import os
 
         from mrf_etl_spark.operators import similarity as sim
         from mrf_etl_spark.operators.sketchlake import append_state
@@ -1563,9 +1547,7 @@ def _register_st21():
         corpus = emb.filter(F.col("vec_id") % EVAL_MOD != 0).unionByName(
             ev.withColumn("vec_id", F.col("vec_id") + ID_SHIFT)
         )
-        staging = _scratch("st21_staging")
-        os.makedirs(staging, exist_ok=True)
-        _stage_halves(corpus, staging, F.col("vec_id") % 2 == 0)
+        staging = _staged_halves(corpus, f"st21/{sf_dir}", F.col("vec_id") % 2 == 0)
         lake = _scratch("st21_clean_lake")
 
         def gate(batch_df, _batch_id):
@@ -1634,7 +1616,6 @@ def _register_st22():
         "O(batch) work per trigger at any corpus size.",
     )
     def st22_stream_fertility(spark, sf_dir):
-        import os
 
         from mrf_etl_spark.operators import textops as tx
         from mrf_etl_spark.operators.sketchlake import append_state
@@ -1663,9 +1644,7 @@ def _register_st22():
             F.size(F.split(F.col("s"), " ")).cast("long").alias("_toks"),
         ).persist()
 
-        staging = _scratch("st22_staging")
-        os.makedirs(staging, exist_ok=True)
-        _stage_halves(docs, staging, F.col("doc_id") % 2 == 0)
+        staging = _staged_halves(docs, f"st22/{sf_dir}", F.col("doc_id") % 2 == 0)
         lake = _scratch("st22_fertility_lake")
         zero = F.lit(0).cast("long")
 
@@ -1744,7 +1723,6 @@ def _register_st23():
         "codebook) work per trigger — the corpus is never re-assigned.",
     )
     def st23_stream_cluster_map(spark, sf_dir):
-        import os
 
         from mrf_etl_spark.operators import similarity as sim
         from mrf_etl_spark.operators.sketchlake import append_state
@@ -1764,9 +1742,7 @@ def _register_st23():
             ).alias("cvec")
         ).persist()
 
-        staging = _scratch("st23_staging")
-        os.makedirs(staging, exist_ok=True)
-        _stage_halves(emb, staging, F.col("vec_id") % 2 == 0)
+        staging = _staged_halves(emb, f"st23/{sf_dir}", F.col("vec_id") % 2 == 0)
         lake = _scratch("st23_cluster_lake")
 
         def fold(batch_df, _batch_id):
@@ -1851,7 +1827,6 @@ def _register_st24():
         "corpus size.",
     )
     def st24_stream_zipf_monitor(spark, sf_dir):
-        import os
 
         from mrf_etl_spark.operators import textops as tx
         from mrf_etl_spark.operators.sketchlake import append_state
@@ -1860,9 +1835,7 @@ def _register_st24():
         docs = t(spark, sf_dir, "documents").select(
             "doc_id", "source", "text"
         )
-        staging = _scratch("st24_staging")
-        os.makedirs(staging, exist_ok=True)
-        _stage_halves(docs, staging, F.col("doc_id") % 2 == 0)
+        staging = _staged_halves(docs, f"st24/{sf_dir}", F.col("doc_id") % 2 == 0)
         lake = _scratch("st24_zipf_lake")
 
         def fold(batch_df, _batch_id):
@@ -1927,7 +1900,6 @@ def _register_st25():
         "equals the one-shot d21 run row for row (oracle verbatim).",
     )
     def st25_stream_excision(spark, sf_dir):
-        import os
 
         from mrf_etl_spark.operators.sketchlake import append_state
         from mrf_etl_spark.operators.textops import (
@@ -1943,9 +1915,7 @@ def _register_st25():
         ).persist()
         corpus = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
 
-        staging = _scratch("st25_staging")
-        os.makedirs(staging, exist_ok=True)
-        _stage_halves(corpus, staging, F.col("doc_id") % 2 == 0)
+        staging = _staged_halves(corpus, f"st25/{sf_dir}", F.col("doc_id") % 2 == 0)
         lake = _scratch("st25_excised_lake")
 
         def fold(batch_df, _batch_id):
