@@ -110,17 +110,23 @@ BUDGETS = {
     # stats sketch lake serve: state-sized union agg + the exact
     # verification side's distinct agg (the only corpus shuffle)
     "a29_persisted_category_stats": 3,
-    # composed IVF-PQ: coarse-assign agg, codes window, ADC pivot agg,
-    # candidate window, final rank window — probe list, LUT, offsets and
-    # codebook all travel as broadcasts (not counted)
-    "n7_ann_ivf_pq": 8,  # +3 r11: widen round-robins (assign + PQ long form)
+    # composed IVF-PQ (r11 map-side ADC): the per-row projection's
+    # widen round-robins + candidate and final rank windows — probe
+    # list, LUT MAP and rerank queries all broadcast; the former ADC
+    # posexplode + (query, neighbor) pivot exchange are GONE (§12,
+    # plans/r11/n7_ann_ivf_pq_{before,after}.txt)
+    "n7_ann_ivf_pq": 7,
+    # flat PQ-ADC (r11): codes-only projection + LUT map — one widen,
+    # lutm agg, candidate + final rank windows; no corpus code window,
+    # no pair pivot
+    "n5_ann_pq_adc": 5,
     # persisted IVF-PQ QUERY plan (the index build is ingest-time
     # actions, not part of this plan): probe window, LUT long-form
-    # windows, ADC pivot agg, candidate + final rank windows — codes,
-    # probes, LUT and rerank queries all broadcast; one more than n7
-    # because the LUT derives from the persisted codebook scan instead
-    # of sharing n7's in-plan long form
-    "n8_ann_ivf_pq_persisted": 7,  # +1 r11 widen
+    # windows + lutm map agg, candidate + final rank windows — codes,
+    # probes, LUT map and rerank queries all broadcast (r11 §12: the
+    # ADC pivot agg on probed×B rows is gone; the remaining aggs are
+    # KiB query-side)
+    "n8_ann_ivf_pq_persisted": 7,
     # novelty audit: shingle-df agg pair + join-back + doc rollup —
     # d3's posting-list shape without the pair emission
     "t21_shingle_novelty": 4,
@@ -187,7 +193,7 @@ BUDGETS = {
     # measured noop 4.6 -> 2.5 s at sf0.1); the persist trades one
     # ReusedExchange print for an InMemory leaf, hence 39 -> 40 counted
     # KiB exchanges while corpus passes drop from ~18 to ~7
-    "n15_ann_pq_dimperm": 40,
+    "n15_ann_pq_dimperm": 35,  # r11 §12: pair pivots gone from both ADC passes
     # JL prefilter: quantize max agg, the k-way projection agg, the
     # candidate/final rank windows — sign matrix and query sketches
     # broadcast
@@ -240,7 +246,7 @@ BUDGETS = {
     # fixture widen (RoundRobin) instead of a ReusedExchange: more nodes,
     # strictly fewer corpus bytes moved (measured 3.7 -> 2.5 s noop at
     # sf0.1, plans/r11/n14_ann_ivfpq_residual_{before,after}.txt)
-    "n14_ann_ivfpq_residual": 11,
+    "n14_ann_ivfpq_residual": 10,  # r11 §12: residual codes per-row, ADC map-side
 }
 
 
@@ -429,3 +435,30 @@ def test_sp27_solver_rounds_run_through_cache(spark):
         final[:2000]
     )
     assert "BroadcastNestedLoopJoin" not in final, final[:2000]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "n5_ann_pq_adc",
+        "n7_ann_ivf_pq",
+        "n8_ann_ivf_pq_persisted",
+        "n14_ann_ivfpq_residual",
+    ],
+)
+def test_adc_attaches_map_side(spark, name):
+    """r11 §12 pin: the ADC stage must attach block distances map-side
+    from the broadcast per-query LUT map — the old shape posexploded
+    every candidate's code array (a Generate over corpus/probed rows)
+    and re-assembled pairs with a (query, neighbor) pivot exchange. The
+    only Generate allowed in these plans is the LUT long-form explode
+    over the |queries|-sized side (and its per-probed-bucket twin on
+    the residual path)."""
+    spark.catalog.clearCache()
+    df = _catalog()[name].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_gen = len(re.findall(r"\bGenerate\b", plan))
+    assert n_gen <= 1, (
+        f"{name}: {n_gen} Generate nodes — a corpus-side code explode "
+        f"came back; the ADC must read wide code columns map-side"
+    )

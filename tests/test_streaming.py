@@ -810,3 +810,38 @@ def test_st25_streamed_excision_equals_one_shot(spark):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_staged_halves_memoized(spark):
+    """r11 §13 pin: the staged arrival fixture is ingest-time state —
+    the second call with the same key must return the SAME directory
+    without re-running the staging write (st19's `built` doctrine
+    extended to the whole staged family). Different keys still stage
+    independently."""
+    import mrf_etl_spark.plans.parity_streaming as ps
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("v")
+    )
+    calls = {"n": 0}
+    real = ps._stage_halves
+
+    def counting(d, staging, expr):
+        calls["n"] += 1
+        return real(d, staging, expr)
+
+    orig = ps._stage_halves
+    ps._stage_halves = counting
+    try:
+        key = "test_memo/unit"
+        p1 = ps._staged_halves(df, key, F.col("doc_id") % 2 == 0)
+        p2 = ps._staged_halves(df, key, F.col("doc_id") % 2 == 0)
+        assert p1 == p2
+        assert calls["n"] == 1, "second call must not re-stage"
+        p3 = ps._staged_halves(df, "test_memo/other", F.col("doc_id") % 2 == 0)
+        assert p3 != p1
+        assert calls["n"] == 2
+    finally:
+        ps._stage_halves = orig
+        ps._STAGED.pop("test_memo/unit", None)
+        ps._STAGED.pop("test_memo/other", None)
