@@ -1092,7 +1092,13 @@ def pq_adc_topk(
     ).select(F.col("vec_id").alias("query_id"), "b", "cid", F.col("d").alias("qd"))
     lutm = _adc_lut_map(lut)
     w_cand = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id").asc()
+        # asc_nulls_last (ADVICE r11): a NULL adc can only arise from an
+        # incomplete caller-supplied LUT; rank it LAST so that failure
+        # mode degrades like the old inner-join shape (candidate
+        # dropped) instead of promoting phantom pairs to rank 1. With
+        # the complete LUT grids every caller builds, no NULL exists and
+        # the ordering — hence the output — is bit-identical.
+        F.col("adc").asc_nulls_last(), F.col("neighbor_id").asc()
     )
     cand = (
         proj.select("neighbor_id", *[f"c{b}" for b in range(n_blocks)])
@@ -1219,7 +1225,13 @@ def ivf_pq_topk(
     )
     lutm = _adc_lut_map(lut)
     w_cand = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id").asc()
+        # asc_nulls_last (ADVICE r11): a NULL adc can only arise from an
+        # incomplete caller-supplied LUT; rank it LAST so that failure
+        # mode degrades like the old inner-join shape (candidate
+        # dropped) instead of promoting phantom pairs to rank 1. With
+        # the complete LUT grids every caller builds, no NULL exists and
+        # the ordering — hence the output — is bit-identical.
+        F.col("adc").asc_nulls_last(), F.col("neighbor_id").asc()
     )
     cand = (
         proj.select("neighbor_id", "ccid", *[f"c{b}" for b in range(n_blocks)])
@@ -1454,7 +1466,13 @@ def ivf_pq_residual_topk(
     # where the LUT grid is complete
     lutm = _adc_lut_map(lut, key_cols=("ccid", "b", "cid"))
     w_cand = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id").asc()
+        # asc_nulls_last (ADVICE r11): a NULL adc can only arise from an
+        # incomplete caller-supplied LUT; rank it LAST so that failure
+        # mode degrades like the old inner-join shape (candidate
+        # dropped) instead of promoting phantom pairs to rank 1. With
+        # the complete LUT grids every caller builds, no NULL exists and
+        # the ordering — hence the output — is bit-identical.
+        F.col("adc").asc_nulls_last(), F.col("neighbor_id").asc()
     )
     cand = (
         codes.join(F.broadcast(probes.select("query_id", "ccid")), "ccid")
@@ -2405,7 +2423,15 @@ def _adc_lut_map(lut: DataFrame, key_cols: tuple[str, ...] = ("b", "cid")) -> Da
     128-entry map probe is noise next to the removed shuffle. Entry
     order is irrelevant: keys are unique per query, and map lookup
     doesn't depend on insertion order, so ``collect_list`` feeding
-    ``map_from_entries`` is deterministic in effect."""
+    ``map_from_entries`` is deterministic in effect.
+
+    PRECONDITION (ADVICE r11): the ``lut`` frame must hold at most one
+    row per (query_id, *key_cols) — every internal caller derives it
+    from a distinct-seed grid, which guarantees that. A caller-supplied
+    frame with duplicate key rows fails FAST at runtime
+    (``map_from_entries`` raises under the default
+    ``spark.sql.mapKeyDedupPolicy=EXCEPTION``) rather than silently
+    aggregating duplicates as the old pivot's ``max()`` did."""
     return lut.groupBy("query_id").agg(
         F.map_from_entries(
             F.collect_list(
@@ -2982,7 +3008,13 @@ def ivf_pq_index_query(
     # left on the serve path is the top-k window's query_id exchange
     lutm = _adc_lut_map(lut)
     w_cand = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id").asc()
+        # asc_nulls_last (ADVICE r11): a NULL adc can only arise from an
+        # incomplete caller-supplied LUT; rank it LAST so that failure
+        # mode degrades like the old inner-join shape (candidate
+        # dropped) instead of promoting phantom pairs to rank 1. With
+        # the complete LUT grids every caller builds, no NULL exists and
+        # the ordering — hence the output — is bit-identical.
+        F.col("adc").asc_nulls_last(), F.col("neighbor_id").asc()
     )
     cand = (
         idx.select("neighbor_id", "ccid", *[f"c{b}" for b in range(n_blocks)])

@@ -1097,7 +1097,56 @@ def longest_repeat(
             > 0
         )
 
-    lo, hi, best = min_len, max_len, 0
+    # ONE-JOB power-of-two screen (r12, the d16-ladder pre-screen —
+    # guide §1.2 "remove passes", §7.3 driver coordination): exists(2^k)
+    # for EVERY level in range comes straight from the _hk columns
+    # (array_distinct per doc ⟺ span_hashes' per-doc distinctness; the
+    # md5(h||h) re-hash the probes apply is a bijection of the equality
+    # structure, so the booleans match), all levels in one explode + one
+    # (len, hash) aggregate. The binary search then runs only inside
+    # [M+1, min(2M-1, max_len)] where M is the largest level with a
+    # repeat — exists() is monotone in L, so the restricted search finds
+    # the same max{L : exists(L)} the full search did. On repeat-heavy
+    # corpora (best = max_len, this fixture) the probe count drops from
+    # ceil(log2(range)) = 5 sequential jobs to ZERO; worst case it is
+    # log2 of a 2x-smaller range. At 100 TB each probe is a corpus scan
+    # when the doubling table outgrows cache — the screen is one scan.
+    min_log = max(1, int(math.ceil(math.log2(min_len))))
+    levels = [
+        1 << k
+        for k in range(min_log, max_log + 1)
+        if min_len <= (1 << k) <= max_len
+    ]
+    best = 0
+    if levels:
+        lv_arrays = ", ".join(
+            f"transform(array_distinct(_h{int(math.log2(ln))}), "
+            f"h -> struct({ln} AS len, h AS hash))"
+            for ln in levels
+        )
+        got = {
+            r.len
+            for r in words.select(
+                F.explode(F.expr(f"flatten(array({lv_arrays}))")).alias("_s")
+            )
+            .select(F.col("_s.len").alias("len"), F.col("_s.hash").alias("hash"))
+            .groupBy("len", "hash")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .select("len")
+            .distinct()
+            .collect()
+        }
+        m_lvl = max((ln for ln in levels if ln in got), default=0)
+        if m_lvl:
+            best = m_lvl
+            lo, hi = m_lvl + 1, min(2 * m_lvl - 1, max_len)
+        elif levels[0] == min_len:
+            lo, hi = 1, 0  # exists(min_len) is false -> best = 0, no probes
+        else:
+            lo, hi = min_len, levels[0] - 1
+    else:
+        lo, hi = min_len, max_len
     while lo <= hi:
         mid = (lo + hi) // 2
         if has_repeat(mid):

@@ -6574,6 +6574,13 @@ def _register_sp26():
         b = tx.perplexity_buckets(
             t(spark, sf_dir, "documents"), "text", "doc_id", "source"
         )
+        # persist the slim (doc_id, band) frame (r12, guide §5-caching):
+        # curriculum_order reads it TWICE (per-(band, bucket) counts +
+        # the offset join-back), and each unpersisted reference re-ran —
+        # and re-PLANNED — the whole tertile-threshold cascade above
+        # t25's cached score frame (the sp26 plan printed 98 exchanges;
+        # the residual-plan-mass item of VERDICT r11 #6). Two narrow
+        # longs per doc; released with the t25 state via release_state.
         banded = b.select(
             "doc_id",
             F.when(F.col("bucket") == "head", 0)
@@ -6581,14 +6588,13 @@ def _register_sp26():
             .otherwise(2)
             .cast("long")
             .alias("band"),
-        )
+        ).persist()
         out = sp.curriculum_order(
             banded, "doc_id", "band", salt="ccnet"
         ).select("doc_id", "band", "curriculum_pos")
         # t25's persisted score frame must survive until the caller
-        # materializes (curriculum_order reads banded twice); the bench
-        # frees it via release_state
-        return carry_state(out, b)
+        # materializes; the bench frees both via release_state
+        return carry_state(out, b, hold=(banded,))
 
     return sp26_perplexity_curriculum
 

@@ -60,7 +60,7 @@ def _stage_halves(df, staging: str, first_expr) -> None:
     )
 
 
-_STAGED: dict[str, str] = {}
+_STAGED: dict[str, tuple[str, str]] = {}
 
 
 def _staged_halves(df, key: str, first_expr) -> str:
@@ -73,12 +73,25 @@ def _staged_halves(df, key: str, first_expr) -> str:
     gets a fresh checkpoint, a fresh lake/MV, the full micro-batch
     drain, and the serve query; only the fabrication of the arrival
     files (scaffolding a batch testbed needs and production does not —
-    arrivals exist there) stops repeating."""
+    arrivals exist there) stops repeating.
+
+    The memo records each key's split expression and REFUSES a reuse
+    under a different one (ADVICE r11): a future caller recycling an
+    existing key with a new ``first_expr`` would otherwise silently
+    receive the wrong staged halves."""
+    expr_sig = str(first_expr._jc)
     if key not in _STAGED:
         staging = _scratch(key.split("/")[0] + "_staging")
         _stage_halves(df, staging, first_expr)
-        _STAGED[key] = staging
-    return _STAGED[key]
+        _STAGED[key] = (staging, expr_sig)
+    staging, seen_sig = _STAGED[key]
+    if seen_sig != expr_sig:
+        raise ValueError(
+            f"_staged_halves key {key!r} was staged with a different "
+            f"split expression ({seen_sig!r}); use a new key for "
+            f"{expr_sig!r}"
+        )
+    return staging
 
 
 def _events_raw(spark, sf_dir):

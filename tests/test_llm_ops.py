@@ -4882,3 +4882,148 @@ def test_audio_energy_bits_np_matches_scalar():
         expect = audio_energy_bits(s)
         got = audio_energy_bits_np(np.asarray(s, dtype=np.int64))
         assert got == expect, (len(s), got, expect)
+
+
+def test_ahash_fake_batch_np_matches_scalar():
+    """m5/m6 r12 optimization pin: the batched NumPy fake-path aHash must
+    be bit-identical to the scalar path (sample 64 bytes at (i*n)//64,
+    threshold at the exact sum/64.0 mean) on random and edge payloads —
+    every m5 signature and m6 pair depends on exact sample gathers and
+    tie behavior at the mean."""
+    import random
+
+    from mrf_etl_spark.operators.multimodal import (
+        ahash_fake_batch_np,
+        ahash_halves,
+    )
+
+    def scalar(payload: bytes):
+        n = len(payload)
+        return ahash_halves([float(payload[(i * n) // 64]) for i in range(64)])
+
+    rng = random.Random(11)
+    payloads = [
+        bytes([7]),
+        bytes([0]) * 64,
+        bytes([255]) * 100,
+        bytes(range(64)),
+        bytes(range(256)),
+        bytes([128, 127] * 32),
+    ] + [
+        bytes(rng.randrange(256) for _ in range(rng.choice([1, 2, 63, 64, 65, 200, 577, 4096])))
+        for _ in range(300)
+    ]
+    hi, lo = ahash_fake_batch_np(payloads)
+    for i, p in enumerate(payloads):
+        assert (int(hi[i]), int(lo[i])) == scalar(p), (i, len(p))
+    # empty batch keeps its shape
+    ehi, elo = ahash_fake_batch_np([])
+    assert len(ehi) == 0 and len(elo) == 0
+
+
+def test_frame_sums_np_matches_scalar():
+    """m8 r12 optimization pin: the prefix-sum frame-sum kernel must
+    reproduce the scalar loop exactly — one row per frame, empty
+    payloads keep their single zero-sum frame, tail frames sum only the
+    remaining bytes."""
+    import math
+    import random
+
+    from mrf_etl_spark.operators.multimodal import frame_sums_np
+
+    def scalar(doc_ids, payloads, frame_size):
+        rows = []
+        for doc_id, payload in zip(doc_ids, payloads):
+            n_frames = max(1, math.ceil(len(payload) / frame_size))
+            for i in range(n_frames):
+                rows.append(
+                    (doc_id, i, sum(payload[i * frame_size : (i + 1) * frame_size]))
+                )
+        return rows
+
+    rng = random.Random(13)
+    for frame_size in (1, 63, 64, 256):
+        ids = list(range(200))
+        payloads = [
+            bytes(
+                rng.randrange(256)
+                for _ in range(rng.choice([0, 1, frame_size - 1, frame_size, frame_size + 1, 577]))
+            )
+            for _ in ids
+        ]
+        d, f, s = frame_sums_np(ids, payloads, frame_size)
+        got = list(zip(d.tolist(), f.tolist(), s.tolist()))
+        assert got == scalar(ids, payloads, frame_size), frame_size
+    d, f, s = frame_sums_np([], [], 64)
+    assert len(d) == len(f) == len(s) == 0
+
+
+def test_longest_repeat_screened_search_matches_bruteforce(spark):
+    """d17 r12 optimization pin: the one-job power-of-two screen +
+    restricted binary search must resolve exactly max{L : some L-word
+    span repeats cross-doc} — same value the full binary search found.
+    Planted corpora cover best = 0, best < first level, best at a power
+    of two, odd best between levels, and best = max_len."""
+    from mrf_etl_spark.operators.dedup import release_state
+    from mrf_etl_spark.operators.textops import longest_repeat
+
+    def mk(n_words: int) -> str:
+        return " ".join(f"w{i}" for i in range(n_words))
+
+    cases = [
+        # (shared block length, expected rep_len); filler words are unique
+        (0, 0),
+        (4, 4),   # best == min_len, a screened level
+        (5, 5),   # odd, inside (4, 8)
+        (8, 8),   # exactly a level
+        (13, 13),  # between 8 and 16
+        (16, 16),
+        (31, 31),  # between 16 and 32
+        (40, 32),  # saturates max_len
+    ]
+    for blk_len, want in cases:
+        blk = " ".join(f"s{i}" for i in range(blk_len)) if blk_len else ""
+        rows = [
+            (1, ("a1 a2 a3 " + blk).strip()),
+            (2, (blk + " b1 b2 b3 b4").strip()),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        lr = longest_repeat(docs)
+        got = [(r.rep_len, r.n_docs) for r in lr.collect()]
+        release_state(lr)
+        if want == 0:
+            assert got == [], (blk_len, got)
+        else:
+            assert got and all(r[0] == want for r in got), (blk_len, want, got)
+
+
+def test_media_near_dup_posting_pairs_match_selfjoin_semantics(spark):
+    """m4 r12 optimization pin: posting-list pair generation must emit
+    exactly the fh-equality self-join's (doc_a < doc_b) pair set with
+    the same n_common — verified against a direct Python computation of
+    Jaccard over random distinct frame-hash sets."""
+    import itertools
+    import random
+
+    from mrf_etl_spark.operators.dedup import release_state
+    from mrf_etl_spark.operators.multimodal import media_near_dup
+
+    rng = random.Random(5)
+    hashes = [f"h{i}" for i in range(30)]
+    docs = {
+        d: set(rng.sample(hashes, rng.randint(1, 12))) for d in range(1, 26)
+    }
+    rows = [(d, h) for d, hs in docs.items() for h in hs]
+    frames = spark.createDataFrame(rows, "doc_id long, frame_md5 string")
+    out = media_near_dup(frames, threshold=0.3)
+    got = {(r.doc_a, r.doc_b): round(r.jaccard, 9) for r in out.collect()}
+    release_state(out)
+    want = {}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        c = len(docs[a] & docs[b])
+        if c:
+            j = c / (len(docs[a]) + len(docs[b]) - c)
+            if j >= 0.3:
+                want[(a, b)] = round(j, 9)
+    assert got == want

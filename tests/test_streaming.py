@@ -845,3 +845,25 @@ def test_staged_halves_memoized(spark):
         ps._stage_halves = orig
         ps._STAGED.pop("test_memo/unit", None)
         ps._STAGED.pop("test_memo/other", None)
+
+
+def test_staged_halves_rejects_key_reuse_with_new_expr(spark):
+    """r12 (ADVICE r11): reusing a staged key with a DIFFERENT split
+    expression must raise — the memo would otherwise silently serve the
+    first expression's halves to the second caller."""
+    import pytest
+
+    import mrf_etl_spark.plans.parity_streaming as ps
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("v")
+    )
+    key = "test_memo_guard/unit"
+    try:
+        p1 = ps._staged_halves(df, key, F.col("doc_id") % 2 == 0)
+        # same expression again: fine, same directory
+        assert ps._staged_halves(df, key, F.col("doc_id") % 2 == 0) == p1
+        with pytest.raises(ValueError, match="different .*expression"):
+            ps._staged_halves(df, key, F.col("doc_id") % 3 == 0)
+    finally:
+        ps._STAGED.pop(key, None)
