@@ -919,10 +919,19 @@ def mixture_solver(
         # scale — a FIXED literal budget shrinks toward rate 0 as the
         # corpus grows (at 100× fixture scale every domain's integer
         # rate floored to 0 and the manifest emptied, SCALE.md r11).
-        # The total rides a 1-row broadcast crossJoin (the t5
-        # collect-free global-scalar shape), derived from the same agg.
-        total = tok.agg(F.sum("tokens").alias("_budget"))
-        out = out.crossJoin(F.broadcast(total))
+        # The total attaches as a sum() OVER () window on the
+        # |domains|-row aggregated table (r12, sp27's §3 linearization:
+        # one single-partition exchange of a KiB frame BY DESIGN) — the
+        # previous crossJoin(broadcast(tok.agg(...))) referenced the
+        # token-agg subtree TWICE, so every caller re-scanned and
+        # re-tokenized the corpus a second time per pass (the pipe7
+        # watch-list regression, adjudicated REAL this round:
+        # 1.07 -> 1.33 s at sf0.1).
+        from pyspark.sql.window import Window
+
+        out = out.withColumn(
+            "_budget", F.sum("tokens").over(Window.partitionBy())
+        )
         budget_sql = "CAST(_budget AS BIGINT)"
     else:
         budget_sql = f"CAST({int(budget_tokens)} AS BIGINT)"
@@ -1011,9 +1020,15 @@ def weighted_mixture_solver(
         # corpus-proportional: one EFFECTIVE-epoch equivalent (total
         # effective tokens), same rationale as mixture_solver's None
         # mode — a fixed literal budget floors every rate to 0 once the
-        # corpus outgrows it
-        total = tok.agg(F.sum("eff_tokens_bp").alias("_budget_bp"))
-        out = out.crossJoin(F.broadcast(total))
+        # corpus outgrows it. sum() OVER () on the |domains|-row table
+        # (r12, the same §3 linearization as mixture_solver): the
+        # crossJoin form re-executed the weight-join + tokenize subtree
+        # a second time per reference.
+        from pyspark.sql.window import Window
+
+        out = out.withColumn(
+            "_budget_bp", F.sum("eff_tokens_bp").over(Window.partitionBy())
+        )
         budget_sql = "(CAST(_budget_bp AS BIGINT) div 10000)"
     else:
         budget_sql = f"CAST({int(budget_tokens)} AS BIGINT)"
