@@ -1901,6 +1901,83 @@ def _with_centroid_int8(q: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _with_centroid_int8_np(q: DataFrame, cent: DataFrame) -> DataFrame:
+    """NumPy twin of :func:`_with_centroid_int8` for NON-ITERATIVE
+    callers holding a stable codebook (r12, guide §4.2): collect the
+    KiB (cid, cvec) codebook to the driver ONCE (k centroids × dim
+    int8 — metadata scale, the d17-probe/CC-fast-path precedent), then
+    assign whole Arrow batches with one int64 matmul instead of the
+    interpreted higher-order-function fold. The fold costs
+    ~k × 3·dim lambda-interpreter steps PER ROW (no codegen for
+    higher-order functions) — measured 24-29 s for ONE 18k-row × 207-
+    centroid assignment at sf1 on 32 cores; the matmul does the same
+    exact int64 arithmetic in ~0.1 s.
+
+    Bit-identical to the Catalyst kernel (pinned by
+    test_with_centroid_int8_np_matches_catalyst): dot and |c|² are
+    exact int64 (magnitudes ≤ dim·127² — far inside both int64 and the
+    2^53 double mantissa), score = double(dot)/sqrt(double(|c|²)) is
+    the same two correctly-rounded IEEE ops, ties break to the lowest
+    cid (centroids scanned in ascending-cid order, argmax keeps the
+    first max), zero-norm centroids rank last exactly like the NULL-
+    score struct key (rows fall to the lowest cid only when EVERY
+    centroid has zero norm). An empty codebook yields the empty frame
+    (the Catalyst form's ``filter(size > 0)``). Keeps every input
+    column; adds ``cid``.
+
+    NOT used by the iterative trainers (kmeans_codebook /
+    pq_codebook_train): their one-job lazy composition would turn into
+    a driver job per iteration (the eager-per-iteration shape r11
+    measured 3x slower at sf0.1). Their conversion — collect the k-row
+    codebook per iteration, literal centroids — is the documented
+    next step for trainer-at-scale."""
+    from pyspark.sql import types as T
+
+    rows = cent.select("cid", "cvec").collect()
+    out_schema = T.StructType(list(q.schema.fields) + [
+        T.StructField("cid", T.LongType(), True)
+    ])
+    if not rows:
+        return q.sparkSession.createDataFrame([], out_schema)
+    rows.sort(key=lambda r: r[0])
+
+    def _batches(it):
+        import numpy as np
+        import pandas as pd
+
+        cids = np.array([r[0] for r in rows], dtype=np.int64)
+        cmat = np.array([list(r[1]) for r in rows], dtype=np.int64)
+        ns2 = (cmat * cmat).sum(axis=1)
+        valid = ns2 > 0
+        vcids = cids[valid]
+        vmat_t = cmat[valid].T
+        norms = 1.0 if not valid.any() else np.sqrt(
+            ns2[valid].astype(np.float64)
+        )
+        for pdf in it:
+            n = len(pdf.index)
+            if n == 0:
+                yield pdf.assign(cid=pd.Series(dtype="int64"))
+                continue
+            if valid.any():
+                qm = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+                dots = qm @ vmat_t  # exact int64
+                scores = dots.astype(np.float64) / norms
+                chosen = vcids[np.argmax(scores, axis=1)]
+            else:
+                chosen = np.full(n, cids[0], dtype=np.int64)
+            yield pdf.assign(cid=chosen)
+
+    return q.mapInPandas(_batches, out_schema)
+
+
+def assign_centroids_int8_np(q: DataFrame, cent: DataFrame) -> DataFrame:
+    """:func:`assign_centroids_int8` through the NumPy kernel
+    (:func:`_with_centroid_int8_np`) — same (vid, cid) contract,
+    bit-identical assignments, for callers with a stable codebook."""
+    return _with_centroid_int8_np(q, cent).select("vid", "cid")
+
+
 def assign_centroids_int8(q: DataFrame, cent: DataFrame) -> DataFrame:
     """Exact-replay assignment of int8-quantized vectors (vid, qvec)
     against an int8 codebook (cid, cvec): argmax of dot/sqrt(|c|²) from
@@ -1966,7 +2043,10 @@ def codebook_drift(
         F.col("vid").alias("cid"), F.col("qvec").alias("cvec")
     )
     counts = (
-        _with_centroid_int8(q, cent)
+        # NumPy kernel (r12, §4.2): the drift monitor's codebook is a
+        # stable frame, so the assignment runs as one int64 matmul per
+        # Arrow batch instead of the interpreted per-row fold
+        _with_centroid_int8_np(q, cent)
         .groupBy("cid")
         .agg(
             F.sum(F.when(~F.col("is_cur"), 1).otherwise(0)).cast("long").alias("n_base"),
@@ -3240,7 +3320,10 @@ def cluster_map(
         keep=("_lab",),
     ).select(F.col(id_col).alias("vid"), "qvec", F.col("_lab").alias("label"))
     counts = (
-        _with_centroid_int8(q, cent.select("cid", "cvec"))
+        # NumPy kernel (r12, §4.2): the trained codebook is frozen by
+        # this point — collecting it runs the trainer cascade once and
+        # the assignment becomes one int64 matmul per Arrow batch
+        _with_centroid_int8_np(q, cent.select("cid", "cvec"))
         .groupBy("cid", "label")
         .agg(F.count("*").alias("n"))
     )

@@ -1430,7 +1430,7 @@ def _register_st20():
         # and joined the base ids back on by vid: a corpus exchange
         # pair for a filter)
         base = (
-            sim.assign_centroids_int8(
+            sim.assign_centroids_int8_np(
                 sim.quantize_int8(emb.filter(F.col("label") != 0)).select(
                     F.col("vec_id").alias("vid"), "qvec"
                 ),
@@ -1450,7 +1450,7 @@ def _register_st20():
                 F.col("vec_id").alias("vid"), "qvec"
             )
             counts = (
-                sim.assign_centroids_int8(qb, cent)
+                sim.assign_centroids_int8_np(qb, cent)
                 .groupBy("cid")
                 .agg(F.count("*").alias("n"))
             )
@@ -1766,7 +1766,7 @@ def _register_st23():
                 keep=("_lab",),
             ).select(F.col("vec_id").alias("vid"), "qvec", F.col("_lab").alias("label"))
             counts = (
-                sim._with_centroid_int8(qb, cent)
+                sim._with_centroid_int8_np(qb, cent)
                 .groupBy("cid", "label")
                 .agg(F.count("*").alias("n"))
             )

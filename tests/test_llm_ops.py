@@ -5027,3 +5027,53 @@ def test_media_near_dup_posting_pairs_match_selfjoin_semantics(spark):
             if j >= 0.3:
                 want[(a, b)] = round(j, 9)
     assert got == want
+
+
+def test_with_centroid_int8_np_matches_catalyst(spark):
+    """r12 §4.2 pin: the NumPy assignment kernel (driver-collected
+    codebook + int64 matmul) must produce bit-identical cids to the
+    Catalyst array-fold kernel on random int8 inputs INCLUDING exact
+    score ties (duplicate centroids), zero-norm centroids (NULL-score
+    rank-last), an all-zero codebook (lowest cid wins), and an empty
+    codebook (empty result). Extra input columns must ride through."""
+    import random
+
+    from mrf_etl_spark.operators.similarity import (
+        _with_centroid_int8,
+        _with_centroid_int8_np,
+    )
+
+    rng = random.Random(17)
+    dim = 8
+
+    def vec():
+        return [rng.randint(-127, 127) for _ in range(dim)]
+
+    base_cents = [(3, vec()), (7, vec()), (1, vec()), (12, [0] * dim)]
+    # duplicate centroid vector under two cids -> exact tie, min cid wins
+    base_cents.append((9, list(base_cents[0][1])))
+    vecs = [(i, vec(), i % 3) for i in range(200)]
+    # planted exact-tie rows: a vector EQUAL to a duplicated centroid
+    vecs.append((900, list(base_cents[0][1]), 0))
+    vecs.append((901, [0] * dim, 1))  # zero vector: all dots 0, tie on cid
+
+    q = spark.createDataFrame(
+        vecs, "vid long, qvec array<int>, tag long"
+    )
+    for cents in (base_cents, [(5, [0] * dim), (2, [0] * dim)], []):
+        cent = spark.createDataFrame(
+            cents or [(0, [0] * dim)], "cid long, cvec array<int>"
+        )
+        if not cents:
+            cent = cent.filter(F.lit(False))
+        want = {
+            (r.vid, r.tag): r.cid
+            for r in _with_centroid_int8(q, cent).collect()
+        }
+        got = {
+            (r.vid, r.tag): r.cid
+            for r in _with_centroid_int8_np(q, cent).collect()
+        }
+        assert got == want, (len(cents), {k: (got.get(k), want.get(k)) for k in set(got) ^ set(want) or list(got)[:3]})
+        if not cents:
+            assert got == {}
